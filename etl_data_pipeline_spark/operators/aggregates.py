@@ -1,3 +1,143 @@
-"""Stub — filled in as operators are implemented."""
-QUERIES = {}
-ORACLE = {}
+"""Aggregation operators (SURVEY.md §2.B "Aggregation").
+
+The reference's only aggregations are a driver-side ``max()``
+(util.py:403-426) and ``len(data)`` (app.py:147-153) — generalized
+here to the full hash-agg surface. All aggs are expressed via
+``groupBy/rollup/cube`` so Spark performs map-side partial
+aggregation before the shuffle (the scale-critical property: the
+exchange carries one row per group per task, not the raw data).
+
+Doubles are rounded inside the query on BOTH sides (Spark + oracle) —
+float sum ordering is nondeterministic across engines (SURVEY.md §7.4
+risk 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_data_pipeline_spark.functions.rounding import hround, sql_round
+from etl_data_pipeline_spark.session import load_table
+
+
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: multi-measure hash aggregation on lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            hround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            hround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            hround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            hround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            hround(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) — Spark plans this as a two-phase expand +
+    agg; at scale prefer agg_approx_distinct (HLL, one pass)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB path for
+    distinct counts: one pass, fixed memory, no expand. No SQL oracle
+    (approximate result); driver records rows-only."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_custs")
+    )
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over nation x segment (subtotals + grand total)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("cust_cnt"),
+            hround(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status x priority (all grouping-set combinations)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("order_cnt"),
+        hround(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(hround(F.sum("o_totalprice"), 2).alias("total_spent"),
+             F.count("*").alias("order_cnt"))
+        .filter(F.col("total_spent") > 300000)
+    )
+
+
+QUERIES = {
+    "agg_groupby": agg_groupby,
+    "agg_distinct": agg_distinct,
+    "agg_approx_distinct": agg_approx_distinct,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "agg_having": agg_having,
+}
+
+ORACLE = {
+    "agg_groupby": """
+        SELECT l_returnflag, l_linestatus,
+               floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+               floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
+               floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
+               floor((avg(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
+               floor((avg(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "agg_distinct": """
+        SELECT count(DISTINCT o_custkey) AS n_custs,
+               count(DISTINCT o_orderstatus) AS n_statuses
+        FROM orders
+    """,
+    "agg_rollup": """
+        SELECT n_name, c_mktsegment, count(*) AS cust_cnt,
+               floor((sum(c_acctbal)) * 100 + 0.5) / 100 AS sum_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+    "agg_cube": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS order_cnt,
+               floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS revenue
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "agg_having": """
+        SELECT o_custkey, floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total_spent,
+               count(*) AS order_cnt
+        FROM orders
+        GROUP BY o_custkey
+        HAVING floor((sum(o_totalprice)) * 100 + 0.5) / 100 > 300000
+    """,
+}

@@ -1,3 +1,261 @@
-"""Stub — filled in as operators are implemented."""
-QUERIES = {}
-ORACLE = {}
+"""Join operators — all 8 variants (SURVEY.md §2.B "Joins").
+
+New surface relative to the reference (it has no joins — its only
+join-like op is a pandas anti-join diagnostic on the table registry,
+util.py:384-387, generalized here as ``join_anti``).
+
+Scale posture per join:
+- small dims (region/nation/part/customer at dim-scale) are broadcast —
+  explicitly via F.broadcast where we know the side is small, else AQE
+  picks it up under the autoBroadcastJoinThreshold;
+- large-large joins shuffle on the join key and rely on AQE skew-join
+  splitting;
+- the theta/range join is a broadcast nested-loop against a tiny bands
+  relation — never a cartesian of two big sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_data_pipeline_spark.functions.rounding import hround, sql_round
+from etl_data_pipeline_spark.session import load_table
+
+
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders ⋈ customer (shuffle/broadcast hash join —
+    Catalyst chooses; customer is broadcast at these SFs)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "inner"
+    ).select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+
+
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast hash join: lineitem ⋈ broadcast(part).
+
+    At 100 TB lineitem stays un-shuffled; part (dim) ships to every
+    executor — no exchange on the fact side at all.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner").select(
+        "l_orderkey", "l_linenumber", "p_name", "p_brand", "l_quantity"
+    )
+
+
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer: every customer, order keys nullable."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two filtered sides so nulls appear on both."""
+    customer = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 100000
+    )
+    joined = customer.join(orders, customer.c_custkey == orders.o_custkey, "full")
+    return joined.select(
+        F.coalesce(customer.c_custkey, orders.o_custkey).alias("custkey"),
+        "c_name",
+        "o_orderkey",
+        "o_totalprice",
+    )
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi (EXISTS): customers having at least one big order."""
+    customer = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti (NOT EXISTS): customers with no high-value order —
+    generalizes the reference's registry anti-join diagnostic
+    (util.py:384-387)."""
+    customer = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join: price-band classification.
+
+    The bands side is a 3-row inline relation -> broadcast nested loop
+    join; at 100 TB this is a per-row band lookup, no shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [(0.0, 50000.0, "low"), (50000.0, 150000.0, "mid"), (150000.0, 1e12, "high")],
+        "lo double, hi double, band string",
+    )
+    return orders.join(
+        F.broadcast(bands),
+        (orders.o_totalprice > bands.lo) & (orders.o_totalprice <= bands.hi),
+        "inner",
+    ).select("o_orderkey", "o_totalprice", "band")
+
+
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: orders ⋈ customer ⋈ nation ⋈ region, aggregated.
+
+    Catalyst collapses this into successive broadcast joins over the
+    dims; only the final groupBy shuffles (partial agg map-side first).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            hround(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 revenue orders for one segment/date window.
+
+    Plan: pushed filters on all three scans -> broadcast(customer) ->
+    lineitem join shuffled on orderkey -> partial agg -> TakeOrdered(10).
+    """
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            hround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation through the full star."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            hround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("line_cnt"),
+        )
+    )
+
+
+QUERIES = {
+    "join_inner_hash": join_inner_hash,
+    "join_broadcast": join_broadcast,
+    "join_left_outer": join_left_outer,
+    "join_full_outer": join_full_outer,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_theta_range": join_theta_range,
+    "join_multiway": join_multiway,
+    "tpch_q3ish": tpch_q3ish,
+    "tpch_q5ish": tpch_q5ish,
+}
+
+ORACLE = {
+    "join_inner_hash": """
+        SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "join_broadcast": """
+        SELECT l_orderkey, l_linenumber, p_name, p_brand, l_quantity
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+    "join_left_outer": """
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+    "join_full_outer": """
+        SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+               c.c_name, o.o_orderkey, o.o_totalprice
+        FROM (SELECT * FROM customer WHERE c_acctbal > 5000) c
+        FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 100000) o
+          ON c.c_custkey = o.o_custkey
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+    """,
+    "join_theta_range": """
+        SELECT o_orderkey, o_totalprice, band
+        FROM orders JOIN (VALUES (0.0, 50000.0, 'low'),
+                                 (50000.0, 150000.0, 'mid'),
+                                 (150000.0, 1e12, 'high')) AS b(lo, hi, band)
+          ON o_totalprice > lo AND o_totalprice <= hi
+    """,
+    "join_multiway": """
+        SELECT r_name, n_name, count(*) AS order_cnt,
+               floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "tpch_q3ish": """
+        SELECT o_orderkey,
+               floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "tpch_q5ish": """
+        SELECT n_name,
+               floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
+               count(*) AS line_cnt
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+}

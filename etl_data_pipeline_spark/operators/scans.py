@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_data_pipeline_spark.functions.rounding import hround, sql_round
 from etl_data_pipeline_spark.session import load_table
 from etl_data_pipeline_spark.watermark import apply_watermark
 
@@ -107,7 +108,7 @@ def pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("order_cnt"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            hround(F.sum("o_totalprice"), 2).alias("total_revenue"),
         )
     )
 
@@ -150,7 +151,7 @@ ORACLE = {
     "pipeline_incremental": f"""
         SELECT c_mktsegment,
                count(*) AS order_cnt,
-               round(sum(o_totalprice), 2) AS total_revenue
+               {sql_round('sum(o_totalprice)', 2)} AS total_revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
         WHERE o_orderkey > {ID_WATERMARK}
         GROUP BY c_mktsegment

@@ -1,3 +1,122 @@
-"""Stub — filled in as operators are implemented."""
-QUERIES = {}
-ORACLE = {}
+"""Window-function operators (SURVEY.md §2.B "Window functions").
+
+New surface (the reference has no windows). All windows partition by a
+key, so at 100 TB the sort is per-partition after a hash exchange on
+the partition key — never a global sort. Order keys always include a
+unique tiebreaker (o_orderkey / l_linenumber) so results are
+deterministic and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_data_pipeline_spark.functions.rounding import hround, sql_round
+from etl_data_pipeline_spark.session import load_table
+
+# Deterministic per-customer orderings (built lazily — Window specs
+# need an active session, so module import must stay session-free).
+def _w_cust():
+    return Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+
+
+def _w_cust_seq():
+    return Window.partitionBy("o_custkey").orderBy(F.asc("o_orderkey"))
+
+
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / row_number per customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(_w_cust()).alias("rn"),
+        F.rank().over(_w_cust()).alias("rnk"),
+        F.dense_rank().over(_w_cust()).alias("drnk"),
+    )
+
+
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per customer in orderkey sequence (ROWS frame)."""
+    orders = load_table(spark, sf_dir, "orders")
+    running = F.sum("o_totalprice").over(
+        _w_cust_seq().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        hround(running, 2).alias("running_total"),
+    )
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead across each customer's order sequence."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        hround(F.lag("o_totalprice", 1).over(_w_cust_seq()), 2).alias("prev_price"),
+        hround(F.lead("o_totalprice", 1).over(_w_cust_seq()), 2).alias("next_price"),
+    )
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: sum of quantity within 5 quantity-units below each
+    row's quantity, per returnflag. RANGE frames depend only on the
+    order-key value, so ties are well-defined (deterministic)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity").rangeBetween(-5, 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        hround(F.sum("l_quantity").over(w), 2).alias("qty_in_band"),
+    )
+
+
+QUERIES = {
+    "window_rank": window_rank,
+    "window_running": window_running,
+    "window_lag_lead": window_lag_lead,
+    "window_range_frame": window_range_frame,
+}
+
+ORACLE = {
+    "window_rank": """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER w AS rn,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+    "window_running": """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               floor((sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100
+                   AS running_total
+        FROM orders
+    """,
+    "window_lag_lead": """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               floor((lag(o_totalprice, 1) OVER w) * 100 + 0.5) / 100 AS prev_price,
+               floor((lead(o_totalprice, 1) OVER w) * 100 + 0.5) / 100 AS next_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey ASC)
+    """,
+    "window_range_frame": """
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+               floor((sum(l_quantity) OVER (
+                   PARTITION BY l_returnflag ORDER BY l_quantity
+                   RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100
+                   AS qty_in_band
+        FROM lineitem
+    """,
+}

@@ -78,8 +78,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Parquet scan: Catalyst handles column pruning + predicate pushdown
     into the scan (reference hand-builds its one pushdown as SQL text,
     util.py:148-161 — here it is free for every query).
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read it as long nanos
+    (``nanosAsLong``) and convert to TimestampType by exact integer
+    division (``DIV 1000`` — no double round-trip, which would lose
+    precision above 2^53 ns).
     """
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(path)
 
 
 def load_all_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
