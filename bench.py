@@ -1,0 +1,83 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "bench_total_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the noop sink (full distributed
+execution, zero driver materialization — the honest way to time a
+plan). First run of a tiny warmup query absorbs session/JIT startup so
+per-query numbers measure the queries, not the JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_data_pipeline_spark.session import get_spark, load_table
+
+# Headline set: the shapes that dominate real pipelines at scale —
+# scan+join+agg stars, windows/top-k, dedup (exact/LSH/pairwise),
+# similarity, text quality, streaming-window analog.
+BENCH_QUERIES = [
+    "agg_groupby",
+    "join_multiway",
+    "tpch_q3ish",
+    "tpch_q5ish",
+    "window_rank",
+    "topk_per_group",
+    "dedup_exact",
+    "stream_tumbling",
+    "text_quality",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_topk",
+    "pipeline_incremental",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + parquet footer caches
+    load_table(spark, sf_dir, "region").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

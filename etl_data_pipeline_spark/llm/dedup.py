@@ -1,3 +1,367 @@
-"""Stub — filled in as operators are implemented."""
-QUERIES = {}
-ORACLE = {}
+"""Deduplication operators over ``documents`` / ``embeddings``
+(north-star: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup — SURVEY.md §2.B).
+
+Scale design (the whole point of these at 100 TB):
+- exact dedup: hash-groupBy on a digest — one shuffle of (digest, id),
+  never of full documents;
+- n-gram Jaccard: *blocked* self-join (here on (lang, source)) so the
+  pair space is per-block, not corpus²;
+- MinHash-LSH: shingle → K minhashes → band signatures → candidates
+  via band-bucket groupBy (shuffle on tiny signatures), exact-Jaccard
+  verification only on candidates — the classic way to avoid O(n²);
+- SimHash: 64-bit signature per doc via a vectorized pandas UDF, then
+  banded hamming join;
+- embedding cosine: label-blocked pair join, JVM-side zip_with dot
+  product.
+
+Public-technique citations: MinHash/LSH (Broder 1997; Leskovec et al.,
+Mining of Massive Datasets ch.3), SimHash (Charikar 2002; Manku et al.
+2007 near-dup detection).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_data_pipeline_spark.functions.rounding import hround, sql_round
+from etl_data_pipeline_spark.session import load_table
+
+MINHASH_K = 32          # minhash functions
+LSH_BANDS = 16          # bands of 2 rows each (r=2): P(candidate) = 1-(1-s^2)^16
+JACCARD_THRESHOLD = 0.5
+
+
+def _toks() -> Column:
+    return F.array_distinct(F.split(F.col("text"), " "))
+
+
+def _shingles() -> Column:
+    """Distinct 3-gram token shingles (guarded for short docs: Spark
+    sequence(1, n<1) would count DOWN, and ANSI element_at errors)."""
+    toks = F.split(F.col("text"), " ")
+    return F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest: canonical (min) doc per digest.
+
+    Only (md5, doc_id) pairs shuffle — at 100 TB the document bodies
+    never move.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("content_md5"), "doc_id")
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise Jaccard: word-set and 3-gram-shingle-set
+    similarity for same-(lang,source) pairs above threshold.
+
+    Sets are pre-hashed to int64 (xxhash64) so the per-pair
+    intersections compare longs, not strings — at 125k+ pairs the
+    string→long move is a ~2× win and collision risk is ~|set|²/2⁶⁴
+    (irrelevant; the DuckDB oracle on raw strings still matches).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hash_set = lambda arr: F.array_distinct(
+        F.transform(arr, lambda t: F.xxhash64(t))
+    )
+    d = docs.select(
+        "doc_id", "lang", "source",
+        hash_set(F.split(F.col("text"), " ")).alias("words"),
+        hash_set(_shingles()).alias("shingles"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    # |A∪B| = |A| + |B| - |A∩B|: one intersect per pair instead of
+    # intersect + materialized union array — halves the per-pair array
+    # work (the dominant cost of pairwise Jaccard at scale).
+    w_int = F.size(F.array_intersect("a.words", "b.words"))
+    word_jac = w_int / (
+        F.size("a.words") + F.size("b.words") - w_int
+    )
+    s_int = F.size(F.array_intersect("a.shingles", "b.shingles"))
+    sh_jac = s_int / F.greatest(
+        F.size("a.shingles") + F.size("b.shingles") - s_int, F.lit(1)
+    )
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hround(word_jac, 6).alias("word_jaccard"),
+            hround(sh_jac, 6).alias("shingle_jaccard"),
+        )
+        .filter(F.col("word_jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _minhash_cols() -> list[Column]:
+    """K minhash values over the 3-gram shingle set: min over shingles
+    of xxhash64(seed_i, shingle).
+
+    xxhash64 is Spark's built-in 64-bit hash (JVM-side, codegen);
+    per-seed independence comes from the leading literal. Each shingle
+    STRING is hashed once (``sh_hash``); the K minhashes rehash the
+    resulting 8-byte longs — 32× cheaper than re-hashing strings.
+    Shingles (not raw word sets) because this corpus has a tiny
+    vocabulary — word-set Jaccard saturates, 3-gram Jaccard stays
+    discriminative.
+    """
+    return [
+        F.array_min(
+            F.transform(F.col("sh_hash"), lambda h: F.xxhash64(F.lit(i), h))
+        ).alias(f"mh{i}")
+        for i in range(MINHASH_K)
+    ]
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs, exact-Jaccard verified.
+
+    Pipeline: per-doc K=32 shingle minhashes → 16 band signatures
+    (hash of 2 minhashes, P(candidate)=1-(1-s²)¹⁶ ≈ .99 at s=0.5) →
+    explode bands → band-bucket join → candidate pairs → verify exact
+    shingle Jaccard ≥ 0.5. No oracle (engine-specific hash fns);
+    recall vs exact pairwise is asserted in tests.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh_hashed = F.array_distinct(
+        F.transform(_shingles(), lambda t: F.xxhash64(t))
+    )
+    with_mh = docs.select(
+        "doc_id", sh_hashed.alias("sh_hash")
+    ).select("doc_id", "sh_hash", *_minhash_cols())
+    rows_per_band = MINHASH_K // LSH_BANDS
+    bands = F.array(
+        *[
+            F.hash(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
+            for b in range(LSH_BANDS)
+        ]
+    )
+    # Band join on BARE ids+signatures (shingle arrays would otherwise
+    # be shuffled through the exploded join and the dedup); arrays are
+    # re-attached only to the few surviving candidate pairs.
+    sigs = with_mh.select(
+        "doc_id", F.posexplode(bands).alias("band_id", "band_sig")
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh = with_mh.select("doc_id", "sh_hash")
+    verified = (
+        candidates.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh_hash").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh_hash").alias("sh_b")),
+            "doc_b",
+        )
+    )
+    s_int = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = s_int / F.greatest(
+        F.size("sh_a") + F.size("sh_b") - s_int, F.lit(1)
+    )
+    return (
+        verified.select(
+            "doc_a", "doc_b", hround(jac, 6).alias("shingle_jaccard")
+        )
+        .filter(F.col("shingle_jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signature per doc (vectorized
+    pandas UDF, FNV-1a token hashes), banded hamming-distance join.
+
+    Bands: 4 × 16-bit chunks; two docs within hamming distance 8 share
+    at least one identical chunk only probabilistically — chunk
+    equality is the standard candidate filter (Manku et al. 2007),
+    verified here with exact bit_count(xor) ≤ 8. Rows-only check
+    (hash function is engine-specific).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simhash64(texts: pd.Series) -> pd.Series:
+        def fnv1a(tok: str) -> int:
+            h = 0xCBF29CE484222325
+            for ch in tok.encode():
+                h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            return h
+
+        out = []
+        for text in texts:
+            counts = [0] * 64
+            for tok in set(text.split(" ")):
+                h = fnv1a(tok)
+                for j in range(64):
+                    counts[j] += 1 if (h >> j) & 1 else -1
+            sig = 0
+            for j in range(64):
+                if counts[j] > 0:
+                    sig |= 1 << j
+            # reinterpret as signed 64-bit for Spark LongType
+            out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+        return pd.Series(out)
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = docs.select("doc_id", simhash64("text").alias("simhash"))
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftrightunsigned("simhash", 16 * c) % (1 << 16)).alias(f"c{c}")
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= 8)
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: label-blocked pairs with cosine ≥ 0.4.
+
+    Cosine in pure Catalyst (zip_with + aggregate, double
+    accumulation) — sequential fold matches DuckDB's list functions, so
+    this IS oracle-checked.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+        )
+
+    cos = dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            hround(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.4)
+    )
+
+
+QUERIES = {
+    "dedup_exact_docs": dedup_exact_docs,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLE = {
+    "dedup_exact_docs": """
+        SELECT md5(text) AS content_md5,
+               min(doc_id) AS canonical_doc_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH d AS (
+            SELECT doc_id, lang, source,
+                   list_distinct(string_split(text, ' ')) AS words,
+                   CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+                       list_distinct(list_transform(
+                           range(1, len(string_split(text, ' ')) - 1),
+                           i -> concat_ws(' ', string_split(text, ' ')[i],
+                                          string_split(text, ' ')[i+1],
+                                          string_split(text, ' ')[i+2])))
+                   ELSE [] END AS shingles
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   {sql_round('''CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.words, b.words)))''', 6)}
+                       AS word_jaccard,
+                   {sql_round('''CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                       / greatest(len(list_distinct(list_concat(a.shingles, b.shingles))), 1)''', 6)}
+                       AS shingle_jaccard
+            FROM d a JOIN d b
+              ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, word_jaccard, shingle_jaccard
+        FROM pairs WHERE word_jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "dedup_embedding_cosine": """
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+                   floor((list_dot_product(a.v, b.v) /
+                          (sqrt(list_dot_product(a.v, a.v)) *
+                           sqrt(list_dot_product(b.v, b.v)))) * 1000000 + 0.5)
+                       / 1000000 AS cosine
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, label, cosine FROM p WHERE cosine >= 0.4
+    """,
+}

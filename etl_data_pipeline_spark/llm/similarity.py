@@ -1,3 +1,175 @@
-"""Stub — filled in as operators are implemented."""
-QUERIES = {}
-ORACLE = {}
+"""Similarity search over the ``embeddings`` table (north-star:
+brute-force cosine top-k baseline + LSH-bucketed ANN scale path —
+SURVEY.md §2.B ``sim_topk``).
+
+Scale design:
+- brute force: the query set is SMALL (sampled ids) and broadcast; the
+  corpus side streams through executors once — O(|corpus|·|queries|)
+  flops but only ONE scan and no shuffle of the corpus; ranking is the
+  windowed top-k pattern on (query, sim).
+- ANN: random-hyperplane LSH (Charikar 2002) — 4 fixed ±1 planes (coarse: 16 buckets — tuned so buckets are populated at harness scale; at corpus scale raise N_PLANES)
+  (deterministic constants, seed 42) give a 4-bit bucket; neighbor
+  search touches only same-bucket rows. At 100 TB the corpus is
+  bucketed once (write-time partitioning by bucket) and each query
+  probes one partition.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_data_pipeline_spark.functions.rounding import hround, sql_round
+from etl_data_pipeline_spark.session import load_table
+
+TOP_K = 5
+QUERY_MOD = 100  # query set = vec_id % 100 == 0
+N_PLANES = 4
+DIM = 64
+
+
+def _planes() -> list[list[float]]:
+    """Deterministic ±1 hyperplanes (seed 42) — identical constants are
+    inlined into the DuckDB oracle, so bucket assignment is
+    cross-engine checkable."""
+    rng = random.Random(42)
+    return [[float(rng.choice((-1, 1))) for _ in range(DIM)] for _ in range(N_PLANES)]
+
+
+def _dot(x: Column, y: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+    )
+
+
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector, the K nearest
+    corpus vectors (excluding itself), ranked deterministically on
+    (rounded sim desc, vec_id)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = e.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    cos = _dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    from pyspark.sql import Window
+
+    scored = pairs.select(
+        "query_id", "vec_id", hround(cos, 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: random-hyperplane signature per vector;
+    per query (vec_id % 100 == 0), top-3 same-bucket neighbors by exact
+    cosine. Oracle-checked — the planes are shared literal constants.
+    """
+    planes = _planes()
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bucket = None
+    for i, p in enumerate(planes):
+        plane_lit = F.array(*[F.lit(x) for x in p])
+        bit = F.when(_dot(F.col("v"), plane_lit) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    bucketed = e.select("vec_id", "v", bucket.alias("bucket"))
+    queries = bucketed.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    pairs = bucketed.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    from pyspark.sql import Window
+
+    scored = pairs.select(
+        "query_id", "bucket", "vec_id", hround(cos, 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "bucket", "rank", "vec_id", "cosine")
+    )
+
+
+QUERIES = {
+    "sim_topk": sim_topk,
+    "sim_ann_lsh": sim_ann_lsh,
+}
+
+
+def _sql_plane(p: list[float]) -> str:
+    return "[" + ", ".join(f"{x:.1f}" for x in p) + "]"
+
+
+def _oracle_sim_topk() -> str:
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e
+              WHERE vec_id % {QUERY_MOD} = 0),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   floor((list_dot_product(q.qv, e.v) /
+                          (sqrt(list_dot_product(q.qv, q.qv)) *
+                           sqrt(list_dot_product(e.v, e.v)))) * 1000000 + 0.5)
+                       / 1000000 AS cosine
+            FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+def _oracle_sim_ann_lsh() -> str:
+    planes = _planes()
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_sql_plane(p)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM e),
+        q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM b
+              WHERE vec_id % {QUERY_MOD} = 0),
+        scored AS (
+            SELECT q.query_id, b.bucket, b.vec_id,
+                   floor((list_dot_product(q.qv, b.v) /
+                          (sqrt(list_dot_product(q.qv, q.qv)) *
+                           sqrt(list_dot_product(b.v, b.v)))) * 1000000 + 0.5)
+                       / 1000000 AS cosine
+            FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT query_id, bucket, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, bucket, rank, vec_id, cosine FROM ranked WHERE rank <= 3
+    """
+
+
+ORACLE = {
+    "sim_topk": _oracle_sim_topk(),
+    "sim_ann_lsh": _oracle_sim_ann_lsh(),
+}

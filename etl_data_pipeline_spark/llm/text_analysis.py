@@ -1,3 +1,218 @@
-"""Stub — filled in as operators are implemented."""
-QUERIES = {}
-ORACLE = {}
+"""Text-analysis operators over the ``documents`` table (north-star
+extension: language-ID, quality scoring, token counting, document
+fingerprinting — SURVEY.md §2.B "UDF/extension operators").
+
+Everything here is built-in Catalyst expressions (split / higher-order
+array functions / regexp / md5) — JVM-side, codegen-friendly, no
+Python in the hot path. At 100 TB these are embarrassingly parallel
+per-row transforms: no shuffle except the final small aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_data_pipeline_spark.functions.rounding import hround, sql_round
+from etl_data_pipeline_spark.session import load_table
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language ID. Deliberately minimal + deterministic; same lists are
+# inlined into the DuckDB oracle.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "de", "et", "est"),
+}
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def _stop_hits(lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(
+        F.filter(_tokens(), lambda t: t.isin(*words))
+    )
+
+
+def _sql_stop_hits(lang: str) -> str:
+    inlist = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({inlist})))"
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats per (lang, source): doc count, char/token means."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_tokens", F.size(_tokens()))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            hround(F.avg("n_chars"), 4).alias("avg_chars"),
+            hround(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, two tokenizers: whitespace split and a
+    BPE-ish regex ([a-z]+ word pieces | digits | punctuation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_tokens()).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        ).alias("re_tokens"),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (n-gram heuristic): argmax over per-lang
+    stopword hit counts, first-wins tie-break en>de>es>fr, 'unknown'
+    when no list hits."""
+    docs = load_table(spark, sf_dir, "documents")
+    en, de, es, fr = (_stop_hits(l) for l in ("en", "de", "es", "fr"))
+    guess = (
+        F.when((en >= de) & (en >= es) & (en >= fr) & (en > 0), "en")
+        .when((de >= es) & (de >= fr) & (de > 0), "de")
+        .when((es >= fr) & (es > 0), "es")
+        .when(fr > 0, "fr")
+        .otherwise("unknown")
+    )
+    return docs.select(
+        "doc_id", "lang", guess.alias("lang_guess"),
+        en.alias("en_hits"), de.alias("de_hits"),
+        es.alias("es_hits"), fr.alias("fr_hits"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, punctuation ratio, stopword ratio, mean
+    token length → composite score in [0,1] (heuristics in the style of
+    C4/Gopher corpus filters, public recipes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens())
+    n_chars = F.length("text")
+    n_punct = F.size(F.regexp_extract_all("text", F.lit("[^a-z0-9 ]"), 0))
+    stop_ratio = _stop_hits("en") / n_tokens
+    mean_tok_len = (n_chars - (n_tokens - 1)) / n_tokens  # chars sans spaces / tokens
+    punct_ratio = n_punct / n_chars
+    score = (
+        F.when(n_tokens < 5, 0.0)
+        .otherwise(
+            0.4 * F.least(stop_ratio * 5, F.lit(1.0))
+            + 0.3 * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
+            + 0.3 * F.least(mean_tok_len / 8, F.lit(1.0))
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        hround(stop_ratio, 6).alias("stop_ratio"),
+        hround(punct_ratio, 6).alias("punct_ratio"),
+        hround(mean_tok_len, 6).alias("mean_tok_len"),
+        hround(score, 6).alias("quality_score"),
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact content hash (md5), normalized
+    bag-of-words hash (md5 of sorted tokens — order-insensitive
+    near-dup key), and a 64-char prefix shingle hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    sorted_tokens = F.array_join(F.array_sort(_tokens()), " ")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.md5(sorted_tokens).alias("bow_md5"),
+        F.md5(F.substring("text", 1, 64)).alias("prefix64_md5"),
+    )
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "text_tokens": text_tokens,
+    "text_lang_id": text_lang_id,
+    "text_quality": text_quality,
+    "text_fingerprint": text_fingerprint,
+}
+
+_EN = _sql_stop_hits("en")
+_DE = _sql_stop_hits("de")
+_ES = _sql_stop_hits("es")
+_FR = _sql_stop_hits("fr")
+
+ORACLE = {
+    "text_stats": f"""
+        WITH t AS (SELECT lang, source, n_chars,
+                          len(string_split(text, ' ')) AS n_tokens
+                   FROM documents)
+        SELECT lang, source, count(*) AS n_docs,
+               {sql_round('avg(n_chars)', 4)} AS avg_chars,
+               {sql_round('avg(n_tokens)', 4)} AS avg_tokens,
+               max(n_chars) AS max_chars
+        FROM t GROUP BY lang, source
+    """,
+    "text_tokens": """
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS ws_tokens,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
+               length(text) AS n_chars_computed
+        FROM documents
+    """,
+    "text_lang_id": f"""
+        WITH h AS (
+            SELECT doc_id, lang,
+                   {_EN} AS en_hits, {_DE} AS de_hits,
+                   {_ES} AS es_hits, {_FR} AS fr_hits
+            FROM documents)
+        SELECT doc_id, lang,
+               CASE WHEN en_hits >= de_hits AND en_hits >= es_hits
+                         AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+                    WHEN de_hits >= es_hits AND de_hits >= fr_hits
+                         AND de_hits > 0 THEN 'de'
+                    WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+                    WHEN fr_hits > 0 THEN 'fr'
+                    ELSE 'unknown' END AS lang_guess,
+               en_hits, de_hits, es_hits, fr_hits
+        FROM h
+    """,
+    "text_quality": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+                   {_EN} AS en_hits
+            FROM documents
+        ), r AS (
+            SELECT doc_id, n_tokens,
+                   CAST(en_hits AS DOUBLE) / n_tokens AS stop_ratio,
+                   CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+                   CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_tok_len
+            FROM t)
+        SELECT doc_id, n_tokens,
+               {sql_round('stop_ratio', 6)} AS stop_ratio,
+               {sql_round('punct_ratio', 6)} AS punct_ratio,
+               {sql_round('mean_tok_len', 6)} AS mean_tok_len,
+               {sql_round('''CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+                   0.4 * least(stop_ratio * 5, 1.0)
+                 + 0.3 * (1 - least(punct_ratio * 10, 1.0))
+                 + 0.3 * least(mean_tok_len / 8, 1.0) END''', 6)} AS quality_score
+        FROM r
+    """,
+    "text_fingerprint": """
+        SELECT doc_id,
+               md5(text) AS content_md5,
+               md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+                   AS bow_md5,
+               md5(substring(text, 1, 64)) AS prefix64_md5
+        FROM documents
+    """,
+}

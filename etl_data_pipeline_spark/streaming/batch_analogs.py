@@ -1,3 +1,161 @@
-"""Stub — filled in as operators are implemented."""
-QUERIES = {}
-ORACLE = {}
+"""Batch-equivalent forms of the streaming operators (SURVEY.md §2.B
+"Streaming").
+
+Structured Streaming queries can't be collected by the correctness
+harness, so each streaming operator is registered here as its exact
+batch analog over the ``events`` table (same operators — ``F.window``,
+``F.session_window``, watermark-filter, dropDuplicates — executed in
+batch mode). The REAL streaming jobs (readStream → writeStream with
+watermarks, availableNow) live in streaming/jobs.py and are exercised
+by tests/test_streaming.py; Spark guarantees the windowed aggregation
+semantics are identical between the two modes.
+
+Window starts are emitted as formatted strings so the Spark↔DuckDB
+comparison is representation-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_data_pipeline_spark.functions.rounding import hround, sql_round
+from etl_data_pipeline_spark.session import load_table
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+_DFMT = "%Y-%m-%d %H:%M:%S"
+
+
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window counts (F.window — epoch-aligned, the
+    same operator Structured Streaming incrementalizes)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            hround(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1 hour wide, sliding every 15 minutes — each
+    event lands in 4 windows."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user, 30-minute inactivity gap
+    (F.session_window — the same stateful operator streaming uses)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            hround(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", _FMT).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analog of the event-time watermark late-data drop: with a
+    10-minute watermark, only events newer than max(ts) - 10min are
+    still mutable; this emits the tumbling counts restricted to that
+    live region (the streaming analog of the reference's incremental
+    watermark, SURVEY.md §2.B)."""
+    ev = load_table(spark, sf_dir, "events")
+    live_from = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("wm")
+    )
+    return (
+        ev.join(F.broadcast(live_from))
+        .filter(F.col("ts") > F.col("wm"))
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.date_format("w.start", _FMT).alias("window_start"), "n_events")
+    )
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dedup on event_id (batch analog of streaming
+    dropDuplicates + watermark); input replayed twice to prove it."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    return ev.unionByName(ev).dropDuplicates(["event_id"]).select("event_id")
+
+
+QUERIES = {
+    "stream_tumbling": stream_tumbling,
+    "stream_sliding": stream_sliding,
+    "stream_session": stream_session,
+    "stream_watermark_late": stream_watermark_late,
+    "stream_dedup": stream_dedup,
+}
+
+ORACLE = {
+    "stream_tumbling": f"""
+        SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
+                        '{_DFMT}') AS window_start,
+               event_type,
+               count(*) AS n_events,
+               {sql_round('sum("value")', 2)} AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "stream_sliding": f"""
+        SELECT strftime(time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+                        - i * INTERVAL 15 MINUTE, '{_DFMT}') AS window_start,
+               count(*) AS n_events
+        FROM events CROSS JOIN (SELECT unnest(range(4)) AS i)
+        GROUP BY 1
+    """,
+    "stream_session": f"""
+        WITH marked AS (
+            SELECT user_id, ts, "value",
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+            SELECT user_id, ts, "value",
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM marked
+        )
+        SELECT user_id,
+               strftime(min(ts), '{_DFMT}') AS session_start,
+               count(*) AS n_events,
+               {sql_round('sum("value")', 2)} AS sum_value
+        FROM sess GROUP BY user_id, sess_id
+    """,
+    "stream_watermark_late": f"""
+        SELECT strftime(time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)),
+                        '{_DFMT}') AS window_start,
+               count(*) AS n_events
+        FROM events
+        WHERE ts > (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+        GROUP BY 1
+    """,
+    "stream_dedup": "SELECT DISTINCT event_id FROM events",
+}

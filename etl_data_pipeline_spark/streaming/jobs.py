@@ -1,0 +1,123 @@
+"""Real Structured Streaming jobs (SURVEY.md §2.B "Streaming", §7.2
+phase 4).
+
+The streaming analog of the reference's incremental batch loop: where
+the reference re-runs daily and filters on a stored watermark
+(app.py:96-132, dags/…:85), Structured Streaming incrementalizes the
+same queries continuously with event-time watermarks and checkpointed
+state. These jobs are driven by tests/test_streaming.py with
+``availableNow`` triggers (process-everything-then-stop), which is
+also the production pattern for periodic incremental runs at scale:
+one cron-started availableNow run replaces the reference's whole
+watermark machinery — state lives in the checkpoint.
+
+All jobs take a *streaming* DataFrame (from ``events_file_stream``)
+and return the transformed streaming DataFrame; callers attach the
+sink. The transformations are the SAME operators as
+streaming/batch_analogs.py — Spark guarantees batch/stream parity.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from etl_data_pipeline_spark.functions.rounding import hround
+from etl_data_pipeline_spark.watermark import WatermarkStore, parse_watermark
+
+
+def events_file_stream(
+    spark: SparkSession, source_dir: str, schema=None, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over parquet chunk files (the harness replay
+    of a Kafka-like feed). ``maxFilesPerTrigger`` bounds micro-batch
+    size — at scale this is the backpressure knob."""
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def tumbling_counts(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling 1h window counts with event-time watermark: late events
+    beyond the watermark are dropped, closed windows emit finals
+    (append mode)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), hround(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_counts(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_counts(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows (stateful; state store per user+session)."""
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+    )
+
+
+def dedup_stream(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Stateful streaming dedup on event_id: replayed/duplicate events
+    within the watermark horizon are dropped exactly-once-style — the
+    streaming form of the engine's idempotent sink (SURVEY.md §2.C #5)."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
+def run_incremental_micro_batch(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    state_path: str,
+    table: str = "events",
+    watermark_column: str = "event_id",
+    watermark_type: str = "id",
+) -> StreamingQuery:
+    """foreachBatch incremental sink: each micro-batch appends to
+    parquet AND advances the engine watermark store — the exact
+    streaming replacement of the reference's read→load→advance loop
+    (app.py:141-172), with the checkpoint providing crash consistency.
+
+    Unlike the reference's sequential daily runs, micro-batches are
+    NOT ordered by the watermark column (file order ≠ key order), so
+    the store advances monotonically: max(stored, batch max).
+    """
+    store = WatermarkStore(state_path)
+    stream = events_file_stream(spark, source_dir)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # empty batch => no write, watermark unchanged (app.py:147-153)
+        new_wm = batch_df.agg(F.max(watermark_column)).first()[0]
+        batch_df.write.mode("append").parquet(os.path.join(target_dir, table))
+        if new_wm is not None:  # only after successful write
+            current = parse_watermark(store.get(table), watermark_type)
+            if current is None or new_wm > current:
+                store.set(table, new_wm)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(target_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )

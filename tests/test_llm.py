@@ -1,0 +1,89 @@
+"""LLM-pipeline operator tests: LSH recall vs exact ground truth,
+SimHash behavior on controlled inputs, decode-stub determinism."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_pipeline_spark.llm import dedup, similarity
+from etl_data_pipeline_spark.llm.multimodal import multimodal_decode_stub
+
+
+def test_minhash_lsh_matches_exact_pairs(spark, sf_dir):
+    """LSH candidates + exact verification must equal the exact
+    all-pairs result at the threshold (recall check; bands are tuned
+    for ~0.99 candidate probability at s=0.5)."""
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select("doc_id", dedup._shingles().alias("sh"))
+    a, b = d.alias("a"), d.alias("b")
+    jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.greatest(
+        F.size(F.array_union("a.sh", "b.sh")), F.lit(1)
+    )
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("j"),
+        )
+        .filter(F.col("j") >= dedup.JACCARD_THRESHOLD)
+        .collect()
+    }
+    assert lsh == exact  # full recall at this corpus scale
+
+
+def test_simhash_identical_docs_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different words entirely unrelated content here")],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("_simhash_in")
+    # reuse the operator's UDF machinery by calling it on a temp dir
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.withColumn("lang", F.lit("en")).withColumn(
+            "source", F.lit("t")
+        ).withColumn("n_chars", F.length("text")).write.parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        pairs = dedup.dedup_simhash(spark, tmp).collect()
+    assert {(p.doc_a, p.doc_b, p.hamming) for p in pairs} == {(1, 2, 0)}
+
+
+def test_embedding_cosine_self_similarity(spark, sf_dir):
+    out = dedup.dedup_embedding_cosine(spark, sf_dir)
+    rows = out.collect()
+    for r in rows:
+        assert r.vec_a < r.vec_b
+        assert r.cosine >= 0.4
+
+
+def test_sim_topk_shape_and_order(spark, sf_dir):
+    rows = similarity.sim_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r.cosine for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.vec_id != q for r in rs)
+
+
+def test_decode_stub_deterministic(spark, sf_dir):
+    a = multimodal_decode_stub(spark, sf_dir).orderBy("doc_id").limit(5).collect()
+    b = multimodal_decode_stub(spark, sf_dir).orderBy("doc_id").limit(5).collect()
+    assert a == b
+    for r in a:
+        assert r.byte_len > 0
+        assert r.format in ("png", "jpeg", "webp")
+        assert 64 <= r.width < 256 and 64 <= r.height < 256
+        assert r.decoder == "stub-md5"

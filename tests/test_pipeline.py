@@ -1,0 +1,154 @@
+"""Golden end-to-end pipeline tests (SURVEY.md §5.2): reproduce the
+reference's manual incremental scenario (README.md:202-275)
+synthetically — initial load, inject new rows, re-run copies ONLY the
+delta, empty re-run is a no-op."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_pipeline_spark.pipeline import IncrementalPipeline
+from etl_data_pipeline_spark.spec import PipelineSpec, TableSpec, read_table_registry
+from etl_data_pipeline_spark.watermark import WatermarkStore
+
+
+@pytest.fixture
+def split_source(spark, sf_dir, tmp_path):
+    """orders split at o_orderkey < 1000 into batch-1, rest arriving as
+    batch-2 — the 'simulate new data' fixture (FIXTURES.md §C)."""
+    src = str(tmp_path / "src")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    orders.filter(F.col("o_orderkey") < 1000).write.parquet(
+        os.path.join(src, "orders.parquet")
+    )
+    return src, orders
+
+
+def _spec(src, tmp_path):
+    return PipelineSpec(
+        tables=[
+            TableSpec(
+                name="orders",
+                watermark_column="o_orderkey",
+                watermark_type="id",
+                source_options={"dir": src},
+                sink_options={"dir": str(tmp_path / "sink")},
+                merge_keys=("o_orderkey",),
+            )
+        ]
+    )
+
+
+def test_incremental_golden_path(spark, sf_dir, tmp_path, split_source):
+    src, orders = split_source
+    store = WatermarkStore(tmp_path / "state.json")
+    pipe = IncrementalPipeline(spark, _spec(src, tmp_path), store)
+
+    # run 1: initial (full) load of batch-1
+    r1 = pipe.run()
+    assert [x.status for x in r1] == ["loaded"]
+    sink = lambda: spark.read.parquet(str(tmp_path / "sink" / "orders"))
+    assert sink().count() == 1000
+    assert store.get("orders") == "999"
+
+    # inject batch-2 (new rows past the watermark) into the source
+    orders.filter(F.col("o_orderkey") >= 1000).write.mode("append").parquet(
+        os.path.join(src, "orders.parquet")
+    )
+
+    # run 2: copies ONLY the delta (strict >)
+    r2 = pipe.run()
+    assert [x.status for x in r2] == ["loaded"]
+    assert sink().count() == orders.count()
+    assert sink().select("o_orderkey").distinct().count() == orders.count()
+    assert store.get("orders") == str(orders.agg(F.max("o_orderkey")).first()[0])
+
+    # run 3: no new rows -> no-op, watermark unchanged (app.py:147-153)
+    wm_before = store.get("orders")
+    r3 = pipe.run()
+    assert [x.status for x in r3] == ["skipped_empty"]
+    assert sink().count() == orders.count()
+    assert store.get("orders") == wm_before
+
+
+def test_replay_after_crash_is_idempotent(spark, tmp_path, split_source):
+    """Crash between load and watermark-write (§2.C #5): reference
+    duplicates rows; our merge-key sink must not."""
+    src, _ = split_source
+    store = WatermarkStore(tmp_path / "state.json")
+    pipe = IncrementalPipeline(spark, _spec(src, tmp_path), store)
+    pipe.run()
+    store.clear("orders")  # simulate lost state write
+    pipe.run()  # replay of the same batch
+    sink = spark.read.parquet(str(tmp_path / "sink" / "orders"))
+    assert sink.count() == 1000  # no duplicates
+    assert store.get("orders") == "999"
+
+
+def test_full_load_vs_incremental_union_property(spark, sf_dir, tmp_path):
+    """Property (SURVEY.md §5.4): full load == union of incremental
+    loads for any split point, given the idempotent sink."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    for split in (1, 700, 1499):
+        src = str(tmp_path / f"src{split}")
+        orders.filter(F.col("o_orderkey") < split).write.parquet(
+            os.path.join(src, "orders.parquet")
+        )
+        spec = PipelineSpec(
+            tables=[
+                TableSpec(
+                    name="orders",
+                    watermark_column="o_orderkey",
+                    watermark_type="id",
+                    source_options={"dir": src},
+                    sink_options={"dir": str(tmp_path / f"sink{split}")},
+                    merge_keys=("o_orderkey",),
+                )
+            ]
+        )
+        store = WatermarkStore(tmp_path / f"state{split}.json")
+        pipe = IncrementalPipeline(spark, spec, store)
+        pipe.run()
+        orders.filter(F.col("o_orderkey") >= split).write.mode("append").parquet(
+            os.path.join(src, "orders.parquet")
+        )
+        pipe.run()
+        got = spark.read.parquet(str(tmp_path / f"sink{split}" / "orders"))
+        assert got.count() == orders.count()
+        assert got.select("o_orderkey").distinct().count() == orders.count()
+
+
+def test_error_isolation(spark, sf_dir, tmp_path):
+    spec = PipelineSpec(
+        tables=[
+            TableSpec(name="missing_table", source_options={"dir": str(tmp_path)},
+                      sink_options={"dir": str(tmp_path / "sink")}),
+            TableSpec(name="region", source_options={"dir": sf_dir},
+                      sink_options={"dir": str(tmp_path / "sink")}),
+        ]
+    )
+    results = IncrementalPipeline(
+        spark, spec, WatermarkStore(tmp_path / "s.json")
+    ).run()
+    by_table = {r.table: r.status for r in results}
+    assert by_table == {"missing_table": "failed", "region": "loaded"}
+
+
+def test_registry_reader(tmp_path):
+    """Reference tables_list format (tables_list:1-7, util.py:352-400)."""
+    csv = tmp_path / "tables_list"
+    csv.write_text(
+        "table_name,to_be_loaded,watermark_column,watermark_type\n"
+        "customers,yes,customer_id,id\n"
+        "departments,yes,,\n"
+        "legacy,no,old_id,id\n"
+        "orders,yes,order_date,timestamp\n"
+    )
+    all_specs = read_table_registry(csv, "all")
+    assert [s.name for s in all_specs] == ["customers", "departments", "orders"]
+    assert all_specs[0].watermark_type == "id"
+    assert not all_specs[1].is_incremental
+    assert all_specs[2].watermark_type == "timestamp"
+    subset = read_table_registry(csv, "orders,unknown,legacy")
+    assert [s.name for s in subset] == ["orders"]  # disabled+unknown skipped

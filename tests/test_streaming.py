@@ -1,0 +1,90 @@
+"""Real Structured Streaming tests: file-stream replay of events with
+availableNow triggers; batch/stream parity; foreachBatch incremental
+sink (the streaming form of the reference loop)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_pipeline_spark.session import load_table
+from etl_data_pipeline_spark.streaming import jobs
+from etl_data_pipeline_spark.watermark import WatermarkStore
+
+
+@pytest.fixture
+def event_chunks(spark, sf_dir, tmp_path):
+    """events replayed as 4 parquet chunk files (a file-source feed)."""
+    src = str(tmp_path / "stream_src")
+    ev = load_table(spark, sf_dir, "events")
+    ev.withColumn("chunk", F.col("event_id") % 4).repartition(4, "chunk").drop(
+        "chunk"
+    ).write.parquet(src)
+    return src, ev
+
+
+def _run_to_memory(spark, stream_df, name, mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_tumbling_batch_stream_parity(spark, event_chunks, tmp_path):
+    src, ev = event_chunks
+    stream = jobs.events_file_stream(spark, src)
+    got = _run_to_memory(
+        spark, jobs.tumbling_counts(stream), "t_tumbling", mode="complete"
+    )
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    g = {(r.window_start, r.event_type): r.n_events for r in got.collect()}
+    b = {(r.window_start, r.event_type): r.n_events for r in batch.collect()}
+    assert g == b
+
+
+def test_stream_dedup_drops_replays(spark, event_chunks, tmp_path):
+    src, ev = event_chunks
+    # replay the same files again -> duplicate events in the stream dir
+    spark.read.parquet(src).write.mode("append").parquet(src)
+    stream = jobs.events_file_stream(spark, src, max_files_per_trigger=2)
+    got = _run_to_memory(spark, jobs.dedup_stream(stream), "t_dedup")
+    assert got.select("event_id").distinct().count() == got.count()
+    assert got.count() == ev.count()
+
+
+def test_session_window_runs(spark, event_chunks):
+    src, _ = event_chunks
+    stream = jobs.events_file_stream(spark, src)
+    got = _run_to_memory(
+        spark, jobs.session_counts(stream), "t_session", mode="complete"
+    )
+    assert got.count() > 0
+    assert set(got.columns) == {"user_id", "session_start", "n_events"}
+
+
+def test_foreach_batch_incremental_sink(spark, event_chunks, tmp_path):
+    """Micro-batch incremental load: appends + watermark-store advance
+    per batch (streaming replacement of app.py:141-172)."""
+    src, ev = event_chunks
+    target = str(tmp_path / "target")
+    state = str(tmp_path / "state.json")
+    q = jobs.run_incremental_micro_batch(spark, src, target, state)
+    q.awaitTermination(120)
+    store = WatermarkStore(state)
+    sunk = spark.read.parquet(os.path.join(target, "events"))
+    assert sunk.count() == ev.count()
+    assert store.get("events") == str(ev.agg(F.max("event_id")).first()[0])
+    # second availableNow run over the same source: checkpoint says
+    # nothing new -> no duplicates
+    q2 = jobs.run_incremental_micro_batch(spark, src, target, state)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(os.path.join(target, "events")).count() == ev.count()
