@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_data_pipeline_spark.functions.rounding import hround, sql_round
-from etl_data_pipeline_spark.session import load_table
+from etl_data_pipeline_spark.session import load_table, spread
 
 MINHASH_K = 32          # minhash functions
 LSH_BANDS = 16          # bands of 2 rows each (r=2): P(candidate) = 1-(1-s^2)^16
@@ -82,7 +82,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     string→long move is a ~2× win and collision risk is ~|set|²/2⁶⁴
     (irrelevant; the DuckDB oracle on raw strings still matches).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # spread(): shingle/hash compute and the per-pair verify are
+    # CPU-bound — fan the single small parquet split across all cores.
+    docs = spread(load_table(spark, sf_dir, "documents"))
     hash_set = lambda arr: F.array_distinct(
         F.transform(arr, lambda t: F.xxhash64(t))
     )
@@ -149,7 +151,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle Jaccard ≥ 0.5. No oracle (engine-specific hash fns);
     recall vs exact pairwise is asserted in tests.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     sh_hashed = F.array_distinct(
         F.transform(_shingles(), lambda t: F.xxhash64(t))
     )
@@ -210,39 +212,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature per doc (vectorized
     pandas UDF, FNV-1a token hashes), banded hamming-distance join.
 
-    Bands: 4 × 16-bit chunks; two docs within hamming distance 8 share
-    at least one identical chunk only probabilistically — chunk
-    equality is the standard candidate filter (Manku et al. 2007),
-    verified here with exact bit_count(xor) ≤ 8. Rows-only check
-    (hash function is engine-specific).
+    Bands: 4 × 16-bit chunks, threshold hamming ≤ 3. By pigeonhole,
+    ≤ 3 differing bits cannot touch all 4 chunks, so chunk equality is
+    an EXACT-recall candidate filter (Manku et al. 2007: k+1 chunks
+    for distance k), verified with bit_count(xor) ≤ 3. Rows-only
+    check (hash function is engine-specific).
     """
+    import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
-    def simhash64(texts: pd.Series) -> pd.Series:
-        def fnv1a(tok: str) -> int:
-            h = 0xCBF29CE484222325
-            for ch in tok.encode():
-                h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-            return h
+    def simhash64(tok_hashes: pd.Series) -> pd.Series:
+        """Fold per-token 64-bit hashes into the SimHash signature.
 
-        out = []
-        for text in texts:
-            counts = [0] * 64
-            for tok in set(text.split(" ")):
-                h = fnv1a(tok)
-                for j in range(64):
-                    counts[j] += 1 if (h >> j) & 1 else -1
-            sig = 0
-            for j in range(64):
-                if counts[j] > 0:
-                    sig |= 1 << j
-            # reinterpret as signed 64-bit for Spark LongType
-            out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+        Token hashing happens JVM-side (xxhash64 inside codegen); this
+        UDF only does the bit-majority vote, fully vectorized: for each
+        doc, a |tokens|×64 bit matrix summed along axis 0.
+        """
+        shifts = np.arange(64, dtype=np.uint64)
+        out = np.empty(len(tok_hashes), dtype=np.int64)
+        for i, hashes in enumerate(tok_hashes):
+            h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+            bits = (h[:, None] >> shifts) & np.uint64(1)
+            maj = bits.sum(axis=0) * 2 > len(h)
+            out[i] = np.packbits(maj[::-1]).view(">u8")[0].astype(np.int64)
         return pd.Series(out)
 
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = docs.select("doc_id", simhash64("text").alias("simhash"))
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok_hashes = F.array_distinct(
+        F.transform(F.split(F.col("text"), " "), lambda t: F.xxhash64(t))
+    )
+    sigs = docs.select("doc_id", simhash64(tok_hashes).alias("simhash"))
     chunks = sigs.select(
         "doc_id",
         "simhash",
@@ -270,8 +270,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
+        .filter(F.col("hamming") <= 3)
         .dropDuplicates(["doc_a", "doc_b"])
-        .filter(F.col("hamming") <= 8)
     )
 
 
@@ -282,7 +282,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation) — sequential fold matches DuckDB's list functions, so
     this IS oracle-checked.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     a, b = e.alias("a"), e.alias("b")

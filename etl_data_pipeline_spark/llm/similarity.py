@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_data_pipeline_spark.functions.rounding import hround, sql_round
-from etl_data_pipeline_spark.session import load_table
+from etl_data_pipeline_spark.session import load_table, spread
 
 TOP_K = 5
 QUERY_MOD = 100  # query set = vec_id % 100 == 0
@@ -48,7 +48,9 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: for each query vector, the K nearest
     corpus vectors (excluding itself), ranked deterministically on
     (rounded sim desc, vec_id)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    # spread(): the corpus side does |queries| dot products per row —
+    # CPU-bound, so fan the single small parquet split across cores.
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     queries = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
@@ -77,7 +79,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine. Oracle-checked — the planes are shared literal constants.
     """
     planes = _planes()
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     bucket = None

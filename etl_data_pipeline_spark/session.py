@@ -97,6 +97,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a compute-heavy input across all cores.
+
+    Parquet splits are sized for IO (``maxPartitionBytes`` = 128 MB),
+    not per-row CPU cost: a small-file input feeding an expensive
+    transform (shingling, minhash, pairwise similarity, pandas UDF)
+    otherwise runs in a single task no matter how many cores exist.
+    At 100 TB inputs arrive in many splits and this repartition is a
+    cheap no-op-sized shuffle; on skewed/compacted inputs it is the
+    difference between 1 busy core and all of them.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(partitions or sc.defaultParallelism)
+
+
 def load_all_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TPCH_TABLES}
 
