@@ -113,9 +113,67 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CENTROID_MOD_REMAINDER = 50  # centroid set = vec_id % 100 == 50 (disjoint from queries)
+
+
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: partition the corpus into Voronoi cells around a
+    deterministic centroid set, probe only the query's own cell
+    (nprobe=1), exact cosine inside the cell.
+
+    Centroids here are a fixed sample (vec_id % 100 == 50) rather than
+    k-means iterates so the oracle can reproduce them; at corpus scale
+    the assignment step is a broadcast of ~√n centroids against one
+    scan of the corpus, and cells become write-time partitions so a
+    query touches one partition (the IVF index layout). Tie-breaks are
+    deterministic: (cosine desc, centroid_id asc).
+    """
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    centroids = e.filter(F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    from pyspark.sql import Window
+
+    cell_cos = _dot(F.col("cv"), F.col("v")) / (
+        F.sqrt(_dot(F.col("cv"), F.col("cv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.desc("centroid_cos"), F.asc("centroid_id")
+    )
+    assigned = (
+        e.join(F.broadcast(centroids))
+        .select("vec_id", "v", "centroid_id", hround(cell_cos, 6).alias("centroid_cos"))
+        .withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") == 1)
+        .select("vec_id", "v", F.col("centroid_id").alias("cell"))
+    )
+    queries = assigned.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cell").alias("qcell"),
+    )
+    pairs = assigned.join(
+        F.broadcast(queries),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        pairs.select("query_id", "cell", "vec_id", hround(cos, 6).alias("cosine"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "cell", "rank", "vec_id", "cosine")
+    )
+
+
 QUERIES = {
     "sim_topk": sim_topk,
     "sim_ann_lsh": sim_ann_lsh,
+    "sim_ann_ivf": sim_ann_ivf,
 }
 
 
@@ -171,7 +229,44 @@ def _oracle_sim_ann_lsh() -> str:
     """
 
 
+def _oracle_sim_ann_ivf() -> str:
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+              WHERE vec_id % {QUERY_MOD} = {CENTROID_MOD_REMAINDER}),
+        scored_assign AS (
+            SELECT e.vec_id, e.v, c.centroid_id,
+                   floor((list_dot_product(c.cv, e.v) /
+                          (sqrt(list_dot_product(c.cv, c.cv)) *
+                           sqrt(list_dot_product(e.v, e.v)))) * 1000000 + 0.5)
+                       / 1000000 AS centroid_cos
+            FROM e CROSS JOIN c
+        ), assigned AS (
+            SELECT vec_id, v, centroid_id AS cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY centroid_cos DESC, centroid_id ASC) AS arank
+                FROM scored_assign) WHERE arank = 1
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv, cell AS qcell FROM assigned
+            WHERE vec_id % {QUERY_MOD} = 0
+        ), scored AS (
+            SELECT q.query_id, a.cell, a.vec_id,
+                   floor((list_dot_product(q.qv, a.v) /
+                          (sqrt(list_dot_product(q.qv, q.qv)) *
+                           sqrt(list_dot_product(a.v, a.v)))) * 1000000 + 0.5)
+                       / 1000000 AS cosine
+            FROM assigned a JOIN q ON a.cell = q.qcell AND a.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT query_id, cell, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, cell, rank, vec_id, cosine FROM ranked WHERE rank <= 3
+    """
+
+
 ORACLE = {
     "sim_topk": _oracle_sim_topk(),
     "sim_ann_lsh": _oracle_sim_ann_lsh(),
+    "sim_ann_ivf": _oracle_sim_ann_ivf(),
 }

@@ -24,6 +24,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Aggregate QUERIES/ORACLE from every operator module."""
     from etl_data_pipeline_spark.operators import (
         aggregates,
+        asof,
         joins,
         scalars,
         scans,
@@ -35,7 +36,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from etl_data_pipeline_spark.llm import dedup, similarity, text_analysis, multimodal
 
     modules = [
-        scans, joins, aggregates, windows, setops, scalars, udfs,
+        scans, joins, asof, aggregates, windows, setops, scalars, udfs,
         batch_analogs, text_analysis, dedup, similarity, multimodal,
     ]
     queries: dict[str, QueryFn] = {}

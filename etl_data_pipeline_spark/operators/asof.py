@@ -1,0 +1,125 @@
+"""As-of join — the classic time-series operator Spark lacks natively
+(SURVEY.md §2.B extension surface; reference has no joins at all).
+
+For each left row, attach the most recent right row with
+``right.ts <= left.ts`` within the same ``by`` partition (inclusive
+boundary, standard as-of semantics).
+
+Scale design — union + window, NOT a range join:
+a range-condition join explodes to |left|×|right| candidate pairs per
+key before filtering; the union approach is ONE shuffle of
+(by, ts)-tagged rows and a single ordered window pass per key —
+O((|L|+|R|) log) per partition, the same trick databases use for
+MERGE AS OF. Skewed ``by`` keys are handled by AQE skew splitting on
+the window shuffle.
+
+Oracle: DuckDB has native ``ASOF LEFT JOIN`` — exact cross-engine
+check of an operator Spark itself doesn't ship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_data_pipeline_spark.session import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Generic as-of join: left rows + latest right ``value_cols`` as of
+    ``left[on]`` (inclusive), matched within ``by`` groups.
+
+    ``left`` and ``right`` must both have columns ``on`` and ``by``;
+    ``value_cols`` are right-side columns to carry (left must not
+    already have them). Right rows tied on (by, on) should be
+    pre-deduplicated by the caller for deterministic results.
+    """
+    lhs = left.withColumn("__side", F.lit(1))
+    rhs_cols = [by, on] + value_cols
+    rhs = right.select(*rhs_cols).withColumn("__side", F.lit(0))
+    # Align schemas: left gains null value_cols, right gains null left-cols.
+    for c in value_cols:
+        lhs = lhs.withColumn(c, F.lit(None).cast(dict(rhs.dtypes)[c]))
+    for c, t in left.dtypes:
+        if c not in (by, on):
+            rhs = rhs.withColumn(c, F.lit(None).cast(t))
+    unioned = lhs.unionByName(rhs)
+    # Rights sort BEFORE lefts at equal ts (__side 0 < 1) => inclusive
+    # boundary: a right row at exactly left.ts is visible to that left.
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"__asof_{c}")
+            for c in value_cols
+        ],
+    )
+    out_cols = [c for c, _ in left.dtypes] + [
+        F.col(f"__asof_{c}").alias(c) for c in value_cols
+    ]
+    return filled.filter(F.col("__side") == 1).select(*out_cols)
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution as-of join on events: each purchase matched to the
+    same user's most recent view at-or-before the purchase time.
+
+    Right side is deduplicated per (user_id, ts) keeping max event_id so
+    ties are deterministic in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+        .withColumn("view_ts", F.col("ts"))
+    )
+    joined = asof_join(
+        purchases, views, on="ts", by="user_id", value_cols=["view_id", "view_ts"]
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "view_id",
+        "view_ts",
+        (F.unix_timestamp("ts") - F.unix_timestamp("view_ts")).alias("secs_since_view"),
+    )
+
+
+QUERIES = {"join_asof": join_asof}
+
+ORACLE = {
+    "join_asof": """
+        WITH v AS (
+            SELECT user_id, ts, max(event_id) AS view_id
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id, ts
+        ), p AS (
+            SELECT event_id AS purchase_id, user_id, ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts,
+               v.view_id, v.ts AS view_ts,
+               CAST(epoch(date_trunc('second', p.ts))
+                    - epoch(date_trunc('second', v.ts)) AS BIGINT)
+                   AS secs_since_view
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+}

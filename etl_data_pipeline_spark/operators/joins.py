@@ -108,6 +108,38 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_totalprice", "band")
 
 
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted shuffle join: lineitem ⋈ part on a salted composite
+    key, then brand-level aggregation.
+
+    The skew pattern for when one hot key would overwhelm a single
+    reducer and the dim side is too big to broadcast: the fact side
+    derives a DETERMINISTIC salt in [0, NSALT) (hash of the row key —
+    reproducible, unlike rand()), the dim side replicates each row
+    NSALT times, and the join key becomes (key, salt) so each hot key
+    spreads over NSALT reducers. AQE's skew-join splitting handles
+    moderate skew automatically; explicit salting is the heavy-hammer
+    for pathological keys. Results are identical to the unsalted join —
+    which is exactly what the oracle checks.
+    """
+    NSALT = 8
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(NSALT))
+    )
+    part = load_table(spark, sf_dir, "part").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(NSALT)]))
+    )
+    return (
+        li.hint("SHUFFLE_HASH")
+        .join(part, (li.l_partkey == part.p_partkey) & (li.salt == part.salt))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("line_cnt"),
+            hround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
 def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join: orders ⋈ customer ⋈ nation ⋈ region, aggregated.
 
@@ -185,6 +217,7 @@ QUERIES = {
     "join_semi": join_semi,
     "join_anti": join_anti,
     "join_theta_range": join_theta_range,
+    "join_skew_salted": join_skew_salted,
     "join_multiway": join_multiway,
     "tpch_q3ish": tpch_q3ish,
     "tpch_q5ish": tpch_q5ish,
@@ -226,6 +259,12 @@ ORACLE = {
                                  (50000.0, 150000.0, 'mid'),
                                  (150000.0, 1e12, 'high')) AS b(lo, hi, band)
           ON o_totalprice > lo AND o_totalprice <= hi
+    """,
+    "join_skew_salted": """
+        SELECT p_brand, count(*) AS line_cnt,
+               floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
     """,
     "join_multiway": """
         SELECT r_name, n_name, count(*) AS order_cnt,

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -82,6 +84,38 @@ def dedup_stream(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     within the watermark horizon are dropped exactly-once-style — the
     streaming form of the engine's idempotent sink (SURVEY.md §2.C #5)."""
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    RUNNING (n_events, sum_value) totals, one row emitted per user per
+    micro-batch — semantics Spark's built-in streaming aggs can't
+    express in append mode (update-mode emission of a never-closing
+    aggregate).
+
+    State is a single (n, s) pair per user in the state store —
+    checkpointed, partition-distributed, recoverable; at 100 TB the
+    state size is O(|users|), not O(|events|).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, s double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def run_incremental_micro_batch(

@@ -71,6 +71,25 @@ def test_session_window_runs(spark, event_chunks):
     assert set(got.columns) == {"user_id", "session_start", "n_events"}
 
 
+def test_running_user_totals_stateful(spark, event_chunks):
+    """applyInPandasWithState: per-user running totals accumulate
+    across micro-batches; the max emitted total per user equals the
+    batch ground truth."""
+    src, ev = event_chunks
+    stream = jobs.events_file_stream(spark, src, max_files_per_trigger=2)
+    got = _run_to_memory(spark, jobs.running_user_totals(stream), "t_state")
+    final = (
+        got.groupBy("user_id").agg(F.max("n_events").alias("n_events")).collect()
+    )
+    truth = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert {r.user_id: r.n_events for r in final} == truth
+    # more than one emission per user proves cross-batch statefulness
+    assert got.count() > len(truth)
+
+
 def test_foreach_batch_incremental_sink(spark, event_chunks, tmp_path):
     """Micro-batch incremental load: appends + watermark-store advance
     per batch (streaming replacement of app.py:141-172)."""
