@@ -38,6 +38,10 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "sim_topk",
+    "sim_ann_ivf",
+    "join_asof",
+    "join_skew_salted",
+    "pipeline_corpus_curation",
     "pipeline_incremental",
 ]
 

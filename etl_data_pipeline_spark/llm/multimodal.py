@@ -95,9 +95,54 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_decode_batch, DECODED_SCHEMA)
 
 
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage DOWNSTREAM of decode: fit each decoded image into a
+    224×224 box preserving aspect ratio.
+
+    The decode step is the stub, but the point stands at scale: once
+    payloads are decoded to typed metadata, downstream stages are plain
+    columnar expressions (JVM codegen, no Python) — only the decode
+    itself pays the Arrow-batch round trip. Rows-only check (inherits
+    the stub decoder)."""
+    decoded = multimodal_decode_stub(spark, sf_dir)
+    scale = F.least(F.lit(224.0) / F.col("width"), F.lit(224.0) / F.col("height"))
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.col("width") * scale).cast("int").alias("out_width"),
+        F.round(F.col("height") * scale).cast("int").alias("out_height"),
+        F.round(scale, 6).alias("scale"),
+    )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage for video-like payloads: every 2nd frame of
+    each decoded clip, one output row per sampled frame (posexplode
+    over a frame-index sequence — the row-expansion shape of real frame
+    extraction, with per-frame ids derived deterministically).
+    Rows-only check (inherits the stub decoder)."""
+    decoded = multimodal_decode_stub(spark, sf_dir)
+    return decoded.select(
+        "doc_id",
+        "n_frames",
+        F.posexplode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(2))).alias(
+            "sample_idx", "frame_idx"
+        ),
+    ).select(
+        "doc_id",
+        "n_frames",
+        "sample_idx",
+        "frame_idx",
+        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("frame_idx"))).alias("frame_key"),
+    )
+
+
 QUERIES = {
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_decode_stub": multimodal_decode_stub,
+    "multimodal_resize_plan": multimodal_resize_plan,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLE = {

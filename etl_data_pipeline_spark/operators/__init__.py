@@ -33,11 +33,17 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         windows,
     )
     from etl_data_pipeline_spark.streaming import batch_analogs
-    from etl_data_pipeline_spark.llm import dedup, similarity, text_analysis, multimodal
+    from etl_data_pipeline_spark.llm import (
+        curation,
+        dedup,
+        multimodal,
+        similarity,
+        text_analysis,
+    )
 
     modules = [
         scans, joins, asof, aggregates, windows, setops, scalars, udfs,
-        batch_analogs, text_analysis, dedup, similarity, multimodal,
+        batch_analogs, text_analysis, dedup, similarity, multimodal, curation,
     ]
     queries: dict[str, QueryFn] = {}
     oracle: dict[str, str] = {}
