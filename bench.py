@@ -7,8 +7,11 @@ Prints ONE JSON line:
 
 Each query is forced end-to-end with the noop sink (full distributed
 execution, zero driver materialization — the honest way to time a
-plan). First run of a tiny warmup query absorbs session/JIT startup so
-per-query numbers measure the queries, not the JVM.
+plan). An untimed full warmup pass absorbs session startup, codegen
+JIT, and parquet footer caching, then the timed pass measures
+steady-state throughput — at sf0.1 first-execution overhead (~1.5 s of
+JVM JIT on the first agg/join shapes) would otherwise dwarf the actual
+plan runtime, which is what the 100 TB posture cares about.
 """
 
 from __future__ import annotations
@@ -59,8 +62,10 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + parquet footer caches
+    # warmup pass (untimed): JVM JIT + codegen + parquet footer caches
     load_table(spark, sf_dir, "region").count()
+    for name in BENCH_QUERIES:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

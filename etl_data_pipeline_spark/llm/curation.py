@@ -10,9 +10,12 @@ dedup — into the canonical pretraining-data filter chain:
 Each stage is the already-oracle-checked operator, so the composition
 is itself exactly SQL-expressible and oracle-checked end-to-end.
 
-Scale: the three per-doc stages are shuffle-free columnar transforms
-Catalyst collapses into ONE pass over documents (self-joins on doc_id
-collapse after projection pruning); the only shuffle is the final
+Scale: the per-doc stage EXPRESSIONS (lang_guess_col / quality_cols /
+md5) are evaluated in one projection over ONE scan of documents.
+Composing the stage DataFrames with self-joins on doc_id instead would
+scan and re-tokenize the corpus once per stage — Catalyst does not do
+cross-self-join common-subexpression elimination (verified via
+explain: 3 scans + 2 broadcast joins). The only shuffle is the final
 dedup on the content digest — (digest, small cols) pairs, never full
 text bodies.
 """
@@ -22,7 +25,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_data_pipeline_spark.functions.rounding import hround
 from etl_data_pipeline_spark.llm import text_analysis
+from etl_data_pipeline_spark.session import load_table
 
 QUALITY_MIN = 0.5
 
@@ -30,14 +35,17 @@ QUALITY_MIN = 0.5
 def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curated pretraining corpus: docs with identified language and
     quality >= 0.5, exact-deduplicated by content (canonical = min
-    doc_id per digest)."""
-    lang = text_analysis.text_lang_id(spark, sf_dir).select("doc_id", "lang_guess")
-    qual = text_analysis.text_quality(spark, sf_dir).select(
-        "doc_id", "n_tokens", "quality_score"
-    )
-    fp = text_analysis.text_fingerprint(spark, sf_dir).select("doc_id", "content_md5")
-    joined = lang.join(qual, "doc_id").join(fp, "doc_id")
-    kept = joined.filter(
+    doc_id per digest). Single-pass: all stage expressions in one
+    projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = text_analysis.quality_cols()
+    kept = docs.select(
+        "doc_id",
+        text_analysis.lang_guess_col().alias("lang_guess"),
+        q["n_tokens"].alias("n_tokens"),
+        hround(q["quality_score"], 6).alias("quality_score"),
+        F.md5("text").alias("content_md5"),
+    ).filter(
         (F.col("quality_score") >= QUALITY_MIN) & (F.col("lang_guess") != "unknown")
     )
     w = Window.partitionBy("content_md5").orderBy(F.asc("doc_id"))

@@ -72,19 +72,53 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-hit language ID (n-gram heuristic): argmax over per-lang
-    stopword hit counts, first-wins tie-break en>de>es>fr, 'unknown'
-    when no list hits."""
-    docs = load_table(spark, sf_dir, "documents")
+def lang_guess_col() -> Column:
+    """The language-ID expression (argmax over per-lang stopword hits,
+    first-wins tie-break en>de>es>fr, 'unknown' when nothing hits) —
+    exposed as a Column so compositions (llm/curation.py) can evaluate
+    it in the same projection as other stages: one scan, not a
+    self-join per stage."""
     en, de, es, fr = (_stop_hits(l) for l in ("en", "de", "es", "fr"))
-    guess = (
+    return (
         F.when((en >= de) & (en >= es) & (en >= fr) & (en > 0), "en")
         .when((de >= es) & (de >= fr) & (de > 0), "de")
         .when((es >= fr) & (es > 0), "es")
         .when(fr > 0, "fr")
         .otherwise("unknown")
     )
+
+
+def quality_cols() -> dict[str, Column]:
+    """Quality-scoring expressions (C4/Gopher-style public heuristics),
+    keyed by output column name — Column-level for the same single-pass
+    composition reason as lang_guess_col()."""
+    n_tokens = F.size(_tokens())
+    n_chars = F.length("text")
+    n_punct = F.size(F.regexp_extract_all("text", F.lit("[^a-z0-9 ]"), 0))
+    stop_ratio = _stop_hits("en") / n_tokens
+    mean_tok_len = (n_chars - (n_tokens - 1)) / n_tokens  # chars sans spaces / tokens
+    punct_ratio = n_punct / n_chars
+    score = F.when(n_tokens < 5, 0.0).otherwise(
+        0.4 * F.least(stop_ratio * 5, F.lit(1.0))
+        + 0.3 * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
+        + 0.3 * F.least(mean_tok_len / 8, F.lit(1.0))
+    )
+    return {
+        "n_tokens": n_tokens,
+        "stop_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "mean_tok_len": mean_tok_len,
+        "quality_score": score,
+    }
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (n-gram heuristic): argmax over per-lang
+    stopword hit counts, first-wins tie-break en>de>es>fr, 'unknown'
+    when no list hits."""
+    docs = load_table(spark, sf_dir, "documents")
+    en, de, es, fr = (_stop_hits(l) for l in ("en", "de", "es", "fr"))
+    guess = lang_guess_col()
     return docs.select(
         "doc_id", "lang", guess.alias("lang_guess"),
         en.alias("en_hits"), de.alias("de_hits"),
@@ -97,27 +131,14 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     token length → composite score in [0,1] (heuristics in the style of
     C4/Gopher corpus filters, public recipes)."""
     docs = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(_tokens())
-    n_chars = F.length("text")
-    n_punct = F.size(F.regexp_extract_all("text", F.lit("[^a-z0-9 ]"), 0))
-    stop_ratio = _stop_hits("en") / n_tokens
-    mean_tok_len = (n_chars - (n_tokens - 1)) / n_tokens  # chars sans spaces / tokens
-    punct_ratio = n_punct / n_chars
-    score = (
-        F.when(n_tokens < 5, 0.0)
-        .otherwise(
-            0.4 * F.least(stop_ratio * 5, F.lit(1.0))
-            + 0.3 * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
-            + 0.3 * F.least(mean_tok_len / 8, F.lit(1.0))
-        )
-    )
+    q = quality_cols()
     return docs.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        hround(stop_ratio, 6).alias("stop_ratio"),
-        hround(punct_ratio, 6).alias("punct_ratio"),
-        hround(mean_tok_len, 6).alias("mean_tok_len"),
-        hround(score, 6).alias("quality_score"),
+        q["n_tokens"].alias("n_tokens"),
+        hround(q["stop_ratio"], 6).alias("stop_ratio"),
+        hround(q["punct_ratio"], 6).alias("punct_ratio"),
+        hround(q["mean_tok_len"], 6).alias("mean_tok_len"),
+        hround(q["quality_score"], 6).alias("quality_score"),
     )
 
 
