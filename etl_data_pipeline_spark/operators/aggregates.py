@@ -94,8 +94,38 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (p50/p90/p99) of event value per
+    event_type — single-pass sort-based percentile inside the agg.
+
+    At 100 TB exact percentiles require collecting per-group values;
+    prefer agg_approx_percentile (t-digest-style sketch, fixed memory)
+    — both are exposed, mirroring the distinct/approx_distinct pair.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        hround(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        hround(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        hround(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch): fixed-memory
+    one-pass percentiles — the 100 TB path. Rows-only check
+    (approximation is engine-specific)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("p99_approx"),
+    )
+
+
 QUERIES = {
     "agg_groupby": agg_groupby,
+    "agg_percentile": agg_percentile,
+    "agg_approx_percentile": agg_approx_percentile,
     "agg_distinct": agg_distinct,
     "agg_approx_distinct": agg_approx_distinct,
     "agg_rollup": agg_rollup,
@@ -104,6 +134,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_percentile": """
+        SELECT event_type,
+               floor((quantile_cont("value", 0.5)) * 10000 + 0.5) / 10000 AS p50,
+               floor((quantile_cont("value", 0.9)) * 10000 + 0.5) / 10000 AS p90,
+               floor((quantile_cont("value", 0.99)) * 10000 + 0.5) / 10000 AS p99,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """,
     "agg_groupby": """
         SELECT l_returnflag, l_linestatus,
                floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,

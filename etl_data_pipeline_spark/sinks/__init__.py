@@ -79,6 +79,29 @@ def write_sink(df: DataFrame, fmt: str, table: str, options: dict) -> None:
     fn(df, table, options)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+) -> None:
+    """Write-time bucketing: pre-shuffle the table ONCE at write so
+    every later join/agg on ``bucket_col`` is exchange-free.
+
+    The 100 TB co-location strategy: two tables bucketed by the same
+    key into the same bucket count join with NO shuffle on either side
+    (Catalyst sees the matching hash distribution) — the exchange cost
+    is paid once at ingest instead of per query. ``sortBy`` makes it a
+    ready-sorted merge join input. Registered via saveAsTable (bucket
+    metadata lives in the catalog; plain .parquet() cannot carry it).
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
 def idempotent_append_parquet(
     spark: SparkSession,
     df: DataFrame,

@@ -104,12 +104,35 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.unionByName(ev).dropDuplicates(["event_id"]).select("event_id")
 
 
+def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analog of the stream-stream attribution join
+    (streaming/jobs.py:stream_stream_attribution_join): purchases ⋈
+    same-user views within a 1-hour look-back. The streaming form needs
+    the bounded range so state expires; the batch form is the identical
+    range-condition join, which makes it SQL-oracle-checkable."""
+    from etl_data_pipeline_spark.streaming.jobs import stream_stream_attribution_join
+
+    ev = load_table(spark, sf_dir, "events")
+    out = stream_stream_attribution_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("purchase_ts", _FMT).alias("purchase_ts"),
+        "view_id",
+        F.date_format("view_ts", _FMT).alias("view_ts"),
+    )
+
+
 QUERIES = {
     "stream_tumbling": stream_tumbling,
     "stream_sliding": stream_sliding,
     "stream_session": stream_session,
     "stream_watermark_late": stream_watermark_late,
     "stream_dedup": stream_dedup,
+    "stream_join_attribution": stream_join_attribution,
 }
 
 ORACLE = {
@@ -158,4 +181,15 @@ ORACLE = {
         GROUP BY 1
     """,
     "stream_dedup": "SELECT DISTINCT event_id FROM events",
+    "stream_join_attribution": f"""
+        SELECT p.event_id AS purchase_id, p.user_id,
+               strftime(p.ts, '{_DFMT}') AS purchase_ts,
+               v.event_id AS view_id,
+               strftime(v.ts, '{_DFMT}') AS view_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id
+         AND v.ts <= p.ts
+         AND v.ts >= p.ts - INTERVAL 1 HOUR
+    """,
 }

@@ -86,6 +86,35 @@ def dedup_stream(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
 
 
+def stream_stream_attribution_join(
+    purchases: DataFrame, views: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: purchases joined to same-user views
+    within a bounded event-time horizon (view before purchase, at most
+    ``horizon`` older) — the streaming analog of the batch as-of join
+    (operators/asof.py), except streaming joins need a BOUNDED range
+    condition so Spark can expire state: both sides are watermarked and
+    buffered only within the horizon, keeping state O(events-in-horizon)
+    instead of unbounded."""
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", "10 minutes")
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", "10 minutes")
+    return p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select("purchase_id", F.col("p_user").alias("user_id"), "purchase_ts", "view_id", "view_ts")
+
+
 def running_user_totals(stream: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     RUNNING (n_events, sum_value) totals, one row emitted per user per

@@ -50,6 +50,70 @@ def test_flagship_no_cartesian_no_global_sort(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Both sides bucketed on the join key: the join plan must contain
+    NO exchange — the write-once/join-many co-location contract."""
+    from etl_data_pipeline_spark.sinks import write_bucketed
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"), "b_orders", "o_custkey", 8,
+        sort_col="o_custkey",
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "customer"), "b_customer", "c_custkey", 8,
+        sort_col="c_custkey",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_salted_join_plan_spreads_key(spark, sf_dir):
+    """Salted join: shuffle keys must include the salt (the whole
+    point), and the forced shuffle-hash join must not broadcast."""
+    from etl_data_pipeline_spark.operators.joins import join_skew_salted
+
+    plan = _plan(join_skew_salted(spark, sf_dir))
+    assert "salt" in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_asof_join_single_window_pass(spark, sf_dir):
+    """As-of join must be the union+window shape: no join operator of
+    any kind in the plan, exactly one exchange for the window."""
+    from etl_data_pipeline_spark.operators.asof import join_asof
+
+    plan = _plan(join_asof(spark, sf_dir))
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan
+
+
+def test_curation_single_scan(spark, sf_dir):
+    """Corpus curation composes 3 stages but must scan documents ONCE
+    (stage expressions fused into one projection)."""
+    from etl_data_pipeline_spark.llm.curation import pipeline_corpus_curation
+
+    import re
+
+    plan = _plan(pipeline_corpus_curation(spark, sf_dir))
+    # formatted explain prints each node in the tree AND a "(N) Scan
+    # parquet" detail header — count the detail headers.
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
 def test_whole_stage_codegen_active(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     q = li.filter(F.col("l_quantity") > 10).groupBy("l_returnflag").agg(

@@ -90,6 +90,24 @@ def test_running_user_totals_stateful(spark, event_chunks):
     assert got.count() > len(truth)
 
 
+def test_stream_stream_join_matches_batch(spark, event_chunks):
+    """Stream-stream join result == the same join run in batch."""
+    src, ev = event_chunks
+    stream = jobs.events_file_stream(spark, src, max_files_per_trigger=2)
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    views = stream.filter(F.col("event_type") == "view")
+    got = _run_to_memory(
+        spark,
+        jobs.stream_stream_attribution_join(purchases, views),
+        "t_ssjoin",
+    )
+    bp = ev.filter(F.col("event_type") == "purchase")
+    bv = ev.filter(F.col("event_type") == "view")
+    batch = jobs.stream_stream_attribution_join(bp, bv)  # same fn works on batch dfs
+    assert got.count() > 0
+    assert got.count() == batch.count()
+
+
 def test_foreach_batch_incremental_sink(spark, event_chunks, tmp_path):
     """Micro-batch incremental load: appends + watermark-store advance
     per batch (streaming replacement of app.py:141-172)."""
