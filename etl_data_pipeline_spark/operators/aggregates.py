@@ -122,10 +122,38 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution time rollup: hourly AND daily
+    continuous-aggregate rows in one pass via GROUPING SETS (one
+    shuffle; each input row feeds both resolutions map-side).
+
+    grouping_id() disambiguates the resolution of each output row —
+    the pattern behind time-series continuous aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    bucketed = ev.select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_bucket"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd HH:mm:ss").alias("day_bucket"),
+        "event_type",
+        "value",
+    )
+    bucketed.createOrReplaceTempView("_ev_buckets")
+    return spark.sql(
+        """
+        SELECT hour_bucket, day_bucket, event_type,
+               count(*) AS n_events,
+               floor(sum(value) * 100 + 0.5) / 100 AS sum_value,
+               CASE WHEN hour_bucket IS NULL THEN 'day' ELSE 'hour' END AS resolution
+        FROM _ev_buckets
+        GROUP BY event_type, GROUPING SETS ((hour_bucket), (day_bucket))
+        """
+    )
+
+
 QUERIES = {
     "agg_groupby": agg_groupby,
     "agg_percentile": agg_percentile,
     "agg_approx_percentile": agg_approx_percentile,
+    "agg_time_rollup": agg_time_rollup,
     "agg_distinct": agg_distinct,
     "agg_approx_distinct": agg_approx_distinct,
     "agg_rollup": agg_rollup,
@@ -134,6 +162,19 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_time_rollup": """
+        WITH b AS (
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day_bucket,
+                   event_type, "value"
+            FROM events)
+        SELECT hour_bucket, day_bucket, event_type,
+               count(*) AS n_events,
+               floor(sum("value") * 100 + 0.5) / 100 AS sum_value,
+               CASE WHEN hour_bucket IS NULL THEN 'day' ELSE 'hour' END AS resolution
+        FROM b
+        GROUP BY event_type, GROUPING SETS ((hour_bucket), (day_bucket))
+    """,
     "agg_percentile": """
         SELECT event_type,
                floor((quantile_cont("value", 0.5)) * 10000 + 0.5) / 10000 AS p50,

@@ -79,14 +79,38 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics per customer ordering: ntile quartiles,
+    percent_rank, cume_dist — completes the window-function family."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(_w_cust()).alias("quartile"),
+        hround(F.percent_rank().over(_w_cust()), 6).alias("pct_rank"),
+        hround(F.cume_dist().over(_w_cust()), 6).alias("cume"),
+    )
+
+
 QUERIES = {
     "window_rank": window_rank,
     "window_running": window_running,
     "window_lag_lead": window_lag_lead,
     "window_range_frame": window_range_frame,
+    "window_distribution": window_distribution,
 }
 
 ORACLE = {
+    "window_distribution": f"""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ntile(4) OVER w AS quartile,
+               {sql_round('percent_rank() OVER w', 6)} AS pct_rank,
+               {sql_round('cume_dist() OVER w', 6)} AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
     "window_rank": """
         SELECT o_custkey, o_orderkey, o_totalprice,
                row_number() OVER w AS rn,

@@ -79,6 +79,30 @@ def write_sink(df: DataFrame, fmt: str, table: str, options: dict) -> None:
     fn(df, table, options)
 
 
+def atomic_overwrite_parquet(df: DataFrame, table: str, options: dict) -> None:
+    """All-or-nothing overwrite: write to a staging dir, then atomically
+    rename into place (POSIX rename; on object stores use a metadata
+    swap/table format instead).
+
+    The Spark-side equivalent of the reference's per-table transaction
+    (commit-after-all-batches / rollback-on-error, util.py:233-242): a
+    failed write leaves the CURRENT target untouched because nothing is
+    moved until the staging write fully succeeds.
+    """
+    import shutil
+
+    path = _target_path(table, options)
+    staging = path + ".staging"
+    backup = path + ".old"
+    shutil.rmtree(staging, ignore_errors=True)
+    df.write.mode("overwrite").parquet(staging)  # fails => target untouched
+    shutil.rmtree(backup, ignore_errors=True)
+    if os.path.exists(path):
+        os.replace(path, backup)
+    os.replace(staging, path)
+    shutil.rmtree(backup, ignore_errors=True)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

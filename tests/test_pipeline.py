@@ -135,6 +135,30 @@ def test_error_isolation(spark, sf_dir, tmp_path):
     assert by_table == {"missing_table": "failed", "region": "loaded"}
 
 
+def test_atomic_overwrite_failure_leaves_target(spark, sf_dir, tmp_path):
+    """atomic_overwrite_parquet: a failing write must leave the current
+    target intact (reference's rollback semantics, util.py:233-242)."""
+    from etl_data_pipeline_spark.sinks import atomic_overwrite_parquet
+
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    opts = {"dir": str(tmp_path)}
+    atomic_overwrite_parquet(region, "region", opts)
+    assert spark.read.parquet(str(tmp_path / "region")).count() == region.count()
+
+    # failing job: a column computed by a raising UDF
+    bad = region.withColumn(
+        "boom", F.udf(lambda _: 1 // 0, "int")(F.col("r_regionkey"))
+    )
+    with pytest.raises(Exception):
+        atomic_overwrite_parquet(bad, "region", opts)
+    # target unchanged, still readable
+    assert spark.read.parquet(str(tmp_path / "region")).count() == region.count()
+
+    # successful re-run replaces it
+    atomic_overwrite_parquet(region.limit(2), "region", opts)
+    assert spark.read.parquet(str(tmp_path / "region")).count() == 2
+
+
 def test_registry_reader(tmp_path):
     """Reference tables_list format (tables_list:1-7, util.py:352-400)."""
     csv = tmp_path / "tables_list"
