@@ -135,6 +135,38 @@ def test_error_isolation(spark, sf_dir, tmp_path):
     assert by_table == {"missing_table": "failed", "region": "loaded"}
 
 
+def test_cli_main_reference_contract(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    """python -m etl_data_pipeline_spark <env> <tables>: loads enabled
+    tables, prints NEW_WATERMARK_<T>=v (app.py:168), seeds state from
+    LAST_WATERMARK_<T> env vars (app.py:99-100), exits nonzero only on
+    failure."""
+    from etl_data_pipeline_spark.__main__ import main
+
+    registry = tmp_path / "tables_list"
+    registry.write_text(
+        "table_name,to_be_loaded,watermark_column,watermark_type\n"
+        "orders,yes,o_orderkey,id\n"
+        "region,yes,,\n"
+        "part,no,,\n"
+    )
+    monkeypatch.setenv("SOURCE_DB_PATH", sf_dir)
+    monkeypatch.setenv("TARGET_DB_PATH", str(tmp_path / "target"))
+    # orchestrator seeds the watermark: only orders > 1000 must load
+    monkeypatch.setenv("LAST_WATERMARK_ORDERS", "1000")
+    state = str(tmp_path / "wm.json")
+    rc = main(["dev", "all", "--tables-list", str(registry), "--state", state],
+              spark=spark)
+    out = capsys.readouterr().out
+    assert rc == 0
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    max_key = orders.agg(F.max("o_orderkey")).first()[0]
+    assert f"NEW_WATERMARK_ORDERS={max_key}" in out
+    sunk = spark.read.parquet(str(tmp_path / "target" / "orders"))
+    assert sunk.count() == orders.filter(F.col("o_orderkey") > 1000).count()
+    assert spark.read.parquet(str(tmp_path / "target" / "region")).count() > 0
+    assert not os.path.exists(str(tmp_path / "target" / "part"))  # disabled
+
+
 def test_atomic_overwrite_failure_leaves_target(spark, sf_dir, tmp_path):
     """atomic_overwrite_parquet: a failing write must leave the current
     target intact (reference's rollback semantics, util.py:233-242)."""
