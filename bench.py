@@ -66,6 +66,9 @@ def main() -> None:
     load_table(spark, sf_dir, "region").count()
     for name in BENCH_QUERIES:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warmup-pass persisted intermediates are dead lineage now — drop
+    # them so the timed pass measures each query self-contained.
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

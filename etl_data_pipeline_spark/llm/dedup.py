@@ -88,11 +88,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash_set = lambda arr: F.array_distinct(
         F.transform(arr, lambda t: F.xxhash64(t))
     )
+    # persist: the hashed-set table feeds BOTH sides of the self-join;
+    # without it each side re-tokenizes and re-hashes the corpus (at
+    # 100 TB: two extra full text scans). Tiny relative to the corpus —
+    # ids + int64 arrays, no text.
     d = docs.select(
         "doc_id", "lang", "source",
         hash_set(F.split(F.col("text"), " ")).alias("words"),
         hash_set(_shingles()).alias("shingles"),
-    )
+    ).persist()
     a, b = d.alias("a"), d.alias("b")
     pairs = a.join(
         b,
@@ -155,9 +159,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_hashed = F.array_distinct(
         F.transform(_shingles(), lambda t: F.xxhash64(t))
     )
-    with_mh = docs.select(
-        "doc_id", sh_hashed.alias("sh_hash")
-    ).select("doc_id", "sh_hash", *_minhash_cols())
+    # persist: (doc_id, sh_hash) feeds the band-signature path AND both
+    # verification sides — three shingle+hash passes over the corpus
+    # otherwise (at 100 TB these signatures would be written to a table
+    # once at ingest; persist is the in-session equivalent).
+    sh = docs.select("doc_id", sh_hashed.alias("sh_hash")).persist()
+    with_mh = sh.select("doc_id", "sh_hash", *_minhash_cols())
     rows_per_band = MINHASH_K // LSH_BANDS
     bands = F.array(
         *[
@@ -185,7 +192,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sh = with_mh.select("doc_id", "sh_hash")
     verified = (
         candidates.join(
             sh.select(F.col("doc_id").alias("doc_a"), F.col("sh_hash").alias("sh_a")),
