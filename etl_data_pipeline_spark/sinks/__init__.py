@@ -103,6 +103,22 @@ def atomic_overwrite_parquet(df: DataFrame, table: str, options: dict) -> None:
     shutil.rmtree(backup, ignore_errors=True)
 
 
+def write_partitioned(
+    df: DataFrame, table: str, options: dict, partition_cols: list[str]
+) -> None:
+    """Hive-style partitioned layout (``col=value`` directories).
+
+    The 100 TB read-path contract: queries filtering on the partition
+    columns scan ONLY matching directories (partition pruning — the
+    plan shows PartitionFilters and prunes files before IO). The write
+    side is the engine's data-layout decision: time-partition streams
+    by event date, dimension snapshots by load date, etc.
+    """
+    df.write.mode("append").partitionBy(*partition_cols).parquet(
+        _target_path(table, options)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

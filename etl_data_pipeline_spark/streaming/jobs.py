@@ -164,6 +164,13 @@ def run_incremental_micro_batch(
     Unlike the reference's sequential daily runs, micro-batches are
     NOT ordered by the watermark column (file order ≠ key order), so
     the store advances monotonically: max(stored, batch max).
+
+    Exactly-once: each micro-batch writes to its own ``batch=<id>``
+    partition directory with OVERWRITE — foreachBatch offers
+    at-least-once delivery (a crash after write but before checkpoint
+    commit replays the batch), so a plain append would duplicate rows
+    on retry; the deterministic per-batch path makes the replayed write
+    land on top of itself instead.
     """
     store = WatermarkStore(state_path)
     stream = events_file_stream(spark, source_dir)
@@ -172,7 +179,9 @@ def run_incremental_micro_batch(
         if batch_df.isEmpty():
             return  # empty batch => no write, watermark unchanged (app.py:147-153)
         new_wm = batch_df.agg(F.max(watermark_column)).first()[0]
-        batch_df.write.mode("append").parquet(os.path.join(target_dir, table))
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(target_dir, table, f"batch={batch_id}")
+        )
         if new_wm is not None:  # only after successful write
             current = parse_watermark(store.get(table), watermark_type)
             if current is None or new_wm > current:

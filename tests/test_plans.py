@@ -80,6 +80,31 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_customer")
 
 
+def test_partitioned_layout_prunes_at_read(spark, sf_dir, tmp_path):
+    """write_partitioned: a filter on the partition column must become
+    a PartitionFilter (directory pruning), not a data filter."""
+    from etl_data_pipeline_spark.sinks import write_partitioned
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    write_partitioned(ev, "events", {"dir": str(tmp_path)}, ["event_date"])
+    back = spark.read.parquet(str(tmp_path / "events"))
+    q = back.filter(F.col("event_date") == "2024-01-02")
+    plan = _plan(q)
+    assert "PartitionFilters" in plan
+    # the partition predicate must appear in PartitionFilters, and the
+    # row-level PushedFilters must NOT carry event_date (it's pruned
+    # before IO, not filtered per row)
+    pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "event_date" in pf_line
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert all("event_date" not in l for l in pushed)
+    # correctness of the pruned read
+    expected = ev.filter(F.col("event_date") == "2024-01-02").count()
+    assert q.count() == expected
+
+
 def test_salted_join_plan_spreads_key(spark, sf_dir):
     """Salted join: shuffle keys must include the salt (the whole
     point), and the forced shuffle-hash join must not broadcast."""
