@@ -1,0 +1,73 @@
+"""Public library facade — the single import a user needs.
+
+The reference's library seam is its connector API (util.py:276-335:
+``create_source_connector(cfg)`` / ``create_target_connector(cfg)``
+around config dicts); this is the Spark-native equivalent plus the
+query surface on top:
+
+    from etl_data_pipeline_spark.engine import EtlEngine
+
+    eng = EtlEngine.local()                  # or EtlEngine(existing_spark)
+    eng.register_views("/root/testdata/sf0.01")
+    eng.sql("SELECT count(*) FROM orders")   # full Spark SQL surface
+    eng.query("agg_groupby", "/root/testdata/sf0.01")  # named operator
+    eng.run_pipeline(spec, state_path="state/wm.json") # incremental copy
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_data_pipeline_spark.pipeline import IncrementalPipeline, TableRunResult
+from etl_data_pipeline_spark.session import (
+    get_spark,
+    load_table,
+    register_views,
+)
+from etl_data_pipeline_spark.spec import PipelineSpec
+from etl_data_pipeline_spark.watermark import WatermarkStore
+
+
+class EtlEngine:
+    """One engine instance per SparkSession; everything else is
+    stateless registries."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    @classmethod
+    def local(cls, app_name: str = "etl_data_pipeline_spark", **kw) -> "EtlEngine":
+        return cls(get_spark(app_name, **kw))
+
+    # -- data access ---------------------------------------------------
+
+    def table(self, sf_dir: str, name: str) -> DataFrame:
+        return load_table(self.spark, sf_dir, name)
+
+    def register_views(self, sf_dir: str) -> None:
+        """Expose every harness table as a temp view for .sql()."""
+        register_views(self.spark, sf_dir)
+
+    def sql(self, query: str) -> DataFrame:
+        """Full Spark SQL — the engine's parser IS Spark's
+        (SURVEY.md §7.3: deliberately not rebuilt)."""
+        return self.spark.sql(query)
+
+    # -- operator registry ---------------------------------------------
+
+    def queries(self) -> dict:
+        """Name -> fn(spark, sf_dir) for every registered operator."""
+        from etl_data_pipeline_spark.operators import collect_registry
+
+        return collect_registry()[0]
+
+    def query(self, name: str, sf_dir: str) -> DataFrame:
+        return self.queries()[name](self.spark, sf_dir)
+
+    # -- incremental pipeline ------------------------------------------
+
+    def run_pipeline(
+        self, spec: PipelineSpec, state_path: str
+    ) -> list[TableRunResult]:
+        store = WatermarkStore(state_path)
+        return IncrementalPipeline(self.spark, spec, store).run()

@@ -1,0 +1,59 @@
+"""Physical-plan inspection utilities — the 100 TB posture checks.
+
+The engine builds no custom plan representation (Catalyst's plan IS
+the plan, SURVEY.md §4); what it adds is the discipline of ASSERTING
+plan shape: filters pushed to scans, columns pruned, dims broadcast,
+top-k compiled to TakeOrdered, bucketed joins exchange-free. These
+helpers read `explain("formatted")` output; tests/test_plans.py pins
+the posture per operator.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import DataFrame
+
+
+def plan_str(df: DataFrame, mode: str = "formatted") -> str:
+    """explain() output as a string."""
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def scan_count(plan: str) -> int:
+    """Number of physical source scans (formatted mode prints each node
+    in the tree AND one '(N) Scan …' detail header; count headers)."""
+    return len(re.findall(r"\(\d+\) Scan \w+", plan))
+
+
+def has_pushed_filter(plan: str, fragment: str) -> bool:
+    """True if ``fragment`` appears inside a PushedFilters list."""
+    return any(
+        fragment in line for line in plan.splitlines() if "PushedFilters" in line
+    )
+
+
+def join_operators(plan: str) -> set[str]:
+    """Physical join operator names present in the plan."""
+    ops = (
+        "BroadcastHashJoin",
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    )
+    return {op for op in ops if op in plan}
+
+
+def exchange_count(plan: str) -> int:
+    """Number of shuffle exchanges (excludes broadcast exchanges)."""
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def is_shuffle_free(plan: str) -> bool:
+    return exchange_count(plan) == 0

@@ -1,0 +1,43 @@
+"""Public facade (engine.EtlEngine): SQL surface, named operators,
+pipeline runner — the single import a switching user needs."""
+
+from etl_data_pipeline_spark.engine import EtlEngine
+from etl_data_pipeline_spark.spec import PipelineSpec, TableSpec
+
+
+def test_engine_sql_and_views(spark, sf_dir):
+    eng = EtlEngine(spark)
+    eng.register_views(sf_dir)
+    n = eng.sql("SELECT count(*) AS n FROM orders").first()["n"]
+    assert n == eng.table(sf_dir, "orders").count() > 0
+    top = eng.sql(
+        """
+        SELECT c_mktsegment, count(*) AS cnt
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY cnt DESC LIMIT 1
+        """
+    ).collect()
+    assert len(top) == 1
+
+
+def test_engine_named_query(spark, sf_dir):
+    eng = EtlEngine(spark)
+    out = eng.query("agg_groupby", sf_dir)
+    assert out.count() > 0
+    assert "sum_qty" in out.columns
+
+
+def test_engine_run_pipeline(spark, sf_dir, tmp_path):
+    eng = EtlEngine(spark)
+    spec = PipelineSpec(
+        tables=[
+            TableSpec(
+                name="nation",
+                source_options={"dir": sf_dir},
+                sink_options={"dir": str(tmp_path / "sink")},
+            )
+        ]
+    )
+    results = eng.run_pipeline(spec, state_path=str(tmp_path / "wm.json"))
+    assert [r.status for r in results] == ["loaded"]
+    assert spark.read.parquet(str(tmp_path / "sink" / "nation")).count() > 0

@@ -2,20 +2,12 @@
 pushdown reaches the parquet scan, column pruning narrows ReadSchema,
 explicit broadcasts stay broadcast, top-k compiles to TakeOrdered."""
 
-import io
-from contextlib import redirect_stdout
-
 from pyspark.sql import functions as F
 
 from etl_data_pipeline_spark.operators import joins, scans, setops
+from etl_data_pipeline_spark.plans import plan_str as _plan
+from etl_data_pipeline_spark.plans import join_operators, scan_count
 from etl_data_pipeline_spark.session import load_table
-
-
-def _plan(df) -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
 
 
 def test_watermark_filter_pushed_to_scan(spark, sf_dir):
@@ -120,10 +112,7 @@ def test_asof_join_single_window_pass(spark, sf_dir):
     any kind in the plan, exactly one exchange for the window."""
     from etl_data_pipeline_spark.operators.asof import join_asof
 
-    plan = _plan(join_asof(spark, sf_dir))
-    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
-               "CartesianProduct", "BroadcastNestedLoopJoin"):
-        assert op not in plan
+    assert join_operators(_plan(join_asof(spark, sf_dir))) == set()
 
 
 def test_curation_single_scan(spark, sf_dir):
@@ -131,12 +120,7 @@ def test_curation_single_scan(spark, sf_dir):
     (stage expressions fused into one projection)."""
     from etl_data_pipeline_spark.llm.curation import pipeline_corpus_curation
 
-    import re
-
-    plan = _plan(pipeline_corpus_curation(spark, sf_dir))
-    # formatted explain prints each node in the tree AND a "(N) Scan
-    # parquet" detail header — count the detail headers.
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert scan_count(_plan(pipeline_corpus_curation(spark, sf_dir))) == 1
 
 
 def test_whole_stage_codegen_active(spark, sf_dir):
@@ -148,10 +132,7 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     # explain; toggle it off just to inspect the static plan.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            q.explain("codegen")
-        out = buf.getvalue()
+        out = _plan(q, mode="codegen")
         n = int(out.split("Found ")[1].split(" ")[0])
         assert n >= 1, out[:500]
     finally:
