@@ -60,9 +60,14 @@ def _jdbc_append(df: DataFrame, table: str, options: dict) -> None:
     writer.save()
 
 
+def _json_append(df: DataFrame, table: str, options: dict) -> None:
+    df.write.mode("append").json(_target_path(table, options))
+
+
 SINKS: dict[str, SinkFn] = {
     "parquet": _parquet_append,
     "csv": _csv_append,
+    "json": _json_append,
     "jdbc": _jdbc_append,
 }
 
