@@ -72,7 +72,13 @@ class WatermarkStore:
     def clear(self, table: str) -> None:
         state = self._read_all()
         state.pop(f"last_watermark_{table}", None)
-        self.path.write_text(json.dumps(state))
+        # same atomic write-temp + rename as set(): a crash mid-clear
+        # must not corrupt the other tables' state
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=str(self.path.parent), suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self.path)
 
 
 def parse_watermark(raw: str | None, watermark_type: str | None) -> Any | None:

@@ -4,12 +4,22 @@ from datetime import datetime
 
 import pytest
 
+from etl_data_pipeline_spark.session import spread
 from etl_data_pipeline_spark.watermark import (
     WatermarkStore,
     apply_watermark,
     max_watermark,
     parse_watermark,
 )
+
+
+def test_spread_fans_out_partitions(spark):
+    df = spark.range(1000).coalesce(1)
+    assert df.rdd.getNumPartitions() == 1
+    out = spread(df)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert out.count() == 1000
+    assert spread(df, 7).rdd.getNumPartitions() == 7
 
 
 class TestParseWatermark:
