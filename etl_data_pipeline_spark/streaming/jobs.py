@@ -147,6 +147,71 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def run_incremental_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+) -> StreamingQuery:
+    """Incremental materialized-view maintenance: an hourly
+    (event_type × hour) rollup table refreshed per micro-batch by
+    MERGING partial aggregates — never rescanning history.
+
+    The reference's incremental idea (only new rows move, app.py:96-132)
+    applied to AGGREGATES: each batch contributes mergeable partials
+    (count/sum), combined with the existing rollup and swapped in
+    atomically. At 100 TB the rollup table is tiny relative to events,
+    so refresh cost is O(batch + rollup), not O(history).
+
+    Exactly-once WITHOUT a separate state file: foreachBatch replays a
+    batch after a crash between write and checkpoint-commit, and
+    merging twice would double-count — so the last merged batch_id is
+    carried as a column of the rollup table itself, making data and
+    dedup state one atomic swap. (A sidecar state file would reopen the
+    crash window between data-swap and state-write — the same §2.C #5
+    gap the reference has, but non-idempotent for aggregates.)
+    """
+    from etl_data_pipeline_spark.sinks import atomic_overwrite_parquet
+
+    agg_table = "rollup_hourly"
+    agg_path = os.path.join(target_dir, agg_table)
+    stream = events_file_stream(spark, source_dir)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            existing = spark.read.parquet(agg_path)
+            last = existing.agg(F.max("last_batch_id")).first()[0]
+        except Exception:
+            existing, last = None, None  # first refresh
+        if last is not None and batch_id <= last:
+            return  # replayed batch — already merged atomically
+        if batch_df.isEmpty():
+            return
+        partial = batch_df.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_bucket"), "event_type"
+        ).agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        merged = (
+            partial
+            if existing is None
+            else existing.drop("last_batch_id")
+            .unionByName(partial)
+            .groupBy("hour_bucket", "event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+            )
+        ).withColumn("last_batch_id", F.lit(batch_id))
+        # staging write scans the existing rollup BEFORE the swap, so
+        # read-while-replace is safe
+        atomic_overwrite_parquet(merged, agg_table, {"dir": target_dir})
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", os.path.join(target_dir, "_rollup_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_incremental_micro_batch(
     spark: SparkSession,
     source_dir: str,

@@ -90,6 +90,32 @@ def test_running_user_totals_stateful(spark, event_chunks):
     assert got.count() > len(truth)
 
 
+def test_incremental_rollup_matches_batch(spark, event_chunks, tmp_path):
+    """Micro-batch-merged rollup == one-shot batch aggregate; a second
+    availableNow run over the same source changes nothing (batch-id
+    idempotence + checkpoint)."""
+    src, ev = event_chunks
+    target = str(tmp_path / "rollup_target")
+    q = jobs.run_incremental_rollup(spark, src, target)
+    q.awaitTermination(120)
+    got = spark.read.parquet(os.path.join(target, "rollup_hourly")).drop(
+        "last_batch_id"
+    )
+    truth = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_bucket"), "event_type"
+    ).agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+    g = {(r.hour_bucket, r.event_type): (r.n_events, round(r.sum_value, 6))
+         for r in got.collect()}
+    t = {(r.hour_bucket, r.event_type): (r.n_events, round(r.sum_value, 6))
+         for r in truth.collect()}
+    assert g == t
+    q2 = jobs.run_incremental_rollup(spark, src, target)
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(os.path.join(target, "rollup_hourly"))
+    assert got2.count() == got.count()
+    assert got2.agg(F.sum("n_events")).first()[0] == ev.count()
+
+
 def test_stream_stream_join_matches_batch(spark, event_chunks):
     """Stream-stream join result == the same join run in batch."""
     src, ev = event_chunks
