@@ -288,19 +288,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation) — sequential fold matches DuckDB's list functions, so
     this IS oracle-checked.
     """
+    from etl_data_pipeline_spark.llm.vector import cosine
+
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     a, b = e.alias("a"), e.alias("b")
-
-    def dot(x: Column, y: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
-        )
-
-    cos = dot(F.col("a.v"), F.col("b.v")) / (
-        F.sqrt(dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
-    )
+    cos = cosine(F.col("a.v"), F.col("b.v"))
     return (
         a.join(
             b,

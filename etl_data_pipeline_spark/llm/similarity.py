@@ -18,10 +18,11 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_data_pipeline_spark.functions.rounding import hround, sql_round
+from etl_data_pipeline_spark.llm.vector import cosine, dot as _dot, rank_topk, scored_pairs
 from etl_data_pipeline_spark.session import load_table, spread
 
 TOP_K = 5
@@ -38,12 +39,6 @@ def _planes() -> list[list[float]]:
     return [[float(rng.choice((-1, 1))) for _ in range(DIM)] for _ in range(N_PLANES)]
 
 
-def _dot(x: Column, y: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
-    )
-
-
 def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: for each query vector, the K nearest
     corpus vectors (excluding itself), ranked deterministically on
@@ -57,20 +52,8 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     pairs = e.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-    cos = _dot(F.col("qv"), F.col("v")) / (
-        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
-    )
-    from pyspark.sql import Window
-
-    scored = pairs.select(
-        "query_id", "vec_id", hround(cos, 6).alias("cosine")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "vec_id", "cosine")
-    )
+    scored = scored_pairs(pairs, ["query_id", "vec_id"])
+    return rank_topk(scored, TOP_K).select("query_id", "rank", "vec_id", "cosine")
 
 
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,20 +80,8 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(queries),
         (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
     )
-    cos = _dot(F.col("qv"), F.col("v")) / (
-        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
-    )
-    from pyspark.sql import Window
-
-    scored = pairs.select(
-        "query_id", "bucket", "vec_id", hround(cos, 6).alias("cosine")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("query_id", "bucket", "rank", "vec_id", "cosine")
-    )
+    scored = scored_pairs(pairs, ["query_id", "bucket", "vec_id"])
+    return rank_topk(scored, 3).select("query_id", "bucket", "rank", "vec_id", "cosine")
 
 
 CENTROID_MOD_REMAINDER = 50  # centroid set = vec_id % 100 == 50 (disjoint from queries)
@@ -134,19 +105,17 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = e.filter(F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER).select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
     )
-    from pyspark.sql import Window
-
-    cell_cos = _dot(F.col("cv"), F.col("v")) / (
-        F.sqrt(_dot(F.col("cv"), F.col("cv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
-    )
-    wa = Window.partitionBy("vec_id").orderBy(
-        F.desc("centroid_cos"), F.asc("centroid_id")
-    )
     assigned = (
-        e.join(F.broadcast(centroids))
-        .select("vec_id", "v", "centroid_id", hround(cell_cos, 6).alias("centroid_cos"))
-        .withColumn("arank", F.row_number().over(wa))
-        .filter(F.col("arank") == 1)
+        rank_topk(
+            e.join(F.broadcast(centroids)).select(
+                "vec_id", "v", "centroid_id",
+                hround(cosine(F.col("cv"), F.col("v")), 6).alias("centroid_cos"),
+            ),
+            1,
+            partition_col="vec_id",
+            score_col="centroid_cos",
+            id_col="centroid_id",
+        )
         .select("vec_id", "v", F.col("centroid_id").alias("cell"))
     )
     queries = assigned.filter(F.col("vec_id") % QUERY_MOD == 0).select(
@@ -158,16 +127,8 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(queries),
         (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
     )
-    cos = _dot(F.col("qv"), F.col("v")) / (
-        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
-    )
-    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        pairs.select("query_id", "cell", "vec_id", hround(cos, 6).alias("cosine"))
-        .withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= 3)
-        .select("query_id", "cell", "rank", "vec_id", "cosine")
-    )
+    scored = scored_pairs(pairs, ["query_id", "cell", "vec_id"])
+    return rank_topk(scored, 3).select("query_id", "cell", "rank", "vec_id", "cosine")
 
 
 QUERIES = {
