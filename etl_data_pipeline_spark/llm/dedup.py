@@ -34,6 +34,21 @@ MINHASH_K = 32          # minhash functions
 LSH_BANDS = 16          # bands of 2 rows each (r=2): P(candidate) = 1-(1-s^2)^16
 JACCARD_THRESHOLD = 0.5
 
+# Cross-engine minhash arithmetic: base hash = first 15 hex chars of
+# md5 (60 bits — identical in Spark `conv(substr(md5(s),1,15),16,10)`
+# and DuckDB `('0x' || substr(md5(s),1,15))::BIGINT`), reduced mod the
+# Mersenne prime P; per-seed permutation h -> (A*h + B) % P with fixed
+# seeded constants. Everything stays < 2^62, so int64 arithmetic is
+# exact in both engines and the WHOLE LSH pipeline is oracle-checkable.
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+import random as _random
+
+_rng = _random.Random(1234)
+MINHASH_AB = [
+    (_rng.randrange(1, MINHASH_P), _rng.randrange(0, MINHASH_P))
+    for _ in range(MINHASH_K)
+]
+
 
 def _toks() -> Column:
     return F.array_distinct(F.split(F.col("text"), " "))
@@ -126,23 +141,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md5_long(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative int64, mod MINHASH_P —
+    bit-identical in DuckDB (see MINHASH_AB note)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % MINHASH_P
+    )
+
+
 def _minhash_cols() -> list[Column]:
     """K minhash values over the 3-gram shingle set: min over shingles
-    of xxhash64(seed_i, shingle).
+    of the seeded affine permutation (A_i*h + B_i) % P of the shared
+    md5-derived base hash.
 
-    xxhash64 is Spark's built-in 64-bit hash (JVM-side, codegen);
-    per-seed independence comes from the leading literal. Each shingle
-    STRING is hashed once (``sh_hash``); the K minhashes rehash the
-    resulting 8-byte longs — 32× cheaper than re-hashing strings.
+    Each shingle STRING is md5-hashed once (``sh_hash``); the K
+    minhashes are pure int64 arithmetic on those — far cheaper than K
+    string hashes, and exactly reproducible in the DuckDB oracle.
     Shingles (not raw word sets) because this corpus has a tiny
     vocabulary — word-set Jaccard saturates, 3-gram Jaccard stays
-    discriminative.
+    discriminative. (Broder 1997 minwise permutations.)
     """
     return [
         F.array_min(
-            F.transform(F.col("sh_hash"), lambda h: F.xxhash64(F.lit(i), h))
+            F.transform(
+                F.col("sh_hash"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+            )
         ).alias(f"mh{i}")
-        for i in range(MINHASH_K)
+        for i, (a, b) in enumerate(MINHASH_AB)
     ]
 
 
@@ -150,14 +175,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup pairs, exact-Jaccard verified.
 
     Pipeline: per-doc K=32 shingle minhashes → 16 band signatures
-    (hash of 2 minhashes, P(candidate)=1-(1-s²)¹⁶ ≈ .99 at s=0.5) →
+    (mh_even*P + mh_odd, P(candidate)=1-(1-s²)¹⁶ ≈ .99 at s=0.5) →
     explode bands → band-bucket join → candidate pairs → verify exact
-    shingle Jaccard ≥ 0.5. No oracle (engine-specific hash fns);
-    recall vs exact pairwise is asserted in tests.
+    shingle Jaccard ≥ 0.5. ORACLE-CHECKED end-to-end: the md5-derived
+    base hash and affine permutations are engine-portable, so the
+    DuckDB oracle reruns the entire LSH pipeline in SQL; recall vs
+    exact pairwise is additionally asserted in tests.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     sh_hashed = F.array_distinct(
-        F.transform(_shingles(), lambda t: F.xxhash64(t))
+        F.transform(_shingles(), lambda t: _md5_long(t))
     )
     # persist: (doc_id, sh_hash) feeds the band-signature path AND both
     # verification sides — three shingle+hash passes over the corpus
@@ -165,10 +192,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once at ingest; persist is the in-session equivalent).
     sh = docs.select("doc_id", sh_hashed.alias("sh_hash")).persist()
     with_mh = sh.select("doc_id", "sh_hash", *_minhash_cols())
-    rows_per_band = MINHASH_K // LSH_BANDS
     bands = F.array(
         *[
-            F.hash(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
+            (F.col(f"mh{2 * b}") * MINHASH_P + F.col(f"mh{2 * b + 1}"))
             for b in range(LSH_BANDS)
         ]
     )
@@ -311,6 +337,61 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oracle_minhash_lsh() -> str:
+    """DuckDB rerun of the ENTIRE LSH pipeline (same md5-derived base
+    hash, same affine permutations, same banding)."""
+    p = MINHASH_P
+    shingle_sql = """
+        CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+            list_distinct(list_transform(
+                range(1, len(string_split(text, ' ')) - 1),
+                i -> concat_ws(' ', string_split(text, ' ')[i],
+                               string_split(text, ' ')[i+1],
+                               string_split(text, ' ')[i+2])))
+        ELSE [] END
+    """
+    mh_cols = ",\n               ".join(
+        f"list_min(list_transform(sh_hash, h -> ({a} * h + {b}) % {p})) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    band_arms = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {bnd} AS band_id, mh{2*bnd} * {p} + mh{2*bnd+1} AS band_sig FROM mh"
+        for bnd in range(LSH_BANDS)
+    )
+    return f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform({shingle_sql},
+                       s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {p}))
+                       AS sh_hash
+            FROM documents
+        ), mh AS (
+            SELECT doc_id, sh_hash,
+               {mh_cols}
+            FROM sh
+        ), sigs AS (
+            {band_arms}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sigs a JOIN sigs b
+              ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               {sql_round('''CAST(len(list_intersect(sa.sh_hash, sb.sh_hash)) AS DOUBLE)
+                   / greatest(len(sa.sh_hash) + len(sb.sh_hash)
+                              - len(list_intersect(sa.sh_hash, sb.sh_hash)), 1)''', 6)}
+                   AS shingle_jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = doc_a
+        JOIN sh sb ON sb.doc_id = doc_b
+        WHERE {sql_round('''CAST(len(list_intersect(sa.sh_hash, sb.sh_hash)) AS DOUBLE)
+                   / greatest(len(sa.sh_hash) + len(sb.sh_hash)
+                              - len(list_intersect(sa.sh_hash, sb.sh_hash)), 1)''', 6)}
+              >= {JACCARD_THRESHOLD}
+    """
+
+
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -352,6 +433,7 @@ ORACLE = {
         SELECT doc_a, doc_b, word_jaccard, shingle_jaccard
         FROM pairs WHERE word_jaccard >= {JACCARD_THRESHOLD}
     """,
+    "dedup_minhash_lsh": _oracle_minhash_lsh(),
     "dedup_embedding_cosine": """
         WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         p AS (
