@@ -10,7 +10,7 @@ Scale design (the whole point of these at 100 TB):
 - MinHash-LSH: shingle → K minhashes → band signatures → candidates
   via band-bucket groupBy (shuffle on tiny signatures), exact-Jaccard
   verification only on candidates — the classic way to avoid O(n²);
-- SimHash: 64-bit signature per doc via a vectorized pandas UDF, then
+- SimHash: 60-bit signature per doc via a vectorized pandas UDF, then
   banded hamming join;
 - embedding cosine: label-blocked pair join, JVM-side zip_with dot
   product.
@@ -141,12 +141,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md5_long60(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative int64 — bit-identical in
+    DuckDB ``('0x' || substr(md5(s), 1, 15))::BIGINT`` (see MINHASH_AB
+    note)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def _md5_long(col: Column) -> Column:
-    """First 60 bits of md5 as a non-negative int64, mod MINHASH_P —
-    bit-identical in DuckDB (see MINHASH_AB note)."""
-    return (
-        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % MINHASH_P
-    )
+    """The 60-bit md5 hash reduced mod MINHASH_P (minhash domain)."""
+    return _md5_long60(col) % MINHASH_P
 
 
 def _minhash_cols() -> list[Column]:
@@ -240,49 +244,61 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signature per doc (vectorized
-    pandas UDF, FNV-1a token hashes), banded hamming-distance join.
+SIMHASH_BITS = 60       # md5-derived portable token hashes (see _md5_long60)
+SIMHASH_CHUNKS = 4      # 4 × 15-bit chunks: exact recall for hamming ≤ 3
+SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
+SIMHASH_MAX_HAMMING = 3
 
-    Bands: 4 × 16-bit chunks, threshold hamming ≤ 3. By pigeonhole,
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 60-bit signature per doc (vectorized
+    pandas UDF bit-majority vote), banded hamming-distance join.
+
+    Bands: 4 × 15-bit chunks, threshold hamming ≤ 3. By pigeonhole,
     ≤ 3 differing bits cannot touch all 4 chunks, so chunk equality is
     an EXACT-recall candidate filter (Manku et al. 2007: k+1 chunks
-    for distance k), verified with bit_count(xor) ≤ 3. Rows-only
-    check (hash function is engine-specific).
+    for distance k), verified with bit_count(xor) ≤ 3. Token hashes
+    are the engine-portable 60-bit md5 prefix, so the signature — and
+    therefore the whole pipeline — is ORACLE-CHECKED: the DuckDB
+    oracle recomputes the majority vote, banding, and hamming verify
+    in SQL.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
-    def simhash64(tok_hashes: pd.Series) -> pd.Series:
-        """Fold per-token 64-bit hashes into the SimHash signature.
+    def simhash_sig(tok_hashes: pd.Series) -> pd.Series:
+        """Fold per-token 60-bit hashes into the SimHash signature.
 
-        Token hashing happens JVM-side (xxhash64 inside codegen); this
-        UDF only does the bit-majority vote, fully vectorized: for each
-        doc, a |tokens|×64 bit matrix summed along axis 0.
+        Token hashing happens JVM-side (md5 inside codegen); this UDF
+        only does the bit-majority vote, fully vectorized: for each
+        doc, a |tokens|×60 bit matrix summed along axis 0.
         """
-        shifts = np.arange(64, dtype=np.uint64)
+        shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
         out = np.empty(len(tok_hashes), dtype=np.int64)
         for i, hashes in enumerate(tok_hashes):
             h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
             bits = (h[:, None] >> shifts) & np.uint64(1)
-            maj = bits.sum(axis=0) * 2 > len(h)
-            out[i] = np.packbits(maj[::-1]).view(">u8")[0].astype(np.int64)
+            maj = (bits.sum(axis=0) * 2 > len(h)).astype(np.uint64)
+            out[i] = np.int64((maj << shifts).sum(dtype=np.uint64))
         return pd.Series(out)
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     tok_hashes = F.array_distinct(
-        F.transform(F.split(F.col("text"), " "), lambda t: F.xxhash64(t))
+        F.transform(F.split(F.col("text"), " "), lambda t: _md5_long60(t))
     )
-    sigs = docs.select("doc_id", simhash64(tok_hashes).alias("simhash"))
+    sigs = docs.select("doc_id", simhash_sig(tok_hashes).alias("simhash"))
     chunks = sigs.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    (F.shiftrightunsigned("simhash", 16 * c) % (1 << 16)).alias(f"c{c}")
-                    for c in range(4)
+                    (
+                        F.shiftrightunsigned("simhash", SIMHASH_CHUNK_BITS * c)
+                        % (1 << SIMHASH_CHUNK_BITS)
+                    ).alias(f"c{c}")
+                    for c in range(SIMHASH_CHUNKS)
                 ]
             )
         ).alias("chunk_id", "chunk_val"),
@@ -302,7 +318,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
@@ -392,6 +408,46 @@ def _oracle_minhash_lsh() -> str:
     """
 
 
+def _oracle_simhash() -> str:
+    """DuckDB rerun of the ENTIRE SimHash pipeline (same md5-derived
+    token hashes, same 60-bit majority vote, same 4-chunk banding)."""
+    sig_terms = "\n                 + ".join(
+        f"(CASE WHEN 2 * len(list_filter(th, h -> ((h >> {b}) & 1) = 1))"
+        f" > len(th) THEN {1 << b} ELSE 0 END)::BIGINT"
+        for b in range(SIMHASH_BITS)
+    )
+    chunk_arms = "\n            UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk_id,"
+        f" (simhash >> {SIMHASH_CHUNK_BITS * c}) & {(1 << SIMHASH_CHUNK_BITS) - 1}"
+        f" AS chunk_val FROM sig"
+        for c in range(SIMHASH_CHUNKS)
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(string_split(text, ' '),
+                       s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS th
+            FROM documents
+        ), sig AS (
+            SELECT doc_id,
+                   {sig_terms}
+                   AS simhash
+            FROM t
+        ), chunks AS (
+            {chunk_arms}
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            a.simhash AS sig_a, b.simhash AS sig_b
+            FROM chunks a JOIN chunks b
+              ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
+        FROM pairs
+        WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -434,6 +490,7 @@ ORACLE = {
         FROM pairs WHERE word_jaccard >= {JACCARD_THRESHOLD}
     """,
     "dedup_minhash_lsh": _oracle_minhash_lsh(),
+    "dedup_simhash": _oracle_simhash(),
     "dedup_embedding_cosine": """
         WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         p AS (
