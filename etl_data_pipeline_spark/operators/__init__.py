@@ -26,6 +26,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         aggregates,
         asof,
         joins,
+        reshape,
         scalars,
         scans,
         setops,
@@ -42,7 +43,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     )
 
     modules = [
-        scans, joins, asof, aggregates, windows, setops, scalars, udfs,
+        scans, joins, asof, aggregates, reshape, windows, setops, scalars, udfs,
         batch_analogs, text_analysis, dedup, similarity, multimodal, curation,
     ]
     queries: dict[str, QueryFn] = {}

@@ -209,8 +209,20 @@ def tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (region × nation) — completes the
+    join family. Only sane when one side is tiny: Spark broadcasts the
+    small side (BroadcastNestedLoopJoin), so nothing shuffles; a
+    cross join of two large inputs is a design bug, not an operator
+    choice."""
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    nation = load_table(spark, sf_dir, "nation").select("n_name")
+    return region.crossJoin(nation)
+
+
 QUERIES = {
     "join_inner_hash": join_inner_hash,
+    "join_cross": join_cross,
     "join_broadcast": join_broadcast,
     "join_left_outer": join_left_outer,
     "join_full_outer": join_full_outer,
@@ -224,6 +236,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "join_cross": "SELECT r_name, n_name FROM region CROSS JOIN nation",
     "join_inner_hash": """
         SELECT o_orderkey, c_custkey, c_name, o_totalprice
         FROM orders JOIN customer ON o_custkey = c_custkey

@@ -113,8 +113,33 @@ def pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_MOD = 20  # keep 1-in-20 keys: a deterministic ~5% sample
+
+
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sample of orders (~5%).
+
+    TABLESAMPLE is seed/engine-dependent; pipelines that must be
+    replayable (and oracle-comparable) sample on a key hash instead:
+    the same rows are selected on every run, on every engine, and the
+    predicate pushes down like any filter. Hash = portable 60-bit md5
+    prefix (same construction as the dedup operators).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % SAMPLE_MOD
+    )
+    return orders.filter(bucket == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
 QUERIES = {
     "scan_full": scan_full,
+    "sample_hash": sample_hash,
     "scan_incremental_id": scan_incremental_id,
     "scan_incremental_ts": scan_incremental_ts,
     "watermark_advance": watermark_advance,
@@ -125,6 +150,12 @@ QUERIES = {
 
 ORACLE = {
     "scan_full": "SELECT * FROM customer",
+    "sample_hash": f"""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT
+              % {SAMPLE_MOD} = 0
+    """,
     "scan_incremental_id": f"""
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_str,

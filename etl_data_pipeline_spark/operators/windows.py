@@ -93,8 +93,29 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value across each customer's
+    order-date sequence (full-partition ROWS frame: last_value's
+    default frame stops at CURRENT ROW, which is almost never what an
+    analyst means — pin it to the whole partition)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        hround(F.first("o_totalprice").over(full), 2).alias("first_price"),
+        hround(F.last("o_totalprice").over(full), 2).alias("last_price"),
+        hround(F.nth_value("o_totalprice", 2).over(full), 2).alias("second_price"),
+    )
+
+
 QUERIES = {
     "window_rank": window_rank,
+    "window_first_last": window_first_last,
     "window_running": window_running,
     "window_lag_lead": window_lag_lead,
     "window_range_frame": window_range_frame,
@@ -102,6 +123,16 @@ QUERIES = {
 }
 
 ORACLE = {
+    "window_first_last": f"""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               {sql_round('first_value(o_totalprice) OVER w', 2)} AS first_price,
+               {sql_round('last_value(o_totalprice) OVER w', 2)} AS last_price,
+               {sql_round('nth_value(o_totalprice, 2) OVER w', 2)} AS second_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
     "window_distribution": f"""
         SELECT o_custkey, o_orderkey, o_totalprice,
                ntile(4) OVER w AS quartile,

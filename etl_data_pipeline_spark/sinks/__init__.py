@@ -64,10 +64,15 @@ def _json_append(df: DataFrame, table: str, options: dict) -> None:
     df.write.mode("append").json(_target_path(table, options))
 
 
+def _orc_append(df: DataFrame, table: str, options: dict) -> None:
+    df.write.mode("append").orc(_target_path(table, options))
+
+
 SINKS: dict[str, SinkFn] = {
     "parquet": _parquet_append,
     "csv": _csv_append,
     "json": _json_append,
+    "orc": _orc_append,
     "jdbc": _jdbc_append,
 }
 

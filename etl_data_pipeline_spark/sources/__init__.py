@@ -63,10 +63,16 @@ def _jdbc_source(spark: SparkSession, table: str, options: dict) -> DataFrame:
     return reader.load()
 
 
+def _orc_source(spark: SparkSession, table: str, options: dict) -> DataFrame:
+    path = options.get("path") or os.path.join(options["dir"], f"{table}.orc")
+    return spark.read.options(**options.get("reader_options", {})).orc(path)
+
+
 SOURCES: dict[str, SourceFn] = {
     "parquet": _parquet_source,
     "csv": _csv_source,
     "json": _json_source,
+    "orc": _orc_source,
     "jdbc": _jdbc_source,
 }
 

@@ -41,3 +41,18 @@ def test_engine_run_pipeline(spark, sf_dir, tmp_path):
     results = eng.run_pipeline(spec, state_path=str(tmp_path / "wm.json"))
     assert [r.status for r in results] == ["loaded"]
     assert spark.read.parquet(str(tmp_path / "sink" / "nation")).count() > 0
+
+
+def test_source_sink_format_round_trips(spark, sf_dir, tmp_path):
+    """Every file format in the registries round-trips a frame
+    losslessly (ORC/JSON/CSV alongside the default parquet)."""
+    from etl_data_pipeline_spark.sinks import write_sink
+    from etl_data_pipeline_spark.sources import read_source
+
+    src = read_source(spark, "parquet", "nation", {"dir": sf_dir})
+    expected = sorted(r.n_name for r in src.collect())
+    for fmt in ("parquet", "orc", "json", "csv"):
+        out = str(tmp_path / fmt)
+        write_sink(src, fmt, "nation", {"path": out})
+        back = read_source(spark, fmt, "nation", {"path": out})
+        assert sorted(r.n_name for r in back.collect()) == expected
