@@ -323,6 +323,42 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LEVENSHTEIN_MAX = 2
+
+
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance entity resolution: same-nation customer pairs
+    whose names are within 2 edits — the fuzzy-name-matching flavor of
+    dedup (record linkage), vs the content-similarity flavors above.
+
+    Blocking on nation keeps the pair space per-block, not corpus²
+    (the same scale rule as dedup_ngram_jaccard); the distance runs
+    JVM-side (F.levenshtein, codegen) on the blocked pairs only. At
+    real scale the blocker would be a cheap canonical key (soundex /
+    sorted-token prefix); nation stands in for it on this corpus.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_name"
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("cust_a"),
+            F.col("b.c_custkey").alias("cust_b"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= LEVENSHTEIN_MAX)
+    )
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: label-blocked pairs with cosine ≥ 0.4.
 
@@ -453,6 +489,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_levenshtein": dedup_levenshtein,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
@@ -491,6 +528,14 @@ ORACLE = {
     """,
     "dedup_minhash_lsh": _oracle_minhash_lsh(),
     "dedup_simhash": _oracle_simhash(),
+    "dedup_levenshtein": f"""
+        SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+               a.c_name AS name_a, b.c_name AS name_b,
+               levenshtein(a.c_name, b.c_name) AS edit_dist
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= {LEVENSHTEIN_MAX}
+    """,
     "dedup_embedding_cosine": """
         WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         p AS (

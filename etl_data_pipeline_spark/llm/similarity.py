@@ -131,10 +131,32 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_topk(scored, 3).select("query_id", "cell", "rank", "vec_id", "cosine")
 
 
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class centroids), long form
+    (label, dim, centroid_val).
+
+    posexplode → groupBy(label, dim) avg: the shuffle carries scalar
+    (label, dim, value) triples, the partial aggregate combines
+    map-side, and no vector is ever reassembled driver-side. Long form
+    is deliberately the output — it joins/aggregates cheaply and
+    avoids collect_list ordering hazards; wrap with array_agg at the
+    consumer if a vector is needed.
+    """
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return (
+        e.select("label", F.posexplode("v").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(hround(F.avg("val"), 6).alias("centroid_val"))
+    )
+
+
 QUERIES = {
     "sim_topk": sim_topk,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
+    "embedding_centroids": embedding_centroids,
 }
 
 
@@ -230,4 +252,12 @@ ORACLE = {
     "sim_topk": _oracle_sim_topk(),
     "sim_ann_lsh": _oracle_sim_ann_lsh(),
     "sim_ann_ivf": _oracle_sim_ann_ivf(),
+    "embedding_centroids": f"""
+        SELECT label, dim, {sql_round('avg(v)', 6)} AS centroid_val
+        FROM (SELECT label,
+                     unnest(range(len(embedding))) AS dim,
+                     unnest(embedding::DOUBLE[]) AS v
+              FROM embeddings)
+        GROUP BY label, dim
+    """,
 }

@@ -156,8 +156,30 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOP_TOKENS_K = 20
+
+
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency top-k (explode → count → ordered limit).
+
+    The explode never materializes corpus² anything: partial (map-side)
+    counts combine before the shuffle, and the final top-k is a
+    TakeOrderedAndProject — only K rows reach the driver side of the
+    limit. Tiebreak on token keeps the boundary deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(TOP_TOKENS_K)
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
+    "text_top_tokens": text_top_tokens,
     "text_tokens": text_tokens,
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,
@@ -170,6 +192,13 @@ _ES = _sql_stop_hits("es")
 _FR = _sql_stop_hits("fr")
 
 ORACLE = {
+    "text_top_tokens": f"""
+        SELECT token, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+        ORDER BY cnt DESC, token ASC
+        LIMIT {TOP_TOKENS_K}
+    """,
     "text_stats": f"""
         WITH t AS (SELECT lang, source, n_chars,
                           len(string_split(text, ' ')) AS n_tokens

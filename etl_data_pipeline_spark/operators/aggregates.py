@@ -149,7 +149,35 @@ def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced above their market segment's average — the
+    decorrelated form of a correlated scalar subquery.
+
+    Spark plan: the per-segment averages are a tiny aggregate (one row
+    per segment) broadcast back onto the fact side — the correlated
+    subquery never re-executes per row, which is exactly what
+    Catalyst's decorrelation does for the SQL spelling too. The
+    average is rounded (2) on both sides before comparing so the
+    boundary predicate is float-order independent.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    fact = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    seg_avg = fact.groupBy("c_mktsegment").agg(
+        hround(F.avg("o_totalprice"), 2).alias("seg_avg")
+    )
+    return (
+        fact.join(F.broadcast(seg_avg), "c_mktsegment")
+        .filter(F.col("o_totalprice") > F.col("seg_avg"))
+        .select("o_orderkey", "c_mktsegment", "o_totalprice", "seg_avg")
+    )
+
+
 QUERIES = {
+    "subquery_scalar": subquery_scalar,
     "agg_groupby": agg_groupby,
     "agg_percentile": agg_percentile,
     "agg_approx_percentile": agg_approx_percentile,
@@ -162,6 +190,18 @@ QUERIES = {
 }
 
 ORACLE = {
+    "subquery_scalar": f"""
+        WITH fact AS (
+            SELECT o_orderkey, c_mktsegment, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ), seg AS (
+            SELECT c_mktsegment, {sql_round('avg(o_totalprice)', 2)} AS seg_avg
+            FROM fact GROUP BY c_mktsegment
+        )
+        SELECT o_orderkey, fact.c_mktsegment, o_totalprice, seg_avg
+        FROM fact JOIN seg ON fact.c_mktsegment = seg.c_mktsegment
+        WHERE o_totalprice > seg_avg
+    """,
     "agg_time_rollup": """
         WITH b AS (
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,

@@ -126,7 +126,41 @@ def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, in exact integer micros
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): per-user session ids
+    where a >30-min silence starts a new session.
+
+    The classic two-window formulation — lag() to flag session starts,
+    then a running sum to number them. Complements session_window
+    (stream_session) with the form that lets you JOIN sessions back to
+    arbitrary history. Gap compares unix_micros, exact integers in
+    both engines. One shuffle (hash by user_id); both windows share
+    the same partitioning so the second window is exchange-free.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    is_start = F.when(
+        prev_us.isNull() | (F.unix_micros("ts") - prev_us > SESSION_GAP_US), 1
+    ).otherwise(0)
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _FMT).alias("ts_str"),
+        F.sum(is_start).over(running).alias("session_seq"),
+    )
+
+
 QUERIES = {
+    "events_sessionize": events_sessionize,
     "stream_tumbling": stream_tumbling,
     "stream_sliding": stream_sliding,
     "stream_session": stream_session,
@@ -136,6 +170,23 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_sessionize": f"""
+        WITH lagged AS (
+            SELECT event_id, user_id, ts,
+                   lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+            FROM events
+        )
+        SELECT event_id, user_id,
+               strftime(ts, '{_DFMT}') AS ts_str,
+               sum(CASE WHEN prev_us IS NULL
+                         OR epoch_us(ts) - prev_us > {SESSION_GAP_US}
+                        THEN 1 ELSE 0 END) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_seq
+        FROM lagged
+    """,
     "stream_tumbling": f"""
         SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
                         '{_DFMT}') AS window_start,
