@@ -176,8 +176,59 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per group: sample stddev/variance,
+    covariance, correlation. Rounded aggressively (4/6 dp) because the
+    one-pass moment algorithms differ across engines — the statistics
+    agree, the last float bits don't."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        hround(F.stddev_samp("l_quantity"), 4).alias("qty_std"),
+        hround(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        hround(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_cov"),
+        hround(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+    )
+
+
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregates: per-segment sorted distinct nation set.
+
+    collect_set order is nondeterministic by contract — array_sort
+    makes the result value-stable (and oracle-comparable). The array
+    per group is bounded (≤ 25 nations), which is the rule for
+    collect_* at scale: never collect an unbounded group."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.array_sort(F.collect_set("c_nationkey")).alias("nation_keys"),
+    )
+
+
+HIST_BUCKET_WIDTH = 50.0
+
+
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (floor-bucket + count) —
+    one hash aggregate, the identical IEEE expression on both engines
+    so bucket boundaries match bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / HIST_BUCKET_WIDTH).cast("long")
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            hround(F.min("value"), 2).alias("min_value"),
+            hround(F.max("value"), 2).alias("max_value"),
+        )
+    )
+
+
 QUERIES = {
     "subquery_scalar": subquery_scalar,
+    "agg_stats": agg_stats,
+    "agg_collect": agg_collect,
+    "agg_histogram": agg_histogram,
     "agg_groupby": agg_groupby,
     "agg_percentile": agg_percentile,
     "agg_approx_percentile": agg_approx_percentile,
@@ -190,6 +241,29 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_stats": f"""
+        SELECT l_returnflag, count(*) AS n,
+               {sql_round('stddev_samp(l_quantity)', 4)} AS qty_std,
+               {sql_round('var_samp(l_quantity)', 4)} AS qty_var,
+               {sql_round('covar_samp(l_quantity, l_extendedprice)', 2)}
+                   AS qty_price_cov,
+               {sql_round('corr(l_quantity, l_extendedprice)', 6)}
+                   AS qty_price_corr
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg_collect": """
+        SELECT c_mktsegment, count(*) AS n_customers,
+               list_sort(list(DISTINCT c_nationkey)) AS nation_keys
+        FROM customer GROUP BY c_mktsegment
+    """,
+    "agg_histogram": f"""
+        SELECT CAST(floor(value / {HIST_BUCKET_WIDTH}) AS BIGINT) AS bucket,
+               count(*) AS n,
+               {sql_round('min(value)', 2)} AS min_value,
+               {sql_round('max(value)', 2)} AS max_value
+        FROM events
+        GROUP BY CAST(floor(value / {HIST_BUCKET_WIDTH}) AS BIGINT)
+    """,
     "subquery_scalar": f"""
         WITH fact AS (
             SELECT o_orderkey, c_mktsegment, o_totalprice

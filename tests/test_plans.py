@@ -137,3 +137,43 @@ def test_whole_stage_codegen_active(spark, sf_dir):
         assert n >= 1, out[:500]
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """Both windows (lag + running sum) hash by user_id — the plan
+    must reuse ONE exchange, not shuffle per window."""
+    from etl_data_pipeline_spark.streaming import batch_analogs
+    from etl_data_pipeline_spark.plans import exchange_count
+
+    plan = _plan(batch_analogs.events_sessionize(spark, sf_dir))
+    assert exchange_count(plan) == 1
+
+
+def test_subquery_scalar_stays_broadcast(spark, sf_dir):
+    """The per-segment average is a tiny aggregate; joining it back
+    must broadcast, never sort-merge."""
+    from etl_data_pipeline_spark.operators import aggregates
+
+    plan = _plan(aggregates.subquery_scalar(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_tokens_is_take_ordered(spark, sf_dir):
+    """Global top-k after explode+count compiles to
+    TakeOrderedAndProject (K rows cross to the driver, never a
+    global sort of the token dictionary)."""
+    from etl_data_pipeline_spark.llm import text_analysis
+
+    plan = _plan(text_analysis.text_top_tokens(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sample_hash_prunes_columns(spark, sf_dir):
+    """The md5-bucket sample projects 4 columns; the scan must not
+    read the rest of orders."""
+    from etl_data_pipeline_spark.operators import scans
+
+    plan = _plan(scans.sample_hash(spark, sf_dir))
+    assert "o_orderpriority" not in plan
+    assert "o_orderdate" not in plan
