@@ -26,6 +26,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_data_pipeline_spark.functions.rounding import hround, sql_round
 from etl_data_pipeline_spark.session import load_table, spread
@@ -326,6 +327,59 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 LEVENSHTEIN_MAX = 2
 
 
+CLUSTER_MAX_ITERS = 12
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the near-dup pair
+    graph (word-Jaccard ≥ 0.5 edges from dedup_ngram_jaccard), labeling
+    each involved doc with its component id = min reachable doc_id,
+    plus cluster size.
+
+    This is the step every dedup pipeline needs after pair generation:
+    pairs (a,b),(b,c) must collapse to ONE canonical survivor for
+    {a,b,c}, which pairwise filtering alone can't express. Algorithm:
+    iterative min-label propagation — each round, every node takes the
+    min label among itself and its neighbors (one join + one groupBy
+    per round), converging in O(component diameter) rounds; dup
+    clusters are shallow (diameter ≪ 12), and the loop exits early on
+    a converged sum(label) scalar (1-row aggregate, no collect). The
+    same technique scales out as GraphX/GraphFrames-style large-star /
+    small-star CC; per-round state is only (node, label) pairs — never
+    document content.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst").persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .persist()
+    )
+    label_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(CLUSTER_MAX_ITERS):
+        msgs = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new_labels = (
+            labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
+        ).persist()
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == label_sum:  # min-label is monotone ⇒ sum converges
+            break
+        label_sum = new_sum
+    w = Window.partitionBy("component_id")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    ).select(
+        "doc_id", "component_id", F.count("*").over(w).alias("cluster_size")
+    )
+
+
 def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance entity resolution: same-nation customer pairs
     whose names are within 2 edits — the fuzzy-name-matching flavor of
@@ -484,24 +538,10 @@ def _oracle_simhash() -> str:
     """
 
 
-QUERIES = {
-    "dedup_exact_docs": dedup_exact_docs,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_simhash": dedup_simhash,
-    "dedup_levenshtein": dedup_levenshtein,
-    "dedup_embedding_cosine": dedup_embedding_cosine,
-}
-
-ORACLE = {
-    "dedup_exact_docs": """
-        SELECT md5(text) AS content_md5,
-               min(doc_id) AS canonical_doc_id,
-               count(*) AS n_copies
-        FROM documents GROUP BY md5(text)
-    """,
-    "dedup_ngram_jaccard": f"""
-        WITH d AS (
+# Shared DuckDB CTE: same-(lang,source) blocked pairs with word/shingle
+# Jaccard — the pair generator behind dedup_ngram_jaccard AND the edge
+# source for dedup_clusters (prefixed into a WITH [RECURSIVE] list).
+_NGRAM_PAIRS_CTE = f"""d AS (
             SELECT doc_id, lang, source,
                    list_distinct(string_split(text, ' ')) AS words,
                    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
@@ -522,9 +562,52 @@ ORACLE = {
                        AS shingle_jaccard
             FROM d a JOIN d b
               ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        )
+        )"""
+
+QUERIES = {
+    "dedup_exact_docs": dedup_exact_docs,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_clusters": dedup_clusters,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_levenshtein": dedup_levenshtein,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLE = {
+    "dedup_exact_docs": """
+        SELECT md5(text) AS content_md5,
+               min(doc_id) AS canonical_doc_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_NGRAM_PAIRS_CTE}
         SELECT doc_a, doc_b, word_jaccard, shingle_jaccard
         FROM pairs WHERE word_jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_NGRAM_PAIRS_CTE},
+        p AS (
+            SELECT doc_a, doc_b FROM pairs
+            WHERE word_jaccard >= {JACCARD_THRESHOLD}
+        ), edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM p
+            UNION
+            SELECT doc_b, doc_a FROM p
+        ), nodes AS (
+            SELECT DISTINCT src AS node FROM edges
+        ), walk(node, label) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+        ), comp AS (
+            SELECT node AS doc_id, min(label) AS component_id
+            FROM walk GROUP BY node
+        )
+        SELECT doc_id, component_id,
+               count(*) OVER (PARTITION BY component_id) AS cluster_size
+        FROM comp
     """,
     "dedup_minhash_lsh": _oracle_minhash_lsh(),
     "dedup_simhash": _oracle_simhash(),

@@ -152,8 +152,31 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = 127/max|x|,
+    q_i = floor(x_i·scale + 0.5) — the standard storage/bandwidth
+    reduction before ANN serving (4 bytes → 1 byte per dim).
+
+    Map-only columnar arithmetic (array_max + transform, JVM-side); the
+    rounding uses floor(x+0.5) rather than round() because banker's-
+    vs half-away rounding differs across engines while floor(+0.5) is
+    the identical IEEE expression in both — the same portability rule
+    as the histogram/rounding helpers.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    amax = F.array_max(F.transform("v", lambda x: F.abs(x)))
+    scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0))
+    q8 = F.transform("v", lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
+    return e.select(
+        "vec_id", hround(scale, 6).alias("scale"), q8.alias("q8")
+    )
+
+
 QUERIES = {
     "sim_topk": sim_topk,
+    "embedding_quantize": embedding_quantize,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
     "embedding_centroids": embedding_centroids,
@@ -249,6 +272,18 @@ def _oracle_sim_ann_ivf() -> str:
 
 
 ORACLE = {
+    "embedding_quantize": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        m AS (SELECT vec_id, v,
+                     CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                          THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+                          ELSE 0.0 END AS scale
+              FROM e)
+        SELECT vec_id,
+               floor(scale * 1000000 + 0.5) / 1000000 AS scale,
+               list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INTEGER)) AS q8
+        FROM m
+    """,
     "sim_topk": _oracle_sim_topk(),
     "sim_ann_lsh": _oracle_sim_ann_lsh(),
     "sim_ann_ivf": _oracle_sim_ann_ivf(),

@@ -177,8 +177,40 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_SIZE = 256     # chars per chunk
+CHUNK_STRIDE = 192   # 64-char overlap between consecutive chunks
+
+
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-training chunking: split each document into fixed-size
+    character chunks with overlap (size 256, stride 192).
+
+    Pure row expansion — sequence() of chunk starts, posexplode,
+    substring — all JVM-side, no shuffle at all: chunking 100 TB is a
+    map-only stage that parallelizes with the input splits. Chunk text
+    is emitted as md5 (the harness result stays compact); a real
+    pipeline would keep the substring column instead.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    exploded = docs.select(
+        "doc_id", "text", F.posexplode(starts).alias("chunk_idx", "chunk_start")
+    )
+    chunk = F.substr(F.col("text"), F.col("chunk_start"), F.lit(CHUNK_SIZE))
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_start",
+        F.length(chunk).alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
+    "text_chunks": text_chunks,
     "text_top_tokens": text_top_tokens,
     "text_tokens": text_tokens,
     "text_lang_id": text_lang_id,
@@ -192,6 +224,20 @@ _ES = _sql_stop_hits("es")
 _FR = _sql_stop_hits("fr")
 
 ORACLE = {
+    "text_chunks": f"""
+        WITH x AS (
+            SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text), 1) + 1,
+                                {CHUNK_STRIDE})) AS chunk_start
+            FROM documents
+        )
+        SELECT doc_id,
+               (chunk_start - 1) // {CHUNK_STRIDE} AS chunk_idx,
+               chunk_start,
+               length(substring(text, chunk_start, {CHUNK_SIZE})) AS chunk_len,
+               md5(substring(text, chunk_start, {CHUNK_SIZE})) AS chunk_md5
+        FROM x
+    """,
     "text_top_tokens": f"""
         SELECT token, count(*) AS cnt
         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

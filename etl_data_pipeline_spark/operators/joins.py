@@ -209,6 +209,57 @@ def tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_BIN_MS = 300_000  # 5-minute window = bin width
+
+
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large interval join via bucketing: pairs of events by the
+    same user within 5 minutes of each other.
+
+    The naive plan for `0 <= ts_b - ts_a <= W` between two big tables
+    is a BroadcastNestedLoopJoin (O(n·m) comparisons) — fine for the
+    tiny-bands case (join_theta_range), fatal when both sides are
+    large. The classic fix makes it an EQUI join: bin timestamps into
+    W-wide buckets; an earlier event can only pair with events in its
+    own or the next bucket, so the probe side explodes each row to 2
+    bucket keys and the join key becomes (user_id, bucket). Shuffle is
+    2·|events| rows on a well-distributed key; the residual range
+    predicate filters inside each bucket. At 100 TB this is the only
+    viable shape for event-proximity joins.
+
+    Pair order is (earlier, later) with event_id tiebreak, so every
+    qualifying pair appears exactly once.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    bucket = F.floor(F.col("ts_ms") / RANGE_BIN_MS)
+    a = ev.select(
+        "user_id",
+        F.col("event_id").alias("event_a"),
+        F.col("ts_ms").alias("ts_a"),
+        F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
+    )
+    b = ev.select(
+        F.col("user_id").alias("user_b"),
+        F.col("event_id").alias("event_b"),
+        F.col("ts_ms").alias("ts_b"),
+        bucket.alias("bucket_b"),
+    )
+    gap = F.col("ts_b") - F.col("ts_a")
+    return (
+        a.join(b, (a.user_id == b.user_b) & (a.bucket == b.bucket_b))
+        .filter(
+            gap.between(0, RANGE_BIN_MS)
+            & (
+                (F.col("ts_a") < F.col("ts_b"))
+                | ((F.col("ts_a") == F.col("ts_b")) & (F.col("event_a") < F.col("event_b")))
+            )
+        )
+        .select("user_id", "event_a", "event_b", gap.alias("gap_ms"))
+    )
+
+
 def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit cartesian product (region × nation) — completes the
     join family. Only sane when one side is tiny: Spark broadcasts the
@@ -229,6 +280,7 @@ QUERIES = {
     "join_semi": join_semi,
     "join_anti": join_anti,
     "join_theta_range": join_theta_range,
+    "join_range_binned": join_range_binned,
     "join_skew_salted": join_skew_salted,
     "join_multiway": join_multiway,
     "tpch_q3ish": tpch_q3ish,
@@ -272,6 +324,13 @@ ORACLE = {
                                  (50000.0, 150000.0, 'mid'),
                                  (150000.0, 1e12, 'high')) AS b(lo, hi, band)
           ON o_totalprice > lo AND o_totalprice <= hi
+    """,
+    "join_range_binned": f"""
+        SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+               epoch_ms(b.ts) - epoch_ms(a.ts) AS gap_ms
+        FROM events a JOIN events b ON a.user_id = b.user_id
+        WHERE epoch_ms(b.ts) - epoch_ms(a.ts) BETWEEN 0 AND {RANGE_BIN_MS}
+          AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
     """,
     "join_skew_salted": """
         SELECT p_brand, count(*) AS line_cnt,

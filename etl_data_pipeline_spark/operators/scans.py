@@ -137,9 +137,39 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-language keep rates in per-mille — the down/up-weighting a
+# training-data mix does per stratum (e.g. downsample dominant English).
+STRATA_RATES_PERMILLE = {"en": 50, "de": 250, "es": 500, "fr": 1000}
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language keep rates over
+    documents (en 5%, de 25%, es 50%, fr 100%).
+
+    Same replayable md5-bucket construction as sample_hash, but the
+    threshold varies by stratum — exactly how corpus mixes rebalance
+    languages/sources at 100 TB. Still a plain pushed-down filter: no
+    shuffle, no per-stratum pass; rows not in any stratum drop out.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 1000
+    )
+    threshold = F.lit(0)
+    for lang, permille in STRATA_RATES_PERMILLE.items():
+        threshold = F.when(F.col("lang") == lang, permille).otherwise(threshold)
+    return docs.filter(bucket < threshold).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 QUERIES = {
     "scan_full": scan_full,
     "sample_hash": sample_hash,
+    "sample_stratified": sample_stratified,
     "scan_incremental_id": scan_incremental_id,
     "scan_incremental_ts": scan_incremental_ts,
     "watermark_advance": watermark_advance,
@@ -155,6 +185,12 @@ ORACLE = {
         FROM orders
         WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT
               % {SAMPLE_MOD} = 0
+    """,
+    "sample_stratified": f"""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000
+              < CASE {' '.join(f"WHEN lang = '{l}' THEN {p}" for l, p in STRATA_RATES_PERMILLE.items())} ELSE 0 END
     """,
     "scan_incremental_id": f"""
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -87,3 +87,72 @@ def test_decode_stub_deterministic(spark, sf_dir):
         assert r.format in ("png", "jpeg", "webp")
         assert 64 <= r.width < 256 and 64 <= r.height < 256
         assert r.decoder == "stub-md5"
+
+
+def _write_docs(spark, tmp, rows):
+    import os
+
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(os.path.join(tmp, "documents.parquet"))
+
+
+def test_dedup_clusters_transitive(spark):
+    """a≈b and b≈c with a̸≈c directly must still land in ONE cluster —
+    the transitivity pairwise filtering can't express."""
+    import tempfile
+
+    t1 = "a b c d e f g h i j"            # ∩(t1,t2)=8/12=0.67
+    t2 = "c d e f g h i j k l"            # ∩(t2,t3)=8/12=0.67
+    t3 = "e f g h i j k l m n"            # ∩(t1,t3)=6/14=0.43 < 0.5
+    t4 = "zz yy xx ww vv uu tt ss rr qq"  # isolated
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_docs(spark, tmp, [(1, t1), (2, t2), (3, t3), (4, t4)])
+        pairs = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.dedup_ngram_jaccard(spark, tmp)
+            .select("doc_a", "doc_b")
+            .collect()
+        }
+        out = {r.doc_id: r for r in dedup.dedup_clusters(spark, tmp).collect()}
+    assert (1, 2) in pairs and (2, 3) in pairs and (1, 3) not in pairs
+    assert set(out) == {1, 2, 3}  # isolated doc 4 is not in any cluster
+    assert {r.component_id for r in out.values()} == {1}
+    assert all(r.cluster_size == 3 for r in out.values())
+
+
+def test_text_chunks_invariants(spark, sf_dir):
+    from etl_data_pipeline_spark.llm import text_analysis as ta
+
+    chunks = ta.text_chunks(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    j = chunks.join(docs, "doc_id")
+    bad = j.filter(
+        (F.col("chunk_start") != 1 + F.col("chunk_idx") * ta.CHUNK_STRIDE)
+        | (F.col("chunk_len") > ta.CHUNK_SIZE)
+        | (F.col("chunk_len") <= 0)
+        | (F.col("chunk_start") > F.greatest(F.col("n_chars"), F.lit(1)))
+    ).count()
+    assert bad == 0
+    # every doc is fully covered: last chunk reaches the end of the text
+    cover = (
+        j.groupBy("doc_id", "n_chars")
+        .agg(F.max(F.col("chunk_start") + F.col("chunk_len") - 1).alias("covered"))
+        .filter(F.col("covered") < F.col("n_chars"))
+        .count()
+    )
+    assert cover == 0
+
+
+def test_embedding_quantize_bounds(spark, sf_dir):
+    q = similarity.embedding_quantize(spark, sf_dir)
+    bad = q.filter(
+        (F.array_max(F.transform("q8", lambda x: F.abs(x))) > 127)
+        | (F.array_max(F.transform("q8", lambda x: F.abs(x))) < 127)
+    ).count()
+    # the max-|x| dim quantizes to exactly ±127 in every vector
+    assert bad == 0
