@@ -380,6 +380,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus itself: every document except the
+    non-canonical members of each near-dup cluster (one survivor — the
+    min doc_id — per component from dedup_clusters).
+
+    This is the actual OUTPUT of a dedup pipeline: pairs (the other
+    dedup_* ops) are the evidence, this is the kept set. Anti-join of
+    the corpus against the small clustered-losers relation — the
+    corpus streams through once; only (doc_id, component_id) pairs
+    ever shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    losers = dedup_clusters(spark, sf_dir).filter(
+        F.col("doc_id") != F.col("component_id")
+    ).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance entity resolution: same-nation customer pairs
     whose names are within 2 edits — the fuzzy-name-matching flavor of
@@ -568,6 +588,7 @@ QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
+    "dedup_canonical": dedup_canonical,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_levenshtein": dedup_levenshtein,
@@ -611,6 +632,29 @@ ORACLE = {
     """,
     "dedup_minhash_lsh": _oracle_minhash_lsh(),
     "dedup_simhash": _oracle_simhash(),
+    "dedup_canonical": f"""
+        WITH RECURSIVE {_NGRAM_PAIRS_CTE},
+        p AS (
+            SELECT doc_a, doc_b FROM pairs
+            WHERE word_jaccard >= {JACCARD_THRESHOLD}
+        ), edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM p
+            UNION
+            SELECT doc_b, doc_a FROM p
+        ), nodes AS (
+            SELECT DISTINCT src AS node FROM edges
+        ), walk(node, label) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+        ), comp AS (
+            SELECT node AS doc_id, min(label) AS component_id
+            FROM walk GROUP BY node
+        )
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component_id)
+    """,
     "dedup_levenshtein": f"""
         SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
                a.c_name AS name_a, b.c_name AS name_b,

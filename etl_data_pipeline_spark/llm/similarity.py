@@ -152,6 +152,64 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _assign_to_centroids(points: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment by (rounded cosine desc, centroid_id
+    asc): broadcast the small centroid set against one scan of the
+    points — the Lloyd-step shape at any corpus scale."""
+    scored = points.join(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "centroid_id",
+        hround(cosine(F.col("cv"), F.col("v")), 6).alias("centroid_cos"),
+    )
+    return rank_topk(
+        scored, 1, partition_col="vec_id", score_col="centroid_cos",
+        id_col="centroid_id",
+    ).select(
+        "vec_id", "v", F.col("centroid_id").alias("cluster"),
+        F.col("centroid_cos").alias("cosine"),
+    )
+
+
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Lloyd iteration of spherical k-means:
+    assign to seeded centroids → recompute per-cluster mean vectors →
+    final reassignment. Fully oracle-checked because every stage is
+    deterministic: seeded centroid SAMPLE (not random init), rounded
+    cosines with id tiebreaks, and per-dim means rounded to 6 dp
+    before reuse (cross-engine float-sum noise is absorbed by the
+    rounding, SURVEY.md §7.4 risk 5).
+
+    Scale shape per iteration: broadcast ~√n centroids; assignment is
+    one corpus scan; the mean recompute shuffles scalar
+    (cluster, dim, val) triples with map-side partial aggregation;
+    centroid vectors are reassembled from the SMALL (k × dim) result —
+    never from corpus rows. More iterations = the same stage repeated;
+    one is enough to pin the algorithm end-to-end for the harness.
+    """
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    c0 = e.filter(F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    assigned0 = _assign_to_centroids(e, c0)
+    c1 = (
+        assigned0.select("cluster", F.posexplode("v").alias("dim", "val"))
+        .groupBy("cluster", "dim")
+        .agg(hround(F.avg("val"), 6).alias("cval"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                lambda s: s.cval,
+            ).alias("cv")
+        )
+        .select(F.col("cluster").alias("centroid_id"), "cv")
+    )
+    return _assign_to_centroids(e, c1).select("vec_id", "cluster", "cosine")
+
+
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization per vector: scale = 127/max|x|,
     q_i = floor(x_i·scale + 0.5) — the standard storage/bandwidth
@@ -176,6 +234,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sim_topk": sim_topk,
+    "embedding_kmeans": embedding_kmeans,
     "embedding_quantize": embedding_quantize,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
@@ -271,7 +330,45 @@ def _oracle_sim_ann_ivf() -> str:
     """
 
 
+def _oracle_embedding_kmeans() -> str:
+    cos = (
+        "floor((list_dot_product({c}.cv, e.v) /"
+        " (sqrt(list_dot_product({c}.cv, {c}.cv)) *"
+        " sqrt(list_dot_product(e.v, e.v)))) * 1000000 + 0.5) / 1000000"
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+               WHERE vec_id % {QUERY_MOD} = {CENTROID_MOD_REMAINDER}),
+        s0 AS (
+            SELECT e.vec_id, e.v, c0.centroid_id, {cos.format(c='c0')} AS cc
+            FROM e CROSS JOIN c0
+        ), a0 AS (
+            SELECT vec_id, v, centroid_id AS cluster FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cc DESC, centroid_id ASC) AS r FROM s0)
+            WHERE r = 1
+        ), means AS (
+            SELECT cluster, dim, floor(avg(val) * 1000000 + 0.5) / 1000000 AS cval
+            FROM (SELECT cluster, unnest(range(len(v))) AS dim,
+                         unnest(v) AS val FROM a0)
+            GROUP BY cluster, dim
+        ), c1 AS (
+            SELECT cluster AS centroid_id, list(cval ORDER BY dim) AS cv
+            FROM means GROUP BY cluster
+        ), s1 AS (
+            SELECT e.vec_id, c1.centroid_id, {cos.format(c='c1')} AS cc
+            FROM e CROSS JOIN c1
+        )
+        SELECT vec_id, centroid_id AS cluster, cc AS cosine FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY cc DESC, centroid_id ASC) AS r FROM s1)
+        WHERE r = 1
+    """
+
+
 ORACLE = {
+    "embedding_kmeans": _oracle_embedding_kmeans(),
     "embedding_quantize": """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         m AS (SELECT vec_id, v,

@@ -205,6 +205,28 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: per-returnflag totals, per-linestatus
+    totals, and the grand total in ONE pass — the general form of
+    rollup/cube when the wanted set list is irregular.
+
+    Catalyst expands the sets into a single Expand + hash aggregate:
+    one shuffle for all three groupings, vs three separate scans if a
+    user unioned three GROUP BYs (the 100 TB win). Key columns are
+    null for sets they don't belong to; both key columns are non-null
+    in the data, so the null pattern identifies the set.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count("*").alias("n"),
+        hround(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 HIST_BUCKET_WIDTH = 50.0
 
 
@@ -227,6 +249,7 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "subquery_scalar": subquery_scalar,
     "agg_stats": agg_stats,
+    "agg_grouping_sets": agg_grouping_sets,
     "agg_collect": agg_collect,
     "agg_histogram": agg_histogram,
     "agg_groupby": agg_groupby,
@@ -250,6 +273,12 @@ ORACLE = {
                {sql_round('corr(l_quantity, l_extendedprice)', 6)}
                    AS qty_price_corr
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg_grouping_sets": f"""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               {sql_round('sum(l_quantity)', 2)} AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
     "agg_collect": """
         SELECT c_mktsegment, count(*) AS n_customers,

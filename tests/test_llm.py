@@ -156,3 +156,33 @@ def test_embedding_quantize_bounds(spark, sf_dir):
     ).count()
     # the max-|x| dim quantizes to exactly ±127 in every vector
     assert bad == 0
+
+
+def test_dedup_canonical_partition(spark, sf_dir):
+    """canonical ∪ cluster-losers == corpus, and every cluster's
+    representative (min doc_id) IS kept."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = dedup.dedup_canonical(spark, sf_dir)
+    clusters = dedup.dedup_clusters(spark, sf_dir).collect()
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    losers = {r.doc_id for r in clusters if r.doc_id != r.component_id}
+    reps = {r.component_id for r in clusters}
+    assert kept_ids == all_ids - losers
+    assert reps <= kept_ids
+
+
+def test_embedding_kmeans_assignment(spark, sf_dir):
+    rows = similarity.embedding_kmeans(spark, sf_dir).collect()
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    centroid_ids = {
+        r.vec_id
+        for r in e.filter(
+            F.col("vec_id") % similarity.QUERY_MOD
+            == similarity.CENTROID_MOD_REMAINDER
+        ).collect()
+    }
+    assert len(rows) == n                      # every vector assigned once
+    assert {r.cluster for r in rows} <= centroid_ids
+    assert all(-1.0 <= r.cosine <= 1.0 for r in rows)

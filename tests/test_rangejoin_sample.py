@@ -51,3 +51,15 @@ def test_stratified_sample_rates(spark, sf_dir):
     assert 0 < by_lang.get("en", 0) < total["en"]   # 5% is a strict subset
     # sample is a subset of the corpus (no invented rows)
     assert sample.join(docs, "doc_id", "left_anti").count() == 0
+
+
+def test_grouping_sets_shape(spark, sf_dir):
+    from etl_data_pipeline_spark.operators import aggregates
+
+    rows = aggregates.agg_grouping_sets(spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    total = li.count()
+    grand = [r for r in rows if r.l_returnflag is None and r.l_linestatus is None]
+    per_flag = [r for r in rows if r.l_returnflag is not None]
+    assert len(grand) == 1 and grand[0].n == total
+    assert sum(r.n for r in per_flag) == total
