@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "sim_ann_ivf",
     "join_asof",
     "join_skew_salted",
+    "join_range_binned",
+    "dedup_clusters",
+    "embedding_kmeans",
+    "text_chunks",
     "pipeline_corpus_curation",
     "pipeline_incremental",
 ]

@@ -352,11 +352,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst").persist()
     )
+    # localCheckpoint (not just persist): each round's plan references
+    # the previous round's; without truncation the logical plan grows
+    # linearly and re-optimization time blows up by round ~4 — the
+    # standard iterative-DataFrame trap.
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .persist()
+        .localCheckpoint()
     )
     label_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(CLUSTER_MAX_ITERS):
@@ -365,13 +369,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         new_labels = (
             labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
-        ).persist()
+        ).localCheckpoint()
         new_sum = new_labels.agg(F.sum("label")).first()[0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == label_sum:  # min-label is monotone ⇒ sum converges
             break
         label_sum = new_sum
+    edges.unpersist()
     w = Window.partitionBy("component_id")
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")

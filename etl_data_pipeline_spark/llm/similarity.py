@@ -187,9 +187,11 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     never from corpus rows. More iterations = the same stage repeated;
     one is enough to pin the algorithm end-to-end for the harness.
     """
+    # persist: the corpus feeds three consumers (centroid filter, both
+    # assignment scans) — without it each re-reads and re-repartitions.
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).persist()
     c0 = e.filter(F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER).select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
     )
