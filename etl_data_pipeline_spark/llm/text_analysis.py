@@ -177,6 +177,28 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (the step before any content
+    dedup): lowercase, strip non-alphanumerics to spaces, collapse
+    whitespace runs, trim — emitted as the normalized digest plus
+    before/after lengths. Map-only regexp work, JVM-side, identical
+    regex semantics in both engines for these patterns."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("raw_len"),
+        F.length(norm).alias("norm_len"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
 CHUNK_SIZE = 256     # chars per chunk
 CHUNK_STRIDE = 192   # 64-char overlap between consecutive chunks
 
@@ -211,6 +233,7 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "text_stats": text_stats,
     "text_chunks": text_chunks,
+    "text_normalize": text_normalize,
     "text_top_tokens": text_top_tokens,
     "text_tokens": text_tokens,
     "text_lang_id": text_lang_id,
@@ -224,6 +247,15 @@ _ES = _sql_stop_hits("es")
 _FR = _sql_stop_hits("fr")
 
 ORACLE = {
+    "text_normalize": """
+        SELECT doc_id,
+               length(text) AS raw_len,
+               length(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_len,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5
+        FROM documents
+    """,
     "text_chunks": f"""
         WITH x AS (
             SELECT doc_id, text,

@@ -24,6 +24,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Aggregate QUERIES/ORACLE from every operator module."""
     from etl_data_pipeline_spark.operators import (
         aggregates,
+        analytics,
         asof,
         joins,
         reshape,
@@ -43,7 +44,8 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     )
 
     modules = [
-        scans, joins, asof, aggregates, reshape, windows, setops, scalars, udfs,
+        scans, joins, asof, aggregates, analytics, reshape, windows, setops,
+        scalars, udfs,
         batch_analogs, text_analysis, dedup, similarity, multimodal, curation,
     ]
     queries: dict[str, QueryFn] = {}

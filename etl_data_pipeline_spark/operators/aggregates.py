@@ -227,6 +227,34 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) of order priority per order status,
+    with an explicit (count desc, value asc) tiebreak.
+
+    Built as count + row_number rather than the engines' native mode()
+    because native tie-breaking is unspecified/engine-dependent — the
+    explicit window makes the result deterministic and portable. Two
+    shuffles on tiny cardinalities (status × priority, then status)."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
 HIST_BUCKET_WIDTH = 50.0
 
 
@@ -250,6 +278,7 @@ QUERIES = {
     "subquery_scalar": subquery_scalar,
     "agg_stats": agg_stats,
     "agg_grouping_sets": agg_grouping_sets,
+    "agg_mode": agg_mode,
     "agg_collect": agg_collect,
     "agg_histogram": agg_histogram,
     "agg_groupby": agg_groupby,
@@ -273,6 +302,15 @@ ORACLE = {
                {sql_round('corr(l_quantity, l_extendedprice)', 6)}
                    AS qty_price_corr
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg_mode": """
+        SELECT o_orderstatus, mode_priority, mode_count FROM (
+            SELECT o_orderstatus, o_orderpriority AS mode_priority,
+                   count(*) AS mode_count,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                       ORDER BY count(*) DESC, o_orderpriority ASC) AS r
+            FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        WHERE r = 1
     """,
     "agg_grouping_sets": f"""
         SELECT l_returnflag, l_linestatus, count(*) AS n,

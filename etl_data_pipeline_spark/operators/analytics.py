@@ -1,0 +1,127 @@
+"""Event-analytics operators over the ``events`` table: conversion
+funnel and cohort retention — the aggregate shapes a product-analytics
+workload runs on the same event stream the streaming operators ingest.
+
+New surface relative to the reference (which has no aggregations at
+all, SURVEY.md §2.A negative space); both are classic multi-stage
+aggregations a user of a general engine expects.
+
+Scale posture: every stage reduces events to per-user scalars FIRST
+(groupBy user — one shuffle on a high-cardinality, well-distributed
+key), then operates on the small per-user relation. Nothing ever
+self-joins raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_data_pipeline_spark.session import load_table
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user
+    reaches stage k only with a stage-k event strictly after their
+    stage-(k-1) entry time.
+
+    Each stage is a per-user min-timestamp aggregate joined to the
+    previous stage's entry times — the stage relations are |users|
+    rows, so the chain is three cheap hash aggregates + broadcastable
+    joins, never an event-level self-join.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = [s.agg(F.count("*").alias("n_users")) for s in (s1, s2, s3)]
+    staged = [
+        c.select(F.lit(i + 1).alias("stage"), F.lit(name).alias("event_type"), "n_users")
+        for i, (c, name) in enumerate(zip(counts, FUNNEL_STAGES))
+    ]
+    out = staged[0]
+    for s in staged[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity date; for
+    each (cohort_date, day_offset), how many of that cohort were
+    active that day.
+
+    Two aggregates over events (first-activity per user; distinct
+    active days per user) joined on user — both per-user-sized. The
+    classic retention-triangle query.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_date"),
+            F.datediff("d", "cohort_date").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+QUERIES = {
+    "events_funnel": events_funnel,
+    "events_retention": events_retention,
+}
+
+ORACLE = {
+    "events_funnel": f"""
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts > s1.t1
+            GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts > s2.t2
+            GROUP BY e.user_id
+        )
+        SELECT 1 AS stage, '{FUNNEL_STAGES[0]}' AS event_type,
+               count(*) AS n_users FROM s1
+        UNION ALL
+        SELECT 2, '{FUNNEL_STAGES[1]}', count(*) FROM s2
+        UNION ALL
+        SELECT 3, '{FUNNEL_STAGES[2]}', count(*) FROM s3
+    """,
+    "events_retention": """
+        WITH ev AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+        first AS (SELECT user_id, min(d) AS cohort_date FROM ev GROUP BY user_id)
+        SELECT strftime(first.cohort_date, '%Y-%m-%d') AS cohort_date,
+               date_diff('day', first.cohort_date, ev.d) AS day_offset,
+               count(*) AS n_users
+        FROM ev JOIN first ON ev.user_id = first.user_id
+        GROUP BY first.cohort_date, date_diff('day', first.cohort_date, ev.d)
+    """,
+}

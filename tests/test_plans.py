@@ -177,3 +177,20 @@ def test_sample_hash_prunes_columns(spark, sf_dir):
     plan = _plan(scans.sample_hash(spark, sf_dir))
     assert "o_orderpriority" not in plan
     assert "o_orderdate" not in plan
+
+
+def test_range_binned_is_equi_join(spark, sf_dir):
+    """The whole point of binning: the interval join must compile to a
+    hash/sort-merge EQUI join on (user, bucket) — never a nested-loop
+    or cartesian plan."""
+    from etl_data_pipeline_spark.operators import joins
+
+    plan = _plan(joins.join_range_binned(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # equi-join family: broadcast-hash at toy scale, shuffled
+    # hash/sort-merge once both sides are big
+    assert any(
+        j in plan
+        for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
