@@ -112,13 +112,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source",
         hash_set(F.split(F.col("text"), " ")).alias("words"),
         hash_set(_shingles()).alias("shingles"),
-    ).persist()
+    ).withColumn("n_words", F.size("words")).persist()
     a, b = d.alias("a"), d.alias("b")
+    # Size prefilter INSIDE the join condition: Jaccard ≥ t requires
+    # min(|A|,|B|) ≥ t·max(|A|,|B|) (since |A∩B| ≤ min and
+    # |A∪B| ≥ max). An int comparison that prunes pairs BEFORE the
+    # per-pair array_intersect — the standard length-filter from
+    # set-similarity-join literature; result set is provably unchanged
+    # (the oracle stays the brute-force SQL).
     pairs = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (
+            F.least("a.n_words", "b.n_words")
+            >= JACCARD_THRESHOLD * F.greatest("a.n_words", "b.n_words")
+        ),
     )
     # |A∪B| = |A| + |B| - |A∩B|: one intersect per pair instead of
     # intersect + materialized union array — halves the per-pair array

@@ -87,9 +87,54 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward-fill: per-user hourly value
+    totals on a dense hourly grid between the user's first and last
+    activity, gaps carrying the last observed hour's value.
+
+    The hypertable/time-series gap-fill operator. Grid generation is
+    per-key sequence+explode (map-side, proportional to output, no
+    shuffle); the fill is ONE ordered window per user using
+    last(ignorenulls). Everything hashes by user_id, so the hourly
+    agg, the grid join, and the window reuse one exchange layout.
+    """
+    from pyspark.sql.window import Window
+
+    from etl_data_pipeline_spark.functions.rounding import hround
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(hround(F.sum("value"), 2).alias("v"))
+    span = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+            F.col("v").isNull().alias("is_gap"),
+        )
+    )
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_retention": events_retention,
+    "events_resample_ffill": events_resample_ffill,
 }
 
 ORACLE = {
@@ -114,6 +159,29 @@ ORACLE = {
         SELECT 2, '{FUNNEL_STAGES[1]}', count(*) FROM s2
         UNION ALL
         SELECT 3, '{FUNNEL_STAGES[2]}', count(*) FROM s3
+    """,
+    "events_resample_ffill": """
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS h,
+                   floor((sum(value)) * 100 + 0.5) / 100 AS v
+            FROM events GROUP BY user_id, date_trunc('hour', ts)
+        ), span AS (
+            SELECT user_id, min(h) AS h0, max(h) AS h1
+            FROM hourly GROUP BY user_id
+        ), grid AS (
+            SELECT user_id,
+                   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            FROM span
+        )
+        SELECT g.user_id,
+               strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+               last_value(hourly.v IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value_filled,
+               hourly.v IS NULL AS is_gap
+        FROM grid g
+        LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.h = hourly.h
     """,
     "events_retention": """
         WITH ev AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
