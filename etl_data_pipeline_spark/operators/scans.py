@@ -166,8 +166,56 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One ANSI-SQL text, two engines: registered verbatim as BOTH the
+# Spark implementation (spark.sql is our SQL parser — SURVEY.md §7.3
+# "explicitly NOT built") and the DuckDB oracle. TPC-H Q6 shape.
+SQL_Q6ISH = """
+    SELECT l_returnflag,
+           floor((sum(l_extendedprice * l_discount)) * 100 + 0.5) / 100
+               AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_quantity < 24
+      AND l_discount BETWEEN 0.02 AND 0.09
+    GROUP BY l_returnflag
+"""
+
+
+def sql_passthrough_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: the exact oracle text executed by
+    spark.sql() over temp views — proving a SQL-speaking user of the
+    reference's target databases can run the same dialect here
+    unchanged. Catalyst plans it identically to the DataFrame form
+    (pushed filters, partial aggs)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(SQL_Q6ISH)
+
+
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile: the 10 heaviest l_orderkey groups with
+    their share of all lineitem rows — the diagnostic that decides
+    between plain shuffle join, AQE skew splitting, and explicit
+    salting (join_skew_salted). Partial-agg count + TakeOrdered(10);
+    the total is a 1-row broadcast, not a second scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "l_orderkey",
+            "n",
+            hround(F.col("n") / F.col("total") * 100, 6).alias("pct_of_rows"),
+        )
+        .orderBy(F.desc("n"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 QUERIES = {
     "scan_full": scan_full,
+    "sql_passthrough_q6": sql_passthrough_q6,
+    "profile_key_skew": profile_key_skew,
     "sample_hash": sample_hash,
     "sample_stratified": sample_stratified,
     "scan_incremental_id": scan_incremental_id,
@@ -180,6 +228,18 @@ QUERIES = {
 
 ORACLE = {
     "scan_full": "SELECT * FROM customer",
+    "sql_passthrough_q6": SQL_Q6ISH,
+    "profile_key_skew": """
+        WITH counts AS (
+            SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey
+        ), t AS (SELECT sum(n) AS total FROM counts)
+        SELECT l_orderkey, n,
+               floor((CAST(n AS DOUBLE) / total * 100) * 1000000 + 0.5)
+                   / 1000000 AS pct_of_rows
+        FROM counts CROSS JOIN t
+        ORDER BY n DESC, l_orderkey ASC
+        LIMIT 10
+    """,
     "sample_hash": f"""
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         FROM orders

@@ -152,6 +152,47 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact a small-files parquet directory to ~target-sized files,
+    atomically. Returns the new file count.
+
+    The operational fix for the small-files problem incremental
+    appends create (every micro-batch/table-run adds files; at 100 TB
+    a day of 5-minute batches is ~288 files per table per partition —
+    scan planning and NameNode/listing costs blow up). File count is
+    computed from the CURRENT on-disk byte size (driver-side listing,
+    no data read), the rewrite is one coalesce-free round-robin
+    repartition (even output sizes, no lineage-narrowing skew), and
+    the swap reuses the atomic staged-rename sink so readers never see
+    a half-compacted directory.
+    """
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n_files = max(1, -(-total // target_file_bytes))  # ceil division
+    df = spark.read.parquet(path)
+    atomic_overwrite_parquet(df.repartition(n_files), "", {"path": path + ".compact"})
+    # swap: the freshly-compacted copy replaces the fragmented original
+    import shutil
+
+    backup = path + ".precompact"
+    shutil.rmtree(backup, ignore_errors=True)
+    os.replace(path, backup)
+    os.replace(path + ".compact", path)
+    shutil.rmtree(backup, ignore_errors=True)
+    return len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )
+
+
 def idempotent_append_parquet(
     spark: SparkSession,
     df: DataFrame,

@@ -208,3 +208,18 @@ def test_registry_reader(tmp_path):
     assert all_specs[2].watermark_type == "timestamp"
     subset = read_table_registry(csv, "orders,unknown,legacy")
     assert [s.name for s in subset] == ["orders"]  # disabled+unknown skipped
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from etl_data_pipeline_spark.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(path)
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before >= 40
+    n_after = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert n_after == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
