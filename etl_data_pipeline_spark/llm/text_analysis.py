@@ -230,8 +230,52 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 3
+
+
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF feature extraction: per document, the top-3 terms by
+    tf·ln(N/df) with deterministic (score desc, token asc) tiebreak.
+
+    Shuffle ledger at corpus scale: explode → (doc, token) partial
+    counts combine map-side; document frequency is an aggregate of the
+    ALREADY-distinct (doc, token) relation (no second corpus pass);
+    N is a 1-row broadcast; the final top-k is a WindowGroupLimit.
+    idf is rounded to 6 dp BEFORE the product so the cross-engine
+    contract doesn't rest on the engines' ln() agreeing in the last
+    ulp (tf is an exact int, so the rounded product is then exact
+    arithmetic both sides).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_tokens()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = df_.crossJoin(F.broadcast(n_docs)).select(
+        "token", hround(F.log(F.col("n_docs") / F.col("df")), 6).alias("idf")
+    )
+    scored = tf.join(idf, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        hround(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "token", "tf", "tfidf")
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
+    "text_tfidf": text_tfidf,
     "text_chunks": text_chunks,
     "text_normalize": text_normalize,
     "text_top_tokens": text_top_tokens,
@@ -247,6 +291,30 @@ _ES = _sql_stop_hits("es")
 _FR = _sql_stop_hits("fr")
 
 ORACLE = {
+    "text_tfidf": f"""
+        WITH tf AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            GROUP BY doc_id, token
+        ), n AS (SELECT count(*) AS n_docs FROM documents),
+        idf AS (
+            SELECT token,
+                   floor((ln(CAST(n_docs AS DOUBLE) / df)) * 1000000 + 0.5)
+                       / 1000000 AS idf
+            FROM (SELECT token, count(*) AS df FROM tf GROUP BY token)
+                 CROSS JOIN n
+        ), scored AS (
+            SELECT tf.doc_id, tf.token, tf.tf,
+                   floor((tf.tf * idf.idf) * 1000000 + 0.5) / 1000000 AS tfidf
+            FROM tf JOIN idf ON tf.token = idf.token
+        )
+        SELECT doc_id, rank, token, tf, tfidf FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, token ASC) AS rank
+            FROM scored)
+        WHERE rank <= {TFIDF_TOP_K}
+    """,
     "text_normalize": """
         SELECT doc_id,
                length(text) AS raw_len,

@@ -131,8 +131,45 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix: for each ordered pair
+    of consecutive events per user, the transition count and
+    probability — sequence analytics (next-action prediction, anomaly
+    baselines) over the same stream.
+
+    One lead() window per user (single hash exchange on user_id), then
+    two tiny aggregates over the |types|² pair space; the per-source
+    totals come back via broadcast, so the events table shuffles
+    exactly once.
+    """
+    from pyspark.sql.window import Window
+
+    from etl_data_pipeline_spark.functions.rounding import hround
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("src").agg(F.sum("n").alias("total"))
+    return pairs.join(F.broadcast(totals), "src").select(
+        "src",
+        "dst",
+        "n",
+        hround(F.col("n") / F.col("total"), 6).alias("prob"),
+    )
+
+
 QUERIES = {
     "events_funnel": events_funnel,
+    "events_transition_matrix": events_transition_matrix,
     "events_retention": events_retention,
     "events_resample_ffill": events_resample_ffill,
 }
@@ -159,6 +196,21 @@ ORACLE = {
         SELECT 2, '{FUNNEL_STAGES[1]}', count(*) FROM s2
         UNION ALL
         SELECT 3, '{FUNNEL_STAGES[2]}', count(*) FROM s3
+    """,
+    "events_transition_matrix": """
+        WITH pairs AS (
+            SELECT src, dst, count(*) AS n FROM (
+                SELECT event_type AS src,
+                       lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS dst
+                FROM events)
+            WHERE dst IS NOT NULL
+            GROUP BY src, dst
+        ), totals AS (SELECT src, sum(n) AS total FROM pairs GROUP BY src)
+        SELECT p.src, p.dst, p.n,
+               floor((CAST(p.n AS DOUBLE) / t.total) * 1000000 + 0.5)
+                   / 1000000 AS prob
+        FROM pairs p JOIN totals t ON p.src = t.src
     """,
     "events_resample_ffill": """
         WITH hourly AS (
