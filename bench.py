@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "embedding_kmeans",
     "text_chunks",
+    "text_tfidf",
+    "events_resample_ffill",
+    "events_funnel",
     "pipeline_corpus_curation",
     "pipeline_incremental",
 ]
