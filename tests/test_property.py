@@ -78,3 +78,122 @@ def test_incremental_equals_full_under_any_split(spark, plan):
         got = sorted(r.id for r in sink.select("id").collect())
         assert got == list(range(total))  # every row exactly once
         assert store.get("t") == str(total - 1)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),          # user_id
+            st.integers(min_value=0, max_value=2000),       # seconds offset
+        ),
+        min_size=0,
+        max_size=25,
+        unique=True,
+    )
+)
+def test_range_binned_equals_brute_force(spark, events):
+    """The bucketed equi-join must return EXACTLY the brute-force
+    range-predicate pairs for any event layout (boundary gaps, same-ts
+    ties, cross-bucket neighbors)."""
+    from datetime import datetime, timedelta
+
+    from etl_data_pipeline_spark.operators import joins
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(seconds=sec), uid)
+        for i, (uid, sec) in enumerate(events)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        if not rows:
+            return
+        from pyspark.sql import functions as F
+
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long"
+        ).withColumn("event_type", F.lit("t")).withColumn(
+            "value", F.lit(1.0)
+        ).withColumn("props", F.lit("{}")).write.parquet(
+            os.path.join(tmp, "events.parquet")
+        )
+        got = {
+            (r.event_a, r.event_b, r.gap_ms)
+            for r in joins.join_range_binned(spark, tmp).collect()
+        }
+    w_ms = joins.RANGE_BIN_MS
+    expect = set()
+    for ia, (ua, sa) in enumerate(events):
+        for ib, (ub, sb) in enumerate(events):
+            gap = (sb - sa) * 1000
+            if ua == ub and 0 <= gap <= w_ms and (sa < sb or (sa == sb and ia < ib)):
+                expect.add((ia, ib, gap))
+    assert got == expect
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_cluster_propagation_equals_union_find(spark, edges):
+    """Min-label propagation must agree with a reference union-find on
+    arbitrary graphs (chains, cliques, stars, disjoint unions)."""
+    from pyspark.sql import functions as F
+
+    from etl_data_pipeline_spark.llm.dedup import CLUSTER_MAX_ITERS
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_a long, doc_b long"
+    ).distinct()
+    # inline the operator's propagation loop on an arbitrary pair set
+    e = pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst").persist()
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    s = labels.agg(F.sum("label")).first()[0]
+    for _ in range(CLUSTER_MAX_ITERS):
+        msgs = e.join(labels, e.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        labels = (
+            labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        ns = labels.agg(F.sum("label")).first()[0]
+        if ns == s:
+            break
+        s = ns
+    got = {(r.node, r.label) for r in labels.collect()}
+    # reference union-find
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {(n, find(n)) for n in parent}
+    assert got == expect
