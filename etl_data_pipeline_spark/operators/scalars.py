@@ -119,8 +119,26 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType family: parse events.props into map<string,int>
+    (from_json), then key listing, membership, element access, and
+    cardinality — the nested-type access pattern scalar_json's
+    path-extraction doesn't cover. All JVM-side (JsonToStructs +
+    map expressions in codegen)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        F.element_at(m, "k").alias("k_val"),
+        m.getItem("missing").alias("missing_val"),
+        F.size(m).alias("n_keys"),
+    )
+
+
 QUERIES = {
     "scalar_string": scalar_string,
+    "scalar_map": scalar_map,
     "scalar_date": scalar_date,
     "scalar_math": scalar_math,
     "scalar_case_null": scalar_case_null,
@@ -129,6 +147,15 @@ QUERIES = {
 }
 
 ORACLE = {
+    "scalar_map": """
+        SELECT event_id,
+               array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+               CAST(json_extract_string(props, '$.missing') AS INTEGER)
+                   AS missing_val,
+               len(json_keys(props)) AS n_keys
+        FROM events
+    """,
     "scalar_string": """
         SELECT c_custkey,
                upper(c_name) AS name_upper,

@@ -63,3 +63,34 @@ def test_grouping_sets_shape(spark, sf_dir):
     per_flag = [r for r in rows if r.l_returnflag is not None]
     assert len(grand) == 1 and grand[0].n == total
     assert sum(r.n for r in per_flag) == total
+
+
+def test_funnel_requires_stage_order(spark):
+    """A purchase BEFORE the user's first click must not convert
+    stage 3; click before first view must not convert stage 2."""
+    import os
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from etl_data_pipeline_spark.operators import analytics
+
+    t0 = datetime(2024, 1, 1)
+    s = lambda sec: t0 + timedelta(seconds=sec)
+    rows = [
+        # user 1: proper view -> click -> purchase (converts all stages)
+        (1, s(0), 1, "view"), (2, s(10), 1, "click"), (3, s(20), 1, "purchase"),
+        # user 2: purchase precedes click (stage 3 must NOT count)
+        (4, s(0), 2, "view"), (5, s(30), 2, "click"), (6, s(15), 2, "purchase"),
+        # user 3: click precedes any view (stage 2 must NOT count)
+        (7, s(5), 3, "click"), (8, s(50), 3, "view"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        from pyspark.sql import functions as F
+
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        ).withColumn("value", F.lit(1.0)).withColumn(
+            "props", F.lit("{}")
+        ).write.parquet(os.path.join(tmp, "events.parquet"))
+        got = {r.stage: r.n_users for r in analytics.events_funnel(spark, tmp).collect()}
+    assert got == {1: 3, 2: 2, 3: 1}
