@@ -337,6 +337,47 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 LEVENSHTEIN_MAX = 2
 
 
+def _word_jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-(lang,source) pairs with word-Jaccard ≥ threshold —
+    doc-id edges only.
+
+    A slimmed dedup_ngram_jaccard: the cluster operators never read
+    shingle_jaccard, but reusing that function would still COMPUTE the
+    shingle sets — its persist() materializes every column, so column
+    pruning can't strip them. This path hashes only word sets
+    (~40% less per-doc compute and half the persisted bytes)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    d = (
+        docs.select(
+            "doc_id", "lang", "source",
+            F.array_distinct(
+                F.transform(F.split(F.col("text"), " "), lambda t: F.xxhash64(t))
+            ).alias("words"),
+        )
+        .withColumn("n_words", F.size("words"))
+        .persist()
+    )
+    a, b = d.alias("a"), d.alias("b")
+    w_int = F.size(F.array_intersect("a.words", "b.words"))
+    word_jac = w_int / (F.size("a.words") + F.size("b.words") - w_int)
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least("a.n_words", "b.n_words")
+                >= JACCARD_THRESHOLD * F.greatest("a.n_words", "b.n_words")
+            ),
+        )
+        .filter(hround(word_jac, 6) >= JACCARD_THRESHOLD)
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+
+
 CLUSTER_MAX_ITERS = 12
 
 
@@ -358,7 +399,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     small-star CC; per-round state is only (node, label) pairs — never
     document content.
     """
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _word_jaccard_edges(spark, sf_dir)
     edges = (
         pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst").persist()
     )
