@@ -32,6 +32,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+from etl_data_pipeline_spark.schema import validate_schema
 from etl_data_pipeline_spark.sinks import idempotent_append_parquet, write_sink
 from etl_data_pipeline_spark.sources import read_source
 from etl_data_pipeline_spark.spec import PipelineSpec, TableSpec
@@ -75,6 +76,8 @@ class IncrementalPipeline:
         raw = self.store.get(t.name)
         wm_value = parse_watermark(raw, t.watermark_type) if t.is_incremental else None
         df = read_source(self.spark, t.source_format, t.name, dict(t.source_options))
+        if t.expected_schema:
+            df = validate_schema(df, t.expected_schema, allow_extra=True)
         df = apply_watermark(df, t.watermark_column, wm_value)
 
         # Empty-gate without a full count: limit(1) touches at most one

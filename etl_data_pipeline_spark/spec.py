@@ -37,6 +37,12 @@ class TableSpec:
     # Idempotence key for the sink (fixes the reference's append-replay
     # duplication, SURVEY.md §2.C #5/#7). None → plain append.
     merge_keys: tuple[str, ...] | None = None
+    # Declared DDL schema ("a BIGINT, b STRING"). None → accept the
+    # source schema as-is (the reference's behavior). Set → every read
+    # is validated before any write (SURVEY.md §1.2); extra source
+    # columns are tolerated and dropped, missing/mistyped fail the
+    # table (isolated, like any per-table error).
+    expected_schema: str | None = None
 
     @property
     def is_incremental(self) -> bool:
