@@ -153,10 +153,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _md5_long60(col: Column) -> Column:
-    """First 60 bits of md5 as a non-negative int64 — bit-identical in
-    DuckDB ``('0x' || substr(md5(s), 1, 15))::BIGINT`` (see MINHASH_AB
-    note)."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    """Portable 60-bit md5 hash (see MINHASH_AB note) — shared helper
+    in functions/hashing.py."""
+    from etl_data_pipeline_spark.functions.hashing import md5_long60
+
+    return md5_long60(col)
 
 
 def _md5_long(col: Column) -> Column:

@@ -125,13 +125,10 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate pushes down like any filter. Hash = portable 60-bit md5
     prefix (same construction as the dedup operators).
     """
+    from etl_data_pipeline_spark.functions.hashing import md5_bucket
+
     orders = load_table(spark, sf_dir, "orders")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
-        ).cast("long")
-        % SAMPLE_MOD
-    )
+    bucket = md5_bucket(F.col("o_orderkey"), SAMPLE_MOD)
     return orders.filter(bucket == 0).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
@@ -151,13 +148,10 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     languages/sources at 100 TB. Still a plain pushed-down filter: no
     shuffle, no per-stratum pass; rows not in any stratum drop out.
     """
+    from etl_data_pipeline_spark.functions.hashing import md5_bucket
+
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-        ).cast("long")
-        % 1000
-    )
+    bucket = md5_bucket(F.col("doc_id"), 1000)
     threshold = F.lit(0)
     for lang, permille in STRATA_RATES_PERMILLE.items():
         threshold = F.when(F.col("lang") == lang, permille).otherwise(threshold)
