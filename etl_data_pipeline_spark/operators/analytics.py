@@ -167,8 +167,84 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZSCORE_FLAG = 3.0
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly detection: events whose value deviates
+    ≥ 3σ from their event_type's mean — the standing data-quality
+    monitor over an ingest stream.
+
+    The per-type stats are a tiny aggregate broadcast back onto the
+    fact scan (same decorrelated-subquery shape as subquery_scalar):
+    one full scan, one broadcast, no second pass. Stats are rounded
+    before the z-score so the oracle comparison doesn't ride on
+    moment-algorithm float noise.
+    """
+    from etl_data_pipeline_spark.functions.rounding import hround
+
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        hround(F.avg("value"), 6).alias("mean_v"),
+        hround(F.stddev_samp("value"), 6).alias("std_v"),
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            hround(z, 4).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) >= ZSCORE_FLAG)
+    )
+
+
+PROFILE_COLS = ("o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority")
+
+
+def profile_table_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data-quality profile of orders: rows, nulls,
+    distinct count, min/max (as strings) per profiled column — the
+    pre-load audit every config-driven pipeline wants per table.
+
+    ONE scan computes every column's metrics in a single aggregate
+    row (count/countDistinct/min/max are all partial-aggregable);
+    the row is then unpivoted driver-free into (column, metric...)
+    long form. Profiling 100 TB costs exactly one pass.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    row = orders.agg(F.count("*").alias("n_rows"), *aggs)
+    per_col = [
+        row.select(
+            F.lit(c).alias("column"),
+            F.col("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_str"),
+            F.col(f"{c}__max").alias("max_str"),
+        )
+        for c in PROFILE_COLS
+    ]
+    out = per_col[0]
+    for p in per_col[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 QUERIES = {
     "events_funnel": events_funnel,
+    "events_anomaly_zscore": events_anomaly_zscore,
+    "profile_table_quality": profile_table_quality,
     "events_transition_matrix": events_transition_matrix,
     "events_retention": events_retention,
     "events_resample_ffill": events_resample_ffill,
@@ -197,6 +273,30 @@ ORACLE = {
         UNION ALL
         SELECT 3, '{FUNNEL_STAGES[2]}', count(*) FROM s3
     """,
+    "events_anomaly_zscore": f"""
+        WITH stats AS (
+            SELECT event_type,
+                   floor((avg(value)) * 1000000 + 0.5) / 1000000 AS mean_v,
+                   floor((stddev_samp(value)) * 1000000 + 0.5) / 1000000 AS std_v
+            FROM events GROUP BY event_type
+        )
+        SELECT event_id, e.event_type, value,
+               floor(((value - mean_v) / std_v) * 10000 + 0.5) / 10000 AS zscore
+        FROM events e JOIN stats ON e.event_type = stats.event_type
+        WHERE abs(floor(((value - mean_v) / std_v) * 10000 + 0.5) / 10000)
+              >= {ZSCORE_FLAG}
+    """,
+    "profile_table_quality": "\nUNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS column, count(*) AS n_rows,
+               count(CASE WHEN {c} IS NULL THEN 1 END) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               min({c}::VARCHAR) AS min_str,
+               max({c}::VARCHAR) AS max_str
+        FROM orders
+        """
+        for c in PROFILE_COLS
+    ),
     "events_transition_matrix": """
         WITH pairs AS (
             SELECT src, dst, count(*) AS n FROM (
