@@ -113,8 +113,36 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRAILING_DAYS = 7
+
+
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: each order's trailing-7-day revenue
+    for its customer (the moving-window-over-event-time analytic).
+
+    Ordered on epoch seconds with a numeric range bound — the
+    engine-portable spelling of RANGE BETWEEN INTERVAL 7 DAYS
+    PRECEDING; value-based frames are tie-safe (same instant ⇒ same
+    frame), unlike ROWS."""
+    orders = load_table(spark, sf_dir, "orders")
+    epoch = F.col("o_orderdate").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-TRAILING_DAYS * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        hround(F.sum("o_totalprice").over(w), 2).alias("trailing_7d_revenue"),
+        F.count("*").over(w).alias("trailing_7d_orders"),
+    )
+
+
 QUERIES = {
     "window_rank": window_rank,
+    "window_time_range": window_time_range,
     "window_first_last": window_first_last,
     "window_running": window_running,
     "window_lag_lead": window_lag_lead,
@@ -123,6 +151,16 @@ QUERIES = {
 }
 
 ORACLE = {
+    "window_time_range": f"""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               {sql_round('sum(o_totalprice) OVER w', 2)} AS trailing_7d_revenue,
+               count(*) OVER w AS trailing_7d_orders
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY epoch(o_orderdate::TIMESTAMP)
+                     RANGE BETWEEN {TRAILING_DAYS * 86400} PRECEDING
+                           AND CURRENT ROW)
+    """,
     "window_first_last": f"""
         SELECT o_custkey, o_orderkey, o_totalprice,
                {sql_round('first_value(o_totalprice) OVER w', 2)} AS first_price,
