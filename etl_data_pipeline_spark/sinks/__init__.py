@@ -152,6 +152,40 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def upsert_overwrite_parquet(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    options: dict,
+    merge_keys: tuple[str, ...],
+) -> None:
+    """SCD1 upsert (last-write-wins by key): incoming rows REPLACE
+    same-key sink rows; unmatched sink rows survive.
+
+    Complements idempotent_append_parquet, which skips already-present
+    keys (replay safety) but never updates them. Plan shape: sink rows
+    anti-join the (small, broadcast) incoming key set, union the
+    incoming batch, atomic staged swap — so an upsert is one sink scan
+    regardless of batch size, and a failure mid-write leaves the
+    current sink untouched. (The rewrite-whole-table cost is the
+    parquet trade-off; on a table format with row-level MERGE the same
+    call maps to MERGE INTO.)
+    """
+    path = _target_path(table, options)
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:
+        existing = None  # first write
+    if existing is None:
+        df.write.mode("overwrite").parquet(path)
+        return
+    kept = existing.join(
+        df.select(*merge_keys).distinct(), on=list(merge_keys), how="left_anti"
+    )
+    merged = kept.unionByName(df)
+    atomic_overwrite_parquet(merged, table, options)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

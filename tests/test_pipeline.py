@@ -223,3 +223,22 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10_000
     assert back.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+
+
+def test_upsert_overwrite_last_write_wins(spark, tmp_path):
+    from etl_data_pipeline_spark.sinks import upsert_overwrite_parquet
+
+    opts = {"dir": str(tmp_path)}
+    first = spark.createDataFrame(
+        [(i, "old") for i in range(1, 6)], "id long, v string"
+    )
+    upsert_overwrite_parquet(spark, first, "t", opts, ("id",))
+    update = spark.createDataFrame(
+        [(i, "new") for i in range(3, 8)], "id long, v string"
+    )
+    upsert_overwrite_parquet(spark, update, "t", opts, ("id",))
+    got = {
+        (r.id, r.v)
+        for r in spark.read.parquet(str(tmp_path / "t")).collect()
+    }
+    assert got == {(1, "old"), (2, "old")} | {(i, "new") for i in range(3, 8)}
