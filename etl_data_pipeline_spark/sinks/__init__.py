@@ -227,6 +227,41 @@ def compact_parquet(
     )
 
 
+def backfill_partitions(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    options: dict,
+    partition_col: str,
+    lo,
+    hi,
+) -> None:
+    """Backfill a partition range idempotently: recompute rows with
+    ``lo <= partition_col <= hi`` and overwrite ONLY the touched
+    partitions (dynamic partition overwrite) — untouched partitions
+    are never rewritten or even read.
+
+    The day-2 ETL operation the reference cannot express (append-only,
+    §2.C #7): re-running a bad day replaces that day exactly, no
+    duplicates, no full-table rewrite. The range filter prunes the
+    recompute to the affected input partitions too, so backfill cost
+    is proportional to the range, not the table.
+    """
+    path = _target_path(table, options)
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        (
+            df.filter((F.col(partition_col) >= lo) & (F.col(partition_col) <= hi))
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(mode_key, prev)
+
+
 def idempotent_append_parquet(
     spark: SparkSession,
     df: DataFrame,

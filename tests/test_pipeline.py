@@ -242,3 +242,27 @@ def test_upsert_overwrite_last_write_wins(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "t")).collect()
     }
     assert got == {(1, "old"), (2, "old")} | {(i, "new") for i in range(3, 8)}
+
+
+def test_backfill_replaces_only_range(spark, tmp_path):
+    from etl_data_pipeline_spark.sinks import backfill_partitions, write_partitioned
+
+    opts = {"dir": str(tmp_path)}
+    days = [(d, i, "v1") for d in (1, 2, 3, 4) for i in range(d * 10, d * 10 + 3)]
+    df = spark.createDataFrame(days, "day int, id long, v string")
+    write_partitioned(df, "t", opts, ["day"])
+    # recompute days 2-3 with new values AND one changed row count
+    fixed = spark.createDataFrame(
+        [(2, 99, "v2"), (3, 30, "v2"), (3, 31, "v2"), (4, 40, "IGNORED")],
+        "day int, id long, v string",
+    )
+    backfill_partitions(spark, fixed, "t", opts, "day", 2, 3)
+    got = spark.read.parquet(str(tmp_path / "t"))
+    by_day = {
+        r.day: r.n
+        for r in got.groupBy("day").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_day == {1: 3, 2: 1, 3: 2, 4: 3}      # days 1,4 untouched
+    vals = {r.v for r in got.filter(F.col("day").isin(2, 3)).collect()}
+    assert vals == {"v2"}
+    assert {r.v for r in got.filter(F.col("day") == 4).collect()} == {"v1"}
