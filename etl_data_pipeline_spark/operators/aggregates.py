@@ -255,6 +255,21 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family per order status: conditional count
+    (count_if), universal/existential predicates (bool_and/bool_or) —
+    the assertion-style aggregates data-quality checks are written in.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 100000
+    return orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.count_if(big).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_huge"),
+    )
+
+
 HIST_BUCKET_WIDTH = 50.0
 
 
@@ -279,6 +294,7 @@ QUERIES = {
     "agg_stats": agg_stats,
     "agg_grouping_sets": agg_grouping_sets,
     "agg_mode": agg_mode,
+    "agg_boolean": agg_boolean,
     "agg_collect": agg_collect,
     "agg_histogram": agg_histogram,
     "agg_groupby": agg_groupby,
@@ -302,6 +318,13 @@ ORACLE = {
                {sql_round('corr(l_quantity, l_extendedprice)', 6)}
                    AS qty_price_corr
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg_boolean": """
+        SELECT o_orderstatus, count(*) AS n,
+               count(CASE WHEN o_totalprice > 100000 THEN 1 END) AS n_big,
+               bool_and(o_totalprice > 0) AS all_positive,
+               bool_or(o_totalprice > 400000) AS any_huge
+        FROM orders GROUP BY o_orderstatus
     """,
     "agg_mode": """
         SELECT o_orderstatus, mode_priority, mode_count FROM (
