@@ -241,8 +241,69 @@ def profile_table_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+TS_SIM_QUERY_MOD = 50
+TS_SIM_TOP_K = 3
+
+
+def timeseries_user_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search: for each query user
+    (user_id % 50 == 0), the 3 users with the most similar hourly
+    activity profile by cosine over hourly value totals (distributed
+    time-series top-k similarity in the spirit of the EDBT'19 streaming
+    time-series search line of work — relational formulation).
+
+    The key scale idea: NO dense per-user vectors are ever built —
+    cosine over sparse series is Σ u_h·v_h on the hours both users
+    were active, so the dot products come from an equi-join of the
+    hourly relation with the (small, broadcast) query users' hours,
+    and norms are per-user scalars. Everything is hash joins +
+    aggregates; missing hours contribute 0 implicitly.
+    """
+    from pyspark.sql.window import Window
+
+    from etl_data_pipeline_spark.functions.rounding import hround
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum("value").alias("v"))
+    norms = hourly.groupBy("user_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("norm")
+    )
+    q_hours = hourly.filter(F.col("user_id") % TS_SIM_QUERY_MOD == 0).select(
+        F.col("user_id").alias("q_user"), "h", F.col("v").alias("qv")
+    )
+    dots = (
+        hourly.join(F.broadcast(q_hours), "h")
+        .filter(F.col("user_id") != F.col("q_user"))
+        .groupBy("q_user", "user_id")
+        .agg(F.sum(F.col("v") * F.col("qv")).alias("dot"))
+    )
+    q_norms = norms.select(
+        F.col("user_id").alias("q_user"), F.col("norm").alias("q_norm")
+    )
+    scored = (
+        dots.join(F.broadcast(q_norms), "q_user")
+        .join(norms, "user_id")
+        .select(
+            "q_user",
+            "user_id",
+            hround(F.col("dot") / (F.col("q_norm") * F.col("norm")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_user").orderBy(F.desc("cosine"), F.asc("user_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TS_SIM_TOP_K)
+        .select("q_user", "rank", "user_id", "cosine")
+    )
+
+
 QUERIES = {
     "events_funnel": events_funnel,
+    "timeseries_user_sim": timeseries_user_sim,
     "events_anomaly_zscore": events_anomaly_zscore,
     "profile_table_quality": profile_table_quality,
     "events_transition_matrix": events_transition_matrix,
@@ -272,6 +333,32 @@ ORACLE = {
         SELECT 2, '{FUNNEL_STAGES[1]}', count(*) FROM s2
         UNION ALL
         SELECT 3, '{FUNNEL_STAGES[2]}', count(*) FROM s3
+    """,
+    "timeseries_user_sim": f"""
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS h, sum(value) AS v
+            FROM events GROUP BY user_id, date_trunc('hour', ts)
+        ), norms AS (
+            SELECT user_id, sqrt(sum(v * v)) AS norm FROM hourly GROUP BY user_id
+        ), dots AS (
+            SELECT q.user_id AS q_user, c.user_id, sum(c.v * q.v) AS dot
+            FROM hourly c
+            JOIN hourly q ON c.h = q.h
+            WHERE q.user_id % {TS_SIM_QUERY_MOD} = 0 AND c.user_id <> q.user_id
+            GROUP BY q.user_id, c.user_id
+        ), scored AS (
+            SELECT d.q_user, d.user_id,
+                   floor((d.dot / (qn.norm * cn.norm)) * 1000000 + 0.5)
+                       / 1000000 AS cosine
+            FROM dots d
+            JOIN norms qn ON qn.user_id = d.q_user
+            JOIN norms cn ON cn.user_id = d.user_id
+        )
+        SELECT q_user, rank, user_id, cosine FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_user
+                ORDER BY cosine DESC, user_id ASC) AS rank
+            FROM scored)
+        WHERE rank <= {TS_SIM_TOP_K}
     """,
     "events_anomaly_zscore": f"""
         WITH stats AS (
