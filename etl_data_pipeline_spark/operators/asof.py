@@ -102,7 +102,31 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"join_asof": join_asof}
+ASOF_TOLERANCE_SECS = 1800  # 30-minute attribution window
+
+
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance bound (pandas merge_asof's
+    ``tolerance``): the most recent view still counts only within 30
+    minutes of the purchase; staler matches become NULL.
+
+    Because plain as-of already picks the NEAREST earlier row,
+    tolerance is an exact post-filter on the matched gap — no change
+    to the one-shuffle union+window plan.
+    """
+    matched = join_asof(spark, sf_dir)
+    in_window = F.col("secs_since_view") <= ASOF_TOLERANCE_SECS
+    return matched.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.when(in_window, F.col("view_id")).alias("view_id"),
+        F.when(in_window, F.col("view_ts")).alias("view_ts"),
+        F.when(in_window, F.col("secs_since_view")).alias("secs_since_view"),
+    )
+
+
+QUERIES = {"join_asof": join_asof, "join_asof_tolerance": join_asof_tolerance}
 
 ORACLE = {
     "join_asof": """
@@ -121,5 +145,31 @@ ORACLE = {
                    AS secs_since_view
         FROM p ASOF LEFT JOIN v
           ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    "join_asof_tolerance": f"""
+        WITH v AS (
+            SELECT user_id, ts, max(event_id) AS view_id
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id, ts
+        ), p AS (
+            SELECT event_id AS purchase_id, user_id, ts
+            FROM events WHERE event_type = 'purchase'
+        ), m AS (
+            SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts,
+                   v.view_id, v.ts AS view_ts,
+                   CAST(epoch(date_trunc('second', p.ts))
+                        - epoch(date_trunc('second', v.ts)) AS BIGINT)
+                       AS secs_since_view
+            FROM p ASOF LEFT JOIN v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+        )
+        SELECT purchase_id, user_id, purchase_ts,
+               CASE WHEN secs_since_view <= {ASOF_TOLERANCE_SECS}
+                    THEN view_id END AS view_id,
+               CASE WHEN secs_since_view <= {ASOF_TOLERANCE_SECS}
+                    THEN view_ts END AS view_ts,
+               CASE WHEN secs_since_view <= {ASOF_TOLERANCE_SECS}
+                    THEN secs_since_view END AS secs_since_view
+        FROM m
     """,
 }
