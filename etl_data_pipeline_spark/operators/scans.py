@@ -206,8 +206,36 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def export_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training export: documents in
+    md5-of-key order with their shuffle position — the replayable
+    "random" order an LLM training run reads the corpus in (same
+    permutation on every engine and every rerun, unlike rand()).
+
+    Spark's orderBy range-partitions by the hash (sampled split
+    points) — a distributed sort. The position column comes from
+    zipWithIndex (per-partition offsets + one tiny count job), NOT a
+    global row_number() window, which would collapse everything into
+    one partition — the one place an RDD hop is the *scalable* choice.
+    """
+    from etl_data_pipeline_spark.functions.hashing import md5_long60
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = md5_long60(F.col("doc_id").cast("string"))
+    ordered = docs.select(
+        "doc_id", "lang", key.alias("shuffle_key")
+    ).orderBy(F.asc("shuffle_key"), F.asc("doc_id"))
+    with_pos = ordered.rdd.zipWithIndex().map(
+        lambda t: (t[0][0], t[0][1], t[0][2], t[1] + 1)
+    )
+    return spark.createDataFrame(
+        with_pos, "doc_id long, lang string, shuffle_key long, shuffle_pos long"
+    )
+
+
 QUERIES = {
     "scan_full": scan_full,
+    "export_shuffle": export_shuffle,
     "sql_passthrough_q6": sql_passthrough_q6,
     "profile_key_skew": profile_key_skew,
     "sample_hash": sample_hash,
@@ -223,6 +251,15 @@ QUERIES = {
 ORACLE = {
     "scan_full": "SELECT * FROM customer",
     "sql_passthrough_q6": SQL_Q6ISH,
+    "export_shuffle": """
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                   AS shuffle_key,
+               row_number() OVER (
+                   ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+                            doc_id) AS shuffle_pos
+        FROM documents
+    """,
     "profile_key_skew": """
         WITH counts AS (
             SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey
