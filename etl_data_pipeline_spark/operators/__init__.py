@@ -43,10 +43,17 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         text_analysis,
     )
 
+    # Registry order is load-bearing: external verification harnesses
+    # may check a prefix of the registry, so families whose queries do
+    # not yet have a hard correctness record are listed FIRST and
+    # families fully verified in earlier rounds come last. Within that
+    # constraint the order is stable (dict insertion order).
     modules = [
-        scans, joins, asof, aggregates, analytics, reshape, windows, setops,
-        scalars, udfs,
-        batch_analogs, text_analysis, dedup, similarity, multimodal, curation,
+        # -- needs fresh verification rows (round-1 unchecked) --
+        dedup, similarity, windows, setops, scalars, udfs,
+        batch_analogs, reshape, curation, text_analysis, multimodal,
+        # -- verified green in round 1 --
+        aggregates, scans, joins, asof, analytics,
     ]
     queries: dict[str, QueryFn] = {}
     oracle: dict[str, str] = {}
@@ -59,4 +66,9 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     unknown = set(oracle) - set(queries)
     if unknown:
         raise ValueError(f"oracle entries without queries: {unknown}")
-    return queries, oracle
+    # Individual queries whose round-1 verification row was red or
+    # missing get hoisted to the very front regardless of family.
+    hoist = ["agg_collect"]
+    ordered = {name: queries[name] for name in hoist if name in queries}
+    ordered.update(queries)
+    return ordered, oracle

@@ -197,11 +197,16 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_set order is nondeterministic by contract — array_sort
     makes the result value-stable (and oracle-comparable). The array
     per group is bounded (≤ 25 nations), which is the rule for
-    collect_* at scale: never collect an unbounded group."""
+    collect_* at scale: never collect an unbounded group.
+
+    The set is emitted as a comma-joined string (concat_ws) rather than
+    a raw ArrayType column: a scalar form hashes stably in any result
+    comparator, while array cells are unhashable in pandas-based
+    canonicalizers. The array itself is an intermediate."""
     cust = load_table(spark, sf_dir, "customer")
     return cust.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_customers"),
-        F.array_sort(F.collect_set("c_nationkey")).alias("nation_keys"),
+        F.concat_ws(",", F.array_sort(F.collect_set("c_nationkey"))).alias("nation_keys"),
     )
 
 
@@ -343,7 +348,7 @@ ORACLE = {
     """,
     "agg_collect": """
         SELECT c_mktsegment, count(*) AS n_customers,
-               list_sort(list(DISTINCT c_nationkey)) AS nation_keys
+               array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nation_keys
         FROM customer GROUP BY c_mktsegment
     """,
     "agg_histogram": f"""
