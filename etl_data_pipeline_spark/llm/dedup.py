@@ -5,11 +5,14 @@ embedding-cosine near-dup — SURVEY.md §2.B).
 Scale design (the whole point of these at 100 TB):
 - exact dedup: hash-groupBy on a digest — one shuffle of (digest, id),
   never of full documents;
-- n-gram Jaccard: *blocked* self-join (here on (lang, source)) so the
-  pair space is per-block, not corpus²;
+- n-gram Jaccard: *blocked* self-join (here on (lang, source)) —
+  retained as the exact BASELINE/oracle generator; the production
+  pair path is MinHash-LSH (a dominant block degrades this to O(n²));
 - MinHash-LSH: shingle → K minhashes → band signatures → candidates
   via band-bucket groupBy (shuffle on tiny signatures), exact-Jaccard
-  verification only on candidates — the classic way to avoid O(n²);
+  verification only on candidates — the classic way to avoid O(n²).
+  Also the EDGE SOURCE for dedup_clusters / dedup_canonical, so the
+  end-to-end dedup pipeline contains no all-pairs join;
 - SimHash: 60-bit signature per doc via a vectorized pandas UDF, then
   banded hamming join;
 - embedding cosine: label-blocked pair join, JVM-side zip_with dot
@@ -187,16 +190,15 @@ def _minhash_cols() -> list[Column]:
     ]
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup pairs, exact-Jaccard verified.
+def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verify →
+    (doc_a, doc_b, shingle_jaccard) pairs above threshold.
 
-    Pipeline: per-doc K=32 shingle minhashes → 16 band signatures
-    (mh_even*P + mh_odd, P(candidate)=1-(1-s²)¹⁶ ≈ .99 at s=0.5) →
-    explode bands → band-bucket join → candidate pairs → verify exact
-    shingle Jaccard ≥ 0.5. ORACLE-CHECKED end-to-end: the md5-derived
-    base hash and affine permutations are engine-portable, so the
-    DuckDB oracle reruns the entire LSH pipeline in SQL; recall vs
-    exact pairwise is additionally asserted in tests.
+    The shared scale-safe pair generator: consumed by
+    ``dedup_minhash_lsh`` (the pair listing itself) AND by
+    ``dedup_clusters`` / ``dedup_canonical`` as their edge source, so
+    the whole dedup pipeline has NO all-pairs join anywhere — the only
+    self-join is on band signatures (bucket-local).
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     sh_hashed = F.array_distinct(
@@ -254,6 +256,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("shingle_jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs, exact-Jaccard verified.
+
+    Pipeline: per-doc K=32 shingle minhashes → 16 band signatures
+    (mh_even*P + mh_odd, P(candidate)=1-(1-s²)¹⁶ ≈ .99 at s=0.5) →
+    explode bands → band-bucket join → candidate pairs → verify exact
+    shingle Jaccard ≥ 0.5. ORACLE-CHECKED end-to-end: the md5-derived
+    base hash and affine permutations are engine-portable, so the
+    DuckDB oracle reruns the entire LSH pipeline in SQL; recall vs
+    exact pairwise is additionally asserted in tests.
+    """
+    return _lsh_verified_pairs(spark, sf_dir)
 
 
 SIMHASH_BITS = 60       # md5-derived portable token hashes (see _md5_long60)
@@ -338,59 +354,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 LEVENSHTEIN_MAX = 2
 
 
-def _word_jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same-(lang,source) pairs with word-Jaccard ≥ threshold —
-    doc-id edges only.
-
-    A slimmed dedup_ngram_jaccard: the cluster operators never read
-    shingle_jaccard, but reusing that function would still COMPUTE the
-    shingle sets — its persist() materializes every column, so column
-    pruning can't strip them. This path hashes only word sets
-    (~40% less per-doc compute and half the persisted bytes)."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    d = (
-        docs.select(
-            "doc_id", "lang", "source",
-            F.array_distinct(
-                F.transform(F.split(F.col("text"), " "), lambda t: F.xxhash64(t))
-            ).alias("words"),
-        )
-        .withColumn("n_words", F.size("words"))
-        .persist()
-    )
-    a, b = d.alias("a"), d.alias("b")
-    w_int = F.size(F.array_intersect("a.words", "b.words"))
-    word_jac = w_int / (F.size("a.words") + F.size("b.words") - w_int)
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                F.least("a.n_words", "b.n_words")
-                >= JACCARD_THRESHOLD * F.greatest("a.n_words", "b.n_words")
-            ),
-        )
-        .filter(hround(word_jac, 6) >= JACCARD_THRESHOLD)
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-    )
-
-
 CLUSTER_MAX_ITERS = 12
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components over the near-dup pair
-    graph (word-Jaccard ≥ 0.5 edges from dedup_ngram_jaccard), labeling
+    graph (MinHash-LSH verified pairs, shingle-Jaccard ≥ 0.5), labeling
     each involved doc with its component id = min reachable doc_id,
     plus cluster size.
 
     This is the step every dedup pipeline needs after pair generation:
     pairs (a,b),(b,c) must collapse to ONE canonical survivor for
-    {a,b,c}, which pairwise filtering alone can't express. Algorithm:
+    {a,b,c}, which pairwise filtering alone can't express. The edge
+    source is ``_lsh_verified_pairs`` — banded bucket join + verify,
+    never an all-pairs join — so the full clusters pipeline survives a
+    corpus where one (lang, source) block dominates. Algorithm:
     iterative min-label propagation — each round, every node takes the
     min label among itself and its neighbors (one join + one groupBy
     per round), converging in O(component diameter) rounds; dup
@@ -400,7 +378,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     small-star CC; per-round state is only (node, label) pairs — never
     document content.
     """
-    pairs = _word_jaccard_edges(spark, sf_dir)
+    pairs = _lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst").persist()
     )
@@ -445,7 +423,8 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_* ops) are the evidence, this is the kept set. Anti-join of
     the corpus against the small clustered-losers relation — the
     corpus streams through once; only (doc_id, component_id) pairs
-    ever shuffle.
+    ever shuffle. Cluster edges come from MinHash-LSH verified pairs
+    (see dedup_clusters) — no all-pairs join anywhere in the lineage.
     """
     docs = load_table(spark, sf_dir, "documents")
     losers = dedup_clusters(spark, sf_dir).filter(
@@ -519,9 +498,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_minhash_lsh() -> str:
+def _lsh_pairs_cte() -> str:
     """DuckDB rerun of the ENTIRE LSH pipeline (same md5-derived base
-    hash, same affine permutations, same banding)."""
+    hash, same affine permutations, same banding, same verify): a CTE
+    chain ending in ``lshp(doc_a, doc_b, shingle_jaccard)`` — shared by
+    the minhash, clusters, and canonical oracles, mirroring how the
+    Spark side shares ``_lsh_verified_pairs``."""
     p = MINHASH_P
     shingle_sql = """
         CASE WHEN len(string_split(text, ' ')) >= 3 THEN
@@ -540,8 +522,13 @@ def _oracle_minhash_lsh() -> str:
         f"SELECT doc_id, {bnd} AS band_id, mh{2*bnd} * {p} + mh{2*bnd+1} AS band_sig FROM mh"
         for bnd in range(LSH_BANDS)
     )
-    return f"""
-        WITH sh AS (
+    jac_expr = sql_round(
+        '''CAST(len(list_intersect(sa.sh_hash, sb.sh_hash)) AS DOUBLE)
+                   / greatest(len(sa.sh_hash) + len(sb.sh_hash)
+                              - len(list_intersect(sa.sh_hash, sb.sh_hash)), 1)''',
+        6,
+    )
+    return f"""sh AS (
             SELECT doc_id,
                    list_distinct(list_transform({shingle_sql},
                        s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {p}))
@@ -558,20 +545,13 @@ def _oracle_minhash_lsh() -> str:
             FROM sigs a JOIN sigs b
               ON a.band_id = b.band_id AND a.band_sig = b.band_sig
              AND a.doc_id < b.doc_id
-        )
-        SELECT doc_a, doc_b,
-               {sql_round('''CAST(len(list_intersect(sa.sh_hash, sb.sh_hash)) AS DOUBLE)
-                   / greatest(len(sa.sh_hash) + len(sb.sh_hash)
-                              - len(list_intersect(sa.sh_hash, sb.sh_hash)), 1)''', 6)}
-                   AS shingle_jaccard
-        FROM cand
-        JOIN sh sa ON sa.doc_id = doc_a
-        JOIN sh sb ON sb.doc_id = doc_b
-        WHERE {sql_round('''CAST(len(list_intersect(sa.sh_hash, sb.sh_hash)) AS DOUBLE)
-                   / greatest(len(sa.sh_hash) + len(sb.sh_hash)
-                              - len(list_intersect(sa.sh_hash, sb.sh_hash)), 1)''', 6)}
-              >= {JACCARD_THRESHOLD}
-    """
+        ), lshp AS (
+            SELECT doc_a, doc_b, {jac_expr} AS shingle_jaccard
+            FROM cand
+            JOIN sh sa ON sa.doc_id = doc_a
+            JOIN sh sb ON sb.doc_id = doc_b
+            WHERE {jac_expr} >= {JACCARD_THRESHOLD}
+        )"""
 
 
 def _oracle_simhash() -> str:
@@ -614,9 +594,8 @@ def _oracle_simhash() -> str:
     """
 
 
-# Shared DuckDB CTE: same-(lang,source) blocked pairs with word/shingle
-# Jaccard — the pair generator behind dedup_ngram_jaccard AND the edge
-# source for dedup_clusters (prefixed into a WITH [RECURSIVE] list).
+# DuckDB CTE: same-(lang,source) blocked pairs with word/shingle
+# Jaccard — the oracle behind dedup_ngram_jaccard (the exact baseline).
 _NGRAM_PAIRS_CTE = f"""d AS (
             SELECT doc_id, lang, source,
                    list_distinct(string_split(text, ' ')) AS words,
@@ -664,14 +643,11 @@ ORACLE = {
         FROM pairs WHERE word_jaccard >= {JACCARD_THRESHOLD}
     """,
     "dedup_clusters": f"""
-        WITH RECURSIVE {_NGRAM_PAIRS_CTE},
-        p AS (
-            SELECT doc_a, doc_b FROM pairs
-            WHERE word_jaccard >= {JACCARD_THRESHOLD}
-        ), edges AS (
-            SELECT doc_a AS src, doc_b AS dst FROM p
+        WITH RECURSIVE {_lsh_pairs_cte()},
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM lshp
             UNION
-            SELECT doc_b, doc_a FROM p
+            SELECT doc_b, doc_a FROM lshp
         ), nodes AS (
             SELECT DISTINCT src AS node FROM edges
         ), walk(node, label) AS (
@@ -686,17 +662,17 @@ ORACLE = {
                count(*) OVER (PARTITION BY component_id) AS cluster_size
         FROM comp
     """,
-    "dedup_minhash_lsh": _oracle_minhash_lsh(),
+    "dedup_minhash_lsh": f"""
+        WITH {_lsh_pairs_cte()}
+        SELECT doc_a, doc_b, shingle_jaccard FROM lshp
+    """,
     "dedup_simhash": _oracle_simhash(),
     "dedup_canonical": f"""
-        WITH RECURSIVE {_NGRAM_PAIRS_CTE},
-        p AS (
-            SELECT doc_a, doc_b FROM pairs
-            WHERE word_jaccard >= {JACCARD_THRESHOLD}
-        ), edges AS (
-            SELECT doc_a AS src, doc_b AS dst FROM p
+        WITH RECURSIVE {_lsh_pairs_cte()},
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM lshp
             UNION
-            SELECT doc_b, doc_a FROM p
+            SELECT doc_b, doc_a FROM lshp
         ), nodes AS (
             SELECT DISTINCT src AS node FROM edges
         ), walk(node, label) AS (
