@@ -3,15 +3,20 @@
 
 Prints ONE JSON line:
   {"metric": "bench_total_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+   "queries": {name: sec, ...}, "sf": 0.1, "runs": 3,
+   "loadavg": [start_1m, end_1m]}
 
 Each query is forced end-to-end with the noop sink (full distributed
 execution, zero driver materialization — the honest way to time a
 plan). An untimed full warmup pass absorbs session startup, codegen
-JIT, and parquet footer caching, then the timed pass measures
-steady-state throughput — at sf0.1 first-execution overhead (~1.5 s of
-JVM JIT on the first agg/join shapes) would otherwise dwarf the actual
-plan runtime, which is what the 100 TB posture cares about.
+JIT, and parquet footer caching; then REPS timed passes run and each
+query reports its MEDIAN — a single-run protocol is meaningless on a
+shared host (the recorded floor itself swings 26→33 s with loadavg,
+see BASELINE.md), and the median of 3 interleaved passes is robust to
+a transient load spike landing on one query. The cache is cleared
+between passes so a query's persisted intermediates never make its
+next rep artificially fast. Loadavg at start/end is recorded so a
+hot-host run is identifiable after the fact.
 """
 
 from __future__ import annotations
@@ -69,21 +74,31 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    load_start = os.getloadavg()[0]
+
     # warmup pass (untimed): JVM JIT + codegen + parquet footer caches
     load_table(spark, sf_dir, "region").count()
     for name in BENCH_QUERIES:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     # warmup-pass persisted intermediates are dead lineage now — drop
-    # them so the timed pass measures each query self-contained.
+    # them so the timed passes measure each query self-contained.
     spark.catalog.clearCache()
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = qs[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for _ in range(reps):
+        for name in BENCH_QUERIES:
+            fn = qs[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.time() - t0)
+            # drop this query's persisted intermediates OUTSIDE the
+            # timer so its next rep recomputes from the source.
+            spark.catalog.clearCache()
 
+    timings = {
+        name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -93,6 +108,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": reps,
+                "loadavg": [round(load_start, 2), round(os.getloadavg()[0], 2)],
             }
         )
     )

@@ -219,9 +219,14 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Band join on BARE ids+signatures (shingle arrays would otherwise
     # be shuffled through the exploded join and the dedup); arrays are
     # re-attached only to the few surviving candidate pairs.
+    # persist: BOTH sides of the band self-join read sigs — without it
+    # each side recomputes the K=32 minhash transforms (the dominant
+    # CPU of the pipeline) from the persisted shingle table. The
+    # persisted relation is (doc_id, band_id, band_sig) — three ints
+    # per band, corpus-text-free, so it stays tiny even at 100 TB.
     sigs = with_mh.select(
         "doc_id", F.posexplode(bands).alias("band_id", "band_sig")
-    )
+    ).persist()
     a, b = sigs.alias("a"), sigs.alias("b")
     candidates = (
         a.join(
