@@ -440,26 +440,58 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance entity resolution: same-nation customer pairs
-    whose names are within 2 edits — the fuzzy-name-matching flavor of
-    dedup (record linkage), vs the content-similarity flavors above.
+LEVENSHTEIN_SEGMENTS = LEVENSHTEIN_MAX + 1  # pigeonhole: τ+1 segments
+LEVENSHTEIN_SEG_LEN = 3                     # 3 digits per segment
 
-    Blocking on nation keeps the pair space per-block, not corpus²
-    (the same scale rule as dedup_ngram_jaccard); the distance runs
-    JVM-side (F.levenshtein, codegen) on the blocked pairs only. At
-    real scale the blocker would be a cheap canonical key (soundex /
-    sorted-token prefix); nation stands in for it on this corpus.
+
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance entity resolution: customer pairs whose names are
+    within 2 edits — the fuzzy-name-matching flavor of dedup (record
+    linkage), vs the content-similarity flavors above.
+
+    Blocking is a CONTENT-DERIVED pigeonhole key, not a metadata
+    column: the name's digit part (the distinctive portion — the
+    alphabetic prefix is near-constant across the corpus and would
+    make one block ≈ the corpus) is split into τ+1 = 3 segments; ≤ τ
+    substitutions cannot touch all 3, so two names within τ
+    substitutions share ≥ 1 (segment_idx, segment_value) key — EXACT
+    recall for substitution typos (the PassJoin partition principle,
+    Li et al. 2011; general indels shift segment frames and need
+    PassJoin's shifted-substring matching, documented out of scope).
+
+    Block-size bound: for i.i.d. digits a block is ~n / 10^seg_len
+    rows, and seg_len scales with ⌈log10 n⌉ to hold per-block pair
+    counts constant. Zero-padded SEQUENTIAL ids (this corpus) are the
+    adversarial case: leading segments are near-constant ('000'), so
+    the prefix blocks are large — but so is the TRUE result (every id
+    within 2 digit-edits of another), i.e. candidate count stays a
+    small multiple of output size here (~5× at sf0.01), and the verify
+    is cheap codegen levenshtein. The production mitigation for
+    constant regions is entropy-aware split selection (place segment
+    boundaries by sampled per-position entropy); the guarantee is
+    unaffected because segmentation only generates candidates — the
+    exact verify step decides membership.
     """
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey", "c_name"
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    digits = F.regexp_replace(F.col("c_name"), "[^0-9]", "")
+    keyed = cust.select(
+        "c_custkey",
+        "c_name",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(digits, 1 + LEVENSHTEIN_SEG_LEN * i, LEVENSHTEIN_SEG_LEN)
+                    for i in range(LEVENSHTEIN_SEGMENTS)
+                ]
+            )
+        ).alias("seg", "seg_val"),
     )
-    a, b = cust.alias("a"), cust.alias("b")
-    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
-    return (
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
         .select(
@@ -467,39 +499,78 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.c_custkey").alias("cust_b"),
             F.col("a.c_name").alias("name_a"),
             F.col("b.c_name").alias("name_b"),
-            dist.alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= LEVENSHTEIN_MAX)
+        .dropDuplicates(["cust_a", "cust_b"])
     )
+    return cand.withColumn(
+        "edit_dist", F.levenshtein("name_a", "name_b")
+    ).filter(F.col("edit_dist") <= LEVENSHTEIN_MAX)
+
+
+EMB_LSH_TABLES = 8      # OR-construction: candidate if same-bucket in ANY table
+EMB_COS_THRESHOLD = 0.4
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: label-blocked pairs with cosine ≥ 0.4.
+    """Embedding near-dup: pairs with cosine ≥ 0.4, candidates via
+    multi-table random-hyperplane LSH (not an all-pairs join).
+
+    Candidate generation: EMB_LSH_TABLES=8 independent hyperplane
+    tables (4 planes each, seeds derived from the shared constant) —
+    a pair is a candidate iff it lands in the same bucket in ANY table
+    (the classic OR-construction); the self-join is bucket-local on
+    bare (table, bucket, vec_id) rows, vectors re-attached only to the
+    deduped candidates for the exact-cosine verify. Recall is the
+    AND/OR LSH formula 1-(1-p^4)^8 with p = 1-θ/π: ≈ 0.998 at cosine
+    0.9 (true near-dup territory) and ≈ 0.75 at this harness's
+    deliberately loose 0.4 threshold; raise EMB_LSH_TABLES for looser
+    thresholds. At 10^9 vectors, raise planes-per-table to keep bucket
+    size ~constant (see similarity.N_PLANES note) — table count × one
+    corpus scan each stays the total cost, never corpus².
 
     Cosine in pure Catalyst (zip_with + aggregate, double
-    accumulation) — sequential fold matches DuckDB's list functions, so
-    this IS oracle-checked.
+    accumulation) — sequential fold matches DuckDB's list functions,
+    and the plane constants are shared literals, so the WHOLE pipeline
+    (bucketing included) is oracle-checked.
     """
+    from etl_data_pipeline_spark.llm.similarity import (
+        PLANES_SEED,
+        _planes,
+        hyperplane_bucket,
+    )
     from etl_data_pipeline_spark.llm.vector import cosine
 
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).persist()
+    buckets = F.array(
+        *[
+            hyperplane_bucket(F.col("v"), _planes(seed=PLANES_SEED + t))
+            for t in range(EMB_LSH_TABLES)
+        ]
     )
-    a, b = e.alias("a"), e.alias("b")
-    cos = cosine(F.col("a.v"), F.col("b.v"))
-    return (
+    keyed = e.select("vec_id", F.posexplode(buckets).alias("tbl", "bucket"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-            hround(cos, 6).alias("cosine"),
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    verified = cand.join(
+        e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")), "vec_a"
+    ).join(
+        e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")), "vec_b"
+    )
+    return (
+        verified.select(
+            "vec_a", "vec_b", hround(cosine(F.col("va"), F.col("vb")), 6).alias("cosine")
         )
-        .filter(F.col("cosine") >= 0.4)
+        .filter(F.col("cosine") >= EMB_COS_THRESHOLD)
     )
 
 
@@ -599,6 +670,72 @@ def _oracle_simhash() -> str:
     """
 
 
+def _oracle_levenshtein() -> str:
+    """DuckDB rerun of the pigeonhole-segment blocking + exact verify."""
+    seg_arms = "\n            UNION ALL ".join(
+        f"SELECT c_custkey, c_name, {i} AS seg,"
+        f" substr(digits, {1 + LEVENSHTEIN_SEG_LEN * i}, {LEVENSHTEIN_SEG_LEN})"
+        f" AS seg_val FROM c"
+        for i in range(LEVENSHTEIN_SEGMENTS)
+    )
+    return f"""
+        WITH c AS (
+            SELECT c_custkey, c_name,
+                   regexp_replace(c_name, '[^0-9]', '', 'g') AS digits
+            FROM customer
+        ), keyed AS (
+            {seg_arms}
+        ), cand AS (
+            SELECT DISTINCT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+                            a.c_name AS name_a, b.c_name AS name_b
+            FROM keyed a JOIN keyed b
+              ON a.seg = b.seg AND a.seg_val = b.seg_val
+             AND a.c_custkey < b.c_custkey
+        )
+        SELECT cust_a, cust_b, name_a, name_b,
+               levenshtein(name_a, name_b) AS edit_dist
+        FROM cand
+        WHERE levenshtein(name_a, name_b) <= {LEVENSHTEIN_MAX}
+    """
+
+
+def _oracle_embedding_cosine() -> str:
+    """DuckDB rerun of the multi-table hyperplane bucketing + exact
+    cosine verify (same plane constants, same OR-construction)."""
+    from etl_data_pipeline_spark.llm.similarity import (
+        PLANES_SEED,
+        _planes,
+        sql_bucket_expr,
+    )
+
+    table_arms = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {sql_bucket_expr(_planes(seed=PLANES_SEED + t))}"
+        f" AS bucket FROM e"
+        for t in range(EMB_LSH_TABLES)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        keyed AS (
+            {table_arms}
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM keyed a JOIN keyed b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ), verified AS (
+            SELECT cand.vec_a, cand.vec_b,
+                   floor((list_dot_product(ea.v, eb.v) /
+                          (sqrt(list_dot_product(ea.v, ea.v)) *
+                           sqrt(list_dot_product(eb.v, eb.v)))) * 1000000 + 0.5)
+                       / 1000000 AS cosine
+            FROM cand
+            JOIN e ea ON ea.vec_id = cand.vec_a
+            JOIN e eb ON eb.vec_id = cand.vec_b
+        )
+        SELECT vec_a, vec_b, cosine FROM verified
+        WHERE cosine >= {EMB_COS_THRESHOLD}
+    """
+
+
 # DuckDB CTE: same-(lang,source) blocked pairs with word/shingle
 # Jaccard — the oracle behind dedup_ngram_jaccard (the exact baseline).
 _NGRAM_PAIRS_CTE = f"""d AS (
@@ -692,24 +829,6 @@ ORACLE = {
         FROM documents
         WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component_id)
     """,
-    "dedup_levenshtein": f"""
-        SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
-               a.c_name AS name_a, b.c_name AS name_b,
-               levenshtein(a.c_name, b.c_name) AS edit_dist
-        FROM customer a JOIN customer b
-          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-        WHERE levenshtein(a.c_name, b.c_name) <= {LEVENSHTEIN_MAX}
-    """,
-    "dedup_embedding_cosine": """
-        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-        p AS (
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-                   floor((list_dot_product(a.v, b.v) /
-                          (sqrt(list_dot_product(a.v, a.v)) *
-                           sqrt(list_dot_product(b.v, b.v)))) * 1000000 + 0.5)
-                       / 1000000 AS cosine
-            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        )
-        SELECT vec_a, vec_b, label, cosine FROM p WHERE cosine >= 0.4
-    """,
+    "dedup_levenshtein": _oracle_levenshtein(),
+    "dedup_embedding_cosine": _oracle_embedding_cosine(),
 }

@@ -27,16 +27,46 @@ from etl_data_pipeline_spark.session import load_table, spread
 
 TOP_K = 5
 QUERY_MOD = 100  # query set = vec_id % 100 == 0
+# Bucket count = 2^N_PLANES. 4 planes (16 buckets) keeps buckets
+# populated at harness scale (~6k vectors at sf0.1); size it so the
+# expected bucket holds ~1/2^n of the corpus — at 10^9 vectors, ~20
+# planes (10^6 buckets) keeps per-bucket exact search ~10^3 vectors.
+# Recall falls as planes grow (P(same bucket) = (1-θ/π)^n); production
+# recovers it with multi-table OR-construction — see
+# dedup_embedding_cosine, which runs EMB_LSH_TABLES such tables.
 N_PLANES = 4
 DIM = 64
+PLANES_SEED = 42
 
 
-def _planes() -> list[list[float]]:
-    """Deterministic ±1 hyperplanes (seed 42) — identical constants are
-    inlined into the DuckDB oracle, so bucket assignment is
-    cross-engine checkable."""
-    rng = random.Random(42)
-    return [[float(rng.choice((-1, 1))) for _ in range(DIM)] for _ in range(N_PLANES)]
+def _planes(n_planes: int = N_PLANES, seed: int = PLANES_SEED) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes — identical constants are inlined
+    into the DuckDB oracle, so bucket assignment is cross-engine
+    checkable. Parameterized so callers can scale bucket count
+    (n_planes) or derive independent tables (seed)."""
+    rng = random.Random(seed)
+    return [[float(rng.choice((-1, 1))) for _ in range(DIM)] for _ in range(n_planes)]
+
+
+def hyperplane_bucket(vcol, planes: list[list[float]]):
+    """JVM-side bucket id for a vector column: one sign bit per plane,
+    packed little-endian. Shared by sim_ann_lsh and the embedding
+    near-dup candidate generator."""
+    bucket = None
+    for i, p in enumerate(planes):
+        plane_lit = F.array(*[F.lit(x) for x in p])
+        bit = F.when(_dot(vcol, plane_lit) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
+def sql_bucket_expr(planes: list[list[float]], vexpr: str = "v") -> str:
+    """The DuckDB rendering of hyperplane_bucket for oracle SQL."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({vexpr}, {_sql_plane(p)}) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
 
 
 def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,12 +95,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    bucket = None
-    for i, p in enumerate(planes):
-        plane_lit = F.array(*[F.lit(x) for x in p])
-        bit = F.when(_dot(F.col("v"), plane_lit) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    bucketed = e.select("vec_id", "v", bucket.alias("bucket"))
+    bucketed = e.select(
+        "vec_id", "v", hyperplane_bucket(F.col("v"), planes).alias("bucket")
+    )
     queries = bucketed.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -222,6 +249,11 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs half-away rounding differs across engines while floor(+0.5) is
     the identical IEEE expression in both — the same portability rule
     as the histogram/rounding helpers.
+
+    The quantized vector is emitted as a comma-joined string: a scalar
+    form hashes stably in any result comparator (array cells are
+    unhashable in pandas-based canonicalizers); split(q8, ',') recovers
+    the array at a consumer.
     """
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -230,7 +262,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0))
     q8 = F.transform("v", lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
     return e.select(
-        "vec_id", hround(scale, 6).alias("scale"), q8.alias("q8")
+        "vec_id", hround(scale, 6).alias("scale"), F.concat_ws(",", q8).alias("q8")
     )
 
 
@@ -270,11 +302,7 @@ def _oracle_sim_topk() -> str:
 
 
 def _oracle_sim_ann_lsh() -> str:
-    planes = _planes()
-    bucket_expr = " + ".join(
-        f"(CASE WHEN list_dot_product(v, {_sql_plane(p)}) > 0 THEN {1 << i} ELSE 0 END)"
-        for i, p in enumerate(planes)
-    )
+    bucket_expr = sql_bucket_expr(_planes())
     return f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         b AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM e),
@@ -380,7 +408,9 @@ ORACLE = {
               FROM e)
         SELECT vec_id,
                floor(scale * 1000000 + 0.5) / 1000000 AS scale,
-               list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INTEGER)) AS q8
+               array_to_string(
+                   list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INTEGER)),
+                   ',') AS q8
         FROM m
     """,
     "sim_topk": _oracle_sim_topk(),

@@ -150,9 +150,11 @@ def test_text_chunks_invariants(spark, sf_dir):
 
 def test_embedding_quantize_bounds(spark, sf_dir):
     q = similarity.embedding_quantize(spark, sf_dir)
+    # q8 is emitted as a comma-joined string (hash-stable scalar form);
+    # recover the int array to check the quantization bound.
+    arr = F.transform(F.split("q8", ","), lambda x: F.abs(x.cast("int")))
     bad = q.filter(
-        (F.array_max(F.transform("q8", lambda x: F.abs(x))) > 127)
-        | (F.array_max(F.transform("q8", lambda x: F.abs(x))) < 127)
+        (F.array_max(arr) > 127) | (F.array_max(arr) < 127)
     ).count()
     # the max-|x| dim quantizes to exactly ±127 in every vector
     assert bad == 0
