@@ -78,6 +78,26 @@ def test_sim_topk_shape_and_order(spark, sf_dir):
         assert all(r.vec_id != q for r in rs)
 
 
+def test_decode_header_matches_python_derivation(spark, sf_dir):
+    """SMF1 pack → JVM byte-parse round trip: the header fields parsed
+    back out of the payload bytes must equal the stub decoder's
+    independent Python (hashlib) derivation of the same md5 bytes."""
+    from etl_data_pipeline_spark.llm.multimodal import multimodal_decode_header
+
+    hdr = multimodal_decode_header(spark, sf_dir).alias("h")
+    stub = multimodal_decode_stub(spark, sf_dir).alias("s")
+    j = hdr.join(stub, "doc_id")
+    mismatches = j.filter(
+        (F.col("h.width") != F.col("s.width"))
+        | (F.col("h.height") != F.col("s.height"))
+        | (F.col("h.n_frames") != F.col("s.n_frames"))
+        | (F.col("h.format") != F.col("s.format"))
+    ).count()
+    assert mismatches == 0
+    n = hdr.count()
+    assert j.count() == n and n > 0
+
+
 def test_decode_stub_deterministic(spark, sf_dir):
     a = multimodal_decode_stub(spark, sf_dir).orderBy("doc_id").limit(5).collect()
     b = multimodal_decode_stub(spark, sf_dir).orderBy("doc_id").limit(5).collect()
