@@ -86,12 +86,20 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_topk(scored, TOP_K).select("query_id", "rank", "vec_id", "cosine")
 
 
-def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: random-hyperplane signature per vector;
-    per query (vec_id % 100 == 0), top-3 same-bucket neighbors by exact
-    cosine. Oracle-checked — the planes are shared literal constants.
+def ann_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    n_planes: int = N_PLANES,
+    seed: int = PLANES_SEED,
+    k: int = 3,
+) -> DataFrame:
+    """LSH-bucketed ANN, parameterized: random-hyperplane signature per
+    vector; per query (vec_id % 100 == 0), top-k same-bucket neighbors
+    by exact cosine. ``n_planes`` is the corpus-scale knob (bucket
+    count = 2^n_planes — see the N_PLANES note); ``seed`` derives
+    independent tables for OR-construction callers.
     """
-    planes = _planes()
+    planes = _planes(n_planes, seed)
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -108,28 +116,44 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
     )
     scored = scored_pairs(pairs, ["query_id", "bucket", "vec_id"])
-    return rank_topk(scored, 3).select("query_id", "bucket", "rank", "vec_id", "cosine")
+    return rank_topk(scored, k).select("query_id", "bucket", "rank", "vec_id", "cosine")
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered ann_lsh at the documented harness defaults.
+    Oracle-checked — the planes are shared literal constants."""
+    return ann_lsh(spark, sf_dir)
 
 
 CENTROID_MOD_REMAINDER = 50  # centroid set = vec_id % 100 == 50 (disjoint from queries)
 
 
-def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: partition the corpus into Voronoi cells around a
-    deterministic centroid set, probe only the query's own cell
-    (nprobe=1), exact cosine inside the cell.
+def ann_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    centroid_mod: int = QUERY_MOD,
+    centroid_rem: int = CENTROID_MOD_REMAINDER,
+) -> DataFrame:
+    """IVF-style ANN, parameterized: partition the corpus into Voronoi
+    cells around a deterministic centroid set, probe only the query's
+    own cell (nprobe=1), exact cosine inside the cell.
 
-    Centroids here are a fixed sample (vec_id % 100 == 50) rather than
-    k-means iterates so the oracle can reproduce them; at corpus scale
-    the assignment step is a broadcast of ~√n centroids against one
-    scan of the corpus, and cells become write-time partitions so a
-    query touches one partition (the IVF index layout). Tie-breaks are
-    deterministic: (cosine desc, centroid_id asc).
+    ``centroid_mod`` is the density knob: 1/centroid_mod of the corpus
+    become centroids, so expected cell size = centroid_mod rows. The
+    IVF sweet spot is ~√n cells (centroid_mod ≈ √n): assignment cost
+    n·√n dominates either extreme. Centroids are a fixed id-sample
+    rather than k-means iterates so the oracle can reproduce them; at
+    corpus scale the assignment step is a broadcast of the centroid
+    set against one scan of the corpus, and cells become write-time
+    partitions so a query touches one partition (the IVF index
+    layout). Tie-breaks are deterministic: (cosine desc, centroid_id
+    asc). The remainder must avoid the query residue class (vec_id %
+    100 == 0) so query and centroid sets stay disjoint.
     """
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    centroids = e.filter(F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER).select(
+    centroids = e.filter(F.col("vec_id") % centroid_mod == centroid_rem).select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
     )
     assigned = (
@@ -156,6 +180,11 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = scored_pairs(pairs, ["query_id", "cell", "vec_id"])
     return rank_topk(scored, 3).select("query_id", "cell", "rank", "vec_id", "cosine")
+
+
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered ann_ivf at the documented harness defaults."""
+    return ann_ivf(spark, sf_dir)
 
 
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -43,6 +43,43 @@ def _json_source(spark: SparkSession, table: str, options: dict) -> DataFrame:
     return spark.read.options(**options.get("reader_options", {})).json(path)
 
 
+# Options forwarded verbatim (stringified) to the Spark JDBC reader.
+_JDBC_PASSTHROUGH = (
+    "user", "password", "driver", "partitionColumn", "lowerBound",
+    "upperBound", "numPartitions", "fetchsize", "queryTimeout",
+    "pushDownPredicate", "pushDownLimit", "sessionInitStatement",
+)
+_JDBC_PARTITION_KEYS = frozenset(
+    {"partitionColumn", "lowerBound", "upperBound", "numPartitions"}
+)
+
+
+def jdbc_reader_options(table: str, options: dict) -> dict[str, str]:
+    """Assemble the Spark JDBC option map (pure — unit-testable without
+    a database; the network call lives only in ``_jdbc_source``).
+
+    Contract enforced here rather than at executor time:
+    - ``url`` is required (KeyError names it).
+    - ``dbtable`` defaults to the table name; callers may pass a
+      pushdown subquery ``(SELECT ...) t`` instead.
+    - Spark requires partitionColumn/lowerBound/upperBound/
+      numPartitions TOGETHER; a partial set fails here with a clear
+      message instead of an opaque JVM error mid-job.
+    """
+    out = {"url": options["url"], "dbtable": str(options.get("dbtable", table))}
+    for k in _JDBC_PASSTHROUGH:
+        if k in options:
+            out[k] = str(options[k])
+    present = _JDBC_PARTITION_KEYS & set(out)
+    if present and present != _JDBC_PARTITION_KEYS:
+        missing = sorted(_JDBC_PARTITION_KEYS - present)
+        raise ValueError(
+            f"JDBC partitioned read needs all of {sorted(_JDBC_PARTITION_KEYS)}; "
+            f"missing {missing}"
+        )
+    return out
+
+
 def _jdbc_source(spark: SparkSession, table: str, options: dict) -> DataFrame:
     """JDBC read (reference MySQLSourceConnector.read_table, util.py:132-187).
 
@@ -51,16 +88,7 @@ def _jdbc_source(spark: SparkSession, table: str, options: dict) -> DataFrame:
     (``pushDownPredicate`` default on); with a partitionColumn the read
     is split across executors.
     """
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", options["url"])
-        .option("dbtable", options.get("dbtable", table))
-    )
-    for k in ("user", "password", "driver", "partitionColumn", "lowerBound",
-              "upperBound", "numPartitions", "fetchsize"):
-        if k in options:
-            reader = reader.option(k, str(options[k]))
-    return reader.load()
+    return spark.read.format("jdbc").options(**jdbc_reader_options(table, options)).load()
 
 
 def _orc_source(spark: SparkSession, table: str, options: dict) -> DataFrame:

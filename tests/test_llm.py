@@ -208,3 +208,89 @@ def test_embedding_kmeans_assignment(spark, sf_dir):
     assert len(rows) == n                      # every vector assigned once
     assert {r.cluster for r in rows} <= centroid_ids
     assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
+
+
+def _np_embeddings(spark, sf_dir):
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    vecs = np.array([r.embedding for r in rows], dtype=np.float64)
+    return ids, vecs
+
+
+def _np_cos6(a, b):
+    import numpy as np
+
+    c = float(np.dot(a, b) / (np.sqrt(np.dot(a, a)) * np.sqrt(np.dot(b, b))))
+    import math
+
+    return math.floor(c * 1_000_000 + 0.5) / 1_000_000
+
+
+def test_ann_lsh_second_setting_matches_numpy_reference(spark, sf_dir):
+    """ann_lsh at a NON-default knob (n_planes=6) must equal an
+    independent NumPy reference: same buckets, same in-bucket exact
+    top-3 with (cosine desc, vec_id) tie-break. Pins the knob wiring,
+    not just the default path."""
+    import numpy as np
+
+    n_planes = 6
+    out = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in similarity.ann_lsh(spark, sf_dir, n_planes=n_planes).collect()
+    }
+    ids, vecs = _np_embeddings(spark, sf_dir)
+    planes = np.array(similarity._planes(n_planes))
+    buckets = ((vecs @ planes.T > 0) * (1 << np.arange(n_planes))).sum(axis=1)
+    expected = {}
+    for qi, qid in enumerate(ids):
+        if qid % similarity.QUERY_MOD != 0:
+            continue
+        cand = [
+            (-_np_cos6(vecs[qi], vecs[ci]), int(cid))
+            for ci, cid in enumerate(ids)
+            if cid != qid and buckets[ci] == buckets[qi]
+        ]
+        for rank, (negc, cid) in enumerate(sorted(cand)[:3], start=1):
+            expected[(int(qid), rank)] = (cid, -negc)
+    assert out == expected
+
+
+def test_ann_ivf_denser_centroids_matches_numpy_reference(spark, sf_dir):
+    """ann_ivf at a denser centroid setting (centroid_mod=50 -> ~2x the
+    cells, half the expected cell size) must equal an independent NumPy
+    reference of assignment + in-cell exact search."""
+    import numpy as np
+
+    mod, rem = 50, 25
+    out = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in similarity.ann_ivf(spark, sf_dir, centroid_mod=mod, centroid_rem=rem).collect()
+    }
+    ids, vecs = _np_embeddings(spark, sf_dir)
+    cents = [(int(cid), vecs[i]) for i, cid in enumerate(ids) if cid % mod == rem]
+    assert len(cents) > len([c for c, _ in cents if c % 100 == 50])  # denser than default
+
+    def cell_of(v):
+        scored = sorted((-_np_cos6(cv, v), cid) for cid, cv in cents)
+        return scored[0][1]
+
+    cells = {int(vid): cell_of(vecs[i]) for i, vid in enumerate(ids)}
+    expected = {}
+    for qi, qid in enumerate(ids):
+        if qid % similarity.QUERY_MOD != 0:
+            continue
+        qcell = cells[int(qid)]
+        cand = [
+            (-_np_cos6(vecs[qi], vecs[ci]), int(cid))
+            for ci, cid in enumerate(ids)
+            if cid != qid and cells[int(cid)] == qcell
+        ]
+        for rank, (negc, cid) in enumerate(sorted(cand)[:3], start=1):
+            expected[(int(qid), rank)] = (cid, -negc)
+    assert out == expected
