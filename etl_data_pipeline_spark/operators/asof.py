@@ -39,6 +39,14 @@ def asof_join(
     ``value_cols`` are right-side columns to carry (left must not
     already have them). Right rows tied on (by, on) should be
     pre-deduplicated by the caller for deterministic results.
+
+    The match is ROW-ATOMIC: all value_cols are filled as ONE struct
+    with a single last(ignorenulls) pass, then unpacked — so a
+    legitimate NULL in one value column of the matched right row stays
+    NULL in the output (the matched row's own value), exactly like
+    DuckDB ASOF JOIN / pandas merge_asof. Filling each column
+    independently would instead let that column fall back to an OLDER
+    right row, mixing columns from different matches.
     """
     lhs = left.withColumn("__side", F.lit(1))
     rhs_cols = [by, on] + value_cols
@@ -57,17 +65,17 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # One struct per right row — the window fills the LAST MATCHED ROW
+    # as a unit (never NULL for a right row, even if every value inside
+    # is NULL, so a matched row's NULLs are carried, not skipped).
+    match_struct = F.when(
+        F.col("__side") == 0, F.struct(*[F.col(c) for c in value_cols])
+    )
     filled = unioned.select(
-        "*",
-        *[
-            F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(f"__asof_{c}")
-            for c in value_cols
-        ],
+        "*", F.last(match_struct, ignorenulls=True).over(w).alias("__asof")
     )
     out_cols = [c for c, _ in left.dtypes] + [
-        F.col(f"__asof_{c}").alias(c) for c in value_cols
+        F.col(f"__asof.{c}").alias(c) for c in value_cols
     ]
     return filled.filter(F.col("__side") == 1).select(*out_cols)
 

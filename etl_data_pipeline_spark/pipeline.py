@@ -72,37 +72,49 @@ class IncrementalPipeline:
 
     def run_table(self, t: TableSpec) -> TableRunResult:
         """One table's read -> gate -> load -> watermark-advance cycle
-        (app.py:96-172)."""
+        (app.py:96-172).
+
+        The cycle runs THREE actions over the batch (empty gate,
+        watermark max, sink write). On a non-snapshot source (a live
+        JDBC table), rows arriving between the max scan and the write
+        scan would be written with keys ABOVE the recorded watermark
+        and re-read next run — duplicates on non-idempotent sinks. The
+        reference never had this window only because it fetched rows
+        once into memory; we pin one snapshot with persist() so all
+        three actions read the same materialized batch.
+        """
         raw = self.store.get(t.name)
         wm_value = parse_watermark(raw, t.watermark_type) if t.is_incremental else None
         df = read_source(self.spark, t.source_format, t.name, dict(t.source_options))
         if t.expected_schema:
             df = validate_schema(df, t.expected_schema, allow_extra=True)
-        df = apply_watermark(df, t.watermark_column, wm_value)
+        df = apply_watermark(df, t.watermark_column, wm_value).persist()
+        try:
+            # Empty-gate without a full count: limit(1) touches at most
+            # one partition at 100 TB, unlike the reference's len(data)
+            # which materialized everything (app.py:147-153, util.py:170).
+            if df.limit(1).count() == 0:
+                log.info("table %s: no new data, skipping load", t.name)
+                return TableRunResult(t.name, "skipped_empty", rows=0)
 
-        # Empty-gate without a full count: limit(1) touches at most one
-        # partition at 100 TB, unlike the reference's len(data) which
-        # required materializing everything (app.py:147-153, util.py:170).
-        if df.limit(1).count() == 0:
-            log.info("table %s: no new data, skipping load", t.name)
-            return TableRunResult(t.name, "skipped_empty", rows=0)
-
-        # Compute the batch max BEFORE the write so a mid-write failure
-        # leaves the watermark untouched (ordering app.py:157->168).
-        new_wm = (
-            max_watermark(df, t.watermark_column) if t.is_incremental else None
-        )
-
-        if t.merge_keys:
-            idempotent_append_parquet(
-                self.spark, df, t.name, dict(t.sink_options), t.merge_keys
+            # Compute the batch max BEFORE the write so a mid-write
+            # failure leaves the watermark untouched (app.py:157->168).
+            new_wm = (
+                max_watermark(df, t.watermark_column) if t.is_incremental else None
             )
-        else:
-            write_sink(df, t.sink_format, t.name, dict(t.sink_options))
 
-        if t.is_incremental and new_wm is not None:
-            self.store.set(t.name, new_wm)  # only after successful load
-        return TableRunResult(t.name, "loaded", new_watermark=new_wm)
+            if t.merge_keys:
+                idempotent_append_parquet(
+                    self.spark, df, t.name, dict(t.sink_options), t.merge_keys
+                )
+            else:
+                write_sink(df, t.sink_format, t.name, dict(t.sink_options))
+
+            if t.is_incremental and new_wm is not None:
+                self.store.set(t.name, new_wm)  # only after successful load
+            return TableRunResult(t.name, "loaded", new_watermark=new_wm)
+        finally:
+            df.unpersist()
 
     # -- whole pipeline ----------------------------------------------
 

@@ -83,16 +83,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     vectorized reader rejects; we read it as long nanos
     (``nanosAsLong``) and convert to TimestampType by exact integer
     division (``DIV 1000`` — no double round-trip, which would lose
-    precision above 2^53 ns).
+    precision above 2^53 ns). The option is SCOPED to this read (the
+    schema is captured at analysis, so restoring immediately is safe):
+    left set session-wide it would silently turn TIMESTAMP(NANOS)
+    columns of any UNRELATED later parquet read into bigint.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        try:
+            prev: str | None = spark.conf.get(key)
+        except Exception:
+            prev = None
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(path)
+            # force analysis inside the scoped window
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
         return df
     return spark.read.parquet(path)
 

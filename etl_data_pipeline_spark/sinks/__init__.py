@@ -22,10 +22,60 @@ from typing import Callable, Protocol
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 
 class SinkFn(Protocol):
     def __call__(self, df: DataFrame, table: str, options: dict) -> None: ...
+
+
+def _recover_interrupted_swap(path: str) -> None:
+    """Heal a crashed atomic_overwrite_parquet swap: the two-rename
+    window can leave NO live target but a complete ``.old`` backup.
+    Called on entry by both the swap itself and every sink READ path —
+    a reader (upsert/idempotent-append/rollup) that saw the bare
+    missing path would wrongly conclude 'first write' and discard the
+    backed-up data on its next write."""
+    backup = path + ".old"
+    if path and not os.path.exists(path) and os.path.exists(backup):
+        os.replace(backup, path)
+
+
+def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """``spark.read.parquet(path)``, or None ONLY when the path
+    genuinely does not exist.
+
+    Any other read failure (permissions, corrupt footer, transient FS
+    error) PROPAGATES. A sink that treats "cannot read" as "first
+    write" silently becomes destructive exactly when the data is in
+    trouble: upsert would overwrite-drop every unmatched sink row,
+    idempotent append would degrade to a duplicating plain append, and
+    the rollup would lose its batch-id dedup state and double-count on
+    replay. Only the specific PATH_NOT_FOUND condition is first-write.
+    """
+    _recover_interrupted_swap(path)
+    try:
+        df = spark.read.parquet(path)
+        # force analysis now so a missing path surfaces here, not at
+        # the first downstream action
+        df.schema
+        return df
+    except AnalysisException as e:
+        cond = None
+        for attr in ("getCondition", "getErrorClass"):
+            fn = getattr(e, attr, None)
+            if fn is not None:
+                try:
+                    cond = fn()
+                except Exception:
+                    cond = None
+                if cond:
+                    break
+        if cond == "PATH_NOT_FOUND" or (
+            cond is None and "PATH_NOT_FOUND" in str(e)
+        ):
+            return None
+        raise
 
 
 def _target_path(table: str, options: dict) -> str:
@@ -98,12 +148,27 @@ def atomic_overwrite_parquet(df: DataFrame, table: str, options: dict) -> None:
     (commit-after-all-batches / rollback-on-error, util.py:233-242): a
     failed write leaves the CURRENT target untouched because nothing is
     moved until the staging write fully succeeds.
+
+    CONCURRENCY CONTRACT: single writer, and the swap itself is two
+    renames (path -> .old, .staging -> path), so there is a window
+    where the target path does not exist — a concurrent reader in that
+    window errors, and a crash in it leaves the data only in ``.old``.
+    This function therefore (a) RECOVERS on entry: a missing target
+    with a live ``.old`` backup is restored before anything else, so a
+    crashed swap heals on the next write; (b) documents that readers
+    must not race writers on a bare directory. For true single-rename
+    atomicity point readers at a manifest/symlink swapped in one
+    rename, or use a table format (Delta/Iceberg) — on object stores
+    rename is not atomic and the table-format route is the only one.
     """
     import shutil
 
     path = _target_path(table, options)
     staging = path + ".staging"
     backup = path + ".old"
+    # crash recovery: a previous run may have died between the two
+    # renames, leaving no live target but a complete backup.
+    _recover_interrupted_swap(path)
     shutil.rmtree(staging, ignore_errors=True)
     df.write.mode("overwrite").parquet(staging)  # fails => target untouched
     shutil.rmtree(backup, ignore_errors=True)
@@ -172,10 +237,10 @@ def upsert_overwrite_parquet(
     call maps to MERGE INTO.)
     """
     path = _target_path(table, options)
-    try:
-        existing = spark.read.parquet(path)
-    except Exception:
-        existing = None  # first write
+    # first-write ONLY on a true missing path; any other read error
+    # aborts the upsert (see read_parquet_if_exists — a degraded read
+    # here would silently drop all unmatched sink rows).
+    existing = read_parquet_if_exists(spark, path)
     if existing is None:
         df.write.mode("overwrite").parquet(path)
         return
@@ -279,9 +344,9 @@ def idempotent_append_parquet(
     scan(sink, keys only) -> anti-join(broadcast new batch).
     """
     path = _target_path(table, options)
-    try:
-        existing = spark.read.parquet(path).select(*merge_keys).distinct()
-    except Exception:
-        existing = None  # first write — sink does not exist yet
+    # first-write ONLY on a true missing path; any other read error
+    # aborts the append (a degraded read would replay duplicates).
+    sink = read_parquet_if_exists(spark, path)
+    existing = None if sink is None else sink.select(*merge_keys).distinct()
     out = df if existing is None else df.join(existing, on=list(merge_keys), how="left_anti")
     out.write.mode("append").parquet(path)

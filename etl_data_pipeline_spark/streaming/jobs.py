@@ -170,18 +170,25 @@ def run_incremental_rollup(
     crash window between data-swap and state-write — the same §2.C #5
     gap the reference has, but non-idempotent for aggregates.)
     """
-    from etl_data_pipeline_spark.sinks import atomic_overwrite_parquet
+    from etl_data_pipeline_spark.sinks import (
+        atomic_overwrite_parquet,
+        read_parquet_if_exists,
+    )
 
     agg_table = "rollup_hourly"
     agg_path = os.path.join(target_dir, agg_table)
     stream = events_file_stream(spark, source_dir)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        try:
-            existing = spark.read.parquet(agg_path)
-            last = existing.agg(F.max("last_batch_id")).first()[0]
-        except Exception:
-            existing, last = None, None  # first refresh
+        # first-refresh ONLY on a true missing path: any other read
+        # error must abort the merge, else the batch-id dedup state is
+        # lost and a replayed batch double-counts.
+        existing = read_parquet_if_exists(spark, agg_path)
+        last = (
+            existing.agg(F.max("last_batch_id")).first()[0]
+            if existing is not None
+            else None
+        )
         if last is not None and batch_id <= last:
             return  # replayed batch — already merged atomically
         if batch_df.isEmpty():
