@@ -56,11 +56,74 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"pipeline_corpus_curation": pipeline_corpus_curation}
+MIX_UPSAMPLE_CAP = 5.0  # never upsample a domain more than 5x
+
+
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing resample weights: per (lang, source) domain, the
+    token share of the corpus and the per-document sampling weight
+    that moves the mix toward a UNIFORM target over domains
+    (weight = target_share / actual_share, capped at 5× upsampling —
+    the DoReMi/Pile-style reweighting step a pretraining pipeline runs
+    before sampling).
+
+    Two tiny aggregations (domain stats, then a 1-row total broadcast
+    back) — the corpus is scanned once; everything after is on the
+    |domains|-row relation. The weight column is what a sampler joins
+    back (broadcast) against the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stats = (
+        docs.select("lang", "source", F.size(F.split("text", " ")).alias("n_tokens"))
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("domain_tokens"))
+    )
+    totals = stats.agg(
+        F.sum("domain_tokens").alias("total_tokens"),
+        F.count("*").alias("n_domains"),
+    )
+    return stats.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "domain_tokens",
+        hround(F.col("domain_tokens") / F.col("total_tokens"), 6).alias("token_share"),
+        hround(
+            F.least(
+                (F.col("total_tokens") / F.col("n_domains")) / F.col("domain_tokens"),
+                F.lit(MIX_UPSAMPLE_CAP),
+            ),
+            6,
+        ).alias("sample_weight"),
+    )
+
+
+QUERIES = {
+    "corpus_mix_weights": corpus_mix_weights,
+    "pipeline_corpus_curation": pipeline_corpus_curation,
+}
 
 # The oracle is the SAME composition of the per-stage oracles —
 # each stage's SQL is reused verbatim as a subquery.
 ORACLE = {
+    "corpus_mix_weights": f"""
+        WITH stats AS (
+            SELECT lang, source, count(*) AS n_docs,
+                   sum(len(string_split(text, ' '))) AS domain_tokens
+            FROM documents GROUP BY lang, source
+        ), totals AS (
+            SELECT sum(domain_tokens) AS total_tokens, count(*) AS n_domains
+            FROM stats
+        )
+        SELECT lang, source, n_docs, domain_tokens,
+               floor(CAST(domain_tokens AS DOUBLE) / total_tokens * 1000000 + 0.5)
+                   / 1000000 AS token_share,
+               floor(least((CAST(total_tokens AS DOUBLE) / n_domains)
+                               / domain_tokens,
+                           {MIX_UPSAMPLE_CAP}) * 1000000 + 0.5)
+                   / 1000000 AS sample_weight
+        FROM stats CROSS JOIN totals
+    """,
     "pipeline_corpus_curation": f"""
         WITH lang AS ({text_analysis.ORACLE["text_lang_id"]}),
         qual AS ({text_analysis.ORACLE["text_quality"]}),

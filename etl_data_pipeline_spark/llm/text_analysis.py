@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_data_pipeline_spark.functions.rounding import hround, sql_round
-from etl_data_pipeline_spark.session import load_table
+from etl_data_pipeline_spark.session import load_table, spread
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic
 # language ID. Deliberately minimal + deterministic; same lists are
@@ -273,7 +273,178 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAM_NGRAM = 5          # n-gram order for overlap detection
+CONTAM_EVAL_MOD = 97      # eval set = doc_id % 97 == 0 (~1% of corpus)
+
+
+def _ngrams(n: int) -> Column:
+    """Distinct n-token shingles of ``text`` (short-doc guarded)."""
+    toks = _tokens()
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _sql_ngrams(n: int) -> str:
+    parts = ", ".join(f"string_split(text, ' ')[i+{j}]" for j in range(n))
+    return f"""CASE WHEN len(string_split(text, ' ')) >= {n} THEN
+        list_distinct(list_transform(
+            range(1, len(string_split(text, ' ')) - {n - 2}),
+            i -> concat_ws(' ', {parts})))
+    ELSE [] END"""
+
+
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: training docs sharing ≥ 1
+    distinct 5-gram with any eval-set doc (the n-gram-overlap decontam
+    rule used for LLM pretraining corpora — GPT-3 appendix C / Llama 2
+    style, with n scaled to this corpus's short documents; production
+    uses n=8-13 on real documents).
+
+    The eval set here is the deterministic id-sample
+    ``doc_id % 97 == 0`` standing in for an external benchmark table —
+    swap in a real eval corpus by unioning it with a marker column.
+    Plan shape at 100 TB: both sides explode to (doc, ngram) pairs;
+    the EVAL side is tiny and broadcast, so the corpus streams through
+    one scan with a broadcast-hash join on the ngram — no corpus
+    shuffle at all; the (train, eval) pair counts combine map-side.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = docs.select("doc_id", F.explode(_ngrams(CONTAM_NGRAM)).alias("ngram"))
+    eval_sh = sh.filter(F.col("doc_id") % CONTAM_EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc"), "ngram"
+    )
+    train_sh = sh.filter(F.col("doc_id") % CONTAM_EVAL_MOD != 0).select(
+        F.col("doc_id").alias("train_doc"), "ngram"
+    )
+    return (
+        train_sh.join(F.broadcast(eval_sh), "ngram")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+
+
+# PII patterns: RE2-compatible (DuckDB) AND Java-regex-compatible
+# (Spark) — no lookaround, no backrefs, POSIX-safe classes only.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?\d{3}[-. ]\d{3,4}[-. ]\d{4}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub_cols(col: str = "text") -> dict[str, Column]:
+    """Detection counts + the scrubbed text (shared by the query and
+    by pipeline composition)."""
+    c = F.col(col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL, "[EMAIL]"), PII_PHONE, "[PHONE]"
+        ),
+        PII_IPV4,
+        "[IP]",
+    )
+    return {
+        "n_emails": F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), F.lit(0))),
+        "n_phones": F.size(F.regexp_extract_all(c, F.lit(PII_PHONE), F.lit(0))),
+        "n_ips": F.size(F.regexp_extract_all(c, F.lit(PII_IPV4), F.lit(0))),
+        "scrubbed": scrubbed,
+    }
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + scrubbing: count emails/phones/IPv4s per doc and
+    emit the digest of the masked text — the redaction stage of a
+    training-data pipeline. Pure JVM regexp (codegen, map-only, no
+    shuffle); the digest (not the scrubbed body) is the query output
+    so the result stays narrow. The patterns are deliberately in the
+    RE2 ∩ Java-regex common subset so the DuckDB oracle runs them
+    verbatim.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    p = pii_scrub_cols()
+    return docs.select(
+        "doc_id",
+        p["n_emails"].alias("n_emails"),
+        p["n_phones"].alias("n_phones"),
+        p["n_ips"].alias("n_ips"),
+        F.md5(p["scrubbed"]).alias("scrubbed_md5"),
+        (p["n_emails"] + p["n_phones"] + p["n_ips"] > 0).alias("has_pii"),
+    )
+
+
+REPETITION_DUP3_MAX = 0.3  # Gopher-style repetition filter threshold
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher/MassiveText repetition
+    rules, adapted to whitespace tokens): duplicate 2-gram and 3-gram
+    fractions and the top-token share per document, plus the filter
+    verdict at the documented threshold.
+
+    Map-only per-row array arithmetic (size/array_distinct/filter) —
+    no shuffle, no Python. The top-token share is O(|distinct|·|toks|)
+    per doc, bounded by document length; at 100 TB this is the same
+    embarrassingly parallel scan shape as text_quality.
+    """
+    toks = _tokens()
+    g2, g3 = _ngrams_all(2), _ngrams_all(3)
+    docs = load_table(spark, sf_dir, "documents")
+    dup_frac = lambda g: F.when(
+        F.size(g) > 0,
+        (F.size(g) - F.size(F.array_distinct(g))) / F.size(g),
+    ).otherwise(F.lit(0.0))
+    top_share = F.when(
+        F.size(toks) > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda t: F.size(F.filter(toks, lambda x: x == t)),
+            )
+        )
+        / F.size(toks),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        hround(dup_frac(g2), 6).alias("dup_2gram_frac"),
+        hround(dup_frac(g3), 6).alias("dup_3gram_frac"),
+        hround(top_share, 6).alias("top_token_share"),
+        (hround(dup_frac(g3), 6) > REPETITION_DUP3_MAX).alias("is_repetitive"),
+    )
+
+
+def _ngrams_all(n: int) -> Column:
+    """ALL n-token shingles (with duplicates — repetition needs the
+    multiset, unlike the distinct sets used for overlap/Jaccard)."""
+    toks = _tokens()
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _sql_ngrams_all(n: int) -> str:
+    parts = ", ".join(f"string_split(text, ' ')[i+{j}]" for j in range(n))
+    return f"""CASE WHEN len(string_split(text, ' ')) >= {n} THEN
+        list_transform(
+            range(1, len(string_split(text, ' ')) - {n - 2}),
+            i -> concat_ws(' ', {parts}))
+    ELSE [] END"""
+
+
 QUERIES = {
+    "text_contamination": text_contamination,
+    "text_pii_scrub": text_pii_scrub,
+    "text_repetition": text_repetition,
     "text_stats": text_stats,
     "text_tfidf": text_tfidf,
     "text_chunks": text_chunks,
@@ -291,6 +462,64 @@ _ES = _sql_stop_hits("es")
 _FR = _sql_stop_hits("fr")
 
 ORACLE = {
+    "text_contamination": f"""
+        WITH sh AS (
+            SELECT doc_id, unnest({_sql_ngrams(CONTAM_NGRAM)}) AS ngram
+            FROM documents
+        ), e AS (
+            SELECT doc_id AS eval_doc, ngram FROM sh
+            WHERE doc_id % {CONTAM_EVAL_MOD} = 0
+        ), t AS (
+            SELECT doc_id AS train_doc, ngram FROM sh
+            WHERE doc_id % {CONTAM_EVAL_MOD} <> 0
+        )
+        SELECT train_doc, eval_doc, count(*) AS n_shared_ngrams
+        FROM t JOIN e USING (ngram)
+        GROUP BY train_doc, eval_doc
+    """,
+    "text_pii_scrub": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+               len(regexp_extract_all(text, '{PII_PHONE}')) AS n_phones,
+               len(regexp_extract_all(text, '{PII_IPV4}')) AS n_ips,
+               md5(regexp_replace(regexp_replace(regexp_replace(
+                       text, '{PII_EMAIL}', '[EMAIL]', 'g'),
+                       '{PII_PHONE}', '[PHONE]', 'g'),
+                       '{PII_IPV4}', '[IP]', 'g')) AS scrubbed_md5,
+               (len(regexp_extract_all(text, '{PII_EMAIL}'))
+                + len(regexp_extract_all(text, '{PII_PHONE}'))
+                + len(regexp_extract_all(text, '{PII_IPV4}'))) > 0 AS has_pii
+        FROM documents
+    """,
+    "text_repetition": f"""
+        WITH g AS (
+            SELECT doc_id,
+                   string_split(text, ' ') AS toks,
+                   {_sql_ngrams_all(2)} AS g2,
+                   {_sql_ngrams_all(3)} AS g3
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   CASE WHEN len(g2) > 0 THEN
+                       CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+                   ELSE 0.0 END AS d2,
+                   CASE WHEN len(g3) > 0 THEN
+                       CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+                   ELSE 0.0 END AS d3,
+                   CASE WHEN len(toks) > 0 THEN
+                       CAST(list_max(list_transform(list_distinct(toks),
+                           t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+                           / len(toks)
+                   ELSE 0.0 END AS tt
+            FROM g
+        )
+        SELECT doc_id,
+               {sql_round('d2', 6)} AS dup_2gram_frac,
+               {sql_round('d3', 6)} AS dup_3gram_frac,
+               {sql_round('tt', 6)} AS top_token_share,
+               {sql_round('d3', 6)} > {REPETITION_DUP3_MAX} AS is_repetitive
+        FROM m
+    """,
     "text_tfidf": f"""
         WITH tf AS (
             SELECT doc_id, token, count(*) AS tf

@@ -67,8 +67,16 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     if unknown:
         raise ValueError(f"oracle entries without queries: {unknown}")
     # Individual queries whose round-1 verification row was red or
-    # missing get hoisted to the very front regardless of family.
-    hoist = ["agg_collect"]
+    # missing (including ops added this round) get hoisted to the very
+    # front regardless of family.
+    hoist = [
+        "agg_collect",
+        "multimodal_decode_header",
+        "text_contamination",
+        "text_pii_scrub",
+        "text_repetition",
+        "corpus_mix_weights",
+    ]
     ordered = {name: queries[name] for name in hoist if name in queries}
     ordered.update(queries)
     return ordered, oracle

@@ -294,3 +294,63 @@ def test_ann_ivf_denser_centroids_matches_numpy_reference(spark, sf_dir):
         for rank, (negc, cid) in enumerate(sorted(cand)[:3], start=1):
             expected[(int(qid), rank)] = (cid, -negc)
     assert out == expected
+
+
+def test_pii_scrub_detects_and_masks(spark):
+    """Injected PII fixtures: emails/phones/IPs are counted and masked
+    (the harness corpus itself contains none)."""
+    import tempfile, os
+    from etl_data_pipeline_spark.llm import text_analysis as ta
+
+    rows = [
+        (1, "contact bob.smith+x@example.co.uk for details"),
+        (2, "call +1 555-123-4567 or 555-987-6543 today"),
+        (3, "server at 192.168.10.1 responded"),
+        (4, "clean text with no personal data at all"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_docs(spark, tmp, rows)
+        out = {r.doc_id: r for r in ta.text_pii_scrub(spark, tmp).collect()}
+    assert out[1].n_emails == 1 and out[1].has_pii
+    assert out[2].n_phones == 2 and out[2].has_pii
+    assert out[3].n_ips == 1 and out[3].has_pii
+    assert not out[4].has_pii
+    # masking changes the digest only where something was found
+    base = {r[0]: r[1] for r in rows}
+    import hashlib
+
+    assert out[4].scrubbed_md5 == hashlib.md5(base[4].encode()).hexdigest()
+    assert out[1].scrubbed_md5 != hashlib.md5(base[1].encode()).hexdigest()
+
+
+def test_repetition_flags_repetitive_doc(spark):
+    import tempfile
+    from etl_data_pipeline_spark.llm import text_analysis as ta
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam"),
+        (2, "all these tokens are completely different words here"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_docs(spark, tmp, rows)
+        out = {r.doc_id: r for r in ta.text_repetition(spark, tmp).collect()}
+    assert out[1].is_repetitive and out[1].top_token_share == 1.0
+    assert not out[2].is_repetitive and out[2].dup_3gram_frac == 0.0
+
+
+def test_contamination_finds_planted_overlap(spark):
+    import tempfile
+    from etl_data_pipeline_spark.llm import text_analysis as ta
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (97, f"eval doc begins {shared} and then ends"),      # 97 % 97 == 0 -> eval
+        (5, f"train doc contains {shared} inside it"),        # overlapping train doc
+        (6, "totally unrelated training text with no overlap here"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_docs(spark, tmp, rows)
+        out = ta.text_contamination(spark, tmp).collect()
+    pairs = {(r.train_doc, r.eval_doc): r.n_shared_ngrams for r in out}
+    assert (5, 97) in pairs and pairs[(5, 97)] >= 1
+    assert all(t != 6 for t, _ in pairs)
