@@ -98,14 +98,113 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_BUCKETS = 100
+SPLIT_VAL_BUCKET = 98   # buckets 0-97 train, 98 val, 99 test (98/1/1)
+CTX_TOKENS = 512        # packing context length
+
+
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (98/1/1) by a salted
+    content-independent hash of the document id — the split every
+    training pipeline needs to be STABLE across reruns and machines
+    (row order, partitioning, and corpus growth must not move a doc
+    between splits; a doc keeps its split forever).
+
+    The hash is the engine-portable md5-derived 60-bit integer (same
+    arithmetic as the minhash pipeline), salted with a namespace
+    string so split buckets are independent of any other id-derived
+    bucketing in the pipeline. Map-only — no shuffle, no Python.
+    """
+    from etl_data_pipeline_spark.functions.hashing import md5_long60
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_long60(F.concat(F.lit("split:"), F.col("doc_id"))) % SPLIT_BUCKETS
+    return docs.select(
+        "doc_id",
+        bucket.alias("split_bucket"),
+        F.when(bucket < SPLIT_VAL_BUCKET, "train")
+        .when(bucket == SPLIT_VAL_BUCKET, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: concatenate documents (in deterministic
+    doc_id order, per (lang, source) domain) into fixed CTX_TOKENS
+    training windows; each doc gets its sequence id and token offset —
+    the document→sample layout step before tokenized shards are
+    written.
+
+    Packing is a running token sum per domain: seq_id = floor(
+    (cumsum - n_tokens) / CTX) (docs may straddle a boundary — the
+    standard concat-then-chunk pretraining layout, not bin packing).
+    The DOMAIN is the parallel unit: a cumulative sum is inherently
+    sequential, so a single global ordering would serialize the corpus
+    through one partition at 100 TB; per-domain windows give
+    |domains|-way parallelism and deterministic output. The window
+    shuffle on (lang, source) is the only exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = F.size(F.split("text", " "))
+    with_cum = docs.select(
+        "doc_id", "lang", "source", toks.alias("n_tokens"),
+        F.sum(toks).over(w).alias("cum_tokens"),
+    )
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    return with_cum.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        F.floor(start / CTX_TOKENS).cast("long").alias("seq_id"),
+        (start % CTX_TOKENS).alias("seq_offset"),
+    )
+
+
 QUERIES = {
     "corpus_mix_weights": corpus_mix_weights,
+    "corpus_split": corpus_split,
+    "corpus_pack_sequences": corpus_pack_sequences,
     "pipeline_corpus_curation": pipeline_corpus_curation,
 }
 
 # The oracle is the SAME composition of the per-stage oracles —
 # each stage's SQL is reused verbatim as a subquery.
 ORACLE = {
+    "corpus_split": f"""
+        WITH b AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                       % {SPLIT_BUCKETS} AS split_bucket
+            FROM documents
+        )
+        SELECT doc_id, split_bucket,
+               CASE WHEN split_bucket < {SPLIT_VAL_BUCKET} THEN 'train'
+                    WHEN split_bucket = {SPLIT_VAL_BUCKET} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+    """,
+    "corpus_pack_sequences": f"""
+        WITH t AS (
+            SELECT doc_id, lang, source,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   sum(len(string_split(text, ' '))) OVER (
+                       PARTITION BY lang, source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            FROM documents
+        )
+        SELECT doc_id, lang, source, n_tokens,
+               CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE)
+                          / {CTX_TOKENS}) AS BIGINT) AS seq_id,
+               (cum_tokens - n_tokens) % {CTX_TOKENS} AS seq_offset
+        FROM t
+    """,
     "corpus_mix_weights": f"""
         WITH stats AS (
             SELECT lang, source, count(*) AS n_docs,

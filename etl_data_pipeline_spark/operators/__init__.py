@@ -76,6 +76,8 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "text_pii_scrub",
         "text_repetition",
         "corpus_mix_weights",
+        "corpus_split",
+        "corpus_pack_sequences",
     ]
     ordered = {name: queries[name] for name in hoist if name in queries}
     ordered.update(queries)

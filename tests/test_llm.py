@@ -354,3 +354,36 @@ def test_contamination_finds_planted_overlap(spark):
     pairs = {(r.train_doc, r.eval_doc): r.n_shared_ngrams for r in out}
     assert (5, 97) in pairs and pairs[(5, 97)] >= 1
     assert all(t != 6 for t, _ in pairs)
+
+
+def test_corpus_split_deterministic_and_complete(spark, sf_dir):
+    from etl_data_pipeline_spark.llm import curation
+
+    a = {r.doc_id: (r.split_bucket, r.split) for r in curation.corpus_split(spark, sf_dir).collect()}
+    b = {r.doc_id: (r.split_bucket, r.split) for r in curation.corpus_split(spark, sf_dir).collect()}
+    assert a == b  # stable across runs
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(a) == n_docs
+    for bucket, split in a.values():
+        expected = "train" if bucket < 98 else ("val" if bucket == 98 else "test")
+        assert split == expected
+
+
+def test_corpus_pack_sequences_invariants(spark, sf_dir):
+    """Per domain: offsets stay inside the context window, packing is
+    gapless (each doc starts where the previous one ended), and the
+    first doc starts at (seq 0, offset 0)."""
+    from etl_data_pipeline_spark.llm import curation
+
+    rows = curation.corpus_pack_sequences(spark, sf_dir).collect()
+    by_domain = {}
+    for r in rows:
+        by_domain.setdefault((r.lang, r.source), []).append(r)
+    ctx = curation.CTX_TOKENS
+    for docs in by_domain.values():
+        docs.sort(key=lambda r: r.doc_id)
+        pos = 0
+        for r in docs:
+            assert 0 <= r.seq_offset < ctx
+            assert r.seq_id * ctx + r.seq_offset == pos
+            pos += r.n_tokens

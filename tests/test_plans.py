@@ -194,3 +194,48 @@ def test_range_binned_is_equi_join(spark, sf_dir):
         j in plan
         for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
     )
+
+
+def test_contamination_broadcasts_eval_side(spark, sf_dir):
+    """The tiny eval side must broadcast: the training corpus streams
+    through one scan with no shuffle of its n-grams."""
+    from etl_data_pipeline_spark.llm import text_analysis as ta
+
+    plan = _plan(ta.text_contamination(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pii_and_repetition_are_map_only(spark, sf_dir):
+    """Per-doc quality/scrub transforms: one scan, zero exchanges,
+    zero Python."""
+    from etl_data_pipeline_spark.llm import text_analysis as ta
+
+    for fn in (ta.text_pii_scrub, ta.text_repetition):
+        plan = _plan(fn(spark, sf_dir))
+        assert "Exchange" not in plan, fn.__name__
+        for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert py_node not in plan, fn.__name__
+
+
+def test_decode_header_is_jvm_only(spark, sf_dir):
+    """The byte-level header decode must stay inside codegen: no
+    Python eval nodes, no exchange (map-only parse)."""
+    from etl_data_pipeline_spark.llm.multimodal import multimodal_decode_header
+
+    plan = _plan(multimodal_decode_header(spark, sf_dir))
+    assert "Exchange" not in plan
+    for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_node not in plan
+    # '* ' prefix in the formatted plan = inside a WholeStageCodegen stage
+    assert "* Project" in plan
+
+
+def test_embedding_cosine_has_no_cartesian(spark, sf_dir):
+    """The multi-table LSH candidate join must plan as a hash join on
+    (table, bucket) — never a cartesian/nested-loop pair explosion."""
+    from etl_data_pipeline_spark.llm import dedup
+
+    plan = _plan(dedup.dedup_embedding_cosine(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
