@@ -58,6 +58,11 @@ BENCH_QUERIES = [
     "events_funnel",
     "pipeline_corpus_curation",
     "pipeline_incremental",
+    # round-2 additions (new floors; no round-1 comparison exists)
+    "text_contamination",
+    "text_pii_scrub",
+    "corpus_pack_sequences",
+    "multimodal_decode_header",
 ]
 
 
