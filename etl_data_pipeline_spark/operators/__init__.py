@@ -78,6 +78,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "corpus_mix_weights",
         "corpus_split",
         "corpus_pack_sequences",
+        "cdc_compact_latest",
     ]
     ordered = {name: queries[name] for name in hoist if name in queries}
     ordered.update(queries)

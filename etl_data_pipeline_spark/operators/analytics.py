@@ -301,7 +301,42 @@ def timeseries_user_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: collapse a change stream to current state —
+    one row per entity (the latest by (ts, event_id)), with entities
+    whose latest change is a tombstone dropped entirely. This is the
+    materialize-state step of any CDC ingest (Debezium→warehouse,
+    Kafka compacted topics); events stands in for the change log with
+    user_id as the entity key and 'error' as the tombstone marker.
+
+    Plan: one shuffle on the entity key, per-key top-1 via the
+    row_number window (WindowGroupLimit pushes the limit below the
+    sort at scale), tombstones filtered AFTER taking the latest — a
+    delete only wins if it IS the latest change. Deterministic
+    tie-break on event_id.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("event_type") != "error")  # tombstone compaction
+    )
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 QUERIES = {
+    "cdc_compact_latest": cdc_compact_latest,
     "events_funnel": events_funnel,
     "timeseries_user_sim": timeseries_user_sim,
     "events_anomaly_zscore": events_anomaly_zscore,
@@ -312,6 +347,21 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cdc_compact_latest": """
+        WITH ranked AS (
+            SELECT user_id, event_id, ts, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        SELECT user_id,
+               event_id AS last_event_id,
+               ts AS last_ts,
+               event_type AS last_type,
+               value AS last_value
+        FROM ranked
+        WHERE rn = 1 AND event_type <> 'error'
+    """,
     "events_funnel": f"""
         WITH s1 AS (
             SELECT user_id, min(ts) AS t1 FROM events

@@ -251,6 +251,98 @@ def upsert_overwrite_parquet(
     atomic_overwrite_parquet(merged, table, options)
 
 
+SCD2_COLS = ("__valid_from", "__valid_to", "__is_current")
+
+
+def scd2_upsert_parquet(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    options: dict,
+    key_cols: tuple[str, ...],
+    batch_ts: str,
+    compare_cols: tuple[str, ...] | None = None,
+) -> None:
+    """SCD TYPE 2 upsert: full history tracking. Where SCD1
+    (upsert_overwrite_parquet) REPLACES a changed row, SCD2 CLOSES the
+    old version (__valid_to = batch_ts, __is_current = false) and
+    appends the new one (__valid_from = batch_ts, open-ended) — the
+    dimension-history pattern the reference's append-only loader
+    cannot express (SURVEY §2.C #7 family).
+
+    Change detection is NULL-safe equality over ``compare_cols``
+    (default: every non-key column); an incoming row identical to the
+    current version is a no-op, which makes replaying a batch with the
+    same ``batch_ts`` idempotent. Plan shape: one scan of the sink,
+    the (small) batch broadcast into two hash joins (change-detect +
+    survivors), atomic staged swap — history rows are carried through
+    untouched, never compared.
+
+    ``batch_ts`` is caller-supplied (the load's logical timestamp) so
+    reruns are deterministic — never wall-clock inside the engine.
+    """
+    path = _target_path(table, options)
+    data_cols = [c for c in df.columns]
+    compare = list(compare_cols or [c for c in data_cols if c not in key_cols])
+    ts = F.lit(batch_ts).cast("timestamp")
+
+    as_version = df.select(
+        *data_cols,
+        ts.alias("__valid_from"),
+        F.lit(None).cast("timestamp").alias("__valid_to"),
+        F.lit(True).alias("__is_current"),
+    )
+    existing = read_parquet_if_exists(spark, path)
+    if existing is None:
+        as_version.write.mode("overwrite").parquet(path)
+        return
+
+    current = existing.filter(F.col("__is_current"))
+    history = existing.filter(~F.col("__is_current"))
+    keys = list(key_cols)
+
+    # explicit match marker: a left-join hit must not be inferred from
+    # value columns (a matched row may legitimately carry NULLs there)
+    batch = df.select(*data_cols).withColumn("__matched", F.lit(True))
+    joined = current.alias("cur").join(
+        F.broadcast(batch).alias("new"), on=keys, how="left"
+    )
+    matched = F.coalesce(F.col("new.__matched"), F.lit(False))
+    changed = F.lit(False)
+    for c in compare:  # NULL-safe: any compare column differing
+        changed = changed | ~F.col(f"cur.{c}").eqNullSafe(F.col(f"new.{c}"))
+    close_pred = matched & changed
+    closing = joined.filter(close_pred).select(
+        *[F.col(f"cur.{c}").alias(c) for c in data_cols],
+        F.col("cur.__valid_from").alias("__valid_from"),
+        ts.alias("__valid_to"),
+        F.lit(False).alias("__is_current"),
+    )
+    surviving = joined.filter(~close_pred).select(
+        *[F.col(f"cur.{c}").alias(c) for c in data_cols],
+        F.col("cur.__valid_from").alias("__valid_from"),
+        F.col("cur.__valid_to").alias("__valid_to"),
+        F.col("cur.__is_current").alias("__is_current"),
+    )
+    # batch rows that are new keys OR changed versions become current
+    cur_marked = current.select(
+        *keys, *[F.col(c).alias(f"__cur_{c}") for c in compare]
+    ).withColumn("__cur_matched", F.lit(True))
+    b = df.join(F.broadcast(cur_marked), on=keys, how="left")
+    bmatched = F.coalesce(F.col("__cur_matched"), F.lit(False))
+    bchanged = F.lit(False)
+    for c in compare:
+        bchanged = bchanged | ~F.col(c).eqNullSafe(F.col(f"__cur_{c}"))
+    incoming = b.filter(~bmatched | bchanged).select(
+        *data_cols,
+        ts.alias("__valid_from"),
+        F.lit(None).cast("timestamp").alias("__valid_to"),
+        F.lit(True).alias("__is_current"),
+    )
+    merged = history.unionByName(surviving).unionByName(closing).unionByName(incoming)
+    atomic_overwrite_parquet(merged, table, options)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

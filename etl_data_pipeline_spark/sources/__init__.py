@@ -19,6 +19,7 @@ import os
 from typing import Callable, Protocol
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class SourceFn(Protocol):
@@ -107,6 +108,51 @@ SOURCES: dict[str, SourceFn] = {
 
 def register_source(name: str, fn: SourceFn) -> None:
     SOURCES[name] = fn
+
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_with_quarantine(
+    spark: SparkSession,
+    fmt: str,
+    path: str,
+    schema_ddl: str,
+    quarantine_path: str | None = None,
+):
+    """Read csv/json against a DECLARED schema, splitting rows that
+    fail to parse into a quarantine (dead-letter) set instead of
+    failing the job or silently nulling them — the malformed-input
+    contract a production ingest needs (PERMISSIVE mode +
+    columnNameOfCorruptRecord).
+
+    Returns ``(good_df, bad_count)``; raw malformed lines are appended
+    to ``quarantine_path`` (text) when given, preserving the original
+    bytes for replay after a fix. The parsed frame is persisted before
+    the corrupt-column filter — Spark disallows filtering on the
+    corrupt column over the raw scan (it is populated during parsing),
+    and the persist also means good rows + quarantine come from ONE
+    parse of the input.
+    """
+    if fmt not in ("csv", "json"):
+        raise ValueError(f"quarantine read supports csv/json, not {fmt!r}")
+    schema = f"{schema_ddl}, {CORRUPT_COL} STRING"
+    reader = spark.read.schema(schema).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", CORRUPT_COL
+    )
+    if fmt == "csv":
+        df = reader.option("header", "true").csv(path)
+    else:
+        df = reader.json(path)
+    df = df.persist()
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull())
+    bad_count = bad.count()
+    if bad_count and quarantine_path:
+        bad.select(F.col(CORRUPT_COL).alias("value")).write.mode("append").text(
+            quarantine_path
+        )
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    return good, bad_count
 
 
 def read_source(spark: SparkSession, fmt: str, table: str, options: dict) -> DataFrame:
