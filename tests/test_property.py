@@ -197,3 +197,67 @@ def test_cluster_propagation_equals_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     expect = {(n, find(n)) for n in parent}
     assert got == expect
+
+
+@st.composite
+def scd2_batches(draw):
+    """A short sequence of upsert batches over a small key space, with
+    values drawn from a small alphabet including NULL."""
+    n_batches = draw(st.integers(min_value=1, max_value=3))
+    batches = []
+    for _ in range(n_batches):
+        keys = draw(
+            st.lists(
+                st.integers(min_value=1, max_value=4),
+                min_size=1,
+                max_size=4,
+                unique=True,
+            )
+        )
+        batches.append(
+            [(k, draw(st.sampled_from(["a", "b", None]))) for k in keys]
+        )
+    return batches
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=scd2_batches())
+def test_scd2_matches_reference_state_machine(spark, batches):
+    """SCD2 sink vs a dict-based reference: after ANY batch sequence,
+    current rows equal the reference's live state and every closed
+    version carries the timestamp of the batch that superseded it."""
+    from etl_data_pipeline_spark.sinks import scd2_upsert_parquet
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "dim")
+        ref_current: dict[int, tuple] = {}   # k -> (v, valid_from)
+        ref_history: list[tuple] = []        # (k, v, valid_from, valid_to)
+        for i, batch in enumerate(batches):
+            ts = f"2026-01-{i + 1:02d} 00:00:00"
+            df = spark.createDataFrame(batch, "k long, v string")
+            scd2_upsert_parquet(spark, df, "dim", {"dir": tmp}, ("k",), ts)
+            for k, v in batch:
+                if k in ref_current:
+                    old_v, old_from = ref_current[k]
+                    if old_v != v:  # value change closes the version
+                        ref_history.append((k, old_v, old_from, ts))
+                        ref_current[k] = (v, ts)
+                else:
+                    ref_current[k] = (v, ts)
+        out = spark.read.parquet(path).collect()
+        cur = {
+            r.k: (r.v, str(r["__valid_from"]))
+            for r in out
+            if r["__is_current"]
+        }
+        hist = {
+            (r.k, r.v, str(r["__valid_from"]), str(r["__valid_to"]))
+            for r in out
+            if not r["__is_current"]
+        }
+        assert cur == ref_current
+        assert hist == set(ref_history)
