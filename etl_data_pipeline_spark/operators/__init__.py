@@ -79,6 +79,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "corpus_split",
         "corpus_pack_sequences",
         "cdc_compact_latest",
+        "events_conversion_sessions",
     ]
     ordered = {name: queries[name] for name in hoist if name in queries}
     ordered.update(queries)

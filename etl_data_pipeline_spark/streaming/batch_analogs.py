@@ -159,7 +159,64 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_conversion_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analog of streaming/jobs.py:conversion_sessions — the
+    gap-OR-purchase sessionizer as a one-pass window query: a session
+    boundary opens after a >30-min silence OR after a purchase (so a
+    purchase is always its session's LAST event). The trailing open
+    session per user is excluded unless purchase-closed, matching the
+    streaming operator's emit-on-close semantics exactly.
+
+    Same gaps-and-islands machinery as events_sessionize (lag flag +
+    running sum) plus a per-session aggregate; all windows share one
+    hash-partition of user_id, so the whole query is ONE shuffle +
+    one groupBy on (user, session).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    prev_type = F.lag("event_type").over(w)
+    is_start = F.when(
+        prev_us.isNull()
+        | (F.unix_micros("ts") - prev_us > SESSION_GAP_US)
+        | (prev_type == "purchase"),
+        1,
+    ).otherwise(0)
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged = ev.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.sum(is_start).over(running).alias("sid"),
+    )
+    # a purchase FORCES a boundary after itself, so a session contains
+    # at most one purchase and it is necessarily the last event:
+    # "ends with purchase" == "contains a purchase" (portable bool agg,
+    # no cross-engine max_by-with-struct-key surface).
+    sessions = tagged.groupBy("user_id", "sid").agg(
+        F.min(F.date_format("ts", _FMT)).alias("session_start"),
+        F.max(F.date_format("ts", _FMT)).alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("has_purchase"),
+    )
+    max_sid = sessions.groupBy("user_id").agg(F.max("sid").alias("max_sid"))
+    return (
+        sessions.join(max_sid, "user_id")
+        .filter((F.col("sid") < F.col("max_sid")) | (F.col("has_purchase") == 1))
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            F.when(F.col("has_purchase") == 1, "purchase")
+            .otherwise("gap")
+            .alias("ended_by"),
+        )
+    )
+
+
 QUERIES = {
+    "events_conversion_sessions": events_conversion_sessions,
     "events_sessionize": events_sessionize,
     "stream_tumbling": stream_tumbling,
     "stream_sliding": stream_sliding,
@@ -170,6 +227,40 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_conversion_sessions": f"""
+        WITH tagged AS (
+            SELECT event_id, user_id, ts, event_type,
+                   sum(CASE WHEN prev_us IS NULL
+                             OR epoch_us(ts) - prev_us > {SESSION_GAP_US}
+                             OR prev_type = 'purchase'
+                        THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+            FROM (
+                SELECT *,
+                       lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_us,
+                       lag(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_type
+                FROM events
+            )
+        ), sessions AS (
+            SELECT user_id, sid,
+                   min(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS session_start,
+                   max(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS session_end,
+                   count(*) AS n_events,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS has_purchase
+            FROM tagged GROUP BY user_id, sid
+        ), m AS (
+            SELECT user_id, max(sid) AS max_sid FROM sessions GROUP BY user_id
+        )
+        SELECT s.user_id, s.session_start, s.session_end, s.n_events,
+               CASE WHEN s.has_purchase = 1 THEN 'purchase'
+                    ELSE 'gap' END AS ended_by
+        FROM sessions s JOIN m ON s.user_id = m.user_id
+        WHERE s.sid < m.max_sid OR s.has_purchase = 1
+    """,
     "events_sessionize": f"""
         WITH lagged AS (
             SELECT event_id, user_id, ts,

@@ -147,6 +147,76 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def conversion_sessions(stream: DataFrame, gap_secs: int = 1800) -> DataFrame:
+    """Custom stateful sessionizer via applyInPandasWithState: a
+    user's session closes on an inactivity gap OR on a conversion
+    ('purchase') event — the second close condition is what the
+    built-in ``session_window`` cannot express (it only knows gaps).
+    Emits one row per CLOSED session (append mode); open sessions live
+    in the state store until their closing event arrives.
+
+    State per user is three scalars (session start, last event time as
+    epoch micros, event count) — O(|active users|) total, partitioned
+    and checkpointed by the engine. Timestamps cross the Arrow
+    boundary as epoch-micros longs (exact integer arithmetic, no
+    tz/unit coercion surface) and are rehydrated JVM-side with
+    timestamp_micros.
+
+    ASSUMES per-user event-time-ordered arrival across micro-batches
+    (true of log-shipped file streams, which deliver files in order;
+    each batch is additionally sorted internally). Out-of-order
+    delivery needs an event-time timeout + reorder buffer — documented
+    out of scope here.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_secs * 1_000_000
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        start_us, last_us, n = state.get if state.exists else (None, None, 0)
+        out: list[tuple] = []
+        batches = [pdf for pdf in pdf_iter if len(pdf)]
+        if batches:
+            ev = pd.concat(batches).sort_values(["ts", "event_id"])
+            for ts, etype in zip(ev["ts"], ev["event_type"]):
+                ts_us = ts.value // 1000  # pandas ns -> epoch micros
+                if start_us is not None and ts_us - last_us > gap_us:
+                    out.append((user_id, start_us, last_us, n, "gap"))
+                    start_us = None
+                if start_us is None:
+                    start_us, n = ts_us, 0
+                last_us = ts_us
+                n += 1
+                if etype == "purchase":
+                    out.append((user_id, start_us, ts_us, n, "purchase"))
+                    start_us, n = None, 0
+        if start_us is not None:
+            state.update((int(start_us), int(last_us), int(n)))
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(
+            out, columns=["user_id", "start_us", "end_us", "n_events", "ended_by"]
+        )
+
+    raw = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, start_us long, end_us long, n_events int, ended_by string"
+        ),
+        stateStructType="start_us long, last_us long, n int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return raw.select(
+        "user_id",
+        F.timestamp_micros("start_us").alias("session_start"),
+        F.timestamp_micros("end_us").alias("session_end"),
+        "n_events",
+        "ended_by",
+    )
+
+
 def run_incremental_rollup(
     spark: SparkSession,
     source_dir: str,

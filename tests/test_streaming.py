@@ -151,3 +151,64 @@ def test_foreach_batch_incremental_sink(spark, event_chunks, tmp_path):
     q2 = jobs.run_incremental_micro_batch(spark, src, target, state)
     q2.awaitTermination(120)
     assert spark.read.parquet(os.path.join(target, "events")).count() == ev.count()
+
+
+def test_conversion_sessions_stateful(spark, tmp_path):
+    """Custom gap-OR-purchase sessionizer: closed sessions across
+    TIME-ORDERED micro-batches must equal a Python reference run over
+    the full per-user ordered event log (sessions straddling batch
+    boundaries prove the cross-batch state)."""
+    import os
+
+    from etl_data_pipeline_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src = os.path.join(str(tmp_path), "ordered_src")
+    # four files split by TIME quartile so arrival order == event order
+    q = ev.selectExpr("percentile(unix_timestamp(ts), array(0.25, 0.5, 0.75)) p").first().p
+    chunks = [
+        ev.filter(F.unix_timestamp("ts") <= q[0]),
+        ev.filter((F.unix_timestamp("ts") > q[0]) & (F.unix_timestamp("ts") <= q[1])),
+        ev.filter((F.unix_timestamp("ts") > q[1]) & (F.unix_timestamp("ts") <= q[2])),
+        ev.filter(F.unix_timestamp("ts") > q[2]),
+    ]
+    for i, c in enumerate(chunks):
+        c.coalesce(1).write.mode("append").parquet(src)
+
+    stream = jobs.events_file_stream(spark, src, max_files_per_trigger=1)
+    got = _run_to_memory(
+        spark, jobs.conversion_sessions(stream, gap_secs=1800), "t_conv_sessions"
+    )
+    got_set = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.ended_by)
+        for r in got.collect()
+    }
+
+    # Python reference over the fully-ordered log
+    expected = set()
+    rows = sorted(
+        ev.collect(), key=lambda r: (r.user_id, r.ts, r.event_id)
+    )
+    from itertools import groupby
+
+    for uid, it in groupby(rows, key=lambda r: r.user_id):
+        start = last = None
+        n = 0
+        for r in it:
+            if start is not None and (r.ts - last).total_seconds() > 1800:
+                expected.add((uid, str(start), str(last), n, "gap"))
+                start = None
+            if start is None:
+                start, n = r.ts, 0
+            last = r.ts
+            n += 1
+            if r.event_type == "purchase":
+                expected.add((uid, str(start), str(r.ts), n, "purchase"))
+                start, n = None, 0
+        # trailing open session is never emitted — state holds it
+    assert got_set == expected
+    assert any(e[4] == "purchase" for e in expected)
+    assert any(e[4] == "gap" for e in expected)
