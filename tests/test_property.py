@@ -261,3 +261,64 @@ def test_scd2_matches_reference_state_machine(spark, batches):
         }
         assert cur == ref_current
         assert hist == set(ref_history)
+
+
+@st.composite
+def asof_frames(draw):
+    """Small random left/right frames over a few keys; right rows are
+    unique per (by, on) — the operator's documented precondition."""
+    keys = [1, 2]
+    left = draw(
+        st.lists(
+            st.tuples(st.sampled_from(keys), st.integers(0, 30)),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    right_pairs = draw(
+        st.lists(
+            st.tuples(st.sampled_from(keys), st.integers(0, 30)),
+            min_size=1,
+            max_size=8,
+            unique=True,
+        )
+    )
+    right = [
+        (k, t, draw(st.sampled_from([1.5, 2.5, None]))) for k, t in right_pairs
+    ]
+    return left, right
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(frames=asof_frames())
+def test_asof_join_matches_pandas_merge_asof(spark, frames):
+    """asof_join == pandas merge_asof (backward, inclusive) for ANY
+    input — including NULLs in the matched row's value column, which
+    must be carried, not back-filled."""
+    import pandas as pd
+
+    from etl_data_pipeline_spark.operators.asof import asof_join
+
+    left_rows, right_rows = frames
+    left = spark.createDataFrame(left_rows, "by long, ts long")
+    right = spark.createDataFrame(right_rows, "by long, ts long, score double")
+    got = {
+        (r.by, r.ts, r.score)
+        for r in asof_join(left, right, on="ts", by="by", value_cols=["score"]).collect()
+    }
+    lp = pd.DataFrame(left_rows, columns=["by", "ts"]).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(right_rows, columns=["by", "ts", "score"]).sort_values(
+        "ts", kind="stable"
+    )
+    exp_df = pd.merge_asof(lp, rp, on="ts", by="by", direction="backward")
+    expected = {
+        (int(r.by), int(r.ts), None if pd.isna(r.score) else float(r.score))
+        for r in exp_df.itertuples()
+    }
+    # normalize: Spark rows use None for NULL doubles too
+    got = {(b, t, None if s is None else float(s)) for b, t, s in got}
+    assert got == expected
