@@ -388,34 +388,64 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions and the top-token share per document, plus the filter
     verdict at the documented threshold.
 
-    Map-only per-row array arithmetic (size/array_distinct/filter) —
-    no shuffle, no Python. The top-token share is O(|distinct|·|toks|)
-    per doc, bounded by document length; at 100 TB this is the same
-    embarrassingly parallel scan shape as text_quality.
+    Map-only per-row array arithmetic — no shuffle, no Python. The
+    top-token count is a LINEAR fold: sort the tokens, then one
+    aggregate() pass tracking the longest run of equal neighbors
+    (state = (prev, run, best)). The naive form — count each distinct
+    token with a nested filter — is O(|distinct|·|toks|) per row and
+    measured 6× slower at sf0.1 (31 s vs 5 s); at 100 TB a per-row
+    quadratic term is the difference between a scan and a stall. The
+    oracle keeps the naive formulation (DuckDB list ops at gate scale)
+    — different algorithm, identical value.
     """
-    toks = _tokens()
-    g2, g3 = _ngrams_all(2), _ngrams_all(3)
-    docs = load_table(spark, sf_dir, "documents")
-    dup_frac = lambda g: F.when(
-        F.size(g) > 0,
-        (F.size(g) - F.size(F.array_distinct(g))) / F.size(g),
+    # spread(): one small parquet split would otherwise put this
+    # CPU-bound string work on a single core (measured 30 s -> ~2 s).
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    run_state = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def _run_merge(acc, x):
+        new_run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc.best, new_run).alias("best"),
+        )
+
+    top_count = F.aggregate(
+        F.array_sort(_tokens()), run_state, _run_merge, lambda acc: acc.best
+    )
+    # stage 1 materializes each n-gram stat ONCE; computing the final
+    # metrics directly would re-evaluate the n-gram construction per
+    # reference (3x per fraction — CollapseProject keeps the split
+    # because these aliases are non-cheap and multiply-referenced).
+    staged = docs.select(
+        "doc_id",
+        F.size(_tokens()).alias("n_toks"),
+        F.size(_ngrams_all(2)).alias("n_g2"),
+        F.size(F.array_distinct(_ngrams_all(2))).alias("n_g2_distinct"),
+        F.size(_ngrams_all(3)).alias("n_g3"),
+        F.size(F.array_distinct(_ngrams_all(3))).alias("n_g3_distinct"),
+        top_count.alias("top_count"),
+    )
+    d2 = F.when(
+        F.col("n_g2") > 0,
+        (F.col("n_g2") - F.col("n_g2_distinct")) / F.col("n_g2"),
+    ).otherwise(F.lit(0.0))
+    d3 = F.when(
+        F.col("n_g3") > 0,
+        (F.col("n_g3") - F.col("n_g3_distinct")) / F.col("n_g3"),
     ).otherwise(F.lit(0.0))
     top_share = F.when(
-        F.size(toks) > 0,
-        F.array_max(
-            F.transform(
-                F.array_distinct(toks),
-                lambda t: F.size(F.filter(toks, lambda x: x == t)),
-            )
-        )
-        / F.size(toks),
+        F.col("n_toks") > 0, F.col("top_count") / F.col("n_toks")
     ).otherwise(F.lit(0.0))
-    return docs.select(
+    return staged.select(
         "doc_id",
-        hround(dup_frac(g2), 6).alias("dup_2gram_frac"),
-        hround(dup_frac(g3), 6).alias("dup_3gram_frac"),
+        hround(d2, 6).alias("dup_2gram_frac"),
+        hround(d3, 6).alias("dup_3gram_frac"),
         hround(top_share, 6).alias("top_token_share"),
-        (hround(dup_frac(g3), 6) > REPETITION_DUP3_MAX).alias("is_repetitive"),
+        (hround(d3, 6) > REPETITION_DUP3_MAX).alias("is_repetitive"),
     )
 
 

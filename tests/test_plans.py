@@ -207,15 +207,21 @@ def test_contamination_broadcasts_eval_side(spark, sf_dir):
 
 
 def test_pii_and_repetition_are_map_only(spark, sf_dir):
-    """Per-doc quality/scrub transforms: one scan, zero exchanges,
-    zero Python."""
+    """Per-doc quality/scrub transforms: zero Python; PII is pure scan
+    (no exchange at all), repetition's ONLY exchange is the explicit
+    spread() round-robin (CPU fan-out, not a key shuffle)."""
     from etl_data_pipeline_spark.llm import text_analysis as ta
 
-    for fn in (ta.text_pii_scrub, ta.text_repetition):
-        plan = _plan(fn(spark, sf_dir))
-        assert "Exchange" not in plan, fn.__name__
+    plan = _plan(ta.text_pii_scrub(spark, sf_dir))
+    assert "Exchange" not in plan
+    rep_plan = _plan(ta.text_repetition(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in rep_plan  # no key shuffle
+    # one exchange NODE (formatted plans print each node twice:
+    # tree line "+- Exchange (n)" and detail line "(n) Exchange")
+    assert rep_plan.count("Exchange (") == 1  # the spread() fan-out only
+    for p in (plan, rep_plan):
         for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
-            assert py_node not in plan, fn.__name__
+            assert py_node not in p
 
 
 def test_decode_header_is_jvm_only(spark, sf_dir):
