@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from etl_data_pipeline_spark.functions.rounding import hround
 from etl_data_pipeline_spark.llm import text_analysis
-from etl_data_pipeline_spark.session import load_table
+from etl_data_pipeline_spark.session import load_table, spread
 
 QUALITY_MIN = 0.5
 
@@ -167,16 +167,151 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL modern pretraining filter chain in one pipeline:
+
+        quality ≥ 0.5 AND lang identified      (heuristic quality)
+        AND NOT repetitive (dup-3gram ≤ 0.3)   (Gopher repetition rule)
+        AND no PII detected                     (redaction gate)
+        AND not benchmark-contaminated          (5-gram eval overlap)
+        AND exact-dedup canonical               (content digest)
+
+    Composition stays scale-shaped: every per-doc signal (quality,
+    lang, repetition, PII, digest) is ONE projection over ONE corpus
+    scan; contamination is an anti-join against the tiny
+    (broadcast-built) contaminated-id set; dedup is the digest
+    row_number. Each stage is an already-oracle-checked operator, so
+    the composed oracle is the same CTE composition.
+    """
+    from etl_data_pipeline_spark.llm.text_analysis import (
+        CONTAM_EVAL_MOD,
+        CONTAM_NGRAM,
+        REPETITION_DUP3_MAX,
+        _ngrams,
+        _ngrams_all,
+        pii_scrub_cols,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    q = text_analysis.quality_cols()
+    pii = pii_scrub_cols()
+    g3 = _ngrams_all(3)
+    d3 = F.when(
+        F.size(g3) > 0,
+        (F.size(g3) - F.size(F.array_distinct(g3))) / F.size(g3),
+    ).otherwise(F.lit(0.0))
+    scored = docs.select(
+        "doc_id",
+        text_analysis.lang_guess_col().alias("lang_guess"),
+        q["n_tokens"].alias("n_tokens"),
+        hround(q["quality_score"], 6).alias("quality_score"),
+        hround(d3, 6).alias("dup_3gram_frac"),
+        (pii["n_emails"] + pii["n_phones"] + pii["n_ips"] > 0).alias("has_pii"),
+        F.md5("text").alias("content_md5"),
+    )
+    # contaminated training docs: share any 5-gram with the eval sample
+    sh = docs.select("doc_id", F.explode(_ngrams(CONTAM_NGRAM)).alias("ngram"))
+    eval_sh = sh.filter(F.col("doc_id") % CONTAM_EVAL_MOD == 0).select("ngram")
+    contaminated = (
+        sh.filter(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
+        .join(F.broadcast(eval_sh.distinct()), "ngram")
+        .select("doc_id")
+        .distinct()
+    )
+    kept = (
+        scored.filter(
+            (F.col("quality_score") >= QUALITY_MIN)
+            & (F.col("lang_guess") != "unknown")
+            & (F.col("dup_3gram_frac") <= REPETITION_DUP3_MAX)
+            & (~F.col("has_pii"))
+            # the eval sample itself never enters the training corpus
+            & (F.col("doc_id") % CONTAM_EVAL_MOD != 0)
+        )
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    w = Window.partitionBy("content_md5").orderBy(F.asc("doc_id"))
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang_guess", "n_tokens", "quality_score", "dup_3gram_frac")
+    )
+
+
 QUERIES = {
+    "pipeline_corpus_curation_v2": pipeline_corpus_curation_v2,
     "corpus_mix_weights": corpus_mix_weights,
     "corpus_split": corpus_split,
     "corpus_pack_sequences": corpus_pack_sequences,
     "pipeline_corpus_curation": pipeline_corpus_curation,
 }
 
+def _oracle_curation_v2() -> str:
+    from etl_data_pipeline_spark.llm.text_analysis import (
+        CONTAM_EVAL_MOD,
+        CONTAM_NGRAM,
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+        REPETITION_DUP3_MAX,
+        _sql_ngrams,
+        _sql_ngrams_all,
+    )
+
+    return f"""
+        WITH lang AS ({text_analysis.ORACLE["text_lang_id"]}),
+        qual AS ({text_analysis.ORACLE["text_quality"]}),
+        rep AS (
+            SELECT doc_id,
+                   CASE WHEN len(g3) > 0 THEN
+                       floor((CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+                              / len(g3)) * 1000000 + 0.5) / 1000000
+                   ELSE 0.0 END AS dup_3gram_frac
+            FROM (SELECT doc_id, {_sql_ngrams_all(3)} AS g3 FROM documents)
+        ), pii AS (
+            SELECT doc_id,
+                   (len(regexp_extract_all(text, '{PII_EMAIL}'))
+                    + len(regexp_extract_all(text, '{PII_PHONE}'))
+                    + len(regexp_extract_all(text, '{PII_IPV4}'))) > 0 AS has_pii
+            FROM documents
+        ), fp AS (
+            SELECT doc_id, md5(text) AS content_md5 FROM documents
+        ), sh AS (
+            SELECT doc_id, unnest({_sql_ngrams(CONTAM_NGRAM)}) AS ngram
+            FROM documents
+        ), contaminated AS (
+            SELECT DISTINCT t.doc_id
+            FROM (SELECT doc_id, ngram FROM sh
+                  WHERE doc_id % {CONTAM_EVAL_MOD} <> 0) t
+            JOIN (SELECT DISTINCT ngram FROM sh
+                  WHERE doc_id % {CONTAM_EVAL_MOD} = 0) e USING (ngram)
+        ), kept AS (
+            SELECT lang.doc_id, lang.lang_guess, qual.n_tokens,
+                   qual.quality_score, rep.dup_3gram_frac, fp.content_md5
+            FROM lang
+            JOIN qual ON lang.doc_id = qual.doc_id
+            JOIN rep ON lang.doc_id = rep.doc_id
+            JOIN pii ON lang.doc_id = pii.doc_id
+            JOIN fp ON lang.doc_id = fp.doc_id
+            WHERE qual.quality_score >= {QUALITY_MIN}
+              AND lang.lang_guess <> 'unknown'
+              AND rep.dup_3gram_frac <= {REPETITION_DUP3_MAX}
+              AND NOT pii.has_pii
+              AND lang.doc_id % {CONTAM_EVAL_MOD} <> 0
+              AND lang.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY content_md5
+                          ORDER BY doc_id ASC) AS rn
+            FROM kept
+        )
+        SELECT doc_id, lang_guess, n_tokens, quality_score, dup_3gram_frac
+        FROM ranked WHERE rn = 1
+    """
+
+
 # The oracle is the SAME composition of the per-stage oracles —
 # each stage's SQL is reused verbatim as a subquery.
 ORACLE = {
+    "pipeline_corpus_curation_v2": _oracle_curation_v2(),
     "corpus_split": f"""
         WITH b AS (
             SELECT doc_id,

@@ -80,6 +80,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "corpus_pack_sequences",
         "cdc_compact_latest",
         "events_conversion_sessions",
+        "pipeline_corpus_curation_v2",
     ]
     ordered = {name: queries[name] for name in hoist if name in queries}
     ordered.update(queries)
