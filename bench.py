@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "text_pii_scrub",
     "corpus_pack_sequences",
     "multimodal_decode_header",
+    "pipeline_corpus_curation_v2",
 ]
 
 
