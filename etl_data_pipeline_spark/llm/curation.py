@@ -342,13 +342,14 @@ ORACLE = {
         SELECT doc_id, lang, source, n_tokens,
                CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE)
                           / {CTX_TOKENS}) AS BIGINT) AS seq_id,
-               (cum_tokens - n_tokens) % {CTX_TOKENS} AS seq_offset
+               CAST((cum_tokens - n_tokens) % {CTX_TOKENS} AS BIGINT) AS seq_offset
         FROM t
     """,
     "corpus_mix_weights": f"""
         WITH stats AS (
             SELECT lang, source, count(*) AS n_docs,
-                   sum(len(string_split(text, ' '))) AS domain_tokens
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS domain_tokens
             FROM documents GROUP BY lang, source
         ), totals AS (
             SELECT sum(domain_tokens) AS total_tokens, count(*) AS n_domains

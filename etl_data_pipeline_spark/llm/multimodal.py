@@ -13,9 +13,11 @@ Two decode paths:
    frame sampling) are hash-checked end-to-end.
 2. ``multimodal_decode_stub`` — the Arrow-batched mapInPandas shape a
    real image decoder (PIL/librosa) plugs into; the container has no
-   imaging libraries, so the decode body is a clearly-marked
-   deterministic fake behind an import-try. This keeps the Python
-   batch plumbing (schema, batching, partition behavior) exercised.
+   imaging libraries, so the decode stops at the container header,
+   parsed vectorized in pandas with the SAME semantics as path 1
+   (invalid magic -> NULL fields). This keeps the Python batch
+   plumbing (schema, batching, partition behavior) exercised AND
+   hash-checked against the same DuckDB oracle as the JVM parse.
 
 At 100 TB: binary payloads stay columnar in parquet; header-only
 analytics read 15 bytes per row JVM-side (path 1); full decodes run as
@@ -26,9 +28,6 @@ executor memory; metadata-only queries never touch the payload column
 """
 
 from __future__ import annotations
-
-import hashlib
-from typing import Iterator
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -121,53 +120,43 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _decode_batch(batch_iter):
-    """mapInPandas worker: decode opaque payloads into typed metadata.
+    """mapInPandas worker: decode SMF1 payloads into typed metadata.
 
-    REAL DECODE IS STUBBED: no imaging libraries in this container.
-    The import-try below is the integration point; the deterministic
-    fake derives plausible dimensions from the content digest so the
-    pipeline shape (schema, batching, partition behavior) is fully
-    exercised and reproducible.
+    A real pixel/sample decoder (PIL / librosa / av) plugs in right
+    after the header parse — `payload[SMF_HEADER_LEN:]` is the media
+    body. The container ships no imaging libraries, so decode stops at
+    the header: parsed VECTORIZED in pandas (no per-row Python), with
+    the same semantics as the JVM path (invalid magic -> NULL fields,
+    never exceptions — bad bytes are data, not errors, at 100 TB).
     """
     import pandas as pd
 
-    try:  # pragma: no cover - library absent in this environment
-        import PIL.Image  # noqa: F401
-
-        have_pil = True
-    except ImportError:
-        have_pil = False
-
     for pdf in batch_iter:
-        rows = []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            if have_pil:
-                # Integration point for a real decoder:
-                # img = PIL.Image.open(io.BytesIO(payload)); ...
-                raise NotImplementedError(
-                    "real image decode not wired; container lacks test images"
-                )
-            digest = hashlib.md5(payload).digest()
-            rows.append(
-                {
-                    "doc_id": doc_id,
-                    "byte_len": len(payload),
-                    "format": ("png", "jpeg", "webp")[digest[0] % 3],
-                    "width": 64 + digest[1] % 192,
-                    "height": 64 + digest[2] % 192,
-                    "n_frames": 1 + digest[3] % 4,
-                    "decoder": "stub-md5",
-                }
-            )
-        yield pd.DataFrame(rows)
+        payload = pdf["payload"]
+        hdr = payload.str[:SMF_HEADER_LEN].str.decode("ascii", errors="replace")
+        valid = hdr.str[:4] == SMF_MAGIC
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "byte_len": payload.str.len().astype("int32"),
+                "format": hdr.str[4].map({"p": "png", "j": "jpeg", "w": "webp"}).where(
+                    valid
+                ),
+                "width": pd.to_numeric(hdr.str[5:9], errors="coerce").where(valid),
+                "height": pd.to_numeric(hdr.str[9:13], errors="coerce").where(valid),
+                "n_frames": pd.to_numeric(hdr.str[13:15], errors="coerce").where(valid),
+                "decoder": "arrow-python",
+            }
+        )
 
 
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode/feature-extract pipeline over binary payloads via
-    mapInPandas (Arrow-batched). Deterministic fake decoder — see
-    _decode_batch. Rows-only check (decoder is engine-specific)."""
-    docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    """Decode pipeline over binary payloads via mapInPandas
+    (Arrow-batched) — the slot a real image/audio decoder occupies.
+    Header fields are parsed in Python (see _decode_batch) and
+    hash-checked against the same DuckDB oracle as the JVM parse, so
+    the Arrow plumbing itself is correctness-gated."""
+    payloads = _packed_payloads(load_table(spark, sf_dir, "documents"))
     return payloads.mapInPandas(_decode_batch, DECODED_SCHEMA)
 
 
@@ -290,5 +279,11 @@ ORACLE = {
         FROM (SELECT doc_id, n_frames,
                      unnest(range(0, n_frames, 2)) AS frame_idx
               FROM decoded)
+    """,
+    "multimodal_decode_stub": f"""
+        WITH {_SMF_DECODE_CTE}
+        SELECT doc_id, byte_len, format, width, height, n_frames,
+               'arrow-python' AS decoder
+        FROM decoded
     """,
 }

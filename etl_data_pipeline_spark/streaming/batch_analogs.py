@@ -270,12 +270,12 @@ ORACLE = {
         )
         SELECT event_id, user_id,
                strftime(ts, '{_DFMT}') AS ts_str,
-               sum(CASE WHEN prev_us IS NULL
-                         OR epoch_us(ts) - prev_us > {SESSION_GAP_US}
-                        THEN 1 ELSE 0 END) OVER
+               CAST(sum(CASE WHEN prev_us IS NULL
+                             OR epoch_us(ts) - prev_us > {SESSION_GAP_US}
+                            THEN 1 ELSE 0 END) OVER
                    (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS session_seq
+                    AS BIGINT) AS session_seq
         FROM lagged
     """,
     "stream_tumbling": f"""

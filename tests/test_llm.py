@@ -79,9 +79,10 @@ def test_sim_topk_shape_and_order(spark, sf_dir):
 
 
 def test_decode_header_matches_python_derivation(spark, sf_dir):
-    """SMF1 pack → JVM byte-parse round trip: the header fields parsed
-    back out of the payload bytes must equal the stub decoder's
-    independent Python (hashlib) derivation of the same md5 bytes."""
+    """SMF1 pack → parse round trip, cross-engine: the JVM byte-parse
+    (substring/cast codegen) and the Arrow-batched Python parse
+    (_decode_batch) must decode identical header fields from the same
+    payload bytes."""
     from etl_data_pipeline_spark.llm.multimodal import multimodal_decode_header
 
     hdr = multimodal_decode_header(spark, sf_dir).alias("h")
@@ -106,7 +107,7 @@ def test_decode_stub_deterministic(spark, sf_dir):
         assert r.byte_len > 0
         assert r.format in ("png", "jpeg", "webp")
         assert 64 <= r.width < 256 and 64 <= r.height < 256
-        assert r.decoder == "stub-md5"
+        assert r.decoder == "arrow-python"
 
 
 def _write_docs(spark, tmp, rows):

@@ -6,6 +6,13 @@ order-insensitive value comparison (sorted by all columns, values
 normalized to strings). Use while iterating; the driver runs its own
 version per-round.
 
+Dtype fidelity: both sides are materialized through pandas (Spark
+``toPandas()``, DuckDB ``.df()``) — the same path the driver uses —
+so DuckDB's HUGEINT->float64 conversion is visible here instead of
+being masked. Numeric cells are tagged by kind (``i:``/``f:``): an
+oracle that yields float64 123.0 against Spark's int64 123 FAILS,
+exactly as the driver's exact hash does.
+
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
@@ -17,6 +24,8 @@ import sys
 import time
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -28,23 +37,34 @@ TABLES = (
 def norm_cell(v) -> str:
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # round-trip repr at 12 significant digits to absorb fp noise
-        return f"{v:.12g}"
+    if isinstance(v, (bool, np.bool_)):  # bool before int: bool is an int subclass
+        return f"b:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "NULL"  # pandas uses NaN for missing; fold to NULL like the driver
+        # round-trip repr at 12 significant digits to absorb fp noise —
+        # but keep the f: tag so 123.0 never equals int 123
+        return f"f:{f:.12g}"
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if v is pd.NaT:
+        return "NULL"
     return str(v)
 
 
-def norm_rows(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in idx) for r in rows]
+def norm_frame(df: pd.DataFrame):
+    cols = sorted(df.columns)
+    out = [
+        tuple(norm_cell(row[c]) for c in cols)
+        for row in df.to_dict("records")
+    ]
     out.sort()
-    return [c for c in sorted(cols)], out
+    return cols, out
 
 
 def main() -> int:
@@ -69,26 +89,25 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as e:
             failed.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in oracles:
             rows_only.append(name)
-            print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(
+                f"ROWS  {name}: {len(spdf)} rows (no oracle) [{time.time()-t0:.1f}s]"
+            )
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(oracles[name]).df()
         except Exception as e:
             failed.append((name, f"ORACLE ERROR: {e}"))
             print(f"FAIL  {name}: oracle error: {e}")
             continue
-        sc, sr = norm_rows(scols, srows)
-        dc, dr = norm_rows(dcols, drows)
+        sc, sr = norm_frame(spdf)
+        dc, dr = norm_frame(dpdf)
         if sc != dc:
             failed.append((name, f"columns differ: spark={sc} duck={dc}"))
             print(f"FAIL  {name}: columns spark={sc} vs duck={dc}")
@@ -97,8 +116,12 @@ def main() -> int:
             print(f"FAIL  {name}: rowcount spark={len(sr)} duck={len(dr)}")
         elif sr != dr:
             diff = next(i for i, (a, b) in enumerate(zip(sr, dr)) if a != b)
-            failed.append((name, f"values differ at sorted row {diff}: {sr[diff]} vs {dr[diff]}"))
-            print(f"FAIL  {name}: first diff row {diff}:\n  spark={sr[diff]}\n  duck ={dr[diff]}")
+            failed.append(
+                (name, f"values differ at sorted row {diff}: {sr[diff]} vs {dr[diff]}")
+            )
+            print(
+                f"FAIL  {name}: first diff row {diff}:\n  spark={sr[diff]}\n  duck ={dr[diff]}"
+            )
         else:
             passed.append(name)
             print(f"PASS  {name}: {len(sr)} rows [{time.time()-t0:.1f}s]")
