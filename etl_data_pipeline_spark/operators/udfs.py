@@ -9,8 +9,10 @@ Demonstrates the three Python-extension tiers and their cost model:
   ~10-100x faster than row-at-a-time; the right tool when NumPy/pandas
   logic is genuinely needed.
 - ``udaf_grouped``: groupBy().applyInPandas — grouped-map over Arrow
-  batches; the building block for custom per-group algorithms
-  (used again by llm/similarity.py).
+  batches; the building block for custom per-group algorithms (used
+  again by llm/similarity.py). Computes a per-group OLS fit plus its
+  residuals — a fit-then-apply shape one built-in aggregation pass
+  cannot express.
 
 At 100 TB: keep UDFs off the hot path entirely where possible; when
 unavoidable, pandas UDFs only, with enough partitions that each Arrow
@@ -65,27 +67,57 @@ def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cust_order_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+_TREND_COLS = ["o_custkey", "n_orders", "slope", "intercept", "max_abs_resid"]
+
+
+def _cust_price_trend(key, pdf):
+    (custkey,) = key
+    x = pdf["xd"].to_numpy(dtype=np.float64)
+    y = pdf["y"].to_numpy(dtype=np.float64)
+    if len(pdf) < 3 or np.unique(x).size < 2:
+        return pd.DataFrame(columns=_TREND_COLS)
+    xb, yb = x.mean(), y.mean()
+    xc = x - xb
+    slope = float((xc * (y - yb)).sum() / (xc * xc).sum())
+    intercept = yb - slope * xb
+    max_resid = float(np.abs(y - (intercept + slope * x)).max())
+    r4 = lambda v: np.floor(v * 1e4 + 0.5) / 1e4  # round-half-up, both engines
     return pd.DataFrame(
         {
-            "o_custkey": [pdf["o_custkey"].iloc[0]],
-            "order_cnt": [len(pdf)],
-            "total_spent": [np.floor(pdf["o_totalprice"].sum() * 100 + 0.5) / 100],
-            "max_order": [np.floor(pdf["o_totalprice"].max() * 100 + 0.5) / 100],
+            "o_custkey": [custkey],
+            "n_orders": [len(pdf)],
+            "slope": [r4(slope)],
+            "intercept": [r4(intercept)],
+            "max_abs_resid": [r4(max_resid)],
         }
     )
 
 
 def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map applyInPandas: per-customer stats.
+    """Grouped-map applyInPandas: per-customer OLS spending trend
+    (slope/intercept of totalprice over order date) AND the max
+    absolute residual of that fit.
 
-    (Expressible as groupBy().agg() — done this way deliberately to
-    exercise the grouped-map path; the oracle proves equivalence.)
+    This is the grouped-map surface doing work built-in aggregates
+    can't do in one pass: the residual needs the group's fitted
+    parameters applied back to every row of the same group —
+    fit-then-apply inside one Arrow batch, no second shuffle. (A pure
+    SQL engine needs an agg + a rejoin of the fit onto the rows; see
+    the oracle.) Groups with <3 orders or a single distinct date are
+    dropped (fit undefined).
     """
     o = load_table(spark, sf_dir, "orders")
-    return o.select("o_custkey", "o_totalprice").groupBy("o_custkey").applyInPandas(
-        _cust_order_stats,
-        "o_custkey long, order_cnt long, total_spent double, max_order double",
+    pts = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("xd"),
+        F.col("o_totalprice").alias("y"),
+    )
+    return pts.groupBy("o_custkey").applyInPandas(
+        _cust_price_trend,
+        "o_custkey long, n_orders long, slope double, intercept double,"
+        " max_abs_resid double",
     )
 
 
@@ -110,11 +142,27 @@ ORACLE = {
         FROM lineitem
     """,
     "udaf_grouped": """
-        SELECT o_custkey,
-               count(*) AS order_cnt,
-               floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total_spent,
-               floor((max(o_totalprice)) * 100 + 0.5) / 100 AS max_order
-        FROM orders
-        GROUP BY o_custkey
+        WITH pts AS (
+            SELECT o_custkey,
+                   datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS xd,
+                   o_totalprice AS y
+            FROM orders
+        ), fit AS (
+            SELECT o_custkey,
+                   count(*) AS n_orders,
+                   regr_slope(y, xd) AS slope,
+                   regr_intercept(y, xd) AS intercept
+            FROM pts
+            GROUP BY o_custkey
+            HAVING count(*) >= 3 AND var_pop(xd) > 0
+        )
+        SELECT f.o_custkey,
+               f.n_orders,
+               floor(f.slope * 1e4 + 0.5) / 1e4 AS slope,
+               floor(f.intercept * 1e4 + 0.5) / 1e4 AS intercept,
+               floor(max(abs(p.y - (f.intercept + f.slope * p.xd))) * 1e4 + 0.5) / 1e4
+                   AS max_abs_resid
+        FROM fit f JOIN pts p USING (o_custkey)
+        GROUP BY f.o_custkey, f.n_orders, f.slope, f.intercept
     """,
 }

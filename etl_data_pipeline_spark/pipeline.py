@@ -80,15 +80,24 @@ class IncrementalPipeline:
         scan would be written with keys ABOVE the recorded watermark
         and re-read next run — duplicates on non-idempotent sinks. The
         reference never had this window only because it fetched rows
-        once into memory; we pin one snapshot with persist() so all
-        three actions read the same materialized batch.
+        once into memory; we pin one TRUE snapshot with
+        localCheckpoint(): unlike persist() (best-effort — eviction or
+        executor loss silently recomputes partitions from the live
+        source, reopening the window), a checkpoint cuts lineage, so a
+        lost block FAILS the run instead of silently re-reading — and
+        a failed run never advances the watermark, which is the safe
+        side. For batches too large for executor storage, stage to a
+        temp parquet and re-read instead (same guarantee, disk cost).
         """
         raw = self.store.get(t.name)
         wm_value = parse_watermark(raw, t.watermark_type) if t.is_incremental else None
         df = read_source(self.spark, t.source_format, t.name, dict(t.source_options))
         if t.expected_schema:
             df = validate_schema(df, t.expected_schema, allow_extra=True)
-        df = apply_watermark(df, t.watermark_column, wm_value).persist()
+        # Eager local checkpoint: materializes the batch once and cuts
+        # lineage — every action below reads these blocks, never the
+        # live source. (Blocks are freed when the RDD is GC'd.)
+        df = apply_watermark(df, t.watermark_column, wm_value).localCheckpoint()
         try:
             # Empty-gate without a full count: limit(1) touches at most
             # one partition at 100 TB, unlike the reference's len(data)
@@ -114,7 +123,9 @@ class IncrementalPipeline:
                 self.store.set(t.name, new_wm)  # only after successful load
             return TableRunResult(t.name, "loaded", new_watermark=new_wm)
         finally:
-            df.unpersist()
+            # Checkpoint blocks have no explicit release API; dropping
+            # the reference lets the ContextCleaner reclaim them.
+            del df
 
     # -- whole pipeline ----------------------------------------------
 

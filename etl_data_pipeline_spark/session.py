@@ -79,14 +79,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     into the scan (reference hand-builds its one pushdown as SQL text,
     util.py:148-161 — here it is free for every query).
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as long nanos
-    (``nanosAsLong``) and convert to TimestampType by exact integer
-    division (``DIV 1000`` — no double round-trip, which would lose
-    precision above 2^53 ns). The option is SCOPED to this read (the
-    schema is captured at analysis, so restoring immediately is safe):
-    left set session-wide it would silently turn TIMESTAMP(NANOS)
-    columns of any UNRELATED later parquet read into bigint.
+    ``events.ts`` has shipped in two physical spellings across harness
+    dataset generations, and both must land as session-TZ (UTC)
+    TimestampType so downstream expressions (``unix_micros``, window
+    RANGE frames) see ONE type:
+
+    - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it;
+      read as long nanos (``nanosAsLong``) and convert by exact
+      integer division (``DIV 1000`` — no double round-trip, which
+      would lose precision above 2^53 ns). The option is SCOPED to
+      this read (the schema is captured at analysis, so restoring
+      immediately is safe): left set session-wide it would silently
+      turn TIMESTAMP(NANOS) columns of any UNRELATED later parquet
+      read into bigint.
+    - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+      TIMESTAMP_NTZ, which ``unix_micros`` rejects; cast to TIMESTAMP
+      (bit-identical wall-clock values — the session TZ is pinned UTC
+      in get_spark, so the NTZ→TZ reinterpretation is the identity).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -101,8 +110,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         try:
             df = spark.read.parquet(path)
             # force analysis inside the scoped window
-            if dict(df.dtypes).get("ts") == "bigint":
+            ts_type = dict(df.dtypes).get("ts")
+            if ts_type == "bigint":
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            elif ts_type == "timestamp_ntz":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         finally:
             if prev is None:
                 spark.conf.unset(key)
