@@ -153,52 +153,54 @@ def test_foreach_batch_incremental_sink(spark, event_chunks, tmp_path):
     assert spark.read.parquet(os.path.join(target, "events")).count() == ev.count()
 
 
-def test_conversion_sessions_stateful(spark, tmp_path):
-    """Custom gap-OR-purchase sessionizer: closed sessions across
-    TIME-ORDERED micro-batches must equal a Python reference run over
-    the full per-user ordered event log (sessions straddling batch
-    boundaries prove the cross-batch state)."""
-    import os
-
-    from etl_data_pipeline_spark.session import load_table
-    from tests.conftest import SF_DIR
-
-    ev = load_table(spark, SF_DIR, "events").select(
-        "event_id", "ts", "user_id", "event_type"
-    )
-    src = os.path.join(str(tmp_path), "ordered_src")
-    # four files split by TIME quartile so arrival order == event order
-    q = ev.selectExpr("percentile(unix_timestamp(ts), array(0.25, 0.5, 0.75)) p").first().p
-    chunks = [
-        ev.filter(F.unix_timestamp("ts") <= q[0]),
-        ev.filter((F.unix_timestamp("ts") > q[0]) & (F.unix_timestamp("ts") <= q[1])),
-        ev.filter((F.unix_timestamp("ts") > q[1]) & (F.unix_timestamp("ts") <= q[2])),
-        ev.filter(F.unix_timestamp("ts") > q[2]),
+def _time_quartile_chunks(ev):
+    """Split events into 4 time-quartile DataFrames (arrival order ==
+    event-time order when replayed 0..3)."""
+    q = ev.selectExpr(
+        "percentile(unix_timestamp(ts), array(0.25, 0.5, 0.75)) p"
+    ).first().p
+    u = F.unix_timestamp("ts")
+    return [
+        ev.filter(u <= q[0]),
+        ev.filter((u > q[0]) & (u <= q[1])),
+        ev.filter((u > q[1]) & (u <= q[2])),
+        ev.filter(u > q[2]),
     ]
-    for i, c in enumerate(chunks):
-        c.coalesce(1).write.mode("append").parquet(src)
 
-    stream = jobs.events_file_stream(spark, src, max_files_per_trigger=1)
-    got = _run_to_memory(
-        spark, jobs.conversion_sessions(stream, gap_secs=1800), "t_conv_sessions"
-    )
-    got_set = {
-        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.ended_by)
-        for r in got.collect()
-    }
 
-    # Python reference over the fully-ordered log
-    expected = set()
-    rows = sorted(
-        ev.collect(), key=lambda r: (r.user_id, r.ts, r.event_id)
+def _write_stream_file(df, src_dir, seq):
+    """Write one micro-batch file with a CONTROLLED modification time:
+    the file stream source processes pending files oldest-mtime-first,
+    so setting mtimes is how a test dictates micro-batch arrival order
+    (including out-of-order-in-event-time replays)."""
+    import shutil
+
+    os.makedirs(src_dir, exist_ok=True)
+    stage = f"{src_dir}_stage{seq}"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(
+        p for p in os.listdir(stage) if p.startswith("part-") and p.endswith(".parquet")
     )
+    dst = os.path.join(src_dir, f"chunk-{seq:03d}.parquet")
+    shutil.copyfile(os.path.join(stage, part), dst)
+    t = 1_000_000_000 + seq * 100
+    os.utime(dst, (t, t))
+    shutil.rmtree(stage)
+
+
+def _conv_sessions_reference(rows, gap_secs=1800):
+    """Python reference for conversion_sessions over a per-user
+    time-ordered event log. Trailing open sessions are never emitted —
+    state holds them."""
     from itertools import groupby
 
+    expected = set()
+    rows = sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id))
     for uid, it in groupby(rows, key=lambda r: r.user_id):
         start = last = None
         n = 0
         for r in it:
-            if start is not None and (r.ts - last).total_seconds() > 1800:
+            if start is not None and (r.ts - last).total_seconds() > gap_secs:
                 expected.add((uid, str(start), str(last), n, "gap"))
                 start = None
             if start is None:
@@ -208,7 +210,157 @@ def test_conversion_sessions_stateful(spark, tmp_path):
             if r.event_type == "purchase":
                 expected.add((uid, str(start), str(r.ts), n, "purchase"))
                 start, n = None, 0
-        # trailing open session is never emitted — state holds it
+    return expected
+
+
+def test_conversion_sessions_stateful(spark, tmp_path):
+    """Custom gap-OR-purchase sessionizer: closed sessions across
+    TIME-ORDERED micro-batches must equal a Python reference run over
+    the full per-user ordered event log (sessions straddling batch
+    boundaries prove the cross-batch state)."""
+    from etl_data_pipeline_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src = os.path.join(str(tmp_path), "ordered_src")
+    for i, c in enumerate(_time_quartile_chunks(ev)):
+        _write_stream_file(c, src, i)
+
+    stream = jobs.events_file_stream(spark, src, max_files_per_trigger=1)
+    got = _run_to_memory(
+        spark, jobs.conversion_sessions(stream, gap_secs=1800), "t_conv_sessions"
+    )
+    got_set = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.ended_by)
+        for r in got.collect()
+    }
+    expected = _conv_sessions_reference(ev.collect())
     assert got_set == expected
     assert any(e[4] == "purchase" for e in expected)
     assert any(e[4] == "gap" for e in expected)
+
+
+def test_conversion_sessions_intra_batch_disorder(spark, tmp_path):
+    """conversion_sessions documents: cross-batch arrival must be
+    time-ordered, but WITHIN a micro-batch rows may arrive in any
+    order (the operator sorts each Arrow batch by ts). Scramble every
+    chunk internally and assert the output still equals the ordered
+    reference."""
+    from etl_data_pipeline_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src = os.path.join(str(tmp_path), "scrambled_src")
+    for i, c in enumerate(_time_quartile_chunks(ev)):
+        # deterministic intra-file scramble: order by a hash of the id
+        _write_stream_file(c.orderBy(F.xxhash64("event_id")), src, i)
+
+    stream = jobs.events_file_stream(spark, src, max_files_per_trigger=1)
+    got = _run_to_memory(
+        spark,
+        jobs.conversion_sessions(stream, gap_secs=1800),
+        "t_conv_scrambled",
+    )
+    got_set = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.ended_by)
+        for r in got.collect()
+    }
+    assert got_set == _conv_sessions_reference(ev.collect())
+
+
+def test_running_totals_reverse_time_replay(spark, tmp_path):
+    """running_user_totals has NO watermark, so an out-of-order replay
+    (time quartiles arriving LATEST-first) must still converge to the
+    exact per-user totals — nothing is ever dropped; emissions per
+    user stay monotonically non-decreasing across micro-batches."""
+    from etl_data_pipeline_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    src = os.path.join(str(tmp_path), "reversed_src")
+    for seq, c in enumerate(reversed(_time_quartile_chunks(ev))):
+        _write_stream_file(c, src, seq)
+
+    stream = jobs.events_file_stream(spark, src, max_files_per_trigger=1)
+    got = _run_to_memory(spark, jobs.running_user_totals(stream), "t_state_rev")
+    final = got.groupBy("user_id").agg(F.max("n_events").alias("n_events")).collect()
+    truth = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert {r.user_id: r.n_events for r in final} == truth
+    # >1 emission for some user proves cross-batch statefulness survived
+    # the disordered replay
+    assert got.count() > len(truth)
+
+
+def test_tumbling_watermark_drops_late_events(spark, tmp_path):
+    """Event-time watermark late-drop through a REAL out-of-order
+    micro-batch replay — the streaming twin of the batch analog
+    ``stream_watermark_late`` (only data newer than the watermark is
+    still mutable).
+
+    Deterministic synthetic timeline, 1 file per micro-batch, 1h
+    tumbling windows, 10-min watermark, append mode. NOTE the
+    one-batch lag (Spark 3.4+, SPARK-42376): late-record FILTERING
+    uses the previous batch's watermark while state EVICTION uses the
+    current one — so a drop is only guaranteed once the watermark
+    passed the window end a full batch before the late row arrives:
+
+    - batch0: 3 events in [10:00,11:00)   -> window 10:00 open, wm 0
+    - batch1: 12:00,12:10                 -> post-batch wm := 12:00
+    - batch2: 12:20                       -> eviction wm 12:00 ≥ 11:00:
+      window 10:00 FINALIZED, emitted n=3; post-batch wm := 12:10
+    - batch3 (late data): 10:30 — late-filter wm is batch2's 12:00 ≥
+      its window end 11:00 -> DROPPED (were it merged, the closed
+      window would re-emit: a duplicate); 12:15 — window [12:00,13:00)
+      end > wm -> accepted into open state
+    - batch4: 13:30                       -> post-batch wm := 13:20;
+      availableNow's trailing empty batch evicts window 12:00 with n=4
+      (12:00,12:10,12:20,12:15 — and NOT the dropped 10:30)
+
+    Window 13:00 stays open (wm never passes 14:00) and must NOT appear
+    in append output.
+    """
+    rows = {
+        0: ["10:00:00", "10:10:00", "10:20:00"],
+        1: ["12:00:00", "12:10:00"],
+        2: ["12:20:00"],
+        3: ["10:30:00", "12:15:00"],
+        4: ["13:30:00"],
+    }
+    src = os.path.join(str(tmp_path), "late_src")
+    eid = 0
+    for seq, times in rows.items():
+        data = []
+        for t in times:
+            data.append((eid, f"2024-03-01 {t}", 1, "view", 1.0, "{}"))
+            eid += 1
+        df = spark.createDataFrame(
+            data, "event_id long, ts_s string, user_id long, event_type string,"
+            " value double, props string"
+        ).select(
+            "event_id",
+            F.to_timestamp("ts_s").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        _write_stream_file(df, src, seq)
+
+    stream = jobs.events_file_stream(spark, src, max_files_per_trigger=1)
+    got = _run_to_memory(
+        spark, jobs.tumbling_counts(stream, watermark="10 minutes"), "t_late_drop"
+    )
+    emitted = {
+        str(r.window_start): r.n_events for r in got.collect()
+    }
+    assert emitted == {
+        "2024-03-01 10:00:00": 3,  # late 10:30 arrival NOT counted
+        "2024-03-01 12:00:00": 4,  # within-watermark 12:15 late row IS counted
+    }
