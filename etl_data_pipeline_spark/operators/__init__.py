@@ -31,6 +31,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         scalars,
         scans,
         setops,
+        subqueries,
         udfs,
         windows,
     )
@@ -50,7 +51,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # constraint the order is stable (dict insertion order).
     modules = [
         # -- families holding this round's hoisted entries --
-        batch_analogs, reshape, curation, text_analysis, multimodal,
+        subqueries, batch_analogs, reshape, curation, text_analysis, multimodal,
         # -- verified green in earlier rounds; cheap families first so
         #    the checked prefix stays fast --
         scalars, setops, windows, scans, aggregates, udfs,
@@ -79,6 +80,18 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "corpus_mix_weights",
         "corpus_pack_sequences",
         "events_sessionize",
+        # new round-3 family (decision-support subqueries) — no rows yet
+        "subq_exists_lateship",
+        "subq_not_exists_quiet_parts",
+        "subq_corr_scalar_avgqty",
+        "subq_in_heavy_orders",
+        "subq_nested_max_revenue",
+        "agg_promo_share",
+        "join_count_distribution",
+        # new round-3 grouped-map twin (few-big-groups applyInPandas)
+        "udaf_segment_trend",
+        # reimplemented round-3 (mapInPandas amortization) — re-verify
+        "udaf_grouped",
         # never driver-checked through round 2
         "stream_sliding",
         "stream_session",

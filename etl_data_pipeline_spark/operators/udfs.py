@@ -8,15 +8,28 @@ Demonstrates the three Python-extension tiers and their cost model:
 - ``udf_pandas``: vectorized pandas UDF — Arrow batch transfer,
   ~10-100x faster than row-at-a-time; the right tool when NumPy/pandas
   logic is genuinely needed.
-- ``udaf_grouped``: groupBy().applyInPandas — grouped-map over Arrow
-  batches; the building block for custom per-group algorithms (used
-  again by llm/similarity.py). Computes a per-group OLS fit plus its
-  residuals — a fit-then-apply shape one built-in aggregation pass
-  cannot express.
+- ``udaf_grouped`` / ``udaf_segment_trend``: the two grouped-map
+  regimes, same computation (per-group OLS fit + its residuals — a
+  fit-then-apply shape one built-in aggregation pass cannot express),
+  opposite cardinalities:
+
+  * MANY TINY groups (per-customer) → ``groupBy().applyInPandas`` is
+    the WRONG tool: one Python call + one Arrow round-trip per group
+    (~1 ms each; measured 17.9 s for 15k customer groups at sf0.1).
+    ``udaf_grouped`` instead repartitions by key and runs ONE
+    ``mapInPandas`` call per partition with a vectorized pandas
+    groupby inside — identical semantics, per-group overhead
+    amortized across the whole partition (measured ~20x faster).
+  * FEW BIG groups (per-market-segment) → ``applyInPandas`` is
+    exactly right: a handful of Python calls, each over a large Arrow
+    batch that NumPy chews vectorized. ``udaf_segment_trend`` is that
+    regime.
 
 At 100 TB: keep UDFs off the hot path entirely where possible; when
 unavoidable, pandas UDFs only, with enough partitions that each Arrow
-batch fits executor-python memory.
+batch fits executor-python memory. For grouped-map, pick the shape by
+group cardinality as above — the per-group dispatch overhead, not the
+math, is what dominates a million-group job.
 """
 
 from __future__ import annotations
@@ -67,64 +80,134 @@ def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TREND_COLS = ["o_custkey", "n_orders", "slope", "intercept", "max_abs_resid"]
+_TREND_SCHEMA = (
+    "grp long, n_orders long, slope double, intercept double, max_abs_resid double"
+)
 
 
-def _cust_price_trend(key, pdf):
-    (custkey,) = key
-    x = pdf["xd"].to_numpy(dtype=np.float64)
-    y = pdf["y"].to_numpy(dtype=np.float64)
-    if len(pdf) < 3 or np.unique(x).size < 2:
-        return pd.DataFrame(columns=_TREND_COLS)
-    xb, yb = x.mean(), y.mean()
-    xc = x - xb
-    slope = float((xc * (y - yb)).sum() / (xc * xc).sum())
-    intercept = yb - slope * xb
-    max_resid = float(np.abs(y - (intercept + slope * x)).max())
-    r4 = lambda v: np.floor(v * 1e4 + 0.5) / 1e4  # round-half-up, both engines
+def _r4(v):
+    return np.floor(v * 1e4 + 0.5) / 1e4  # round-half-up, same formula both engines
+
+
+def _trend_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized OLS fit + max |residual| for EVERY group in ``pdf``
+    at once (columns grp/xd/y): centered slope/intercept via groupby
+    moments, residuals via a fit-merge back onto the rows — zero
+    Python-level per-group loops. Groups with <3 rows or a single
+    distinct x are dropped (fit undefined)."""
+    g = pdf.groupby("grp", sort=False)
+    st = g.agg(
+        n_orders=("xd", "size"),
+        xm=("xd", "mean"),
+        ym=("y", "mean"),
+        ndx=("xd", "nunique"),
+    )
+    xc = pdf["xd"].to_numpy(np.float64) - g["xd"].transform("mean").to_numpy()
+    yc = pdf["y"].to_numpy(np.float64) - g["y"].transform("mean").to_numpy()
+    mom = (
+        pd.DataFrame({"grp": pdf["grp"], "xx": xc * xc, "xy": xc * yc})
+        .groupby("grp", sort=False)
+        .sum()
+    )
+    st = st.join(mom)
+    st = st[(st["n_orders"] >= 3) & (st["ndx"] >= 2)]
+    slope = (st["xy"] / st["xx"]).to_numpy()
+    intercept = st["ym"].to_numpy() - slope * st["xm"].to_numpy()
+    fit = pd.DataFrame(
+        {"grp": st.index.to_numpy(), "slope": slope, "intercept": intercept}
+    )
+    rows = pdf.merge(fit, on="grp", how="inner")
+    resid = np.abs(
+        rows["y"].to_numpy()
+        - (rows["intercept"].to_numpy() + rows["slope"].to_numpy() * rows["xd"].to_numpy())
+    )
+    mr = (
+        pd.DataFrame({"grp": rows["grp"], "r": resid})
+        .groupby("grp", sort=False)["r"]
+        .max()
+        .reindex(st.index)
+    )
     return pd.DataFrame(
         {
-            "o_custkey": [custkey],
-            "n_orders": [len(pdf)],
-            "slope": [r4(slope)],
-            "intercept": [r4(intercept)],
-            "max_abs_resid": [r4(max_resid)],
+            "grp": st.index.to_numpy(),
+            "n_orders": st["n_orders"].to_numpy(np.int64),
+            "slope": _r4(slope),
+            "intercept": _r4(intercept),
+            "max_abs_resid": _r4(mr.to_numpy()),
         }
     )
 
 
-def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map applyInPandas: per-customer OLS spending trend
-    (slope/intercept of totalprice over order date) AND the max
-    absolute residual of that fit.
-
-    This is the grouped-map surface doing work built-in aggregates
-    can't do in one pass: the residual needs the group's fitted
-    parameters applied back to every row of the same group —
-    fit-then-apply inside one Arrow batch, no second shuffle. (A pure
-    SQL engine needs an agg + a rejoin of the fit onto the rows; see
-    the oracle.) Groups with <3 orders or a single distinct date are
-    dropped (fit undefined).
-    """
+def _order_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    pts = o.select(
+    return o.select(
         "o_custkey",
         F.datediff(
             F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
         ).alias("xd"),
         F.col("o_totalprice").alias("y"),
     )
-    return pts.groupBy("o_custkey").applyInPandas(
-        _cust_price_trend,
-        "o_custkey long, n_orders long, slope double, intercept double,"
-        " max_abs_resid double",
+
+
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer OLS spending trend (slope/intercept of totalprice
+    over order date) AND the max absolute residual of that fit — the
+    fit-then-apply shape built-in aggregates can't do in one pass (a
+    pure SQL engine needs an agg + a rejoin; see the oracle).
+
+    MANY-TINY-GROUPS regime (one group per customer): implemented as
+    repartition-by-key + ONE ``mapInPandas`` call per partition with a
+    vectorized pandas groupby inside, NOT ``applyInPandas`` — the
+    per-group Python dispatch + Arrow round-trip of grouped-map
+    (~1 ms/group) made this query the registry's slowest entry
+    (17.9 s for 15k groups at sf0.1); amortizing it per-partition is
+    ~20x faster with identical semantics. The repartition guarantees a
+    group never SPANS partitions; within a partition it may span Arrow
+    batches, hence the concat. Partition count is the memory knob at
+    scale (each partition must fit pandas memory).
+    """
+
+    def per_partition(pdf_iter):
+        batches = [p for p in pdf_iter if len(p)]
+        if not batches:
+            return
+        pdf = pd.concat(batches, ignore_index=True) if len(batches) > 1 else batches[0]
+        yield _trend_frame(pdf)
+
+    pts = _order_points(spark, sf_dir).withColumnRenamed("o_custkey", "grp")
+    out = pts.repartition("grp").mapInPandas(per_partition, _TREND_SCHEMA)
+    return out.withColumnRenamed("grp", "o_custkey")
+
+
+def udaf_segment_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment OLS trend — the SAME computation as
+    udaf_grouped in the FEW-BIG-GROUPS regime (5 segments), where
+    ``groupBy().applyInPandas`` is exactly the right tool: a handful
+    of Python calls, each handed one large Arrow batch that the
+    vectorized fit chews through. Customer→segment is a broadcast dim
+    join; the grouped-map shuffle then moves each segment's rows to
+    one worker."""
+
+    def per_group(pdf):
+        return _trend_frame(pdf)  # grouping column arrives inside pdf
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    pts = (
+        _order_points(spark, sf_dir)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("c_mktsegment").alias("grp"), "xd", "y")
     )
+    out = pts.groupBy("grp").applyInPandas(
+        per_group, _TREND_SCHEMA.replace("grp long", "grp string")
+    )
+    return out.withColumnRenamed("grp", "c_mktsegment")
 
 
 QUERIES = {
     "udf_scalar": udf_scalar,
     "udf_pandas": udf_pandas,
     "udaf_grouped": udaf_grouped,
+    "udaf_segment_trend": udaf_segment_trend,
 }
 
 ORACLE = {
@@ -164,5 +247,29 @@ ORACLE = {
                    AS max_abs_resid
         FROM fit f JOIN pts p USING (o_custkey)
         GROUP BY f.o_custkey, f.n_orders, f.slope, f.intercept
+    """,
+    "udaf_segment_trend": """
+        WITH pts AS (
+            SELECT c.c_mktsegment,
+                   datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) AS xd,
+                   o.o_totalprice AS y
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ), fit AS (
+            SELECT c_mktsegment,
+                   count(*) AS n_orders,
+                   regr_slope(y, xd) AS slope,
+                   regr_intercept(y, xd) AS intercept
+            FROM pts
+            GROUP BY c_mktsegment
+            HAVING count(*) >= 3 AND var_pop(xd) > 0
+        )
+        SELECT f.c_mktsegment,
+               f.n_orders,
+               floor(f.slope * 1e4 + 0.5) / 1e4 AS slope,
+               floor(f.intercept * 1e4 + 0.5) / 1e4 AS intercept,
+               floor(max(abs(p.y - (f.intercept + f.slope * p.xd))) * 1e4 + 0.5) / 1e4
+                   AS max_abs_resid
+        FROM fit f JOIN pts p USING (c_mktsegment)
+        GROUP BY f.c_mktsegment, f.n_orders, f.slope, f.intercept
     """,
 }

@@ -1,14 +1,23 @@
 """Registry-wide timing sweep: run EVERY registered query end-to-end
-(noop sink) at a given SF and report the slow tail. This is the net
-that catches scale timebombs the curated bench set misses — round 2 it
+(noop sink) at a given SF and report the slow tail — plus, with
+``--passes N``, a per-query MEDIAN table usable as a regression floor
+(BASELINE.md carries the round-3 snapshot). This is the net that
+catches scale timebombs the curated bench set misses — round 2 it
 caught text_repetition running 30 s on a single core at sf0.1.
 
+Passes are interleaved (pass 1 runs all queries, then pass 2, ...) so
+a query's reps land minutes apart and the median absorbs first-run
+codegen warmup and transient host load; the cache is cleared after
+every query so persisted intermediates never flatter the next rep.
+
 Usage: python tools/sweep_timing.py [sf_dir] [threshold_secs]
+                                    [--passes N] [--table out.md]
 """
 
 from __future__ import annotations
 
 import os
+import statistics
 import sys
 import time
 
@@ -21,32 +30,62 @@ SKIP = {"dedup_levenshtein"}
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 8.0
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    threshold = float(args[1]) if len(args) > 1 else 8.0
+    passes = 1
+    table_out = None
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
+        if a == "--passes":
+            passes = int(argv[i + 1])
+        if a == "--table":
+            table_out = argv[i + 1]
 
     import __spark_entry__ as em
     from etl_data_pipeline_spark.session import get_spark
 
     spark = get_spark("sweep")
     spark.sparkContext.setLogLevel("ERROR")
-    slow, errors = [], []
-    for name, fn in em.queries().items():
-        if name in SKIP:
-            continue
-        t0 = time.time()
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            if dt > threshold:
-                slow.append((name, round(dt, 1)))
-        except Exception as e:  # sweep must report, not die
-            errors.append((name, str(e)[:160]))
-        spark.catalog.clearCache()
+    names = [n for n in em.queries() if n not in SKIP]
+    qs = em.queries()
+    times: dict[str, list[float]] = {n: [] for n in names}
+    errors: list[tuple[str, str]] = []
+    for p in range(passes):
+        for name in names:
+            t0 = time.time()
+            try:
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                times[name].append(time.time() - t0)
+            except Exception as e:  # sweep must report, not die
+                errors.append((name, str(e)[:160]))
+            spark.catalog.clearCache()
+        print(f"-- pass {p + 1}/{passes} done (load {os.getloadavg()[0]:.1f})")
+
+    med = {n: statistics.median(ts) for n, ts in times.items() if ts}
+    slow = [(n, round(t, 1)) for n, t in med.items() if t > threshold]
     for name, err in errors:
         print(f"ERROR {name}: {err}")
     for name, dt in sorted(slow, key=lambda x: -x[1]):
         print(f"SLOW  {name}: {dt}s")
-    print(f"== sweep done: {len(errors)} errors, {len(slow)} over {threshold}s ==")
+    print(
+        f"== sweep done: {len(errors)} errors, {len(slow)} over {threshold}s,"
+        f" total median {sum(med.values()):.1f}s for {len(med)} queries =="
+    )
+    if table_out:
+        rows = sorted(med.items(), key=lambda x: -x[1])
+        with open(table_out, "w") as f:
+            f.write("| query | median s | | query | median s |\n|---|---|---|---|---|\n")
+            half = (len(rows) + 1) // 2
+            for i in range(half):
+                left = f"{rows[i][0]} | {rows[i][1]:.2f}"
+                right = (
+                    f"{rows[i + half][0]} | {rows[i + half][1]:.2f}"
+                    if i + half < len(rows)
+                    else " | "
+                )
+                f.write(f"| {left} | {right} |\n")
+        print(f"wrote {table_out}")
     return 1 if errors else 0
 
 
