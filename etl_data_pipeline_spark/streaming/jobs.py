@@ -217,6 +217,136 @@ def conversion_sessions(stream: DataFrame, gap_secs: int = 1800) -> DataFrame:
     )
 
 
+def conversion_sessions_ooo(
+    stream: DataFrame, gap_secs: int = 1800, watermark: str = "10 minutes"
+) -> DataFrame:
+    """OUT-OF-ORDER-tolerant gap-OR-conversion sessionizer: the same
+    close-on-gap-or-purchase semantics as ``conversion_sessions``, but
+    correct under disordered arrival within the watermark horizon —
+    the reorder-buffer + event-time-timeout pattern its docstring
+    declares out of scope.
+
+    Mechanics (applyInPandasWithState + EventTimeTimeout):
+
+    - Arriving events are BUFFERED in state, not processed: an earlier
+      event may still be in flight. Only events at or below the
+      current event-time watermark (``state.getCurrentWatermarkMs``)
+      are released — in timestamp order — into the session state
+      machine, because the watermark is exactly Spark's promise that
+      nothing older can still arrive (rows later than that were
+      already dropped by the stream's late-record filter).
+    - A session with no successor event still closes: when the
+      watermark passes ``last_event + gap``, no future event can land
+      inside the gap (anything still unseen is newer than the
+      watermark), so the gap-closure is emitted by TIMEOUT — something
+      the ordered variant cannot do (it holds trailing sessions
+      forever).
+    - The registered timeout is the EARLIEST future obligation: the
+      oldest buffered event (process it once the watermark clears it)
+      or the open session's gap deadline, clamped above the current
+      watermark as the API requires.
+
+    State per user is the open-session triple plus the reorder buffer;
+    buffer size is bounded by events-per-user within one watermark
+    horizon — O(rate x horizon), the same bound streaming joins carry.
+    Emission order across users is nondeterministic (append mode);
+    emitted VALUES are deterministic given the replay's batch/watermark
+    schedule.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_secs * 1_000_000
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            start_us, last_us, n, buf_ts, buf_et = state.get
+            if start_us < 0:
+                start_us = None
+            buf = list(zip(buf_ts, buf_et))
+        else:
+            start_us = last_us = None
+            n = 0
+            buf = []
+        for pdf in pdf_iter:
+            if len(pdf):
+                ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+                buf.extend(zip(ts_us, pdf["event_type"].tolist()))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        buf.sort()
+        out: list[tuple] = []
+        released = 0
+        for ts_us, etype in buf:
+            if ts_us > wm_us:
+                break
+            released += 1
+            if start_us is not None and ts_us - last_us > gap_us:
+                out.append((user_id, start_us, last_us, n, "gap"))
+                start_us = None
+            if start_us is None:
+                start_us, n = ts_us, 0
+            last_us = ts_us
+            n += 1
+            if etype == "purchase":
+                out.append((user_id, start_us, ts_us, n, "purchase"))
+                start_us, n = None, 0
+        buf = buf[released:]
+        # watermark-driven gap closure: every unseen event is newer
+        # than the watermark, hence newer than the gap deadline
+        if start_us is not None and wm_us >= last_us + gap_us:
+            out.append((user_id, start_us, last_us, n, "gap"))
+            start_us, n = None, 0
+        if start_us is None and not buf:
+            if state.exists:
+                state.remove()
+        else:
+            state.update(
+                (
+                    -1 if start_us is None else int(start_us),
+                    int(last_us if last_us is not None else -1),
+                    int(n if start_us is not None else 0),
+                    [t for t, _ in buf],
+                    [e for _, e in buf],
+                )
+            )
+            deadlines = []
+            if start_us is not None:
+                deadlines.append((last_us + gap_us) // 1000)
+            if buf:
+                deadlines.append(buf[0][0] // 1000)
+            state.setTimeoutTimestamp(
+                max(min(deadlines), state.getCurrentWatermarkMs() + 1)
+            )
+        yield pd.DataFrame(
+            out, columns=["user_id", "start_us", "end_us", "n_events", "ended_by"]
+        )
+
+    raw = (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, start_us long, end_us long, n_events int,"
+                " ended_by string"
+            ),
+            stateStructType=(
+                "start_us long, last_us long, n int,"
+                " buf_ts array<long>, buf_et array<string>"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return raw.select(
+        "user_id",
+        F.timestamp_micros("start_us").alias("session_start"),
+        F.timestamp_micros("end_us").alias("session_end"),
+        "n_events",
+        "ended_by",
+    )
+
+
 def run_incremental_rollup(
     spark: SparkSession,
     source_dir: str,

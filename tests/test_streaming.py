@@ -272,6 +272,69 @@ def test_conversion_sessions_intra_batch_disorder(spark, tmp_path):
     assert got_set == _conv_sessions_reference(ev.collect())
 
 
+def test_conversion_sessions_ooo_reordered_replay(spark, tmp_path):
+    """Event-time-timeout sessionizer under DISORDERED arrival:
+    deterministic timeline, watermark 10 min, gap 30 min.
+
+    - f0: u1 views 10:00, 10:20          (both buffered: wm still 0)
+    - f1: u1 view 10:05 — arrives AFTER 10:20 but within the horizon
+      (f1's late-filter watermark is 0) -> buffered, later released in
+      correct order between 10:00 and 10:20
+    - f2: u1 view 10:09 — beyond the horizon by then (filter wm 10:10)
+      -> DROPPED by Spark before the operator; u1 purchase 10:45
+    - f3: u1 view 12:00 (advances wm to 10:35, releasing 10:20)
+    - f4: u2 view 14:00 (advances wm to 11:50, releasing the 10:45
+      purchase -> emits the first session CLOSED BY PURCHASE with
+      n=4: 10:00, 10:05, 10:20, 10:45 — NOT the dropped 10:09)
+    - trailing availableNow batch: wm 13:50 releases 12:00 and then
+      passes its gap deadline 12:30 -> emits the singleton session
+      CLOSED BY TIMEOUT — the case the ordered variant can never emit.
+
+    u2's lone event stays above the final watermark: buffered, no
+    emission."""
+    rows = {
+        0: [(1, "10:00:00", "view"), (1, "10:20:00", "view")],
+        1: [(1, "10:05:00", "view")],
+        2: [(1, "10:09:00", "view"), (1, "10:45:00", "purchase")],
+        3: [(1, "12:00:00", "view")],
+        4: [(2, "14:00:00", "view")],
+    }
+    src = os.path.join(str(tmp_path), "ooo_src")
+    eid = 0
+    for seq, evs in rows.items():
+        data = []
+        for uid, t, etype in evs:
+            data.append((eid, f"2024-03-01 {t}", uid, etype, 1.0, "{}"))
+            eid += 1
+        df = spark.createDataFrame(
+            data, "event_id long, ts_s string, user_id long, event_type string,"
+            " value double, props string"
+        ).select(
+            "event_id",
+            F.to_timestamp("ts_s").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        _write_stream_file(df, src, seq)
+
+    stream = jobs.events_file_stream(spark, src, max_files_per_trigger=1)
+    got = _run_to_memory(
+        spark,
+        jobs.conversion_sessions_ooo(stream, gap_secs=1800, watermark="10 minutes"),
+        "t_conv_ooo",
+    )
+    got_set = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.ended_by)
+        for r in got.collect()
+    }
+    assert got_set == {
+        (1, "2024-03-01 10:00:00", "2024-03-01 10:45:00", 4, "purchase"),
+        (1, "2024-03-01 12:00:00", "2024-03-01 12:00:00", 1, "gap"),
+    }
+
+
 def test_running_totals_reverse_time_replay(spark, tmp_path):
     """running_user_totals has NO watermark, so an out-of-order replay
     (time quartiles arriving LATEST-first) must still converge to the
