@@ -64,6 +64,10 @@ BENCH_QUERIES = [
     "corpus_pack_sequences",
     "multimodal_decode_header",
     "pipeline_corpus_curation_v2",
+    # round-3 additions (new floors; no earlier comparison exists)
+    "subq_in_heavy_orders",
+    "agg_promo_share",
+    "udaf_grouped",
 ]
 
 
