@@ -39,6 +39,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from etl_data_pipeline_spark.llm import (
         curation,
         dedup,
+        features,
         multimodal,
         similarity,
         text_analysis,
@@ -51,7 +52,8 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # constraint the order is stable (dict insertion order).
     modules = [
         # -- families holding this round's hoisted entries --
-        subqueries, batch_analogs, reshape, curation, text_analysis, multimodal,
+        subqueries, features, batch_analogs, reshape, curation, text_analysis,
+        multimodal,
         # -- verified green in earlier rounds; cheap families first so
         #    the checked prefix stays fast --
         scalars, setops, windows, scans, aggregates, udfs,
@@ -90,6 +92,10 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "join_count_distribution",
         # new round-3 grouped-map twin (few-big-groups applyInPandas)
         "udaf_segment_trend",
+        # new round-3 feature-engineering family — no rows yet
+        "recsys_negative_samples",
+        "events_decayed_value",
+        "corpus_quality_resample",
         # reimplemented round-3 (mapInPandas amortization) — re-verify
         "udaf_grouped",
         # never driver-checked through round 2

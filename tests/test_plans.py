@@ -245,3 +245,77 @@ def test_embedding_cosine_has_no_cartesian(spark, sf_dir):
     plan = _plan(dedup.dedup_embedding_cosine(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_negative_sampling_never_enumerates_items(spark, sf_dir):
+    """Candidate generation must be hash arithmetic, not a user x item
+    product: the part table appears ONLY as the 1-row max-key
+    aggregate (broadcast), and the only join with real cardinality is
+    the single anti-join removing true interactions."""
+    from etl_data_pipeline_spark.llm import features
+
+    plan = _plan(features.recsys_negative_samples(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # part's contribution is a scalar: max(p_partkey), nothing wider
+    assert "max(p_partkey" in plan
+    assert "Generate" in plan  # K slots per user expanded map-side
+
+
+def test_decayed_value_single_shuffle(spark, sf_dir):
+    """Recency-decayed aggregate: the reference timestamp rides in as
+    a broadcast; the ONLY key shuffle is the final per-user agg."""
+    from etl_data_pipeline_spark.llm import features
+
+    from etl_data_pipeline_spark.plans import exchange_count
+
+    plan = _plan(features.events_decayed_value(spark, sf_dir))
+    # two shuffle exchanges total: the 1-row max(ts) SinglePartition
+    # reduction and the per-user hash agg — no join shuffle anywhere
+    assert exchange_count(plan) <= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_resample_is_map_only(spark, sf_dir):
+    """Keep-decision = integer compare on a hash bucket: pure scan,
+    no exchange, no Python."""
+    from etl_data_pipeline_spark.llm import features
+
+    plan = _plan(features.corpus_quality_resample(spark, sf_dir))
+    assert "Exchange" not in plan
+    for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_node not in plan
+
+
+def test_exists_subquery_is_semi_join(spark, sf_dir):
+    """EXISTS compiles to one LeftSemi join (each order emitted at most
+    once — no DISTINCT pass), with the non-equi date residual inside
+    the join condition, not a post-join filter over a product."""
+    from etl_data_pipeline_spark.operators import subqueries
+
+    plan = _plan(subqueries.subq_exists_lateship(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_promo_share_single_pass(spark, sf_dir):
+    """Conditional-aggregation ratio: part broadcasts; numerator and
+    denominator come out of ONE aggregate over one lineitem scan."""
+    from etl_data_pipeline_spark.operators import subqueries
+
+    plan = _plan(subqueries.agg_promo_share(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert scan_count(plan) == 2  # one lineitem scan + one part scan
+
+
+def test_grouped_map_regimes_use_right_operator(spark, sf_dir):
+    """The two grouped-map regimes compile to their intended physical
+    operators: many-tiny-groups -> MapInPandas after a key
+    repartition; few-big-groups -> FlatMapGroupsInPandas."""
+    from etl_data_pipeline_spark.operators import udfs
+
+    many = _plan(udfs.udaf_grouped(spark, sf_dir))
+    assert "MapInPandas" in many
+    assert "FlatMapGroupsInPandas" not in many
+    few = _plan(udfs.udaf_segment_trend(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in few
