@@ -335,6 +335,68 @@ def test_conversion_sessions_ooo_reordered_replay(spark, tmp_path):
     }
 
 
+def test_conversion_sessions_ooo_full_table(spark, tmp_path):
+    """ooo sessionizer over the full sf0.001 events table, each
+    time-quartile chunk internally SCRAMBLED: the final emission set
+    must equal a Python reference over the watermark-visible prefix.
+
+    Why the reference is exact: chunks partition time, so every event
+    in chunk k is newer than everything in chunks <= k-1 — the
+    late-filter watermark (one batch older still) can never drop
+    anything. Events above the final watermark W = max(ts) - horizon
+    stay in the reorder buffer unprocessed, so the reference is the
+    ordered state machine over events with ts <= W, emitting purchase
+    closures, in-sequence gap closures, AND trailing gap closures
+    where W has passed last_event + gap (the timeout path)."""
+    from etl_data_pipeline_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src = os.path.join(str(tmp_path), "ooo_full_src")
+    for i, c in enumerate(_time_quartile_chunks(ev)):
+        _write_stream_file(c.orderBy(F.xxhash64("event_id")), src, i)
+
+    gap = 1800
+    stream = jobs.events_file_stream(spark, src, max_files_per_trigger=1)
+    got = _run_to_memory(
+        spark,
+        jobs.conversion_sessions_ooo(stream, gap_secs=gap, watermark="10 minutes"),
+        "t_conv_ooo_full",
+    )
+    got_set = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.ended_by)
+        for r in got.collect()
+    }
+
+    import datetime
+
+    w_final = ev.agg(F.max("ts")).first()[0] - datetime.timedelta(minutes=10)
+    visible = [r for r in ev.collect() if r.ts <= w_final]
+    expected = _conv_sessions_reference(visible, gap_secs=gap)
+    # timeout path: trailing open sessions whose gap deadline the final
+    # watermark has passed are ALSO emitted by the ooo variant
+    from itertools import groupby
+
+    rows = sorted(visible, key=lambda r: (r.user_id, r.ts, r.event_id))
+    for uid, it in groupby(rows, key=lambda r: r.user_id):
+        start = last = None
+        n = 0
+        for r in it:
+            if start is not None and (r.ts - last).total_seconds() > gap:
+                start = None
+            if start is None:
+                start, n = r.ts, 0
+            last = r.ts
+            n += 1
+            if r.event_type == "purchase":
+                start, n = None, 0
+        if start is not None and (w_final - last).total_seconds() >= gap:
+            expected.add((uid, str(start), str(last), n, "gap"))
+    assert got_set == expected
+
+
 def test_running_totals_reverse_time_replay(spark, tmp_path):
     """running_user_totals has NO watermark, so an out-of-order replay
     (time quartiles arriving LATEST-first) must still converge to the
