@@ -158,33 +158,19 @@ QUERIES = {
 
 
 def _quality_prob_cte() -> str:
-    """DuckDB CTE computing text_quality's score (same formula as
-    text_analysis.ORACLE['text_quality']) reduced to keep_prob."""
-    from etl_data_pipeline_spark.llm.text_analysis import _sql_stop_hits
+    """DuckDB CTE reducing the SHARED quality-score SQL (single source
+    of truth in text_analysis: sql_quality_cte + SQL_QUALITY_SCORE,
+    the same rendering text_quality's own oracle uses) to keep_prob."""
+    from etl_data_pipeline_spark.llm.text_analysis import (
+        SQL_QUALITY_SCORE,
+        sql_quality_cte,
+    )
 
-    en = _sql_stop_hits("en")
-    score = """CASE WHEN n_tokens < 5 THEN 0.0 ELSE
-                   0.4 * least(stop_ratio * 5, 1.0)
-                 + 0.3 * (1 - least(punct_ratio * 10, 1.0))
-                 + 0.3 * least(mean_tok_len / 8, 1.0) END"""
     return f"""
-        t AS (
-            SELECT doc_id,
-                   len(string_split(text, ' ')) AS n_tokens,
-                   length(text) AS n_chars,
-                   len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
-                   {en} AS en_hits
-            FROM documents
-        ), r AS (
-            SELECT doc_id, n_tokens,
-                   CAST(en_hits AS DOUBLE) / n_tokens AS stop_ratio,
-                   CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
-                   CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_tok_len
-            FROM t
-        ), kp AS (
+        {sql_quality_cte()}, kp AS (
             SELECT doc_id,
                    greatest({RESAMPLE_FLOOR},
-                            least(1.0, {sql_round(score, 6)})) AS keep_prob
+                            least(1.0, {sql_round(SQL_QUALITY_SCORE, 6)})) AS keep_prob
             FROM r
         )"""
 

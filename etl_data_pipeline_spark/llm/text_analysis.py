@@ -491,6 +491,35 @@ _DE = _sql_stop_hits("de")
 _ES = _sql_stop_hits("es")
 _FR = _sql_stop_hits("fr")
 
+# Shared oracle rendering of quality_cols(): the t/r CTEs compute the
+# per-doc signals, SQL_QUALITY_SCORE the composite — the SINGLE SQL
+# source of truth for the quality formula, consumed by the
+# text_quality oracle below AND by llm/features.py's
+# corpus_quality_resample oracle. Keep in lockstep with quality_cols().
+SQL_QUALITY_SCORE = """CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+                   0.4 * least(stop_ratio * 5, 1.0)
+                 + 0.3 * (1 - least(punct_ratio * 10, 1.0))
+                 + 0.3 * least(mean_tok_len / 8, 1.0) END"""
+
+
+def sql_quality_cte() -> str:
+    """``t``/``r`` CTE bodies (no WITH keyword) deriving the quality
+    signal ratios per document."""
+    return f"""t AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+                   {_EN} AS en_hits
+            FROM documents
+        ), r AS (
+            SELECT doc_id, n_tokens,
+                   CAST(en_hits AS DOUBLE) / n_tokens AS stop_ratio,
+                   CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+                   CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_tok_len
+            FROM t
+        )"""
+
 ORACLE = {
     "text_contamination": f"""
         WITH sh AS (
@@ -639,27 +668,12 @@ ORACLE = {
         FROM h
     """,
     "text_quality": f"""
-        WITH t AS (
-            SELECT doc_id,
-                   len(string_split(text, ' ')) AS n_tokens,
-                   length(text) AS n_chars,
-                   len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
-                   {_EN} AS en_hits
-            FROM documents
-        ), r AS (
-            SELECT doc_id, n_tokens,
-                   CAST(en_hits AS DOUBLE) / n_tokens AS stop_ratio,
-                   CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
-                   CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_tok_len
-            FROM t)
+        WITH {sql_quality_cte()}
         SELECT doc_id, n_tokens,
                {sql_round('stop_ratio', 6)} AS stop_ratio,
                {sql_round('punct_ratio', 6)} AS punct_ratio,
                {sql_round('mean_tok_len', 6)} AS mean_tok_len,
-               {sql_round('''CASE WHEN n_tokens < 5 THEN 0.0 ELSE
-                   0.4 * least(stop_ratio * 5, 1.0)
-                 + 0.3 * (1 - least(punct_ratio * 10, 1.0))
-                 + 0.3 * least(mean_tok_len / 8, 1.0) END''', 6)} AS quality_score
+               {sql_round(SQL_QUALITY_SCORE, 6)} AS quality_score
         FROM r
     """,
     "text_fingerprint": """

@@ -98,6 +98,11 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "corpus_quality_resample",
         # reimplemented round-3 (mapInPandas amortization) — re-verify
         "udaf_grouped",
+        # semantics changed post-r2 rows (bounded linkage output; staged
+        # embedding-LSH verify) — their old green rows verified the OLD
+        # contract, so re-verify
+        "dedup_levenshtein",
+        "dedup_embedding_cosine",
         # never driver-checked through round 2
         "stream_sliding",
         "stream_session",

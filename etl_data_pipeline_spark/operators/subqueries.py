@@ -136,15 +136,22 @@ def subq_nested_max_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped aggregate) correlated back by value equality.
 
     The revenue relation is computed once; its max is a 1-row
-    broadcast joined back (never a rescan). Equality is on the raw
-    double BOTH times from the same relation, so the argmax row set is
-    internally consistent; output revenue is rounded at the boundary."""
+    broadcast joined back (never a rescan). The match is on the
+    ROUNDED revenue (2dp) on both sides: the relation is evaluated
+    twice (once under the max, once as the probe side), and Spark's
+    shuffled partial sums combine in nondeterministic order — raw
+    doubles can differ in the last ulp between the two evaluations,
+    so exact-double equality could match zero rows. Rounding collapses
+    that ulp noise before the compare (the same output-boundary
+    discipline every revenue aggregate here uses)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     rev = li.groupBy("l_suppkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+        hround(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_rev")
     )
     mx = rev.agg(F.max("total_rev").alias("mx"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -152,7 +159,7 @@ def subq_nested_max_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.join(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("mx"))
         .join(s, rev.l_suppkey == s.s_suppkey)
-        .select("s_suppkey", "s_name", hround("total_rev", 2).alias("total_rev"))
+        .select("s_suppkey", "s_name", "total_rev")
     )
 
 
@@ -250,16 +257,16 @@ ORACLE = {
     "subq_nested_max_revenue": """
         WITH rev AS (
             SELECT l_suppkey,
-                   sum(l_extendedprice * (1 - l_discount)) AS total_rev
+                   {tr} AS total_rev
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1996-04-01'
             GROUP BY l_suppkey
         )
-        SELECT s.s_suppkey, s.s_name, {tr} AS total_rev
+        SELECT s.s_suppkey, s.s_name, rev.total_rev
         FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
         WHERE rev.total_rev = (SELECT max(total_rev) FROM rev)
-    """.format(tr=sql_round("rev.total_rev", 2)),
+    """.format(tr=sql_round("sum(l_extendedprice * (1 - l_discount))", 2)),
     "agg_promo_share": """
         SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
                {share} AS promo_share_pct

@@ -111,8 +111,14 @@ def _trend_frame(pdf: pd.DataFrame) -> pd.DataFrame:
     )
     st = st.join(mom)
     st = st[(st["n_orders"] >= 3) & (st["ndx"] >= 2)]
-    slope = (st["xy"] / st["xx"]).to_numpy()
-    intercept = st["ym"].to_numpy() - slope * st["xm"].to_numpy()
+    # Round the fit FIRST, then compute residuals from the rounded
+    # parameters: the oracle (DuckDB regr_*) agrees with the two-pass
+    # moments only to ~1e-14, and an unrounded |y - (i + s*x)| would
+    # amplify that by xd (~1e4) right up against the 4dp rounding
+    # granularity. From identical rounded params both engines do
+    # identical float arithmetic, so the residual column is exact.
+    slope = _r4((st["xy"] / st["xx"]).to_numpy())
+    intercept = _r4(st["ym"].to_numpy() - (st["xy"] / st["xx"]).to_numpy() * st["xm"].to_numpy())
     fit = pd.DataFrame(
         {"grp": st.index.to_numpy(), "slope": slope, "intercept": intercept}
     )
@@ -131,8 +137,8 @@ def _trend_frame(pdf: pd.DataFrame) -> pd.DataFrame:
         {
             "grp": st.index.to_numpy(),
             "n_orders": st["n_orders"].to_numpy(np.int64),
-            "slope": _r4(slope),
-            "intercept": _r4(intercept),
+            "slope": slope,
+            "intercept": intercept,
             "max_abs_resid": _r4(mr.to_numpy()),
         }
     )
@@ -239,13 +245,19 @@ ORACLE = {
             GROUP BY o_custkey
             HAVING count(*) >= 3 AND var_pop(xd) > 0
         )
+        , fit4 AS (
+            SELECT o_custkey, n_orders,
+                   floor(slope * 1e4 + 0.5) / 1e4 AS slope,
+                   floor(intercept * 1e4 + 0.5) / 1e4 AS intercept
+            FROM fit
+        )
         SELECT f.o_custkey,
                f.n_orders,
-               floor(f.slope * 1e4 + 0.5) / 1e4 AS slope,
-               floor(f.intercept * 1e4 + 0.5) / 1e4 AS intercept,
+               f.slope,
+               f.intercept,
                floor(max(abs(p.y - (f.intercept + f.slope * p.xd))) * 1e4 + 0.5) / 1e4
                    AS max_abs_resid
-        FROM fit f JOIN pts p USING (o_custkey)
+        FROM fit4 f JOIN pts p USING (o_custkey)
         GROUP BY f.o_custkey, f.n_orders, f.slope, f.intercept
     """,
     "udaf_segment_trend": """
@@ -263,13 +275,19 @@ ORACLE = {
             GROUP BY c_mktsegment
             HAVING count(*) >= 3 AND var_pop(xd) > 0
         )
+        , fit4 AS (
+            SELECT c_mktsegment, n_orders,
+                   floor(slope * 1e4 + 0.5) / 1e4 AS slope,
+                   floor(intercept * 1e4 + 0.5) / 1e4 AS intercept
+            FROM fit
+        )
         SELECT f.c_mktsegment,
                f.n_orders,
-               floor(f.slope * 1e4 + 0.5) / 1e4 AS slope,
-               floor(f.intercept * 1e4 + 0.5) / 1e4 AS intercept,
+               f.slope,
+               f.intercept,
                floor(max(abs(p.y - (f.intercept + f.slope * p.xd))) * 1e4 + 0.5) / 1e4
                    AS max_abs_resid
-        FROM fit f JOIN pts p USING (c_mktsegment)
+        FROM fit4 f JOIN pts p USING (c_mktsegment)
         GROUP BY f.c_mktsegment, f.n_orders, f.slope, f.intercept
     """,
 }

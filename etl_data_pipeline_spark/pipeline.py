@@ -74,38 +74,48 @@ class IncrementalPipeline:
         """One table's read -> gate -> load -> watermark-advance cycle
         (app.py:96-172).
 
-        The cycle runs THREE actions over the batch (empty gate,
-        watermark max, sink write). On a non-snapshot source (a live
-        JDBC table), rows arriving between the max scan and the write
-        scan would be written with keys ABOVE the recorded watermark
-        and re-read next run — duplicates on non-idempotent sinks. The
+        The cycle runs three actions over the batch: a cheap empty
+        gate on the live source, then watermark max + sink write over
+        ONE pinned snapshot. On a non-snapshot source (a live JDBC
+        table), rows arriving between the max scan and the write scan
+        would be written with keys ABOVE the recorded watermark and
+        re-read next run — duplicates on non-idempotent sinks. The
         reference never had this window only because it fetched rows
-        once into memory; we pin one TRUE snapshot with
+        once into memory; we pin the max/write pair with
         localCheckpoint(): unlike persist() (best-effort — eviction or
         executor loss silently recomputes partitions from the live
         source, reopening the window), a checkpoint cuts lineage, so a
         lost block FAILS the run instead of silently re-reading — and
         a failed run never advances the watermark, which is the safe
-        side. For batches too large for executor storage, stage to a
-        temp parquet and re-read instead (same guarantee, disk cost).
+        side. The gate stays OUTSIDE the snapshot deliberately: it
+        only decides skip-vs-load, and checkpointing first would
+        materialize the whole batch just to discover it is empty. For
+        batches too large for executor storage, stage to a temp
+        parquet and re-read instead (same guarantee, disk cost).
         """
         raw = self.store.get(t.name)
         wm_value = parse_watermark(raw, t.watermark_type) if t.is_incremental else None
         df = read_source(self.spark, t.source_format, t.name, dict(t.source_options))
         if t.expected_schema:
             df = validate_schema(df, t.expected_schema, allow_extra=True)
+        df = apply_watermark(df, t.watermark_column, wm_value)
+        # Empty-gate FIRST, on the live source, without a full count:
+        # limit(1) touches at most one partition at 100 TB, unlike the
+        # reference's len(data) which materialized everything
+        # (app.py:147-153, util.py:170). It must run BEFORE the
+        # checkpoint: localCheckpoint is eager, so gating after it
+        # would pay a full batch materialization on the no-new-data
+        # path — the common case for a frequently-polled incremental
+        # table. (Rows arriving between this probe and the checkpoint
+        # simply load now instead of next run — same batch, one max.)
+        if df.limit(1).count() == 0:
+            log.info("table %s: no new data, skipping load", t.name)
+            return TableRunResult(t.name, "skipped_empty", rows=0)
         # Eager local checkpoint: materializes the batch once and cuts
         # lineage — every action below reads these blocks, never the
         # live source. (Blocks are freed when the RDD is GC'd.)
-        df = apply_watermark(df, t.watermark_column, wm_value).localCheckpoint()
+        df = df.localCheckpoint()
         try:
-            # Empty-gate without a full count: limit(1) touches at most
-            # one partition at 100 TB, unlike the reference's len(data)
-            # which materialized everything (app.py:147-153, util.py:170).
-            if df.limit(1).count() == 0:
-                log.info("table %s: no new data, skipping load", t.name)
-                return TableRunResult(t.name, "skipped_empty", rows=0)
-
             # Compute the batch max BEFORE the write so a mid-write
             # failure leaves the watermark untouched (app.py:157->168).
             new_wm = (

@@ -260,10 +260,10 @@ def conversion_sessions_ooo(
     def update(key, pdf_iter, state: GroupState):
         (user_id,) = key
         if state.exists:
-            start_us, last_us, n, buf_ts, buf_et = state.get
+            start_us, last_us, n, buf_ts, buf_id, buf_et = state.get
             if start_us < 0:
                 start_us = None
-            buf = list(zip(buf_ts, buf_et))
+            buf = list(zip(buf_ts, buf_id, buf_et))
         else:
             start_us = last_us = None
             n = 0
@@ -271,12 +271,15 @@ def conversion_sessions_ooo(
         for pdf in pdf_iter:
             if len(pdf):
                 ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
-                buf.extend(zip(ts_us, pdf["event_type"].tolist()))
+                buf.extend(zip(ts_us, pdf["event_id"].tolist(), pdf["event_type"].tolist()))
         wm_us = state.getCurrentWatermarkMs() * 1000
-        buf.sort()
+        # (ts, event_id) order — the SAME tie-break as the ordered
+        # variant's sort_values(["ts", "event_id"]), so same-timestamp
+        # events process identically in both operators
+        buf.sort(key=lambda e: (e[0], e[1]))
         out: list[tuple] = []
         released = 0
-        for ts_us, etype in buf:
+        for ts_us, _eid, etype in buf:
             if ts_us > wm_us:
                 break
             released += 1
@@ -305,8 +308,9 @@ def conversion_sessions_ooo(
                     -1 if start_us is None else int(start_us),
                     int(last_us if last_us is not None else -1),
                     int(n if start_us is not None else 0),
-                    [t for t, _ in buf],
-                    [e for _, e in buf],
+                    [t for t, _, _ in buf],
+                    [int(i) for _, i, _ in buf],
+                    [e for _, _, e in buf],
                 )
             )
             deadlines = []
@@ -332,7 +336,7 @@ def conversion_sessions_ooo(
             ),
             stateStructType=(
                 "start_us long, last_us long, n int,"
-                " buf_ts array<long>, buf_et array<string>"
+                " buf_ts array<long>, buf_id array<long>, buf_et array<string>"
             ),
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,

@@ -30,17 +30,24 @@ SKIP = {"dedup_levenshtein"}
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
-    threshold = float(args[1]) if len(args) > 1 else 8.0
+    argv = sys.argv[1:]
     passes = 1
     table_out = None
-    argv = sys.argv[1:]
-    for i, a in enumerate(argv):
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a == "--passes":
             passes = int(argv[i + 1])
-        if a == "--table":
+            i += 2
+        elif a == "--table":
             table_out = argv[i + 1]
+            i += 2
+        else:
+            args.append(a)
+            i += 1
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    threshold = float(args[1]) if len(args) > 1 else 8.0
 
     import __spark_entry__ as em
     from etl_data_pipeline_spark.session import get_spark
