@@ -322,3 +322,51 @@ def test_asof_join_matches_pandas_merge_asof(spark, frames):
     # normalize: Spark rows use None for NULL doubles too
     got = {(b, t, None if s is None else float(s)) for b, t, s in got}
     assert got == expected
+
+
+def test_hround_cross_engine_bit_exact(spark):
+    """The portability contract under every oracle: hround (Spark),
+    sql_round (DuckDB) and np_round (pandas UDFs) must produce
+    BIT-IDENTICAL doubles for the same inputs — including the .xx5
+    ties where BigDecimal/banker's rounding schemes disagree."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from etl_data_pipeline_spark.functions.rounding import (
+        hround,
+        np_round,
+        sql_round,
+    )
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate(
+        [
+            rng.uniform(-1e6, 1e6, 2000),
+            rng.uniform(-1.0, 1.0, 2000),
+            rng.randint(-(10**9), 10**9, 1000) / 1000.0,
+            np.array([2.675, -2.675, 0.125, -0.125, 1.005, -1.005,
+                      99999.995, 0.0, -0.005, 12345678.905]),
+        ]
+    )
+    pdf = pd.DataFrame({"i": np.arange(len(vals)), "v": vals})
+    for scale in (2, 4, 6):
+        sdf = spark.createDataFrame(pdf)
+        got_spark = (
+            sdf.select("i", hround(F.col("v"), scale).alias("r"))
+            .toPandas()
+            .sort_values("i")["r"]
+            .to_numpy()
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        got_duck = (
+            con.execute(f"SELECT i, {sql_round('v', scale)} AS r FROM t ORDER BY i")
+            .df()["r"]
+            .to_numpy()
+        )
+        got_np = np_round(pdf["v"], scale).to_numpy()
+        assert np.array_equal(got_spark, got_duck), f"spark!=duck at scale {scale}"
+        assert np.array_equal(got_spark, got_np), f"spark!=np at scale {scale}"
