@@ -89,6 +89,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "subq_in_heavy_orders",
         "subq_nested_max_revenue",
         "agg_promo_share",
+        "subq_q22ish",
         "join_count_distribution",
         # new round-3 grouped-map twin (few-big-groups applyInPandas)
         "udaf_segment_trend",

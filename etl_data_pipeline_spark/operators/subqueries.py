@@ -189,6 +189,36 @@ def agg_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def subq_q22ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count and balance mass of customers
+    whose balance is above the positive-balance average AND who have
+    placed NO order since 2000 (lapsed high-value accounts) — a
+    scalar-subquery threshold and a NOT EXISTS in the same query.
+
+    The threshold is a 1-row broadcast (rounded 6dp so the boundary
+    predicate is engine-deterministic); the NOT EXISTS is an anti-join
+    whose probe side is date-pruned AT THE SCAN before any shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    ab = c.filter(F.col("c_acctbal") > 0).agg(
+        hround(F.avg("c_acctbal"), 6).alias("ab")
+    )
+    return (
+        c.join(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            hround(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
 def join_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: distribution of customers by how many orders
     they placed, INCLUDING zero — the left-outer-join-then-count-
@@ -214,6 +244,7 @@ QUERIES = {
     "subq_in_heavy_orders": subq_in_heavy_orders,
     "subq_nested_max_revenue": subq_nested_max_revenue,
     "agg_promo_share": agg_promo_share,
+    "subq_q22ish": subq_q22ish,
     "join_count_distribution": join_count_distribution,
 }
 
@@ -279,6 +310,22 @@ ORACLE = {
             " / sum(l_extendedprice * (1 - l_discount))",
             4,
         )
+    ),
+    "subq_q22ish": """
+        WITH ab AS (
+            SELECT {thresh} AS ab FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c.c_nationkey, count(*) AS n_cust, {tb} AS total_bal
+        FROM customer c CROSS JOIN ab
+        WHERE c.c_acctbal > ab.ab
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+          )
+        GROUP BY c.c_nationkey
+    """.format(
+        thresh=sql_round("avg(c_acctbal)", 6), tb=sql_round("sum(c.c_acctbal)", 2)
     ),
     "join_count_distribution": """
         SELECT order_cnt, count(*) AS cust_cnt
