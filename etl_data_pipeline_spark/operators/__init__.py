@@ -91,6 +91,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "agg_promo_share",
         "subq_q22ish",
         "join_count_distribution",
+        "events_session_funnel",
         # new round-3 grouped-map twin (few-big-groups applyInPandas)
         "udaf_segment_trend",
         # new round-3 feature-engineering family — no rows yet
