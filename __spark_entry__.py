@@ -31,29 +31,17 @@ def entry(spark: SparkSession) -> DataFrame:
     SURVEY.md §7.1 minimum slice: incremental watermark scan over
     orders -> broadcast join customer -> groupBy c_mktsegment agg.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return _QUERIES["pipeline_incremental"](spark, "/root/testdata/sf0.001")
 
 
-def _pinned_tz(fn: Callable[[SparkSession, str], DataFrame]):
-    """Pin the session timezone to UTC around every query: the oracle
-    side (DuckDB) formats naive timestamps as stored, so Spark's
-    session-TZ-dependent expressions (date_format/to_date/date_trunc)
-    only agree when the session is UTC. The harness container is UTC
-    today; this removes the dependence on that accident."""
-    import functools
-
-    @functools.wraps(fn)
-    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        return fn(spark, sf_dir)
-
-    return wrapped
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: _pinned_tz(fn) for name, fn in _QUERIES.items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Every callable pins the session timezone to UTC around DataFrame
+    construction and restores it (operators/__init__.py:_pinned_utc),
+    so oracle agreement does not depend on the harness container's TZ
+    and host sessions keep their own setting."""
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -130,4 +130,32 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     ]
     ordered = {name: queries[name] for name in hoist if name in queries}
     ordered.update(queries)
-    return ordered, oracle
+    return {name: _pinned_utc(fn) for name, fn in ordered.items()}, oracle
+
+
+def _pinned_utc(fn: QueryFn) -> QueryFn:
+    """Pin the session timezone to UTC while ``fn`` builds its
+    DataFrame, restoring the caller's setting afterward. The DuckDB
+    oracles format naive timestamps as stored, so Spark's
+    session-TZ-dependent expressions (date_format/to_date/date_trunc)
+    only agree with them under UTC. Restoring is safe because
+    timezone-aware expressions capture their zone at ANALYSIS time
+    (DataFrame creation) — the returned frame keeps UTC semantics when
+    executed later, and the caller's own queries keep their TZ. Both
+    registry consumers (__spark_entry__ and EtlEngine) inherit this."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = "spark.sql.session.timeZone"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "UTC")
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    return wrapped

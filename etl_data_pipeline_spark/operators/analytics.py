@@ -19,7 +19,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_data_pipeline_spark.functions.rounding import hround, sql_round
+from etl_data_pipeline_spark.functions.sessions import sql_session_seq_cte
 from etl_data_pipeline_spark.session import load_table
+
+_SQL_SESSION_CTE = sql_session_seq_cte()
 
 FUNNEL_STAGES = ("view", "click", "purchase")
 
@@ -337,55 +340,71 @@ def cdc_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SESSION_FUNNEL_GAP_US = 30 * 60 * 1_000_000
-
-
 def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Funnel depth WITHIN sessions: sessionize (gaps-and-islands,
-    30-min silence) and classify every session by how far its ordered
-    view → click → purchase progression got (0 = no view, 1 = viewed,
-    2 = clicked after viewing, 3 = purchased after that click),
-    emitting session counts and mean session size per depth.
+    """Funnel depth WITHIN sessions: sessionize (shared 30-min-gap
+    helper, functions/sessions.py) and classify every session by how
+    far its ORDERED view → click → purchase progression got — the
+    same strictly-after semantics as events_funnel, per session:
 
-    The composition pattern the per-user funnel (events_funnel) cannot
-    express: a user's conversion is credited only when the whole
-    progression happens inside ONE session. Both sessionizing windows
-    hash by user_id and the per-session stage minima are a groupBy on
-    (user, session) — everything after the single user_id exchange is
-    local, and the final depth rollup is 4 rows."""
+    - 1 = viewed;
+    - 2 = first click strictly after the session's first view;
+    - 3 = first purchase strictly after THAT click;
+    - 0 = session with no view.
+
+    Emits session counts and mean session size per depth. The
+    composition the per-user funnel cannot express: conversion is
+    credited only when the whole progression happens inside ONE
+    session.
+
+    One exchange total: the sessionizing windows hash by user_id, and
+    every following per-(user, session) window and groupBy is
+    satisfied by that same user_id clustering (a session never spans
+    users), so the chained stage minima add only local sorts."""
+    from etl_data_pipeline_spark.functions.sessions import with_session_seq
+
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type"
     )
+    sess = with_session_seq(ev)
     us = F.unix_micros("ts")
-    w = Window.partitionBy("user_id").orderBy(us, "event_id")
-    new_sess = F.when(
-        us - F.lag(us).over(w) > SESSION_FUNNEL_GAP_US, 1
-    ).otherwise(0)
-    sess = ev.withColumn(
-        "session_seq",
-        F.sum(new_sess).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
+    ws = Window.partitionBy("user_id", "session_seq")
+    staged = (
+        sess.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", us)).over(ws),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (us > F.col("t_view")), us
+                )
+            ).over(ws),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (us > F.col("t_click")),
+                    us,
+                )
+            ).over(ws),
+        )
     )
-    stage_min = sess.groupBy("user_id", "session_seq").agg(
+    per_session = staged.groupBy("user_id", "session_seq").agg(
         F.count("*").alias("n_events"),
-        F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
-        F.min(F.when(F.col("event_type") == "click", us)).alias("t_click"),
-        F.min(F.when(F.col("event_type") == "purchase", us)).alias("t_purchase"),
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
     )
     depth = (
-        F.when(
-            F.col("t_view").isNotNull()
-            & (F.col("t_click") > F.col("t_view"))
-            & (F.col("t_purchase") > F.col("t_click")),
-            3,
-        )
-        .when(F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")), 2)
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
         .when(F.col("t_view").isNotNull(), 1)
         .otherwise(0)
     )
     return (
-        stage_min.select(depth.alias("funnel_depth"), "n_events")
+        per_session.select(depth.alias("funnel_depth"), "n_events")
         .groupBy("funnel_depth")
         .agg(
             F.count("*").alias("n_sessions"),
@@ -407,41 +426,39 @@ QUERIES = {
 }
 
 ORACLE = {
-    "events_session_funnel": f"""
-        WITH e AS (
-            SELECT user_id, event_id, epoch_us(ts) AS us, event_type
-            FROM events
-        ), s AS (
-            SELECT user_id, event_id, us, event_type,
-                   CASE WHEN us - lag(us) OVER (
-                            PARTITION BY user_id ORDER BY us, event_id
-                        ) > {SESSION_FUNNEL_GAP_US} THEN 1 ELSE 0 END AS new_sess
-            FROM e
-        ), t AS (
-            SELECT user_id, us, event_type,
-                   sum(new_sess) OVER (
-                       PARTITION BY user_id ORDER BY us, event_id
-                       ROWS UNBOUNDED PRECEDING
-                   ) AS session_seq
-            FROM s
+    "events_session_funnel": """
+        WITH {cte},
+        v AS (
+            SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+                      OVER (PARTITION BY user_id, session_seq) AS t_view
+            FROM t
+        ), c AS (
+            SELECT *, min(CASE WHEN event_type = 'click' AND us > t_view
+                               THEN us END)
+                      OVER (PARTITION BY user_id, session_seq) AS t_click
+            FROM v
+        ), p AS (
+            SELECT *, min(CASE WHEN event_type = 'purchase' AND us > t_click
+                               THEN us END)
+                      OVER (PARTITION BY user_id, session_seq) AS t_purchase
+            FROM c
         ), g AS (
             SELECT user_id, session_seq,
                    count(*) AS n_events,
-                   min(CASE WHEN event_type = 'view' THEN us END) AS t_view,
-                   min(CASE WHEN event_type = 'click' THEN us END) AS t_click,
-                   min(CASE WHEN event_type = 'purchase' THEN us END) AS t_purchase
-            FROM t GROUP BY user_id, session_seq
+                   max(t_view) AS t_view,
+                   max(t_click) AS t_click,
+                   max(t_purchase) AS t_purchase
+            FROM p GROUP BY user_id, session_seq
         )
-        SELECT CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                         AND t_purchase > t_click THEN 3
-                    WHEN t_view IS NOT NULL AND t_click > t_view THEN 2
+        SELECT CASE WHEN t_purchase IS NOT NULL THEN 3
+                    WHEN t_click IS NOT NULL THEN 2
                     WHEN t_view IS NOT NULL THEN 1
                     ELSE 0 END AS funnel_depth,
                count(*) AS n_sessions,
-               {sql_round('avg(n_events)', 4)} AS avg_session_events
+               {avg4} AS avg_session_events
         FROM g
         GROUP BY 1
-    """,
+    """.format(cte=_SQL_SESSION_CTE, avg4=sql_round("avg(n_events)", 4)),
     "cdc_compact_latest": """
         WITH ranked AS (
             SELECT user_id, event_id, ts, event_type, value,

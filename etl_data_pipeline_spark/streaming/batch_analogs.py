@@ -126,7 +126,8 @@ def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, in exact integer micros
+# single source of truth for the 30-min session boundary
+from etl_data_pipeline_spark.functions.sessions import SESSION_GAP_US  # noqa: E402
 
 
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,22 +141,14 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines. One shuffle (hash by user_id); both windows share
     the same partitioning so the second window is exchange-free.
     """
-    ev = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window
+    from etl_data_pipeline_spark.functions.sessions import with_session_seq
 
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_us = F.lag(F.unix_micros("ts")).over(w)
-    is_start = F.when(
-        prev_us.isNull() | (F.unix_micros("ts") - prev_us > SESSION_GAP_US), 1
-    ).otherwise(0)
-    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return ev.select(
+    ev = load_table(spark, sf_dir, "events")
+    return with_session_seq(ev, gap_us=SESSION_GAP_US).select(
         "event_id",
         "user_id",
         F.date_format("ts", _FMT).alias("ts_str"),
-        F.sum(is_start).over(running).alias("session_seq"),
+        "session_seq",
     )
 
 

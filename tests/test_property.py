@@ -352,16 +352,16 @@ def test_hround_cross_engine_bit_exact(spark):
         ]
     )
     pdf = pd.DataFrame({"i": np.arange(len(vals)), "v": vals})
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("t", pdf)
     for scale in (2, 4, 6):
-        sdf = spark.createDataFrame(pdf)
         got_spark = (
             sdf.select("i", hround(F.col("v"), scale).alias("r"))
             .toPandas()
             .sort_values("i")["r"]
             .to_numpy()
         )
-        con = duckdb.connect()
-        con.register("t", pdf)
         got_duck = (
             con.execute(f"SELECT i, {sql_round('v', scale)} AS r FROM t ORDER BY i")
             .df()["r"]
