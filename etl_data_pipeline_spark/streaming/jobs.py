@@ -423,6 +423,68 @@ def run_incremental_rollup(
     )
 
 
+def run_incremental_scd2(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    table: str = "dim_users",
+    key_cols: tuple[str, ...] = ("user_id",),
+) -> StreamingQuery:
+    """Streaming CDC → SCD2 dimension maintenance: each micro-batch is
+    compacted to its LATEST change per key (row_number over ts,
+    event_id — the cdc_compact_latest pattern) and applied as ONE SCD2
+    upsert, so the dimension table carries full version history while
+    the stream runs continuously.
+
+    Exactly-once without a sidecar: foreachBatch is at-least-once (a
+    crash between sink write and checkpoint commit replays the batch),
+    and the SCD2 sink is idempotent for a REPLAYED batch by
+    construction — change detection is a no-op when the incoming row
+    equals the current version, and ``batch_ts`` is derived
+    deterministically from ``batch_id`` (never wall-clock), so the
+    replay closes/opens nothing new. Ordering across batches comes
+    from the file stream's oldest-first delivery; within a batch the
+    compaction picks the newest change.
+    """
+    import datetime
+
+    from pyspark.sql.window import Window
+
+    from etl_data_pipeline_spark.sinks import scd2_upsert_parquet
+
+    stream = events_file_stream(spark, source_dir)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*key_cols, "event_type", "value")
+        )
+        batch_ts = (
+            datetime.datetime(2030, 1, 1) + datetime.timedelta(seconds=batch_id)
+        ).strftime("%Y-%m-%d %H:%M:%S")
+        scd2_upsert_parquet(
+            spark,
+            latest,
+            table,
+            {"dir": target_dir},
+            key_cols,
+            batch_ts=batch_ts,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", os.path.join(target_dir, "_scd2_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_incremental_micro_batch(
     spark: SparkSession,
     source_dir: str,

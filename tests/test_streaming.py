@@ -213,6 +213,57 @@ def _conv_sessions_reference(rows, gap_secs=1800):
     return expected
 
 
+def test_incremental_scd2_dimension(spark, tmp_path):
+    """Streaming CDC -> SCD2: after replaying time-ordered chunks, the
+    CURRENT version per user must equal the global latest event's
+    attributes; closed versions carry __valid_to; a second availableNow
+    run over the same source (checkpoint + idempotent sink) changes
+    nothing."""
+    from etl_data_pipeline_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = os.path.join(str(tmp_path), "scd2_src")
+    for i, c in enumerate(_time_quartile_chunks(ev)):
+        _write_stream_file(c, src, i)
+    target = str(tmp_path / "scd2_target")
+
+    q = jobs.run_incremental_scd2(spark, src, target)
+    q.awaitTermination(180)
+    dim = spark.read.parquet(os.path.join(target, "dim_users"))
+
+    latest = {
+        r.user_id: (r.event_type, r.value)
+        for r in ev.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("user_id")
+                .orderBy(F.desc("ts"), F.desc("event_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    current = {
+        r.user_id: (r.event_type, r.value)
+        for r in dim.filter(F.col("__is_current")).collect()
+    }
+    assert current == latest
+    # history rows are all closed
+    closed = dim.filter(~F.col("__is_current"))
+    assert closed.filter(F.col("__valid_to").isNull()).count() == 0
+    # users with >1 version have history
+    assert closed.count() > 0
+
+    n_before = dim.count()
+    q2 = jobs.run_incremental_scd2(spark, src, target)
+    q2.awaitTermination(180)
+    assert spark.read.parquet(os.path.join(target, "dim_users")).count() == n_before
+
+
 def test_conversion_sessions_stateful(spark, tmp_path):
     """Custom gap-OR-purchase sessionizer: closed sessions across
     TIME-ORDERED micro-batches must equal a Python reference run over
