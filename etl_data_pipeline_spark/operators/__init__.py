@@ -72,61 +72,72 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     unknown = set(oracle) - set(queries)
     if unknown:
         raise ValueError(f"oracle entries without queries: {unknown}")
-    # Individual queries whose latest verification row was red or
-    # missing get hoisted to the very front regardless of family.
-    # Round-3 rotation: the 3 round-2 red rows (oracle HUGEINT casts,
-    # now fixed) plus the 21 entries that have never had a driver row
-    # (the harness checks only a ~50-entry prefix per round).
+    # Individual queries whose latest verification row is OLDEST get
+    # hoisted to the very front regardless of family (the harness
+    # checks only a ~50-entry prefix per round, so the hoist rotates
+    # stale evidence back into the check window).
+    # Round-4 rotation: the 49 queries whose newest driver-green row is
+    # from round 1 — every callable was re-wrapped since (the UTC pin
+    # below) and sessionization was refactored, so their r1 evidence
+    # predates the code now running. All pass the local sf0.01 gate;
+    # this refreshes the hard driver signal. agg_collect (r2-latest)
+    # rides along as the 50th to start rotating r2 evidence next.
     hoist = [
-        # red in round 2 — oracle-side casts fixed this round
-        "corpus_mix_weights",
-        "corpus_pack_sequences",
-        "events_sessionize",
-        # new round-3 family (decision-support subqueries) — no rows yet
-        "subq_exists_lateship",
-        "subq_not_exists_quiet_parts",
-        "subq_corr_scalar_avgqty",
-        "subq_in_heavy_orders",
-        "subq_nested_max_revenue",
-        "agg_promo_share",
-        "subq_q22ish",
-        "join_count_distribution",
-        "events_session_funnel",
-        # new round-3 grouped-map twin (few-big-groups applyInPandas)
-        "udaf_segment_trend",
-        # new round-3 feature-engineering family — no rows yet
-        "recsys_negative_samples",
-        "events_decayed_value",
-        "corpus_quality_resample",
-        # reimplemented round-3 (mapInPandas amortization) — re-verify
-        "udaf_grouped",
-        # semantics changed post-r2 rows (bounded linkage output; staged
-        # embedding-LSH verify) — their old green rows verified the OLD
-        # contract, so re-verify
-        "dedup_levenshtein",
-        "dedup_embedding_cosine",
-        # never driver-checked through round 2
-        "stream_sliding",
-        "stream_session",
-        "stream_watermark_late",
-        "stream_dedup",
-        "stream_join_attribution",
-        "agg_pivot",
-        "unpivot_metrics",
-        "pipeline_corpus_curation",
-        "text_stats",
-        "text_tokens",
-        "text_lang_id",
-        "text_quality",
-        "text_fingerprint",
-        "text_top_tokens",
-        "text_normalize",
-        "text_chunks",
-        "text_tfidf",
-        "multimodal_binary_meta",
-        "multimodal_resize_plan",
-        "multimodal_frame_sample",
-        "multimodal_decode_stub",
+        # scans/watermark family — r1-latest
+        "scan_full",
+        "scan_incremental_id",
+        "scan_incremental_ts",
+        "watermark_advance",
+        "project_columns",
+        "filter_predicates",
+        "pipeline_incremental",
+        "sample_hash",
+        "sample_stratified",
+        "sql_passthrough_q6",
+        "profile_key_skew",
+        "export_shuffle",
+        # joins family — r1-latest
+        "join_inner_hash",
+        "join_broadcast",
+        "join_left_outer",
+        "join_full_outer",
+        "join_semi",
+        "join_anti",
+        "join_theta_range",
+        "join_skew_salted",
+        "join_multiway",
+        "tpch_q3ish",
+        "tpch_q5ish",
+        "join_range_binned",
+        "join_cross",
+        "join_asof",
+        "join_asof_tolerance",
+        # aggregates family — r1-latest (agg_collect was r2)
+        "agg_groupby",
+        "agg_distinct",
+        "agg_approx_distinct",
+        "agg_rollup",
+        "agg_cube",
+        "agg_having",
+        "agg_percentile",
+        "agg_approx_percentile",
+        "agg_time_rollup",
+        "subquery_scalar",
+        "agg_stats",
+        "agg_grouping_sets",
+        "agg_mode",
+        "agg_boolean",
+        "agg_histogram",
+        # analytics family — r1-latest
+        "events_funnel",
+        "events_retention",
+        "events_resample_ffill",
+        "events_transition_matrix",
+        "events_anomaly_zscore",
+        "profile_table_quality",
+        "timeseries_user_sim",
+        # r2-latest rider
+        "agg_collect",
     ]
     ordered = {name: queries[name] for name in hoist if name in queries}
     ordered.update(queries)
