@@ -91,13 +91,25 @@ def subq_corr_scalar_avgqty(spark: SparkSession, sf_dir: str) -> DataFrame:
     The inner threshold is exact cross-engine: quantities are integral
     doubles, so sum (exact integer arithmetic in fp64), avg (one
     division) and 0.5* (power of two) are all bit-deterministic; only
-    the outer order-dependent revenue sum needs rounding."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sq")
-    return spark.sql(
-        _Q17_TEMPLATE.format(
-            out=sql_round("sum(l_extendedprice) / 7.0", 2), t="lineitem_sq"
+    the outer order-dependent revenue sum needs rounding.
+
+    The temp view exists only while spark.sql analyzes the statement
+    (a unique per-call name, dropped before returning): the analyzed
+    plan binds the underlying relation, so the returned DataFrame
+    stays valid and no catalog state leaks across invocations or
+    sf_dirs."""
+    import uuid
+
+    view = f"lineitem_sq_{uuid.uuid4().hex}"
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            _Q17_TEMPLATE.format(
+                out=sql_round("sum(l_extendedprice) / 7.0", 2), t=view
+            )
         )
-    )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 def subq_in_heavy_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

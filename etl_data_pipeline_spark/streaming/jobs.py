@@ -279,8 +279,13 @@ def conversion_sessions_ooo(
         buf.sort(key=lambda e: (e[0], e[1]))
         out: list[tuple] = []
         released = 0
+        # Strict boundary: Spark's late filter drops only rows STRICTLY
+        # below the watermark, so an event with ts == wm can still
+        # arrive in a later batch. Releasing it now would let that
+        # tie-timestamp straggler process out of order — hold it until
+        # the watermark strictly passes it.
         for ts_us, _eid, etype in buf:
-            if ts_us > wm_us:
+            if ts_us >= wm_us:
                 break
             released += 1
             if start_us is not None and ts_us - last_us > gap_us:
@@ -294,9 +299,12 @@ def conversion_sessions_ooo(
                 out.append((user_id, start_us, ts_us, n, "purchase"))
                 start_us, n = None, 0
         buf = buf[released:]
-        # watermark-driven gap closure: every unseen event is newer
-        # than the watermark, hence newer than the gap deadline
-        if start_us is not None and wm_us >= last_us + gap_us:
+        # watermark-driven gap closure, strict for the same reason: an
+        # event with ts == last + gap would EXTEND the session
+        # (the open test is ts - last > gap), and ts == wm can still
+        # arrive — so closing is safe only once wm > last + gap, when
+        # every arrivable ts (>= wm) is strictly past the gap deadline
+        if start_us is not None and wm_us > last_us + gap_us:
             out.append((user_id, start_us, last_us, n, "gap"))
             start_us, n = None, 0
         if start_us is None and not buf:

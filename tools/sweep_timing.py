@@ -71,13 +71,24 @@ def main() -> int:
 
     med = {n: statistics.median(ts) for n, ts in times.items() if ts}
     slow = [(n, round(t, 1)) for n, t in med.items() if t > threshold]
+    # one ERROR line per query even if it failed every pass
+    seen: set[str] = set()
     for name, err in errors:
-        print(f"ERROR {name}: {err}")
+        if name not in seen:
+            seen.add(name)
+            n_fail = sum(1 for n, _ in errors if n == name)
+            print(f"ERROR {name}: ({n_fail}/{passes} passes failed) {err}")
+    # a query that failed only SOME passes still yields a median — flag
+    # that its floor came from fewer reps than requested
+    short = [(n, len(ts)) for n, ts in times.items() if ts and len(ts) < passes]
+    for name, reps in short:
+        print(f"SHORT {name}: median from {reps}/{passes} reps")
     for name, dt in sorted(slow, key=lambda x: -x[1]):
         print(f"SLOW  {name}: {dt}s")
     print(
-        f"== sweep done: {len(errors)} errors, {len(slow)} over {threshold}s,"
-        f" total median {sum(med.values()):.1f}s for {len(med)} queries =="
+        f"== sweep done: {len(seen)} errored queries, {len(slow)} over"
+        f" {threshold}s, total median {sum(med.values()):.1f}s for"
+        f" {len(med)} queries =="
     )
     if table_out:
         rows = sorted(med.items(), key=lambda x: -x[1])
@@ -85,13 +96,13 @@ def main() -> int:
             f.write("| query | median s | | query | median s |\n|---|---|---|---|---|\n")
             half = (len(rows) + 1) // 2
             for i in range(half):
-                left = f"{rows[i][0]} | {rows[i][1]:.2f}"
-                right = (
-                    f"{rows[i + half][0]} | {rows[i + half][1]:.2f}"
-                    if i + half < len(rows)
-                    else " | "
-                )
-                f.write(f"| {left} | {right} |\n")
+                l_name, l_t = rows[i]
+                if i + half < len(rows):
+                    r_name, r_t = rows[i + half]
+                    f.write(f"| {l_name} | {l_t:.2f} | | {r_name} | {r_t:.2f} |\n")
+                else:
+                    # filler keeps the final odd row at exactly five cells
+                    f.write(f"| {l_name} | {l_t:.2f} | | | |\n")
         print(f"wrote {table_out}")
     return 1 if errors else 0
 
