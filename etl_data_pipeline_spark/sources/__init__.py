@@ -118,21 +118,26 @@ def read_with_quarantine(
     fmt: str,
     path: str,
     schema_ddl: str,
-    quarantine_path: str | None = None,
-):
+) -> tuple[DataFrame, DataFrame]:
     """Read csv/json against a DECLARED schema, splitting rows that
     fail to parse into a quarantine (dead-letter) set instead of
     failing the job or silently nulling them — the malformed-input
     contract a production ingest needs (PERMISSIVE mode +
     columnNameOfCorruptRecord).
 
-    Returns ``(good_df, bad_count)``; raw malformed lines are appended
-    to ``quarantine_path`` (text) when given, preserving the original
-    bytes for replay after a fix. The parsed frame is persisted before
-    the corrupt-column filter — Spark disallows filtering on the
-    corrupt column over the raw scan (it is populated during parsing),
-    and the persist also means good rows + quarantine come from ONE
-    parse of the input.
+    Returns ``(good, bad)`` as LAZY DataFrames — the reader performs
+    no action, so ingest latency is the caller's choice: count the
+    quarantine, append it somewhere (``write_quarantine``), or ignore
+    it, each at the moment the pipeline wants to pay for it. ``bad``
+    has one ``value`` column carrying the original malformed line for
+    byte-exact replay after a fix.
+
+    Both frames derive from ONE parsed relation, marked ``persist()``
+    (itself lazy) before the corrupt-column filter — Spark disallows
+    filtering on the corrupt column over the raw scan (it is populated
+    during parsing), and the cache mark means a caller consuming both
+    sides parses the input once. Callers that materialize may
+    ``spark.catalog.clearCache()``/``unpersist`` when done.
     """
     if fmt not in ("csv", "json"):
         raise ValueError(f"quarantine read supports csv/json, not {fmt!r}")
@@ -145,14 +150,19 @@ def read_with_quarantine(
     else:
         df = reader.json(path)
     df = df.persist()
-    bad = df.filter(F.col(CORRUPT_COL).isNotNull())
-    bad_count = bad.count()
-    if bad_count and quarantine_path:
-        bad.select(F.col(CORRUPT_COL).alias("value")).write.mode("append").text(
-            quarantine_path
-        )
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("value")
+    )
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    return good, bad_count
+    return good, bad
+
+
+def write_quarantine(bad: DataFrame, quarantine_path: str) -> None:
+    """Append the quarantine frame's raw lines to ``quarantine_path``
+    as text, preserving original bytes for replay. Split out of the
+    reader so the write (an action) happens when the caller schedules
+    it, not inside every read."""
+    bad.select("value").write.mode("append").text(quarantine_path)
 
 
 def read_source(spark: SparkSession, fmt: str, table: str, options: dict) -> DataFrame:

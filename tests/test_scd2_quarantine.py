@@ -7,7 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from etl_data_pipeline_spark.sinks import scd2_upsert_parquet
-from etl_data_pipeline_spark.sources import read_with_quarantine
+from etl_data_pipeline_spark.sources import read_with_quarantine, write_quarantine
 
 
 def _rows(spark, path):
@@ -66,11 +66,10 @@ def test_quarantine_splits_malformed_csv(spark):
         qdir = os.path.join(tmp, "quarantine")
         with open(src, "w") as f:
             f.write("k,v\n1,alpha\nnot_a_number,beta\n3,gamma\n")
-        good, bad = read_with_quarantine(
-            spark, "csv", src, "k LONG, v STRING", qdir
-        )
-        assert bad == 1
+        good, bad = read_with_quarantine(spark, "csv", src, "k LONG, v STRING")
+        assert bad.count() == 1
         assert {(r.k, r.v) for r in good.collect()} == {(1, "alpha"), (3, "gamma")}
+        write_quarantine(bad, qdir)
         quarantined = spark.read.text(qdir).collect()
         assert len(quarantined) == 1 and "not_a_number" in quarantined[0].value
 
@@ -81,8 +80,28 @@ def test_quarantine_splits_malformed_json(spark):
         with open(src, "w") as f:
             f.write('{"k": 1, "v": "a"}\n{broken json\n{"k": 2, "v": "b"}\n')
         good, bad = read_with_quarantine(spark, "json", src, "k LONG, v STRING")
-        assert bad == 1
+        assert bad.count() == 1
         assert {(r.k, r.v) for r in good.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_quarantine_read_is_lazy(spark):
+    # the reader must not run ANY Spark job: tag a job group around the
+    # call and assert the group stays empty (an eager count/write in
+    # the read path would register a job under it)
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "in.csv")
+        with open(src, "w") as f:
+            f.write("k,v\n1,alpha\nbad,beta\n")
+        sc = spark.sparkContext
+        sc.setJobGroup("quarantine-lazy-probe", "laziness probe")
+        try:
+            good, bad = read_with_quarantine(spark, "csv", src, "k LONG, v STRING")
+            jobs = sc.statusTracker().getJobIdsForGroup("quarantine-lazy-probe")
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        assert list(jobs) == []
+        # frames still compute correctly once the CALLER acts
+        assert good.count() == 1 and bad.count() == 1
 
 
 def test_quarantine_rejects_unsupported_format(spark):
