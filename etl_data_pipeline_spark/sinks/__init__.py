@@ -18,7 +18,8 @@ Scale notes:
 from __future__ import annotations
 
 import os
-from typing import Callable, Protocol
+from contextlib import contextmanager
+from typing import Callable, Iterator, Protocol
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,19 +30,77 @@ class SinkFn(Protocol):
     def __call__(self, df: DataFrame, table: str, options: dict) -> None: ...
 
 
+@contextmanager
+def writer_lease(path: str) -> Iterator[int]:
+    """Exclusive writer lease for a staged-swap target: an ``flock``-ed
+    sidecar file (``<path>.lease``) that serializes every
+    read-merge-swap on the target, yielding a monotonically increasing
+    FENCING TOKEN persisted in the file under the lock.
+
+    Why flock and not a lease-TTL file: the kernel releases the lock
+    when the holder dies, so a crashed writer can never wedge the
+    target, and there is no clock-skew/TTL-tuning failure mode. The
+    token still matters as the fence: an observer comparing tokens can
+    order completed swaps (strictly increasing, never reused), and a
+    writer resumed after losing the CPU for longer than any TTL cannot
+    be overtaken — it still holds the flock.
+
+    Scope: one POSIX host (local FS / NFS-with-flock). On object
+    stores there is no rename-based swap to protect in the first
+    place — use a table format's optimistic concurrency there (see
+    atomic_overwrite_parquet's docstring).
+
+    flock is per open-file-description, so two THREADS of one process
+    contend correctly too (each ``open`` here is a fresh description).
+    """
+    import fcntl
+
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    fd = os.open(path + ".lease", os.O_RDWR | os.O_CREAT, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        raw = os.read(fd, 64)
+        token = (int(raw) if raw.strip() else 0) + 1
+        os.lseek(fd, 0, os.SEEK_SET)
+        os.ftruncate(fd, 0)
+        os.write(fd, str(token).encode())
+        os.fsync(fd)
+        yield token
+    finally:
+        os.close(fd)  # kernel drops the flock even on error paths
+
+
 def _recover_interrupted_swap(path: str) -> None:
     """Heal a crashed atomic_overwrite_parquet swap: the two-rename
     window can leave NO live target but a complete ``.old`` backup.
-    Called on entry by both the swap itself and every sink READ path —
-    a reader (upsert/idempotent-append/rollup) that saw the bare
-    missing path would wrongly conclude 'first write' and discard the
-    backed-up data on its next write."""
+    Called with the writer lease HELD by every swap; the read path
+    goes through ``_recover_interrupted_swap_safe`` instead — a reader
+    (upsert/idempotent-append/rollup) that saw the bare missing path
+    would wrongly conclude 'first write' and discard the backed-up
+    data on its next write."""
     backup = path + ".old"
     if path and not os.path.exists(path) and os.path.exists(backup):
         os.replace(backup, path)
 
 
-def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+def _recover_interrupted_swap_safe(path: str) -> None:
+    """Lease-aware recovery for READERS. The bare check cannot tell a
+    crashed swap from a LIVE one (both show target-missing +
+    ``.old``-present); restoring ``.old`` under a live writer's feet
+    would make its final rename land on a non-empty directory and
+    fail. So: only when recovery LOOKS needed, take the lease (waiting
+    out any live writer) and re-check before touching anything."""
+    if not path or os.path.exists(path) or not os.path.exists(path + ".old"):
+        return
+    with writer_lease(path):
+        _recover_interrupted_swap(path)
+
+
+def read_parquet_if_exists(
+    spark: SparkSession, path: str, lease_held: bool = False
+) -> DataFrame | None:
     """``spark.read.parquet(path)``, or None ONLY when the path
     genuinely does not exist.
 
@@ -52,8 +111,15 @@ def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
     idempotent append would degrade to a duplicating plain append, and
     the rollup would lose its batch-id dedup state and double-count on
     replay. Only the specific PATH_NOT_FOUND condition is first-write.
+
+    ``lease_held``: callers already inside ``writer_lease(path)`` must
+    say so — recovery then runs directly (taking the lease again from
+    the same thread would self-deadlock).
     """
-    _recover_interrupted_swap(path)
+    if lease_held:
+        _recover_interrupted_swap(path)
+    else:
+        _recover_interrupted_swap_safe(path)
     try:
         df = spark.read.parquet(path)
         # force analysis now so a missing path surfaces here, not at
@@ -149,21 +215,37 @@ def atomic_overwrite_parquet(df: DataFrame, table: str, options: dict) -> None:
     failed write leaves the CURRENT target untouched because nothing is
     moved until the staging write fully succeeds.
 
-    CONCURRENCY CONTRACT: single writer, and the swap itself is two
-    renames (path -> .old, .staging -> path), so there is a window
-    where the target path does not exist — a concurrent reader in that
-    window errors, and a crash in it leaves the data only in ``.old``.
-    This function therefore (a) RECOVERS on entry: a missing target
-    with a live ``.old`` backup is restored before anything else, so a
-    crashed swap heals on the next write; (b) documents that readers
-    must not race writers on a bare directory. For true single-rename
-    atomicity point readers at a manifest/symlink swapped in one
-    rename, or use a table format (Delta/Iceberg) — on object stores
-    rename is not atomic and the table-format route is the only one.
+    CONCURRENCY CONTRACT: writers SERIALIZE on ``writer_lease(path)``
+    (flock sidecar + fencing token) — two concurrent overwrites, or an
+    overwrite racing an upsert/SCD2 on the same target, queue up and
+    each sees the other's completed state; the target is always ONE
+    writer's complete dataset, never an interleaving. The swap itself
+    is two renames (path -> .old, .staging -> path), so there is a
+    window where the target path does not exist — a concurrent READER
+    in that window errors, and a crash in it leaves the data only in
+    ``.old``. This function therefore (a) RECOVERS on entry (under the
+    lease): a missing target with a live ``.old`` backup is restored
+    before anything else, so a crashed swap heals on the next write
+    (the engine's read paths heal too, via the lease-aware
+    ``_recover_interrupted_swap_safe``); (b) documents that ad-hoc
+    readers must not race writers on a bare directory. For true
+    single-rename atomicity point readers at a manifest/symlink
+    swapped in one rename, or use a table format (Delta/Iceberg) — on
+    object stores rename is not atomic and the table-format route is
+    the only one.
     """
+    path = _target_path(table, options)
+    with writer_lease(path):
+        _overwrite_swap_locked(df, path)
+
+
+def _overwrite_swap_locked(df: DataFrame, path: str) -> None:
+    """Staged write + two-rename swap. Caller MUST hold
+    ``writer_lease(path)`` — this is the only code that touches
+    ``.staging``/``.old``, and the lease is what keeps two writers
+    from interleaving those renames."""
     import shutil
 
-    path = _target_path(table, options)
     staging = path + ".staging"
     backup = path + ".old"
     # crash recovery: a previous run may have died between the two
@@ -285,20 +367,26 @@ def upsert_overwrite_parquet(
     current sink untouched. (The rewrite-whole-table cost is the
     parquet trade-off; on a table format with row-level MERGE the same
     call maps to MERGE INTO.)
+
+    The ENTIRE read-merge-swap holds ``writer_lease(path)``: two
+    concurrent upserts serialize, so the second reads the first's
+    completed sink instead of the shared ancestor (a lost-update race
+    the swap alone cannot prevent).
     """
     path = _target_path(table, options)
-    # first-write ONLY on a true missing path; any other read error
-    # aborts the upsert (see read_parquet_if_exists — a degraded read
-    # here would silently drop all unmatched sink rows).
-    existing = read_parquet_if_exists(spark, path)
-    if existing is None:
-        df.write.mode("overwrite").parquet(path)
-        return
-    kept = existing.join(
-        df.select(*merge_keys).distinct(), on=list(merge_keys), how="left_anti"
-    )
-    merged = kept.unionByName(df)
-    atomic_overwrite_parquet(merged, table, options)
+    with writer_lease(path):
+        # first-write ONLY on a true missing path; any other read error
+        # aborts the upsert (see read_parquet_if_exists — a degraded
+        # read here would silently drop all unmatched sink rows).
+        existing = read_parquet_if_exists(spark, path, lease_held=True)
+        if existing is None:
+            df.write.mode("overwrite").parquet(path)
+            return
+        kept = existing.join(
+            df.select(*merge_keys).distinct(), on=list(merge_keys), how="left_anti"
+        )
+        merged = kept.unionByName(df)
+        _overwrite_swap_locked(merged, path)
 
 
 SCD2_COLS = ("__valid_from", "__valid_to", "__is_current")
@@ -330,6 +418,13 @@ def scd2_upsert_parquet(
 
     ``batch_ts`` is caller-supplied (the load's logical timestamp) so
     reruns are deterministic — never wall-clock inside the engine.
+
+    Like SCD1, the whole read-close-append-swap runs under
+    ``writer_lease(path)``: concurrent upserts serialize, each
+    building its history on the other's COMPLETED version chain —
+    interleaving here would fork the chain (two "current" rows per
+    key), which no amount of swap atomicity could repair after the
+    fact.
     """
     path = _target_path(table, options)
     data_cols = [c for c in df.columns]
@@ -342,7 +437,12 @@ def scd2_upsert_parquet(
         F.lit(None).cast("timestamp").alias("__valid_to"),
         F.lit(True).alias("__is_current"),
     )
-    existing = read_parquet_if_exists(spark, path)
+    with writer_lease(path):
+        _scd2_upsert_locked(spark, df, path, as_version, key_cols, compare, data_cols, ts)
+
+
+def _scd2_upsert_locked(spark, df, path, as_version, key_cols, compare, data_cols, ts):
+    existing = read_parquet_if_exists(spark, path, lease_held=True)
     if existing is None:
         as_version.write.mode("overwrite").parquet(path)
         return
@@ -390,7 +490,7 @@ def scd2_upsert_parquet(
         F.lit(True).alias("__is_current"),
     )
     merged = history.unionByName(surviving).unionByName(closing).unionByName(incoming)
-    atomic_overwrite_parquet(merged, table, options)
+    _overwrite_swap_locked(merged, path)
 
 
 def compact_parquet(
@@ -411,27 +511,28 @@ def compact_parquet(
     the swap reuses the atomic staged-rename sink so readers never see
     a half-compacted directory.
     """
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        total += sum(
-            os.path.getsize(os.path.join(root, f))
-            for f in files
-            if f.endswith(".parquet")
-        )
-    n_files = max(1, -(-total // target_file_bytes))  # ceil division
-    df = spark.read.parquet(path)
-    atomic_overwrite_parquet(df.repartition(n_files), "", {"path": path + ".compact"})
-    # swap: the freshly-compacted copy replaces the fragmented original
     import shutil
 
-    backup = path + ".precompact"
-    shutil.rmtree(backup, ignore_errors=True)
-    os.replace(path, backup)
-    os.replace(path + ".compact", path)
-    shutil.rmtree(backup, ignore_errors=True)
-    return len(
-        [f for f in os.listdir(path) if f.endswith(".parquet")]
-    )
+    with writer_lease(path):  # also covers the .compact scratch dir
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        n_files = max(1, -(-total // target_file_bytes))  # ceil division
+        df = spark.read.parquet(path)
+        _overwrite_swap_locked(df.repartition(n_files), path + ".compact")
+        # swap: freshly-compacted copy replaces the fragmented original
+        backup = path + ".precompact"
+        shutil.rmtree(backup, ignore_errors=True)
+        os.replace(path, backup)
+        os.replace(path + ".compact", path)
+        shutil.rmtree(backup, ignore_errors=True)
+        return len(
+            [f for f in os.listdir(path) if f.endswith(".parquet")]
+        )
 
 
 def backfill_partitions(
@@ -486,9 +587,18 @@ def idempotent_append_parquet(
     scan(sink, keys only) -> anti-join(broadcast new batch).
     """
     path = _target_path(table, options)
-    # first-write ONLY on a true missing path; any other read error
-    # aborts the append (a degraded read would replay duplicates).
-    sink = read_parquet_if_exists(spark, path)
-    existing = None if sink is None else sink.select(*merge_keys).distinct()
-    out = df if existing is None else df.join(existing, on=list(merge_keys), how="left_anti")
-    out.write.mode("append").parquet(path)
+    # the lease makes the read-check-append atomic: two concurrent
+    # appends of overlapping batches serialize, so the second sees the
+    # first's keys and skips them (racing bare appends would both pass
+    # the check and double-insert).
+    with writer_lease(path):
+        # first-write ONLY on a true missing path; any other read error
+        # aborts the append (a degraded read would replay duplicates).
+        sink = read_parquet_if_exists(spark, path, lease_held=True)
+        existing = None if sink is None else sink.select(*merge_keys).distinct()
+        out = (
+            df
+            if existing is None
+            else df.join(existing, on=list(merge_keys), how="left_anti")
+        )
+        out.write.mode("append").parquet(path)

@@ -96,6 +96,145 @@ def test_interrupted_swap_recovers_before_upsert(spark):
         assert out == {(1, "a"), (2, "B"), (3, "c")}
 
 
+def test_writer_lease_mutual_exclusion_and_fencing(spark):
+    """The lease must (a) admit exactly one holder at a time — probed
+    by a critical-section counter no concurrent holder may see move —
+    and (b) hand out strictly increasing, never-reused fencing tokens."""
+    import threading
+    import time
+
+    from etl_data_pipeline_spark.sinks import writer_lease
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "t")
+        tokens = []
+        state = {"inside": 0, "max_inside": 0}
+        guard = threading.Lock()
+
+        def hold():
+            with writer_lease(path) as token:
+                with guard:
+                    state["inside"] += 1
+                    state["max_inside"] = max(state["max_inside"], state["inside"])
+                    tokens.append(token)
+                time.sleep(0.01)
+                with guard:
+                    state["inside"] -= 1
+
+        threads = [threading.Thread(target=hold) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert state["max_inside"] == 1  # never two holders
+        assert sorted(tokens) == list(range(1, 9))  # strict, gap-free fence
+        assert tokens == sorted(tokens)  # issued in acquisition order
+
+
+def test_concurrent_atomic_overwrite_cannot_corrupt_target(spark):
+    """Two writers hammering one target with DISTINCT datasets: after
+    every interleaving the target must be exactly ONE writer's complete
+    dataset (no mixes, no missing target, no stray swap debris)."""
+    import threading
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "t")
+        frames = {
+            "A": spark.range(200).select(F.col("id").alias("k"), F.lit("A").alias("v")),
+            "B": spark.range(300).select(F.col("id").alias("k"), F.lit("B").alias("v")),
+        }
+        errors = []
+
+        def writer(tag):
+            try:
+                for _ in range(3):
+                    atomic_overwrite_parquet(frames[tag], "t", {"dir": tmp})
+            except Exception as e:  # surfaced after join — threads must not die silently
+                errors.append((tag, e))
+
+        threads = [threading.Thread(target=writer, args=(t,)) for t in "AB"]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        out = spark.read.parquet(path)
+        counts = {r.v: r.cnt for r in out.groupBy("v").agg(F.count("*").alias("cnt")).collect()}
+        assert counts in ({"A": 200}, {"B": 300})  # one COMPLETE dataset
+        assert not os.path.exists(path + ".staging")
+        assert not os.path.exists(path + ".old")
+
+
+def test_concurrent_scd2_upserts_serialize(spark):
+    """Two SCD2 upserts on one dimension (disjoint keys) racing: the
+    lease serializes them, so BOTH batches' keys exist afterward with
+    exactly one current row each — an interleaving would fork the
+    version chain or drop the slower writer's keys."""
+    import threading
+
+    from etl_data_pipeline_spark.sinks import scd2_upsert_parquet
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "dim")
+        opts = {"dir": tmp}
+        seed = spark.createDataFrame([(1, "base")], "k long, v string")
+        scd2_upsert_parquet(spark, seed, "dim", opts, ("k",), "2026-01-01 00:00:00")
+        batches = {
+            "left": spark.createDataFrame([(1, "new"), (2, "two")], "k long, v string"),
+            "right": spark.createDataFrame([(3, "three")], "k long, v string"),
+        }
+        errors = []
+
+        def upsert(tag):
+            try:
+                scd2_upsert_parquet(
+                    spark, batches[tag], "dim", opts, ("k",), "2026-02-01 00:00:00"
+                )
+            except Exception as e:
+                errors.append((tag, e))
+
+        threads = [threading.Thread(target=upsert, args=(t,)) for t in batches]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        out = spark.read.parquet(path)
+        current = {
+            (r.k, r.v) for r in out.filter("__is_current").collect()
+        }
+        assert current == {(1, "new"), (2, "two"), (3, "three")}
+        # k=1 history: the base version closed exactly once
+        closed = out.filter("k = 1 AND NOT __is_current").collect()
+        assert len(closed) == 1 and closed[0].v == "base"
+
+
+def test_concurrent_idempotent_append_no_duplicates(spark):
+    """The SAME batch appended from two racing threads must land once:
+    the lease makes read-check-append atomic, so the loser of the race
+    sees the winner's keys and skips them."""
+    import threading
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "t")
+        batch = spark.range(50).withColumnRenamed("id", "k")
+        errors = []
+
+        def append():
+            try:
+                idempotent_append_parquet(spark, batch, "t", {"dir": tmp}, ("k",))
+            except Exception as e:
+                errors.append(e)
+
+        threads = [threading.Thread(target=append) for _ in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        assert spark.read.parquet(path).count() == 50
+
+
 def test_asof_join_carries_matched_rows_nulls(spark):
     """The matched right row's own NULL must be carried (row-atomic
     match), never back-filled from an older right row."""
