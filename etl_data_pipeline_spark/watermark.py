@@ -41,10 +41,37 @@ class WatermarkStore:
 
     Keys follow the reference's ``last_watermark_<table>`` convention
     (dags/data_pipeline_with_incremental.py:44-46).
+
+    Concurrency: one store file is SHARED by every table job in a
+    pipeline run (the fan-out runner advances distinct per-table keys
+    from a thread pool), and each mutation is a whole-file
+    read-modify-write. ``set``/``clear`` therefore hold an exclusive
+    flock on a ``.lock`` sidecar for the read+write, so concurrent
+    advances of DIFFERENT keys can never drop each other's update —
+    without the lock, two jobs reading the same snapshot would each
+    persist a map missing the other's table. ``get`` stays lock-free:
+    the rename publish is atomic, so readers always see a complete
+    (point-in-time) map.
     """
 
     def __init__(self, path: str | Path):
         self.path = Path(path)
+
+    def _locked(self):
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def hold():
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+            fd = os.open(f"{self.path}.lock", os.O_RDWR | os.O_CREAT, 0o644)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                os.close(fd)  # kernel drops the flock, crash included
+
+        return hold()
 
     def _read_all(self) -> dict[str, str]:
         if not self.path.exists():
@@ -54,31 +81,29 @@ class WatermarkStore:
         except (json.JSONDecodeError, OSError):
             return {}
 
+    def _write_all(self, state: dict[str, str]) -> None:
+        # atomic publish (write-temp + rename) so a crash mid-write
+        # never corrupts state — the batch analog of checkpointing
+        fd, tmp = tempfile.mkstemp(dir=str(self.path.parent), suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self.path)
+
     def get(self, table: str) -> str | None:
         """Stored watermark as a string, or None (≙ Variable.get default_var=None)."""
         return self._read_all().get(f"last_watermark_{table}")
 
     def set(self, table: str, value: Any) -> None:
-        """Persist atomically (write-temp + rename) so a crash mid-write
-        never corrupts state — the batch analog of checkpointing."""
-        state = self._read_all()
-        state[f"last_watermark_{table}"] = str(value)
-        self.path.parent.mkdir(parents=True, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=str(self.path.parent), suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(state, f)
-        os.replace(tmp, self.path)
+        with self._locked():
+            state = self._read_all()
+            state[f"last_watermark_{table}"] = str(value)
+            self._write_all(state)
 
     def clear(self, table: str) -> None:
-        state = self._read_all()
-        state.pop(f"last_watermark_{table}", None)
-        # same atomic write-temp + rename as set(): a crash mid-clear
-        # must not corrupt the other tables' state
-        self.path.parent.mkdir(parents=True, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=str(self.path.parent), suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(state, f)
-        os.replace(tmp, self.path)
+        with self._locked():
+            state = self._read_all()
+            state.pop(f"last_watermark_{table}", None)
+            self._write_all(state)
 
 
 def parse_watermark(raw: str | None, watermark_type: str | None) -> Any | None:

@@ -88,3 +88,44 @@ class TestStore:
         assert store.get("orders") is None  # degrade, never crash
         store.set("orders", 7)
         assert store.get("orders") == "7"
+
+    def test_concurrent_distinct_key_sets_all_survive(self, tmp_path):
+        """The fan-out runner advances DIFFERENT tables' watermarks
+        from a thread pool against ONE store file. Each set() is a
+        whole-file read-modify-write, so without the flock two racing
+        writers would each persist a snapshot missing the other's key.
+        Hammer the store from a pool and require every key to land."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        store = WatermarkStore(tmp_path / "state.json")
+        tables = [f"t{i}" for i in range(16)]
+
+        def advance(table):
+            for v in range(5):
+                store.set(table, v)
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            list(pool.map(advance, tables))
+        for table in tables:
+            assert store.get(table) == "4", table
+
+    def test_concurrent_set_and_clear_isolated_per_key(self, tmp_path):
+        """clear(a) racing set(b) must never resurrect a or drop b."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        store = WatermarkStore(tmp_path / "state.json")
+        store.set("a", 1)
+
+        def clears():
+            for _ in range(50):
+                store.clear("a")
+
+        def sets():
+            for v in range(50):
+                store.set("b", v)
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f1, f2 = pool.submit(clears), pool.submit(sets)
+            f1.result(), f2.result()
+        assert store.get("a") is None
+        assert store.get("b") == "49"
