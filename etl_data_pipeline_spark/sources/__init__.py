@@ -81,6 +81,43 @@ def jdbc_reader_options(table: str, options: dict) -> dict[str, str]:
     return out
 
 
+def jdbc_incremental_dbtable(
+    table: str, column: str, watermark_type: str, raw: str | None
+) -> str:
+    """Assemble the ``dbtable`` pushdown subquery for an incremental
+    JDBC read: ``(SELECT * FROM t WHERE "wm" > <literal>) wm_pushdown``.
+
+    This embeds the watermark predicate in the DATABASE's own SQL, so
+    the filter runs server-side even where Spark's pushDownPredicate
+    cannot help (e.g. a dialect Spark won't translate the typed literal
+    for) — the guarantee the reference gets from string-formatting its
+    WHERE clause (util.py:148-161), minus the reference's unparameterized
+    type handling:
+
+    - strict ``>`` always (boundary rows are never re-read);
+    - 'id' watermarks render as an integer literal;
+    - 'timestamp' watermarks render as an ANSI ``TIMESTAMP 'YYYY-MM-DD
+      HH:MM:SS[.ffffff]'`` literal (every mainstream dialect accepts it);
+    - any degrade condition (missing/unparseable value, unknown type)
+      falls back to the bare table name — a FULL LOAD, exactly like the
+      scan-side degrade paths (parse_watermark).
+
+    Pure string assembly: unit-testable without a database, and the
+    contract tests additionally EXECUTE the result against DuckDB to
+    prove the SQL is engine-valid, not just well-shaped.
+    """
+    from etl_data_pipeline_spark.watermark import parse_watermark
+
+    value = parse_watermark(raw, watermark_type)
+    if value is None:
+        return table
+    if watermark_type == "id":
+        lit = str(int(value))
+    else:
+        lit = "TIMESTAMP '" + value.isoformat(sep=" ") + "'"
+    return f'(SELECT * FROM {table} WHERE "{column}" > {lit}) wm_pushdown'
+
+
 def _jdbc_source(spark: SparkSession, table: str, options: dict) -> DataFrame:
     """JDBC read (reference MySQLSourceConnector.read_table, util.py:132-187).
 

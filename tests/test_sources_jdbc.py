@@ -76,3 +76,91 @@ def test_unknown_format_dispatch_raises():
     with pytest.raises(ValueError, match="Unsupported source format"):
         read_source(None, "mongodb", "orders", {})
     assert "jdbc" in SOURCES
+
+
+class TestIncrementalDbtableSubquery:
+    """The watermark-pushdown dbtable contract: exact assembled SQL for
+    both watermark types, degrade-to-full-load parity with the scan
+    side, and — since no live DBMS exists in this sandbox — execution
+    of the assembled subquery against DuckDB over the real test
+    parquet, proving the SQL a database would receive actually runs."""
+
+    def test_id_watermark_renders_strict_gt_integer(self):
+        from etl_data_pipeline_spark.sources import jdbc_incremental_dbtable
+
+        sub = jdbc_incremental_dbtable("orders", "o_orderkey", "id", "1200")
+        assert sub == '(SELECT * FROM orders WHERE "o_orderkey" > 1200) wm_pushdown'
+
+    def test_timestamp_watermark_renders_ansi_literal(self):
+        from etl_data_pipeline_spark.sources import jdbc_incremental_dbtable
+
+        sub = jdbc_incremental_dbtable(
+            "events", "ts", "timestamp", "2026-01-15 12:30:00"
+        )
+        assert sub == (
+            "(SELECT * FROM events WHERE \"ts\" > "
+            "TIMESTAMP '2026-01-15 12:30:00') wm_pushdown"
+        )
+
+    @pytest.mark.parametrize(
+        "wm_type,raw",
+        [
+            ("id", None),
+            ("id", "None"),
+            ("id", "not_a_number"),
+            ("timestamp", "garbage"),
+            ("epoch_millis", "123"),  # unknown type
+        ],
+    )
+    def test_degrades_to_full_load_bare_table(self, wm_type, raw):
+        from etl_data_pipeline_spark.sources import jdbc_incremental_dbtable
+
+        assert jdbc_incremental_dbtable("orders", "o_orderkey", wm_type, raw) == "orders"
+
+    def test_assembled_subquery_flows_into_reader_options(self):
+        from etl_data_pipeline_spark.sources import jdbc_incremental_dbtable
+
+        sub = jdbc_incremental_dbtable("orders", "o_orderkey", "id", "7")
+        opts = jdbc_reader_options("orders", {"url": URL, "dbtable": sub})
+        assert opts["dbtable"] == sub
+
+    def test_id_subquery_executes_on_duckdb(self):
+        """Round-trip the id-watermark SQL through a real engine: the
+        database-side result must equal strict-> row-for-row."""
+        import duckdb
+
+        from etl_data_pipeline_spark.sources import jdbc_incremental_dbtable
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW orders AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/orders.parquet')"
+        )
+        sub = jdbc_incremental_dbtable("orders", "o_orderkey", "id", "1200")
+        got = con.execute(f"SELECT count(*) FROM {sub}").fetchone()[0]
+        want = con.execute(
+            "SELECT count(*) FROM orders WHERE o_orderkey > 1200"
+        ).fetchone()[0]
+        boundary = con.execute(
+            f"SELECT count(*) FROM {sub} WHERE o_orderkey = 1200"
+        ).fetchone()[0]
+        assert got == want and want > 0
+        assert boundary == 0  # strict: the boundary row is never re-read
+
+    def test_timestamp_subquery_executes_on_duckdb(self):
+        import duckdb
+
+        from etl_data_pipeline_spark.sources import jdbc_incremental_dbtable
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/events.parquet')"
+        )
+        wm = con.execute("SELECT cast(median(ts) AS VARCHAR) FROM events").fetchone()[0]
+        sub = jdbc_incremental_dbtable("events", "ts", "timestamp", wm)
+        got = con.execute(f"SELECT count(*) FROM {sub}").fetchone()[0]
+        want = con.execute(
+            "SELECT count(*) FROM events WHERE ts > ?", [wm]
+        ).fetchone()[0]
+        assert got == want and 0 < got
