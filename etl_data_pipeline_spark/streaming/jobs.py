@@ -31,14 +31,40 @@ from etl_data_pipeline_spark.functions.rounding import hround
 from etl_data_pipeline_spark.watermark import WatermarkStore, parse_watermark
 
 
+def _schema_from_one_footer(source_dir: str):
+    """Stream-source schema from ONE parquet footer, read driver-side
+    with pyarrow — zero Spark jobs, zero directory-wide footer scans.
+    The schema=None convenience used to batch-read the whole directory
+    (spark.read.parquet), which on a huge stream dir means listing and
+    footer-sampling every file before the stream even starts; one
+    footer is sufficient because a file stream's files share a schema
+    by contract (the stream would fail on drift anyway)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    for entry in sorted(os.listdir(source_dir)):
+        if entry.endswith(".parquet"):
+            return from_arrow_schema(
+                pq.read_schema(os.path.join(source_dir, entry))
+            )
+    raise ValueError(
+        f"cannot derive stream schema: no .parquet file in {source_dir!r};"
+        " pass an explicit schema/DDL"
+    )
+
+
 def events_file_stream(
     spark: SparkSession, source_dir: str, schema=None, max_files_per_trigger: int = 1
 ) -> DataFrame:
     """File-source stream over parquet chunk files (the harness replay
     of a Kafka-like feed). ``maxFilesPerTrigger`` bounds micro-batch
-    size — at scale this is the backpressure knob."""
+    size — at scale this is the backpressure knob.
+
+    Prefer passing ``schema`` (DDL string or StructType) explicitly;
+    with None it is derived from a single parquet footer on the driver
+    (never a batch read of the directory)."""
     if schema is None:
-        schema = spark.read.parquet(source_dir).schema
+        schema = _schema_from_one_footer(source_dir)
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -35,6 +35,29 @@ def _run_to_memory(spark, stream_df, name, mode="append"):
     return spark.table(name)
 
 
+def test_file_stream_schema_default_runs_zero_batch_jobs(spark, event_chunks):
+    """schema=None must derive the schema from ONE footer on the
+    driver — the job-group probe proves no batch read happens, and the
+    derived schema must equal what a full batch inference would give."""
+    src, ev = event_chunks
+    sc = spark.sparkContext
+    sc.setJobGroup("stream-schema-probe", "laziness probe")
+    try:
+        stream = jobs.events_file_stream(spark, src)
+        job_ids = sc.statusTracker().getJobIdsForGroup("stream-schema-probe")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(job_ids) == []
+    assert stream.schema == ev.schema
+
+
+def test_file_stream_empty_dir_demands_explicit_schema(spark, tmp_path):
+    empty = str(tmp_path / "empty_src")
+    os.makedirs(empty)
+    with pytest.raises(ValueError, match="explicit schema"):
+        jobs.events_file_stream(spark, empty)
+
+
 def test_tumbling_batch_stream_parity(spark, event_chunks, tmp_path):
     src, ev = event_chunks
     stream = jobs.events_file_stream(spark, src)
