@@ -385,6 +385,170 @@ def conversion_sessions_ooo(
     )
 
 
+def session_funnel_ooo(
+    stream: DataFrame, gap_secs: int = 1800, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming twin of the batch ``events_session_funnel``
+    (operators/analytics.py): emit each session's FUNNEL DEPTH when
+    the session closes, correct under out-of-order arrival within the
+    watermark horizon.
+
+    Sessionization is the batch operator's exactly: a session is a run
+    of per-user events with no silence > gap (functions/sessions.py
+    boundary — closes on GAP ONLY, never on purchase, unlike
+    ``conversion_sessions_ooo``). Depth is the strictly-after
+    progression, folded incrementally as events release in (ts,
+    event_id) order — the in-order fold computes the identical values
+    to the batch window aggregates (first view = min view; first
+    click strictly after it = min qualifying click; purchase likewise):
+
+    - 1 = viewed; 2 = first click strictly after the session's first
+      view; 3 = first purchase strictly after THAT click; 0 = session
+      with no view.
+
+    Shares ``conversion_sessions_ooo``'s reorder-buffer mechanics and
+    its STRICT boundaries: buffered events release only once ts < wm
+    (a tie-timestamp straggler can still arrive), and a gap closure
+    fires only once wm > last + gap (an event AT last+gap would extend
+    the session). State per user: open-session funnel triple + the
+    bounded reorder buffer — O(rate x horizon), same as any
+    stream-stream join.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_secs * 1_000_000
+
+    def depth_of(t_view, t_click, t_purchase):
+        if t_purchase is not None:
+            return 3
+        if t_click is not None:
+            return 2
+        if t_view is not None:
+            return 1
+        return 0
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            (start_us, last_us, n, t_view, t_click, t_purchase,
+             buf_ts, buf_id, buf_et) = state.get
+            if start_us < 0:
+                start_us = None
+            t_view = None if t_view < 0 else t_view
+            t_click = None if t_click < 0 else t_click
+            t_purchase = None if t_purchase < 0 else t_purchase
+            buf = list(zip(buf_ts, buf_id, buf_et))
+        else:
+            start_us = last_us = t_view = t_click = t_purchase = None
+            n = 0
+            buf = []
+        for pdf in pdf_iter:
+            if len(pdf):
+                ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+                buf.extend(zip(ts_us, pdf["event_id"].tolist(), pdf["event_type"].tolist()))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        # same (ts, event_id) tie-break as the batch sessionizer's
+        # orderBy(ts, event_id)
+        buf.sort(key=lambda e: (e[0], e[1]))
+        out: list[tuple] = []
+        released = 0
+        for ts_us, _eid, etype in buf:
+            if ts_us >= wm_us:  # strict: ts == wm can still arrive
+                break
+            released += 1
+            if start_us is not None and ts_us - last_us > gap_us:
+                out.append(
+                    (user_id, start_us, last_us, n,
+                     depth_of(t_view, t_click, t_purchase))
+                )
+                start_us = None
+            if start_us is None:
+                start_us, n = ts_us, 0
+                t_view = t_click = t_purchase = None
+            last_us = ts_us
+            n += 1
+            # strictly-after funnel fold, in release order
+            if etype == "view" and t_view is None:
+                t_view = ts_us
+            elif (
+                etype == "click"
+                and t_click is None
+                and t_view is not None
+                and ts_us > t_view
+            ):
+                t_click = ts_us
+            elif (
+                etype == "purchase"
+                and t_purchase is None
+                and t_click is not None
+                and ts_us > t_click
+            ):
+                t_purchase = ts_us
+        buf = buf[released:]
+        # watermark-driven gap closure (strict — see conversion_sessions_ooo)
+        if start_us is not None and wm_us > last_us + gap_us:
+            out.append(
+                (user_id, start_us, last_us, n,
+                 depth_of(t_view, t_click, t_purchase))
+            )
+            start_us, n = None, 0
+        if start_us is None and not buf:
+            if state.exists:
+                state.remove()
+        else:
+            state.update(
+                (
+                    -1 if start_us is None else int(start_us),
+                    int(last_us if last_us is not None else -1),
+                    int(n if start_us is not None else 0),
+                    -1 if t_view is None else int(t_view),
+                    -1 if t_click is None else int(t_click),
+                    -1 if t_purchase is None else int(t_purchase),
+                    [t for t, _, _ in buf],
+                    [int(i) for _, i, _ in buf],
+                    [e for _, _, e in buf],
+                )
+            )
+            deadlines = []
+            if start_us is not None:
+                deadlines.append((last_us + gap_us) // 1000)
+            if buf:
+                deadlines.append(buf[0][0] // 1000)
+            state.setTimeoutTimestamp(
+                max(min(deadlines), state.getCurrentWatermarkMs() + 1)
+            )
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "start_us", "end_us", "n_events", "funnel_depth"],
+        )
+
+    raw = (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, start_us long, end_us long, n_events int,"
+                " funnel_depth int"
+            ),
+            stateStructType=(
+                "start_us long, last_us long, n int, t_view long,"
+                " t_click long, t_purchase long, buf_ts array<long>,"
+                " buf_id array<long>, buf_et array<string>"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return raw.select(
+        "user_id",
+        F.timestamp_micros("start_us").alias("session_start"),
+        F.timestamp_micros("end_us").alias("session_end"),
+        "n_events",
+        "funnel_depth",
+    )
+
+
 def run_incremental_rollup(
     spark: SparkSession,
     source_dir: str,
