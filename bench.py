@@ -68,6 +68,12 @@ BENCH_QUERIES = [
     "subq_in_heavy_orders",
     "agg_promo_share",
     "udaf_grouped",
+    # round-4 additions: the registry sweep's most expensive citizens —
+    # the headline set must carry its own worst tail, not hide it in
+    # the sweep table (VERDICT r3 nit #4)
+    "dedup_embedding_cosine",
+    "dedup_canonical",
+    "recsys_negative_samples",
 ]
 
 
