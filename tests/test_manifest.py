@@ -1,0 +1,176 @@
+"""Manifest-pointer table contract tests: single-rename commits,
+gap-free readers under concurrent writes, serialized committers with a
+total fencing order, time travel, orphan recovery, vacuum."""
+
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_pipeline_spark.sinks.manifest import (
+    commit,
+    read_manifest,
+    read_table,
+    vacuum,
+)
+
+
+def _frame(spark, n, tag):
+    return spark.range(n).select(F.col("id").alias("k"), F.lit(tag).alias("v"))
+
+
+def test_commit_read_roundtrip_and_versioning(spark, tmp_path):
+    t = str(tmp_path / "t")
+    m1 = commit(_frame(spark, 10, "a"), t)
+    assert (m1["version"], m1["dir"]) == (1, os.path.join("_versions", "v00000001"))
+    m2 = commit(_frame(spark, 20, "b"), t)
+    assert m2["version"] == 2 and m2["fence"] > m1["fence"]
+    assert read_manifest(t) == m2
+    out = read_table(spark, t)
+    assert out.count() == 20 and out.select("v").distinct().first().v == "b"
+
+
+def test_append_is_copy_on_write_union(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit(_frame(spark, 5, "a"), t)
+    commit(_frame(spark, 3, "b"), t, mode="append")
+    counts = {
+        r.v: r.n
+        for r in read_table(spark, t).groupBy("v").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"a": 5, "b": 3}
+    # the appended-to version is untouched (immutable directories)
+    assert read_table(spark, t, version=1).count() == 5
+
+
+def test_time_travel_and_version_bounds(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for i, n in enumerate((4, 8, 12), start=1):
+        commit(_frame(spark, n, f"v{i}"), t)
+    assert read_table(spark, t, version=2).count() == 8
+    assert read_table(spark, t).count() == 12
+    with pytest.raises(ValueError, match=r"not in \[1, 3\]"):
+        read_table(spark, t, version=4)
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, str(tmp_path / "never_committed"))
+
+
+def test_readers_never_see_a_gap_or_a_mix(spark, tmp_path):
+    """The staged-swap sinks' one weakness was the missing-path window;
+    the manifest table must have NONE: hammer reads while a writer
+    commits distinct-size datasets, and require every single read to
+    succeed and observe one of the committed sizes exactly."""
+    t = str(tmp_path / "t")
+    sizes = [100, 200, 300, 400]
+    commit(_frame(spark, sizes[0], "w"), t)
+    stop = threading.Event()
+    bad: list = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                n = read_table(spark, t).count()
+                if n not in sizes:
+                    bad.append(n)
+            except Exception as e:
+                bad.append(repr(e))
+
+    threads = [threading.Thread(target=reader) for _ in range(2)]
+    for th in threads:
+        th.start()
+    try:
+        for n in sizes[1:]:
+            commit(_frame(spark, n, "w"), t)
+    finally:
+        stop.set()
+        for th in threads:
+            th.join()
+    assert bad == []
+    assert read_table(spark, t).count() == sizes[-1]
+
+
+def test_concurrent_committers_serialize_with_total_fence_order(spark, tmp_path):
+    t = str(tmp_path / "t")
+    per_writer = 3
+    results: dict[str, list] = {"A": [], "B": []}
+    errors: list = []
+
+    def writer(tag):
+        try:
+            for _ in range(per_writer):
+                results[tag].append(commit(_frame(spark, 10, tag), t))
+        except Exception as e:
+            errors.append((tag, e))
+
+    threads = [threading.Thread(target=writer, args=(tag,)) for tag in "AB"]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    manifests = results["A"] + results["B"]
+    versions = sorted(m["version"] for m in manifests)
+    assert versions == list(range(1, 2 * per_writer + 1))  # no lost commit
+    fences = [m["fence"] for m in sorted(manifests, key=lambda m: m["version"])]
+    assert fences == sorted(fences)  # fencing order == version order
+    assert read_manifest(t)["version"] == 2 * per_writer
+    # every version directory is a complete, readable dataset
+    for v in versions:
+        assert read_table(spark, t, version=v).count() == 10
+
+
+def test_orphan_of_a_crashed_commit_is_reclaimed(spark, tmp_path):
+    """A commit that died after writing its data dir but before the
+    manifest rename leaves an orphan; the manifest is unchanged (the
+    crash UNhappened, transactionally) and the next commit reuses the
+    slot cleanly."""
+    t = str(tmp_path / "t")
+    commit(_frame(spark, 5, "a"), t)
+    orphan = os.path.join(t, "_versions", "v00000002")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    assert read_manifest(t)["version"] == 1  # crash left no commit
+    assert read_table(spark, t).count() == 5
+    m2 = commit(_frame(spark, 7, "b"), t)
+    assert m2["version"] == 2
+    assert read_table(spark, t).count() == 7
+
+
+def test_vacuum_keeps_newest_and_rejects_vacuumed_reads(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for n in (1, 2, 3, 4):
+        commit(_frame(spark, n, "w"), t)
+    removed = vacuum(t, keep_last=2)
+    assert removed == [1, 2]
+    assert read_table(spark, t).count() == 4
+    assert read_table(spark, t, version=3).count() == 3
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        read_table(spark, t, version=1)
+    with pytest.raises(ValueError, match="keep_last"):
+        vacuum(t, keep_last=0)
+
+
+def test_manifest_file_is_the_only_mutable_object(spark, tmp_path):
+    """Commit twice; v1's directory contents (file list + bytes) must
+    be bit-identical before and after the second commit."""
+    t = str(tmp_path / "t")
+    commit(_frame(spark, 6, "a"), t)
+    vdir = os.path.join(t, "_versions", "v00000001")
+
+    def snapshot():
+        out = {}
+        for root, _dirs, files in os.walk(vdir):
+            for fn in files:
+                p = os.path.join(root, fn)
+                with open(p, "rb") as f:
+                    out[os.path.relpath(p, vdir)] = f.read()
+        return out
+
+    before = snapshot()
+    commit(_frame(spark, 9, "b"), t, mode="append")
+    assert snapshot() == before
+    with open(os.path.join(t, "MANIFEST.json")) as f:
+        assert json.load(f)["version"] == 2
