@@ -184,12 +184,28 @@ def _orc_append(df: DataFrame, table: str, options: dict) -> None:
     df.write.mode("append").orc(_target_path(table, options))
 
 
+def _manifest_sink(df: DataFrame, table: str, options: dict) -> None:
+    """Append through the manifest-pointer table (sinks/manifest.py):
+    copy-on-write union published by a single-rename commit, so unlike
+    the bare parquet append, readers get snapshot isolation and the
+    table carries a version history. ``manifest_mode: overwrite`` in
+    options replaces instead."""
+    from etl_data_pipeline_spark.sinks.manifest import commit as manifest_commit
+
+    manifest_commit(
+        df,
+        _target_path(table, options),
+        mode=options.get("manifest_mode", "append"),
+    )
+
+
 SINKS: dict[str, SinkFn] = {
     "parquet": _parquet_append,
     "csv": _csv_append,
     "json": _json_append,
     "orc": _orc_append,
     "jdbc": _jdbc_append,
+    "manifest": _manifest_sink,
 }
 
 

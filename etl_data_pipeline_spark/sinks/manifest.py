@@ -84,31 +84,35 @@ def commit(
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite/append, not {mode!r}")
     os.makedirs(table_dir, exist_ok=True)
-    mpath = _manifest_path(table_dir)
-    with writer_lease(mpath) as fence:
-        cur = read_manifest(table_dir)
-        version = 1 if cur is None else cur["version"] + 1
-        rel = os.path.join("_versions", f"v{version:08d}")
-        data_dir = os.path.join(table_dir, rel)
-        shutil.rmtree(data_dir, ignore_errors=True)  # crashed orphan of a failed commit
-        out = df
-        if mode == "append" and cur is not None:
-            prev = df.sparkSession.read.parquet(os.path.join(table_dir, cur["dir"]))
-            out = prev.unionByName(df)
-        out.write.parquet(data_dir)
-        manifest = {"version": version, "dir": rel, "fence": fence}
-        fd, tmp = tempfile.mkstemp(dir=table_dir, suffix=".manifest.tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, mpath)  # THE commit point: one atomic rename
-        dfd = os.open(table_dir, os.O_RDONLY)
-        try:
-            os.fsync(dfd)  # persist the rename itself across power loss
-        finally:
-            os.close(dfd)
-        return manifest
+    with writer_lease(_manifest_path(table_dir)) as fence:
+        return _commit_locked(df, table_dir, mode, fence)
+
+
+def _commit_locked(df: DataFrame, table_dir: str, mode: str, fence: int) -> dict:
+    """Steps 1-3 of commit(); caller holds the manifest writer lease."""
+    cur = read_manifest(table_dir)
+    version = 1 if cur is None else cur["version"] + 1
+    rel = os.path.join("_versions", f"v{version:08d}")
+    data_dir = os.path.join(table_dir, rel)
+    shutil.rmtree(data_dir, ignore_errors=True)  # crashed orphan of a failed commit
+    out = df
+    if mode == "append" and cur is not None:
+        prev = df.sparkSession.read.parquet(os.path.join(table_dir, cur["dir"]))
+        out = prev.unionByName(df)
+    out.write.parquet(data_dir)
+    manifest = {"version": version, "dir": rel, "fence": fence}
+    fd, tmp = tempfile.mkstemp(dir=table_dir, suffix=".manifest.tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _manifest_path(table_dir))  # THE commit point: one atomic rename
+    dfd = os.open(table_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)  # persist the rename itself across power loss
+    finally:
+        os.close(dfd)
+    return manifest
 
 
 def read_table(
@@ -138,6 +142,38 @@ def read_table(
                 f"version {version} of {table_dir!r} was vacuumed"
             )
     return spark.read.parquet(os.path.join(table_dir, rel))
+
+
+def compact(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Rewrite the CURRENT version into ~target-sized files as a new
+    commit (the manifest-table answer to the small-files problem —
+    incremental appends each add a file set; this folds them).
+
+    Holds the lease across read-size-rewrite-publish, so a commit
+    landing mid-compaction is impossible (it would otherwise be
+    silently undone by the compacted snapshot of the older version).
+    Readers are untouched throughout: compaction is just another
+    version. Returns the new manifest.
+    """
+    with writer_lease(_manifest_path(table_dir)) as fence:
+        cur = read_manifest(table_dir)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version in {table_dir!r}")
+        data_dir = os.path.join(table_dir, cur["dir"])
+        total = 0
+        for root, _dirs, files in os.walk(data_dir):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        n_files = max(1, -(-total // target_file_bytes))  # ceil division
+        df = spark.read.parquet(data_dir).repartition(n_files)
+        return _commit_locked(df, table_dir, "overwrite", fence)
 
 
 def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:

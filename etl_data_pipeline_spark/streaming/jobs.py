@@ -255,18 +255,19 @@ def conversion_sessions_ooo(
     Mechanics (applyInPandasWithState + EventTimeTimeout):
 
     - Arriving events are BUFFERED in state, not processed: an earlier
-      event may still be in flight. Only events at or below the
+      event may still be in flight. Only events STRICTLY below the
       current event-time watermark (``state.getCurrentWatermarkMs``)
       are released — in timestamp order — into the session state
-      machine, because the watermark is exactly Spark's promise that
-      nothing older can still arrive (rows later than that were
-      already dropped by the stream's late-record filter).
-    - A session with no successor event still closes: when the
-      watermark passes ``last_event + gap``, no future event can land
-      inside the gap (anything still unseen is newer than the
-      watermark), so the gap-closure is emitted by TIMEOUT — something
-      the ordered variant cannot do (it holds trailing sessions
-      forever).
+      machine, because Spark's late filter drops only rows strictly
+      below the watermark: an event with ts EQUAL to it can still
+      arrive, so releasing at-the-boundary events would let such a
+      straggler process out of order.
+    - A session with no successor event still closes: once the
+      watermark strictly passes ``last_event + gap``, no arrivable
+      event (ts >= watermark) can land at-or-inside the gap deadline
+      (an event AT last+gap would extend the session), so the
+      gap-closure is emitted by TIMEOUT — something the ordered
+      variant cannot do (it holds trailing sessions forever).
     - The registered timeout is the EARLIEST future obligation: the
       oldest buffered event (process it once the watermark clears it)
       or the open session's gap deadline, clamped above the current

@@ -174,3 +174,33 @@ def test_manifest_file_is_the_only_mutable_object(spark, tmp_path):
     assert snapshot() == before
     with open(os.path.join(t, "MANIFEST.json")) as f:
         assert json.load(f)["version"] == 2
+
+
+def test_compact_folds_small_files_as_a_new_version(spark, tmp_path):
+    from etl_data_pipeline_spark.sinks.manifest import compact
+
+    t = str(tmp_path / "t")
+    commit(_frame(spark, 1000, "a").repartition(12), t)
+    vdir = os.path.join(t, "_versions", "v00000001")
+    n_before = len([f for f in os.listdir(vdir) if f.endswith(".parquet")])
+    assert n_before == 12
+    m = compact(spark, t)  # 1000 tiny rows -> far below target -> 1 file
+    assert m["version"] == 2
+    new_dir = os.path.join(t, m["dir"])
+    n_after = len([f for f in os.listdir(new_dir) if f.endswith(".parquet")])
+    assert n_after == 1
+    out = read_table(spark, t)
+    assert out.count() == 1000 and out.select("v").distinct().first().v == "a"
+    # pre-compaction version still time-travels
+    assert read_table(spark, t, version=1).count() == 1000
+
+
+def test_manifest_sink_registered_in_registry(spark, tmp_path):
+    from etl_data_pipeline_spark.sinks import write_sink
+
+    write_sink(_frame(spark, 4, "a"), "manifest", "t", {"dir": str(tmp_path)})
+    write_sink(_frame(spark, 2, "b"), "manifest", "t", {"dir": str(tmp_path)})
+    t = os.path.join(str(tmp_path), "t")
+    out = read_table(spark, t)
+    assert out.count() == 6  # append semantics, like every registry sink
+    assert read_manifest(t)["version"] == 2
