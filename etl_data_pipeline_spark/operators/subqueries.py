@@ -94,10 +94,13 @@ def subq_corr_scalar_avgqty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the outer order-dependent revenue sum needs rounding.
 
     The temp view exists only while spark.sql analyzes the statement
-    (a unique per-call name, dropped before returning): the analyzed
-    plan binds the underlying relation, so the returned DataFrame
-    stays valid and no catalog state leaks across invocations or
-    sf_dirs."""
+    (a unique per-call name, dropped before returning): in a CLASSIC
+    session spark.sql analyzes eagerly, so the returned DataFrame has
+    already bound the underlying relation and stays valid, with no
+    catalog state leaking across invocations or sf_dirs. (Under Spark
+    Connect, analysis is deferred to action time and this
+    drop-before-return would break the frame — this engine builds
+    classic local sessions, session.py.)"""
     import uuid
 
     view = f"lineitem_sq_{uuid.uuid4().hex}"

@@ -53,14 +53,9 @@ def writer_lease(path: str) -> Iterator[int]:
     flock is per open-file-description, so two THREADS of one process
     contend correctly too (each ``open`` here is a fresh description).
     """
-    import fcntl
+    from etl_data_pipeline_spark.functions.locks import exclusive_flock
 
-    parent = os.path.dirname(path)
-    if parent:
-        os.makedirs(parent, exist_ok=True)
-    fd = os.open(path + ".lease", os.O_RDWR | os.O_CREAT, 0o644)
-    try:
-        fcntl.flock(fd, fcntl.LOCK_EX)
+    with exclusive_flock(path + ".lease") as fd:
         raw = os.read(fd, 64)
         token = (int(raw) if raw.strip() else 0) + 1
         os.lseek(fd, 0, os.SEEK_SET)
@@ -68,8 +63,6 @@ def writer_lease(path: str) -> Iterator[int]:
         os.write(fd, str(token).encode())
         os.fsync(fd)
         yield token
-    finally:
-        os.close(fd)  # kernel drops the flock even on error paths
 
 
 def _recover_interrupted_swap(path: str) -> None:
@@ -527,9 +520,8 @@ def compact_parquet(
     the swap reuses the atomic staged-rename sink so readers never see
     a half-compacted directory.
     """
-    import shutil
-
-    with writer_lease(path):  # also covers the .compact scratch dir
+    with writer_lease(path):
+        _recover_interrupted_swap(path)
         total = 0
         for root, _dirs, files in os.walk(path):
             total += sum(
@@ -539,13 +531,12 @@ def compact_parquet(
             )
         n_files = max(1, -(-total // target_file_bytes))  # ceil division
         df = spark.read.parquet(path)
-        _overwrite_swap_locked(df.repartition(n_files), path + ".compact")
-        # swap: freshly-compacted copy replaces the fragmented original
-        backup = path + ".precompact"
-        shutil.rmtree(backup, ignore_errors=True)
-        os.replace(path, backup)
-        os.replace(path + ".compact", path)
-        shutil.rmtree(backup, ignore_errors=True)
+        # the compacted copy goes through the SAME staged swap as every
+        # overwrite (staging write materializes while the original is
+        # still in place, then the .old two-rename) — so a crash at any
+        # point is healed by the standard .old recovery path; a private
+        # rename convention here would be a backup no recovery knows.
+        _overwrite_swap_locked(df.repartition(n_files), path)
         return len(
             [f for f in os.listdir(path) if f.endswith(".parquet")]
         )

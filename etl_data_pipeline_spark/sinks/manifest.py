@@ -8,8 +8,11 @@ table formats do (Delta's _delta_log, Iceberg's metadata pointer,
 Hive's symlink tables): data files are immutable VERSIONED directories
 and the only mutable object is a tiny manifest file swapped in ONE
 atomic rename. Readers resolve the manifest, then read a directory
-that is never renamed or deleted out from under them — there is no
-window, with no reader-side locking.
+that COMMITS never rename or delete — no missing-path window, with no
+reader-side locking. The one operation that does delete data dirs is
+``vacuum``; its retention (``keep_last``) is the operator's promise to
+in-flight readers — exactly Delta/Iceberg VACUUM semantics: retain at
+least your longest-running reader.
 
     table/
       _versions/v00000001/   <- immutable data dirs, one per commit
@@ -121,10 +124,12 @@ def read_table(
     """Read the current version (or a pinned one — time travel).
 
     Resolution is manifest -> immutable directory, so a concurrent
-    commit can never yield a missing path or a half-written mix: the
+    COMMIT can never yield a missing path or a half-written mix: the
     reader's directory existed, complete, before its manifest was
-    published, and vacuum never touches versions newer than
-    ``keep_last`` ago.
+    published. A concurrent VACUUM can delete old versions, including
+    one being read — the ``version=`` isdir check is best-effort, not
+    a guarantee; size ``keep_last`` to outlast the longest-running
+    reader (the standard table-format retention contract).
     """
     cur = read_manifest(table_dir)
     if cur is None:

@@ -81,8 +81,20 @@ def jdbc_reader_options(table: str, options: dict) -> dict[str, str]:
     return out
 
 
+# Identifier quoting per JDBC dialect. CRITICAL for MySQL: in its
+# default sql_mode (no ANSI_QUOTES) a double-quoted "column" is a
+# STRING LITERAL, so an ANSI-quoted watermark predicate would compare
+# a constant against the bound — always false, zero rows forever,
+# silently. Backticks are MySQL's identifier quote.
+_DIALECT_IDENT_QUOTE = {"ansi": '"', "mysql": "`"}
+
+
 def jdbc_incremental_dbtable(
-    table: str, column: str, watermark_type: str, raw: str | None
+    table: str,
+    column: str,
+    watermark_type: str,
+    raw: str | None,
+    dialect: str = "ansi",
 ) -> str:
     """Assemble the ``dbtable`` pushdown subquery for an incremental
     JDBC read: ``(SELECT * FROM t WHERE "wm" > <literal>) wm_pushdown``.
@@ -100,7 +112,12 @@ def jdbc_incremental_dbtable(
       HH:MM:SS[.ffffff]'`` literal (every mainstream dialect accepts it);
     - any degrade condition (missing/unparseable value, unknown type)
       falls back to the bare table name — a FULL LOAD, exactly like the
-      scan-side degrade paths (parse_watermark).
+      scan-side degrade paths (parse_watermark);
+    - ``dialect`` picks the IDENTIFIER quote: 'ansi' (double quote —
+      Postgres/DuckDB/Oracle/standard) or 'mysql' (backtick; MySQL's
+      default sql_mode reads double quotes as string literals, which
+      would make the predicate constant-false). Unknown dialects raise
+      rather than guess — a wrong quote here is silent data loss.
 
     Pure string assembly: unit-testable without a database, and the
     contract tests additionally EXECUTE the result against DuckDB to
@@ -108,6 +125,12 @@ def jdbc_incremental_dbtable(
     """
     from etl_data_pipeline_spark.watermark import parse_watermark
 
+    try:
+        q = _DIALECT_IDENT_QUOTE[dialect]
+    except KeyError:
+        raise ValueError(
+            f"unknown JDBC dialect {dialect!r} (have {sorted(_DIALECT_IDENT_QUOTE)})"
+        )
     value = parse_watermark(raw, watermark_type)
     if value is None:
         return table
@@ -115,7 +138,7 @@ def jdbc_incremental_dbtable(
         lit = str(int(value))
     else:
         lit = "TIMESTAMP '" + value.isoformat(sep=" ") + "'"
-    return f'(SELECT * FROM {table} WHERE "{column}" > {lit}) wm_pushdown'
+    return f"(SELECT * FROM {table} WHERE {q}{column}{q} > {lit}) wm_pushdown"
 
 
 def _jdbc_source(spark: SparkSession, table: str, options: dict) -> DataFrame:

@@ -38,15 +38,31 @@ def _schema_from_one_footer(source_dir: str):
     (spark.read.parquet), which on a huge stream dir means listing and
     footer-sampling every file before the stream even starts; one
     footer is sufficient because a file stream's files share a schema
-    by contract (the stream would fail on drift anyway)."""
+    by contract (the stream would fail on drift anyway).
+
+    The search recurses (sorted, first footer wins) so nested layouts
+    work — but a Hive-PARTITIONED layout (``col=value`` directories)
+    is refused with a clear error: partition columns live in directory
+    names, not footers, so a footer-derived schema would silently drop
+    them; pass an explicit schema (including the typed partition
+    columns) for such sources."""
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    for entry in sorted(os.listdir(source_dir)):
-        if entry.endswith(".parquet"):
-            return from_arrow_schema(
-                pq.read_schema(os.path.join(source_dir, entry))
+    for root, dirs, files in os.walk(source_dir):
+        dirs.sort()
+        part_dirs = [d for d in dirs if "=" in d and not d.startswith((".", "_"))]
+        if part_dirs:
+            raise ValueError(
+                f"cannot derive stream schema: {source_dir!r} is"
+                f" hive-partitioned ({part_dirs[0]!r}); partition-column"
+                " types are not in any footer — pass an explicit schema"
             )
+        for entry in sorted(files):
+            if entry.endswith(".parquet"):
+                return from_arrow_schema(
+                    pq.read_schema(os.path.join(root, entry))
+                )
     raise ValueError(
         f"cannot derive stream schema: no .parquet file in {source_dir!r};"
         " pass an explicit schema/DDL"
@@ -574,8 +590,9 @@ def run_incremental_rollup(
     gap the reference has, but non-idempotent for aggregates.)
     """
     from etl_data_pipeline_spark.sinks import (
-        atomic_overwrite_parquet,
+        _overwrite_swap_locked,
         read_parquet_if_exists,
+        writer_lease,
     )
 
     agg_table = "rollup_hourly"
@@ -583,36 +600,43 @@ def run_incremental_rollup(
     stream = events_file_stream(spark, source_dir)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        # first-refresh ONLY on a true missing path: any other read
-        # error must abort the merge, else the batch-id dedup state is
-        # lost and a replayed batch double-counts.
-        existing = read_parquet_if_exists(spark, agg_path)
-        last = (
-            existing.agg(F.max("last_batch_id")).first()[0]
-            if existing is not None
-            else None
-        )
-        if last is not None and batch_id <= last:
-            return  # replayed batch — already merged atomically
-        if batch_df.isEmpty():
-            return
-        partial = batch_df.groupBy(
-            F.date_trunc("hour", "ts").alias("hour_bucket"), "event_type"
-        ).agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
-        merged = (
-            partial
-            if existing is None
-            else existing.drop("last_batch_id")
-            .unionByName(partial)
-            .groupBy("hour_bucket", "event_type")
-            .agg(
-                F.sum("n_events").alias("n_events"),
-                F.sum("sum_value").alias("sum_value"),
+        # The WHOLE read-dedup-merge-swap holds the writer lease: one
+        # stream's batches are serial, but a second rollup stream (or a
+        # compaction) on the same target would otherwise read the same
+        # last_batch_id as us, pass the dedup check, and its swap would
+        # overwrite our contribution — the lost-update race the other
+        # merging sinks close the same way.
+        with writer_lease(agg_path):
+            # first-refresh ONLY on a true missing path: any other read
+            # error must abort the merge, else the batch-id dedup state
+            # is lost and a replayed batch double-counts.
+            existing = read_parquet_if_exists(spark, agg_path, lease_held=True)
+            last = (
+                existing.agg(F.max("last_batch_id")).first()[0]
+                if existing is not None
+                else None
             )
-        ).withColumn("last_batch_id", F.lit(batch_id))
-        # staging write scans the existing rollup BEFORE the swap, so
-        # read-while-replace is safe
-        atomic_overwrite_parquet(merged, agg_table, {"dir": target_dir})
+            if last is not None and batch_id <= last:
+                return  # replayed batch — already merged atomically
+            if batch_df.isEmpty():
+                return
+            partial = batch_df.groupBy(
+                F.date_trunc("hour", "ts").alias("hour_bucket"), "event_type"
+            ).agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+            merged = (
+                partial
+                if existing is None
+                else existing.drop("last_batch_id")
+                .unionByName(partial)
+                .groupBy("hour_bucket", "event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_value").alias("sum_value"),
+                )
+            ).withColumn("last_batch_id", F.lit(batch_id))
+            # staging write scans the existing rollup BEFORE the swap,
+            # so read-while-replace is safe
+            _overwrite_swap_locked(merged, agg_path)
 
     return (
         stream.writeStream.foreachBatch(_merge)

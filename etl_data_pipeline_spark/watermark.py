@@ -58,20 +58,9 @@ class WatermarkStore:
         self.path = Path(path)
 
     def _locked(self):
-        import fcntl
-        from contextlib import contextmanager
+        from etl_data_pipeline_spark.functions.locks import exclusive_flock
 
-        @contextmanager
-        def hold():
-            self.path.parent.mkdir(parents=True, exist_ok=True)
-            fd = os.open(f"{self.path}.lock", os.O_RDWR | os.O_CREAT, 0o644)
-            try:
-                fcntl.flock(fd, fcntl.LOCK_EX)
-                yield
-            finally:
-                os.close(fd)  # kernel drops the flock, crash included
-
-        return hold()
+        return exclusive_flock(f"{self.path}.lock")
 
     def _read_all(self) -> dict[str, str]:
         if not self.path.exists():

@@ -223,6 +223,27 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10_000
     assert back.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+    # the swap must use the standard .old convention (a crash window is
+    # then healed by the shared recovery path) and leave no debris
+    assert not os.path.exists(path + ".old")
+    assert not os.path.exists(path + ".staging")
+    assert not os.path.exists(path + ".precompact")
+    assert not os.path.exists(path + ".compact")
+
+
+def test_compact_crash_window_heals_via_standard_recovery(spark, tmp_path):
+    """Crash between compact's two swap renames leaves only '.old';
+    the sink read paths must restore the data — the former private
+    '.precompact' convention was invisible to recovery and lost the
+    whole table on the next first-write."""
+    from etl_data_pipeline_spark.sinks import compact_parquet, read_parquet_if_exists
+
+    path = str(tmp_path / "frag")
+    spark.range(100).write.parquet(path)
+    compact_parquet(spark, path, target_file_bytes=1 << 30)
+    os.replace(path, path + ".old")  # simulate dying mid-swap
+    recovered = read_parquet_if_exists(spark, path)
+    assert recovered is not None and recovered.count() == 100
 
 
 def test_upsert_overwrite_last_write_wins(spark, tmp_path):

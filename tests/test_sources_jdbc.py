@@ -164,3 +164,23 @@ class TestIncrementalDbtableSubquery:
             "SELECT count(*) FROM events WHERE ts > ?", [wm]
         ).fetchone()[0]
         assert got == want and 0 < got
+
+    def test_mysql_dialect_uses_backticks(self):
+        """MySQL's default sql_mode reads "col" as a STRING LITERAL —
+        an ANSI-quoted predicate would be constant-false (silent empty
+        loads). The mysql dialect must emit backticks."""
+        from etl_data_pipeline_spark.sources import jdbc_incremental_dbtable
+
+        sub = jdbc_incremental_dbtable(
+            "orders", "o_orderkey", "id", "1200", dialect="mysql"
+        )
+        assert sub == "(SELECT * FROM orders WHERE `o_orderkey` > 1200) wm_pushdown"
+        assert '"' not in sub
+
+    def test_unknown_dialect_raises_not_guesses(self):
+        from etl_data_pipeline_spark.sources import jdbc_incremental_dbtable
+
+        with pytest.raises(ValueError, match="unknown JDBC dialect"):
+            jdbc_incremental_dbtable(
+                "orders", "o_orderkey", "id", "7", dialect="mssql"
+            )

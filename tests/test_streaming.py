@@ -671,3 +671,23 @@ def test_session_funnel_ooo_depths_under_disorder(spark, tmp_path):
         (1, "2024-03-01 12:00:00", "2024-03-01 12:00:00", 1, 1),
         (3, "2024-03-01 10:00:00", "2024-03-01 10:00:00", 2, 1),
     }
+
+
+def test_file_stream_partitioned_dir_demands_explicit_schema(spark, tmp_path):
+    """Partition columns live in directory names, not footers — a
+    footer-derived schema would silently drop them, so the default
+    must refuse with a clear message instead."""
+    src = str(tmp_path / "part_src")
+    spark.range(10).selectExpr(
+        "id", "id % 2 AS part_col"
+    ).write.partitionBy("part_col").parquet(src)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        jobs.events_file_stream(spark, src)
+
+
+def test_file_stream_nested_unpartitioned_dir_derives_schema(spark, tmp_path):
+    src = str(tmp_path / "nested_src")
+    inner = os.path.join(src, "batch_0")
+    spark.range(10).selectExpr("id", "id * 2 AS v").write.parquet(inner)
+    stream = jobs.events_file_stream(spark, src)
+    assert set(stream.schema.fieldNames()) == {"id", "v"}
