@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_data_pipeline_spark.schema import validate_schema
 from etl_data_pipeline_spark.sinks import idempotent_append_parquet, write_sink
-from etl_data_pipeline_spark.sources import read_source
+from etl_data_pipeline_spark.sources import jdbc_incremental_dbtable, read_source
 from etl_data_pipeline_spark.spec import PipelineSpec, TableSpec
 from etl_data_pipeline_spark.watermark import (
     WatermarkStore,
@@ -44,6 +44,34 @@ from etl_data_pipeline_spark.watermark import (
 )
 
 log = logging.getLogger(__name__)
+
+
+def incremental_source_options(t: TableSpec, raw_watermark: str | None) -> dict:
+    """Source options for this run — for an incremental JDBC table
+    with a live watermark, embed the strict-> predicate SERVER-SIDE as
+    a dbtable subquery (jdbc_incremental_dbtable), so the database
+    never ships already-loaded rows even where Spark's own pushdown
+    cannot translate the filter. The Catalyst-side apply_watermark
+    still runs (harmless on pre-filtered rows; sole filter for every
+    other source format). A caller-provided dbtable wins — it may
+    already be a custom pushdown subquery. 'dialect' picks the
+    identifier quoting and is consumed here (jdbc_reader_options does
+    not forward unknown keys to the JVM)."""
+    opts = dict(t.source_options)
+    if (
+        t.source_format == "jdbc"
+        and t.is_incremental
+        and t.watermark_column
+        and "dbtable" not in opts
+    ):
+        opts["dbtable"] = jdbc_incremental_dbtable(
+            t.name,
+            t.watermark_column,
+            t.watermark_type,
+            raw_watermark,
+            dialect=opts.pop("dialect", "ansi"),
+        )
+    return opts
 
 
 @dataclass
@@ -95,7 +123,9 @@ class IncrementalPipeline:
         """
         raw = self.store.get(t.name)
         wm_value = parse_watermark(raw, t.watermark_type) if t.is_incremental else None
-        df = read_source(self.spark, t.source_format, t.name, dict(t.source_options))
+        df = read_source(
+            self.spark, t.source_format, t.name, incremental_source_options(t, raw)
+        )
         if t.expected_schema:
             df = validate_schema(df, t.expected_schema, allow_extra=True)
         df = apply_watermark(df, t.watermark_column, wm_value)

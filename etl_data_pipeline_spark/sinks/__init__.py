@@ -58,9 +58,14 @@ def writer_lease(path: str) -> Iterator[int]:
     with exclusive_flock(path + ".lease") as fd:
         raw = os.read(fd, 64)
         token = (int(raw) if raw.strip() else 0) + 1
-        os.lseek(fd, 0, os.SEEK_SET)
-        os.ftruncate(fd, 0)
-        os.write(fd, str(token).encode())
+        # overwrite-in-place FIRST, truncate after: a crash between a
+        # truncate and a write would leave an empty file and reset the
+        # fence to 1 (duplicating already-issued tokens). str(token)
+        # never shrinks, so pwrite fully covers the old value and any
+        # crash leaves either the old or the new token readable.
+        data = str(token).encode()
+        os.pwrite(fd, data, 0)
+        os.ftruncate(fd, len(data))
         os.fsync(fd)
         yield token
 

@@ -103,6 +103,7 @@ def _commit_locked(df: DataFrame, table_dir: str, mode: str, fence: int) -> dict
         prev = df.sparkSession.read.parquet(os.path.join(table_dir, cur["dir"]))
         out = prev.unionByName(df)
     out.write.parquet(data_dir)
+    _fsync_tree(data_dir)  # data must be durable BEFORE the pointer is
     manifest = {"version": version, "dir": rel, "fence": fence}
     fd, tmp = tempfile.mkstemp(dir=table_dir, suffix=".manifest.tmp")
     with os.fdopen(fd, "w") as f:
@@ -116,6 +117,26 @@ def _commit_locked(df: DataFrame, table_dir: str, mode: str, fence: int) -> dict
     finally:
         os.close(dfd)
     return manifest
+
+
+def _fsync_tree(path: str) -> None:
+    """fsync every file and directory under ``path``. Spark writes
+    parquet without fsync; publishing a manifest that points at
+    non-durable data would let a power loss leave the COMMITTED
+    version truncated. Driver-side walk — version dirs are one
+    commit's output, not the whole table history."""
+    for root, dirs, files in os.walk(path, topdown=False):
+        for name in files:
+            fd = os.open(os.path.join(root, name), os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        fd = os.open(root, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
 
 
 def read_table(
@@ -182,11 +203,12 @@ def compact(
 
 
 def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
-    """Delete version directories older than the newest ``keep_last``
-    (and any orphaned temp/aborted-commit debris). Returns the deleted
-    version numbers. Runs under the lease so a concurrent commit's
-    step-2 directory (not yet in any manifest, numbered AFTER the
-    current version) is never mistaken for garbage."""
+    """Delete version directories older than the newest ``keep_last``,
+    plus crashed-commit debris: orphan directories numbered ABOVE the
+    current version (a commit that died before its manifest rename —
+    under the lease no commit is in flight, so anything above current
+    is provably garbage) and stray ``.manifest.tmp`` files. Returns
+    the deleted COMMITTED version numbers."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1: the live version is never vacuumed")
     mpath = _manifest_path(table_dir)
@@ -204,6 +226,8 @@ def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
             if v < cutoff:
                 shutil.rmtree(os.path.join(vdir, entry))
                 removed.append(v)
+            elif v > cur["version"]:  # crashed commit's orphan
+                shutil.rmtree(os.path.join(vdir, entry))
         for entry in os.listdir(table_dir):
             if entry.endswith(".manifest.tmp"):
                 os.unlink(os.path.join(table_dir, entry))

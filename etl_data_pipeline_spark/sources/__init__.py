@@ -137,6 +137,15 @@ def jdbc_incremental_dbtable(
     if watermark_type == "id":
         lit = str(int(value))
     else:
+        if value.tzinfo is not None:
+            # engine convention is naive-UTC timestamps (session TZ is
+            # pinned UTC); an offset-carrying ISO watermark from an
+            # upstream orchestrator is normalized rather than emitted
+            # as a TIMESTAMP '...+05:30' literal MySQL rejects and
+            # other engines silently strip
+            from datetime import timezone
+
+            value = value.astimezone(timezone.utc).replace(tzinfo=None)
         lit = "TIMESTAMP '" + value.isoformat(sep=" ") + "'"
     return f"(SELECT * FROM {table} WHERE {q}{column}{q} > {lit}) wm_pushdown"
 

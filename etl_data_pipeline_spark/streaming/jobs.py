@@ -50,16 +50,22 @@ def _schema_from_one_footer(source_dir: str):
     from pyspark.sql.pandas.types import from_arrow_schema
 
     for root, dirs, files in os.walk(source_dir):
-        dirs.sort()
         part_dirs = [d for d in dirs if "=" in d and not d.startswith((".", "_"))]
         if part_dirs:
             raise ValueError(
                 f"cannot derive stream schema: {source_dir!r} is"
                 f" hive-partitioned ({part_dirs[0]!r}); partition-column"
                 " types are not in any footer — pass an explicit schema"
+                " (the run_incremental_* jobs forward their schema"
+                " argument)"
             )
+        # prune what Spark's file listing ignores: _temporary/_spark
+        # metadata dirs, dotted dirs, hidden files — an in-flight
+        # write's partial footer or a stale .staging leftover must
+        # never be the schema source
+        dirs[:] = sorted(d for d in dirs if not d.startswith((".", "_")))
         for entry in sorted(files):
-            if entry.endswith(".parquet"):
+            if entry.endswith(".parquet") and not entry.startswith((".", "_")):
                 return from_arrow_schema(
                     pq.read_schema(os.path.join(root, entry))
                 )
@@ -570,6 +576,7 @@ def run_incremental_rollup(
     spark: SparkSession,
     source_dir: str,
     target_dir: str,
+    schema=None,
 ) -> StreamingQuery:
     """Incremental materialized-view maintenance: an hourly
     (event_type × hour) rollup table refreshed per micro-batch by
@@ -597,7 +604,9 @@ def run_incremental_rollup(
 
     agg_table = "rollup_hourly"
     agg_path = os.path.join(target_dir, agg_table)
-    stream = events_file_stream(spark, source_dir)
+    # schema forwarded so hive-partitioned sources (whose partition
+    # columns a footer cannot type) can pass an explicit DDL
+    stream = events_file_stream(spark, source_dir, schema=schema)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         # The WHOLE read-dedup-merge-swap holds the writer lease: one
@@ -652,6 +661,7 @@ def run_incremental_scd2(
     target_dir: str,
     table: str = "dim_users",
     key_cols: tuple[str, ...] = ("user_id",),
+    schema=None,
 ) -> StreamingQuery:
     """Streaming CDC → SCD2 dimension maintenance: each micro-batch is
     compacted to its LATEST change per key (row_number over ts,
@@ -675,7 +685,9 @@ def run_incremental_scd2(
 
     from etl_data_pipeline_spark.sinks import scd2_upsert_parquet
 
-    stream = events_file_stream(spark, source_dir)
+    # schema forwarded so hive-partitioned sources (whose partition
+    # columns a footer cannot type) can pass an explicit DDL
+    stream = events_file_stream(spark, source_dir, schema=schema)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -716,6 +728,7 @@ def run_incremental_micro_batch(
     table: str = "events",
     watermark_column: str = "event_id",
     watermark_type: str = "id",
+    schema=None,
 ) -> StreamingQuery:
     """foreachBatch incremental sink: each micro-batch appends to
     parquet AND advances the engine watermark store — the exact
@@ -734,7 +747,9 @@ def run_incremental_micro_batch(
     land on top of itself instead.
     """
     store = WatermarkStore(state_path)
-    stream = events_file_stream(spark, source_dir)
+    # schema forwarded so hive-partitioned sources (whose partition
+    # columns a footer cannot type) can pass an explicit DDL
+    stream = events_file_stream(spark, source_dir, schema=schema)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

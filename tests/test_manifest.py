@@ -204,3 +204,18 @@ def test_manifest_sink_registered_in_registry(spark, tmp_path):
     out = read_table(spark, t)
     assert out.count() == 6  # append semantics, like every registry sink
     assert read_manifest(t)["version"] == 2
+
+
+def test_vacuum_reclaims_above_current_orphans(spark, tmp_path):
+    """A crashed commit's data dir (numbered above the current
+    manifest version) must be reclaimed by vacuum, not leak until the
+    next commit happens to reuse the slot."""
+    t = str(tmp_path / "t")
+    for n in (1, 2, 3):
+        commit(_frame(spark, n, "w"), t)
+    orphan = os.path.join(t, "_versions", "v00000009")
+    os.makedirs(orphan)
+    removed = vacuum(t, keep_last=3)
+    assert removed == []  # nothing committed was old enough
+    assert not os.path.exists(orphan)
+    assert read_table(spark, t).count() == 3

@@ -184,3 +184,72 @@ class TestIncrementalDbtableSubquery:
             jdbc_incremental_dbtable(
                 "orders", "o_orderkey", "id", "7", dialect="mssql"
             )
+
+    def test_offset_watermark_normalized_to_utc_naive(self):
+        from etl_data_pipeline_spark.sources import jdbc_incremental_dbtable
+
+        sub = jdbc_incremental_dbtable(
+            "events", "ts", "timestamp", "2026-01-15T12:30:00+05:30"
+        )
+        assert sub == (
+            "(SELECT * FROM events WHERE \"ts\" > "
+            "TIMESTAMP '2026-01-15 07:00:00') wm_pushdown"
+        )
+
+
+class TestPipelineJdbcWiring:
+    """incremental_source_options is the seam where the watermark
+    pushdown reaches real JDBC reads — assert it fires exactly when it
+    should."""
+
+    def _spec(self, **over):
+        from etl_data_pipeline_spark.spec import TableSpec
+
+        base = dict(
+            name="orders",
+            source_format="jdbc",
+            source_options={"url": URL},
+            sink_format="parquet",
+            sink_options={"dir": "/tmp/x"},
+            watermark_column="o_orderkey",  # makes is_incremental true
+            watermark_type="id",
+        )
+        base.update(over)
+        return TableSpec(**base)
+
+    def test_incremental_jdbc_embeds_subquery(self):
+        from etl_data_pipeline_spark.pipeline import incremental_source_options
+
+        opts = incremental_source_options(self._spec(), "1200")
+        assert opts["dbtable"] == (
+            '(SELECT * FROM orders WHERE "o_orderkey" > 1200) wm_pushdown'
+        )
+
+    def test_dialect_option_is_consumed_not_forwarded(self):
+        from etl_data_pipeline_spark.pipeline import incremental_source_options
+
+        spec = self._spec(source_options={"url": URL, "dialect": "mysql"})
+        opts = incremental_source_options(spec, "7")
+        assert opts["dbtable"] == (
+            "(SELECT * FROM orders WHERE `o_orderkey` > 7) wm_pushdown"
+        )
+        assert "dialect" not in opts
+
+    def test_caller_dbtable_wins(self):
+        from etl_data_pipeline_spark.pipeline import incremental_source_options
+
+        custom = "(SELECT * FROM orders WHERE x) q"
+        spec = self._spec(source_options={"url": URL, "dbtable": custom})
+        assert incremental_source_options(spec, "7")["dbtable"] == custom
+
+    def test_degraded_watermark_reads_bare_table(self):
+        from etl_data_pipeline_spark.pipeline import incremental_source_options
+
+        opts = incremental_source_options(self._spec(), None)
+        assert opts.get("dbtable", "orders") == "orders"
+
+    def test_non_jdbc_sources_untouched(self):
+        from etl_data_pipeline_spark.pipeline import incremental_source_options
+
+        spec = self._spec(source_format="parquet", source_options={"dir": "/d"})
+        assert incremental_source_options(spec, "1200") == {"dir": "/d"}
