@@ -67,6 +67,7 @@ def commit(
     df: DataFrame,
     table_dir: str,
     mode: str = "overwrite",
+    merge_schema: bool = False,
 ) -> dict:
     """Commit ``df`` as the table's next version and return the new
     manifest.
@@ -75,6 +76,12 @@ def commit(
     - ``append``: the new version is previous ∪ df — written as a NEW
       immutable directory (readers of the previous version are
       untouched; this is copy-on-write append, the parquet trade-off).
+      By default the columns must match exactly (a typo'd producer
+      must fail loudly, not widen the table); ``merge_schema=True``
+      opts into evolution — the union keeps BOTH sides' columns,
+      null-filling whichever side lacks one, because each version is a
+      full rewrite (no per-file schema drift for readers to reconcile,
+      unlike mergeSchema over raw parquet appends).
 
     Sequence (under the writer lease, fencing token = lease token):
     1. read current manifest (inside the lease: serializable)
@@ -88,10 +95,12 @@ def commit(
         raise ValueError(f"mode must be overwrite/append, not {mode!r}")
     os.makedirs(table_dir, exist_ok=True)
     with writer_lease(_manifest_path(table_dir)) as fence:
-        return _commit_locked(df, table_dir, mode, fence)
+        return _commit_locked(df, table_dir, mode, fence, merge_schema)
 
 
-def _commit_locked(df: DataFrame, table_dir: str, mode: str, fence: int) -> dict:
+def _commit_locked(
+    df: DataFrame, table_dir: str, mode: str, fence: int, merge_schema: bool = False
+) -> dict:
     """Steps 1-3 of commit(); caller holds the manifest writer lease."""
     cur = read_manifest(table_dir)
     version = 1 if cur is None else cur["version"] + 1
@@ -101,9 +110,17 @@ def _commit_locked(df: DataFrame, table_dir: str, mode: str, fence: int) -> dict
     out = df
     if mode == "append" and cur is not None:
         prev = df.sparkSession.read.parquet(os.path.join(table_dir, cur["dir"]))
-        out = prev.unionByName(df)
+        out = prev.unionByName(df, allowMissingColumns=merge_schema)
     out.write.parquet(data_dir)
-    _fsync_tree(data_dir)  # data must be durable BEFORE the pointer is
+    # data must be durable BEFORE the pointer is — including the
+    # _versions/ dirent naming the new directory (losing that to a
+    # power cut while MANIFEST.json survived would orphan the commit)
+    _fsync_tree(data_dir)
+    pfd = os.open(os.path.dirname(data_dir), os.O_RDONLY)
+    try:
+        os.fsync(pfd)
+    finally:
+        os.close(pfd)
     manifest = {"version": version, "dir": rel, "fence": fence}
     fd, tmp = tempfile.mkstemp(dir=table_dir, suffix=".manifest.tmp")
     with os.fdopen(fd, "w") as f:

@@ -219,3 +219,21 @@ def test_vacuum_reclaims_above_current_orphans(spark, tmp_path):
     assert removed == []  # nothing committed was old enough
     assert not os.path.exists(orphan)
     assert read_table(spark, t).count() == 3
+
+
+def test_append_schema_evolution_opt_in(spark, tmp_path):
+    """Default append must REJECT a drifted schema (typo'd producers
+    fail loudly); merge_schema=True evolves the table, null-filling
+    the missing side in a full-rewrite version."""
+    t = str(tmp_path / "t")
+    commit(_frame(spark, 3, "a"), t)
+    widened = _frame(spark, 2, "b").withColumn("extra", F.lit(1))
+    with pytest.raises(Exception):
+        commit(widened, t, mode="append")
+    assert read_manifest(t)["version"] == 1  # failed append committed nothing
+    m = commit(widened, t, mode="append", merge_schema=True)
+    assert m["version"] == 2
+    out = read_table(spark, t)
+    assert set(out.columns) == {"k", "v", "extra"}
+    assert out.filter("extra IS NULL").count() == 3  # old rows null-filled
+    assert out.filter("extra = 1").count() == 2
