@@ -78,17 +78,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     spec = build_spec(args.env, args.tables, args.tables_list)
     store = WatermarkStore(args.state)
-    # env-var watermark seeding (orchestrator override, app.py:99-100)
+    # env-var watermark seeding (orchestrator override, app.py:99-100);
+    # seeded tables are marked authoritative so the pipeline's
+    # sink-reset guard defers to the operator's asserted value
+    seeded_tables = set()
     for t in spec.tables:
         seeded = os.environ.get(f"LAST_WATERMARK_{t.name.upper()}")
         if seeded is not None:
             store.set(t.name, seeded)
+            seeded_tables.add(t.name)
 
     if spark is None:
         from etl_data_pipeline_spark.session import get_spark
 
         spark = get_spark("etl_data_pipeline_spark-cli")
-    results = IncrementalPipeline(spark, spec, store).run()
+    results = IncrementalPipeline(
+        spark, spec, store, authoritative_watermarks=frozenset(seeded_tables)
+    ).run()
 
     failed = False
     for r in results:

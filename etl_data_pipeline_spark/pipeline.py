@@ -26,6 +26,7 @@ safely instead of duplicating rows (§2.C #5/#7).
 from __future__ import annotations
 
 import logging
+import os
 from concurrent.futures import ThreadPoolExecutor, as_completed
 from dataclasses import dataclass
 from typing import Any
@@ -91,10 +92,17 @@ class IncrementalPipeline:
         spark: SparkSession,
         spec: PipelineSpec,
         store: WatermarkStore,
+        authoritative_watermarks: frozenset[str] = frozenset(),
     ):
         self.spark = spark
         self.spec = spec
         self.store = store
+        # tables whose watermark was EXPLICITLY seeded for this run
+        # (LAST_WATERMARK_<T> env, app.py:99-100): the operator is
+        # asserting the value, so the sink-reset full-load guard must
+        # not override it — a seeded watermark against a fresh target
+        # is the documented delta-export pattern, not state drift.
+        self.authoritative_watermarks = authoritative_watermarks
 
     # -- single table -------------------------------------------------
 
@@ -123,6 +131,25 @@ class IncrementalPipeline:
         """
         raw = self.store.get(t.name)
         wm_value = parse_watermark(raw, t.watermark_type) if t.is_incremental else None
+        if (
+            wm_value is not None
+            and t.name not in self.authoritative_watermarks
+            and self._sink_reset_since_watermark(t)
+        ):
+            # A recorded watermark with a MISSING sink target means the
+            # sink was wiped after progress was recorded (target rebuild,
+            # botched cleanup). Honoring the watermark would "load" only
+            # the delta into an empty sink and exit 0 with most of the
+            # table silently absent — the one failure mode worse than
+            # recomputing. Degrade to FULL LOAD, the same safe-side
+            # answer every other bad-state path takes (§2.C #2).
+            log.warning(
+                "table %s: watermark %r recorded but sink target is missing"
+                " — degrading to full load to rebuild it",
+                t.name,
+                raw,
+            )
+            raw, wm_value = None, None
         df = read_source(
             self.spark, t.source_format, t.name, incremental_source_options(t, raw)
         )
@@ -166,6 +193,18 @@ class IncrementalPipeline:
             # Checkpoint blocks have no explicit release API; dropping
             # the reference lets the ContextCleaner reclaim them.
             del df
+
+    def _sink_reset_since_watermark(self, t: TableSpec) -> bool:
+        """True when the sink target provably no longer exists for a
+        table whose watermark says it was loaded. Only decidable for
+        path-based sinks; a ``.old`` backup counts as present (the
+        staged-swap recovery will restore it on first read). JDBC and
+        custom sinks return False — no cheap existence probe."""
+        if t.sink_format not in ("parquet", "csv", "json", "orc", "manifest"):
+            return False
+        opts = t.sink_options
+        path = opts.get("path") or os.path.join(opts["dir"], t.name)
+        return not os.path.exists(path) and not os.path.exists(path + ".old")
 
     # -- whole pipeline ----------------------------------------------
 
