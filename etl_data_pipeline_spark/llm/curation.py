@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_data_pipeline_spark.functions.caching import tracked_persist
 from etl_data_pipeline_spark.functions.rounding import hround
 from etl_data_pipeline_spark.llm import text_analysis
 from etl_data_pipeline_spark.session import load_table, spread
@@ -213,7 +214,8 @@ def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(d3, 6).alias("dup_3gram_frac"),
         (pii["n_emails"] + pii["n_phones"] + pii["n_ips"] > 0).alias("has_pii"),
         F.md5("text").alias("content_md5"),
-    ).persist()
+    )
+    scored = tracked_persist(scored)
     # contaminated training docs: share any 5-gram with the eval sample
     sh = docs.select("doc_id", F.explode(_ngrams(CONTAM_NGRAM)).alias("ngram"))
     eval_sh = sh.filter(F.col("doc_id") % CONTAM_EVAL_MOD == 0).select("ngram")

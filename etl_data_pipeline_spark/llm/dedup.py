@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_data_pipeline_spark.functions.caching import tracked_persist
 from etl_data_pipeline_spark.functions.rounding import hround, sql_round
 from etl_data_pipeline_spark.session import load_table, spread
 
@@ -111,11 +112,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without it each side re-tokenizes and re-hashes the corpus (at
     # 100 TB: two extra full text scans). Tiny relative to the corpus —
     # ids + int64 arrays, no text.
-    d = docs.select(
-        "doc_id", "lang", "source",
-        hash_set(F.split(F.col("text"), " ")).alias("words"),
-        hash_set(_shingles()).alias("shingles"),
-    ).withColumn("n_words", F.size("words")).persist()
+    d = tracked_persist(
+        docs.select(
+            "doc_id", "lang", "source",
+            hash_set(F.split(F.col("text"), " ")).alias("words"),
+            hash_set(_shingles()).alias("shingles"),
+        ).withColumn("n_words", F.size("words"))
+    )
     a, b = d.alias("a"), d.alias("b")
     # Size prefilter INSIDE the join condition: Jaccard ≥ t requires
     # min(|A|,|B|) ≥ t·max(|A|,|B|) (since |A∩B| ≤ min and
@@ -208,7 +211,7 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verification sides — three shingle+hash passes over the corpus
     # otherwise (at 100 TB these signatures would be written to a table
     # once at ingest; persist is the in-session equivalent).
-    sh = docs.select("doc_id", sh_hashed.alias("sh_hash")).persist()
+    sh = tracked_persist(docs.select("doc_id", sh_hashed.alias("sh_hash")))
     with_mh = sh.select("doc_id", "sh_hash", *_minhash_cols())
     bands = F.array(
         *[
@@ -224,9 +227,9 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CPU of the pipeline) from the persisted shingle table. The
     # persisted relation is (doc_id, band_id, band_sig) — three ints
     # per band, corpus-text-free, so it stays tiny even at 100 TB.
-    sigs = with_mh.select(
-        "doc_id", F.posexplode(bands).alias("band_id", "band_sig")
-    ).persist()
+    sigs = tracked_persist(
+        with_mh.select("doc_id", F.posexplode(bands).alias("band_id", "band_sig"))
+    )
     a, b = sigs.alias("a"), sigs.alias("b")
     candidates = (
         a.join(
@@ -571,10 +574,12 @@ def dedup_embedding_cosine(
     )
     from etl_data_pipeline_spark.llm.vector import dot
 
-    e = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).persist()
+    e = tracked_persist(
+        spread(load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+        ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    )
     buckets = F.array(
         *[
             hyperplane_bucket(F.col("v"), _planes(n_planes, seed=PLANES_SEED + t))

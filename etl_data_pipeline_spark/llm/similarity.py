@@ -21,6 +21,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_data_pipeline_spark.functions.caching import tracked_persist
 from etl_data_pipeline_spark.functions.rounding import hround, sql_round
 from etl_data_pipeline_spark.llm.vector import cosine, dot as _dot, rank_topk, scored_pairs
 from etl_data_pipeline_spark.session import load_table, spread
@@ -260,9 +261,11 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # persist: the corpus feeds three consumers (centroid filter, both
     # assignment scans) — without it each re-reads and re-repartitions.
-    e = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).persist()
+    e = tracked_persist(
+        spread(load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
     c0 = e.filter(F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER).select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
     )

@@ -76,68 +76,76 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # hoisted to the very front regardless of family (the harness
     # checks only a ~50-entry prefix per round, so the hoist rotates
     # stale evidence back into the check window).
-    # Round-4 rotation: the 49 queries whose newest driver-green row is
-    # from round 1 — every callable was re-wrapped since (the UTC pin
-    # below) and sessionization was refactored, so their r1 evidence
-    # predates the code now running. All pass the local sf0.01 gate;
-    # this refreshes the hard driver signal. agg_collect (r2-latest)
-    # rides along as the 50th to start rotating r2 evidence next.
+    # Round-5 rotation: the 33 queries whose newest driver-green row is
+    # from round 2 (windows, setops, scalars date/math/case_null/array/
+    # json, both UDFs, LLM dedup, similarity, cdc_compact_latest) plus
+    # 17 r3-latest riders (subqueries, reshape, UDAFs, streaming
+    # batch-analogs) to fill the ~50-entry window and start rotating r3
+    # evidence next. All pass the local sf0.01 gate; this refreshes the
+    # hard driver signal per round-4 VERDICT "Next round" #1.
     hoist = [
-        # scans/watermark family — r1-latest
-        "scan_full",
-        "scan_incremental_id",
-        "scan_incremental_ts",
-        "watermark_advance",
-        "project_columns",
-        "filter_predicates",
-        "pipeline_incremental",
-        "sample_hash",
-        "sample_stratified",
-        "sql_passthrough_q6",
-        "profile_key_skew",
-        "export_shuffle",
-        # joins family — r1-latest
-        "join_inner_hash",
-        "join_broadcast",
-        "join_left_outer",
-        "join_full_outer",
-        "join_semi",
-        "join_anti",
-        "join_theta_range",
-        "join_skew_salted",
-        "join_multiway",
-        "tpch_q3ish",
-        "tpch_q5ish",
-        "join_range_binned",
-        "join_cross",
-        "join_asof",
-        "join_asof_tolerance",
-        # aggregates family — r1-latest (agg_collect was r2)
-        "agg_groupby",
-        "agg_distinct",
-        "agg_approx_distinct",
-        "agg_rollup",
-        "agg_cube",
-        "agg_having",
-        "agg_percentile",
-        "agg_approx_percentile",
-        "agg_time_rollup",
-        "subquery_scalar",
-        "agg_stats",
-        "agg_grouping_sets",
-        "agg_mode",
-        "agg_boolean",
-        "agg_histogram",
-        # analytics family — r1-latest
-        "events_funnel",
-        "events_retention",
-        "events_resample_ffill",
-        "events_transition_matrix",
-        "events_anomaly_zscore",
-        "profile_table_quality",
-        "timeseries_user_sim",
-        # r2-latest rider
-        "agg_collect",
+        # windows family — r2-latest
+        "window_rank",
+        "window_running",
+        "window_lag_lead",
+        "window_range_frame",
+        "window_distribution",
+        "window_first_last",
+        "window_time_range",
+        # sort/set/dedup family — r2-latest
+        "sort_limit",
+        "topk_per_group",
+        "set_union",
+        "set_intersect",
+        "set_except",
+        "dedup_exact",
+        # scalars — r2-latest (string/map were r3)
+        "scalar_date",
+        "scalar_math",
+        "scalar_case_null",
+        "scalar_array",
+        "scalar_json",
+        # UDFs — r2-latest
+        "udf_scalar",
+        "udf_pandas",
+        # analytics rider — r2-latest
+        "cdc_compact_latest",
+        # LLM dedup family — r2-latest
+        "dedup_exact_docs",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_clusters",
+        "dedup_canonical",
+        # similarity family — r2-latest
+        "sim_topk",
+        "sim_ann_lsh",
+        "sim_ann_ivf",
+        "embedding_centroids",
+        "embedding_kmeans",
+        "embedding_quantize",
+        # -- r3-latest riders: start rotating r3 evidence --
+        # subqueries family
+        "subq_exists_lateship",
+        "subq_not_exists_quiet_parts",
+        "subq_corr_scalar_avgqty",
+        "subq_in_heavy_orders",
+        "subq_nested_max_revenue",
+        "agg_promo_share",
+        "subq_q22ish",
+        "join_count_distribution",
+        # reshape family
+        "agg_pivot",
+        "unpivot_metrics",
+        # UDAFs
+        "udaf_grouped",
+        "udaf_segment_trend",
+        # streaming batch-analogs
+        "stream_tumbling",
+        "stream_sliding",
+        "stream_session",
+        "stream_watermark_late",
+        "stream_dedup",
     ]
     ordered = {name: queries[name] for name in hoist if name in queries}
     ordered.update(queries)

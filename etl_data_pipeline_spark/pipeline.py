@@ -179,7 +179,17 @@ class IncrementalPipeline:
                 max_watermark(df, t.watermark_column) if t.is_incremental else None
             )
 
-            if t.merge_keys:
+            if t.merge_keys and t.sink_format == "manifest":
+                # manifest's own content fence: anti-join inside the
+                # lease-held commit, no duplicate rows on replay and no
+                # wasted version when the whole batch already landed
+                write_sink(
+                    df,
+                    "manifest",
+                    t.name,
+                    {**t.sink_options, "merge_keys": t.merge_keys},
+                )
+            elif t.merge_keys:
                 idempotent_append_parquet(
                     self.spark, df, t.name, dict(t.sink_options), t.merge_keys
                 )
@@ -204,6 +214,18 @@ class IncrementalPipeline:
             return False
         opts = t.sink_options
         path = opts.get("path") or os.path.join(opts["dir"], t.name)
+        if t.sink_format == "manifest":
+            # A bare path-exists probe is a false negative here: the
+            # table dir can exist with no committed version (rm -rf
+            # table/*, or a failed commit recreated the empty dir via
+            # makedirs) and manifest.commit would then treat the next
+            # append as a FIRST write — committing only the delta as
+            # v1 and exiting 0 with most rows silently absent, the
+            # exact loss mode this guard targets. "Wiped" for a
+            # manifest table means "no committed version".
+            from etl_data_pipeline_spark.sinks.manifest import read_manifest
+
+            return read_manifest(path) is None
         return not os.path.exists(path) and not os.path.exists(path + ".old")
 
     # -- whole pipeline ----------------------------------------------

@@ -55,9 +55,27 @@ def writer_lease(path: str) -> Iterator[int]:
     """
     from etl_data_pipeline_spark.functions.locks import exclusive_flock
 
-    with exclusive_flock(path + ".lease") as fd:
+    lease_file = path + ".lease"
+    with exclusive_flock(lease_file) as fd:
         raw = os.read(fd, 64)
-        token = (int(raw) if raw.strip() else 0) + 1
+        try:
+            token = (int(raw) if raw.strip() else 0) + 1
+        except ValueError:
+            # A corrupted/hand-touched sidecar must not wedge every
+            # future writer with an opaque int() traceback held under
+            # the flock — name the file and the remedy. Auto-resetting
+            # to 1 is NOT safe: it would reuse already-issued fencing
+            # tokens, breaking the strictly-increasing order observers
+            # rely on.
+            raise RuntimeError(
+                f"writer lease sidecar {lease_file!r} is corrupt "
+                f"(unparseable fencing token {raw!r}). All writes to "
+                f"this target are blocked until it is removed. It is "
+                f"safe to delete ONLY while no writer is live on this "
+                f"host; deleting it resets the fencing-token sequence, "
+                f"so any external observer ordering swaps by token "
+                f"must discard its recorded high-water mark."
+            ) from None
         # overwrite-in-place FIRST, truncate after: a crash between a
         # truncate and a write would leave an empty file and reset the
         # fence to 1 (duplicating already-issued tokens). str(token)
@@ -187,13 +205,19 @@ def _manifest_sink(df: DataFrame, table: str, options: dict) -> None:
     copy-on-write union published by a single-rename commit, so unlike
     the bare parquet append, readers get snapshot isolation and the
     table carries a version history. ``manifest_mode: overwrite`` in
-    options replaces instead."""
+    options replaces instead; ``merge_keys`` makes the append
+    replay-idempotent (content fence) and ``txn: (app_id, version)``
+    adds the streaming exactly-once transaction fence."""
     from etl_data_pipeline_spark.sinks.manifest import commit as manifest_commit
 
+    merge_keys = options.get("merge_keys")
     manifest_commit(
         df,
         _target_path(table, options),
         mode=options.get("manifest_mode", "append"),
+        merge_schema=bool(options.get("merge_schema", False)),
+        merge_keys=tuple(merge_keys) if merge_keys else None,
+        txn=options.get("txn"),
     )
 
 

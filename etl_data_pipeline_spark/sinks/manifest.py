@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import tempfile
 
@@ -68,6 +69,8 @@ def commit(
     table_dir: str,
     mode: str = "overwrite",
     merge_schema: bool = False,
+    merge_keys: tuple[str, ...] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Commit ``df`` as the table's next version and return the new
     manifest.
@@ -83,6 +86,23 @@ def commit(
       full rewrite (no per-file schema drift for readers to reconcile,
       unlike mergeSchema over raw parquet appends).
 
+    Replay idempotency, two independent fences:
+
+    - ``merge_keys``: CONTENT fence for append — incoming rows whose
+      key already exists in the current version are anti-joined away
+      (the manifest twin of idempotent_append_parquet, fixing the
+      reference's replay duplication, SURVEY.md §2.C #5/#7). A replay
+      whose rows all already landed is a no-op: NO new version is
+      written and the current manifest is returned unchanged.
+    - ``txn``: TRANSACTION fence ``(app_id, version)`` for streaming
+      foreachBatch — the manifest records the highest committed
+      version per app_id (Delta's txnAppId/txnVersion idiom), and a
+      commit at-or-below that high-water mark returns the current
+      manifest without reading the batch AT ALL. This is the
+      exactly-once contract: the batch data and its txn mark publish
+      in the same atomic rename, so a crash between them is
+      impossible and a replayed batch is always detected.
+
     Sequence (under the writer lease, fencing token = lease token):
     1. read current manifest (inside the lease: serializable)
     2. write data to _versions/v{n+1} — a failure here leaves an
@@ -95,14 +115,26 @@ def commit(
         raise ValueError(f"mode must be overwrite/append, not {mode!r}")
     os.makedirs(table_dir, exist_ok=True)
     with writer_lease(_manifest_path(table_dir)) as fence:
-        return _commit_locked(df, table_dir, mode, fence, merge_schema)
+        return _commit_locked(df, table_dir, mode, fence, merge_schema, merge_keys, txn)
 
 
 def _commit_locked(
-    df: DataFrame, table_dir: str, mode: str, fence: int, merge_schema: bool = False
+    df: DataFrame,
+    table_dir: str,
+    mode: str,
+    fence: int,
+    merge_schema: bool = False,
+    merge_keys: tuple[str, ...] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Steps 1-3 of commit(); caller holds the manifest writer lease."""
     cur = read_manifest(table_dir)
+    prev_txn: dict[str, int] = dict((cur or {}).get("txn", {}))
+    if txn is not None:
+        app_id, txn_version = txn
+        if app_id in prev_txn and int(txn_version) <= prev_txn[app_id]:
+            return cur  # replayed batch: already committed, skip
+        prev_txn[app_id] = int(txn_version)
     version = 1 if cur is None else cur["version"] + 1
     rel = os.path.join("_versions", f"v{version:08d}")
     data_dir = os.path.join(table_dir, rel)
@@ -110,7 +142,17 @@ def _commit_locked(
     out = df
     if mode == "append" and cur is not None:
         prev = df.sparkSession.read.parquet(os.path.join(table_dir, cur["dir"]))
-        out = prev.unionByName(df, allowMissingColumns=merge_schema)
+        delta = df
+        if merge_keys:
+            keys = list(merge_keys)
+            delta = df.join(
+                prev.select(*keys).distinct(), on=keys, how="left_anti"
+            )
+            # all rows already present and no txn mark to record:
+            # true no-op — don't burn a version on a content copy
+            if txn is None and delta.limit(1).count() == 0:
+                return cur
+        out = prev.unionByName(delta, allowMissingColumns=merge_schema)
     out.write.parquet(data_dir)
     # data must be durable BEFORE the pointer is — including the
     # _versions/ dirent naming the new directory (losing that to a
@@ -122,6 +164,8 @@ def _commit_locked(
     finally:
         os.close(pfd)
     manifest = {"version": version, "dir": rel, "fence": fence}
+    if prev_txn:
+        manifest["txn"] = prev_txn  # carried forward + this commit's mark
     fd, tmp = tempfile.mkstemp(dir=table_dir, suffix=".manifest.tmp")
     with os.fdopen(fd, "w") as f:
         json.dump(manifest, f)
@@ -237,9 +281,14 @@ def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
         vdir = os.path.join(table_dir, "_versions")
         cutoff = cur["version"] - keep_last + 1
         for entry in sorted(os.listdir(vdir)):
-            if not entry.startswith("v"):
+            # strict name match: stray non-version entries (editor
+            # backups, operator debris like 'v1.bak') are skipped, not
+            # int()-crashed — a single piece of debris must not wedge
+            # retention enforcement for the table forever
+            m = re.fullmatch(r"v(\d{8})", entry)
+            if m is None:
                 continue
-            v = int(entry[1:])
+            v = int(m.group(1))
             if v < cutoff:
                 shutil.rmtree(os.path.join(vdir, entry))
                 removed.append(v)

@@ -237,3 +237,130 @@ def test_append_schema_evolution_opt_in(spark, tmp_path):
     assert set(out.columns) == {"k", "v", "extra"}
     assert out.filter("extra IS NULL").count() == 3  # old rows null-filled
     assert out.filter("extra = 1").count() == 2
+
+
+# -- round 5: source round-trip, replay fences, evolution negatives --
+
+
+def test_manifest_source_registered_with_time_travel(spark, tmp_path):
+    """read_source('manifest') closes the r4 write-only asymmetry: a
+    manifest table written through the sink registry reads back through
+    the source registry, including pinned-version time travel."""
+    from etl_data_pipeline_spark.sources import read_source
+
+    t = str(tmp_path / "t")
+    commit(_frame(spark, 5, "a"), t)
+    commit(_frame(spark, 9, "b"), t)
+    cur = read_source(spark, "manifest", "t", {"dir": str(tmp_path)})
+    assert cur.count() == 9
+    pinned = read_source(spark, "manifest", "t", {"dir": str(tmp_path), "version": 1})
+    assert pinned.count() == 5 and pinned.select("v").distinct().first().v == "a"
+    with pytest.raises(ValueError, match="not in"):
+        read_source(spark, "manifest", "t", {"dir": str(tmp_path), "version": 3})
+
+
+def test_merge_keys_append_is_replay_idempotent(spark, tmp_path):
+    """Content fence: replaying an already-landed batch neither
+    duplicates rows NOR burns a version; a partially-new batch appends
+    only the unseen keys."""
+    t = str(tmp_path / "t")
+    commit(_frame(spark, 5, "a"), t)
+    m = commit(_frame(spark, 5, "a"), t, mode="append", merge_keys=("k",))
+    assert m["version"] == 1  # full replay: no new version at all
+    assert read_table(spark, t).count() == 5
+    # keys 0-7: 0-4 already present, 5-7 are new
+    m2 = commit(_frame(spark, 8, "b"), t, mode="append", merge_keys=("k",))
+    assert m2["version"] == 2
+    out = read_table(spark, t)
+    assert out.count() == 8
+    assert out.filter("v = 'b'").count() == 3  # only the unseen keys landed
+
+
+def test_txn_fence_is_exactly_once(spark, tmp_path):
+    """Transaction fence: a (app_id, version) at-or-below the recorded
+    high-water mark is skipped entirely; marks survive later commits
+    (including other apps') because the manifest carries them forward."""
+    t = str(tmp_path / "t")
+    m1 = commit(_frame(spark, 3, "b0"), t, mode="append", txn=("appA", 0))
+    assert m1["txn"] == {"appA": 0}
+    # replay of batch 0 -> skipped, same manifest back
+    m1r = commit(_frame(spark, 3, "b0"), t, mode="append", txn=("appA", 0))
+    assert m1r == m1 and read_table(spark, t).count() == 3
+    # next batch commits; an unrelated app keeps its own sequence
+    m2 = commit(_frame(spark, 2, "b1"), t, mode="append", txn=("appA", 1))
+    m3 = commit(_frame(spark, 4, "x0"), t, mode="append", txn=("appB", 0))
+    assert m3["txn"] == {"appA": 1, "appB": 0}
+    # stale replay of appA batch 1 after appB moved the table forward
+    m3r = commit(_frame(spark, 2, "b1"), t, mode="append", txn=("appA", 1))
+    assert m3r == m3
+    assert read_table(spark, t).count() == 3 + 2 + 4
+    # txn marks survive compaction (overwrite carries them forward)
+    from etl_data_pipeline_spark.sinks.manifest import compact
+
+    mc = compact(spark, t)
+    assert mc["txn"] == {"appA": 1, "appB": 0}
+
+
+def test_vacuum_skips_nonversion_debris(spark, tmp_path):
+    """Operator debris in _versions (v1.bak, editor backups) must be
+    skipped, not ValueError-crash retention enforcement forever."""
+    t = str(tmp_path / "t")
+    for n in (1, 2, 3, 4):
+        commit(_frame(spark, n, "w"), t)
+    vdir = os.path.join(t, "_versions")
+    os.makedirs(os.path.join(vdir, "v00000001.bak"))
+    with open(os.path.join(vdir, "vnotes.txt"), "w") as f:
+        f.write("debris")
+    removed = vacuum(t, keep_last=2)
+    assert removed == [1, 2]
+    assert os.path.isdir(os.path.join(vdir, "v00000001.bak"))  # untouched
+    assert read_table(spark, t).count() == 4
+
+
+def test_corrupt_lease_sidecar_fails_with_named_remedy(spark, tmp_path):
+    """A hand-touched .lease file must raise an error naming the file
+    and the remedy, not an opaque int() ValueError under the flock."""
+    t = str(tmp_path / "t")
+    commit(_frame(spark, 2, "a"), t)
+    lease = os.path.join(t, "MANIFEST.json.lease")
+    with open(lease, "w") as f:
+        f.write("garbage\n")
+    with pytest.raises(RuntimeError, match="lease sidecar.*corrupt"):
+        commit(_frame(spark, 2, "b"), t, mode="append")
+    os.unlink(lease)  # the documented remedy
+    m = commit(_frame(spark, 2, "b"), t, mode="append")
+    assert m["version"] == 2 and read_table(spark, t).count() == 4
+
+
+def test_schema_evolution_type_conflict_fails_loudly(spark, tmp_path):
+    """merge_schema evolves by ADDING columns; an incompatible type
+    change on the SAME column (int -> string) must fail the commit and
+    leave the manifest untouched — silent cast-widening hides producer
+    bugs."""
+    t = str(tmp_path / "t")
+    commit(spark.range(3).select(F.col("id").alias("k"), F.lit(7).alias("m")), t)
+    drifted = spark.range(2).select(
+        F.col("id").alias("k"), F.lit("seven").alias("m")
+    )
+    with pytest.raises(Exception):
+        commit(drifted, t, mode="append", merge_schema=True)
+    assert read_manifest(t)["version"] == 1  # nothing committed
+
+
+def test_time_travel_reads_each_versions_own_schema(spark, tmp_path):
+    """After opt-in evolution, a pinned historical version reads with
+    the schema IT was committed with — full-rewrite versions mean no
+    per-file reconciliation."""
+    t = str(tmp_path / "t")
+    commit(_frame(spark, 3, "a"), t)
+    commit(
+        _frame(spark, 2, "b").withColumn("extra", F.lit(1)),
+        t,
+        mode="append",
+        merge_schema=True,
+    )
+    v1 = read_table(spark, t, version=1)
+    assert set(v1.columns) == {"k", "v"}  # pre-evolution schema, untouched
+    v2 = read_table(spark, t, version=2)
+    assert set(v2.columns) == {"k", "v", "extra"}
+    assert v2.filter("extra IS NULL").count() == 3

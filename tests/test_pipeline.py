@@ -350,3 +350,128 @@ def test_intact_sink_keeps_incremental_semantics(spark, tmp_path, sf_dir):
     pipe = IncrementalPipeline(spark, spec, store)
     assert pipe.run()[0].status == "loaded"
     assert pipe.run()[0].status == "skipped_empty"
+
+
+# -- round 5: manifest tables as first-class pipeline endpoints --
+
+
+def test_pipeline_with_manifest_source(spark, sf_dir, tmp_path):
+    """A manifest table written by one pipeline is the SOURCE of the
+    next (the r4 round-trip asymmetry, closed): incremental runs read
+    through read_source('manifest') and see only committed versions."""
+    from etl_data_pipeline_spark.sinks.manifest import commit as mcommit
+
+    src_dir = str(tmp_path / "msrc")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    mcommit(orders.filter(F.col("o_orderkey") < 1000), os.path.join(src_dir, "orders"))
+
+    spec = PipelineSpec(
+        tables=[
+            TableSpec(
+                name="orders",
+                watermark_column="o_orderkey",
+                watermark_type="id",
+                source_format="manifest",
+                source_options={"dir": src_dir},
+                sink_options={"dir": str(tmp_path / "sink")},
+                merge_keys=("o_orderkey",),
+            )
+        ]
+    )
+    store = WatermarkStore(tmp_path / "wm.json")
+    pipe = IncrementalPipeline(spark, spec, store)
+    assert pipe.run()[0].status == "loaded"
+    sink = lambda: spark.read.parquet(str(tmp_path / "sink" / "orders"))
+    assert sink().count() == 1000
+
+    # new data arrives as a manifest COMMIT; the next run copies only it
+    mcommit(
+        orders.filter(F.col("o_orderkey") >= 1000),
+        os.path.join(src_dir, "orders"),
+        mode="append",
+    )
+    assert pipe.run()[0].status == "loaded"
+    assert sink().count() == orders.count()
+    # third run: no new commit -> empty batch skip
+    assert pipe.run()[0].status == "skipped_empty"
+
+
+def test_pipeline_manifest_sink_replay_idempotent(spark, tmp_path, split_source):
+    """Golden replay test (r4 VERDICT next-round #3): manifest-sink
+    pipeline where a crash between load and watermark-write replays
+    the batch — the content fence must yield no duplicate rows and no
+    duplicate version content."""
+    from etl_data_pipeline_spark.sinks.manifest import read_manifest, read_table
+
+    src, orders = split_source
+    spec = PipelineSpec(
+        tables=[
+            TableSpec(
+                name="orders",
+                watermark_column="o_orderkey",
+                watermark_type="id",
+                source_options={"dir": src},
+                sink_format="manifest",
+                sink_options={"dir": str(tmp_path / "sink")},
+                merge_keys=("o_orderkey",),
+            )
+        ]
+    )
+    store = WatermarkStore(tmp_path / "wm.json")
+    pipe = IncrementalPipeline(spark, spec, store)
+    assert pipe.run()[0].status == "loaded"
+    t = str(tmp_path / "sink" / "orders")
+    assert read_table(spark, t).count() == 1000
+    v_after_load = read_manifest(t)["version"]
+
+    # simulate the crash window: wipe the watermark, keep the sink
+    store.set("orders", None) if hasattr(store, "delete") else None
+    import json as _json
+
+    state_path = tmp_path / "wm.json"
+    state_path.write_text(_json.dumps({}))
+    store2 = WatermarkStore(state_path)
+    pipe2 = IncrementalPipeline(spark, spec, store2)
+    r = pipe2.run()[0]  # full replay of already-landed rows
+    assert r.status == "loaded"
+    out = read_table(spark, t)
+    assert out.count() == 1000  # no duplicates
+    assert out.select("o_orderkey").distinct().count() == 1000
+    # full-replay batch burned NO new version (content fence no-op)
+    assert read_manifest(t)["version"] == v_after_load
+
+
+def test_wiped_manifest_sink_degrades_to_full_load(spark, tmp_path, sf_dir):
+    """Manifest flavor of the reset guard: the table DIR exists but
+    holds no committed version (rm -rf table/*) — the bare exists()
+    probe would be fooled; the guard must probe the manifest and
+    degrade to a full load."""
+    import shutil
+
+    from etl_data_pipeline_spark.sinks.manifest import read_table
+
+    spec = PipelineSpec(
+        tables=[
+            TableSpec(
+                name="orders",
+                watermark_column="o_orderkey",
+                watermark_type="id",
+                source_options={"dir": sf_dir},
+                sink_format="manifest",
+                sink_options={"dir": str(tmp_path / "sink")},
+            )
+        ]
+    )
+    store = WatermarkStore(tmp_path / "wm.json")
+    pipe = IncrementalPipeline(spark, spec, store)
+    assert pipe.run()[0].status == "loaded"
+    t = str(tmp_path / "sink" / "orders")
+    n_total = read_table(spark, t).count()
+
+    # wipe the table CONTENTS but leave the (empty) dir — the manifest
+    # false-negative case from the r4 advice
+    shutil.rmtree(t)
+    os.makedirs(t)
+    r2 = pipe.run()[0]
+    assert r2.status == "loaded"  # degraded to full rebuild, not delta
+    assert read_table(spark, t).count() == n_total
