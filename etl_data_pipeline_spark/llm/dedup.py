@@ -438,7 +438,13 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = dedup_clusters(spark, sf_dir).filter(
         F.col("doc_id") != F.col("component_id")
     ).select("doc_id")
-    return docs.join(losers, "doc_id", "left_anti").select(
+    # explicit broadcast: losers is bounded by the number of near-dup
+    # cluster members — tiny vs the corpus — but its size is opaque to
+    # the planner (it sits behind the iterative localCheckpoint), so
+    # without the hint this anti-join plans as a SortMergeJoin that
+    # shuffles the ENTIRE corpus by doc_id. Broadcasting makes the
+    # corpus side stream through map-side with zero shuffle.
+    return docs.join(F.broadcast(losers), "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
 

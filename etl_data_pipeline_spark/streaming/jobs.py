@@ -769,3 +769,50 @@ def run_incremental_micro_batch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_stream_to_manifest(
+    spark: SparkSession,
+    source_dir: str,
+    table_dir: str,
+    app_id: str,
+    schema=None,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """foreachBatch → manifest table with the transaction fence: each
+    micro-batch appends as one atomic manifest commit carrying
+    ``txn=(app_id, batch_id)`` (sinks/manifest.py).
+
+    Exactly-once the way Delta's txnAppId/txnVersion does it:
+    foreachBatch is at-least-once (a crash after the sink write but
+    before the streaming checkpoint commits re-executes the batch with
+    the SAME batch_id), and the manifest records the highest committed
+    batch id per app — the data and its fence publish in the same
+    single-rename commit, so a replayed batch is detected and skipped
+    before reading it at all. Unlike run_incremental_micro_batch's
+    per-batch partition directories, the result is ONE versioned table
+    with snapshot isolation, history, and compaction.
+
+    ``app_id`` must be stable across restarts of the SAME logical job
+    (it keys the fence) and unique per checkpoint — restarting with a
+    fresh checkpoint but the same app_id would wrongly skip batches.
+    """
+    from etl_data_pipeline_spark.sinks.manifest import commit as manifest_commit
+
+    stream = events_file_stream(spark, source_dir, schema=schema)
+    ckpt = checkpoint_dir or os.path.join(table_dir, "_checkpoint")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        # empty micro-batches still advance the fence: a replay of an
+        # empty batch is a no-op either way, and recording it keeps
+        # the (app_id -> batch) mark contiguous for observers
+        manifest_commit(
+            batch_df, table_dir, mode="append", txn=(app_id, int(batch_id))
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )

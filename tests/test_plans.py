@@ -319,3 +319,53 @@ def test_grouped_map_regimes_use_right_operator(spark, sf_dir):
     assert "FlatMapGroupsInPandas" not in many
     few = _plan(udfs.udaf_segment_trend(spark, sf_dir))
     assert "FlatMapGroupsInPandas" in few
+
+
+def test_canonical_antijoin_broadcasts_losers(spark, sf_dir):
+    """The kept-set anti-join must broadcast the small losers relation
+    (cluster members), never shuffle the whole corpus by doc_id: the
+    corpus side streams map-side through a BroadcastHashJoin."""
+    from etl_data_pipeline_spark.llm import dedup
+    from etl_data_pipeline_spark.plans import exchange_count
+
+    plan = _plan(dedup.dedup_canonical(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # corpus scan -> broadcast anti-join -> project: no data exchange
+    # beyond the broadcast itself
+    assert exchange_count(plan) == 0
+
+
+def test_embedding_cosine_exchange_budget(spark, sf_dir):
+    """Pin the scale shape, not just the absence of a cartesian: the
+    8-table OR-construction self-join runs on bare (table, bucket)
+    rows with a bounded exchange budget."""
+    from etl_data_pipeline_spark.llm import dedup
+    from etl_data_pipeline_spark.plans import exchange_count
+
+    plan = _plan(dedup.dedup_embedding_cosine(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert exchange_count(plan) <= 2
+
+
+def test_negative_sampling_exchange_budget(spark, sf_dir):
+    """recsys_negative_samples: the only nested-loop allowed is the
+    1-row scalar max(p_partkey) broadcast (a scalar-subquery shape —
+    O(n), not a product); the pair-generating joins stay hash joins
+    within a bounded exchange budget."""
+    from etl_data_pipeline_spark.llm import features
+    from etl_data_pipeline_spark.plans import exchange_count
+
+    import re
+
+    plan = _plan(features.recsys_negative_samples(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the single BNLJ operator joins against the 1-row max aggregate,
+    # nothing wider (formatted explain prints each operator twice —
+    # tree + details — so count operator-detail headers)
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    assert "max(p_partkey" in plan
+    assert exchange_count(plan) <= 4

@@ -691,3 +691,49 @@ def test_file_stream_nested_unpartitioned_dir_derives_schema(spark, tmp_path):
     spark.range(10).selectExpr("id", "id * 2 AS v").write.parquet(inner)
     stream = jobs.events_file_stream(spark, src)
     assert set(stream.schema.fieldNames()) == {"id", "v"}
+
+
+def test_stream_to_manifest_exactly_once(spark, event_chunks, tmp_path):
+    """Streaming → manifest with the txn fence: one commit per batch
+    id; a checkpoint-restarted run re-delivers nothing; a FORCED
+    replay of an already-committed batch (crash-after-write window,
+    simulated by re-running with a fresh checkpoint and the same
+    app_id) is detected by the fence and skipped — row counts and
+    version history stay exactly-once."""
+    from etl_data_pipeline_spark.sinks.manifest import read_manifest, read_table
+
+    src, ev = event_chunks
+    table = str(tmp_path / "mtable")
+
+    q = jobs.run_stream_to_manifest(spark, src, table, app_id="ingest")
+    q.awaitTermination(120)
+    m = read_manifest(table)
+    assert read_table(spark, table).count() == ev.count()
+    # 4 chunk files at maxFilesPerTrigger=1 -> one commit per batch id
+    assert m["txn"] == {"ingest": m["version"] - 1}  # batch ids 0..n-1
+
+    # restart with the SAME checkpoint: source exhausted, no new commits
+    q2 = jobs.run_stream_to_manifest(spark, src, table, app_id="ingest")
+    q2.awaitTermination(120)
+    assert read_manifest(table) == m
+    assert read_table(spark, table).count() == ev.count()
+
+    # forced re-execution: fresh checkpoint replays every batch with
+    # the same ids — the manifest fence must skip them all
+    q3 = jobs.run_stream_to_manifest(
+        spark, src, table, app_id="ingest",
+        checkpoint_dir=str(tmp_path / "ckpt_replay"),
+    )
+    q3.awaitTermination(120)
+    m3 = read_manifest(table)
+    assert m3["version"] == m["version"]  # not one duplicate version
+    assert read_table(spark, table).count() == ev.count()
+
+    # a DIFFERENT app over the same table is not fenced out
+    q4 = jobs.run_stream_to_manifest(
+        spark, src, table, app_id="backfill",
+        checkpoint_dir=str(tmp_path / "ckpt_backfill"),
+    )
+    q4.awaitTermination(120)
+    assert read_table(spark, table).count() == 2 * ev.count()
+    assert read_manifest(table)["txn"]["ingest"] == m["txn"]["ingest"]
