@@ -10,8 +10,19 @@ a query's reps land minutes apart and the median absorbs first-run
 codegen warmup and transient host load; the cache is cleared after
 every query so persisted intermediates never flatter the next rep.
 
+Round-5 automation: the "2x suspects" procedure the builder ran by
+hand in rounds 2-4 (BASELINE.md) is now part of the sweep. Every query
+whose sweep median exceeds its recorded floor (tools/floors.json, the
+round-3 quiet table) by ``--margin`` is re-run STANDALONE at
+completion (after ``--settle`` seconds for load to drain) and both
+numbers are reported in a markdown suspects table — sweep-vs-floor
+deltas that vanish standalone are load interaction, not plan
+regressions; the ones that don't are flagged REGRESSION loudly.
+
 Usage: python tools/sweep_timing.py [sf_dir] [threshold_secs]
-                                    [--passes N] [--table out.md]
+         [--passes N] [--table out.md] [--floors floors.json]
+         [--margin 0.15] [--suspect-reps 3] [--settle 30]
+         [--update-floors]
 """
 
 from __future__ import annotations
@@ -29,10 +40,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SKIP = {"dedup_levenshtein"}
 
 
+DEFAULT_FLOORS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "floors.json")
+
+
+def _run_standalone(spark, fn, sf_dir: str, reps: int) -> float:
+    """Median of ``reps`` cache-cleared standalone runs (post-warmup:
+    the sweep already ran this query, so codegen is hot)."""
+    import statistics as _st
+
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        ts.append(time.time() - t0)
+        spark.catalog.clearCache()
+    return _st.median(ts)
+
+
 def main() -> int:
     argv = sys.argv[1:]
     passes = 1
     table_out = None
+    floors_path = DEFAULT_FLOORS
+    margin = 0.15
+    suspect_reps = 3
+    settle = 30.0
+    update_floors = False
     args: list[str] = []
     i = 0
     while i < len(argv):
@@ -43,6 +76,21 @@ def main() -> int:
         elif a == "--table":
             table_out = argv[i + 1]
             i += 2
+        elif a == "--floors":
+            floors_path = argv[i + 1]
+            i += 2
+        elif a == "--margin":
+            margin = float(argv[i + 1])
+            i += 2
+        elif a == "--suspect-reps":
+            suspect_reps = int(argv[i + 1])
+            i += 2
+        elif a == "--settle":
+            settle = float(argv[i + 1])
+            i += 2
+        elif a == "--update-floors":
+            update_floors = True
+            i += 1
         else:
             args.append(a)
             i += 1
@@ -90,6 +138,56 @@ def main() -> int:
         f" {threshold}s, total median {sum(med.values()):.1f}s for"
         f" {len(med)} queries =="
     )
+
+    # -- automated "2x suspects" procedure (BASELINE.md rounds 2-4) --
+    import json
+
+    floors: dict[str, float] = {}
+    if os.path.exists(floors_path):
+        with open(floors_path) as f:
+            floors = json.load(f)
+    suspects = sorted(
+        (n for n in med if n in floors and med[n] > floors[n] + margin),
+        key=lambda n: floors[n] - med[n],
+    )
+    new_queries = sorted(n for n in med if n not in floors)
+    if suspects:
+        if settle > 0:
+            print(f"-- settling {settle:.0f}s before standalone suspect re-runs")
+            time.sleep(settle)
+        print(
+            f"\n## suspects: {len(suspects)} over floor+{margin}s "
+            f"(standalone x{suspect_reps}, loadavg {os.getloadavg()[0]:.1f})\n"
+        )
+        print("| query | floor | sweep | standalone | verdict |")
+        print("|---|---|---|---|---|")
+        regressions = []
+        for n in suspects:
+            alone = _run_standalone(spark, qs[n], sf_dir, suspect_reps)
+            verdict = "at floor" if alone <= floors[n] + margin else "REGRESSION"
+            if verdict == "REGRESSION":
+                regressions.append(n)
+            print(
+                f"| {n} | {floors[n]:.2f} | {med[n]:.2f} | {alone:.2f} |"
+                f" {verdict} |"
+            )
+            if update_floors and alone < floors[n]:
+                floors[n] = round(alone, 2)
+        print(
+            f"\n== suspects done: {len(regressions)} regression(s)"
+            + (f": {regressions}" if regressions else "")
+            + " =="
+        )
+    else:
+        print("== no suspects: every query at-or-below floor+margin ==")
+    for n in new_queries:
+        print(f"NEW FLOOR {n}: {med[n]:.2f}s (no recorded floor)")
+        if update_floors:
+            floors[n] = round(med[n], 2)
+    if update_floors and floors:
+        with open(floors_path, "w") as f:
+            json.dump(dict(sorted(floors.items())), f, indent=1)
+        print(f"updated {floors_path}")
     if table_out:
         rows = sorted(med.items(), key=lambda x: -x[1])
         with open(table_out, "w") as f:
