@@ -5,25 +5,47 @@ WRITER, but their two-rename swap leaves a window where the target
 path does not exist — readers must either tolerate a transient miss or
 take the writer lease. This module closes that last gap the way real
 table formats do (Delta's _delta_log, Iceberg's metadata pointer,
-Hive's symlink tables): data files are immutable VERSIONED directories
-and the only mutable object is a tiny manifest file swapped in ONE
-atomic rename. Readers resolve the manifest, then read a directory
-that COMMITS never rename or delete — no missing-path window, with no
-reader-side locking. The one operation that does delete data dirs is
-``vacuum``; its retention (``keep_last``) is the operator's promise to
-in-flight readers — exactly Delta/Iceberg VACUUM semantics: retain at
-least your longest-running reader.
+Hive's symlink tables): data files live in immutable delta
+directories, each VERSION is a small manifest listing the directories
+it comprises, and the only mutable object is the current-version
+pointer file swapped in ONE atomic rename. Readers resolve the
+manifest, then read directories that COMMITS never rename or delete —
+no missing-path window, with no reader-side locking.
 
     table/
-      _versions/v00000001/   <- immutable data dirs, one per commit
-      _versions/v00000002/
-      MANIFEST.json          <- {"version": 2, "dir": "_versions/v00000002", ...}
-      MANIFEST.json.lease    <- writer serialization (flock + fence)
+      _versions/v00000001/        <- immutable delta dirs (one per
+      _versions/v00000002/           data-writing commit)
+      _manifests/v00000002.json   <- immutable per-version manifest
+                                     snapshots (time travel)
+      MANIFEST.json               <- current pointer: {"version": 2,
+                                     "dirs": [...], "schema": {...}, ...}
+      MANIFEST.json.lease         <- writer serialization (flock + fence)
+
+**Append is O(delta), not O(table)**: an append commit writes ONLY the
+incoming rows as a new delta directory and publishes a manifest whose
+``dirs`` list is the previous list plus that directory — the Delta/
+Iceberg file-list idiom. (The first cut of this module rewrote the
+whole table per append; at 100 TB that is an O(table) write per
+micro-batch — disqualifying for the streaming sink.) The cost moves to
+READS as the dir list grows — ``compact()`` folds the list back to one
+directory as a new version, the standard small-files answer.
+
+Schema lives IN the manifest (ordered column -> Spark simpleString
+type), so append-time compatibility checks never touch data files:
+mismatched column sets fail loudly unless ``merge_schema=True`` opts
+into evolution (new columns append to the schema; old delta dirs
+null-fill them at read via unionByName), and a TYPE conflict on the
+same column always fails — silent cast-widening hides producer bugs.
+Time travel reads each version with the schema ITS manifest recorded.
 
 Commits serialize on the same flock/fencing-token lease as the staged
 sinks; the manifest records the fencing token so the history is an
 auditable total order. Old versions stay readable (time travel) until
-``vacuum`` reclaims them.
+``vacuum`` reclaims them; retention (``keep_last``) is the operator's
+promise to in-flight readers — exactly Delta/Iceberg VACUUM
+semantics: retain at least your longest-running reader. Because
+versions share delta dirs, vacuum deletes a data dir only when NO
+retained version references it.
 
 Honest scope note (VERDICT r3 "missing" #2): this is the single-node /
 POSIX-rename instantiation of the table-format idea — correct
@@ -41,16 +63,31 @@ import os
 import re
 import shutil
 import tempfile
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_data_pipeline_spark.sinks import writer_lease
 
 MANIFEST = "MANIFEST.json"
+_VERSION_RE = re.compile(r"v(\d{8})")
 
 
 def _manifest_path(table_dir: str) -> str:
     return os.path.join(table_dir, MANIFEST)
+
+
+def _snapshot_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, "_manifests", f"v{version:08d}.json")
+
+
+def _normalize(m: dict | None) -> dict | None:
+    """Accept both manifest generations: the first cut recorded a
+    single ``dir``; current manifests record a ``dirs`` list."""
+    if m is not None and "dirs" not in m and "dir" in m:
+        m = dict(m)
+        m["dirs"] = [m.pop("dir")]
+    return m
 
 
 def read_manifest(table_dir: str) -> dict | None:
@@ -59,9 +96,48 @@ def read_manifest(table_dir: str) -> dict | None:
     reader sees a complete manifest."""
     try:
         with open(_manifest_path(table_dir)) as f:
-            return json.load(f)
+            return _normalize(json.load(f))
     except FileNotFoundError:
         return None
+
+
+def _schema_of(df: DataFrame) -> dict[str, str]:
+    return {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+
+def _check_schema(
+    cur: dict, df: DataFrame, merge_schema: bool, table_dir: str
+) -> dict[str, str]:
+    """Manifest-only append compatibility check (no data files read).
+    Returns the merged schema the new version records."""
+    new = _schema_of(df)
+    prev = cur.get("schema")
+    if prev is None:
+        # legacy manifest without a recorded schema: derive from data
+        spark = df.sparkSession
+        prev = _schema_of(spark.read.parquet(os.path.join(table_dir, cur["dirs"][-1])))
+    conflicts = {
+        c: (prev[c], new[c]) for c in new if c in prev and prev[c] != new[c]
+    }
+    if conflicts:
+        raise ValueError(
+            f"append to {table_dir!r} changes column TYPES {conflicts} — "
+            f"type evolution is never implicit (a silent cast hides "
+            f"producer bugs); migrate via an overwrite commit"
+        )
+    extra = [c for c in new if c not in prev]
+    missing = [c for c in prev if c not in new]
+    if (extra or missing) and not merge_schema:
+        raise ValueError(
+            f"append to {table_dir!r} drifts the schema "
+            f"(new columns {extra}, absent columns {missing}); a typo'd "
+            f"producer must fail loudly — pass merge_schema=True to opt "
+            f"into evolution"
+        )
+    merged = dict(prev)
+    for c in extra:
+        merged[c] = new[c]
+    return merged
 
 
 def commit(
@@ -75,16 +151,14 @@ def commit(
     """Commit ``df`` as the table's next version and return the new
     manifest.
 
-    - ``overwrite``: the new version IS the DataFrame.
-    - ``append``: the new version is previous ∪ df — written as a NEW
-      immutable directory (readers of the previous version are
-      untouched; this is copy-on-write append, the parquet trade-off).
-      By default the columns must match exactly (a typo'd producer
-      must fail loudly, not widen the table); ``merge_schema=True``
-      opts into evolution — the union keeps BOTH sides' columns,
-      null-filling whichever side lacks one, because each version is a
-      full rewrite (no per-file schema drift for readers to reconcile,
-      unlike mergeSchema over raw parquet appends).
+    - ``overwrite``: the new version IS the DataFrame (``dirs`` = the
+      one new directory).
+    - ``append``: O(delta) — ONLY the incoming rows are written, as a
+      new immutable directory appended to the previous version's
+      ``dirs`` list. Readers of the previous version are untouched.
+      Column sets must match the manifest schema exactly unless
+      ``merge_schema=True`` opts into evolution (see module doc);
+      same-column type changes always fail.
 
     Replay idempotency, two independent fences:
 
@@ -105,11 +179,13 @@ def commit(
 
     Sequence (under the writer lease, fencing token = lease token):
     1. read current manifest (inside the lease: serializable)
-    2. write data to _versions/v{n+1} — a failure here leaves an
+    2. write the delta to _versions/v{n+1} — a failure here leaves an
        orphan directory and an UNCHANGED manifest (vacuum cleans it)
-    3. write manifest to a temp file, fsync, single os.replace —
-       the commit point; crash before it = no commit, after it =
-       committed. Readers never observe an intermediate state.
+    3. write the version snapshot to _manifests/v{n+1}.json (fsynced)
+    4. write the pointer to a temp file, fsync, single os.replace onto
+       MANIFEST.json — the commit point; crash before it = no commit,
+       after it = committed. Readers never observe an intermediate
+       state.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite/append, not {mode!r}")
@@ -127,7 +203,7 @@ def _commit_locked(
     merge_keys: tuple[str, ...] | None = None,
     txn: tuple[str, int] | None = None,
 ) -> dict:
-    """Steps 1-3 of commit(); caller holds the manifest writer lease."""
+    """Steps 1-4 of commit(); caller holds the manifest writer lease."""
     cur = read_manifest(table_dir)
     prev_txn: dict[str, int] = dict((cur or {}).get("txn", {}))
     if txn is not None:
@@ -141,18 +217,21 @@ def _commit_locked(
     shutil.rmtree(data_dir, ignore_errors=True)  # crashed orphan of a failed commit
     out = df
     if mode == "append" and cur is not None:
-        prev = df.sparkSession.read.parquet(os.path.join(table_dir, cur["dir"]))
-        delta = df
+        schema = _check_schema(cur, df, merge_schema, table_dir)
         if merge_keys:
             keys = list(merge_keys)
-            delta = df.join(
-                prev.select(*keys).distinct(), on=keys, how="left_anti"
-            )
+            prev_keys = _read_dirs(
+                df.sparkSession, table_dir, cur["dirs"], cur.get("schema")
+            ).select(*keys).distinct()
+            out = df.join(prev_keys, on=keys, how="left_anti")
             # all rows already present and no txn mark to record:
-            # true no-op — don't burn a version on a content copy
-            if txn is None and delta.limit(1).count() == 0:
+            # true no-op — don't burn a version on an empty delta
+            if txn is None and out.limit(1).count() == 0:
                 return cur
-        out = prev.unionByName(delta, allowMissingColumns=merge_schema)
+        dirs = list(cur["dirs"]) + [rel]
+    else:
+        schema = _schema_of(df)
+        dirs = [rel]
     out.write.parquet(data_dir)
     # data must be durable BEFORE the pointer is — including the
     # _versions/ dirent naming the new directory (losing that to a
@@ -163,12 +242,17 @@ def _commit_locked(
         os.fsync(pfd)
     finally:
         os.close(pfd)
-    manifest = {"version": version, "dir": rel, "fence": fence}
+    manifest = {"version": version, "dirs": dirs, "schema": schema, "fence": fence}
     if prev_txn:
         manifest["txn"] = prev_txn  # carried forward + this commit's mark
+    payload = json.dumps(manifest)
+    # immutable snapshot first (time travel), then the pointer swap
+    snap = _snapshot_path(table_dir, version)
+    os.makedirs(os.path.dirname(snap), exist_ok=True)
+    _write_durable(snap, payload)
     fd, tmp = tempfile.mkstemp(dir=table_dir, suffix=".manifest.tmp")
     with os.fdopen(fd, "w") as f:
-        json.dump(manifest, f)
+        f.write(payload)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, _manifest_path(table_dir))  # THE commit point: one atomic rename
@@ -180,12 +264,29 @@ def _commit_locked(
     return manifest
 
 
+def _write_durable(path: str, payload: str) -> None:
+    """Write ``path`` atomically (temp + rename) and fsync file and
+    parent dirent."""
+    d = os.path.dirname(path)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    dfd = os.open(d, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
 def _fsync_tree(path: str) -> None:
     """fsync every file and directory under ``path``. Spark writes
     parquet without fsync; publishing a manifest that points at
     non-durable data would let a power loss leave the COMMITTED
-    version truncated. Driver-side walk — version dirs are one
-    commit's output, not the whole table history."""
+    version truncated. Driver-side walk — delta dirs are one commit's
+    output, not the whole table history."""
     for root, dirs, files in os.walk(path, topdown=False):
         for name in files:
             fd = os.open(os.path.join(root, name), os.O_RDONLY)
@@ -200,35 +301,66 @@ def _fsync_tree(path: str) -> None:
             os.close(fd)
 
 
+def _read_dirs(
+    spark: SparkSession,
+    table_dir: str,
+    dirs: list[str],
+    schema: dict[str, str] | None,
+) -> DataFrame:
+    """Union the delta directories of one version. Multi-dir versions
+    unionByName with null-fill so post-evolution reads see old deltas
+    null-filled in the evolved columns; the final select pins the
+    manifest's column order."""
+    frames = [spark.read.parquet(os.path.join(table_dir, d)) for d in dirs]
+    if len(frames) == 1:
+        out = frames[0]
+    else:
+        out = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+        )
+    if schema:
+        out = out.select(*schema.keys())
+    return out
+
+
 def read_table(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
     """Read the current version (or a pinned one — time travel).
 
-    Resolution is manifest -> immutable directory, so a concurrent
+    Resolution is manifest -> immutable directories, so a concurrent
     COMMIT can never yield a missing path or a half-written mix: the
-    reader's directory existed, complete, before its manifest was
-    published. A concurrent VACUUM can delete old versions, including
-    one being read — the ``version=`` isdir check is best-effort, not
-    a guarantee; size ``keep_last`` to outlast the longest-running
-    reader (the standard table-format retention contract).
+    reader's directories existed, complete, before its manifest was
+    published. A concurrent VACUUM can delete versions past retention,
+    including one being read — size ``keep_last`` to outlast the
+    longest-running reader (the standard table-format retention
+    contract); a pinned read that loses that race raises a clear
+    "vacuumed" error, not a raw path error.
     """
     cur = read_manifest(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no committed version in {table_dir!r}")
-    if version is None:
-        rel = cur["dir"]
+    if version is None or version == cur["version"]:
+        m = cur
     else:
         if not 1 <= version <= cur["version"]:
             raise ValueError(
                 f"version {version} not in [1, {cur['version']}] for {table_dir!r}"
             )
-        rel = os.path.join("_versions", f"v{version:08d}")
-        if not os.path.isdir(os.path.join(table_dir, rel)):
-            raise FileNotFoundError(
-                f"version {version} of {table_dir!r} was vacuumed"
-            )
-    return spark.read.parquet(os.path.join(table_dir, rel))
+        try:
+            with open(_snapshot_path(table_dir, version)) as f:
+                m = _normalize(json.load(f))
+        except FileNotFoundError:
+            # legacy layout (no snapshot files): each version was one
+            # full-rewrite dir named after it
+            legacy = os.path.join("_versions", f"v{version:08d}")
+            if os.path.isdir(os.path.join(table_dir, legacy)):
+                m = {"version": version, "dirs": [legacy], "schema": None}
+            else:
+                raise FileNotFoundError(
+                    f"version {version} of {table_dir!r} was vacuumed"
+                ) from None
+    return _read_dirs(spark, table_dir, m["dirs"], m.get("schema"))
 
 
 def compact(
@@ -236,40 +368,46 @@ def compact(
     table_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
 ) -> dict:
-    """Rewrite the CURRENT version into ~target-sized files as a new
-    commit (the manifest-table answer to the small-files problem —
-    incremental appends each add a file set; this folds them).
+    """Rewrite the CURRENT version into ONE directory of ~target-sized
+    files as a new commit — the manifest-table answer to both the
+    small-files problem AND the growing ``dirs`` list O(delta) appends
+    accumulate (each append adds a directory; this folds them).
 
     Holds the lease across read-size-rewrite-publish, so a commit
     landing mid-compaction is impossible (it would otherwise be
     silently undone by the compacted snapshot of the older version).
     Readers are untouched throughout: compaction is just another
-    version. Returns the new manifest.
+    version; the folded delta dirs stay on disk for time travel until
+    vacuum reclaims them. Returns the new manifest.
     """
     with writer_lease(_manifest_path(table_dir)) as fence:
         cur = read_manifest(table_dir)
         if cur is None:
             raise FileNotFoundError(f"no committed version in {table_dir!r}")
-        data_dir = os.path.join(table_dir, cur["dir"])
         total = 0
-        for root, _dirs, files in os.walk(data_dir):
-            total += sum(
-                os.path.getsize(os.path.join(root, f))
-                for f in files
-                if f.endswith(".parquet")
-            )
+        for rel in cur["dirs"]:
+            for root, _dirs, files in os.walk(os.path.join(table_dir, rel)):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
         n_files = max(1, -(-total // target_file_bytes))  # ceil division
-        df = spark.read.parquet(data_dir).repartition(n_files)
+        df = _read_dirs(spark, table_dir, cur["dirs"], cur.get("schema")).repartition(
+            n_files
+        )
         return _commit_locked(df, table_dir, "overwrite", fence)
 
 
 def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
-    """Delete version directories older than the newest ``keep_last``,
-    plus crashed-commit debris: orphan directories numbered ABOVE the
-    current version (a commit that died before its manifest rename —
-    under the lease no commit is in flight, so anything above current
-    is provably garbage) and stray ``.manifest.tmp`` files. Returns
-    the deleted COMMITTED version numbers."""
+    """Reclaim history past retention: drop version snapshots older
+    than the newest ``keep_last``, then delete every delta directory
+    NO retained version references (versions share dirs, so age alone
+    never justifies deletion), plus crashed-commit debris — dirs and
+    snapshots numbered ABOVE the current version (under the lease no
+    commit is in flight, so anything above current is provably
+    garbage) and stray ``.manifest.tmp`` files. Returns the dropped
+    COMMITTED version numbers."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1: the live version is never vacuumed")
     mpath = _manifest_path(table_dir)
@@ -278,23 +416,44 @@ def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
         cur = read_manifest(table_dir)
         if cur is None:
             return removed
-        vdir = os.path.join(table_dir, "_versions")
         cutoff = cur["version"] - keep_last + 1
+        # 1. drop out-of-retention (and orphaned future) snapshots
+        mdir = os.path.join(table_dir, "_manifests")
+        retained: list[dict] = [cur]
+        if os.path.isdir(mdir):
+            for entry in sorted(os.listdir(mdir)):
+                m = re.fullmatch(r"v(\d{8})\.json", entry)
+                if m is None:
+                    continue  # debris: never wedge retention on it
+                v = int(m.group(1))
+                if v < cutoff or v > cur["version"]:
+                    os.unlink(os.path.join(mdir, entry))
+                    if v < cutoff:
+                        removed.append(v)
+                elif v != cur["version"]:
+                    with open(os.path.join(mdir, entry)) as f:
+                        retained.append(_normalize(json.load(f)))
+        # 2. delete data dirs no retained version references
+        referenced = {d for m in retained for d in m["dirs"]}
+        vdir = os.path.join(table_dir, "_versions")
+        legacy_retained = {  # legacy tables: dir name IS the version
+            os.path.join("_versions", f"v{v:08d}")
+            for v in range(max(1, cutoff), cur["version"] + 1)
+        }
         for entry in sorted(os.listdir(vdir)):
             # strict name match: stray non-version entries (editor
             # backups, operator debris like 'v1.bak') are skipped, not
             # int()-crashed — a single piece of debris must not wedge
             # retention enforcement for the table forever
-            m = re.fullmatch(r"v(\d{8})", entry)
-            if m is None:
+            if _VERSION_RE.fullmatch(entry) is None:
                 continue
-            v = int(m.group(1))
-            if v < cutoff:
+            rel = os.path.join("_versions", entry)
+            if rel not in referenced and rel not in legacy_retained:
                 shutil.rmtree(os.path.join(vdir, entry))
-                removed.append(v)
-            elif v > cur["version"]:  # crashed commit's orphan
-                shutil.rmtree(os.path.join(vdir, entry))
+                v = int(entry[1:])
+                if v < cutoff and v not in removed:
+                    removed.append(v)
         for entry in os.listdir(table_dir):
             if entry.endswith(".manifest.tmp"):
                 os.unlink(os.path.join(table_dir, entry))
-    return removed
+    return sorted(set(removed))

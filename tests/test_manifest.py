@@ -24,7 +24,8 @@ def _frame(spark, n, tag):
 def test_commit_read_roundtrip_and_versioning(spark, tmp_path):
     t = str(tmp_path / "t")
     m1 = commit(_frame(spark, 10, "a"), t)
-    assert (m1["version"], m1["dir"]) == (1, os.path.join("_versions", "v00000001"))
+    assert (m1["version"], m1["dirs"]) == (1, [os.path.join("_versions", "v00000001")])
+    assert m1["schema"] == {"k": "bigint", "v": "string"}
     m2 = commit(_frame(spark, 20, "b"), t)
     assert m2["version"] == 2 and m2["fence"] > m1["fence"]
     assert read_manifest(t) == m2
@@ -186,7 +187,8 @@ def test_compact_folds_small_files_as_a_new_version(spark, tmp_path):
     assert n_before == 12
     m = compact(spark, t)  # 1000 tiny rows -> far below target -> 1 file
     assert m["version"] == 2
-    new_dir = os.path.join(t, m["dir"])
+    assert len(m["dirs"]) == 1  # the whole dir list folded to one
+    new_dir = os.path.join(t, m["dirs"][0])
     n_after = len([f for f in os.listdir(new_dir) if f.endswith(".parquet")])
     assert n_after == 1
     out = read_table(spark, t)
@@ -364,3 +366,40 @@ def test_time_travel_reads_each_versions_own_schema(spark, tmp_path):
     v2 = read_table(spark, t, version=2)
     assert set(v2.columns) == {"k", "v", "extra"}
     assert v2.filter("extra IS NULL").count() == 3
+
+
+def test_append_writes_only_the_delta(spark, tmp_path):
+    """The 100 TB property: an append commit's new directory holds
+    ONLY the incoming rows (O(delta)), never a rewrite of the table —
+    the manifest's dirs list is what grows."""
+    t = str(tmp_path / "t")
+    commit(_frame(spark, 1000, "a"), t)
+    m = commit(_frame(spark, 7, "b"), t, mode="append")
+    assert len(m["dirs"]) == 2
+    delta_only = spark.read.parquet(os.path.join(t, m["dirs"][-1]))
+    assert delta_only.count() == 7  # not 1007
+    assert read_table(spark, t).count() == 1007
+
+
+def test_legacy_single_dir_manifest_still_reads(spark, tmp_path):
+    """Tables written by the first-cut manifest format ({'dir': ...},
+    full-rewrite versions, no snapshot files) stay readable, appendable
+    and vacuum-able."""
+    t = str(tmp_path / "t")
+    # hand-build a legacy table: two full-rewrite version dirs + a
+    # single-dir manifest pointing at v2
+    _frame(spark, 4, "a").write.parquet(os.path.join(t, "_versions", "v00000001"))
+    _frame(spark, 6, "b").write.parquet(os.path.join(t, "_versions", "v00000002"))
+    with open(os.path.join(t, "MANIFEST.json"), "w") as f:
+        json.dump(
+            {"version": 2, "dir": os.path.join("_versions", "v00000002"), "fence": 2},
+            f,
+        )
+    assert read_table(spark, t).count() == 6
+    assert read_table(spark, t, version=1).count() == 4  # legacy time travel
+    m3 = commit(_frame(spark, 3, "c"), t, mode="append")  # schema derived from data
+    assert m3["version"] == 3 and len(m3["dirs"]) == 2
+    assert read_table(spark, t).count() == 9
+    removed = vacuum(t, keep_last=2)  # keeps v2 (legacy) + v3
+    assert removed == [1]
+    assert read_table(spark, t).count() == 9
