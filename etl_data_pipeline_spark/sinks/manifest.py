@@ -202,6 +202,7 @@ def _commit_locked(
     merge_schema: bool = False,
     merge_keys: tuple[str, ...] | None = None,
     txn: tuple[str, int] | None = None,
+    data_change: bool = True,
 ) -> dict:
     """Steps 1-4 of commit(); caller holds the manifest writer lease."""
     cur = read_manifest(table_dir)
@@ -243,6 +244,10 @@ def _commit_locked(
     finally:
         os.close(pfd)
     manifest = {"version": version, "dirs": dirs, "schema": schema, "fence": fence}
+    if not data_change:
+        # layout-only commit (compaction): logically the same rows —
+        # the change feed skips it instead of re-emitting the table
+        manifest["data_change"] = False
     if prev_txn:
         manifest["txn"] = prev_txn  # carried forward + this commit's mark
     payload = json.dumps(manifest)
@@ -363,6 +368,85 @@ def read_table(
     return _read_dirs(spark, table_dir, m["dirs"], m.get("schema"))
 
 
+def _load_snapshot(table_dir: str, version: int, cur: dict) -> dict:
+    """Version snapshot, or the current manifest for the head; raises
+    the same 'vacuumed' error as read_table when retention dropped it."""
+    if version == cur["version"]:
+        return cur
+    try:
+        with open(_snapshot_path(table_dir, version)) as f:
+            return _normalize(json.load(f))
+    except FileNotFoundError:
+        legacy = os.path.join("_versions", f"v{version:08d}")
+        if os.path.isdir(os.path.join(table_dir, legacy)):
+            return {"version": version, "dirs": [legacy], "schema": None}
+        raise FileNotFoundError(
+            f"version {version} of {table_dir!r} was vacuumed"
+        ) from None
+
+
+def read_changes(
+    spark: SparkSession, table_dir: str, since_version: int
+) -> DataFrame:
+    """Change feed: the rows ADDED after ``since_version`` (Delta's
+    readChangeFeed for the append-only case). With dir-list versions
+    this is O(delta): each append version's changes ARE the
+    directories it added, so the feed is a union of exactly those
+    directories — the full table is never scanned. ``since_version=0``
+    means 'everything' (the feed of a table never read before).
+
+    This is what makes a manifest table a first-class INCREMENTAL
+    source without a watermark column: a consumer stores the last
+    version it processed and reads forward from there — the engine's
+    version-watermark pipeline mode (sources/__init__.py
+    'changes_since').
+
+    Compaction commits are layout-only (``data_change: false``) and
+    are skipped — their rows were already emitted by the append
+    commits that produced them. A real OVERWRITE inside the range
+    breaks append-only semantics and raises (the consumer must
+    re-sync from a snapshot, exactly Delta CDF's contract); a
+    snapshot already vacuumed raises the standard 'vacuumed' error —
+    size retention to outlast your slowest consumer.
+    """
+    cur = read_manifest(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version in {table_dir!r}")
+    if not 0 <= since_version <= cur["version"]:
+        raise ValueError(
+            f"since_version {since_version} not in [0, {cur['version']}] "
+            f"for {table_dir!r}"
+        )
+    if since_version == 0:
+        prev: set[str] = set()
+    else:
+        prev = set(_load_snapshot(table_dir, since_version, cur)["dirs"])
+    added: list[str] = []
+    for v in range(since_version + 1, cur["version"] + 1):
+        m = _load_snapshot(table_dir, v, cur)
+        dirs = set(m["dirs"])
+        if m.get("data_change", True):
+            removed = prev - dirs
+            if removed:
+                raise ValueError(
+                    f"change feed of {table_dir!r} broken by an overwrite "
+                    f"at version {v} (directories {sorted(removed)} "
+                    f"dropped); re-sync from a full snapshot"
+                )
+            added.extend(d for d in m["dirs"] if d not in prev and d not in added)
+        # layout-only versions shift the baseline without logical change
+        prev = dirs
+    if not added:
+        # empty feed with the CURRENT schema, so downstream unions and
+        # writes see stable columns
+        schema = cur.get("schema")
+        if schema:
+            ddl = ", ".join(f"`{c}` {t}" for c, t in schema.items())
+            return spark.createDataFrame([], ddl)
+        return _read_dirs(spark, table_dir, cur["dirs"], None).limit(0)
+    return _read_dirs(spark, table_dir, added, cur.get("schema"))
+
+
 def compact(
     spark: SparkSession,
     table_dir: str,
@@ -396,7 +480,7 @@ def compact(
         df = _read_dirs(spark, table_dir, cur["dirs"], cur.get("schema")).repartition(
             n_files
         )
-        return _commit_locked(df, table_dir, "overwrite", fence)
+        return _commit_locked(df, table_dir, "overwrite", fence, data_change=False)
 
 
 def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:

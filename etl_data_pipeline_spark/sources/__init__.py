@@ -173,14 +173,21 @@ def _manifest_source(spark: SparkSession, table: str, options: dict) -> DataFram
     can now use it as the SOURCE of a downstream incremental run.
 
     ``version: N`` in options pins a historical version (time travel);
-    default is the current manifest. The read resolves manifest ->
-    immutable version directory, so a concurrent commit never yields a
-    missing path or a mixed snapshot (snapshot isolation for free —
-    the property the bare parquet source cannot give under a live
-    appender)."""
-    from etl_data_pipeline_spark.sinks.manifest import read_table
+    default is the current manifest. ``changes_since: N`` reads the
+    CHANGE FEED instead — only the rows appended after version N, an
+    O(delta) read (manifest.read_changes) that makes a manifest table
+    an incremental source keyed by VERSION, no watermark column
+    needed. The read resolves manifest -> immutable version
+    directories, so a concurrent commit never yields a missing path or
+    a mixed snapshot (snapshot isolation for free — the property the
+    bare parquet source cannot give under a live appender)."""
+    from etl_data_pipeline_spark.sinks.manifest import read_changes, read_table
 
     path = options.get("path") or os.path.join(options["dir"], table)
+    if "changes_since" in options:
+        if "version" in options:
+            raise ValueError("manifest source: pass version OR changes_since, not both")
+        return read_changes(spark, path, int(options["changes_since"]))
     version = options.get("version")
     return read_table(spark, path, version=None if version is None else int(version))
 
