@@ -107,6 +107,104 @@ class IncrementalPipeline:
     # -- single table -------------------------------------------------
 
     def run_table(self, t: TableSpec) -> TableRunResult:
+        if t.source_format == "manifest" and t.watermark_type == "version":
+            return self._run_table_version_feed(t)
+        return self._run_table_column_watermark(t)
+
+    def _run_table_version_feed(self, t: TableSpec) -> TableRunResult:
+        """Version-keyed incremental copy from a manifest-table source:
+        the watermark is the source's MANIFEST VERSION, not a data
+        column — no watermark column needed, no strict-> scan of the
+        table, and the read is O(delta) (manifest.read_changes unions
+        only the directories committed since the recorded version).
+
+        Ordering of the three reads is load-bearing: the head version
+        is captured FIRST and both the feed and the recorded progress
+        are pinned to it (read_changes until_version), so a commit
+        landing mid-run is simply next run's delta — never skipped,
+        never double-read. No localCheckpoint is needed, unlike the
+        column-watermark path: the feed resolves to IMMUTABLE
+        directories, so every action over it reads identical bytes by
+        construction.
+
+        Degrade paths mirror §2.C: unparseable recorded version → full
+        feed; recorded version but wiped sink → full feed (rebuild);
+        an OVERWRITE in the un-consumed range breaks append-only
+        change semantics → full snapshot resync (warn loudly; with
+        merge_keys the resync is idempotent, rows deleted upstream are
+        retained downstream — the documented append-only contract).
+        """
+        from etl_data_pipeline_spark.sinks.manifest import read_changes, read_manifest
+
+        opts = dict(t.source_options)
+        src_path = opts.get("path") or os.path.join(opts["dir"], t.name)
+        raw = self.store.get(t.name)
+        try:
+            since = max(0, int(raw)) if raw is not None else 0
+        except (TypeError, ValueError):
+            log.warning(
+                "table %s: unparseable version watermark %r — degrading to"
+                " full feed",
+                t.name,
+                raw,
+            )
+            since = 0
+        cur = read_manifest(src_path)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version in {src_path!r}")
+        head = cur["version"]
+        since = min(since, head)  # a rolled-back/rebuilt source
+        if (
+            since > 0
+            and t.name not in self.authoritative_watermarks
+            and self._sink_reset_since_watermark(t)
+        ):
+            log.warning(
+                "table %s: version watermark %r recorded but sink target is"
+                " missing — degrading to full feed to rebuild it",
+                t.name,
+                raw,
+            )
+            since = 0
+        if since >= head:
+            log.info("table %s: no new versions, skipping load", t.name)
+            return TableRunResult(t.name, "skipped_empty", rows=0)
+        try:
+            df = read_changes(self.spark, src_path, since, until_version=head)
+        except ValueError as e:
+            if "overwrite" not in str(e):
+                raise
+            # the full feed would cross the same overwrite — the only
+            # consistent recovery is the SNAPSHOT at the pinned head
+            from etl_data_pipeline_spark.sinks.manifest import read_table
+
+            log.warning(
+                "table %s: %s — resyncing from the full snapshot", t.name, e
+            )
+            df = read_table(self.spark, src_path, version=head)
+        if t.expected_schema:
+            df = validate_schema(df, t.expected_schema, allow_extra=True)
+        if df.limit(1).count() == 0:
+            # only layout/empty commits since the watermark: advance it
+            # anyway so those manifests are never rescanned
+            self.store.set(t.name, head)
+            return TableRunResult(
+                t.name, "skipped_empty", rows=0, new_watermark=head
+            )
+        if t.merge_keys and t.sink_format == "manifest":
+            write_sink(
+                df, "manifest", t.name, {**t.sink_options, "merge_keys": t.merge_keys}
+            )
+        elif t.merge_keys:
+            idempotent_append_parquet(
+                self.spark, df, t.name, dict(t.sink_options), t.merge_keys
+            )
+        else:
+            write_sink(df, t.sink_format, t.name, dict(t.sink_options))
+        self.store.set(t.name, head)  # only after successful load
+        return TableRunResult(t.name, "loaded", new_watermark=head)
+
+    def _run_table_column_watermark(self, t: TableSpec) -> TableRunResult:
         """One table's read -> gate -> load -> watermark-advance cycle
         (app.py:96-172).
 

@@ -213,6 +213,8 @@ def _commit_locked(
             return cur  # replayed batch: already committed, skip
         prev_txn[app_id] = int(txn_version)
     version = 1 if cur is None else cur["version"] + 1
+    if cur is not None and not os.path.isdir(os.path.join(table_dir, "_manifests")):
+        _backfill_legacy_snapshots(table_dir, cur)
     rel = os.path.join("_versions", f"v{version:08d}")
     data_dir = os.path.join(table_dir, rel)
     shutil.rmtree(data_dir, ignore_errors=True)  # crashed orphan of a failed commit
@@ -267,6 +269,28 @@ def _commit_locked(
     finally:
         os.close(dfd)
     return manifest
+
+
+def _backfill_legacy_snapshots(table_dir: str, cur: dict) -> None:
+    """First commit to a legacy (first-cut) table: materialize
+    snapshot files for its existing versions so time travel keeps
+    working once _manifests exists (a legacy version's dirs list is
+    exactly its own full-rewrite directory). Runs once, under the
+    lease."""
+    vdir = os.path.join(table_dir, "_versions")
+    os.makedirs(os.path.join(table_dir, "_manifests"), exist_ok=True)
+    if os.path.isdir(vdir):
+        for entry in sorted(os.listdir(vdir)):
+            m = _VERSION_RE.fullmatch(entry)
+            if m is None:
+                continue
+            v = int(m.group(1))
+            if v > cur["version"]:
+                continue  # crashed-commit orphan, not a version
+            snap = {"version": v, "dirs": [os.path.join("_versions", entry)]}
+            if v == cur["version"]:
+                snap = dict(cur)  # keep fence/txn of the head
+            _write_durable(_snapshot_path(table_dir, v), json.dumps(snap))
 
 
 def _write_durable(path: str, payload: str) -> None:
@@ -370,7 +394,12 @@ def read_table(
 
 def _load_snapshot(table_dir: str, version: int, cur: dict) -> dict:
     """Version snapshot, or the current manifest for the head; raises
-    the same 'vacuumed' error as read_table when retention dropped it."""
+    a 'vacuumed' error when retention dropped it. The legacy fallback
+    (first-cut tables: full-rewrite dirs named after their version, no
+    snapshot files) applies ONLY when the table has no _manifests
+    directory at all — in a dir-list table a data dir named v{N} can
+    outlive version N's snapshot (it stays referenced by newer
+    versions), so its existence must not masquerade as the snapshot."""
     if version == cur["version"]:
         return cur
     try:
@@ -378,7 +407,9 @@ def _load_snapshot(table_dir: str, version: int, cur: dict) -> dict:
             return _normalize(json.load(f))
     except FileNotFoundError:
         legacy = os.path.join("_versions", f"v{version:08d}")
-        if os.path.isdir(os.path.join(table_dir, legacy)):
+        if not os.path.isdir(
+            os.path.join(table_dir, "_manifests")
+        ) and os.path.isdir(os.path.join(table_dir, legacy)):
             return {"version": version, "dirs": [legacy], "schema": None}
         raise FileNotFoundError(
             f"version {version} of {table_dir!r} was vacuumed"
@@ -386,7 +417,10 @@ def _load_snapshot(table_dir: str, version: int, cur: dict) -> dict:
 
 
 def read_changes(
-    spark: SparkSession, table_dir: str, since_version: int
+    spark: SparkSession,
+    table_dir: str,
+    since_version: int,
+    until_version: int | None = None,
 ) -> DataFrame:
     """Change feed: the rows ADDED after ``since_version`` (Delta's
     readChangeFeed for the append-only case). With dir-list versions
@@ -408,13 +442,26 @@ def read_changes(
     re-sync from a snapshot, exactly Delta CDF's contract); a
     snapshot already vacuumed raises the standard 'vacuumed' error —
     size retention to outlast your slowest consumer.
+
+    ``until_version`` pins the feed's UPPER bound (default: the
+    current version). An incremental consumer that records its
+    progress needs this: it captures the head version FIRST, reads the
+    feed bounded to it, and records exactly that version — a commit
+    landing mid-read can then never produce rows the recorded
+    watermark claims were not read.
     """
     cur = read_manifest(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no committed version in {table_dir!r}")
+    head = cur["version"] if until_version is None else int(until_version)
     if not 0 <= since_version <= cur["version"]:
         raise ValueError(
             f"since_version {since_version} not in [0, {cur['version']}] "
+            f"for {table_dir!r}"
+        )
+    if not since_version <= head <= cur["version"]:
+        raise ValueError(
+            f"until_version {head} not in [{since_version}, {cur['version']}] "
             f"for {table_dir!r}"
         )
     if since_version == 0:
@@ -422,7 +469,7 @@ def read_changes(
     else:
         prev = set(_load_snapshot(table_dir, since_version, cur)["dirs"])
     added: list[str] = []
-    for v in range(since_version + 1, cur["version"] + 1):
+    for v in range(since_version + 1, head + 1):
         m = _load_snapshot(table_dir, v, cur)
         dirs = set(m["dirs"])
         if m.get("data_change", True):
@@ -436,15 +483,21 @@ def read_changes(
             added.extend(d for d in m["dirs"] if d not in prev and d not in added)
         # layout-only versions shift the baseline without logical change
         prev = dirs
+    # column set AS OF the feed's upper bound — cur's schema may have
+    # evolved past `head`, and those columns don't exist in the fed dirs
+    schema = (
+        cur.get("schema")
+        if head == 0
+        else _load_snapshot(table_dir, head, cur).get("schema")
+    )
     if not added:
-        # empty feed with the CURRENT schema, so downstream unions and
-        # writes see stable columns
-        schema = cur.get("schema")
+        # empty feed with the bound version's schema, so downstream
+        # unions and writes see stable columns
         if schema:
             ddl = ", ".join(f"`{c}` {t}" for c, t in schema.items())
             return spark.createDataFrame([], ddl)
         return _read_dirs(spark, table_dir, cur["dirs"], None).limit(0)
-    return _read_dirs(spark, table_dir, added, cur.get("schema"))
+    return _read_dirs(spark, table_dir, added, schema)
 
 
 def compact(

@@ -778,6 +778,7 @@ def run_stream_to_manifest(
     app_id: str,
     schema=None,
     checkpoint_dir: str | None = None,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """foreachBatch → manifest table with the transaction fence: each
     micro-batch appends as one atomic manifest commit carrying
@@ -796,8 +797,16 @@ def run_stream_to_manifest(
     ``app_id`` must be stable across restarts of the SAME logical job
     (it keys the fence) and unique per checkpoint — restarting with a
     fresh checkpoint but the same app_id would wrongly skip batches.
+
+    ``compact_every=N`` folds the version's dir list every N batches
+    (a layout-only ``data_change: false`` commit): O(delta) appends
+    grow one directory per micro-batch, and unbounded that makes reads
+    union thousands of deltas — inline periodic compaction is the
+    streaming table's small-files hygiene. Change-feed consumers are
+    unaffected (read_changes skips layout-only versions).
     """
     from etl_data_pipeline_spark.sinks.manifest import commit as manifest_commit
+    from etl_data_pipeline_spark.sinks.manifest import compact as manifest_compact
 
     stream = events_file_stream(spark, source_dir, schema=schema)
     ckpt = checkpoint_dir or os.path.join(table_dir, "_checkpoint")
@@ -806,9 +815,17 @@ def run_stream_to_manifest(
         # empty micro-batches still advance the fence: a replay of an
         # empty batch is a no-op either way, and recording it keeps
         # the (app_id -> batch) mark contiguous for observers
-        manifest_commit(
+        m = manifest_commit(
             batch_df, table_dir, mode="append", txn=(app_id, int(batch_id))
         )
+        if (
+            compact_every
+            and len(m.get("dirs", ())) >= compact_every
+            # replayed (fenced-out) batches return the old manifest;
+            # only compact after a commit this batch actually made
+            and m.get("txn", {}).get(app_id) == int(batch_id)
+        ):
+            manifest_compact(batch_df.sparkSession, table_dir)
 
     return (
         stream.writeStream.foreachBatch(_sink)

@@ -400,6 +400,89 @@ def test_legacy_single_dir_manifest_still_reads(spark, tmp_path):
     m3 = commit(_frame(spark, 3, "c"), t, mode="append")  # schema derived from data
     assert m3["version"] == 3 and len(m3["dirs"]) == 2
     assert read_table(spark, t).count() == 9
+    # migration backfilled snapshots: pre-migration time travel survives
+    assert read_table(spark, t, version=1).count() == 4
+    assert read_table(spark, t, version=2).count() == 6
     removed = vacuum(t, keep_last=2)  # keeps v2 (legacy) + v3
     assert removed == [1]
     assert read_table(spark, t).count() == 9
+
+
+def test_change_feed_reads_only_the_delta_dirs(spark, tmp_path):
+    """read_changes(since=N) returns exactly the rows appended after
+    version N, by unioning ONLY the delta directories those commits
+    added — O(delta), never a table scan."""
+    from etl_data_pipeline_spark.sinks.manifest import read_changes
+
+    t = str(tmp_path / "t")
+    commit(_frame(spark, 5, "v1"), t)
+    commit(_frame(spark, 3, "v2"), t, mode="append")
+    commit(_frame(spark, 2, "v3"), t, mode="append")
+    assert read_changes(spark, t, 0).count() == 10  # everything
+    ch = read_changes(spark, t, 1)
+    assert ch.count() == 5
+    assert {r.v for r in ch.select("v").distinct().collect()} == {"v2", "v3"}
+    assert read_changes(spark, t, 2).count() == 2
+    assert read_changes(spark, t, 3).count() == 0  # caught up: empty feed
+    # empty feed keeps the table schema for stable downstream unions
+    assert read_changes(spark, t, 3).columns == ["k", "v"]
+    with pytest.raises(ValueError, match=r"not in \[0, 3\]"):
+        read_changes(spark, t, 4)
+
+
+def test_change_feed_skips_compaction_but_breaks_on_overwrite(spark, tmp_path):
+    """Layout-only commits (compaction) are invisible to the feed —
+    their rows were already emitted; a REAL overwrite inside the range
+    raises (append-only semantics broken, consumer must re-sync)."""
+    from etl_data_pipeline_spark.sinks.manifest import compact, read_changes
+
+    t = str(tmp_path / "t")
+    commit(_frame(spark, 4, "v1"), t)
+    commit(_frame(spark, 3, "v2"), t, mode="append")
+    compact(spark, t)  # v3, data_change: false
+    commit(_frame(spark, 2, "v4"), t, mode="append")
+    ch = read_changes(spark, t, 1)  # across the compaction
+    assert ch.count() == 5  # v2's 3 + v4's 2 — compaction re-emits nothing
+    assert {r.v for r in ch.select("v").distinct().collect()} == {"v2", "v4"}
+    assert read_changes(spark, t, 3).count() == 2  # post-compaction baseline
+    commit(_frame(spark, 9, "v5"), t)  # true overwrite
+    # an overwrite removes rows, which an append-only feed cannot
+    # express — EVERY feed crossing it raises; the consumer re-syncs
+    # from the post-overwrite snapshot
+    for since in (1, 4):
+        with pytest.raises(ValueError, match="broken by an overwrite at version 5"):
+            read_changes(spark, t, since)
+    assert read_changes(spark, t, 5).count() == 0  # re-synced baseline
+
+
+def test_change_feed_vacuumed_snapshot_raises_clearly(spark, tmp_path):
+    from etl_data_pipeline_spark.sinks.manifest import read_changes
+
+    t = str(tmp_path / "t")
+    for i in range(1, 5):
+        commit(_frame(spark, i, f"v{i}"), t, mode="append" if i > 1 else "overwrite")
+    vacuum(t, keep_last=2)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        read_changes(spark, t, 1)
+    # NOTE: with dir-list versions vacuum keeps every dir the retained
+    # manifests reference, so the feed from a RETAINED version still works
+    assert read_changes(spark, t, 3).count() == 4
+
+
+def test_manifest_source_changes_since_option(spark, tmp_path):
+    """The source-registry face of the change feed: a downstream
+    pipeline reads only rows appended after the version it last saw —
+    a version-keyed incremental source with no watermark column."""
+    from etl_data_pipeline_spark.sources import read_source
+
+    t_dir = str(tmp_path)
+    t = os.path.join(t_dir, "t")
+    commit(_frame(spark, 6, "a"), t)
+    commit(_frame(spark, 4, "b"), t, mode="append")
+    out = read_source(spark, "manifest", "t", {"dir": t_dir, "changes_since": 1})
+    assert out.count() == 4
+    assert out.select("v").distinct().first().v == "b"
+    with pytest.raises(ValueError, match="not both"):
+        read_source(
+            spark, "manifest", "t", {"dir": t_dir, "changes_since": 1, "version": 2}
+        )

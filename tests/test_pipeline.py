@@ -475,3 +475,93 @@ def test_wiped_manifest_sink_degrades_to_full_load(spark, tmp_path, sf_dir):
     r2 = pipe.run()[0]
     assert r2.status == "loaded"  # degraded to full rebuild, not delta
     assert read_table(spark, t).count() == n_total
+
+
+def test_pipeline_version_feed_from_manifest(spark, sf_dir, tmp_path):
+    """Version-keyed incremental mode (watermark_type='version'): the
+    watermark is the SOURCE's manifest version — no watermark column,
+    and each run reads only the directories committed since the last
+    one (O(delta) via the change feed)."""
+    from etl_data_pipeline_spark.sinks.manifest import commit as mcommit
+    from etl_data_pipeline_spark.sinks.manifest import compact
+
+    src_dir = str(tmp_path / "msrc")
+    src_t = os.path.join(src_dir, "orders")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    mcommit(orders.filter(F.col("o_orderkey") < 500), src_t)
+    mcommit(
+        orders.filter((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1000)),
+        src_t,
+        mode="append",
+    )
+
+    spec = PipelineSpec(
+        tables=[
+            TableSpec(
+                name="orders",
+                watermark_type="version",  # manifest-version watermark
+                source_format="manifest",
+                source_options={"dir": src_dir},
+                sink_options={"dir": str(tmp_path / "sink")},
+                merge_keys=("o_orderkey",),
+            )
+        ]
+    )
+    store = WatermarkStore(tmp_path / "wm.json")
+    pipe = IncrementalPipeline(spark, spec, store)
+    r1 = pipe.run()[0]
+    assert r1.status == "loaded" and r1.new_watermark == 2
+    sink = lambda: spark.read.parquet(str(tmp_path / "sink" / "orders"))
+    assert sink().count() == 1000
+    assert store.get("orders") == "2"
+
+    # layout-only commit (compaction) advances the watermark without rows
+    compact(spark, src_t)
+    r2 = pipe.run()[0]
+    assert r2.status == "skipped_empty" and r2.new_watermark == 3
+    assert sink().count() == 1000
+
+    # new data arrives; only the delta is read and loaded
+    mcommit(orders.filter(F.col("o_orderkey") >= 1000), src_t, mode="append")
+    r3 = pipe.run()[0]
+    assert r3.status == "loaded" and r3.new_watermark == 4
+    assert sink().count() == orders.count()
+    assert sink().select("o_orderkey").distinct().count() == orders.count()
+
+    # caught up: no-op
+    assert pipe.run()[0].status == "skipped_empty"
+
+
+def test_pipeline_version_feed_overwrite_resync(spark, sf_dir, tmp_path):
+    """An upstream OVERWRITE breaks append-only change semantics; the
+    version-feed run must resync from the snapshot (idempotent via
+    merge keys), not fail or silently skip."""
+    from etl_data_pipeline_spark.sinks.manifest import commit as mcommit
+
+    src_dir = str(tmp_path / "msrc")
+    src_t = os.path.join(src_dir, "orders")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    mcommit(orders.filter(F.col("o_orderkey") < 800), src_t)
+
+    spec = PipelineSpec(
+        tables=[
+            TableSpec(
+                name="orders",
+                watermark_type="version",
+                source_format="manifest",
+                source_options={"dir": src_dir},
+                sink_options={"dir": str(tmp_path / "sink")},
+                merge_keys=("o_orderkey",),
+            )
+        ]
+    )
+    store = WatermarkStore(tmp_path / "wm.json")
+    pipe = IncrementalPipeline(spark, spec, store)
+    assert pipe.run()[0].status == "loaded"
+
+    mcommit(orders, src_t)  # upstream rebuild: OVERWRITE with the full set
+    r2 = pipe.run()[0]
+    assert r2.status == "loaded" and r2.new_watermark == 2
+    sink = spark.read.parquet(str(tmp_path / "sink" / "orders"))
+    assert sink.count() == orders.count()  # resynced, no duplicates
+    assert sink.select("o_orderkey").distinct().count() == orders.count()

@@ -737,3 +737,34 @@ def test_stream_to_manifest_exactly_once(spark, event_chunks, tmp_path):
     q4.awaitTermination(120)
     assert read_table(spark, table).count() == 2 * ev.count()
     assert read_manifest(table)["txn"]["ingest"] == m["txn"]["ingest"]
+
+
+def test_stream_to_manifest_periodic_compaction(spark, event_chunks, tmp_path):
+    """compact_every folds the growing dir list inline (layout-only
+    commits); row counts, exactly-once, and the change feed for a
+    version-keyed consumer are all preserved across compactions."""
+    from etl_data_pipeline_spark.sinks.manifest import (
+        read_changes,
+        read_manifest,
+        read_table,
+    )
+
+    src, ev = event_chunks
+    table = str(tmp_path / "mtable")
+    q = jobs.run_stream_to_manifest(
+        spark, src, table, app_id="ingest", compact_every=2
+    )
+    q.awaitTermination(120)
+    m = read_manifest(table)
+    assert read_table(spark, table).count() == ev.count()
+    assert len(m["dirs"]) <= 2  # folded: never grows past compact_every
+    # one batch per source file (maxFilesPerTrigger=1), ids 0..n-1,
+    # every one committed exactly once
+    n_files = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert m["txn"]["ingest"] == n_files - 1
+
+    # a version-keyed incremental consumer that waited until now and
+    # reads the whole feed catches up across the compactions:
+    assert read_changes(spark, table, 0).count() == ev.count()
+    # and the feed from the head is empty (caught up)
+    assert read_changes(spark, table, m["version"]).count() == 0
