@@ -500,6 +500,25 @@ def read_changes(
     return _read_dirs(spark, table_dir, added, schema)
 
 
+def history(table_dir: str) -> list[dict]:
+    """The table's retained commit history, oldest first — version,
+    dirs, fencing token, txn marks, data_change flag per entry (the
+    DESCRIBE HISTORY analog). Pure manifest bookkeeping: no data read,
+    no lock (snapshots are immutable; the head is one atomic read).
+    Vacuumed versions are absent — history length is the retention
+    window, by design."""
+    cur = read_manifest(table_dir)
+    if cur is None:
+        return []
+    out: list[dict] = []
+    for v in range(1, cur["version"] + 1):
+        try:
+            out.append(_load_snapshot(table_dir, v, cur))
+        except FileNotFoundError:
+            continue  # vacuumed
+    return out
+
+
 def compact(
     spark: SparkSession,
     table_dir: str,

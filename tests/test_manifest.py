@@ -486,3 +486,22 @@ def test_manifest_source_changes_since_option(spark, tmp_path):
         read_source(
             spark, "manifest", "t", {"dir": t_dir, "changes_since": 1, "version": 2}
         )
+
+
+def test_history_lists_retained_commits(spark, tmp_path):
+    """DESCRIBE HISTORY analog: every retained version with its fence
+    and flags, oldest first; vacuumed versions drop out."""
+    from etl_data_pipeline_spark.sinks.manifest import compact, history
+
+    t = str(tmp_path / "t")
+    assert history(t) == []  # nothing committed
+    commit(_frame(spark, 3, "a"), t)
+    commit(_frame(spark, 2, "b"), t, mode="append", txn=("app", 0))
+    compact(spark, t)
+    h = history(t)
+    assert [m["version"] for m in h] == [1, 2, 3]
+    assert h[0]["fence"] < h[1]["fence"] < h[2]["fence"]  # auditable order
+    assert h[1]["txn"] == {"app": 0}
+    assert h[2].get("data_change") is False  # the compaction
+    vacuum(t, keep_last=2)
+    assert [m["version"] for m in history(t)] == [2, 3]
