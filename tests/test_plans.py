@@ -328,6 +328,9 @@ def test_canonical_antijoin_broadcasts_losers(spark, sf_dir):
     from etl_data_pipeline_spark.llm import dedup
     from etl_data_pipeline_spark.plans import exchange_count
 
+    # assert the COLD plan: a cache left by an earlier test swaps scans
+    # for InMemoryTableScan and shifts the exchange count
+    spark.catalog.clearCache()
     plan = _plan(dedup.dedup_canonical(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -345,6 +348,7 @@ def test_embedding_cosine_exchange_budget(spark, sf_dir):
     from etl_data_pipeline_spark.llm import dedup
     from etl_data_pipeline_spark.plans import exchange_count
 
+    spark.catalog.clearCache()  # cold plan (see canonical test note)
     plan = _plan(dedup.dedup_embedding_cosine(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -361,6 +365,7 @@ def test_negative_sampling_exchange_budget(spark, sf_dir):
 
     import re
 
+    spark.catalog.clearCache()  # cold plan (see canonical test note)
     plan = _plan(features.recsys_negative_samples(spark, sf_dir))
     assert "CartesianProduct" not in plan
     # the single BNLJ operator joins against the 1-row max aggregate,
