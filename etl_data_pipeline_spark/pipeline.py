@@ -171,11 +171,16 @@ class IncrementalPipeline:
             return TableRunResult(t.name, "skipped_empty", rows=0)
         try:
             df = read_changes(self.spark, src_path, since, until_version=head)
-        except ValueError as e:
-            if "overwrite" not in str(e):
+        except (ValueError, FileNotFoundError) as e:
+            # two recoverable feed breaks, one recovery: an OVERWRITE
+            # in range (append-only semantics gone) or the consumer
+            # falling behind retention (its since-snapshot VACUUMED).
+            # Either way the feed cannot produce the delta; the only
+            # consistent answer is the SNAPSHOT at the pinned head
+            # (idempotent under merge keys). Anything else propagates.
+            msg = str(e)
+            if "overwrite" not in msg and "vacuumed" not in msg:
                 raise
-            # the full feed would cross the same overwrite — the only
-            # consistent recovery is the SNAPSHOT at the pinned head
             from etl_data_pipeline_spark.sinks.manifest import read_table
 
             log.warning(

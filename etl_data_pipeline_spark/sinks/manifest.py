@@ -376,19 +376,7 @@ def read_table(
             raise ValueError(
                 f"version {version} not in [1, {cur['version']}] for {table_dir!r}"
             )
-        try:
-            with open(_snapshot_path(table_dir, version)) as f:
-                m = _normalize(json.load(f))
-        except FileNotFoundError:
-            # legacy layout (no snapshot files): each version was one
-            # full-rewrite dir named after it
-            legacy = os.path.join("_versions", f"v{version:08d}")
-            if os.path.isdir(os.path.join(table_dir, legacy)):
-                m = {"version": version, "dirs": [legacy], "schema": None}
-            else:
-                raise FileNotFoundError(
-                    f"version {version} of {table_dir!r} was vacuumed"
-                ) from None
+        m = _load_snapshot(table_dir, version, cur)
     return _read_dirs(spark, table_dir, m["dirs"], m.get("schema"))
 
 

@@ -505,3 +505,23 @@ def test_history_lists_retained_commits(spark, tmp_path):
     assert h[2].get("data_change") is False  # the compaction
     vacuum(t, keep_last=2)
     assert [m["version"] for m in history(t)] == [2, 3]
+
+
+def test_vacuumed_snapshot_never_masquerades_as_the_version(spark, tmp_path):
+    """Dir-list subtlety: after vacuum drops version 1's SNAPSHOT, its
+    data dir can live on (still referenced by newer versions). A
+    pinned read of v1 must raise 'vacuumed' — returning just that one
+    shared dir would silently serve PARTIAL data as if it were the
+    version."""
+    t = str(tmp_path / "t")
+    commit(_frame(spark, 5, "v1"), t)
+    commit(_frame(spark, 3, "v2"), t, mode="append")
+    commit(_frame(spark, 2, "v3"), t, mode="append")
+    vacuum(t, keep_last=2)
+    # v1's dir is still on disk (v2/v3 reference it)...
+    assert os.path.isdir(os.path.join(t, "_versions", "v00000001"))
+    # ...but the VERSION is gone, and must say so
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        read_table(spark, t, version=1)
+    assert read_table(spark, t, version=2).count() == 8
+    assert read_table(spark, t).count() == 10

@@ -565,3 +565,46 @@ def test_pipeline_version_feed_overwrite_resync(spark, sf_dir, tmp_path):
     sink = spark.read.parquet(str(tmp_path / "sink" / "orders"))
     assert sink.count() == orders.count()  # resynced, no duplicates
     assert sink.select("o_orderkey").distinct().count() == orders.count()
+
+
+def test_pipeline_version_feed_behind_retention_resyncs(spark, sf_dir, tmp_path):
+    """A version-feed consumer that fell behind the source's vacuum
+    retention cannot get its delta from the feed; the run must resync
+    from the snapshot (idempotent via merge keys), not fail."""
+    from etl_data_pipeline_spark.sinks.manifest import commit as mcommit
+    from etl_data_pipeline_spark.sinks.manifest import vacuum
+
+    src_dir = str(tmp_path / "msrc")
+    src_t = os.path.join(src_dir, "orders")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    mcommit(orders.filter(F.col("o_orderkey") < 500), src_t)
+
+    spec = PipelineSpec(
+        tables=[
+            TableSpec(
+                name="orders",
+                watermark_type="version",
+                source_format="manifest",
+                source_options={"dir": src_dir},
+                sink_options={"dir": str(tmp_path / "sink")},
+                merge_keys=("o_orderkey",),
+            )
+        ]
+    )
+    store = WatermarkStore(tmp_path / "wm.json")
+    pipe = IncrementalPipeline(spark, spec, store)
+    assert pipe.run()[0].status == "loaded"  # watermark = 1
+
+    # source advances 3 more versions, then vacuums past the consumer
+    for lo, hi in ((500, 900), (900, 1200), (1200, None)):
+        cond = F.col("o_orderkey") >= lo
+        if hi:
+            cond = cond & (F.col("o_orderkey") < hi)
+        mcommit(orders.filter(cond), src_t, mode="append")
+    vacuum(src_t, keep_last=2)  # drops snapshots 1..2: consumer is behind
+
+    r = pipe.run()[0]
+    assert r.status == "loaded" and r.new_watermark == 4
+    sink = spark.read.parquet(str(tmp_path / "sink" / "orders"))
+    assert sink.count() == orders.count()  # resynced, nothing lost
+    assert sink.select("o_orderkey").distinct().count() == orders.count()
