@@ -153,7 +153,22 @@ class IncrementalPipeline:
         if cur is None:
             raise FileNotFoundError(f"no committed version in {src_path!r}")
         head = cur["version"]
-        since = min(since, head)  # a rolled-back/rebuilt source
+        if since > head:
+            # the source was REBUILT (its history restarted below our
+            # recorded progress): the watermark is from a different
+            # table lifetime. Skipping until head catches up would
+            # silently drop everything the new lifetime holds —
+            # resync from scratch instead (idempotent under merge
+            # keys), the same safe-side answer as every other
+            # inconsistent-state path (§2.C #2).
+            log.warning(
+                "table %s: recorded version %s exceeds source head %s —"
+                " source was rebuilt; resyncing from scratch",
+                t.name,
+                since,
+                head,
+            )
+            since = 0
         if (
             since > 0
             and t.name not in self.authoritative_watermarks

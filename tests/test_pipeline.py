@@ -608,3 +608,51 @@ def test_pipeline_version_feed_behind_retention_resyncs(spark, sf_dir, tmp_path)
     sink = spark.read.parquet(str(tmp_path / "sink" / "orders"))
     assert sink.count() == orders.count()  # resynced, nothing lost
     assert sink.select("o_orderkey").distinct().count() == orders.count()
+
+
+def test_pipeline_version_feed_rebuilt_source_resyncs(spark, sf_dir, tmp_path):
+    """Recorded version ABOVE the source head = the source was deleted
+    and rebuilt (a different table lifetime). Skipping until the new
+    head catches up would silently drop the new lifetime's data; the
+    run must resync from scratch."""
+    import shutil
+
+    from etl_data_pipeline_spark.sinks.manifest import commit as mcommit
+
+    src_dir = str(tmp_path / "msrc")
+    src_t = os.path.join(src_dir, "orders")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    for ver in range(3):  # three commits: watermark lands at 3
+        mcommit(
+            orders.filter(F.col("o_orderkey") % 3 == ver), src_t, mode="append"
+            if ver else "overwrite",
+        )
+
+    spec = PipelineSpec(
+        tables=[
+            TableSpec(
+                name="orders",
+                watermark_type="version",
+                source_format="manifest",
+                source_options={"dir": src_dir},
+                sink_options={"dir": str(tmp_path / "sink")},
+                merge_keys=("o_orderkey",),
+            )
+        ]
+    )
+    store = WatermarkStore(tmp_path / "wm.json")
+    pipe = IncrementalPipeline(spark, spec, store)
+    assert pipe.run()[0].status == "loaded"
+    assert store.get("orders") == "3"
+
+    # source rebuilt from scratch: ONE commit, different content subset
+    shutil.rmtree(src_t)
+    mcommit(orders, src_t)  # head = 1 < recorded 3
+
+    r = pipe.run()[0]
+    assert r.status == "loaded" and r.new_watermark == 1
+    sink = spark.read.parquet(str(tmp_path / "sink" / "orders"))
+    assert sink.count() == orders.count()
+    assert sink.select("o_orderkey").distinct().count() == orders.count()
+    # subsequent run: caught up on the new lifetime
+    assert pipe.run()[0].status == "skipped_empty"
