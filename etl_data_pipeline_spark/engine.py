@@ -71,3 +71,42 @@ class EtlEngine:
     ) -> list[TableRunResult]:
         store = WatermarkStore(state_path)
         return IncrementalPipeline(self.spark, spec, store).run()
+
+    # -- manifest tables ----------------------------------------------
+
+    def read_table(self, table_dir: str, version: int | None = None) -> DataFrame:
+        """Read a manifest table (current or pinned version)."""
+        from etl_data_pipeline_spark.sinks.manifest import read_table
+
+        return read_table(self.spark, table_dir, version=version)
+
+    def commit(self, df: DataFrame, table_dir: str, **kw) -> dict:
+        """Commit a DataFrame to a manifest table (sinks/manifest.py:
+        modes, merge_keys content fence, txn fence, merge_schema)."""
+        from etl_data_pipeline_spark.sinks.manifest import commit
+
+        return commit(df, table_dir, **kw)
+
+    def read_changes(
+        self, table_dir: str, since_version: int, until_version: int | None = None
+    ) -> DataFrame:
+        """O(delta) change feed of a manifest table."""
+        from etl_data_pipeline_spark.sinks.manifest import read_changes
+
+        return read_changes(
+            self.spark, table_dir, since_version, until_version=until_version
+        )
+
+    def history(self, table_dir: str) -> list[dict]:
+        """Retained commit history of a manifest table."""
+        from etl_data_pipeline_spark.sinks.manifest import history
+
+        return history(table_dir)
+
+    def release_caches(self, blocking: bool = False) -> int:
+        """Return this session's tracked storage memory to baseline
+        (functions/caching.py) — for long-lived sessions composing
+        many registry queries."""
+        from etl_data_pipeline_spark.functions.caching import release_tracked
+
+        return release_tracked(self.spark, blocking=blocking)

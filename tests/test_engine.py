@@ -56,3 +56,25 @@ def test_source_sink_format_round_trips(spark, sf_dir, tmp_path):
         write_sink(src, fmt, "nation", {"path": out})
         back = read_source(spark, fmt, "nation", {"path": out})
         assert sorted(r.n_name for r in back.collect()) == expected
+
+
+def test_engine_manifest_facade(spark, tmp_path):
+    """The manifest surface through the one-import facade: commit /
+    read / change feed / history / cache release."""
+    from pyspark.sql import functions as F
+
+    from etl_data_pipeline_spark.engine import EtlEngine
+
+    eng = EtlEngine(spark)
+    t = str(tmp_path / "t")
+    f = lambda n, tag: spark.range(n).select(
+        F.col("id").alias("k"), F.lit(tag).alias("v")
+    )
+    m1 = eng.commit(f(5, "a"), t)
+    eng.commit(f(8, "b"), t, mode="append", merge_keys=("k",))
+    assert eng.read_table(t).count() == 8  # keys 0-4 fenced out, 5-7 landed
+    assert eng.read_table(t, version=1).count() == 5
+    assert eng.read_changes(t, 1).count() == 3
+    h = eng.history(t)
+    assert [m["version"] for m in h] == [1, 2] and h[0] == m1
+    assert eng.release_caches() >= 0
