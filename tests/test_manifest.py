@@ -525,3 +525,67 @@ def test_vacuumed_snapshot_never_masquerades_as_the_version(spark, tmp_path):
         read_table(spark, t, version=1)
     assert read_table(spark, t, version=2).count() == 8
     assert read_table(spark, t).count() == 10
+
+
+def test_crash_before_pointer_rename_commits_nothing(spark, tmp_path, monkeypatch):
+    """Fault injection at the commit point: the data dir and snapshot
+    may exist, but until the ONE os.replace onto MANIFEST.json
+    happens, the commit transactionally un-happened — readers see the
+    old version, and the retry lands cleanly in the same slot."""
+    from etl_data_pipeline_spark.sinks import manifest as mmod
+
+    t = str(tmp_path / "t")
+    commit(_frame(spark, 5, "a"), t)
+
+    real_replace = os.replace
+    calls = {"n": 0}
+
+    def exploding_replace(src, dst):
+        if dst.endswith("MANIFEST.json"):
+            calls["n"] += 1
+            raise OSError("injected crash at the commit point")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(mmod.os, "replace", exploding_replace)
+    with pytest.raises(OSError, match="injected crash"):
+        commit(_frame(spark, 3, "b"), t, mode="append")
+    monkeypatch.setattr(mmod.os, "replace", real_replace)
+    assert calls["n"] == 1
+    # the crash un-happened: same version, same rows, feed empty
+    assert read_manifest(t)["version"] == 1
+    assert read_table(spark, t).count() == 5
+    # retry reuses the slot; no duplicate rows, clean history
+    m2 = commit(_frame(spark, 3, "b"), t, mode="append")
+    assert m2["version"] == 2
+    assert read_table(spark, t).count() == 8
+
+
+def test_concurrent_appenders_with_txn_fences(spark, tmp_path):
+    """Two apps appending concurrently under the lease: every batch
+    from both lands exactly once, fences stay per-app monotone, and
+    the final row count is the exact sum — no lost or doubled batch."""
+    import threading
+
+    t = str(tmp_path / "t")
+    commit(_frame(spark, 0, "seed"), t)
+    errors: list = []
+
+    def appender(app, sizes):
+        try:
+            for i, n in enumerate(sizes):
+                commit(_frame(spark, n, app), t, mode="append", txn=(app, i))
+                # replay every batch immediately: must be fenced out
+                commit(_frame(spark, n, app), t, mode="append", txn=(app, i))
+        except Exception as e:
+            errors.append((app, e))
+
+    a = threading.Thread(target=appender, args=("appA", [3, 5, 7]))
+    b = threading.Thread(target=appender, args=("appB", [2, 4]))
+    a.start(); b.start(); a.join(); b.join()
+    assert not errors, errors
+    m = read_manifest(t)
+    assert m["txn"] == {"appA": 2, "appB": 1}
+    out = read_table(spark, t)
+    assert out.count() == 3 + 5 + 7 + 2 + 4
+    counts = {r.v: r.n for r in out.groupBy("v").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"appA": 15, "appB": 6}
