@@ -589,3 +589,83 @@ def test_concurrent_appenders_with_txn_fences(spark, tmp_path):
     assert out.count() == 3 + 5 + 7 + 2 + 4
     counts = {r.v: r.n for r in out.groupBy("v").agg(F.count("*").alias("n")).collect()}
     assert counts == {"appA": 15, "appB": 6}
+
+
+def test_model_based_random_op_sequence(spark, tmp_path):
+    """Model-based check: a seeded random interleaving of append /
+    overwrite / compact / vacuum against a pure-Python model of the
+    table. Invariants after every op: read_table == model rows;
+    version monotone; the change feed from any still-retained
+    append-only suffix equals the model's appended rows."""
+    import random
+
+    from etl_data_pipeline_spark.sinks.manifest import compact, history, read_changes
+
+    rng = random.Random(20260814)
+    t = str(tmp_path / "t")
+    model: list[tuple[int, str]] = []  # (k, tag) rows
+    appended_at: dict[int, list[tuple[int, str]]] = {}  # version -> rows added
+    overwritten_after: int = 0  # feed valid only from versions >= this
+    version = 0
+    next_k = 0
+
+    def mk(n, tag):
+        nonlocal next_k
+        rows = [(next_k + i, tag) for i in range(n)]
+        next_k += n
+        return spark.createDataFrame(rows, "k BIGINT, tag STRING")
+
+    commit(mk(3, "seed"), t)
+    version = 1
+    model = [(k, tag) for k, tag in [(0, "seed"), (1, "seed"), (2, "seed")]]
+    appended_at[1] = list(model)
+
+    for step in range(14):
+        op = rng.choice(["append", "append", "append", "compact", "vacuum", "overwrite"])
+        if op == "append":
+            n = rng.randint(0, 4)
+            df = mk(n, f"a{step}")
+            rows = [(r.k, r.tag) for r in df.collect()]
+            commit(df, t, mode="append")
+            version += 1
+            model.extend(rows)
+            appended_at[version] = rows
+        elif op == "compact":
+            compact(spark, t)
+            version += 1
+            appended_at[version] = []  # layout-only
+        elif op == "overwrite":
+            n = rng.randint(1, 5)
+            df = mk(n, f"o{step}")
+            rows = [(r.k, r.tag) for r in df.collect()]
+            commit(df, t)
+            version += 1
+            model = list(rows)
+            appended_at = {version: rows}
+            overwritten_after = version
+        else:
+            keep = rng.randint(2, 4)
+            vacuum(t, keep_last=keep)
+        # invariants
+        m = read_manifest(t)
+        assert m["version"] == version
+        got = sorted((r.k, r.tag) for r in read_table(spark, t).collect())
+        assert got == sorted(model), f"step {step} op {op}"
+        # change feed from the newest retained baseline that is not
+        # crossed by an overwrite
+        retained = [mm["version"] for mm in history(t)]
+        feed_from = [
+            v for v in retained if v >= overwritten_after and v < version
+        ]
+        if feed_from:
+            since = rng.choice(feed_from)
+            want = sorted(
+                row
+                for v, rows in appended_at.items()
+                if v > since
+                for row in rows
+            )
+            feed = sorted(
+                (r.k, r.tag) for r in read_changes(spark, t, since).collect()
+            )
+            assert feed == want, f"step {step} feed since {since}"
