@@ -1,0 +1,291 @@
+"""Spark DataSource over manifest tables: batch snapshot reads AND a
+streaming CHANGE-FEED source whose offsets ARE manifest versions.
+
+This is the Spark-4-native face of sinks/manifest.py (the Python
+DataSource API, SPARK-44076): register once, then
+
+    spark.dataSource.register(ManifestTableDataSource)
+    # batch: the current snapshot (or version=N time travel)
+    spark.read.format("manifest_table").option("path", t).load()
+    # streaming: every micro-batch is the rows of newly committed
+    # versions — offsets checkpoint as {"version": N}
+    spark.readStream.format("manifest_table").option("path", t).load()
+
+Why offsets-as-versions is the right streaming contract here:
+
+- the planner (driver) decides a batch as (start_version, end_version]
+  and expands it to the DELTA DIRECTORIES those commits added — the
+  same O(delta) bookkeeping as manifest.read_changes, never a table
+  scan;
+- partitions are individual parquet FILES of those directories, so a
+  large commit fans out across executors (each executor reads its
+  file with pyarrow and yields Arrow record batches — no driver
+  materialization, no Python row loop);
+- replays are exact: a directory named by a committed manifest is
+  immutable, so re-planning the same offset range after a crash reads
+  identical bytes (the file-source guarantee, without the file-source
+  bookkeeping);
+- layout-only versions (compaction, ``data_change: false``) plan ZERO
+  partitions — consumers never re-see compacted rows;
+- an OVERWRITE inside the range fails the batch loudly (append-only
+  feeds cannot express removals — Delta CDF's contract), and vacuum
+  retention must outlast the consumer's lag, exactly as for
+  read_changes.
+
+Schema: resolved from the manifest (the table's recorded column ->
+type map) at plan time; evolved columns are null-filled per file on
+the EXECUTOR (Arrow-side), so old delta files read under the current
+schema.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+FORMAT_NAME = "manifest_table"
+
+
+def _manifest_ddl(schema: dict[str, str]) -> str:
+    return ", ".join(f"`{c}` {t}" for c, t in schema.items())
+
+
+def _opt(options: dict, name: str, default=None):
+    """Spark lowercases DataSource option keys; accept either form."""
+    if name in options:
+        return options[name]
+    return options.get(name.lower(), default)
+
+
+def _table_path(options: dict) -> str:
+    path = _opt(options, "path")
+    if not path:
+        raise ValueError(f"{FORMAT_NAME}: 'path' option is required")
+    return path
+
+
+def _list_parquet_files(table_dir: str, rel_dirs: list[str]) -> list[str]:
+    files: list[str] = []
+    for rel in rel_dirs:
+        d = os.path.join(table_dir, rel)
+        for root, _dirs, names in os.walk(d):
+            files.extend(
+                os.path.join(root, n) for n in sorted(names) if n.endswith(".parquet")
+            )
+    return files
+
+
+class _FilePartition(InputPartition):
+    """Carries the target ARROW schema (picklable), resolved on the
+    driver — executors have no SparkContext to parse DDL with."""
+
+    def __init__(self, file_path: str, arrow_schema):
+        self.file_path = file_path
+        self.arrow_schema = arrow_schema
+
+
+def _arrow_type(simple: str):
+    """Manifest simpleString type -> pyarrow type. Hand-rolled because
+    EVERY hook of a Python DataSource (including partitions()) runs in
+    a context-free Python worker — Spark's own DDL parser needs a
+    SparkContext that does not exist there. Covers the engine's type
+    surface; unknown types raise rather than guess."""
+    import pyarrow as pa
+
+    s = simple.strip()
+    scalars = {
+        "tinyint": pa.int8(),
+        "smallint": pa.int16(),
+        "int": pa.int32(),
+        "bigint": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "boolean": pa.bool_(),
+        "binary": pa.binary(),
+        "date": pa.date32(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    if s in scalars:
+        return scalars[s]
+    if s.startswith("decimal(") and s.endswith(")"):
+        prec, scale = s[len("decimal(") : -1].split(",")
+        return pa.decimal128(int(prec), int(scale))
+    if s.startswith("array<") and s.endswith(">"):
+        return pa.list_(_arrow_type(s[len("array<") : -1]))
+    if s.startswith("map<") and s.endswith(">"):
+        # split on the top-level comma (keys are scalar in this engine)
+        inner = s[len("map<") : -1]
+        k, v = inner.split(",", 1)
+        return pa.map_(_arrow_type(k), _arrow_type(v))
+    raise ValueError(
+        f"{FORMAT_NAME}: unsupported manifest type {simple!r} — pass an "
+        f"explicit .schema(...) or extend _arrow_type"
+    )
+
+
+def _arrow_schema_for(schema: dict[str, str]):
+    """Manifest column->type map -> pyarrow schema (worker-safe)."""
+    import pyarrow as pa
+
+    return pa.schema([pa.field(c, _arrow_type(t)) for c, t in schema.items()])
+
+
+def _read_file_as_arrow(file_path: str, want) -> Iterator:
+    """Executor-side: stream one parquet file as Arrow record batches
+    conformed to the table schema (missing evolved columns null-filled,
+    column order pinned). No pandas, no Python rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pf = pq.ParquetFile(file_path)
+    have = {f.name for f in pf.schema_arrow}
+    read_cols = [f.name for f in want if f.name in have]
+    for batch in pf.iter_batches(columns=read_cols):
+        arrays = []
+        for field in want:
+            if field.name in have:
+                arrays.append(batch.column(read_cols.index(field.name)).cast(field.type))
+            else:
+                arrays.append(pa.nulls(batch.num_rows, type=field.type))
+        yield pa.RecordBatch.from_arrays(arrays, schema=want)
+
+
+class ManifestBatchReader(DataSourceReader):
+    """Snapshot read (current version, or ``version`` option)."""
+
+    def __init__(self, options: dict):
+        self.table_dir = _table_path(options)
+        from etl_data_pipeline_spark.sinks.manifest import (
+            _load_snapshot,
+            read_manifest,
+        )
+
+        cur = read_manifest(self.table_dir)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version in {self.table_dir!r}")
+        version = _opt(options, "version")
+        m = (
+            cur
+            if version is None
+            else _load_snapshot(self.table_dir, int(version), cur)
+        )
+        self._dirs = m["dirs"]
+        self._schema = m.get("schema") or cur.get("schema") or {}
+
+    def partitions(self) -> Sequence[InputPartition]:
+        want = _arrow_schema_for(self._schema)
+        return [
+            _FilePartition(f, want)
+            for f in _list_parquet_files(self.table_dir, self._dirs)
+        ]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        return _read_file_as_arrow(partition.file_path, partition.arrow_schema)
+
+
+class ManifestFeedStreamReader(DataSourceStreamReader):
+    """Change-feed stream: offset = manifest version."""
+
+    def __init__(self, options: dict):
+        self.table_dir = _table_path(options)
+        self.start_version = int(_opt(options, "startingVersion", 0))
+
+    # -- offset protocol ----------------------------------------------
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        from etl_data_pipeline_spark.sinks.manifest import read_manifest
+
+        cur = read_manifest(self.table_dir)
+        return {"version": self.start_version if cur is None else cur["version"]}
+
+    # -- batch planning (driver) --------------------------------------
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        from etl_data_pipeline_spark.sinks.manifest import (
+            _load_snapshot,
+            read_manifest,
+        )
+
+        lo, hi = int(start["version"]), int(end["version"])
+        if hi <= lo:
+            return []
+        cur = read_manifest(self.table_dir)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version in {self.table_dir!r}")
+        prev: set[str] = (
+            set() if lo == 0 else set(_load_snapshot(self.table_dir, lo, cur)["dirs"])
+        )
+        added: list[str] = []
+        for v in range(lo + 1, hi + 1):
+            m = _load_snapshot(self.table_dir, v, cur)
+            dirs = set(m["dirs"])
+            if m.get("data_change", True):
+                removed = prev - dirs
+                if removed:
+                    raise ValueError(
+                        f"{FORMAT_NAME} stream over {self.table_dir!r} broken "
+                        f"by an overwrite at version {v}; restart the query "
+                        f"with startingVersion={v} (snapshot resync)"
+                    )
+                added.extend(d for d in m["dirs"] if d not in prev and d not in added)
+            prev = dirs
+        schema = (
+            cur.get("schema")
+            if hi == 0 or hi == cur["version"]
+            else _load_snapshot(self.table_dir, hi, cur).get("schema")
+        )
+        want = _arrow_schema_for(schema or {})
+        return [
+            _FilePartition(f, want)
+            for f in _list_parquet_files(self.table_dir, added)
+        ]
+
+    # -- executor-side read -------------------------------------------
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        return _read_file_as_arrow(partition.file_path, partition.arrow_schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # progress lives in the streaming checkpoint
+
+
+class ManifestTableDataSource(DataSource):
+    """``manifest_table`` format: batch snapshot + streaming change feed."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType | str:
+        from etl_data_pipeline_spark.sinks.manifest import read_manifest
+
+        cur = read_manifest(_table_path(self.options))
+        if cur is None or not cur.get("schema"):
+            raise ValueError(
+                f"{FORMAT_NAME}: cannot infer schema — table has no committed "
+                f"manifest schema (pass .schema(...) explicitly)"
+            )
+        return _manifest_ddl(cur["schema"])
+
+    def reader(self, schema) -> ManifestBatchReader:
+        return ManifestBatchReader(dict(self.options))
+
+    def streamReader(self, schema) -> ManifestFeedStreamReader:
+        return ManifestFeedStreamReader(dict(self.options))
+
+
+def register(spark) -> None:
+    """Idempotent format registration for the current session."""
+    spark.dataSource.register(ManifestTableDataSource)

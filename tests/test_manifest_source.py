@@ -1,0 +1,139 @@
+"""Python DataSource over manifest tables (streaming/manifest_source):
+batch snapshot + time travel through spark.read, and the version-offset
+streaming change feed through spark.readStream."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_pipeline_spark.sinks.manifest import commit, compact, read_manifest
+from etl_data_pipeline_spark.streaming import manifest_source
+
+
+@pytest.fixture(autouse=True)
+def _register(spark):
+    manifest_source.register(spark)
+
+
+def _frame(spark, n, tag, base=0):
+    return spark.range(base, base + n).select(
+        F.col("id").alias("k"), F.lit(tag).alias("v")
+    )
+
+
+def test_batch_read_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit(_frame(spark, 5, "a"), t)
+    commit(_frame(spark, 8, "b", base=100), t, mode="append")
+    df = spark.read.format("manifest_table").option("path", t).load()
+    assert df.schema.simpleString() == "struct<k:bigint,v:string>"
+    assert df.count() == 13
+    v1 = spark.read.format("manifest_table").option("path", t).option("version", 1).load()
+    assert v1.count() == 5 and v1.select("v").distinct().first().v == "a"
+
+
+def test_batch_read_typed_columns_roundtrip(spark, sf_dir, tmp_path):
+    """Arrow-side type mapping: timestamps, arrays, doubles survive the
+    DataSource byte-for-byte vs a direct parquet read."""
+    t = str(tmp_path / "t")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).limit(200)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).limit(50)
+    joined = ev.select("event_id", "user_id", "ts", "value").crossJoin(
+        emb.select("embedding").limit(1)
+    )
+    commit(joined, t)
+    back = spark.read.format("manifest_table").option("path", t).load()
+    assert back.schema == joined.schema
+    a = sorted(joined.collect(), key=lambda r: r.event_id)
+    b = sorted(back.collect(), key=lambda r: r.event_id)
+    assert a == b
+
+
+def test_stream_feed_delivers_only_new_versions(spark, tmp_path):
+    """Offsets are manifest versions: a restarted query (same
+    checkpoint) sees ONLY versions committed since it last ran, and a
+    compaction delivers nothing."""
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    commit(_frame(spark, 5, "a"), t)
+
+    def run_once():
+        q = (
+            spark.readStream.format("manifest_table").option("path", t).load()
+            .writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(sink)
+
+    assert run_once().count() == 5
+
+    commit(_frame(spark, 3, "b", base=50), t, mode="append")
+    compact(spark, t)  # layout-only: must deliver nothing extra
+    commit(_frame(spark, 2, "c", base=90), t, mode="append")
+
+    out2 = run_once()  # SAME checkpoint: only the new versions arrive
+    assert out2.count() == 5 + 3 + 2  # no compaction re-delivery
+    news = {(r.k, r.v) for r in out2.filter("v != 'a'").collect()}
+    assert news == {(50, "b"), (51, "b"), (52, "b"), (90, "c"), (91, "c")}
+
+    # caught up: an immediate re-run delivers nothing
+    assert run_once().count() == 10
+
+
+def test_stream_feed_starting_version(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit(_frame(spark, 5, "a"), t)
+    commit(_frame(spark, 3, "b", base=50), t, mode="append")
+    q = (
+        spark.readStream.format("manifest_table")
+        .option("path", t).option("startingVersion", 1).load()
+        .writeStream.format("memory").queryName("from_v1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.table("from_v1").count() == 3  # only version 2's delta
+
+
+def test_stream_feed_overwrite_fails_loudly(spark, tmp_path):
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    commit(_frame(spark, 4, "a"), t)
+
+    def run_once():
+        q = (
+            spark.readStream.format("manifest_table").option("path", t).load()
+            .writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    commit(_frame(spark, 9, "rebuilt"), t)  # overwrite
+    with pytest.raises(Exception, match="broken by an overwrite"):
+        run_once()
+
+
+def test_batch_read_reads_evolved_old_files_nullfilled(spark, tmp_path):
+    """Old delta files lack evolved columns; the Arrow reader
+    null-fills them per file under the current schema."""
+    t = str(tmp_path / "t")
+    commit(_frame(spark, 3, "a"), t)
+    commit(
+        _frame(spark, 2, "b", base=10).withColumn("extra", F.lit(7)),
+        t,
+        mode="append",
+        merge_schema=True,
+    )
+    df = spark.read.format("manifest_table").option("path", t).load()
+    assert set(df.columns) == {"k", "v", "extra"}
+    assert df.filter("extra IS NULL").count() == 3
+    assert df.filter("extra = 7").count() == 2
