@@ -110,12 +110,27 @@ def _check_schema(
 ) -> dict[str, str]:
     """Manifest-only append compatibility check (no data files read).
     Returns the merged schema the new version records."""
-    new = _schema_of(df)
     prev = cur.get("schema")
     if prev is None:
         # legacy manifest without a recorded schema: derive from data
         spark = df.sparkSession
         prev = _schema_of(spark.read.parquet(os.path.join(table_dir, cur["dirs"][-1])))
+        cur = {**cur, "schema": prev}
+    return _check_schema_dict(cur, _schema_of(df), merge_schema, table_dir)
+
+
+def _check_schema_dict(
+    cur: dict, new: dict[str, str], merge_schema: bool, table_dir: str
+) -> dict[str, str]:
+    """Core of :func:`_check_schema` for callers that hold a schema
+    dict rather than a DataFrame (the staged-files writer)."""
+    prev = cur.get("schema")
+    if prev is None:
+        raise ValueError(
+            f"append to {table_dir!r}: legacy manifest records no schema; "
+            f"run one DataFrame-based commit() first (it backfills the "
+            f"schema) or overwrite"
+        )
     conflicts = {
         c: (prev[c], new[c]) for c in new if c in prev and prev[c] != new[c]
     }
@@ -236,6 +251,20 @@ def _commit_locked(
         schema = _schema_of(df)
         dirs = [rel]
     out.write.parquet(data_dir)
+    manifest = {"version": version, "dirs": dirs, "schema": schema, "fence": fence}
+    if not data_change:
+        # layout-only commit (compaction): logically the same rows —
+        # the change feed skips it instead of re-emitting the table
+        manifest["data_change"] = False
+    if prev_txn:
+        manifest["txn"] = prev_txn  # carried forward + this commit's mark
+    return _publish_version(table_dir, data_dir, manifest)
+
+
+def _publish_version(table_dir: str, data_dir: str, manifest: dict) -> dict:
+    """The durable publish tail shared by every commit flavor: fsync
+    the data, write the immutable snapshot, swap the pointer in ONE
+    atomic rename, fsync the rename."""
     # data must be durable BEFORE the pointer is — including the
     # _versions/ dirent naming the new directory (losing that to a
     # power cut while MANIFEST.json survived would orphan the commit)
@@ -245,16 +274,9 @@ def _commit_locked(
         os.fsync(pfd)
     finally:
         os.close(pfd)
-    manifest = {"version": version, "dirs": dirs, "schema": schema, "fence": fence}
-    if not data_change:
-        # layout-only commit (compaction): logically the same rows —
-        # the change feed skips it instead of re-emitting the table
-        manifest["data_change"] = False
-    if prev_txn:
-        manifest["txn"] = prev_txn  # carried forward + this commit's mark
     payload = json.dumps(manifest)
     # immutable snapshot first (time travel), then the pointer swap
-    snap = _snapshot_path(table_dir, version)
+    snap = _snapshot_path(table_dir, manifest["version"])
     os.makedirs(os.path.dirname(snap), exist_ok=True)
     _write_durable(snap, payload)
     fd, tmp = tempfile.mkstemp(dir=table_dir, suffix=".manifest.tmp")
@@ -269,6 +291,65 @@ def _commit_locked(
     finally:
         os.close(dfd)
     return manifest
+
+
+def commit_staged_files(
+    table_dir: str,
+    staged_files: list[str],
+    schema: dict[str, str],
+    mode: str = "append",
+    merge_schema: bool = False,
+    txn: tuple[str, int] | None = None,
+) -> dict:
+    """Commit ALREADY-WRITTEN parquet files as the table's next
+    version — the zero-copy publish path for writers that produce
+    files on executors (the ``manifest_table`` Spark DataSource
+    writer): each staged file is MOVED (os.replace, same filesystem)
+    into the new immutable delta directory, so the commit's data cost
+    is O(#files) renames regardless of row volume. Same lease, same
+    fences (txn), same schema contract, same single-rename publish as
+    :func:`commit`.
+
+    ``schema`` is the writer's column -> Spark simpleString type map
+    (the DataFrame schema the files were written with).
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite/append, not {mode!r}")
+    os.makedirs(table_dir, exist_ok=True)
+    with writer_lease(_manifest_path(table_dir)) as fence:
+        cur = read_manifest(table_dir)
+        prev_txn: dict[str, int] = dict((cur or {}).get("txn", {}))
+        if txn is not None:
+            app_id, txn_version = txn
+            if app_id in prev_txn and int(txn_version) <= prev_txn[app_id]:
+                return cur  # replayed batch: already committed, skip
+            prev_txn[app_id] = int(txn_version)
+        version = 1 if cur is None else cur["version"] + 1
+        if cur is not None and not os.path.isdir(
+            os.path.join(table_dir, "_manifests")
+        ):
+            _backfill_legacy_snapshots(table_dir, cur)
+        rel = os.path.join("_versions", f"v{version:08d}")
+        data_dir = os.path.join(table_dir, rel)
+        shutil.rmtree(data_dir, ignore_errors=True)
+        if mode == "append" and cur is not None:
+            out_schema = _check_schema_dict(cur, dict(schema), merge_schema, table_dir)
+            dirs = list(cur["dirs"]) + [rel]
+        else:
+            out_schema = dict(schema)
+            dirs = [rel]
+        os.makedirs(data_dir)
+        for i, f in enumerate(staged_files):
+            os.replace(f, os.path.join(data_dir, f"part-{i:05d}.parquet"))
+        manifest = {
+            "version": version,
+            "dirs": dirs,
+            "schema": out_schema,
+            "fence": fence,
+        }
+        if prev_txn:
+            manifest["txn"] = prev_txn
+        return _publish_version(table_dir, data_dir, manifest)
 
 
 def _backfill_legacy_snapshots(table_dir: str, cur: dict) -> None:

@@ -285,7 +285,149 @@ class ManifestTableDataSource(DataSource):
     def streamReader(self, schema) -> ManifestFeedStreamReader:
         return ManifestFeedStreamReader(dict(self.options))
 
+    def writer(self, schema, overwrite: bool) -> "ManifestArrowWriter":
+        return ManifestArrowWriter(dict(self.options), schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "ManifestStreamArrowWriter":
+        return ManifestStreamArrowWriter(dict(self.options), schema)
+
 
 def register(spark) -> None:
     """Idempotent format registration for the current session."""
     spark.dataSource.register(ManifestTableDataSource)
+
+
+# -- write path -------------------------------------------------------
+
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+def _write_staged_file(table_dir: str, iterator) -> "_StagedFile":
+    """Executor-side: spool this task's Arrow batches into ONE staged
+    parquet file under table/_staging (same filesystem as the table,
+    so the driver-side commit is a pure rename). Empty tasks stage
+    nothing."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    staging = os.path.join(table_dir, "_staging")
+    os.makedirs(staging, exist_ok=True)
+    path = os.path.join(staging, f"{uuid.uuid4().hex}.parquet")
+    writer = None
+    rows = 0
+    try:
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(path, batch.schema)
+            writer.write_batch(batch)
+            rows += batch.num_rows
+    finally:
+        if writer is not None:
+            writer.close()
+    if writer is None:
+        return _StagedFile(path="", rows=0)
+    return _StagedFile(path=path, rows=rows)
+
+
+def _cleanup_staged(messages) -> list[str]:
+    files = [m.path for m in (messages or []) if m and getattr(m, "path", "")]
+    for f in files:
+        try:
+            os.unlink(f)
+        except FileNotFoundError:
+            pass
+    return files
+
+
+class ManifestArrowWriter(DataSourceArrowWriter):
+    """Batch write: df.write.format('manifest_table').mode(...).save().
+    Executors stage one parquet file per task; the driver publishes
+    them as ONE manifest commit (commit_staged_files — rename-only, so
+    the publish is atomic and O(#files) regardless of volume).
+    SaveMode append -> manifest append (schema-checked; mergeSchema
+    option opts into evolution); overwrite -> new snapshot version."""
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        self.table_dir = _table_path(options)
+        self.schema_dict = {f.name: f.dataType.simpleString() for f in schema.fields}
+        self.mode = "overwrite" if overwrite else "append"
+        self.merge_schema = str(_opt(options, "mergeSchema", "false")).lower() == "true"
+
+    def write(self, iterator):
+        return _write_staged_file(self.table_dir, iterator)
+
+    def commit(self, messages) -> None:
+        from etl_data_pipeline_spark.sinks.manifest import commit_staged_files
+
+        files = [m.path for m in messages if m and m.path]
+        try:
+            commit_staged_files(
+                self.table_dir,
+                files,
+                self.schema_dict,
+                mode=self.mode,
+                merge_schema=self.merge_schema,
+            )
+        except Exception:
+            _cleanup_staged(messages)  # failed publish: drop the staging
+            raise
+
+    def abort(self, messages) -> None:
+        _cleanup_staged(messages)
+
+
+class ManifestStreamArrowWriter(DataSourceStreamArrowWriter):
+    """Streaming write: df.writeStream.format('manifest_table').
+    Each micro-batch publishes as one manifest commit carrying
+    txn=(appId, batchId) — the same exactly-once fence as
+    run_stream_to_manifest, but through the standard sink API: a
+    replayed batch id is detected inside the lease and the staged
+    files are simply discarded."""
+
+    def __init__(self, options: dict, schema):
+        self.table_dir = _table_path(options)
+        self.schema_dict = {f.name: f.dataType.simpleString() for f in schema.fields}
+        self.app_id = str(_opt(options, "appId", "manifest_stream"))
+        self.merge_schema = str(_opt(options, "mergeSchema", "false")).lower() == "true"
+
+    def write(self, iterator):
+        return _write_staged_file(self.table_dir, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        from etl_data_pipeline_spark.sinks.manifest import (
+            commit_staged_files,
+            read_manifest,
+        )
+
+        files = [m.path for m in messages if m and m.path]
+        try:
+            before = read_manifest(self.table_dir)
+            m = commit_staged_files(
+                self.table_dir,
+                files,
+                self.schema_dict,
+                mode="append",
+                merge_schema=self.merge_schema,
+                txn=(self.app_id, int(batchId)),
+            )
+            if before is not None and m == before:
+                _cleanup_staged(messages)  # replayed batch: fenced out
+        except Exception:
+            _cleanup_staged(messages)
+            raise
+
+    def abort(self, messages, batchId: int) -> None:
+        _cleanup_staged(messages)

@@ -137,3 +137,75 @@ def test_batch_read_reads_evolved_old_files_nullfilled(spark, tmp_path):
     assert set(df.columns) == {"k", "v", "extra"}
     assert df.filter("extra IS NULL").count() == 3
     assert df.filter("extra = 7").count() == 2
+
+
+def test_batch_writer_append_and_overwrite(spark, tmp_path):
+    """df.write.format('manifest_table'): executor-staged files publish
+    as one atomic commit; append is schema-checked, overwrite
+    snapshots; no staging debris on success."""
+    t = str(tmp_path / "t")
+    _frame(spark, 5, "a").write.format("manifest_table").option("path", t).mode(
+        "append"
+    ).save()
+    _frame(spark, 3, "b", base=50).write.format("manifest_table").option(
+        "path", t
+    ).mode("append").save()
+    m = read_manifest(t)
+    assert m["version"] == 2
+    assert spark.read.format("manifest_table").option("path", t).load().count() == 8
+    # schema drift without mergeSchema: fail loudly, nothing committed
+    drifted = _frame(spark, 2, "x").withColumn("extra", F.lit(1))
+    with pytest.raises(Exception, match="drifts the schema"):
+        drifted.write.format("manifest_table").option("path", t).mode("append").save()
+    assert read_manifest(t)["version"] == 2
+    assert os.listdir(os.path.join(t, "_staging")) == []  # staging cleaned
+    # opt-in evolution
+    drifted.write.format("manifest_table").option("path", t).option(
+        "mergeSchema", "true"
+    ).mode("append").save()
+    out = spark.read.format("manifest_table").option("path", t).load()
+    assert set(out.columns) == {"k", "v", "extra"}
+    assert out.filter("extra IS NULL").count() == 8
+    # overwrite snapshots
+    _frame(spark, 4, "z").write.format("manifest_table").option("path", t).mode(
+        "overwrite"
+    ).save()
+    assert spark.read.format("manifest_table").option("path", t).load().count() == 4
+
+
+def test_stream_writer_exactly_once(spark, tmp_path):
+    """df.writeStream.format('manifest_table'): one commit per batch id
+    under the txn fence; a forced replay (fresh checkpoint, same
+    appId) is fenced out file-for-file."""
+    from etl_data_pipeline_spark.sinks.manifest import read_table
+
+    t = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+    ev = _frame(spark, 20, "s").repartition(4)
+    ev.write.parquet(src)
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("k BIGINT, v STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.format("manifest_table")
+            .option("path", t).option("appId", "ingest")
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    m = read_manifest(t)
+    assert read_table(spark, t).count() == 20
+    n_files = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert m["txn"] == {"ingest": n_files - 1}
+
+    run("ck2")  # forced full replay with the same app
+    assert read_manifest(t)["version"] == m["version"]  # nothing re-landed
+    assert read_table(spark, t).count() == 20
+    assert os.listdir(os.path.join(t, "_staging")) == []  # replays cleaned up
