@@ -87,9 +87,10 @@ class _FilePartition(InputPartition):
     """Carries the target ARROW schema (picklable), resolved on the
     driver — executors have no SparkContext to parse DDL with."""
 
-    def __init__(self, file_path: str, arrow_schema):
+    def __init__(self, file_path: str, arrow_schema, filters=()):
         self.file_path = file_path
         self.arrow_schema = arrow_schema
+        self.filters = tuple(filters)
 
 
 def _arrow_type(simple: str):
@@ -159,8 +160,127 @@ def _read_file_as_arrow(file_path: str, want) -> Iterator:
         yield pa.RecordBatch.from_arrays(arrays, schema=want)
 
 
+def _filters_to_arrow_expression(filters, file_cols):
+    """Pushed Spark filters -> (pyarrow dataset expression | None,
+    provably_empty). Executor-side, per file: a filter on a column the
+    file predates (schema evolution) reads as all-null there — IsNull
+    passes every row (drop the clause), anything else passes none
+    (the whole file is skippable)."""
+    import pyarrow.dataset as ds
+
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        IsNull,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    expr = None
+    for f in filters:
+        col = f.attribute[0]
+        if col not in file_cols:
+            if isinstance(f, IsNull):
+                continue  # all-null column: trivially true
+            return None, True  # no row of this file can match
+        field = ds.field(col)
+        if isinstance(f, EqualTo):
+            e = field == f.value
+        elif isinstance(f, GreaterThan):
+            e = field > f.value
+        elif isinstance(f, GreaterThanOrEqual):
+            e = field >= f.value
+        elif isinstance(f, LessThan):
+            e = field < f.value
+        elif isinstance(f, LessThanOrEqual):
+            e = field <= f.value
+        elif isinstance(f, IsNull):
+            e = field.is_null()
+        elif isinstance(f, IsNotNull):
+            e = ~field.is_null()
+        elif isinstance(f, In):
+            e = field.isin(list(f.value))
+        else:  # pragma: no cover — pushFilters only accepts the above
+            continue
+        expr = e if expr is None else expr & e
+    return expr, False
+
+
+def _read_file_filtered(file_path: str, want, filters) -> Iterator:
+    """Executor-side filtered read: pyarrow dataset scanner applies the
+    pushed expression with parquet row-group statistics pruning, then
+    batches are conformed to the table schema. Falls back to the plain
+    reader when nothing was pushed."""
+    if not filters:
+        yield from _read_file_as_arrow(file_path, want)
+        return
+    import pyarrow as pa
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    have = {f.name for f in pq.ParquetFile(file_path).schema_arrow}
+    expr, empty = _filters_to_arrow_expression(filters, have)
+    if empty:
+        return
+    read_cols = [f.name for f in want if f.name in have]
+    scanner = ds.dataset(file_path, format="parquet").scanner(
+        columns=read_cols, filter=expr
+    )
+    for batch in scanner.to_batches():
+        arrays = []
+        for field in want:
+            if field.name in have:
+                arrays.append(
+                    batch.column(read_cols.index(field.name)).cast(field.type)
+                )
+            else:
+                arrays.append(pa.nulls(batch.num_rows, type=field.type))
+        yield pa.RecordBatch.from_arrays(arrays, schema=want)
+
+
+_PUSHABLE = None  # lazily-built tuple of supported Filter classes
+
+
+def _pushable_classes():
+    global _PUSHABLE
+    if _PUSHABLE is None:
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        _PUSHABLE = (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+    return _PUSHABLE
+
+
 class ManifestBatchReader(DataSourceReader):
-    """Snapshot read (current version, or ``version`` option)."""
+    """Snapshot read (current version, or ``version`` option).
+
+    Supports FILTER PUSHDOWN (pushFilters, Spark 4.1): simple
+    comparisons are translated to pyarrow dataset expressions on the
+    executor, which prune parquet ROW GROUPS by statistics before
+    decoding — the DataSource equivalent of the native reader's
+    PushedFilters. Every filter is also returned to Spark for
+    re-evaluation (pruning is an optimization, never the correctness
+    boundary)."""
 
     def __init__(self, options: dict):
         self.table_dir = _table_path(options)
@@ -181,15 +301,29 @@ class ManifestBatchReader(DataSourceReader):
         self._dirs = m["dirs"]
         self._schema = m.get("schema") or cur.get("schema") or {}
 
+    def pushFilters(self, filters):
+        self._filters = []
+        for f in filters:
+            # single-segment column paths on supported comparison shapes
+            if (
+                isinstance(f, _pushable_classes())
+                and len(getattr(f, "attribute", ())) == 1
+            ):
+                self._filters.append(f)
+            yield f  # Spark re-evaluates everything — pushdown only prunes
+
     def partitions(self) -> Sequence[InputPartition]:
         want = _arrow_schema_for(self._schema)
+        filters = tuple(getattr(self, "_filters", ()))
         return [
-            _FilePartition(f, want)
+            _FilePartition(f, want, filters)
             for f in _list_parquet_files(self.table_dir, self._dirs)
         ]
 
     def read(self, partition: _FilePartition) -> Iterator:
-        return _read_file_as_arrow(partition.file_path, partition.arrow_schema)
+        return _read_file_filtered(
+            partition.file_path, partition.arrow_schema, partition.filters
+        )
 
 
 class ManifestFeedStreamReader(DataSourceStreamReader):

@@ -209,3 +209,27 @@ def test_stream_writer_exactly_once(spark, tmp_path):
     assert read_manifest(t)["version"] == m["version"]  # nothing re-landed
     assert read_table(spark, t).count() == 20
     assert os.listdir(os.path.join(t, "_staging")) == []  # replays cleaned up
+
+
+def test_batch_reader_filter_pushdown(spark, tmp_path):
+    """pushFilters: simple predicates prune executor-side via pyarrow
+    row-group statistics; results are identical to the unfiltered path
+    (Spark re-evaluates every filter — pruning is never the
+    correctness boundary), including filters on evolved columns old
+    files predate."""
+    t = str(tmp_path / "t")
+    commit(_frame(spark, 1000, "a").repartition(4), t)
+    commit(
+        _frame(spark, 100, "b", base=5000).withColumn("extra", F.lit(1)),
+        t,
+        mode="append",
+        merge_schema=True,
+    )
+    df = spark.read.format("manifest_table").option("path", t).load()
+    assert df.filter("k >= 900 AND k < 5050").count() == 100 + 50
+    assert df.filter(F.col("v") == "b").count() == 100
+    assert df.filter("k IN (3, 5000, 5001)").count() == 3
+    # evolved column: old files are all-null for it
+    assert df.filter("extra IS NULL").count() == 1000
+    assert df.filter("extra = 1").count() == 100
+    assert df.filter("extra IS NOT NULL AND k < 5010").count() == 10
