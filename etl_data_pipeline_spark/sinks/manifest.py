@@ -624,15 +624,20 @@ def compact(
         return _commit_locked(df, table_dir, "overwrite", fence, data_change=False)
 
 
-def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
+def vacuum(
+    table_dir: str, keep_last: int = 2, staging_ttl_secs: float = 24 * 3600
+) -> list[int]:
     """Reclaim history past retention: drop version snapshots older
     than the newest ``keep_last``, then delete every delta directory
     NO retained version references (versions share dirs, so age alone
     never justifies deletion), plus crashed-commit debris — dirs and
     snapshots numbered ABOVE the current version (under the lease no
     commit is in flight, so anything above current is provably
-    garbage) and stray ``.manifest.tmp`` files. Returns the dropped
-    COMMITTED version numbers."""
+    garbage), stray ``.manifest.tmp`` files, and ``_staging`` spool
+    files older than ``staging_ttl_secs`` (a crashed DataSource writer
+    job leaks its staged parquet; an AGE threshold — not existence —
+    guards live writer tasks, which stage without the lease). Returns
+    the dropped COMMITTED version numbers."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1: the live version is never vacuumed")
     mpath = _manifest_path(table_dir)
@@ -681,4 +686,16 @@ def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
         for entry in os.listdir(table_dir):
             if entry.endswith(".manifest.tmp"):
                 os.unlink(os.path.join(table_dir, entry))
+        staging = os.path.join(table_dir, "_staging")
+        if os.path.isdir(staging):
+            import time as _time
+
+            horizon = _time.time() - staging_ttl_secs
+            for entry in os.listdir(staging):
+                p = os.path.join(staging, entry)
+                try:
+                    if os.path.getmtime(p) < horizon:
+                        os.unlink(p)
+                except FileNotFoundError:
+                    pass  # a writer just cleaned it up itself
     return sorted(set(removed))

@@ -669,3 +669,25 @@ def test_model_based_random_op_sequence(spark, tmp_path):
                 (r.k, r.tag) for r in read_changes(spark, t, since).collect()
             )
             assert feed == want, f"step {step} feed since {since}"
+
+
+def test_vacuum_reclaims_stale_staging_spools(spark, tmp_path):
+    """Crashed DataSource writer jobs leak _staging parquet; vacuum
+    deletes spools past the age threshold but never touches fresh
+    ones (a LIVE writer task may be staging right now)."""
+    import time
+
+    t = str(tmp_path / "t")
+    commit(_frame(spark, 3, "a"), t)
+    staging = os.path.join(t, "_staging")
+    os.makedirs(staging)
+    stale = os.path.join(staging, "dead.parquet")
+    fresh = os.path.join(staging, "live.parquet")
+    for p in (stale, fresh):
+        with open(p, "w") as f:
+            f.write("x")
+    old = time.time() - 100_000
+    os.utime(stale, (old, old))
+    vacuum(t, keep_last=2)  # default TTL 24h
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)
