@@ -252,6 +252,7 @@ def _commit_locked(
         dirs = [rel]
     out.write.parquet(data_dir)
     manifest = {"version": version, "dirs": dirs, "schema": schema, "fence": fence}
+    _record_rowcounts(manifest, cur, data_dir, appended=len(dirs) > 1, data_change=data_change)
     if not data_change:
         # layout-only commit (compaction): logically the same rows —
         # the change feed skips it instead of re-emitting the table
@@ -259,6 +260,24 @@ def _commit_locked(
     if prev_txn:
         manifest["txn"] = prev_txn  # carried forward + this commit's mark
     return _publish_version(table_dir, data_dir, manifest)
+
+
+def _record_rowcounts(
+    manifest: dict, cur: dict | None, data_dir: str, appended: bool, data_change: bool = True
+) -> None:
+    """Audit bookkeeping (DESCRIBE HISTORY's numRows): per-commit delta
+    row count from parquet footers, running total carried through the
+    manifest. Layout-only commits keep the total and contribute no
+    delta. Legacy manifests without a recorded total simply restart
+    the running total from this commit's perspective (None = unknown),
+    never guessing."""
+    delta = _dir_rowcount(data_dir)
+    manifest["delta_rows"] = delta if data_change else 0
+    if not appended:
+        manifest["total_rows"] = delta
+    else:
+        prev_total = (cur or {}).get("total_rows")
+        manifest["total_rows"] = None if prev_total is None else prev_total + delta
 
 
 def _publish_version(table_dir: str, data_dir: str, manifest: dict) -> dict:
@@ -347,6 +366,7 @@ def commit_staged_files(
             "schema": out_schema,
             "fence": fence,
         }
+        _record_rowcounts(manifest, cur, data_dir, appended=len(dirs) > 1)
         if prev_txn:
             manifest["txn"] = prev_txn
         return _publish_version(table_dir, data_dir, manifest)
@@ -389,6 +409,20 @@ def _write_durable(path: str, payload: str) -> None:
         os.fsync(dfd)
     finally:
         os.close(dfd)
+
+
+def _dir_rowcount(data_dir: str) -> int:
+    """Row count of one delta directory from parquet FOOTERS only —
+    metadata reads, no data pages, driver-side (the dir is one
+    commit's output, not the table)."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    for root, _dirs, files in os.walk(data_dir):
+        for name in files:
+            if name.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(root, name)).metadata.num_rows
+    return n
 
 
 def _fsync_tree(path: str) -> None:

@@ -691,3 +691,21 @@ def test_vacuum_reclaims_stale_staging_spools(spark, tmp_path):
     vacuum(t, keep_last=2)  # default TTL 24h
     assert not os.path.exists(stale)
     assert os.path.exists(fresh)
+
+
+def test_manifest_tracks_row_counts(spark, tmp_path):
+    """Audit bookkeeping: per-commit delta_rows (footer metadata, no
+    data read) and a running total_rows; compaction contributes zero
+    delta and preserves the total."""
+    from etl_data_pipeline_spark.sinks.manifest import compact
+
+    t = str(tmp_path / "t")
+    m1 = commit(_frame(spark, 5, "a"), t)
+    assert (m1["delta_rows"], m1["total_rows"]) == (5, 5)
+    m2 = commit(_frame(spark, 8, "b"), t, mode="append", merge_keys=("k",))
+    assert (m2["delta_rows"], m2["total_rows"]) == (3, 8)  # 0-4 fenced out
+    mc = compact(spark, t)
+    assert (mc["delta_rows"], mc["total_rows"]) == (0, 8)
+    m3 = commit(_frame(spark, 2, "c"), t)  # overwrite resets
+    assert (m3["delta_rows"], m3["total_rows"]) == (2, 2)
+    assert read_table(spark, t).count() == 2
