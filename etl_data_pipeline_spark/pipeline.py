@@ -148,6 +148,9 @@ class IncrementalPipeline:
                 t.name,
                 raw,
             )
+            self._guard_resync_duplication(
+                t, f"unparseable version watermark {raw!r}"
+            )
             since = 0
         cur = read_manifest(src_path)
         if cur is None:
@@ -168,6 +171,7 @@ class IncrementalPipeline:
                 since,
                 head,
             )
+            self._guard_resync_duplication(t, "source-rebuild resync")
             since = 0
         if (
             since > 0
@@ -201,6 +205,7 @@ class IncrementalPipeline:
             log.warning(
                 "table %s: %s — resyncing from the full snapshot", t.name, e
             )
+            self._guard_resync_duplication(t, "feed-break snapshot resync")
             df = read_table(self.spark, src_path, version=head)
         if t.expected_schema:
             df = validate_schema(df, t.expected_schema, allow_extra=True)
@@ -223,6 +228,24 @@ class IncrementalPipeline:
             write_sink(df, t.sink_format, t.name, dict(t.sink_options))
         self.store.set(t.name, head)  # only after successful load
         return TableRunResult(t.name, "loaded", new_watermark=head)
+
+    def _guard_resync_duplication(self, t: TableSpec, reason: str) -> None:
+        """Every version-feed degrade path that REPLAYS rows (full
+        feed / snapshot resync) is only safe when the sink can absorb
+        them idempotently (merge_keys) or is provably empty. A plain
+        append sink with existing content would silently duplicate —
+        the loud failure here is the §2.C safe side."""
+        if t.merge_keys:
+            return
+        if self._sink_reset_since_watermark(t):
+            return  # sink target missing/empty: the replay rebuilds it
+        raise RuntimeError(
+            f"table {t.name}: {reason} must replay rows that may already "
+            f"be loaded, but the sink has existing content and the spec "
+            f"has no merge_keys — a plain append would silently duplicate. "
+            f"Add merge_keys to the table spec, or clear the sink target "
+            f"to let the replay rebuild it."
+        )
 
     def _run_table_column_watermark(self, t: TableSpec) -> TableRunResult:
         """One table's read -> gate -> load -> watermark-advance cycle

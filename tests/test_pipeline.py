@@ -656,3 +656,43 @@ def test_pipeline_version_feed_rebuilt_source_resyncs(spark, sf_dir, tmp_path):
     assert sink.select("o_orderkey").distinct().count() == orders.count()
     # subsequent run: caught up on the new lifetime
     assert pipe.run()[0].status == "skipped_empty"
+
+
+def test_pipeline_version_feed_plain_append_resync_fails_loudly(
+    spark, sf_dir, tmp_path
+):
+    """The resync degrade paths replay rows; on a plain append sink
+    with existing content that would silently duplicate — the run must
+    fail the table with a clear remedy instead."""
+    from etl_data_pipeline_spark.sinks.manifest import commit as mcommit
+
+    src_dir = str(tmp_path / "msrc")
+    src_t = os.path.join(src_dir, "orders")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    mcommit(orders.filter(F.col("o_orderkey") < 800), src_t)
+
+    spec = PipelineSpec(
+        tables=[
+            TableSpec(
+                name="orders",
+                watermark_type="version",
+                source_format="manifest",
+                source_options={"dir": src_dir},
+                sink_options={"dir": str(tmp_path / "sink")},
+                # NO merge_keys: plain append sink
+            )
+        ]
+    )
+    store = WatermarkStore(tmp_path / "wm.json")
+    pipe = IncrementalPipeline(spark, spec, store)
+    assert pipe.run()[0].status == "loaded"
+    n_loaded = spark.read.parquet(str(tmp_path / "sink" / "orders")).count()
+
+    mcommit(orders, src_t)  # upstream OVERWRITE breaks the feed
+    r = pipe.run()[0]
+    assert r.status == "failed"
+    assert "merge_keys" in r.error and "duplicate" in r.error
+    # nothing was written: no silent duplication
+    assert (
+        spark.read.parquet(str(tmp_path / "sink" / "orders")).count() == n_loaded
+    )
