@@ -302,12 +302,26 @@ class ManifestBatchReader(DataSourceReader):
         self._schema = m.get("schema") or cur.get("schema") or {}
 
     def pushFilters(self, filters):
+        def _safe_value(v) -> bool:
+            # restrict pushed literals to types whose Arrow comparison
+            # semantics are unambiguous; timestamps (tz-aware column vs
+            # naive literal) stay Spark-side — they are still returned
+            # below, so nothing is lost but the pruning
+            import datetime
+
+            if v is None or isinstance(v, (bool, int, float, str, datetime.date)):
+                return not isinstance(v, datetime.datetime)
+            if isinstance(v, (list, tuple)):
+                return all(_safe_value(x) for x in v)
+            return False
+
         self._filters = []
         for f in filters:
             # single-segment column paths on supported comparison shapes
             if (
                 isinstance(f, _pushable_classes())
                 and len(getattr(f, "attribute", ())) == 1
+                and _safe_value(getattr(f, "value", None))
             ):
                 self._filters.append(f)
             yield f  # Spark re-evaluates everything — pushdown only prunes
