@@ -233,3 +233,76 @@ def test_batch_reader_filter_pushdown(spark, tmp_path):
     assert df.filter("extra IS NULL").count() == 1000
     assert df.filter("extra = 1").count() == 100
     assert df.filter("extra IS NOT NULL AND k < 5010").count() == 10
+
+
+def test_golden_path_pipeline_to_stream_composition(spark, sf_dir, tmp_path):
+    """The composed system, end to end: an incremental PIPELINE loads
+    parquet deltas into a manifest table (content-fenced appends); a
+    STREAMING query over the manifest_table DataSource consumes the
+    change feed into a downstream aggregate; compaction and vacuum run
+    between micro-batches. Exactly-once everywhere: the downstream
+    total equals the source exactly, across restarts."""
+    from etl_data_pipeline_spark.pipeline import IncrementalPipeline
+    from etl_data_pipeline_spark.sinks.manifest import vacuum
+    from etl_data_pipeline_spark.sinks.manifest import compact as mcompact
+    from etl_data_pipeline_spark.spec import PipelineSpec, TableSpec
+    from etl_data_pipeline_spark.watermark import WatermarkStore
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "sink" / "orders")
+    down = str(tmp_path / "down")
+    ckpt = str(tmp_path / "ckpt")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    orders.filter(F.col("o_orderkey") < 500).write.parquet(
+        os.path.join(src, "orders.parquet")
+    )
+
+    spec = PipelineSpec(
+        tables=[
+            TableSpec(
+                name="orders",
+                watermark_column="o_orderkey",
+                watermark_type="id",
+                source_options={"dir": src},
+                sink_format="manifest",
+                sink_options={"dir": str(tmp_path / "sink")},
+                merge_keys=("o_orderkey",),
+            )
+        ]
+    )
+    pipe = IncrementalPipeline(spark, spec, WatermarkStore(tmp_path / "wm.json"))
+
+    def drain():
+        q = (
+            spark.readStream.format("manifest_table").option("path", table).load()
+            .writeStream.format("parquet").option("path", down)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(down)
+
+    assert pipe.run()[0].status == "loaded"
+    assert drain().count() == 500
+
+    # wave 2 arrives; table is compacted and vacuumed behind the stream
+    orders.filter(
+        (F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1100)
+    ).write.mode("append").parquet(os.path.join(src, "orders.parquet"))
+    assert pipe.run()[0].status == "loaded"
+    mcompact(spark, table)
+    vacuum(table, keep_last=3)  # retention outlasts the consumer's lag
+
+    orders.filter(F.col("o_orderkey") >= 1100).write.mode("append").parquet(
+        os.path.join(src, "orders.parquet")
+    )
+    assert pipe.run()[0].status == "loaded"
+
+    out = drain()
+    assert out.count() == orders.count()  # exactly once, no gaps
+    assert out.select("o_orderkey").distinct().count() == orders.count()
+    # downstream aggregate agrees with the source of truth
+    got = out.agg(F.sum("o_totalprice")).first()[0]
+    want = orders.agg(F.sum("o_totalprice")).first()[0]
+    assert abs(got - want) < 1e-6
