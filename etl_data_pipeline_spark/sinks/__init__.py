@@ -211,6 +211,7 @@ def _manifest_sink(df: DataFrame, table: str, options: dict) -> None:
     from etl_data_pipeline_spark.sinks.manifest import commit as manifest_commit
 
     merge_keys = options.get("merge_keys")
+    partition_by = options.get("partition_by")
     manifest_commit(
         df,
         _target_path(table, options),
@@ -218,6 +219,7 @@ def _manifest_sink(df: DataFrame, table: str, options: dict) -> None:
         merge_schema=bool(options.get("merge_schema", False)),
         merge_keys=tuple(merge_keys) if merge_keys else None,
         txn=options.get("txn"),
+        partition_by=tuple(partition_by) if partition_by else None,
     )
 
 

@@ -162,6 +162,7 @@ def commit(
     merge_schema: bool = False,
     merge_keys: tuple[str, ...] | None = None,
     txn: tuple[str, int] | None = None,
+    partition_by: tuple[str, ...] | None = None,
 ) -> dict:
     """Commit ``df`` as the table's next version and return the new
     manifest.
@@ -206,7 +207,10 @@ def commit(
         raise ValueError(f"mode must be overwrite/append, not {mode!r}")
     os.makedirs(table_dir, exist_ok=True)
     with writer_lease(_manifest_path(table_dir)) as fence:
-        return _commit_locked(df, table_dir, mode, fence, merge_schema, merge_keys, txn)
+        return _commit_locked(
+            df, table_dir, mode, fence, merge_schema, merge_keys, txn,
+            partition_by=partition_by,
+        )
 
 
 def _commit_locked(
@@ -218,9 +222,23 @@ def _commit_locked(
     merge_keys: tuple[str, ...] | None = None,
     txn: tuple[str, int] | None = None,
     data_change: bool = True,
+    partition_by: tuple[str, ...] | None = None,
 ) -> dict:
     """Steps 1-4 of commit(); caller holds the manifest writer lease."""
     cur = read_manifest(table_dir)
+    # partitioning is a TABLE property, not a per-commit choice: the
+    # first commit fixes it; appends must match (or omit it — the
+    # manifest's layout is authoritative); changing it needs overwrite
+    cur_parts = tuple((cur or {}).get("partition_by") or ())
+    if mode == "append" and cur is not None:
+        if partition_by is not None and tuple(partition_by) != cur_parts:
+            raise ValueError(
+                f"append to {table_dir!r} changes partition_by "
+                f"{cur_parts} -> {tuple(partition_by)}; repartitioning "
+                f"the layout requires an overwrite commit"
+            )
+        partition_by = cur_parts or None
+    parts = tuple(partition_by or ())
     prev_txn: dict[str, int] = dict((cur or {}).get("txn", {}))
     if txn is not None:
         app_id, txn_version = txn
@@ -250,8 +268,19 @@ def _commit_locked(
     else:
         schema = _schema_of(df)
         dirs = [rel]
-    out.write.parquet(data_dir)
+    if parts:
+        missing = [c for c in parts if c not in out.columns]
+        if missing:
+            raise ValueError(
+                f"partition_by columns {missing} not in the DataFrame "
+                f"(columns: {out.columns})"
+            )
+        out.write.partitionBy(*parts).parquet(data_dir)
+    else:
+        out.write.parquet(data_dir)
     manifest = {"version": version, "dirs": dirs, "schema": schema, "fence": fence}
+    if parts:
+        manifest["partition_by"] = list(parts)
     _record_rowcounts(manifest, cur, data_dir, appended=len(dirs) > 1, data_change=data_change)
     if not data_change:
         # layout-only commit (compaction): logically the same rows —
@@ -351,6 +380,13 @@ def commit_staged_files(
         rel = os.path.join("_versions", f"v{version:08d}")
         data_dir = os.path.join(table_dir, rel)
         shutil.rmtree(data_dir, ignore_errors=True)
+        if cur is not None and cur.get("partition_by"):
+            raise ValueError(
+                f"{table_dir!r} is hive-partitioned by "
+                f"{cur['partition_by']}; the staged-files writer emits "
+                f"flat files — use the DataFrame commit() path for "
+                f"partitioned tables"
+            )
         if mode == "append" and cur is not None:
             out_schema = _check_schema_dict(cur, dict(schema), merge_schema, table_dir)
             dirs = list(cur["dirs"]) + [rel]
@@ -455,6 +491,8 @@ def _read_dirs(
     unionByName with null-fill so post-evolution reads see old deltas
     null-filled in the evolved columns; the final select pins the
     manifest's column order."""
+    from pyspark.sql import functions as F
+
     frames = [spark.read.parquet(os.path.join(table_dir, d)) for d in dirs]
     if len(frames) == 1:
         out = frames[0]
@@ -463,7 +501,14 @@ def _read_dirs(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
         )
     if schema:
-        out = out.select(*schema.keys())
+        # CAST to the recorded schema, not just select: hive-partition
+        # columns come back with DIRECTORY-INFERRED types (a string
+        # region partition stays string, but '2024-01-01' infers date,
+        # '42' infers int) — the manifest's recorded type is the
+        # contract
+        out = out.select(
+            *[F.col(c).cast(t).alias(c) for c, t in schema.items()]
+        )
     return out
 
 
@@ -652,10 +697,15 @@ def compact(
                     if f.endswith(".parquet")
                 )
         n_files = max(1, -(-total // target_file_bytes))  # ceil division
-        df = _read_dirs(spark, table_dir, cur["dirs"], cur.get("schema")).repartition(
-            n_files
+        parts = tuple(cur.get("partition_by") or ())
+        df = _read_dirs(spark, table_dir, cur["dirs"], cur.get("schema"))
+        # cluster by partition columns so the fold yields few files per
+        # partition, and PRESERVE the table's layout property
+        df = df.repartition(n_files, *parts) if parts else df.repartition(n_files)
+        return _commit_locked(
+            df, table_dir, "overwrite", fence, data_change=False,
+            partition_by=parts or None,
         )
-        return _commit_locked(df, table_dir, "overwrite", fence, data_change=False)
 
 
 def vacuum(

@@ -72,25 +72,41 @@ def _table_path(options: dict) -> str:
     return path
 
 
-def _list_parquet_files(table_dir: str, rel_dirs: list[str]) -> list[str]:
-    files: list[str] = []
+def _list_parquet_files(table_dir: str, rel_dirs: list[str]) -> list:
+    """(file_path, partition_values) pairs. Hive-partitioned delta dirs
+    encode partition values in the path (col=value segments,
+    URL-escaped, __HIVE_DEFAULT_PARTITION__ = null); flat tables get
+    an empty dict."""
+    from urllib.parse import unquote
+
+    out = []
     for rel in rel_dirs:
         d = os.path.join(table_dir, rel)
         for root, _dirs, names in os.walk(d):
-            files.extend(
-                os.path.join(root, n) for n in sorted(names) if n.endswith(".parquet")
-            )
-    return files
+            part_values = {}
+            for seg in os.path.relpath(root, d).split(os.sep):
+                if "=" in seg:
+                    col, _, raw = seg.partition("=")
+                    raw = unquote(raw)
+                    part_values[col] = (
+                        None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+                    )
+            for n in sorted(names):
+                if n.endswith(".parquet"):
+                    out.append((os.path.join(root, n), part_values))
+    return out
 
 
 class _FilePartition(InputPartition):
     """Carries the target ARROW schema (picklable), resolved on the
-    driver — executors have no SparkContext to parse DDL with."""
+    driver — executors have no SparkContext to parse DDL with — plus
+    the file's hive-partition values (raw strings from the path)."""
 
-    def __init__(self, file_path: str, arrow_schema, filters=()):
+    def __init__(self, file_path: str, arrow_schema, filters=(), part_values=None):
         self.file_path = file_path
         self.arrow_schema = arrow_schema
         self.filters = tuple(filters)
+        self.part_values = dict(part_values or {})
 
 
 def _arrow_type(simple: str):
@@ -141,12 +157,25 @@ def _arrow_schema_for(schema: dict[str, str]):
     return pa.schema([pa.field(c, _arrow_type(t)) for c, t in schema.items()])
 
 
-def _read_file_as_arrow(file_path: str, want) -> Iterator:
+def _const_array(raw, field, n):
+    """Constant column for a hive-partition value: the raw path string
+    cast through Arrow to the recorded type (None = hive null)."""
+    import pyarrow as pa
+
+    if raw is None:
+        return pa.nulls(n, type=field.type)
+    return pa.array([raw] * n, type=pa.string()).cast(field.type)
+
+
+def _read_file_as_arrow(file_path: str, want, part_values=None) -> Iterator:
     """Executor-side: stream one parquet file as Arrow record batches
     conformed to the table schema (missing evolved columns null-filled,
-    column order pinned). No pandas, no Python rows."""
+    hive-partition columns injected from the path, column order
+    pinned). No pandas, no Python rows."""
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    part_values = part_values or {}
     pf = pq.ParquetFile(file_path)
     have = {f.name for f in pf.schema_arrow}
     read_cols = [f.name for f in want if f.name in have]
@@ -155,6 +184,8 @@ def _read_file_as_arrow(file_path: str, want) -> Iterator:
         for field in want:
             if field.name in have:
                 arrays.append(batch.column(read_cols.index(field.name)).cast(field.type))
+            elif field.name in part_values:
+                arrays.append(_const_array(part_values[field.name], field, batch.num_rows))
             else:
                 arrays.append(pa.nulls(batch.num_rows, type=field.type))
         yield pa.RecordBatch.from_arrays(arrays, schema=want)
@@ -209,13 +240,17 @@ def _filters_to_arrow_expression(filters, file_cols):
     return expr, False
 
 
-def _read_file_filtered(file_path: str, want, filters) -> Iterator:
+def _read_file_filtered(file_path: str, want, filters, part_values=None) -> Iterator:
     """Executor-side filtered read: pyarrow dataset scanner applies the
     pushed expression with parquet row-group statistics pruning, then
-    batches are conformed to the table schema. Falls back to the plain
-    reader when nothing was pushed."""
+    batches are conformed to the table schema. Filters on partition
+    columns were already applied at PLAN time (directory pruning) and
+    are excluded from the scan expression here. Falls back to the
+    plain reader when nothing was pushed."""
+    part_values = part_values or {}
+    filters = [f for f in filters if f.attribute[0] not in part_values]
     if not filters:
-        yield from _read_file_as_arrow(file_path, want)
+        yield from _read_file_as_arrow(file_path, want, part_values)
         return
     import pyarrow as pa
     import pyarrow.dataset as ds
@@ -236,9 +271,82 @@ def _read_file_filtered(file_path: str, want, filters) -> Iterator:
                 arrays.append(
                     batch.column(read_cols.index(field.name)).cast(field.type)
                 )
+            elif field.name in part_values:
+                arrays.append(_const_array(part_values[field.name], field, batch.num_rows))
             else:
                 arrays.append(pa.nulls(batch.num_rows, type=field.type))
         yield pa.RecordBatch.from_arrays(arrays, schema=want)
+
+
+def _typed_part_value(raw, simple: str):
+    """Raw hive path string -> comparable Python value per the
+    manifest type (None = hive null; unparseable -> None, meaning
+    'unknown, do not prune')."""
+    import datetime
+
+    if raw is None:
+        return None
+    try:
+        if simple in ("tinyint", "smallint", "int", "bigint"):
+            return int(raw)
+        if simple in ("float", "double") or simple.startswith("decimal"):
+            return float(raw)
+        if simple == "boolean":
+            return raw.lower() == "true"
+        if simple == "date":
+            return datetime.date.fromisoformat(raw)
+        return raw  # string and anything else: compare as path string
+    except (ValueError, TypeError):
+        return None
+
+
+def _partition_prunes_file(filters, part_values, schema) -> bool:
+    """Driver-side directory pruning: True when a pushed filter on a
+    partition column PROVABLY rejects every row of the file. Unknown/
+    unparseable values never prune (correctness over pruning; Spark
+    re-evaluates all filters anyway)."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        IsNull,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    for f in filters:
+        col = f.attribute[0]
+        if col not in part_values:
+            continue
+        raw = part_values[col]
+        if raw is None:  # hive null partition
+            if isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual,
+                              LessThan, LessThanOrEqual, In, IsNotNull)):
+                return True  # null matches none of these
+            continue  # IsNull: passes
+        if isinstance(f, IsNull):
+            return True  # non-null partition: no row is null
+        v = _typed_part_value(raw, (schema or {}).get(col, "string"))
+        if v is None:
+            continue  # unparseable: keep the file
+        try:
+            if isinstance(f, EqualTo) and not v == f.value:
+                return True
+            if isinstance(f, GreaterThan) and not v > f.value:
+                return True
+            if isinstance(f, GreaterThanOrEqual) and not v >= f.value:
+                return True
+            if isinstance(f, LessThan) and not v < f.value:
+                return True
+            if isinstance(f, LessThanOrEqual) and not v <= f.value:
+                return True
+            if isinstance(f, In) and v not in list(f.value):
+                return True
+        except TypeError:
+            continue  # incomparable literal: keep the file
+    return False
 
 
 _PUSHABLE = None  # lazily-built tuple of supported Filter classes
@@ -330,13 +438,17 @@ class ManifestBatchReader(DataSourceReader):
         want = _arrow_schema_for(self._schema)
         filters = tuple(getattr(self, "_filters", ()))
         return [
-            _FilePartition(f, want, filters)
-            for f in _list_parquet_files(self.table_dir, self._dirs)
+            _FilePartition(f, want, filters, pv)
+            for f, pv in _list_parquet_files(self.table_dir, self._dirs)
+            if not _partition_prunes_file(filters, pv, self._schema)
         ]
 
     def read(self, partition: _FilePartition) -> Iterator:
         return _read_file_filtered(
-            partition.file_path, partition.arrow_schema, partition.filters
+            partition.file_path,
+            partition.arrow_schema,
+            partition.filters,
+            partition.part_values,
         )
 
 
@@ -396,14 +508,16 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         )
         want = _arrow_schema_for(schema or {})
         return [
-            _FilePartition(f, want)
-            for f in _list_parquet_files(self.table_dir, added)
+            _FilePartition(f, want, part_values=pv)
+            for f, pv in _list_parquet_files(self.table_dir, added)
         ]
 
     # -- executor-side read -------------------------------------------
 
     def read(self, partition: _FilePartition) -> Iterator:
-        return _read_file_as_arrow(partition.file_path, partition.arrow_schema)
+        return _read_file_as_arrow(
+            partition.file_path, partition.arrow_schema, partition.part_values
+        )
 
     def commit(self, end: dict) -> None:
         pass  # progress lives in the streaming checkpoint

@@ -709,3 +709,70 @@ def test_manifest_tracks_row_counts(spark, tmp_path):
     m3 = commit(_frame(spark, 2, "c"), t)  # overwrite resets
     assert (m3["delta_rows"], m3["total_rows"]) == (2, 2)
     assert read_table(spark, t).count() == 2
+
+
+def test_partitioned_table_roundtrip_and_layout_rules(spark, tmp_path):
+    """Hive-partitioned manifest tables: partition_by is a TABLE
+    property (first commit fixes it; appends must match; compaction
+    preserves it); reads cast directory-inferred partition values back
+    to the recorded schema."""
+    from etl_data_pipeline_spark.sinks.manifest import compact, read_changes
+
+    t = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("bucket"),
+        F.lit("a").alias("v"),
+    )
+    m1 = commit(df, t, partition_by=("bucket",))
+    assert m1["partition_by"] == ["bucket"]
+    out = read_table(spark, t)
+    assert out.schema.simpleString() == "struct<k:bigint,bucket:int,v:string>"
+    assert out.count() == 100
+    assert out.filter("bucket = 1").count() == 33
+
+    # append inherits the layout (no need to restate it)...
+    delta = spark.range(100, 120).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("bucket"),
+        F.lit("b").alias("v"),
+    )
+    commit(delta, t, mode="append")
+    assert read_table(spark, t).count() == 120
+    # ...but restating a DIFFERENT layout fails loudly
+    with pytest.raises(ValueError, match="changes partition_by"):
+        commit(delta, t, mode="append", partition_by=("v",))
+
+    # the change feed works across partitioned deltas
+    assert read_changes(spark, t, 1).count() == 20
+
+    # compaction preserves the layout property and the data
+    mc = compact(spark, t)
+    assert mc["partition_by"] == ["bucket"]
+    assert read_table(spark, t).count() == 120
+    # the compacted dir is physically hive-partitioned
+    cdir = os.path.join(t, mc["dirs"][0])
+    assert any(e.startswith("bucket=") for e in os.listdir(cdir))
+
+
+def test_partitioned_table_null_partition_value(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "x", "p1"), (2, "y", None), (3, "z", "p1")], "k INT, v STRING, part STRING"
+    )
+    commit(df, t, partition_by=("part",))
+    out = read_table(spark, t)
+    assert out.filter("part IS NULL").count() == 1
+    assert out.filter("part = 'p1'").count() == 2
+
+
+def test_staged_files_writer_rejects_partitioned_tables(spark, tmp_path):
+    from etl_data_pipeline_spark.sinks.manifest import commit_staged_files
+
+    t = str(tmp_path / "t")
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("p")
+    )
+    commit(df, t, partition_by=("p",))
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        commit_staged_files(t, [], {"k": "bigint", "p": "int"}, mode="append")

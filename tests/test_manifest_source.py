@@ -306,3 +306,40 @@ def test_golden_path_pipeline_to_stream_composition(spark, sf_dir, tmp_path):
     got = out.agg(F.sum("o_totalprice")).first()[0]
     want = orders.agg(F.sum("o_totalprice")).first()[0]
     assert abs(got - want) < 1e-6
+
+
+def test_datasource_partitioned_table_reads_and_prunes(spark, tmp_path):
+    """DataSource over a hive-partitioned manifest table: partition
+    values are injected from paths with the recorded types (incl. the
+    null partition), filters on partition columns prune whole files at
+    PLAN time, and the streaming feed carries partition columns too."""
+    t = str(tmp_path / "t")
+    df = spark.range(90).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("bucket"),
+        F.lit("a").alias("v"),
+    )
+    commit(df, t, partition_by=("bucket",))
+    # a null-partition delta
+    commit(
+        spark.createDataFrame([(1000, None, "n")], "k BIGINT, bucket INT, v STRING"),
+        t,
+        mode="append",
+    )
+    out = spark.read.format("manifest_table").option("path", t).load()
+    assert out.schema.simpleString() == "struct<k:bigint,bucket:int,v:string>"
+    assert out.count() == 91
+    assert out.filter("bucket = 2").count() == 30  # typed partition compare
+    assert out.filter("bucket IS NULL").count() == 1
+    assert out.filter("bucket >= 1 AND k < 10").count() == 6
+    # streaming feed over the partitioned deltas
+    q = (
+        spark.readStream.format("manifest_table").option("path", t).load()
+        .writeStream.format("memory").queryName("pfeed")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    feed = spark.table("pfeed")
+    assert feed.count() == 91
+    assert feed.filter("bucket = 0").count() == 30
