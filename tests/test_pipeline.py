@@ -696,3 +696,39 @@ def test_pipeline_version_feed_plain_append_resync_fails_loudly(
     assert (
         spark.read.parquet(str(tmp_path / "sink" / "orders")).count() == n_loaded
     )
+
+
+def test_pipeline_version_feed_over_partitioned_source(spark, sf_dir, tmp_path):
+    """The one remaining combination: version-keyed incremental runs
+    over a hive-PARTITIONED manifest source — feed deltas carry the
+    partition column with the recorded type."""
+    from etl_data_pipeline_spark.sinks.manifest import commit as mcommit
+
+    src_dir = str(tmp_path / "msrc")
+    src_t = os.path.join(src_dir, "orders")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).withColumn(
+        "bucket", (F.col("o_orderkey") % 4).cast("int")
+    )
+    mcommit(orders.filter("o_orderkey < 700"), src_t, partition_by=("bucket",))
+
+    spec = PipelineSpec(
+        tables=[
+            TableSpec(
+                name="orders",
+                watermark_type="version",
+                source_format="manifest",
+                source_options={"dir": src_dir},
+                sink_options={"dir": str(tmp_path / "sink")},
+                merge_keys=("o_orderkey",),
+            )
+        ]
+    )
+    store = WatermarkStore(tmp_path / "wm.json")
+    pipe = IncrementalPipeline(spark, spec, store)
+    assert pipe.run()[0].status == "loaded"
+    mcommit(orders.filter("o_orderkey >= 700"), src_t, mode="append")
+    assert pipe.run()[0].status == "loaded"
+    sink = spark.read.parquet(str(tmp_path / "sink" / "orders"))
+    assert sink.count() == orders.count()
+    assert dict(sink.dtypes)["bucket"] == "int"  # recorded type survives
+    assert sink.filter("bucket = 3").count() == orders.filter("bucket = 3").count()
