@@ -81,12 +81,22 @@ def jdbc_reader_options(table: str, options: dict) -> dict[str, str]:
     return out
 
 
-# Identifier quoting per JDBC dialect. CRITICAL for MySQL: in its
-# default sql_mode (no ANSI_QUOTES) a double-quoted "column" is a
-# STRING LITERAL, so an ANSI-quoted watermark predicate would compare
-# a constant against the bound — always false, zero rows forever,
-# silently. Backticks are MySQL's identifier quote.
-_DIALECT_IDENT_QUOTE = {"ansi": '"', "mysql": "`"}
+# Per-dialect SQL rendering: (identifier quote, timestamp literal).
+# Identifier quoting is CRITICAL for MySQL: in its default sql_mode
+# (no ANSI_QUOTES) a double-quoted "column" is a STRING LITERAL, so an
+# ANSI-quoted watermark predicate would compare a constant against the
+# bound — always false, zero rows forever, silently. Backticks are
+# MySQL's identifier quote. The timestamp literal is dialect-bound
+# too: Derby (live-tested in tests/test_jdbc_live.py against the
+# embedded engine) REJECTS the ANSI ``TIMESTAMP '...'`` literal with a
+# parse error and requires the function form ``TIMESTAMP('...')`` —
+# a loud failure, but one the contract tests could not see until the
+# SQL ran on the real engine.
+_DIALECTS: dict[str, tuple[str, str]] = {
+    "ansi": ('"', "TIMESTAMP '{}'"),
+    "mysql": ("`", "TIMESTAMP '{}'"),
+    "derby": ('"', "TIMESTAMP('{}')"),
+}
 
 
 def jdbc_incremental_dbtable(
@@ -108,28 +118,33 @@ def jdbc_incremental_dbtable(
 
     - strict ``>`` always (boundary rows are never re-read);
     - 'id' watermarks render as an integer literal;
-    - 'timestamp' watermarks render as an ANSI ``TIMESTAMP 'YYYY-MM-DD
-      HH:MM:SS[.ffffff]'`` literal (every mainstream dialect accepts it);
+    - 'timestamp' watermarks render as the dialect's timestamp literal
+      — ANSI ``TIMESTAMP 'YYYY-MM-DD HH:MM:SS[.ffffff]'`` for
+      ansi/mysql, the function form ``TIMESTAMP('...')`` for Derby
+      (which rejects the ANSI literal outright — found by executing
+      this SQL on the embedded engine, tests/test_jdbc_live.py);
     - any degrade condition (missing/unparseable value, unknown type)
       falls back to the bare table name — a FULL LOAD, exactly like the
       scan-side degrade paths (parse_watermark);
     - ``dialect`` picks the IDENTIFIER quote: 'ansi' (double quote —
-      Postgres/DuckDB/Oracle/standard) or 'mysql' (backtick; MySQL's
-      default sql_mode reads double quotes as string literals, which
-      would make the predicate constant-false). Unknown dialects raise
-      rather than guess — a wrong quote here is silent data loss.
+      Postgres/DuckDB/Oracle/standard), 'derby' (double quote), or
+      'mysql' (backtick; MySQL's default sql_mode reads double quotes
+      as string literals, which would make the predicate
+      constant-false). Unknown dialects raise rather than guess — a
+      wrong quote here is silent data loss.
 
-    Pure string assembly: unit-testable without a database, and the
-    contract tests additionally EXECUTE the result against DuckDB to
-    prove the SQL is engine-valid, not just well-shaped.
+    Pure string assembly: unit-testable without a database; the
+    contract tests EXECUTE the result against DuckDB, and the live
+    tests (tests/test_jdbc_live.py) execute it over real JDBC against
+    embedded Derby — engine-valid, not just well-shaped.
     """
     from etl_data_pipeline_spark.watermark import parse_watermark
 
     try:
-        q = _DIALECT_IDENT_QUOTE[dialect]
+        q, ts_fmt = _DIALECTS[dialect]
     except KeyError:
         raise ValueError(
-            f"unknown JDBC dialect {dialect!r} (have {sorted(_DIALECT_IDENT_QUOTE)})"
+            f"unknown JDBC dialect {dialect!r} (have {sorted(_DIALECTS)})"
         )
     value = parse_watermark(raw, watermark_type)
     if value is None:
@@ -146,7 +161,7 @@ def jdbc_incremental_dbtable(
             from datetime import timezone
 
             value = value.astimezone(timezone.utc).replace(tzinfo=None)
-        lit = "TIMESTAMP '" + value.isoformat(sep=" ") + "'"
+        lit = ts_fmt.format(value.isoformat(sep=" "))
     return f"(SELECT * FROM {table} WHERE {q}{column}{q} > {lit}) wm_pushdown"
 
 

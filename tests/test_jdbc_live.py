@@ -1,0 +1,228 @@
+"""LIVE JDBC integration: the full reference pipeline against a real
+database.
+
+Every prior round's JDBC verification was contract-level (option-map
+assembly + executing the pushdown SQL on DuckDB) because no DBMS server
+exists in this sandbox. But pyspark ships the Apache Derby EMBEDDED
+driver (jars/derby-10.16.1.1.jar) — a real transactional RDBMS running
+inside the Spark JVM, no network needed. These tests run the
+reference's entire loop (util.py:132-187 read, util.py:190-271 batched
+append, app.py:96-172 watermark cycle) end-to-end over genuine JDBC:
+
+- ``spark.read.format("jdbc")`` through ``read_source`` (real driver,
+  real SQL execution, server-side watermark pushdown via the dbtable
+  subquery from ``jdbc_incremental_dbtable``);
+- ``df.write.format("jdbc")`` through ``write_sink`` (batched inserts,
+  reference _insert_data util.py:226-247);
+- the full ``IncrementalPipeline`` with BOTH source and sink on JDBC —
+  the reference's MySQL->Postgres copy re-expressed as Derby->Derby —
+  including strict-``>`` boundary semantics, watermark advance,
+  skip-on-empty, and parallel multi-table fan-out against one DB.
+
+Derby notes: identifier quoting is ANSI (double quote) — the 'ansi'
+dialect in jdbc_incremental_dbtable; Spark's JDBC writer creates
+column names quoted (case-preserved) but leaves the table name
+unquoted, and our subquery assembler follows exactly that convention.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from etl_data_pipeline_spark.pipeline import IncrementalPipeline
+from etl_data_pipeline_spark.sinks import write_sink
+from etl_data_pipeline_spark.sources import jdbc_incremental_dbtable, read_source
+from etl_data_pipeline_spark.spec import PipelineSpec, TableSpec
+from etl_data_pipeline_spark.watermark import WatermarkStore
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@pytest.fixture(scope="module")
+def derby(spark, tmp_path_factory):
+    """One embedded Derby database per module; returns (url, props).
+
+    The JVM hosts the database, so its lifetime is the Spark session's
+    — exactly the single-process shape of local[*]. derby.log is
+    redirected out of the repo before the engine boots (the property
+    is read once at driver load)."""
+    root = tmp_path_factory.mktemp("derby")
+    jvm = spark._jvm
+    jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", str(root / "derby.log")
+    )
+    url = f"jdbc:derby:{root}/db;create=true"
+    return url, {"driver": DERBY_DRIVER}
+
+
+def _jdbc_opts(url: str, **extra):
+    return {"url": url, "driver": DERBY_DRIVER, **extra}
+
+
+def _seed(spark, url, table: str, rows, schema: str, mode="append"):
+    df = spark.createDataFrame(rows, schema)
+    df.write.jdbc(url, table, mode=mode, properties={"driver": DERBY_DRIVER})
+    return df
+
+
+def test_full_load_round_trip(spark, derby):
+    """read_source('jdbc') and write_sink('jdbc') against a live DB:
+    rows and schema survive the round trip (reference full-load path,
+    util.py:146 + util.py:251-271)."""
+    url, _ = derby
+    rows = [(i, float(i) * 1.5, f"name_{i}") for i in range(20)]
+    _seed(spark, url, "rt_src", rows, "id long, val double, name string")
+
+    df = read_source(spark, "jdbc", "rt_src", _jdbc_opts(url))
+    assert df.count() == 20
+    assert set(df.columns) == {"id", "val", "name"}
+
+    write_sink(df, "jdbc", "rt_sink", _jdbc_opts(url))
+    back = read_source(spark, "jdbc", "rt_sink", _jdbc_opts(url))
+    assert sorted(r.id for r in back.collect()) == list(range(20))
+
+
+def test_pushdown_subquery_filters_server_side(spark, derby):
+    """The dbtable subquery from jdbc_incremental_dbtable executes on
+    the DATABASE: only rows above the watermark ever leave the server
+    (reference WHERE-clause pushdown, util.py:148-161)."""
+    url, _ = derby
+    rows = [(i, f"v{i}") for i in range(1, 11)]
+    _seed(spark, url, "pd_src", rows, "rec_id long, payload string")
+
+    sub = jdbc_incremental_dbtable("pd_src", "rec_id", "id", "6", dialect="ansi")
+    assert sub == '(SELECT * FROM pd_src WHERE "rec_id" > 6) wm_pushdown'
+    df = read_source(spark, "jdbc", "pd_src", _jdbc_opts(url, dbtable=sub))
+    got = sorted(r.rec_id for r in df.collect())
+    assert got == [7, 8, 9, 10]  # strict >: boundary row 6 excluded
+
+
+def test_timestamp_literal_executes_on_derby(spark, derby):
+    """The ANSI TIMESTAMP '...' literal the assembler renders is real
+    SQL to a real engine — including a microsecond component."""
+    url, _ = derby
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [(i, base + dt.timedelta(seconds=i)) for i in range(10)]
+    _seed(spark, url, "ts_src", rows, "id long, evt_ts timestamp")
+
+    raw = (base + dt.timedelta(seconds=4, microseconds=500_000)).isoformat()
+    # Derby REJECTS the ANSI TIMESTAMP '...' literal (42X01) — the
+    # 'derby' dialect renders the function form instead. This is the
+    # defect class only live execution can catch: the ANSI string is
+    # well-shaped, DuckDB accepts it, Derby refuses it.
+    sub = jdbc_incremental_dbtable("ts_src", "evt_ts", "timestamp", raw,
+                                   dialect="derby")
+    assert "TIMESTAMP('2024-03-01 12:00:04.500000')" in sub
+    df = read_source(spark, "jdbc", "ts_src", _jdbc_opts(url, dbtable=sub))
+    assert sorted(r.id for r in df.collect()) == [5, 6, 7, 8, 9]
+
+
+class TestLivePipeline:
+    """IncrementalPipeline with source AND sink on live JDBC — the
+    reference's whole program (app.py:88-177) against a real DBMS."""
+
+    def _spec(self, url, src, dst, store_tables=None, **over):
+        t = TableSpec(
+            name=src,
+            watermark_column="order_id",
+            watermark_type="id",
+            source_format="jdbc",
+            source_options=_jdbc_opts(url),
+            sink_format="jdbc",
+            sink_options=_jdbc_opts(url, dbtable=dst),
+            **over,
+        )
+        return PipelineSpec(tables=[t])
+
+    def test_two_batch_incremental_copy(self, spark, derby, tmp_path):
+        url, _ = derby
+        store = WatermarkStore(tmp_path / "wm.json")
+        rows1 = [(i, f"st_{i % 3}", float(i)) for i in range(1, 11)]
+        _seed(spark, url, "orders_live", rows1,
+              "order_id long, order_status string, amount double")
+
+        pipe = IncrementalPipeline(
+            spark, self._spec(url, "orders_live", "orders_sink"), store
+        )
+        res = pipe.run()
+        assert [r.status for r in res] == ["loaded"]
+        assert store.get("orders_live") == "10"
+        sink = read_source(spark, "jdbc", "orders_sink", _jdbc_opts(url))
+        assert sink.count() == 10
+
+        # batch 2 appended upstream; second run copies ONLY the delta
+        rows2 = [(i, "new", float(i)) for i in range(11, 16)]
+        _seed(spark, url, "orders_live", rows2,
+              "order_id long, order_status string, amount double")
+        res = pipe.run()
+        assert [r.status for r in res] == ["loaded"]
+        assert store.get("orders_live") == "15"
+        got = read_source(spark, "jdbc", "orders_sink", _jdbc_opts(url)).collect()
+        ids = sorted(r.order_id for r in got)
+        assert ids == list(range(1, 16))  # no duplicates: strict > held
+
+        # third run: nothing new -> empty gate skips, watermark holds
+        res = pipe.run()
+        assert [r.status for r in res] == ["skipped_empty"]
+        assert store.get("orders_live") == "15"
+
+    def test_parallel_tables_one_database(self, spark, derby, tmp_path):
+        """Two tables fan out concurrently (ThreadPoolExecutor + FAIR
+        pools, dags/…:89-90) against ONE embedded Derby — the
+        reference's Airflow concurrency=4 shape on a live DB."""
+        url, _ = derby
+        store = WatermarkStore(tmp_path / "wm2.json")
+        for t in ("fan_a", "fan_b"):
+            _seed(spark, url, t, [(i, f"{t}_{i}") for i in range(1, 8)],
+                  "order_id long, payload string")
+        tables = [
+            TableSpec(
+                name=t,
+                watermark_column="order_id",
+                watermark_type="id",
+                source_format="jdbc",
+                source_options=_jdbc_opts(url),
+                sink_format="jdbc",
+                sink_options=_jdbc_opts(url, dbtable=f"{t}_sink"),
+            )
+            for t in ("fan_a", "fan_b")
+        ]
+        res = IncrementalPipeline(spark, PipelineSpec(tables=tables), store).run()
+        assert [r.status for r in res] == ["loaded", "loaded"]
+        for t in ("fan_a", "fan_b"):
+            assert store.get(t) == "7"
+            sink = read_source(spark, "jdbc", f"{t}_sink", _jdbc_opts(url))
+            assert sink.count() == 7
+
+    def test_failed_table_isolated_from_healthy_one(self, spark, derby, tmp_path):
+        """A table whose source does not exist fails alone; the healthy
+        table still loads (reference error isolation, app.py:175-177)."""
+        url, _ = derby
+        store = WatermarkStore(tmp_path / "wm3.json")
+        _seed(spark, url, "iso_ok", [(1, "a"), (2, "b")],
+              "order_id long, payload string")
+        tables = [
+            TableSpec(
+                name="iso_ok",
+                watermark_column="order_id",
+                watermark_type="id",
+                source_format="jdbc",
+                source_options=_jdbc_opts(url),
+                sink_format="jdbc",
+                sink_options=_jdbc_opts(url, dbtable="iso_ok_sink"),
+            ),
+            TableSpec(
+                name="iso_missing_table",
+                source_format="jdbc",
+                source_options=_jdbc_opts(url),
+                sink_format="jdbc",
+                sink_options=_jdbc_opts(url, dbtable="iso_missing_sink"),
+            ),
+        ]
+        res = IncrementalPipeline(spark, PipelineSpec(tables=tables), store).run()
+        by = {r.table: r for r in res}
+        assert by["iso_ok"].status == "loaded"
+        assert by["iso_missing_table"].status == "failed"
+        assert store.get("iso_ok") == "2"
