@@ -223,6 +223,20 @@ def _manifest_sink(df: DataFrame, table: str, options: dict) -> None:
     )
 
 
+def _avro_append(df: DataFrame, table: str, options: dict) -> None:
+    """Avro OCF append via the pure-Python ``avro_py`` DataSource
+    (sources/avro_format.py): one deflate-coded file per task, staged
+    then atomically published on driver commit."""
+    from etl_data_pipeline_spark.sources import avro_format
+
+    avro_format.register(df.sparkSession)
+    path = options.get("path") or os.path.join(options["dir"], f"{table}.avro")
+    writer = df.write.format(avro_format.FORMAT_NAME).mode("append")
+    if "codec" in options:
+        writer = writer.option("codec", str(options["codec"]))
+    writer.save(path)
+
+
 SINKS: dict[str, SinkFn] = {
     "parquet": _parquet_append,
     "csv": _csv_append,
@@ -230,6 +244,7 @@ SINKS: dict[str, SinkFn] = {
     "orc": _orc_append,
     "jdbc": _jdbc_append,
     "manifest": _manifest_sink,
+    "avro": _avro_append,
 }
 
 

@@ -207,6 +207,21 @@ def _manifest_source(spark: SparkSession, table: str, options: dict) -> DataFram
     return read_table(spark, path, version=None if version is None else int(version))
 
 
+def _avro_source(spark: SparkSession, table: str, options: dict) -> DataFrame:
+    """Avro OCF read via the engine's pure-Python ``avro_py``
+    DataSource (sources/avro_format.py) — spark-avro's jar is not
+    fetchable here, but the format is public and simple, so the
+    engine carries its own reader with byte-range splitting."""
+    from etl_data_pipeline_spark.sources import avro_format
+
+    avro_format.register(spark)
+    path = options.get("path") or os.path.join(options["dir"], f"{table}.avro")
+    reader = spark.read.format(avro_format.FORMAT_NAME)
+    if "splitBytes" in options:
+        reader = reader.option("splitBytes", str(options["splitBytes"]))
+    return reader.load(path)
+
+
 SOURCES: dict[str, SourceFn] = {
     "parquet": _parquet_source,
     "csv": _csv_source,
@@ -214,6 +229,7 @@ SOURCES: dict[str, SourceFn] = {
     "orc": _orc_source,
     "jdbc": _jdbc_source,
     "manifest": _manifest_source,
+    "avro": _avro_source,
 }
 
 

@@ -1,0 +1,855 @@
+"""Pure-Python Avro Object Container File (OCF) support as a Spark
+DataSource — closes the engine's one missing file format.
+
+The spark-avro module is an external jar this environment cannot
+fetch, but the FORMAT is public and simple (Avro 1.12 spec: binary
+encoding + object container files), so the engine implements it
+directly on Spark 4's Python DataSource API, the same mechanism as
+the ``manifest_table`` format (streaming/manifest_source.py):
+
+- ``spark.read.format("avro_py").load(path)`` — schema inferred from
+  the file header; reads are SPLIT BY BYTE RANGE with Hadoop-style
+  sync-marker scanning, so ONE large .avro file parallelizes across
+  executors exactly like the native formats (a 100 TB posture
+  requirement: per-file partitions would serialize on big files);
+- ``df.write.format("avro_py").mode(...).save(path)`` — one file per
+  task staged then atomically published on driver commit, deflate
+  codec by default.
+
+Type coverage (both directions): null/boolean/int/long/float/double/
+bytes/string, record (struct), array, map (string keys), enum->string,
+fixed->binary, union-with-null (nullability), logical types date and
+timestamp-millis/micros. Unions of multiple non-null branches and
+decimal logical types are rejected with a clear error — they have no
+faithful Spark mapping at this layer.
+
+Interop is tested against the JVM Avro implementation bundled with
+Spark (jars/avro-1.12.1.jar) via py4j: files written here are read by
+``org.apache.avro.file.DataFileReader`` and vice versa
+(tests/test_avro.py) — cross-implementation, not self-consistent-only.
+
+Reference parity note: the reference pipeline copies rows between
+DBMSes and has no file formats at all (util.py:132-271); formats are
+part of this engine's widened source/sink registry (SURVEY.md §2.A
+#21).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+from dataclasses import dataclass
+from datetime import date, datetime, timedelta, timezone
+from typing import Any, Callable, Iterator, Sequence
+
+MAGIC = b"Obj\x01"
+SYNC_SIZE = 16
+_EPOCH_DATE = date(1970, 1, 1)
+_EPOCH_DT = datetime(1970, 1, 1)
+FORMAT_NAME = "avro_py"
+DEFAULT_SPLIT_BYTES = 128 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------
+# binary primitives
+# ---------------------------------------------------------------------
+
+
+def zigzag_decode(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _read_varint(buf, pos: int) -> tuple[int, int]:
+    acc = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return acc, pos
+        shift += 7
+
+
+def read_long(buf, pos: int) -> tuple[int, int]:
+    raw, pos = _read_varint(buf, pos)
+    return zigzag_decode(raw), pos
+
+
+def write_long(out: bytearray, n: int) -> None:
+    # two's-complement zigzag over unbounded Python ints
+    u = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+# ---------------------------------------------------------------------
+# schema: Avro JSON <-> decoder/encoder trees and Spark DDL
+# ---------------------------------------------------------------------
+
+
+class AvroUnsupported(ValueError):
+    """Avro construct with no faithful Spark mapping at this layer."""
+
+
+def _is_null_union(sch) -> tuple[bool, Any]:
+    """(is nullable-union, the single non-null branch)."""
+    if isinstance(sch, list):
+        non_null = [s for s in sch if s != "null"]
+        if len(non_null) == 1:
+            return True, non_null[0]
+        raise AvroUnsupported(
+            f"union with {len(non_null)} non-null branches has no Spark type: {sch!r}"
+        )
+    return False, sch
+
+
+def avro_to_ddl(sch, named: dict | None = None) -> str:
+    """Avro schema (parsed JSON) -> Spark simpleString type."""
+    named = named if named is not None else {}
+    nullable, sch = _is_null_union(sch)
+    if isinstance(sch, str):
+        if sch in named:  # named-type reference (record/enum/fixed)
+            return named[sch]
+        return {
+            "null": "void",
+            "boolean": "boolean",
+            "int": "int",
+            "long": "bigint",
+            "float": "float",
+            "double": "double",
+            "bytes": "binary",
+            "string": "string",
+        }[sch]
+    t = sch["type"]
+    logical = sch.get("logicalType")
+    if logical == "date" and t == "int":
+        return "date"
+    if logical in ("timestamp-millis", "timestamp-micros") and t == "long":
+        return "timestamp"
+    if logical == "decimal":
+        raise AvroUnsupported("decimal logical type not supported (read as bytes upstream)")
+    if t == "record":
+        fields = ", ".join(
+            f"{f['name']}: {avro_to_ddl(f['type'], named)}" for f in sch["fields"]
+        )
+        ddl = f"struct<{fields}>"
+        named[sch["name"]] = ddl
+        return ddl
+    if t == "array":
+        return f"array<{avro_to_ddl(sch['items'], named)}>"
+    if t == "map":
+        return f"map<string,{avro_to_ddl(sch['values'], named)}>"
+    if t == "enum":
+        named[sch["name"]] = "string"
+        return "string"
+    if t == "fixed":
+        named[sch["name"]] = "binary"
+        return "binary"
+    if isinstance(t, (str, dict, list)):  # {"type": "long", ...} wrapper
+        return avro_to_ddl(t, named)
+    raise AvroUnsupported(f"unsupported Avro schema: {sch!r}")
+
+
+def avro_to_spark_type(sch, named: dict | None = None):
+    """Avro schema (parsed JSON) -> pyspark DataType, built directly
+    with type constructors — NOT via the DDL parser, because the
+    DataSource ``schema()`` hook runs in a Python worker process with
+    no SparkContext, where ``StructType.fromDDL`` cannot work."""
+    from pyspark.sql import types as T
+
+    named = named if named is not None else {}
+    _, sch = _is_null_union(sch)  # nullability is per-field in Spark
+    if isinstance(sch, str):
+        if sch in named:
+            return named[sch]
+        return {
+            "boolean": T.BooleanType(),
+            "int": T.IntegerType(),
+            "long": T.LongType(),
+            "float": T.FloatType(),
+            "double": T.DoubleType(),
+            "bytes": T.BinaryType(),
+            "string": T.StringType(),
+        }[sch]
+    t = sch["type"]
+    logical = sch.get("logicalType")
+    if logical == "date" and t == "int":
+        return T.DateType()
+    if logical in ("timestamp-millis", "timestamp-micros") and t == "long":
+        return T.TimestampType()
+    if logical == "decimal":
+        raise AvroUnsupported("decimal logical type not supported")
+    if t == "record":
+        st = T.StructType(
+            [
+                T.StructField(f["name"], avro_to_spark_type(f["type"], named), True)
+                for f in sch["fields"]
+            ]
+        )
+        named[sch["name"]] = st
+        return st
+    if t == "array":
+        return T.ArrayType(avro_to_spark_type(sch["items"], named), True)
+    if t == "map":
+        return T.MapType(T.StringType(), avro_to_spark_type(sch["values"], named), True)
+    if t == "enum":
+        named[sch["name"]] = T.StringType()
+        return T.StringType()
+    if t == "fixed":
+        named[sch["name"]] = T.BinaryType()
+        return T.BinaryType()
+    if isinstance(t, (str, dict, list)):
+        return avro_to_spark_type(t, named)
+    raise AvroUnsupported(f"unsupported Avro schema: {sch!r}")
+
+
+def spark_to_avro(dt, name: str = "record", ns: list | None = None) -> Any:
+    """Spark DataType -> Avro schema (JSON-able). Every field is made
+    nullable (union with null) — Spark columns are nullable by default
+    and a tighter writer schema buys nothing on read-back."""
+    from pyspark.sql import types as T
+
+    ns = ns if ns is not None else [0]
+    if isinstance(dt, T.StructType):
+        ns[0] += 1
+        return {
+            "type": "record",
+            "name": f"{name}_{ns[0]}" if name != "record" else "topLevelRecord",
+            "fields": [
+                {"name": f.name, "type": ["null", spark_to_avro(f.dataType, f.name, ns)]}
+                for f in dt.fields
+            ],
+        }
+    if isinstance(dt, T.ArrayType):
+        return {"type": "array", "items": ["null", spark_to_avro(dt.elementType, name, ns)]}
+    if isinstance(dt, T.MapType):
+        if not isinstance(dt.keyType, T.StringType):
+            raise AvroUnsupported("Avro maps require string keys")
+        return {"type": "map", "values": ["null", spark_to_avro(dt.valueType, name, ns)]}
+    if isinstance(dt, T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, T.TimestampType) or isinstance(dt, T.TimestampNTZType):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    simple = {
+        T.BooleanType: "boolean",
+        T.IntegerType: "int",
+        T.ShortType: "int",
+        T.ByteType: "int",
+        T.LongType: "long",
+        T.FloatType: "float",
+        T.DoubleType: "double",
+        T.BinaryType: "bytes",
+        T.StringType: "string",
+    }.get(type(dt))
+    if simple is None:
+        raise AvroUnsupported(f"no Avro mapping for Spark type {dt.simpleString()}")
+    return simple
+
+
+# -- decoder tree -----------------------------------------------------
+
+Decoder = Callable[[Any, int], tuple[Any, int]]
+
+
+def build_decoder(sch, named: dict | None = None) -> Decoder:
+    """Compile the writer schema into a closure tree once per
+    partition; per-row decoding then does no schema dispatch."""
+    named = named if named is not None else {}
+    nullable, sch = _is_null_union(sch)
+    if nullable:
+        inner = build_decoder(sch, named)
+
+        def dec_nullable(buf, pos):
+            idx, pos = read_long(buf, pos)
+            if idx == 0:
+                return None, pos
+            return inner(buf, pos)
+
+        return dec_nullable
+    if isinstance(sch, str) and sch in named:
+        ref = named[sch]
+        return lambda buf, pos: ref(buf, pos)
+    if isinstance(sch, str):
+        return _PRIMITIVE_DECODERS[sch]
+    t = sch["type"]
+    logical = sch.get("logicalType")
+    if logical == "date" and t == "int":
+
+        def dec_date(buf, pos):
+            v, pos = read_long(buf, pos)
+            return _EPOCH_DATE + timedelta(days=v), pos
+
+        return dec_date
+    if logical == "timestamp-micros" and t == "long":
+
+        def dec_ts_us(buf, pos):
+            v, pos = read_long(buf, pos)
+            return _EPOCH_DT + timedelta(microseconds=v), pos
+
+        return dec_ts_us
+    if logical == "timestamp-millis" and t == "long":
+
+        def dec_ts_ms(buf, pos):
+            v, pos = read_long(buf, pos)
+            return _EPOCH_DT + timedelta(milliseconds=v), pos
+
+        return dec_ts_ms
+    if t == "record":
+        field_decoders: list[Decoder] = []
+
+        def dec_record(buf, pos, _fd=field_decoders):
+            out = []
+            for d in _fd:
+                v, pos = d(buf, pos)
+                out.append(v)
+            return tuple(out), pos
+
+        named[sch["name"]] = dec_record  # registered BEFORE fields: recursion-safe
+        field_decoders.extend(build_decoder(f["type"], named) for f in sch["fields"])
+        return dec_record
+    if t == "array":
+        item = build_decoder(sch["items"], named)
+
+        def dec_array(buf, pos):
+            out = []
+            while True:
+                n, pos = read_long(buf, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:  # block with byte-size prefix
+                    n = -n
+                    _, pos = read_long(buf, pos)
+                for _ in range(n):
+                    v, pos = item(buf, pos)
+                    out.append(v)
+
+        return dec_array
+    if t == "map":
+        val = build_decoder(sch["values"], named)
+
+        def dec_map(buf, pos):
+            out = {}
+            while True:
+                n, pos = read_long(buf, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:
+                    n = -n
+                    _, pos = read_long(buf, pos)
+                for _ in range(n):
+                    k, pos = _dec_string(buf, pos)
+                    v, pos = val(buf, pos)
+                    out[k] = v
+
+        return dec_map
+    if t == "enum":
+        symbols = sch["symbols"]
+
+        def dec_enum(buf, pos):
+            i, pos = read_long(buf, pos)
+            return symbols[i], pos
+
+        named[sch["name"]] = dec_enum
+        return dec_enum
+    if t == "fixed":
+        size = sch["size"]
+
+        def dec_fixed(buf, pos):
+            return bytes(buf[pos : pos + size]), pos + size
+
+        named[sch["name"]] = dec_fixed
+        return dec_fixed
+    if isinstance(t, (str, dict, list)):
+        return build_decoder(t, named)
+    raise AvroUnsupported(f"unsupported Avro schema: {sch!r}")
+
+
+def _dec_null(buf, pos):
+    return None, pos
+
+
+def _dec_boolean(buf, pos):
+    return buf[pos] != 0, pos + 1
+
+
+def _dec_float(buf, pos):
+    return struct.unpack_from("<f", buf, pos)[0], pos + 4
+
+
+def _dec_double(buf, pos):
+    return struct.unpack_from("<d", buf, pos)[0], pos + 8
+
+
+def _dec_bytes(buf, pos):
+    n, pos = read_long(buf, pos)
+    return bytes(buf[pos : pos + n]), pos + n
+
+
+def _dec_string(buf, pos):
+    n, pos = read_long(buf, pos)
+    return str(buf[pos : pos + n], "utf-8"), pos + n
+
+
+_PRIMITIVE_DECODERS: dict[str, Decoder] = {
+    "null": _dec_null,
+    "boolean": _dec_boolean,
+    "int": read_long,
+    "long": read_long,
+    "float": _dec_float,
+    "double": _dec_double,
+    "bytes": _dec_bytes,
+    "string": _dec_string,
+}
+
+
+# -- encoder tree -----------------------------------------------------
+
+Encoder = Callable[[bytearray, Any], None]
+
+
+def build_encoder(sch) -> Encoder:
+    nullable, sch = _is_null_union(sch)
+    if nullable:
+        inner = build_encoder(sch)
+
+        def enc_nullable(out, v):
+            if v is None:
+                out.append(0)  # zigzag(0): union branch 0 = null
+            else:
+                out.append(2)  # zigzag(1)
+                inner(out, v)
+
+        return enc_nullable
+    if isinstance(sch, str):
+        return _PRIMITIVE_ENCODERS[sch]
+    t = sch["type"]
+    logical = sch.get("logicalType")
+    if logical == "date":
+
+        def enc_date(out, v: date):
+            write_long(out, (v - _EPOCH_DATE).days)
+
+        return enc_date
+    if logical == "timestamp-micros":
+
+        def enc_ts(out, v: datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(timezone.utc).replace(tzinfo=None)
+            write_long(out, (v - _EPOCH_DT) // timedelta(microseconds=1))
+
+        return enc_ts
+    if t == "record":
+        fields = [(f["name"], build_encoder(f["type"])) for f in sch["fields"]]
+
+        def enc_record(out, v):
+            # v: dict (arrow to_pylist row / nested struct) or tuple
+            if isinstance(v, dict):
+                for name, enc in fields:
+                    enc(out, v.get(name))
+            else:
+                for (name, enc), item in zip(fields, v):
+                    enc(out, item)
+
+        return enc_record
+    if t == "array":
+        item = build_encoder(sch["items"])
+
+        def enc_array(out, v):
+            if v:
+                write_long(out, len(v))
+                for x in v:
+                    item(out, x)
+            write_long(out, 0)
+
+        return enc_array
+    if t == "map":
+        val = build_encoder(sch["values"])
+
+        def enc_map(out, v):
+            # arrow's to_pylist renders MapType as a list of (k, v)
+            # tuples; plain dicts appear from hand-built rows
+            items = v.items() if isinstance(v, dict) else v
+            if v:
+                write_long(out, len(v))
+                for k, x in items:
+                    _enc_string(out, k)
+                    val(out, x)
+            write_long(out, 0)
+
+        return enc_map
+    raise AvroUnsupported(f"unsupported Avro write schema: {sch!r}")
+
+
+def _enc_boolean(out, v):
+    out.append(1 if v else 0)
+
+
+def _enc_float(out, v):
+    out.extend(struct.pack("<f", v))
+
+
+def _enc_double(out, v):
+    out.extend(struct.pack("<d", v))
+
+
+def _enc_bytes(out, v):
+    write_long(out, len(v))
+    out.extend(v)
+
+
+def _enc_string(out, v):
+    b = v.encode("utf-8")
+    write_long(out, len(b))
+    out.extend(b)
+
+
+_PRIMITIVE_ENCODERS: dict[str, Encoder] = {
+    "null": lambda out, v: None,
+    "boolean": _enc_boolean,
+    "int": write_long,
+    "long": write_long,
+    "float": _enc_float,
+    "double": _enc_double,
+    "bytes": _enc_bytes,
+    "string": _enc_string,
+}
+
+
+# ---------------------------------------------------------------------
+# OCF container
+# ---------------------------------------------------------------------
+
+
+@dataclass
+class OcfHeader:
+    schema: Any  # parsed writer schema JSON
+    codec: str
+    sync: bytes
+    data_start: int  # byte offset of the first block
+
+
+def read_header(f: io.BufferedReader) -> OcfHeader:
+    """Parse the OCF header from an open file positioned anywhere."""
+    f.seek(0)
+    head = f.read(4)
+    if head != MAGIC:
+        raise ValueError(f"not an Avro object container file (magic {head!r})")
+    # metadata is an Avro map<bytes>; read incrementally with a growing buffer
+    buf = bytearray(f.read(1 << 16))
+    while True:
+        try:
+            meta, pos = _try_parse_meta(buf)
+            break
+        except IndexError:
+            more = f.read(1 << 20)
+            if not more:
+                raise ValueError("truncated Avro header")
+            buf.extend(more)
+    sync = bytes(buf[pos : pos + SYNC_SIZE])
+    if len(sync) < SYNC_SIZE:
+        f.seek(4 + pos)
+        sync = f.read(SYNC_SIZE)
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise AvroUnsupported(
+            f"Avro codec {codec!r} not supported (null/deflate only; "
+            f"snappy/zstd need external libraries this build excludes)"
+        )
+    schema = json.loads(meta["avro.schema"])
+    return OcfHeader(schema=schema, codec=codec, sync=sync, data_start=4 + pos + SYNC_SIZE)
+
+
+def _try_parse_meta(buf) -> tuple[dict[str, bytes], int]:
+    meta: dict[str, bytes] = {}
+    pos = 0
+    while True:
+        n, pos = read_long(buf, pos)
+        if n == 0:
+            return meta, pos
+        if n < 0:
+            n = -n
+            _, pos = read_long(buf, pos)
+        for _ in range(n):
+            k, pos = _dec_string(buf, pos)
+            nb, pos = read_long(buf, pos)
+            if pos + nb > len(buf):
+                raise IndexError
+            meta[k] = bytes(buf[pos : pos + nb])
+            pos += nb
+
+
+def _inflate(data: bytes, codec: str) -> bytes:
+    if codec == "deflate":
+        return zlib.decompress(data, -15)
+    return data
+
+
+def _find_sync(f, sync: bytes, start: int, file_size: int) -> int | None:
+    """First offset >= ``start`` where the 16-byte sync marker begins
+    (Hadoop-style split alignment). Chunked scan with overlap so a
+    marker straddling a chunk boundary is still found."""
+    overlap = SYNC_SIZE - 1
+    pos = start
+    f.seek(pos)
+    prev_tail = b""
+    while pos < file_size:
+        chunk = f.read(1 << 20)
+        if not chunk:
+            return None
+        hay = prev_tail + chunk
+        i = hay.find(sync)
+        if i != -1:
+            return pos - len(prev_tail) + i
+        prev_tail = hay[-overlap:]
+        pos += len(chunk)
+    return None
+
+
+def iter_block_rows(
+    path: str, start: int, end: int, decoder: Decoder | None = None
+) -> Iterator[tuple]:
+    """Decode the rows of every block ANCHORED in ``[start, end)``.
+
+    Anchor rule (matches Hadoop's container input format): the first
+    block is anchored at offset 0; every later block is anchored at
+    the start of the sync marker that precedes it. Each byte range
+    therefore claims a disjoint, exhaustive set of blocks, and a
+    single huge file reads in parallel."""
+    with open(path, "rb") as f:
+        header = read_header(f)
+        dec = decoder or build_decoder(header.schema)
+        file_size = os.fstat(f.fileno()).st_size
+        if start == 0:
+            block_at, anchor = header.data_start, 0
+        else:
+            s = _find_sync(f, header.sync, start, file_size)
+            if s is None:
+                return
+            block_at, anchor = s + SYNC_SIZE, s
+        while anchor < end and block_at < file_size:
+            f.seek(block_at)
+            fixed = f.read(20)  # enough for two varints
+            if len(fixed) < 2:
+                return
+            nrows, p = read_long(fixed, 0)
+            nbytes, p = read_long(fixed, p)
+            f.seek(block_at + p)
+            data = _inflate(f.read(nbytes), header.codec)
+            got_sync = f.read(SYNC_SIZE)
+            if got_sync != header.sync:
+                raise ValueError(f"corrupt Avro block at {block_at} in {path!r}")
+            buf = memoryview(data)
+            pos = 0
+            for _ in range(nrows):
+                row, pos = dec(buf, pos)
+                yield row
+            anchor = block_at + p + nbytes  # this block's trailing sync
+            block_at = anchor + SYNC_SIZE
+
+
+class OcfWriter:
+    """Streaming OCF writer: rows are buffered and flushed as blocks."""
+
+    def __init__(self, f, avro_schema, codec: str = "deflate", block_rows: int = 4096):
+        self.f = f
+        self.codec = codec
+        self.block_rows = block_rows
+        self.encoder = build_encoder(avro_schema)
+        self.sync = os.urandom(SYNC_SIZE)
+        self._buf = bytearray()
+        self._rows = 0
+        meta = bytearray()
+        write_long(meta, 2)
+        _enc_string(meta, "avro.schema")
+        _enc_bytes(meta, json.dumps(avro_schema).encode())
+        _enc_string(meta, "avro.codec")
+        _enc_bytes(meta, codec.encode())
+        write_long(meta, 0)
+        f.write(MAGIC + bytes(meta) + self.sync)
+
+    def write_row(self, row) -> None:
+        self.encoder(self._buf, row)
+        self._rows += 1
+        if self._rows >= self.block_rows:
+            self.flush_block()
+
+    def flush_block(self) -> None:
+        if not self._rows:
+            return
+        data = bytes(self._buf)
+        if self.codec == "deflate":
+            c = zlib.compressobj(6, zlib.DEFLATED, -15)
+            data = c.compress(data) + c.flush()
+        head = bytearray()
+        write_long(head, self._rows)
+        write_long(head, len(data))
+        self.f.write(bytes(head) + data + self.sync)
+        self._buf.clear()
+        self._rows = 0
+
+    def close(self) -> None:
+        self.flush_block()
+        self.f.flush()
+
+
+# ---------------------------------------------------------------------
+# Spark DataSource
+# ---------------------------------------------------------------------
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+
+def _opt(options: dict, name: str, default=None):
+    """Spark lowercases DataSource option keys; accept either form."""
+    if name in options:
+        return options[name]
+    return options.get(name.lower(), default)
+
+
+def _avro_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, n)
+            for n in os.listdir(path)
+            if n.endswith(".avro") and not n.startswith((".", "_"))
+        )
+    return [path]
+
+
+@dataclass
+class _SplitPartition(InputPartition):
+    path: str
+    start: int
+    end: int
+
+
+class AvroBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = _opt(options, "path")
+        if not self.path:
+            raise ValueError("avro_py: .load(path) is required")
+        self.split_bytes = int(_opt(options, "splitBytes", DEFAULT_SPLIT_BYTES))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        parts = []
+        for fp in _avro_files(self.path):
+            size = os.path.getsize(fp)
+            step = max(self.split_bytes, 1 << 20)
+            for off in range(0, max(size, 1), step):
+                parts.append(_SplitPartition(fp, off, min(off + step, size)))
+        if not parts:
+            raise FileNotFoundError(f"no .avro files under {self.path!r}")
+        return parts
+
+    def read(self, partition: _SplitPartition) -> Iterator[tuple]:
+        return iter_block_rows(partition.path, partition.start, partition.end)
+
+
+@dataclass
+class _WrittenFile(WriterCommitMessage):
+    staged: str
+    rows: int
+
+
+class AvroArrowWriter(DataSourceArrowWriter):
+    """Stage one .avro file per task; publish by rename at commit
+    (same atomic-publish shape as the manifest writer)."""
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        self.path = _opt(options, "path")
+        if not self.path:
+            raise ValueError("avro_py: .save(path) is required")
+        self.overwrite = overwrite
+        self.codec = _opt(options, "codec", "deflate")
+        if self.codec not in ("null", "deflate"):
+            raise AvroUnsupported(f"avro_py: codec {self.codec!r} (null/deflate only)")
+        self.avro_schema = spark_to_avro(schema)
+
+    def write(self, iterator) -> _WrittenFile:
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, f"{uuid.uuid4().hex}.avro")
+        rows = 0
+        with open(staged, "wb") as f:
+            w = OcfWriter(f, self.avro_schema, codec=self.codec)
+            for batch in iterator:
+                for row in batch.to_pylist():
+                    w.write_row(row)
+                    rows += 1
+            w.close()
+        return _WrittenFile(staged=staged, rows=rows)
+
+    def commit(self, messages) -> None:
+        msgs = [m for m in messages if m and m.staged]
+        if self.overwrite:
+            for old in _avro_files(self.path):
+                os.unlink(old)
+        for i, m in enumerate(msgs):
+            final = os.path.join(self.path, f"part-{i:05d}-{os.path.basename(m.staged)}")
+            os.replace(m.staged, final)
+        self._rm_staging()
+
+    def abort(self, messages) -> None:
+        for m in messages or []:
+            if m and getattr(m, "staged", ""):
+                try:
+                    os.unlink(m.staged)
+                except FileNotFoundError:
+                    pass
+        self._rm_staging()
+
+    def _rm_staging(self) -> None:
+        try:
+            os.rmdir(os.path.join(self.path, "_staging"))
+        except OSError:
+            pass  # concurrent writer still staging
+
+
+class AvroDataSource(DataSource):
+    """``avro_py``: pure-Python Avro OCF batch reader/writer."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self):
+        from pyspark.sql.types import StructType
+
+        files = _avro_files(self.options.get("path", ""))
+        if not files:
+            raise ValueError("avro_py: cannot infer schema — no files")
+        with open(files[0], "rb") as f:
+            header = read_header(f)
+        st = avro_to_spark_type(header.schema)
+        if not isinstance(st, StructType):
+            raise AvroUnsupported("top-level Avro schema must be a record")
+        return st
+
+    def reader(self, schema) -> AvroBatchReader:
+        return AvroBatchReader(dict(self.options))
+
+    def writer(self, schema, overwrite: bool) -> AvroArrowWriter:
+        return AvroArrowWriter(dict(self.options), schema, overwrite)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the avro_py format."""
+    spark.dataSource.register(AvroDataSource)
