@@ -74,6 +74,10 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "dedup_canonical",
     "recsys_negative_samples",
+    # round-5 additions: the two heaviest of the new TPC-H shapes
+    # (multi-dim star agg; double groupBy + self-rejoin)
+    "tpch_q9ish",
+    "tpch_q21ish",
 ]
 
 

@@ -32,6 +32,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         scans,
         setops,
         subqueries,
+        tpch,
         udfs,
         windows,
     )
@@ -52,6 +53,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # constraint the order is stable (dict insertion order).
     modules = [
         # -- families holding this round's hoisted entries --
+        tpch,  # NEW in r5: zero driver evidence yet -> checked first
         subqueries, features, batch_analogs, reshape, curation, text_analysis,
         multimodal,
         # -- verified green in earlier rounds; cheap families first so
@@ -84,6 +86,16 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # evidence next. All pass the local sf0.01 gate; this refreshes the
     # hard driver signal per round-4 VERDICT "Next round" #1.
     hoist = [
+        # -- BRAND NEW (r5): no driver evidence at all — first priority
+        "tpch_q2ish",
+        "tpch_q7ish",
+        "tpch_q8ish",
+        "tpch_q9ish",
+        "tpch_q10ish",
+        "tpch_q12ish",
+        "tpch_q19ish",
+        "tpch_q20ish",
+        "tpch_q21ish",
         # windows family — r2-latest
         "window_rank",
         "window_running",

@@ -374,3 +374,66 @@ def test_negative_sampling_exchange_budget(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
     assert "max(p_partkey" in plan
     assert exchange_count(plan) <= 4
+
+
+def test_tpch_q21_single_fact_scan_no_self_rejoin(spark, sf_dir):
+    """q21ish must compute per-order counts via a window over the
+    aggregated relation, not a groupBy+rejoin — the naive formulation
+    makes Catalyst evaluate the per-pair chain twice (two lineitem
+    scans, a sort-merge self-join). Pin: one lineitem scan, one orders
+    scan, no SMJ, and the window exchange moves post-agg data only."""
+    from etl_data_pipeline_spark.operators import tpch
+    from etl_data_pipeline_spark.plans import exchange_count
+
+    spark.catalog.clearCache()
+    plan = _plan(tpch.tpch_q21ish(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("orders.parquet") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # agg shuffle + window repartition + final s_name agg; broadcasts
+    # are not exchanges of table data
+    assert exchange_count(plan) <= 3
+
+
+def test_tpch_q2_argmin_over_aggregated_relation(spark, sf_dir):
+    """q2ish's row_number ARGMIN must run over the per-(part,supp)
+    aggregate, never the raw fact rows: the Window's child contains the
+    HashAggregate. Also: dims broadcast, top-100 is TakeOrdered."""
+    from etl_data_pipeline_spark.operators import tpch
+
+    spark.catalog.clearCache()
+    plan = _plan(tpch.tpch_q2ish(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # Window appears after (above) the aggregate in the formatted tree
+    assert "Window" in plan and "HashAggregate" in plan
+
+
+def test_tpch_star_queries_broadcast_all_dims(spark, sf_dir):
+    """Every r5 star-shape query joins its dimensions as broadcasts —
+    no sort-merge join anywhere, no nested loop, exactly one fact scan
+    of lineitem."""
+    from etl_data_pipeline_spark.operators import tpch
+
+    for name in ("tpch_q7ish", "tpch_q8ish", "tpch_q9ish", "tpch_q10ish",
+                 "tpch_q19ish"):
+        spark.catalog.clearCache()
+        plan = _plan(tpch.QUERIES[name](spark, sf_dir))
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert plan.count("lineitem.parquet") == 1, name
+
+
+def test_tpch_q10_pushes_date_and_flag_filters(spark, sf_dir):
+    """q10ish's o_orderdate window and l_returnflag='R' both reach
+    their parquet scans as pushed filters."""
+    from etl_data_pipeline_spark.operators import tpch
+    from etl_data_pipeline_spark.plans import has_pushed_filter
+
+    spark.catalog.clearCache()
+    plan = _plan(tpch.tpch_q10ish(spark, sf_dir))
+    assert has_pushed_filter(plan, "EqualTo(l_returnflag,R)")
+    assert has_pushed_filter(plan, "o_orderdate")
