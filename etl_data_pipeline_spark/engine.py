@@ -103,6 +103,20 @@ class EtlEngine:
 
         return history(table_dir)
 
+    def merge(
+        self,
+        batch: DataFrame,
+        table_dir: str,
+        merge_keys: tuple[str, ...],
+        txn: tuple[str, int] | None = None,
+    ) -> dict:
+        """Row-level MERGE (upsert) into a manifest table: matched rows
+        replaced, unmatched inserted, unmatched delta dirs pruned via
+        parquet footer stats (sinks/manifest.py:merge_upsert)."""
+        from etl_data_pipeline_spark.sinks.manifest import merge_upsert
+
+        return merge_upsert(self.spark, table_dir, batch, merge_keys, txn=txn)
+
     def release_caches(self, blocking: bool = False) -> int:
         """Return this session's tracked storage memory to baseline
         (functions/caching.py) — for long-lived sessions composing

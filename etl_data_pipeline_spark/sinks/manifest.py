@@ -624,9 +624,10 @@ def read_changes(
             removed = prev - dirs
             if removed:
                 raise ValueError(
-                    f"change feed of {table_dir!r} broken by an overwrite "
-                    f"at version {v} (directories {sorted(removed)} "
-                    f"dropped); re-sync from a full snapshot"
+                    f"change feed of {table_dir!r} broken by an "
+                    f"overwrite/merge at version {v} (directories "
+                    f"{sorted(removed)} dropped); re-sync from a full "
+                    f"snapshot"
                 )
             added.extend(d for d in m["dirs"] if d not in prev and d not in added)
         # layout-only versions shift the baseline without logical change
@@ -665,6 +666,162 @@ def history(table_dir: str) -> list[dict]:
         except FileNotFoundError:
             continue  # vacuumed
     return out
+
+
+def _dir_key_range(table_dir: str, rel_dir: str, column: str):
+    """(min, max) of ``column`` across every parquet footer under one
+    delta directory, or None when pruning is impossible — missing
+    stats, a hive-partition column absent from the files, or any
+    footer read failure. Driver-side METADATA reads only (the same
+    footers `_dir_rowcount` uses); no data pages touched."""
+    import pyarrow.parquet as pq
+
+    lo = hi = None
+    for root, _dirs, files in os.walk(os.path.join(table_dir, rel_dir)):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            try:
+                md = pq.ParquetFile(os.path.join(root, fn)).metadata
+                idx = md.schema.names.index(column)
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    if lo is None or st.min < lo:
+                        lo = st.min
+                    if hi is None or st.max > hi:
+                        hi = st.max
+            except (ValueError, OSError, TypeError):
+                return None
+    return None if lo is None else (lo, hi)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table_dir: str,
+    batch: DataFrame,
+    merge_keys: tuple[str, ...],
+    txn: tuple[str, int] | None = None,
+) -> dict:
+    """Row-level MERGE (Delta's ``whenMatchedUpdateAll /
+    whenNotMatchedInsertAll``): table rows whose key matches a batch
+    row are REPLACED by it, unmatched batch rows are INSERTED, and —
+    the scale-defining part — delta directories that provably contain
+    NO matched key are carried into the new version UNTOUCHED.
+
+    Pruning uses parquet footer min/max statistics on the FIRST merge
+    key (the Delta/Iceberg file-skipping idiom, at directory grain):
+    a dir whose key range cannot intersect the batch's [min, max] is
+    kept as-is; everything else is rewritten as survivors (anti-join
+    on the full key) unioned with the batch into ONE new directory.
+    Cost is O(matched dirs + batch), not O(table) — on a table loaded
+    by time- or id-ordered appends, a merge touching recent keys
+    rewrites only the recent directories. Pruning degrades SAFELY:
+    missing stats / partition-column keys / unordered data just mean
+    more dirs rewritten, never a wrong result.
+
+    Contract:
+    - batch columns must match the manifest schema exactly (merge is
+      not a schema-evolution path);
+    - batch keys must be UNIQUE — "replace with which row?" is a
+      caller bug this surfaces loudly rather than resolving silently;
+    - ``txn=(app_id, version)`` gives the same exactly-once replay
+      fence as commit(); merge is also IDEMPOTENT by semantics
+      (replaying the same batch reproduces the same table state);
+    - old versions still time-travel to pre-merge rows (rewritten
+      dirs stay on disk, reference-counted by vacuum);
+    - the change feed cannot express row replacement: read_changes
+      across a merge version raises its re-sync error, exactly as for
+      an overwrite.
+
+    The reference has no update path at all — its sink is append-only
+    and replays duplicate (util.py:251-271, SURVEY.md §2.C #5); this
+    is the engine-side upsert endpoint for CDC-style workloads, the
+    manifest twin of scd1_upsert on the staged-swap sinks.
+    """
+    from pyspark.sql import functions as F
+
+    keys = list(merge_keys)
+    if not keys:
+        raise ValueError("merge_upsert needs at least one merge key")
+    os.makedirs(table_dir, exist_ok=True)
+    with writer_lease(_manifest_path(table_dir)) as fence:
+        cur = read_manifest(table_dir)
+        if cur is None:
+            # first write: merge degenerates to the initial commit
+            return _commit_locked(batch, table_dir, "overwrite", fence, txn=txn)
+        prev_txn: dict[str, int] = dict(cur.get("txn", {}))
+        if txn is not None:
+            app_id, txn_version = txn
+            if app_id in prev_txn and int(txn_version) <= prev_txn[app_id]:
+                return cur  # replayed batch: already merged
+            prev_txn[app_id] = int(txn_version)
+        schema = _check_schema(cur, batch, merge_schema=False, table_dir=table_dir)
+        missing = [k for k in keys if k not in batch.columns]
+        if missing:
+            raise ValueError(f"merge keys {missing} not in batch columns")
+        stats = batch.agg(
+            F.count("*").alias("n"),
+            F.count_distinct(*[F.col(k) for k in keys]).alias("nk"),
+            F.min(keys[0]).alias("kmin"),
+            F.max(keys[0]).alias("kmax"),
+        ).first()
+        if stats["n"] == 0:
+            return cur  # empty batch: nothing to merge, no version burned
+        if stats["n"] != stats["nk"]:
+            raise ValueError(
+                f"merge batch has duplicate keys ({stats['n']} rows, "
+                f"{stats['nk']} distinct {tuple(keys)}); deduplicate "
+                f"upstream — last-write-wins needs an ordering only the "
+                f"caller knows"
+            )
+        touched: list[str] = []
+        kept: list[str] = []
+        for d in cur["dirs"]:
+            rng = _dir_key_range(table_dir, d, keys[0])
+            try:
+                disjoint = rng is not None and (
+                    rng[1] < stats["kmin"] or rng[0] > stats["kmax"]
+                )
+            except TypeError:  # incomparable stat types: never prune
+                disjoint = False
+            (kept if disjoint else touched).append(d)
+        if touched:
+            existing = _read_dirs(spark, table_dir, touched, schema)
+            survivors = existing.join(batch.select(*keys), on=keys, how="left_anti")
+            out = survivors.unionByName(batch)
+        else:
+            out = batch
+        version = cur["version"] + 1
+        rel = os.path.join("_versions", f"v{version:08d}")
+        data_dir = os.path.join(table_dir, rel)
+        shutil.rmtree(data_dir, ignore_errors=True)
+        parts = tuple(cur.get("partition_by") or ())
+        if parts:
+            out.write.partitionBy(*parts).parquet(data_dir)
+        else:
+            out.write.parquet(data_dir)
+        manifest = {
+            "version": version,
+            "dirs": kept + [rel],
+            "schema": schema,
+            "fence": fence,
+        }
+        if parts:
+            manifest["partition_by"] = list(parts)
+        new_rows = _dir_rowcount(data_dir)
+        touched_rows = sum(
+            _dir_rowcount(os.path.join(table_dir, d)) for d in touched
+        )
+        manifest["delta_rows"] = new_rows
+        prev_total = cur.get("total_rows")
+        manifest["total_rows"] = (
+            None if prev_total is None else prev_total - touched_rows + new_rows
+        )
+        if prev_txn:
+            manifest["txn"] = prev_txn
+        return _publish_version(table_dir, data_dir, manifest)
 
 
 def compact(

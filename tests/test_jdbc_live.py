@@ -226,3 +226,23 @@ class TestLivePipeline:
         assert by["iso_ok"].status == "loaded"
         assert by["iso_missing_table"].status == "failed"
         assert store.get("iso_ok") == "2"
+
+
+def test_partitioned_parallel_read(spark, derby):
+    """The 4-option partitioned read (partitionColumn/lowerBound/
+    upperBound/numPartitions) against live Derby: Spark issues one
+    range-bounded query per partition — the intra-table parallelism
+    the reference never had (its fetchall is single-stream,
+    util.py:170). Verify the split is real (4 input partitions) and
+    exhaustive/disjoint (every row exactly once)."""
+    url, _ = derby
+    rows = [(i, f"p{i}") for i in range(1, 101)]
+    _seed(spark, url, "part_src", rows, "rec_id long, payload string")
+    df = read_source(
+        spark, "jdbc", "part_src",
+        _jdbc_opts(url, partitionColumn="rec_id", lowerBound=1,
+                   upperBound=101, numPartitions=4),
+    )
+    assert df.rdd.getNumPartitions() == 4
+    got = sorted(r.rec_id for r in df.collect())
+    assert got == list(range(1, 101))

@@ -1,0 +1,150 @@
+"""merge_upsert: row-level MERGE on manifest tables with footer-stats
+directory pruning (sinks/manifest.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_pipeline_spark.sinks import manifest as M
+
+
+def _rows(spark, lo, hi, tag="a"):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit(tag), F.col("id").cast("string")).alias("v"),
+    )
+
+
+def _table(spark, tmp_path, name="t"):
+    """Three appended delta dirs with DISJOINT key ranges: [0,100),
+    [100,200), [200,300)."""
+    td = str(tmp_path / name)
+    M.commit(_rows(spark, 0, 100), td, mode="overwrite")
+    M.commit(_rows(spark, 100, 200), td, mode="append")
+    M.commit(_rows(spark, 200, 300), td, mode="append")
+    return td
+
+
+def _content(spark, td, version=None):
+    return {
+        (r.k, r.v) for r in M.read_table(spark, td, version=version).collect()
+    }
+
+
+def test_merge_updates_inserts_preserves(spark, tmp_path):
+    td = _table(spark, tmp_path)
+    batch = spark.createDataFrame(
+        [(150, "UPDATED"), (999, "NEW")], "k long, v string"
+    )
+    m = M.merge_upsert(spark, td, batch, ("k",))
+    assert m["version"] == 4
+    got = _content(spark, td)
+    assert (150, "UPDATED") in got and (999, "NEW") in got
+    assert (150, "a150") not in got
+    assert (0, "a0") in got and (299, "a299") in got  # untouched rows
+    assert len(got) == 301  # 300 original + 1 insert
+    # time travel still shows the pre-merge row
+    assert (150, "a150") in _content(spark, td, version=3)
+
+
+def test_merge_prunes_disjoint_dirs(spark, tmp_path):
+    """A batch whose keys hit only the middle range must leave the
+    first and third delta dirs in the manifest UNTOUCHED (same rel
+    paths) — the footer-stats pruning contract."""
+    td = _table(spark, tmp_path)
+    before = M.read_manifest(td)["dirs"]
+    batch = spark.createDataFrame([(120, "X"), (180, "Y")], "k long, v string")
+    m = M.merge_upsert(spark, td, batch, ("k",))
+    assert before[0] in m["dirs"], "dir [0,100) wrongly rewritten"
+    assert before[2] in m["dirs"], "dir [200,300) wrongly rewritten"
+    assert before[1] not in m["dirs"], "matched dir must be rewritten"
+    assert len(m["dirs"]) == 3  # two kept + one new
+    got = _content(spark, td)
+    assert (120, "X") in got and (180, "Y") in got and len(got) == 300
+
+
+def test_merge_rowcount_audit(spark, tmp_path):
+    td = _table(spark, tmp_path)
+    batch = spark.createDataFrame([(150, "U"), (500, "N")], "k long, v string")
+    m = M.merge_upsert(spark, td, batch, ("k",))
+    assert m["total_rows"] == 301
+
+
+def test_merge_duplicate_batch_keys_fail(spark, tmp_path):
+    td = _table(spark, tmp_path)
+    batch = spark.createDataFrame([(1, "x"), (1, "y")], "k long, v string")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        M.merge_upsert(spark, td, batch, ("k",))
+
+
+def test_merge_schema_drift_fails(spark, tmp_path):
+    td = _table(spark, tmp_path)
+    batch = spark.createDataFrame([(1, "x", 2.0)], "k long, v string, extra double")
+    with pytest.raises(ValueError, match="drifts the schema"):
+        M.merge_upsert(spark, td, batch, ("k",))
+
+
+def test_merge_empty_batch_is_noop(spark, tmp_path):
+    td = _table(spark, tmp_path)
+    v = M.read_manifest(td)["version"]
+    batch = spark.createDataFrame([], "k long, v string")
+    m = M.merge_upsert(spark, td, batch, ("k",))
+    assert m["version"] == v  # no version burned
+
+
+def test_merge_on_fresh_table_is_initial_commit(spark, tmp_path):
+    td = str(tmp_path / "fresh")
+    batch = spark.createDataFrame([(1, "a")], "k long, v string")
+    m = M.merge_upsert(spark, td, batch, ("k",))
+    assert m["version"] == 1
+    assert _content(spark, td) == {(1, "a")}
+
+
+def test_merge_replay_is_idempotent_and_txn_fenced(spark, tmp_path):
+    td = _table(spark, tmp_path)
+    batch = spark.createDataFrame([(10, "U")], "k long, v string")
+    m1 = M.merge_upsert(spark, td, batch, ("k",), txn=("app", 1))
+    state1 = _content(spark, td)
+    # fenced replay: same txn version -> NO new version, same state
+    m2 = M.merge_upsert(spark, td, batch, ("k",), txn=("app", 1))
+    assert m2["version"] == m1["version"]
+    # unfenced replay: burns a version but reproduces the same table
+    m3 = M.merge_upsert(spark, td, batch, ("k",))
+    assert m3["version"] == m1["version"] + 1
+    assert _content(spark, td) == state1
+
+
+def test_merge_breaks_change_feed_like_overwrite(spark, tmp_path):
+    td = _table(spark, tmp_path)
+    batch = spark.createDataFrame([(10, "U")], "k long, v string")
+    M.merge_upsert(spark, td, batch, ("k",))
+    with pytest.raises(ValueError, match="overwrite/merge"):
+        M.read_changes(spark, td, 1)
+
+
+def test_merge_preserves_partition_layout(spark, tmp_path):
+    td = str(tmp_path / "pt")
+    df = spark.createDataFrame(
+        [(i, f"r{i % 3}", f"v{i}") for i in range(30)],
+        "k long, part string, v string",
+    )
+    M.commit(df, td, mode="overwrite", partition_by=("part",))
+    batch = spark.createDataFrame([(5, "r2", "UPD")], "k long, part string, v string")
+    m = M.merge_upsert(spark, td, batch, ("k",))
+    assert m["partition_by"] == ["part"]
+    new_dir = os.path.join(td, m["dirs"][-1])
+    assert any(d.startswith("part=") for d in os.listdir(new_dir))
+    got = {(r.k, r.part, r.v) for r in M.read_table(spark, td).collect()}
+    assert (5, "r2", "UPD") in got and len(got) == 30
+
+
+def test_dir_key_range_reads_footers(spark, tmp_path):
+    td = _table(spark, tmp_path)
+    dirs = M.read_manifest(td)["dirs"]
+    lo, hi = M._dir_key_range(td, dirs[0], "k")
+    assert (lo, hi) == (0, 99)
+    assert M._dir_key_range(td, dirs[1], "k") == (100, 199)
+    assert M._dir_key_range(td, dirs[0], "no_such_col") is None
