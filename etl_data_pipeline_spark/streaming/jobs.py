@@ -833,3 +833,64 @@ def run_stream_to_manifest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_stream_merge(
+    spark: SparkSession,
+    source_dir: str,
+    table_dir: str,
+    app_id: str,
+    key_cols: tuple[str, ...] = ("user_id",),
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    schema=None,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Streaming CDC → CURRENT-STATE table: each micro-batch is
+    compacted to its latest change per key (row_number over the order
+    columns — the cdc_compact_latest pattern) and applied as ONE
+    row-level MERGE into a manifest table (manifest.merge_upsert), so
+    the table always holds exactly the newest version of every key —
+    the Delta `foreachBatch + MERGE` streaming-upsert idiom, and the
+    SCD TYPE 1 counterpart of run_incremental_scd2's history-keeping
+    TYPE 2.
+
+    Exactly-once is DOUBLE-fenced: the manifest txn mark
+    ``(app_id, batch_id)`` skips a replayed batch before reading it,
+    and merge itself is idempotent by semantics (replacing a row with
+    the same row). The merge's footer-stats pruning keeps per-batch
+    cost O(matched dirs + batch) as the table grows — a hot-keys batch
+    rewrites only the directories containing those keys.
+
+    Upsert-only: deletes/tombstones are out of scope here (the change
+    feed cannot express them either); route deletions through a full
+    recompute or an SCD2 history table.
+    """
+    from pyspark.sql.window import Window
+
+    from etl_data_pipeline_spark.sinks.manifest import merge_upsert
+
+    stream = events_file_stream(spark, source_dir, schema=schema)
+    ckpt = checkpoint_dir or os.path.join(table_dir, "_checkpoint")
+    keys = list(key_cols)
+    order = [F.col(c).desc() for c in order_cols]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # nothing to merge; fence advances on data batches only
+        w = Window.partitionBy(*keys).orderBy(*order)
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        merge_upsert(
+            batch_df.sparkSession, table_dir, latest, tuple(keys),
+            txn=(app_id, int(batch_id)),
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )

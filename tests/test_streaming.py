@@ -768,3 +768,61 @@ def test_stream_to_manifest_periodic_compaction(spark, event_chunks, tmp_path):
     assert read_changes(spark, table, 0).count() == ev.count()
     # and the feed from the head is empty (caught up)
     assert read_changes(spark, table, m["version"]).count() == 0
+
+
+def test_stream_merge_current_state(spark, sf_dir, tmp_path):
+    """run_stream_merge: the manifest table holds exactly the LATEST
+    event per user after the stream drains — the streaming
+    foreachBatch+MERGE upsert idiom — and a forced full replay (fresh
+    checkpoint, same app_id) changes nothing: txn-fenced AND
+    semantically idempotent.
+
+    The feed is chunked BY USER (user_id % 4), so every user lives in
+    exactly one micro-batch and the expected final state is the global
+    latest-per-user — independent of the file source's delivery order
+    (merge is last-batch-wins across batches by design; a test keyed
+    to delivery order would pin source scheduling, not merge
+    semantics)."""
+    from pyspark.sql.window import Window
+
+    from etl_data_pipeline_spark.sinks.manifest import read_manifest, read_table
+
+    src = str(tmp_path / "merge_src")
+    ev = load_table(spark, sf_dir, "events")
+    ev.withColumn("chunk", F.col("user_id") % 4).repartition(4, "chunk").drop(
+        "chunk"
+    ).write.parquet(src)
+    table = str(tmp_path / "current")
+
+    q = jobs.run_stream_merge(
+        spark, src, table, app_id="cdc", key_cols=("user_id",),
+        order_cols=("ts", "event_id"),
+    )
+    q.awaitTermination(120)
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    expect = {
+        r.user_id: r.event_id
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    got = {
+        r.user_id: r.event_id for r in read_table(spark, table).collect()
+    }
+    assert got == expect
+    assert len(got) == ev.select("user_id").distinct().count()
+
+    m = read_manifest(table)
+    # forced replay with a fresh checkpoint: fence skips every batch
+    q2 = jobs.run_stream_merge(
+        spark, src, table, app_id="cdc", key_cols=("user_id",),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    assert read_manifest(table)["version"] == m["version"]
+    assert {
+        r.user_id: r.event_id for r in read_table(spark, table).collect()
+    } == expect
