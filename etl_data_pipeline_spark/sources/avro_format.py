@@ -851,5 +851,16 @@ class AvroDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent registration of the avro_py format."""
+    """Idempotent registration of the avro_py format.
+
+    Also pins the JVM's THREAD-LOCAL active session: Python DataSource
+    lookup resolves through SparkSession.getActiveSession, which a
+    fresh Python thread (the pipeline's per-table ThreadPoolExecutor)
+    does not have — without this, a format registered and visible on
+    the main thread raises DATA_SOURCE_NOT_FOUND from a worker thread.
+    Callers invoke register() immediately before read/write, so the
+    pin lands on the executing thread."""
     spark.dataSource.register(AvroDataSource)
+    jss = getattr(spark, "_jsparkSession", None)
+    if jss is not None:  # classic py4j session (not Spark Connect)
+        spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(jss)

@@ -555,8 +555,17 @@ class ManifestTableDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent format registration for the current session."""
+    """Idempotent format registration for the current session.
+
+    Also pins the JVM's thread-local active session so the format
+    resolves from pipeline worker threads (see
+    sources/avro_format.py:register for the full story — without the
+    pin, Python DataSource lookup from a fresh Python thread raises
+    DATA_SOURCE_NOT_FOUND even though the format is registered)."""
     spark.dataSource.register(ManifestTableDataSource)
+    jss = getattr(spark, "_jsparkSession", None)
+    if jss is not None:  # classic py4j session (not Spark Connect)
+        spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(jss)
 
 
 # -- write path -------------------------------------------------------

@@ -284,3 +284,53 @@ def test_we_read_jvm_file(spark, tmp_path):
     got = sorted(df.collect(), key=lambda r: r.id)
     assert len(got) == 50
     assert (got[7].id, got[7].name, got[7].score) == (7, "row_7", 3.5)
+
+
+def test_avro_incremental_pipeline_end_to_end(spark, tmp_path):
+    """Avro as a PIPELINE format: incremental avro source -> avro sink
+    through IncrementalPipeline — watermark advance, strict->, replay
+    shows only the delta, skip-on-empty. Proves 'avro' is a
+    first-class registry format like parquet/jdbc, not just a
+    DataSource demo."""
+    from etl_data_pipeline_spark.pipeline import IncrementalPipeline
+    from etl_data_pipeline_spark.sources import read_source
+    from etl_data_pipeline_spark.spec import PipelineSpec, TableSpec
+    from etl_data_pipeline_spark.watermark import WatermarkStore
+
+    src_dir = tmp_path / "src"
+    sink_dir = tmp_path / "sink"
+    src_dir.mkdir()
+    avro_format.register(spark)
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 11)], "order_id long, payload string"
+    ).write.format("avro_py").mode("append").save(str(src_dir / "orders.avro"))
+
+    spec = PipelineSpec(tables=[TableSpec(
+        name="orders",
+        watermark_column="order_id",
+        watermark_type="id",
+        source_format="avro",
+        source_options={"dir": str(src_dir)},
+        sink_format="avro",
+        sink_options={"dir": str(sink_dir)},
+    )])
+    store = WatermarkStore(tmp_path / "wm.json")
+    pipe = IncrementalPipeline(spark, spec, store)
+
+    res = pipe.run()
+    assert [r.status for r in res] == ["loaded"]
+    assert store.get("orders") == "10"
+
+    # batch 2 appended upstream as more .avro part files
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(11, 14)], "order_id long, payload string"
+    ).write.format("avro_py").mode("append").save(str(src_dir / "orders.avro"))
+    res = pipe.run()
+    assert [r.status for r in res] == ["loaded"]
+    assert store.get("orders") == "13"
+
+    sink = read_source(spark, "avro", "orders", {"dir": str(sink_dir)})
+    assert sorted(r.order_id for r in sink.collect()) == list(range(1, 14))
+
+    res = pipe.run()  # nothing new
+    assert [r.status for r in res] == ["skipped_empty"]
