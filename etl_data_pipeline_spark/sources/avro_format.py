@@ -28,6 +28,12 @@ Spark (jars/avro-1.12.1.jar) via py4j: files written here are read by
 ``org.apache.avro.file.DataFileReader`` and vice versa
 (tests/test_avro.py) — cross-implementation, not self-consistent-only.
 
+Honest throughput note: the decoder is a per-row Python closure tree —
+~280k rows/s/core on a 3-column record (measured). Splitting keeps it
+embarrassingly parallel, so this is a COMPATIBILITY format for
+ingest/export boundaries; convert to parquet (one read → write) for
+hot-path analytics, where the native vectorized readers apply.
+
 Reference parity note: the reference pipeline copies rows between
 DBMSes and has no file formats at all (util.py:132-271); formats are
 part of this engine's widened source/sink registry (SURVEY.md §2.A
@@ -620,22 +626,35 @@ def iter_block_rows(
 ) -> Iterator[tuple]:
     """Decode the rows of every block ANCHORED in ``[start, end)``.
 
-    Anchor rule (matches Hadoop's container input format): the first
-    block is anchored at offset 0; every later block is anchored at
-    the start of the sync marker that precedes it. Each byte range
+    Anchor rule (matches Hadoop's container input format): EVERY block
+    — including the first — is anchored at the start of the sync
+    marker that precedes it (the header ends with the sync, so the
+    first block's anchor is ``data_start - 16``). Each byte range
     therefore claims a disjoint, exhaustive set of blocks, and a
-    single huge file reads in parallel."""
+    single huge file reads in parallel.
+
+    The uniform rule matters: an earlier draft special-cased the first
+    block as "anchored at 0", and a split boundary falling INSIDE the
+    header then made the first block claimable twice — once by the
+    [0, ...) split via the special case and once by the split
+    containing the header's trailing sync via the scan. Found by the
+    hypothesis round-trip property (tests/test_property.py)."""
     with open(path, "rb") as f:
         header = read_header(f)
         dec = decoder or build_decoder(header.schema)
         file_size = os.fstat(f.fileno()).st_size
-        if start == 0:
-            block_at, anchor = header.data_start, 0
+        header_sync_at = header.data_start - SYNC_SIZE
+        if start <= header_sync_at:
+            # the first block's preceding sync is the header's tail —
+            # known exactly, no scan (and no false positive on sync
+            # bytes coincidentally inside the metadata)
+            anchor = header_sync_at
         else:
             s = _find_sync(f, header.sync, start, file_size)
             if s is None:
                 return
-            block_at, anchor = s + SYNC_SIZE, s
+            anchor = s
+        block_at = anchor + SYNC_SIZE
         while anchor < end and block_at < file_size:
             f.seek(block_at)
             fixed = f.read(20)  # enough for two varints

@@ -370,3 +370,68 @@ def test_hround_cross_engine_bit_exact(spark):
         got_np = np_round(pdf["v"], scale).to_numpy()
         assert np.array_equal(got_spark, got_duck), f"spark!=duck at scale {scale}"
         assert np.array_equal(got_spark, got_np), f"spark!=np at scale {scale}"
+
+
+# -- Avro binary codec: randomized round-trip + split invariance ------
+
+
+@st.composite
+def avro_rows(draw):
+    n = draw(st.integers(min_value=0, max_value=60))
+    rows = []
+    for i in range(n):
+        rows.append({
+            "id": draw(st.integers(min_value=-(2**62), max_value=2**62)),
+            "s": draw(st.one_of(st.none(), st.text(max_size=20))),
+            "v": draw(st.one_of(st.none(), st.floats(allow_nan=False))),
+            "flag": draw(st.booleans()),
+            "tags": draw(st.lists(st.integers(-1000, 1000), max_size=5)),
+        })
+    return rows
+
+
+_AVRO_SCHEMA = {
+    "type": "record", "name": "prop",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "v", "type": ["null", "double"]},
+        {"name": "flag", "type": "boolean"},
+        {"name": "tags", "type": {"type": "array", "items": "int"}},
+    ],
+}
+
+
+@settings(max_examples=25, deadline=None)
+@given(rows=avro_rows(), block_rows=st.integers(1, 7), codec=st.sampled_from(["null", "deflate"]), step_frac=st.floats(0.05, 1.0))
+def test_avro_codec_round_trip_any_split(rows, block_rows, codec, step_frac):
+    """ANY rows × ANY block size × ANY codec × ANY byte-range split
+    grid: the container round-trips exactly and splits stay disjoint +
+    exhaustive (sources/avro_format.py)."""
+    import os
+    import tempfile
+
+    from etl_data_pipeline_spark.sources.avro_format import (
+        OcfWriter,
+        iter_block_rows,
+    )
+
+    expect = [
+        (r["id"], r["s"], r["v"], r["flag"], r["tags"]) for r in rows
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "t.avro")
+        with open(p, "wb") as f:
+            w = OcfWriter(f, _AVRO_SCHEMA, codec=codec, block_rows=block_rows)
+            for r in rows:
+                w.write_row(r)
+            w.close()
+        size = os.path.getsize(p)
+        # whole-file read preserves order and values exactly
+        assert list(iter_block_rows(p, 0, size)) == expect
+        # split grid: multiset-equal regardless of step
+        step = max(64, int(size * step_frac))
+        got = []
+        for start in range(0, size, step):
+            got.extend(iter_block_rows(p, start, min(start + step, size)))
+        assert sorted(map(repr, got)) == sorted(map(repr, expect))
