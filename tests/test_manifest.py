@@ -593,13 +593,19 @@ def test_concurrent_appenders_with_txn_fences(spark, tmp_path):
 
 def test_model_based_random_op_sequence(spark, tmp_path):
     """Model-based check: a seeded random interleaving of append /
-    overwrite / compact / vacuum against a pure-Python model of the
-    table. Invariants after every op: read_table == model rows;
+    overwrite / merge / compact / vacuum against a pure-Python model
+    of the table. Invariants after every op: read_table == model rows;
     version monotone; the change feed from any still-retained
-    append-only suffix equals the model's appended rows."""
+    append-only suffix equals the model's appended rows (merge breaks
+    the feed exactly like overwrite)."""
     import random
 
-    from etl_data_pipeline_spark.sinks.manifest import compact, history, read_changes
+    from etl_data_pipeline_spark.sinks.manifest import (
+        compact,
+        history,
+        merge_upsert,
+        read_changes,
+    )
 
     rng = random.Random(20260814)
     t = str(tmp_path / "t")
@@ -621,7 +627,10 @@ def test_model_based_random_op_sequence(spark, tmp_path):
     appended_at[1] = list(model)
 
     for step in range(14):
-        op = rng.choice(["append", "append", "append", "compact", "vacuum", "overwrite"])
+        op = rng.choice(
+            ["append", "append", "append", "compact", "vacuum",
+             "overwrite", "merge", "merge"]
+        )
         if op == "append":
             n = rng.randint(0, 4)
             df = mk(n, f"a{step}")
@@ -643,6 +652,27 @@ def test_model_based_random_op_sequence(spark, tmp_path):
             model = list(rows)
             appended_at = {version: rows}
             overwritten_after = version
+        elif op == "merge":
+            upd = (
+                rng.sample([k for k, _ in model],
+                           min(len(model), rng.randint(0, 3)))
+                if model else []
+            )
+            n_new = rng.randint(0, 2)
+            new_rows = [(next_k + i, f"m{step}") for i in range(n_new)]
+            next_k += n_new
+            batch_rows = [(k, f"m{step}") for k in upd] + new_rows
+            if batch_rows:
+                merge_upsert(
+                    spark, t,
+                    spark.createDataFrame(batch_rows, "k BIGINT, tag STRING"),
+                    ("k",),
+                )
+                version += 1
+                dead = set(upd)
+                model = [r for r in model if r[0] not in dead] + batch_rows
+                appended_at = {version: []}
+                overwritten_after = version  # feed broken, like overwrite
         else:
             keep = rng.randint(2, 4)
             vacuum(t, keep_last=keep)
