@@ -729,6 +729,7 @@ from pyspark.sql.datasource import (  # noqa: E402
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
 )
@@ -842,8 +843,73 @@ class AvroArrowWriter(DataSourceArrowWriter):
             pass  # concurrent writer still staging
 
 
+class AvroStreamReader(DataSourceStreamReader):
+    """Streaming source over a directory of .avro files: the offset is
+    the SET of files already delivered, so discovery is correct for
+    ANY file-naming scheme (a `last-name` watermark would silently
+    skip files that sort before it — uuid part names do exactly that).
+
+    The offset therefore grows O(#files); a guard raises past
+    ``maxTrackedFiles`` (default 10k) with the standard remedy
+    (compact the landing dir, or convert to parquet / manifest — the
+    manifest stream's version offsets are O(1)). Files must be
+    IMMUTABLE once visible — writers must stage + rename, which this
+    module's own writer does.
+    """
+
+    MAX_DEFAULT = 10_000
+
+    def __init__(self, options: dict):
+        self.path = _opt(options, "path")
+        if not self.path:
+            raise ValueError("avro_py stream: 'path' option is required")
+        self.split_bytes = int(_opt(options, "splitBytes", DEFAULT_SPLIT_BYTES))
+        self.max_tracked = int(_opt(options, "maxTrackedFiles", self.MAX_DEFAULT))
+
+    def _names(self) -> list[str]:
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            n
+            for n in os.listdir(self.path)
+            if n.endswith(".avro") and not n.startswith((".", "_"))
+        )
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def latestOffset(self) -> dict:
+        names = self._names()
+        if len(names) > self.max_tracked:
+            raise ValueError(
+                f"avro_py stream over {self.path!r} tracks {len(names)} files "
+                f"(> maxTrackedFiles={self.max_tracked}); offsets store the "
+                f"seen-file set, so compact the landing directory or switch "
+                f"to the manifest_table stream (O(1) version offsets)"
+            )
+        return {"seen": names}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        new = sorted(set(end["seen"]) - set(start["seen"]))
+        parts: list[InputPartition] = []
+        step = max(self.split_bytes, 1 << 20)
+        for n in new:
+            fp = os.path.join(self.path, n)
+            size = os.path.getsize(fp)
+            for off in range(0, max(size, 1), step):
+                parts.append(_SplitPartition(fp, off, min(off + step, size)))
+        return parts
+
+    def read(self, partition: _SplitPartition) -> Iterator[tuple]:
+        return iter_block_rows(partition.path, partition.start, partition.end)
+
+    def commit(self, end: dict) -> None:
+        pass  # progress lives in the streaming checkpoint
+
+
 class AvroDataSource(DataSource):
-    """``avro_py``: pure-Python Avro OCF batch reader/writer."""
+    """``avro_py``: pure-Python Avro OCF batch reader/writer plus a
+    file-discovery streaming source."""
 
     @classmethod
     def name(cls) -> str:
@@ -867,6 +933,9 @@ class AvroDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> AvroArrowWriter:
         return AvroArrowWriter(dict(self.options), schema, overwrite)
+
+    def streamReader(self, schema) -> AvroStreamReader:
+        return AvroStreamReader(dict(self.options))
 
 
 def register(spark) -> None:

@@ -334,3 +334,53 @@ def test_avro_incremental_pipeline_end_to_end(spark, tmp_path):
 
     res = pipe.run()  # nothing new
     assert [r.status for r in res] == ["skipped_empty"]
+
+
+def test_avro_streaming_source_delta_only(spark, tmp_path):
+    """readStream over an avro landing dir: first drain delivers all
+    rows; files appended later are delivered EXACTLY once on the next
+    drain from the same checkpoint (seen-set offsets, so uuid part
+    names that sort before already-seen files are still picked up)."""
+    from etl_data_pipeline_spark.sources.avro_format import OcfWriter
+
+    avro_format.register(spark)
+    land = tmp_path / "land"
+    land.mkdir()
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "id", "type": "long"}]}
+
+    def drop_file(name, lo, hi):
+        with open(land / name, "wb") as f:
+            w = OcfWriter(f, schema, codec="null")
+            for i in range(lo, hi):
+                w.write_row({"id": i})
+            w.close()
+
+    drop_file("zzz-first.avro", 0, 50)  # sorts AFTER the later file
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        got: list[int] = []
+
+        def _sink(batch_df, _bid):
+            got.extend(r.id for r in batch_df.collect())
+
+        q = (
+            spark.readStream.format("avro_py")
+            .option("path", str(land))
+            .load()
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return set(got)
+
+    assert drain() == set(range(50))
+
+    # a file that SORTS BEFORE the seen one — a last-name watermark
+    # would silently skip it; the seen-set offset must not
+    drop_file("aaa-later.avro", 50, 80)
+    got = drain()
+    assert got == set(range(50, 80))  # delta only, exactly once

@@ -450,7 +450,9 @@ def test_change_feed_skips_compaction_but_breaks_on_overwrite(spark, tmp_path):
     # express — EVERY feed crossing it raises; the consumer re-syncs
     # from the post-overwrite snapshot
     for since in (1, 4):
-        with pytest.raises(ValueError, match="broken by an overwrite at version 5"):
+        with pytest.raises(
+            ValueError, match="broken by an overwrite/merge at version 5"
+        ):
             read_changes(spark, t, since)
     assert read_changes(spark, t, 5).count() == 0  # re-synced baseline
 
