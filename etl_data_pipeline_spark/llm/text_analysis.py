@@ -471,7 +471,44 @@ def _sql_ngrams_all(n: int) -> str:
     ELSE [] END"""
 
 
+DUP_SPAN_N = 6  # production substring dedup uses ~50-token windows
+DUP_SPAN_TOPK = 100
+
+
+def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated text spans — the exact-substring dedup
+    signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better"): every distinct 6-token span occurring in
+    two or more documents, ranked by spread. Downstream, these spans
+    are what a substring-level dedup pass cuts out of the corpus
+    (doc-level dedup keeps both copies when two different pages quote
+    the same boilerplate; this finds the boilerplate itself).
+
+    Plan at 100 TB: one corpus scan explodes per-doc DISTINCT spans
+    (the within-doc distinct keeps a doc's internal repetition from
+    inflating cross-doc counts — that signal is text_repetition's
+    job), then ONE shuffle on the span with map-side partial
+    aggregation; the top-k is TakeOrdered, never a global sort. Span
+    key cardinality is bounded by total corpus tokens, and hot spans
+    (the interesting ones) partial-aggregate away before the shuffle.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    spans = docs.select("doc_id", F.explode(_ngrams(DUP_SPAN_N)).alias("span"))
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("span"))
+        .limit(DUP_SPAN_TOPK)
+    )
+
+
 QUERIES = {
+    "text_duplicate_spans": text_duplicate_spans,
     "text_contamination": text_contamination,
     "text_pii_scrub": text_pii_scrub,
     "text_repetition": text_repetition,
@@ -521,6 +558,21 @@ def sql_quality_cte() -> str:
         )"""
 
 ORACLE = {
+    "text_duplicate_spans": f"""
+        WITH spans AS (
+            SELECT doc_id, unnest({_sql_ngrams(DUP_SPAN_N)}) AS span
+            FROM documents
+        )
+        SELECT span,
+               count(DISTINCT doc_id) AS n_docs,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM spans
+        GROUP BY span
+        HAVING count(DISTINCT doc_id) >= 2
+        ORDER BY n_docs DESC, span ASC
+        LIMIT {DUP_SPAN_TOPK}
+    """,
     "text_contamination": f"""
         WITH sh AS (
             SELECT doc_id, unnest({_sql_ngrams(CONTAM_NGRAM)}) AS ngram

@@ -96,6 +96,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "tpch_q19ish",
         "tpch_q20ish",
         "tpch_q21ish",
+        "text_duplicate_spans",
         # windows family — r2-latest
         "window_rank",
         "window_running",
