@@ -78,13 +78,15 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # hoisted to the very front regardless of family (the harness
     # checks only a ~50-entry prefix per round, so the hoist rotates
     # stale evidence back into the check window).
-    # Round-5 rotation: the 33 queries whose newest driver-green row is
-    # from round 2 (windows, setops, scalars date/math/case_null/array/
-    # json, both UDFs, LLM dedup, similarity, cdc_compact_latest) plus
-    # 17 r3-latest riders (subqueries, reshape, UDAFs, streaming
-    # batch-analogs) to fill the ~50-entry window and start rotating r3
-    # evidence next. All pass the local sf0.01 gate; this refreshes the
-    # hard driver signal per round-4 VERDICT "Next round" #1.
+    # Round-5 rotation: the 10 BRAND-NEW r5 queries (TPC-H shapes +
+    # text_duplicate_spans — no driver evidence yet) lead, then the 33
+    # queries whose newest driver-green row is from round 2 (windows,
+    # setops, scalars date/math/case_null/array/json, both UDFs, LLM
+    # dedup, similarity, cdc_compact_latest), then r3-latest riders
+    # (subqueries, reshape, UDAFs, streaming batch-analogs) fill the
+    # remainder of the ~50-entry window. All pass the local sf0.01
+    # gate; this refreshes the hard driver signal per round-4 VERDICT
+    # "Next round" #1.
     hoist = [
         # -- BRAND NEW (r5): no driver evidence at all — first priority
         "tpch_q2ish",

@@ -320,7 +320,13 @@ class IncrementalPipeline:
                 max_watermark(df, t.watermark_column) if t.is_incremental else None
             )
 
-            if t.merge_keys and t.sink_format == "manifest":
+            if (
+                t.merge_keys
+                and t.sink_format == "manifest"
+                and t.sink_options.get("mode") == "upsert"
+            ):
+                self._merge_upsert_sink(t, df)
+            elif t.merge_keys and t.sink_format == "manifest":
                 # manifest's own content fence: anti-join inside the
                 # lease-held commit, no duplicate rows on replay and no
                 # wasted version when the whole batch already landed
@@ -344,6 +350,42 @@ class IncrementalPipeline:
             # Checkpoint blocks have no explicit release API; dropping
             # the reference lets the ContextCleaner reclaim them.
             del df
+
+    def _merge_upsert_sink(self, t: TableSpec, df) -> None:
+        """CDC upsert sink: ``sink_options={'mode': 'upsert'}`` on a
+        manifest table with merge_keys routes the batch through
+        row-level MERGE (manifest.merge_upsert) instead of the
+        content-fence append — the append fence de-duplicates REPLAYS
+        of identical rows, but a CDC source emits NEW versions of an
+        existing key, which an append would duplicate and only a merge
+        can replace.
+
+        A CDC batch can carry several changes for one key; merge
+        requires unique keys, so the batch is first compacted to the
+        newest change per key BY THE WATERMARK COLUMN (the only
+        ordering the spec declares; ties broken arbitrarily but
+        deterministically by row order within the checkpointed batch
+        is not enough — the watermark ordering is the contract, and a
+        full-load table has no ordering, so there the batch must
+        already be key-unique or merge fails loudly)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from etl_data_pipeline_spark.sinks.manifest import merge_upsert
+
+        opts = t.sink_options
+        path = opts.get("path") or os.path.join(opts["dir"], t.name)
+        batch = df
+        if t.is_incremental and t.watermark_column:
+            w = Window.partitionBy(*t.merge_keys).orderBy(
+                F.col(t.watermark_column).desc()
+            )
+            batch = (
+                batch.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        merge_upsert(self.spark, path, batch, t.merge_keys)
 
     def _sink_reset_since_watermark(self, t: TableSpec) -> bool:
         """True when the sink target provably no longer exists for a

@@ -148,3 +148,61 @@ def test_dir_key_range_reads_footers(spark, tmp_path):
     assert (lo, hi) == (0, 99)
     assert M._dir_key_range(td, dirs[1], "k") == (100, 199)
     assert M._dir_key_range(td, dirs[0], "no_such_col") is None
+
+
+def test_pipeline_upsert_mode_cdc(spark, tmp_path):
+    """TableSpec with sink_format='manifest', mode='upsert': a CDC
+    source whose later batches carry NEW VERSIONS of existing keys is
+    applied as row-level MERGE — the content-fence append would
+    duplicate those keys. In-batch multi-change keys compact to the
+    newest change by the watermark column first."""
+    from pyspark.sql import functions as F
+
+    from etl_data_pipeline_spark.pipeline import IncrementalPipeline
+    from etl_data_pipeline_spark.spec import PipelineSpec, TableSpec
+    from etl_data_pipeline_spark.watermark import WatermarkStore
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    sink = str(tmp_path / "state")
+    # batch 1: inserts for keys 1..5 (change ids 1..5)
+    spark.createDataFrame(
+        [(i, i, f"v1_{i}") for i in range(1, 6)],
+        "change_id long, k long, val string",
+    ).write.mode("append").parquet(str(src / "cdc_users.parquet"))
+
+    spec = PipelineSpec(tables=[TableSpec(
+        name="cdc_users",
+        watermark_column="change_id",
+        watermark_type="id",
+        source_format="parquet",
+        source_options={"dir": str(src)},
+        sink_format="manifest",
+        sink_options={"path": sink, "mode": "upsert"},
+        merge_keys=("k",),
+    )])
+    store = WatermarkStore(tmp_path / "wm.json")
+    pipe = IncrementalPipeline(spark, spec, store)
+
+    assert [r.status for r in pipe.run()] == ["loaded"]
+    assert store.get("cdc_users") == "5"
+    got = {(r.k, r.val) for r in M.read_table(spark, sink).collect()}
+    assert got == {(i, f"v1_{i}") for i in range(1, 6)}
+
+    # batch 2: TWO changes for k=2 (ids 6 then 8 — newest must win)
+    # and one new key 9 (id 7)
+    spark.createDataFrame(
+        [(6, 2, "stale"), (7, 9, "v1_9"), (8, 2, "v2_2")],
+        "change_id long, k long, val string",
+    ).write.mode("append").parquet(str(src / "cdc_users.parquet"))
+    assert [r.status for r in pipe.run()] == ["loaded"]
+    assert store.get("cdc_users") == "8"
+    got = {(r.k, r.val) for r in M.read_table(spark, sink).collect()}
+    assert (2, "v2_2") in got and (2, "stale") not in got
+    assert (9, "v1_9") in got
+    assert len(got) == 6  # keys 1..5 + 9, each exactly once
+
+    # nothing new -> empty gate, no version burned
+    v = M.read_manifest(sink)["version"]
+    assert [r.status for r in pipe.run()] == ["skipped_empty"]
+    assert M.read_manifest(sink)["version"] == v
