@@ -206,3 +206,48 @@ def test_pipeline_upsert_mode_cdc(spark, tmp_path):
     v = M.read_manifest(sink)["version"]
     assert [r.status for r in pipe.run()] == ["skipped_empty"]
     assert M.read_manifest(sink)["version"] == v
+
+
+def test_concurrent_merges_and_appends_no_lost_updates(spark, tmp_path):
+    """8 writer threads — 4 merging disjoint key ranges, 4 appending
+    fresh ranges — race on one table. The writer lease serializes
+    commits, so every update and every append must land (no lost
+    update from a stale read-modify-write), versions strictly
+    monotone, and the final table equal to the model."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    td = str(tmp_path / "race")
+    M.commit(_rows(spark, 0, 400, "base"), td, mode="overwrite")
+
+    def do_merge(i):
+        lo = i * 100
+        batch = spark.createDataFrame(
+            [(k, f"m{i}") for k in range(lo + 10, lo + 20)], "k long, v string"
+        )
+        M.merge_upsert(spark, td, batch, ("k",))
+
+    def do_append(i):
+        lo = 1000 + i * 100
+        M.commit(_rows(spark, lo, lo + 5, f"ap{i}"), td, mode="append")
+
+    with ThreadPoolExecutor(8) as pool:
+        futs = [pool.submit(do_merge, i) for i in range(4)]
+        futs += [pool.submit(do_append, i) for i in range(4)]
+        for f in futs:
+            f.result()
+
+    got = dict(_content(spark, td))
+    # every merged key carries its merge tag (no lost update)
+    for i in range(4):
+        for k in range(i * 100 + 10, i * 100 + 20):
+            assert got[k] == f"m{i}", (k, got[k])
+    # untouched base rows intact
+    assert got[0] == "base0" and got[399] == "base399"
+    # every append landed
+    for i in range(4):
+        for k in range(1000 + i * 100, 1000 + i * 100 + 5):
+            assert got[k] == f"ap{i}{k}"
+    assert len(got) == 400 + 20
+    # versions: 1 initial + 8 racing commits, strictly sequential
+    assert M.read_manifest(td)["version"] == 9
+    assert [h["version"] for h in M.history(td)] == list(range(1, 10))
