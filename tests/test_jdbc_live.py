@@ -246,3 +246,36 @@ def test_partitioned_parallel_read(spark, derby):
     assert df.rdd.getNumPartitions() == 4
     got = sorted(r.rec_id for r in df.collect())
     assert got == list(range(1, 101))
+
+
+def test_timestamp_watermark_pipeline_derby_dialect(spark, derby, tmp_path):
+    """Incremental pipeline with a TIMESTAMP watermark over live JDBC,
+    dialect='derby' flowing through incremental_source_options into
+    the server-side subquery — the path where the ANSI literal would
+    have failed with 42X01 before the dialect fix."""
+    url, _ = derby
+    store = WatermarkStore(tmp_path / "wm_ts.json")
+    base = dt.datetime(2024, 6, 1, 0, 0, 0)
+    rows1 = [(i, base + dt.timedelta(minutes=i)) for i in range(1, 6)]
+    _seed(spark, url, "ts_pipe", rows1, "id long, updated_at timestamp")
+
+    spec = PipelineSpec(tables=[TableSpec(
+        name="ts_pipe",
+        watermark_column="updated_at",
+        watermark_type="timestamp",
+        source_format="jdbc",
+        source_options=_jdbc_opts(url, dialect="derby"),
+        sink_format="jdbc",
+        sink_options=_jdbc_opts(url, dbtable="ts_pipe_sink"),
+    )])
+    pipe = IncrementalPipeline(spark, spec, store)
+
+    assert [r.status for r in pipe.run()] == ["loaded"]
+    assert store.get("ts_pipe").startswith("2024-06-01 00:05")
+
+    rows2 = [(i, base + dt.timedelta(minutes=i)) for i in range(6, 9)]
+    _seed(spark, url, "ts_pipe", rows2, "id long, updated_at timestamp")
+    assert [r.status for r in pipe.run()] == ["loaded"]
+    sink = read_source(spark, "jdbc", "ts_pipe_sink", _jdbc_opts(url))
+    assert sorted(r.id for r in sink.collect()) == list(range(1, 9))  # no dups
+    assert [r.status for r in pipe.run()] == ["skipped_empty"]
