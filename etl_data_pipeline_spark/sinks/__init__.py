@@ -237,6 +237,18 @@ def _avro_append(df: DataFrame, table: str, options: dict) -> None:
     writer.save(path)
 
 
+def _xml_append(df: DataFrame, table: str, options: dict) -> None:
+    """XML append via Spark 4's native xml datasource."""
+    path = options.get("path") or os.path.join(options["dir"], f"{table}.xml")
+    (
+        df.write.format("xml")
+        .mode("append")
+        .option("rowTag", str(options.get("rowTag", "row")))
+        .option("rootTag", str(options.get("rootTag", "rows")))
+        .save(path)
+    )
+
+
 SINKS: dict[str, SinkFn] = {
     "parquet": _parquet_append,
     "csv": _csv_append,
@@ -245,6 +257,7 @@ SINKS: dict[str, SinkFn] = {
     "jdbc": _jdbc_append,
     "manifest": _manifest_sink,
     "avro": _avro_append,
+    "xml": _xml_append,
 }
 
 

@@ -222,6 +222,17 @@ def _avro_source(spark: SparkSession, table: str, options: dict) -> DataFrame:
     return reader.load(path)
 
 
+def _xml_source(spark: SparkSession, table: str, options: dict) -> DataFrame:
+    """XML read via Spark 4's native xml datasource (SPARK-44265 —
+    the spark-xml package moved into core, so no external jar).
+    ``rowTag`` defaults to 'row' (matching the sink's default)."""
+    path = options.get("path") or os.path.join(options["dir"], f"{table}.xml")
+    reader = spark.read.format("xml").option(
+        "rowTag", str(options.get("rowTag", "row"))
+    )
+    return reader.options(**options.get("reader_options", {})).load(path)
+
+
 SOURCES: dict[str, SourceFn] = {
     "parquet": _parquet_source,
     "csv": _csv_source,
@@ -230,6 +241,7 @@ SOURCES: dict[str, SourceFn] = {
     "jdbc": _jdbc_source,
     "manifest": _manifest_source,
     "avro": _avro_source,
+    "xml": _xml_source,
 }
 
 

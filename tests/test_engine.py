@@ -78,3 +78,51 @@ def test_engine_manifest_facade(spark, tmp_path):
     h = eng.history(t)
     assert [m["version"] for m in h] == [1, 2] and h[0] == m1
     assert eng.release_caches() >= 0
+
+
+def test_xml_registry_round_trip_and_pipeline(spark, tmp_path):
+    """'xml' as a registry format (Spark 4 native xml datasource):
+    write_sink/read_source round trip, then a two-batch incremental
+    pipeline with an XML source and sink — strict watermark boundary,
+    no duplicates, skip-on-empty."""
+    from etl_data_pipeline_spark.pipeline import IncrementalPipeline
+    from etl_data_pipeline_spark.sinks import write_sink
+    from etl_data_pipeline_spark.sources import read_source
+    from etl_data_pipeline_spark.spec import PipelineSpec, TableSpec
+    from etl_data_pipeline_spark.watermark import WatermarkStore
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    write_sink(df, "xml", "t", {"dir": str(tmp_path)})
+    back = read_source(spark, "xml", "t", {"dir": str(tmp_path)})
+    assert sorted((r.id, r.s) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sinkd = tmp_path / "sink"
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 6)], "order_id long, payload string"
+    ).write.format("xml").option("rowTag", "row").mode("append").save(
+        str(src / "orders.xml")
+    )
+    spec = PipelineSpec(tables=[TableSpec(
+        name="orders",
+        watermark_column="order_id",
+        watermark_type="id",
+        source_format="xml",
+        source_options={"dir": str(src)},
+        sink_format="xml",
+        sink_options={"dir": str(sinkd)},
+    )])
+    store = WatermarkStore(tmp_path / "wm.json")
+    pipe = IncrementalPipeline(spark, spec, store)
+    assert [r.status for r in pipe.run()] == ["loaded"]
+    assert store.get("orders") == "5"
+    spark.createDataFrame(
+        [(6, "v6"), (7, "v7")], "order_id long, payload string"
+    ).write.format("xml").option("rowTag", "row").mode("append").save(
+        str(src / "orders.xml")
+    )
+    assert [r.status for r in pipe.run()] == ["loaded"]
+    got = read_source(spark, "xml", "orders", {"dir": str(sinkd)})
+    assert sorted(r.order_id for r in got.collect()) == list(range(1, 8))
+    assert [r.status for r in pipe.run()] == ["skipped_empty"]
