@@ -497,7 +497,13 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spans.groupBy("span")
         .agg(
-            F.count_distinct("doc_id").alias("n_docs"),
+            # count(*), NOT count_distinct: _ngrams is per-doc DISTINCT,
+            # so (doc_id, span) pairs are unique by construction and the
+            # plain count equals the doc count — count_distinct would
+            # plan a second aggregation exchange (hash(span, doc_id)
+            # then hash(span)); this keeps the whole query at ONE
+            # aggregation shuffle (plan-test pinned)
+            F.count("*").alias("n_docs"),
             F.min("doc_id").alias("first_doc"),
             F.max("doc_id").alias("last_doc"),
         )
@@ -564,12 +570,12 @@ ORACLE = {
             FROM documents
         )
         SELECT span,
-               count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_docs,
                min(doc_id) AS first_doc,
                max(doc_id) AS last_doc
         FROM spans
         GROUP BY span
-        HAVING count(DISTINCT doc_id) >= 2
+        HAVING count(*) >= 2
         ORDER BY n_docs DESC, span ASC
         LIMIT {DUP_SPAN_TOPK}
     """,

@@ -437,3 +437,18 @@ def test_tpch_q10_pushes_date_and_flag_filters(spark, sf_dir):
     plan = _plan(tpch.tpch_q10ish(spark, sf_dir))
     assert has_pushed_filter(plan, "EqualTo(l_returnflag,R)")
     assert has_pushed_filter(plan, "o_orderdate")
+
+
+def test_duplicate_spans_single_scan_take_ordered(spark, sf_dir):
+    """text_duplicate_spans: one documents scan, the span aggregate's
+    single exchange, and a TakeOrdered top-k — never a global sort or
+    a second corpus pass."""
+    from etl_data_pipeline_spark.llm import text_analysis
+    from etl_data_pipeline_spark.plans import exchange_count
+
+    spark.catalog.clearCache()
+    plan = _plan(text_analysis.text_duplicate_spans(spark, sf_dir))
+    assert plan.count("documents.parquet") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert exchange_count(plan) <= 2  # span agg (+ AQE artifacts at most)
