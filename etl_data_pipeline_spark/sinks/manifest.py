@@ -761,14 +761,30 @@ def merge_upsert(
         missing = [k for k in keys if k not in batch.columns]
         if missing:
             raise ValueError(f"merge keys {missing} not in batch columns")
+        null_key = reduce(
+            lambda a, b: a | b, [F.col(k).isNull() for k in keys]
+        )
         stats = batch.agg(
             F.count("*").alias("n"),
             F.count_distinct(*[F.col(k) for k in keys]).alias("nk"),
+            F.sum(F.when(null_key, 1).otherwise(0)).alias("n_null"),
             F.min(keys[0]).alias("kmin"),
             F.max(keys[0]).alias("kmax"),
         ).first()
         if stats["n"] == 0:
             return cur  # empty batch: nothing to merge, no version burned
+        if stats["n_null"]:
+            # checked FIRST: count_distinct skips null-containing key
+            # tuples, so a null key would otherwise surface as a
+            # misleading 'duplicate keys' error — and a null key can
+            # never match for replacement anyway (SQL null semantics in
+            # the anti-join would silently turn the update into a
+            # duplicate-looking insert)
+            raise ValueError(
+                f"merge batch has {stats['n_null']} row(s) with NULL in "
+                f"merge keys {tuple(keys)}; a null key cannot match a "
+                f"row to replace — filter or repair them upstream"
+            )
         if stats["n"] != stats["nk"]:
             raise ValueError(
                 f"merge batch has duplicate keys ({stats['n']} rows, "

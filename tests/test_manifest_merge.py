@@ -251,3 +251,13 @@ def test_concurrent_merges_and_appends_no_lost_updates(spark, tmp_path):
     # versions: 1 initial + 8 racing commits, strictly sequential
     assert M.read_manifest(td)["version"] == 9
     assert [h["version"] for h in M.history(td)] == list(range(1, 10))
+
+
+def test_merge_null_keys_fail_clearly(spark, tmp_path):
+    """NULL merge keys can never match a row to replace (SQL null
+    semantics), and count_distinct would skip them — so they fail with
+    a targeted message, not the misleading duplicate-keys one."""
+    td = _table(spark, tmp_path)
+    batch = spark.createDataFrame([(None, "x"), (1, "y")], "k long, v string")
+    with pytest.raises(ValueError, match="NULL in merge keys"):
+        M.merge_upsert(spark, td, batch, ("k",))
