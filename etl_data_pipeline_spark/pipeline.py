@@ -320,6 +320,19 @@ class IncrementalPipeline:
                 max_watermark(df, t.watermark_column) if t.is_incremental else None
             )
 
+            if t.sink_options.get("mode") == "upsert" and (
+                t.sink_format != "manifest" or not t.merge_keys
+            ):
+                # misconfiguration must fail LOUDLY: an upsert intent
+                # silently degrading to append would duplicate every
+                # updated key — the exact corruption upsert exists to
+                # prevent
+                raise ValueError(
+                    f"table {t.name}: sink mode 'upsert' requires "
+                    f"sink_format='manifest' AND merge_keys "
+                    f"(got format={t.sink_format!r}, "
+                    f"merge_keys={t.merge_keys!r})"
+                )
             if (
                 t.merge_keys
                 and t.sink_format == "manifest"
@@ -363,11 +376,17 @@ class IncrementalPipeline:
         A CDC batch can carry several changes for one key; merge
         requires unique keys, so the batch is first compacted to the
         newest change per key BY THE WATERMARK COLUMN (the only
-        ordering the spec declares; ties broken arbitrarily but
-        deterministically by row order within the checkpointed batch
-        is not enough — the watermark ordering is the contract, and a
+        ordering the spec declares), with the remaining row columns as
+        a DETERMINISTIC tiebreak — same-watermark changes to one key
+        must pick the same winner on every run, or a replay after a
+        mid-write crash could commit a different table state than the
+        first attempt (breaking merge's replay idempotency). A
         full-load table has no ordering, so there the batch must
-        already be key-unique or merge fails loudly)."""
+        already be key-unique or merge fails loudly.
+
+        ``partition_by`` in sink_options reaches the table's FIRST
+        commit (it is a table property thereafter); ``txn`` passes
+        through for orchestrators that fence by app/run id."""
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
@@ -377,15 +396,28 @@ class IncrementalPipeline:
         path = opts.get("path") or os.path.join(opts["dir"], t.name)
         batch = df
         if t.is_incremental and t.watermark_column:
+            tiebreak = [
+                F.col(c).desc()
+                for c in batch.columns
+                if c != t.watermark_column and c not in t.merge_keys
+            ]
             w = Window.partitionBy(*t.merge_keys).orderBy(
-                F.col(t.watermark_column).desc()
+                F.col(t.watermark_column).desc(), *tiebreak
             )
             batch = (
                 batch.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
-        merge_upsert(self.spark, path, batch, t.merge_keys)
+        partition_by = opts.get("partition_by")
+        merge_upsert(
+            self.spark,
+            path,
+            batch,
+            t.merge_keys,
+            txn=opts.get("txn"),
+            partition_by=tuple(partition_by) if partition_by else None,
+        )
 
     def _sink_reset_since_watermark(self, t: TableSpec) -> bool:
         """True when the sink target provably no longer exists for a

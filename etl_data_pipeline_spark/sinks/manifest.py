@@ -697,12 +697,89 @@ def _dir_key_range(table_dir: str, rel_dir: str, column: str):
     return None if lo is None else (lo, hi)
 
 
+def _validate_merge_batch(batch: DataFrame, keys: list[str]):
+    """Key-contract checks shared by BOTH merge paths (first write
+    included — a fresh table must not be born violating the contract):
+    no NULL keys, no duplicate keys. Returns the stats row (n, kmin,
+    kmax on the first key) so callers don't re-aggregate."""
+    from pyspark.sql import functions as F
+
+    missing = [k for k in keys if k not in batch.columns]
+    if missing:
+        raise ValueError(f"merge keys {missing} not in batch columns")
+    null_key = reduce(lambda a, b: a | b, [F.col(k).isNull() for k in keys])
+    stats = batch.agg(
+        F.count("*").alias("n"),
+        F.count_distinct(*[F.col(k) for k in keys]).alias("nk"),
+        F.sum(F.when(null_key, 1).otherwise(0)).alias("n_null"),
+        F.min(keys[0]).alias("kmin"),
+        F.max(keys[0]).alias("kmax"),
+    ).first()
+    if stats["n"] and stats["n_null"]:
+        # checked FIRST: count_distinct skips null-containing key
+        # tuples, so a null key would otherwise surface as a
+        # misleading 'duplicate keys' error — and a null key can never
+        # match for replacement anyway (SQL null semantics in the
+        # anti-join would silently turn the update into a
+        # duplicate-looking insert)
+        raise ValueError(
+            f"merge batch has {stats['n_null']} row(s) with NULL in "
+            f"merge keys {tuple(keys)}; a null key cannot match a "
+            f"row to replace — filter or repair them upstream"
+        )
+    if stats["n"] != stats["nk"]:
+        raise ValueError(
+            f"merge batch has duplicate keys ({stats['n']} rows, "
+            f"{stats['nk']} distinct {tuple(keys)}); deduplicate "
+            f"upstream — last-write-wins needs an ordering only the "
+            f"caller knows"
+        )
+    return stats
+
+
+def _dir_key_range_cached(table_dir: str, rel_dir: str, column: str):
+    """:func:`_dir_key_range` behind a per-(dir, column) JSON cache
+    under ``table/_stats/``. Delta directories are IMMUTABLE once
+    published, so a computed range never invalidates — without the
+    cache, every merge re-opens the parquet footers of EVERY directory
+    in the manifest, making merge latency grow with total table age
+    instead of O(new dirs since the last merge) (the Delta/Iceberg
+    answer is stats in the commit metadata; a sidecar keyed by the
+    immutable dir is the same idea retrofitted without a manifest
+    format change). Cache write failures are ignored — the cache is an
+    optimization, never the correctness boundary."""
+    cache_dir = os.path.join(table_dir, "_stats")
+    name = rel_dir.replace(os.sep, "__") + f".{column}.json"
+    cache_path = os.path.join(cache_dir, name)
+    try:
+        with open(cache_path) as f:
+            cached = json.load(f)
+        return None if cached is None else tuple(cached)
+    except (FileNotFoundError, ValueError):
+        pass
+    rng = _dir_key_range(table_dir, rel_dir, column)
+    serializable = rng is None or all(
+        isinstance(v, (int, float, str)) for v in rng
+    )
+    if serializable:
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump(None if rng is None else list(rng), f)
+            os.replace(tmp, cache_path)
+        except OSError:
+            pass
+    return rng
+
+
 def merge_upsert(
     spark: SparkSession,
     table_dir: str,
     batch: DataFrame,
     merge_keys: tuple[str, ...],
     txn: tuple[str, int] | None = None,
+    partition_by: tuple[str, ...] | None = None,
 ) -> dict:
     """Row-level MERGE (Delta's ``whenMatchedUpdateAll /
     whenNotMatchedInsertAll``): table rows whose key matches a batch
@@ -740,104 +817,105 @@ def merge_upsert(
     is the engine-side upsert endpoint for CDC-style workloads, the
     manifest twin of scd1_upsert on the staged-swap sinks.
     """
-    from pyspark.sql import functions as F
-
     keys = list(merge_keys)
     if not keys:
         raise ValueError("merge_upsert needs at least one merge key")
     os.makedirs(table_dir, exist_ok=True)
-    with writer_lease(_manifest_path(table_dir)) as fence:
-        cur = read_manifest(table_dir)
-        if cur is None:
-            # first write: merge degenerates to the initial commit
-            return _commit_locked(batch, table_dir, "overwrite", fence, txn=txn)
-        prev_txn: dict[str, int] = dict(cur.get("txn", {}))
-        if txn is not None:
-            app_id, txn_version = txn
-            if app_id in prev_txn and int(txn_version) <= prev_txn[app_id]:
-                return cur  # replayed batch: already merged
-            prev_txn[app_id] = int(txn_version)
-        schema = _check_schema(cur, batch, merge_schema=False, table_dir=table_dir)
-        missing = [k for k in keys if k not in batch.columns]
-        if missing:
-            raise ValueError(f"merge keys {missing} not in batch columns")
-        null_key = reduce(
-            lambda a, b: a | b, [F.col(k).isNull() for k in keys]
-        )
-        stats = batch.agg(
-            F.count("*").alias("n"),
-            F.count_distinct(*[F.col(k) for k in keys]).alias("nk"),
-            F.sum(F.when(null_key, 1).otherwise(0)).alias("n_null"),
-            F.min(keys[0]).alias("kmin"),
-            F.max(keys[0]).alias("kmax"),
-        ).first()
-        if stats["n"] == 0:
-            return cur  # empty batch: nothing to merge, no version burned
-        if stats["n_null"]:
-            # checked FIRST: count_distinct skips null-containing key
-            # tuples, so a null key would otherwise surface as a
-            # misleading 'duplicate keys' error — and a null key can
-            # never match for replacement anyway (SQL null semantics in
-            # the anti-join would silently turn the update into a
-            # duplicate-looking insert)
-            raise ValueError(
-                f"merge batch has {stats['n_null']} row(s) with NULL in "
-                f"merge keys {tuple(keys)}; a null key cannot match a "
-                f"row to replace — filter or repair them upstream"
+    # the batch plan feeds up to three jobs (validation agg, anti-join
+    # key side, union write side): persist so an expensive upstream
+    # (windowed micro-batch, multi-join CDC source) computes once
+    batch = batch.persist()
+    try:
+        with writer_lease(_manifest_path(table_dir)) as fence:
+            return _merge_locked(
+                spark, table_dir, batch, keys, txn, partition_by, fence
             )
-        if stats["n"] != stats["nk"]:
-            raise ValueError(
-                f"merge batch has duplicate keys ({stats['n']} rows, "
-                f"{stats['nk']} distinct {tuple(keys)}); deduplicate "
-                f"upstream — last-write-wins needs an ordering only the "
-                f"caller knows"
+    finally:
+        batch.unpersist()
+
+
+def _merge_locked(
+    spark: SparkSession,
+    table_dir: str,
+    batch: DataFrame,
+    keys: list[str],
+    txn: tuple[str, int] | None,
+    partition_by: tuple[str, ...] | None,
+    fence: int,
+) -> dict:
+    cur = read_manifest(table_dir)
+    if cur is None:
+        # first write: merge degenerates to the initial commit — but
+        # the key contract holds from birth (a first batch with
+        # duplicate or NULL keys would poison every later merge)
+        _validate_merge_batch(batch, keys)
+        return _commit_locked(
+            batch, table_dir, "overwrite", fence, txn=txn,
+            partition_by=partition_by,
+        )
+    cur_parts = tuple(cur.get("partition_by") or ())
+    if partition_by is not None and tuple(partition_by) != cur_parts:
+        raise ValueError(
+            f"merge into {table_dir!r} changes partition_by "
+            f"{cur_parts} -> {tuple(partition_by)}; repartitioning the "
+            f"layout requires an overwrite commit"
+        )
+    prev_txn: dict[str, int] = dict(cur.get("txn", {}))
+    if txn is not None:
+        app_id, txn_version = txn
+        if app_id in prev_txn and int(txn_version) <= prev_txn[app_id]:
+            return cur  # replayed batch: already merged
+        prev_txn[app_id] = int(txn_version)
+    schema = _check_schema(cur, batch, merge_schema=False, table_dir=table_dir)
+    stats = _validate_merge_batch(batch, keys)
+    if stats["n"] == 0:
+        return cur  # empty batch: nothing to merge, no version burned
+    touched: list[str] = []
+    kept: list[str] = []
+    for d in cur["dirs"]:
+        rng = _dir_key_range_cached(table_dir, d, keys[0])
+        try:
+            disjoint = rng is not None and (
+                rng[1] < stats["kmin"] or rng[0] > stats["kmax"]
             )
-        touched: list[str] = []
-        kept: list[str] = []
-        for d in cur["dirs"]:
-            rng = _dir_key_range(table_dir, d, keys[0])
-            try:
-                disjoint = rng is not None and (
-                    rng[1] < stats["kmin"] or rng[0] > stats["kmax"]
-                )
-            except TypeError:  # incomparable stat types: never prune
-                disjoint = False
-            (kept if disjoint else touched).append(d)
-        if touched:
-            existing = _read_dirs(spark, table_dir, touched, schema)
-            survivors = existing.join(batch.select(*keys), on=keys, how="left_anti")
-            out = survivors.unionByName(batch)
-        else:
-            out = batch
-        version = cur["version"] + 1
-        rel = os.path.join("_versions", f"v{version:08d}")
-        data_dir = os.path.join(table_dir, rel)
-        shutil.rmtree(data_dir, ignore_errors=True)
-        parts = tuple(cur.get("partition_by") or ())
-        if parts:
-            out.write.partitionBy(*parts).parquet(data_dir)
-        else:
-            out.write.parquet(data_dir)
-        manifest = {
-            "version": version,
-            "dirs": kept + [rel],
-            "schema": schema,
-            "fence": fence,
-        }
-        if parts:
-            manifest["partition_by"] = list(parts)
-        new_rows = _dir_rowcount(data_dir)
-        touched_rows = sum(
-            _dir_rowcount(os.path.join(table_dir, d)) for d in touched
-        )
-        manifest["delta_rows"] = new_rows
-        prev_total = cur.get("total_rows")
-        manifest["total_rows"] = (
-            None if prev_total is None else prev_total - touched_rows + new_rows
-        )
-        if prev_txn:
-            manifest["txn"] = prev_txn
-        return _publish_version(table_dir, data_dir, manifest)
+        except TypeError:  # incomparable stat types: never prune
+            disjoint = False
+        (kept if disjoint else touched).append(d)
+    if touched:
+        existing = _read_dirs(spark, table_dir, touched, schema)
+        survivors = existing.join(batch.select(*keys), on=keys, how="left_anti")
+        out = survivors.unionByName(batch)
+    else:
+        out = batch
+    version = cur["version"] + 1
+    rel = os.path.join("_versions", f"v{version:08d}")
+    data_dir = os.path.join(table_dir, rel)
+    shutil.rmtree(data_dir, ignore_errors=True)
+    parts = cur_parts
+    if parts:
+        out.write.partitionBy(*parts).parquet(data_dir)
+    else:
+        out.write.parquet(data_dir)
+    manifest = {
+        "version": version,
+        "dirs": kept + [rel],
+        "schema": schema,
+        "fence": fence,
+    }
+    if parts:
+        manifest["partition_by"] = list(parts)
+    new_rows = _dir_rowcount(data_dir)
+    touched_rows = sum(
+        _dir_rowcount(os.path.join(table_dir, d)) for d in touched
+    )
+    manifest["delta_rows"] = new_rows
+    prev_total = cur.get("total_rows")
+    manifest["total_rows"] = (
+        None if prev_total is None else prev_total - touched_rows + new_rows
+    )
+    if prev_txn:
+        manifest["txn"] = prev_txn
+    return _publish_version(table_dir, data_dir, manifest)
 
 
 def compact(

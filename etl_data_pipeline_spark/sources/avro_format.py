@@ -108,15 +108,32 @@ class AvroUnsupported(ValueError):
 
 
 def _is_null_union(sch) -> tuple[bool, Any]:
-    """(is nullable-union, the single non-null branch)."""
+    """(is nullable-union, the single non-null branch).
+
+    Branch ORDER is schema-author's choice: ``["null", T]`` and
+    ``["long", "null"]`` are both spec-legal, and a single-branch
+    union ``["T"]`` is legal too (NOT nullable). Callers that decode
+    bytes must use :func:`_union_parts` instead — the wire index of
+    the null branch matters there; this helper only answers the type
+    question."""
     if isinstance(sch, list):
-        non_null = [s for s in sch if s != "null"]
-        if len(non_null) == 1:
-            return True, non_null[0]
+        nullable, _null_idx, inner = _union_parts(sch)
+        return nullable, inner
+    return False, sch
+
+
+def _union_parts(sch: list) -> tuple[bool, int, Any]:
+    """(has null branch, index of the null branch or -1, the single
+    non-null branch). Raises for >1 non-null branch."""
+    non_null = [s for s in sch if s != "null"]
+    if len(non_null) > 1:
         raise AvroUnsupported(
             f"union with {len(non_null)} non-null branches has no Spark type: {sch!r}"
         )
-    return False, sch
+    if not non_null:
+        return True, 0, "null"
+    null_idx = sch.index("null") if "null" in sch else -1
+    return null_idx >= 0, null_idx, non_null[0]
 
 
 def avro_to_ddl(sch, named: dict | None = None) -> str:
@@ -271,17 +288,30 @@ def build_decoder(sch, named: dict | None = None) -> Decoder:
     """Compile the writer schema into a closure tree once per
     partition; per-row decoding then does no schema dispatch."""
     named = named if named is not None else {}
-    nullable, sch = _is_null_union(sch)
-    if nullable:
-        inner = build_decoder(sch, named)
+    if isinstance(sch, list):
+        # union: the wire carries the BRANCH INDEX, and branch order is
+        # the schema author's ("null" may be first, second, or absent —
+        # ["long","null"] is spec-legal and common from other writers).
+        # Decoding by position, not by assuming null-first, is what
+        # keeps foreign files from desyncing the stream.
+        has_null, null_idx, inner_sch = _union_parts(sch)
+        inner = build_decoder(inner_sch, named)
+        if len(sch) == 1:
+            # single-branch union: index prefix, then the value
+            def dec_single(buf, pos, _inner=inner):
+                _, pos = read_long(buf, pos)
+                return _inner(buf, pos)
 
-        def dec_nullable(buf, pos):
+            return dec_single
+
+        def dec_nullable(buf, pos, _null=null_idx, _inner=inner):
             idx, pos = read_long(buf, pos)
-            if idx == 0:
+            if idx == _null:
                 return None, pos
-            return inner(buf, pos)
+            return _inner(buf, pos)
 
         return dec_nullable
+    nullable, sch = _is_null_union(sch)
     if isinstance(sch, str) and sch in named:
         ref = named[sch]
         return lambda buf, pos: ref(buf, pos)
@@ -424,18 +454,32 @@ Encoder = Callable[[bytearray, Any], None]
 
 
 def build_encoder(sch) -> Encoder:
-    nullable, sch = _is_null_union(sch)
-    if nullable:
-        inner = build_encoder(sch)
+    if isinstance(sch, list):
+        # encode the BRANCH INDEX the schema declares — a consumer
+        # decodes against this same schema, so ["long","null"] must
+        # write null as index 1, not assume null-first
+        has_null, null_idx, inner_sch = _union_parts(sch)
+        inner = build_encoder(inner_sch)
+        value_idx = next(i for i, s in enumerate(sch) if s != "null") if len(sch) > 1 else 0
+        null_zz = bytearray()
+        write_long(null_zz, max(null_idx, 0))
+        val_zz = bytearray()
+        write_long(val_zz, value_idx)
+        null_b, val_b = bytes(null_zz), bytes(val_zz)
 
-        def enc_nullable(out, v):
+        def enc_union(out, v, _has_null=has_null):
             if v is None:
-                out.append(0)  # zigzag(0): union branch 0 = null
+                if not _has_null:
+                    raise ValueError(f"None for non-nullable union {sch!r}")
+                out.extend(null_b)
             else:
-                out.append(2)  # zigzag(1)
+                out.extend(val_b)
                 inner(out, v)
 
-        return enc_nullable
+        return enc_union
+    nullable, sch = _is_null_union(sch)
+    if nullable:
+        raise AssertionError("unreachable: list handled above")
     if isinstance(sch, str):
         return _PRIMITIVE_ENCODERS[sch]
     t = sch["type"]
@@ -788,8 +832,19 @@ class _WrittenFile(WriterCommitMessage):
 
 
 class AvroArrowWriter(DataSourceArrowWriter):
-    """Stage one .avro file per task; publish by rename at commit
-    (same atomic-publish shape as the manifest writer)."""
+    """Stage one .avro file per task (fsynced); publish by rename at
+    commit.
+
+    Durability honesty (vs the class's earlier claim of manifest-like
+    atomicity): a MULTI-FILE directory sink cannot be atomic without a
+    pointer object — Spark's own file sinks share this property. The
+    commit therefore orders operations to fail SAFE, never lossy:
+    staged files are fsynced before publish, renames happen BEFORE old
+    files are unlinked in overwrite mode, and the directory entry is
+    fsynced last. A crash mid-commit leaves a superset (old + some new
+    files — duplicates a reader can detect) rather than an empty or
+    truncated directory. For an atomic swap, write through the
+    manifest_table format instead."""
 
     def __init__(self, options: dict, schema, overwrite: bool):
         self.path = _opt(options, "path")
@@ -815,16 +870,24 @@ class AvroArrowWriter(DataSourceArrowWriter):
                     w.write_row(row)
                     rows += 1
             w.close()
+            os.fsync(f.fileno())  # durable BEFORE the commit renames it
         return _WrittenFile(staged=staged, rows=rows)
 
     def commit(self, messages) -> None:
         msgs = [m for m in messages if m and m.staged]
-        if self.overwrite:
-            for old in _avro_files(self.path):
-                os.unlink(old)
+        old = _avro_files(self.path) if self.overwrite else []
+        # publish new files FIRST: a crash between these steps leaves
+        # old+new coexisting (recoverable duplication), never data loss
         for i, m in enumerate(msgs):
             final = os.path.join(self.path, f"part-{i:05d}-{os.path.basename(m.staged)}")
             os.replace(m.staged, final)
+        for f in old:
+            os.unlink(f)
+        dfd = os.open(self.path, os.O_RDONLY)
+        try:
+            os.fsync(dfd)  # persist the renames/unlinks themselves
+        finally:
+            os.close(dfd)
         self._rm_staging()
 
     def abort(self, messages) -> None:

@@ -384,3 +384,57 @@ def test_avro_streaming_source_delta_only(spark, tmp_path):
     drop_file("aaa-later.avro", 50, 80)
     got = drain()
     assert got == set(range(50, 80))  # delta only, exactly once
+
+
+def test_null_second_union_interop(spark, tmp_path):
+    """Spec-legal branch orders beyond null-first: a JVM-written file
+    whose field unions are ["<type>","null"] (null SECOND) must decode
+    correctly — the wire carries branch indexes, and assuming
+    null-first silently desyncs the stream on such files."""
+    jvm = spark._jvm
+    schema_json = json.dumps({
+        "type": "record", "name": "ns",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "score", "type": ["double", "null"]},
+            {"name": "note", "type": ["string", "null"]},
+        ],
+    })
+    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    p = str(tmp_path / "nullsecond.avro")
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    writer.create(schema, jvm.java.io.File(p))
+    for i in range(10):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("id", i)
+        rec.put("score", None if i % 3 == 0 else i * 1.5)
+        rec.put("note", None if i % 2 == 0 else f"n{i}")
+        writer.append(rec)
+    writer.close()
+
+    avro_format.register(spark)
+    got = sorted(
+        spark.read.format("avro_py").load(p).collect(), key=lambda r: r.id
+    )
+    assert len(got) == 10
+    for i, r in enumerate(got):
+        assert r.id == i
+        assert r.score == (None if i % 3 == 0 else i * 1.5)
+        assert r.note == (None if i % 2 == 0 else f"n{i}")
+
+
+def test_null_second_union_pure_round_trip(tmp_path):
+    """Our own writer must also emit correct branch indexes for a
+    null-second schema (consumers decode against the declared order)."""
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "v", "type": ["long", "null"]}]}
+    p = tmp_path / "t.avro"
+    with open(p, "wb") as f:
+        w = OcfWriter(f, schema, codec="null")
+        for v in (1, None, 3, None, 5):
+            w.write_row({"v": v})
+        w.close()
+    rows = [r[0] for r in iter_block_rows(str(p), 0, os.path.getsize(p))]
+    assert rows == [1, None, 3, None, 5]

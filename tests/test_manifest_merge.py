@@ -261,3 +261,78 @@ def test_merge_null_keys_fail_clearly(spark, tmp_path):
     batch = spark.createDataFrame([(None, "x"), (1, "y")], "k long, v string")
     with pytest.raises(ValueError, match="NULL in merge keys"):
         M.merge_upsert(spark, td, batch, ("k",))
+
+
+def test_pipeline_upsert_without_merge_keys_fails_loudly(spark, tmp_path):
+    """mode='upsert' with no merge_keys must raise (as a failed table),
+    never silently degrade to an append that would duplicate keys."""
+    from etl_data_pipeline_spark.pipeline import IncrementalPipeline
+    from etl_data_pipeline_spark.spec import PipelineSpec, TableSpec
+    from etl_data_pipeline_spark.watermark import WatermarkStore
+
+    src = tmp_path / "s"
+    src.mkdir()
+    spark.createDataFrame([(1, 1, "a")], "change_id long, k long, v string") \
+        .write.parquet(str(src / "t.parquet"))
+    spec = PipelineSpec(tables=[TableSpec(
+        name="t",
+        watermark_column="change_id",
+        watermark_type="id",
+        source_format="parquet",
+        source_options={"dir": str(src)},
+        sink_format="manifest",
+        sink_options={"path": str(tmp_path / "tbl"), "mode": "upsert"},
+        # merge_keys omitted — the misconfiguration
+    )])
+    res = IncrementalPipeline(
+        spark, spec, WatermarkStore(tmp_path / "wm.json")
+    ).run()
+    assert res[0].status == "failed"
+    assert "upsert" in res[0].error and "merge_keys" in res[0].error
+
+
+def test_merge_first_write_enforces_key_contract(spark, tmp_path):
+    """The FIRST write through merge_upsert validates keys too — a
+    fresh table must not be born with duplicate or NULL keys that
+    poison every later merge."""
+    td = str(tmp_path / "fresh2")
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "k long, v string")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        M.merge_upsert(spark, td, dup, ("k",))
+    nul = spark.createDataFrame([(None, "a")], "k long, v string")
+    with pytest.raises(ValueError, match="NULL in merge keys"):
+        M.merge_upsert(spark, td, nul, ("k",))
+    assert M.read_manifest(td) is None  # nothing committed
+
+
+def test_merge_first_write_partition_by(spark, tmp_path):
+    """partition_by reaches the table's first commit through
+    merge_upsert (and through the pipeline sink options)."""
+    td = str(tmp_path / "pfirst")
+    batch = spark.createDataFrame(
+        [(1, "r0", "a"), (2, "r1", "b")], "k long, part string, v string"
+    )
+    m = M.merge_upsert(spark, td, batch, ("k",), partition_by=("part",))
+    assert m["partition_by"] == ["part"]
+    new_dir = os.path.join(td, m["dirs"][-1])
+    assert any(d.startswith("part=") for d in os.listdir(new_dir))
+    # a later merge must not silently change the layout
+    with pytest.raises(ValueError, match="changes partition_by"):
+        M.merge_upsert(spark, td, batch, ("k",), partition_by=("v",))
+
+
+def test_dir_key_range_cache_hits(spark, tmp_path):
+    """Second range lookup reads the sidecar cache, not the footers —
+    and the cached value equals the computed one."""
+    td = _table(spark, tmp_path)
+    d0 = M.read_manifest(td)["dirs"][0]
+    first = M._dir_key_range_cached(td, d0, "k")
+    assert first == (0, 99)
+    cache = os.path.join(td, "_stats")
+    assert os.path.isdir(cache) and len(os.listdir(cache)) == 1
+    # rewrite the cache entry to a sentinel: the next call must be
+    # cache-served (sentinel comes back), proving footers aren't re-read
+    entry = os.path.join(cache, os.listdir(cache)[0])
+    with open(entry, "w") as f:
+        f.write("[7, 8]")
+    assert M._dir_key_range_cached(td, d0, "k") == (7, 8)
