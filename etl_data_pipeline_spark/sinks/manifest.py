@@ -1018,6 +1018,18 @@ def vacuum(
                 v = int(entry[1:])
                 if v < cutoff and v not in removed:
                     removed.append(v)
+                # drop the merge-pruning stats sidecars of a deleted
+                # dir (cache keyed by the immutable dir; dir gone ->
+                # entries are dead weight)
+                sdir = os.path.join(table_dir, "_stats")
+                if os.path.isdir(sdir):
+                    prefix = rel.replace(os.sep, "__") + "."
+                    for s in os.listdir(sdir):
+                        if s.startswith(prefix):
+                            try:
+                                os.unlink(os.path.join(sdir, s))
+                            except FileNotFoundError:
+                                pass
         for entry in os.listdir(table_dir):
             if entry.endswith(".manifest.tmp"):
                 os.unlink(os.path.join(table_dir, entry))

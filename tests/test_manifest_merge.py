@@ -336,3 +336,24 @@ def test_dir_key_range_cache_hits(spark, tmp_path):
     with open(entry, "w") as f:
         f.write("[7, 8]")
     assert M._dir_key_range_cached(td, d0, "k") == (7, 8)
+
+
+def test_vacuum_drops_stats_of_deleted_dirs(spark, tmp_path):
+    """Stats sidecars are keyed by immutable dirs; when vacuum deletes
+    a dir, its cache entries go too (fresh entries for live dirs
+    stay)."""
+    td = _table(spark, tmp_path)
+    dirs = M.read_manifest(td)["dirs"]
+    for d in dirs:
+        M._dir_key_range_cached(td, d, "k")
+    assert len(os.listdir(os.path.join(td, "_stats"))) == 3
+    # merge touching the middle range rewrites it; old versions expire
+    batch = spark.createDataFrame([(150, "U")], "k long, v string")
+    M.merge_upsert(spark, td, batch, ("k",))
+    M.vacuum(td, keep_last=1)
+    left = os.listdir(os.path.join(td, "_stats"))
+    # dirs[1] (the rewritten [100,200) range) was deleted by vacuum ->
+    # its sidecar is gone; the two still-referenced dirs keep theirs
+    gone_prefix = dirs[1].replace(os.sep, "__") + "."
+    assert not any(s.startswith(gone_prefix) for s in left)
+    assert any(s.startswith(dirs[0].replace(os.sep, "__") + ".") for s in left)
