@@ -1,0 +1,174 @@
+"""Declarative data-quality expectations, validated in ONE pass.
+
+The reference pipeline ships whatever the source cursor returns
+(util.py:170-173) — a NULL key, a negative amount, or a duplicated id
+lands in the target silently. Modern pipelines gate loads on
+declarative rules (Great Expectations / dbt tests / Delta Live Tables
+expectations are the public shape of this idea); this module is that
+gate, Spark-first:
+
+- each rule compiles to a Catalyst boolean Column, so checking N rules
+  costs ONE projection over the batch — no per-rule scan, no Python
+  in the row path;
+- ``unique`` is the one rule that needs a shuffle (a window count per
+  key); it shares the same single pass via a window column;
+- the verdict splits the batch into (passed, violations) frames plus a
+  per-rule violation count — the violations frame carries one
+  ``_violated`` array column naming every failed rule so a quarantined
+  row is debuggable without re-deriving anything.
+
+Pipeline wiring (pipeline.py): ``TableSpec.expectations`` with
+``expectations_mode``:
+- ``'fail'`` (default): ANY violation fails the table (error
+  isolation keeps other tables running) — the watermark does not
+  advance, so the batch retries next run after the upstream fix;
+- ``'drop'``: violating rows are dropped from the load and written to
+  a quarantine parquet next to the sink (the dead-letter idiom of
+  read_with_quarantine, applied to semantic rules instead of parse
+  errors); the clean subset loads and the watermark advances over the
+  WHOLE batch — a fixed upstream row re-arrives with a new watermark,
+  it is not replayed automatically.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_VIOL = "_violated"
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One named rule: ``holds`` must be TRUE for every row.
+
+    ``holds`` is a THUNK (zero-arg callable returning a Column), not a
+    Column: Column construction needs an active SparkContext, and
+    specs (TableSpec.expectations) are routinely declared at module
+    import or config-load time, before any session exists — the same
+    lazy-construction rule as operators/tpch.py's _revenue(). A raw
+    Column is also accepted for ad-hoc use inside a live session."""
+
+    name: str
+    holds: object  # Callable[[], Column] | Column
+
+    def column(self) -> Column:
+        return self.holds() if callable(self.holds) else self.holds
+
+    # -- factories for the common rules (each is one Column expr) -----
+
+    @staticmethod
+    def not_null(col: str) -> "Expectation":
+        return Expectation(
+            f"not_null({col})", lambda: F.col(col).isNotNull()
+        )
+
+    @staticmethod
+    def in_range(col: str, lo=None, hi=None) -> "Expectation":
+        def build():
+            c = F.col(col)
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (c >= lo)
+            if hi is not None:
+                cond = cond & (c <= hi)
+            # NULL passes range rules: absence is not_null's business —
+            # composable rules must not double-report one defect
+            return c.isNull() | cond
+
+        return Expectation(f"in_range({col},{lo},{hi})", build)
+
+    @staticmethod
+    def in_set(col: str, values: Sequence) -> "Expectation":
+        vals = list(values)
+        return Expectation(
+            f"in_set({col})",
+            lambda: F.col(col).isNull() | F.col(col).isin(*vals),
+        )
+
+    @staticmethod
+    def matches(col: str, pattern: str) -> "Expectation":
+        return Expectation(
+            f"matches({col})",
+            lambda: F.col(col).isNull() | F.col(col).rlike(pattern),
+        )
+
+    @staticmethod
+    def unique(*cols: str) -> "Expectation":
+        def build():
+            # window count over the key: the one rule that shuffles;
+            # rows with NULL in the key are exempt (not_null's business)
+            w = Window.partitionBy(*[F.col(c) for c in cols])
+            non_null = F.lit(True)
+            for c in cols:
+                non_null = non_null & F.col(c).isNotNull()
+            return (~non_null) | (F.count("*").over(w) == 1)
+
+        return Expectation(f"unique({','.join(cols)})", build)
+
+
+@dataclass
+class ExpectationReport:
+    passed: DataFrame  # rows satisfying every rule (original columns)
+    violations: DataFrame  # failing rows + _violated: array<string>
+    counts: dict[str, int]  # rule name -> violating row count
+    total: int
+    n_violations: int
+
+    @property
+    def ok(self) -> bool:
+        return self.n_violations == 0
+
+
+def check_expectations(
+    df: DataFrame, rules: Sequence[Expectation]
+) -> ExpectationReport:
+    """Evaluate every rule in one pass and split the batch.
+
+    The marked frame is computed once (all rule Columns in a single
+    projection); the split is two filters over it. Counts come from
+    ONE aggregate over the marked frame — explode-free (a sum of
+    per-rule int casts), so the report costs two jobs total
+    regardless of rule count."""
+    if not rules:
+        raise ValueError("check_expectations: empty rule list")
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate expectation names: {names}")
+    marked = df.withColumn(
+        _VIOL,
+        F.array_compact(
+            F.array(
+                *[
+                    F.when(~r.column(), F.lit(r.name)).otherwise(F.lit(None))
+                    for r in rules
+                ]
+            )
+        ),
+    )
+    agg = marked.agg(
+        F.count("*").alias("_n"),
+        F.sum((F.size(_VIOL) > 0).cast("long")).alias("_bad"),
+        *[
+            F.sum(F.array_contains(_VIOL, r.name).cast("long")).alias(r.name)
+            for r in rules
+        ],
+    ).first()
+    passed = marked.filter(F.size(_VIOL) == 0).drop(_VIOL)
+    violations = marked.filter(F.size(_VIOL) > 0)
+    counts = {r.name: int(agg[r.name] or 0) for r in rules}
+    return ExpectationReport(
+        passed=passed,
+        violations=violations,
+        counts=counts,
+        total=int(agg["_n"]),
+        n_violations=int(agg["_bad"] or 0),
+    )
+
+
+class ExpectationError(ValueError):
+    """A batch violated fail-mode expectations; message carries the
+    per-rule counts so the table's error row is actionable."""

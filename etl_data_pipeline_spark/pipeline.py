@@ -316,9 +316,22 @@ class IncrementalPipeline:
         try:
             # Compute the batch max BEFORE the write so a mid-write
             # failure leaves the watermark untouched (app.py:157->168).
+            # Also before the expectations gate: in drop mode the
+            # watermark covers the WHOLE batch (quarantined rows
+            # included), so a fixed row re-arrives with a NEW watermark
+            # instead of replaying forever.
             new_wm = (
                 max_watermark(df, t.watermark_column) if t.is_incremental else None
             )
+
+            if t.expectations:
+                df = self._apply_expectations(t, df)
+                if df is None:  # drop mode, zero clean rows
+                    if t.is_incremental and new_wm is not None:
+                        self.store.set(t.name, new_wm)
+                    return TableRunResult(
+                        t.name, "loaded", rows=0, new_watermark=new_wm
+                    )
 
             if t.sink_options.get("mode") == "upsert" and (
                 t.sink_format != "manifest" or not t.merge_keys
@@ -363,6 +376,50 @@ class IncrementalPipeline:
             # Checkpoint blocks have no explicit release API; dropping
             # the reference lets the ContextCleaner reclaim them.
             del df
+
+    def _apply_expectations(self, t: TableSpec, df):
+        """Run the declarative quality gate (expectations.py) on the
+        checkpointed batch. 'fail' raises with per-rule counts (the
+        table fails isolated, watermark frozen → retry after upstream
+        fix); 'drop' quarantines violating rows to parquet beside the
+        sink and returns the clean subset (None when nothing passed)."""
+        from etl_data_pipeline_spark.expectations import (
+            ExpectationError,
+            check_expectations,
+        )
+
+        report = check_expectations(df, t.expectations)
+        if report.ok:
+            return df
+        mode = t.expectations_mode
+        if mode == "fail":
+            raise ExpectationError(
+                f"table {t.name}: {report.n_violations}/{report.total} rows "
+                f"violate expectations "
+                f"{ {k: v for k, v in report.counts.items() if v} }"
+            )
+        if mode != "drop":
+            raise ValueError(
+                f"table {t.name}: unknown expectations_mode {mode!r} "
+                f"(use 'fail' or 'drop')"
+            )
+        opts = t.sink_options
+        qdir = opts.get("quarantine_dir") or (
+            (opts.get("path") or os.path.join(opts.get("dir", "."), t.name))
+            + "_quarantine"
+        )
+        report.violations.write.mode("append").parquet(qdir)
+        log.warning(
+            "table %s: quarantined %d/%d rows to %s (%s)",
+            t.name,
+            report.n_violations,
+            report.total,
+            qdir,
+            {k: v for k, v in report.counts.items() if v},
+        )
+        # clean subset may be empty: caller skips the write but still
+        # advances the watermark over the whole batch
+        return None if report.total == report.n_violations else report.passed
 
     def _merge_upsert_sink(self, t: TableSpec, df) -> None:
         """CDC upsert sink: ``sink_options={'mode': 'upsert'}`` on a

@@ -43,6 +43,15 @@ class TableSpec:
     # columns are tolerated and dropped, missing/mistyped fail the
     # table (isolated, like any per-table error).
     expected_schema: str | None = None
+    # Declarative data-quality gate (expectations.py): a tuple of
+    # Expectation rules checked in ONE pass per batch. Build the spec
+    # AFTER SparkSession creation (rules hold Column expressions).
+    # mode 'fail': any violation fails the table, watermark frozen —
+    # the batch retries after the upstream fix. mode 'drop': violating
+    # rows go to a quarantine parquet next to the sink, the clean
+    # subset loads, and the watermark advances over the WHOLE batch.
+    expectations: tuple = ()
+    expectations_mode: str = "fail"
 
     @property
     def is_incremental(self) -> bool:

@@ -1,0 +1,144 @@
+"""Declarative data-quality expectations (expectations.py) and their
+pipeline gate (TableSpec.expectations, modes fail/drop)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_pipeline_spark.expectations import (
+    Expectation,
+    ExpectationError,
+    check_expectations,
+)
+from etl_data_pipeline_spark.pipeline import IncrementalPipeline
+from etl_data_pipeline_spark.spec import PipelineSpec, TableSpec
+from etl_data_pipeline_spark.watermark import WatermarkStore
+
+
+def _batch(spark):
+    return spark.createDataFrame(
+        [
+            (1, "COMPLETE", 10.0, "a@x.com"),
+            (2, "PENDING", -5.0, "b@x.com"),     # range violation
+            (3, None, 20.0, "c@x.com"),          # null violation
+            (4, "BOGUS", 30.0, "d@x.com"),       # set violation
+            (5, "COMPLETE", 40.0, "not-an-email"),  # regex violation
+            (5, "COMPLETE", 41.0, "e@x.com"),    # duplicate id (both rows flagged)
+            (7, "PENDING", None, None),          # NULL value/email pass range/regex
+        ],
+        "id long, status string, amount double, email string",
+    )
+
+
+RULES = (
+    Expectation.not_null("status"),
+    Expectation.in_range("amount", lo=0.0),
+    Expectation.in_set("status", ["COMPLETE", "PENDING"]),
+    Expectation.matches("email", r"^[^@ ]+@[^@ ]+$"),
+    Expectation.unique("id"),
+)
+
+
+def test_one_pass_report_counts_and_split(spark):
+    r = check_expectations(_batch(spark), RULES)
+    assert r.total == 7
+    assert r.counts["not_null(status)"] == 1
+    assert r.counts["in_range(amount,0.0,None)"] == 1
+    assert r.counts["in_set(status)"] == 1  # NULL status is not a set violation
+    assert r.counts["matches(email)"] == 1
+    assert r.counts["unique(id)"] == 2  # both copies of id=5 flagged
+    # row 5/"not-an-email" violates TWO rules (regex + unique)
+    assert r.n_violations == 5
+    assert not r.ok
+    passed_ids = sorted(row.id for row in r.passed.collect())
+    assert passed_ids == [1, 7]  # NULLs pass range/regex (not_null's job)
+    v = {row.id: sorted(row._violated) for row in r.violations.collect()}
+    assert v[4] == ["in_set(status)"]
+    assert "matches(email)" in v[5] or "unique(id)" in v[5]
+
+
+def test_all_clean_is_ok(spark):
+    df = spark.createDataFrame([(1, "COMPLETE", 1.0, "a@b.c")],
+                               "id long, status string, amount double, email string")
+    r = check_expectations(df, RULES)
+    assert r.ok and r.total == 1 and r.passed.count() == 1
+
+
+def _spec(src, sinkd, mode, rules, **extra):
+    return PipelineSpec(tables=[TableSpec(
+        name="orders",
+        watermark_column="id",
+        watermark_type="id",
+        source_format="parquet",
+        source_options={"dir": str(src)},
+        sink_format="parquet",
+        sink_options={"dir": str(sinkd)},
+        expectations=rules,
+        expectations_mode=mode,
+        **extra,
+    )])
+
+
+def test_pipeline_fail_mode_freezes_watermark(spark, tmp_path):
+    src = tmp_path / "src"; src.mkdir()
+    sinkd = tmp_path / "sink"
+    spark.createDataFrame(
+        [(1, 5.0), (2, -1.0)], "id long, amount double"
+    ).write.parquet(str(src / "orders.parquet"))
+    store = WatermarkStore(tmp_path / "wm.json")
+    rules = (Expectation.in_range("amount", lo=0.0),)
+    res = IncrementalPipeline(spark, _spec(src, sinkd, "fail", rules), store).run()
+    assert res[0].status == "failed"
+    assert "violate expectations" in res[0].error
+    assert "in_range" in res[0].error
+    assert store.get("orders") is None  # watermark frozen: batch retries
+    assert not os.path.exists(sinkd / "orders")  # nothing written
+
+
+def test_pipeline_drop_mode_quarantines_and_advances(spark, tmp_path):
+    src = tmp_path / "src"; src.mkdir()
+    sinkd = tmp_path / "sink"
+    spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, 7.0)], "id long, amount double"
+    ).write.parquet(str(src / "orders.parquet"))
+    store = WatermarkStore(tmp_path / "wm.json")
+    rules = (Expectation.in_range("amount", lo=0.0),)
+    pipe = IncrementalPipeline(spark, _spec(src, sinkd, "drop", rules), store)
+    res = pipe.run()
+    assert res[0].status == "loaded"
+    assert store.get("orders") == "3"  # whole-batch watermark
+    loaded = spark.read.parquet(str(sinkd / "orders"))
+    assert sorted(r.id for r in loaded.collect()) == [1, 3]
+    quar = spark.read.parquet(str(sinkd / "orders_quarantine"))
+    qrows = quar.collect()
+    assert [r.id for r in qrows] == [2]
+    assert qrows[0]._violated == ["in_range(amount,0.0,None)"]
+    # batch 2: all rows bad -> nothing loads, watermark still advances
+    spark.createDataFrame([(4, -9.0)], "id long, amount double") \
+        .write.mode("append").parquet(str(src / "orders.parquet"))
+    res = pipe.run()
+    assert res[0].status == "loaded" and res[0].rows == 0
+    assert store.get("orders") == "4"
+    assert sorted(r.id for r in spark.read.parquet(str(sinkd / "orders")).collect()) == [1, 3]
+
+
+def test_unknown_mode_fails_loudly(spark, tmp_path):
+    src = tmp_path / "src"; src.mkdir()
+    spark.createDataFrame([(1, -5.0)], "id long, amount double") \
+        .write.parquet(str(src / "orders.parquet"))
+    store = WatermarkStore(tmp_path / "wm.json")
+    rules = (Expectation.in_range("amount", lo=0.0),)
+    res = IncrementalPipeline(
+        spark, _spec(src, tmp_path / "sink", "warn", rules), store
+    ).run()
+    assert res[0].status == "failed"
+    assert "unknown expectations_mode" in res[0].error
+
+
+def test_duplicate_rule_names_rejected(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="duplicate expectation names"):
+        check_expectations(df, (Expectation.not_null("id"), Expectation.not_null("id")))
