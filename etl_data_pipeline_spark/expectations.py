@@ -123,6 +123,42 @@ class ExpectationReport:
         return self.n_violations == 0
 
 
+def _marked(df: DataFrame, rules: Sequence[Expectation]) -> DataFrame:
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate expectation names: {names}")
+    return df.withColumn(
+        _VIOL,
+        F.array_compact(
+            F.array(
+                *[
+                    F.when(~r.column(), F.lit(r.name)).otherwise(F.lit(None))
+                    for r in rules
+                ]
+            )
+        ),
+    )
+
+
+def violation_counts(df: DataFrame, rules: Sequence[Expectation]) -> DataFrame:
+    """The report as a LAZY 1-row DataFrame: ``total_rows``,
+    ``violating_rows``, then one violation-count column per rule (in
+    rule order, named by the rule). This is the declarative face —
+    usable as a registry query with a SQL oracle; check_expectations
+    materializes it for the pipeline gate."""
+    if not rules:
+        raise ValueError("violation_counts: empty rule list")
+    marked = _marked(df, rules)
+    return marked.agg(
+        F.count("*").alias("total_rows"),
+        F.sum((F.size(_VIOL) > 0).cast("long")).alias("violating_rows"),
+        *[
+            F.sum(F.array_contains(_VIOL, r.name).cast("long")).alias(r.name)
+            for r in rules
+        ],
+    )
+
+
 def check_expectations(
     df: DataFrame, rules: Sequence[Expectation]
 ) -> ExpectationReport:
@@ -135,28 +171,8 @@ def check_expectations(
     regardless of rule count."""
     if not rules:
         raise ValueError("check_expectations: empty rule list")
-    names = [r.name for r in rules]
-    if len(set(names)) != len(names):
-        raise ValueError(f"duplicate expectation names: {names}")
-    marked = df.withColumn(
-        _VIOL,
-        F.array_compact(
-            F.array(
-                *[
-                    F.when(~r.column(), F.lit(r.name)).otherwise(F.lit(None))
-                    for r in rules
-                ]
-            )
-        ),
-    )
-    agg = marked.agg(
-        F.count("*").alias("_n"),
-        F.sum((F.size(_VIOL) > 0).cast("long")).alias("_bad"),
-        *[
-            F.sum(F.array_contains(_VIOL, r.name).cast("long")).alias(r.name)
-            for r in rules
-        ],
-    ).first()
+    marked = _marked(df, rules)
+    agg = violation_counts(df, rules).first()
     passed = marked.filter(F.size(_VIOL) == 0).drop(_VIOL)
     violations = marked.filter(F.size(_VIOL) > 0)
     counts = {r.name: int(agg[r.name] or 0) for r in rules}
@@ -164,8 +180,8 @@ def check_expectations(
         passed=passed,
         violations=violations,
         counts=counts,
-        total=int(agg["_n"]),
-        n_violations=int(agg["_bad"] or 0),
+        total=int(agg["total_rows"]),
+        n_violations=int(agg["violating_rows"] or 0),
     )
 
 

@@ -99,6 +99,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "tpch_q20ish",
         "tpch_q21ish",
         "text_duplicate_spans",
+        "expectations_report",
         # windows family — r2-latest
         "window_rank",
         "window_running",

@@ -206,6 +206,42 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations evaluated in one pass
+    (expectations.py:violation_counts — the registry-facing face of
+    the pipeline's quality gate): per-rule violation counts over
+    lineitem as a single 1-row aggregate. Rules cover all five
+    built-in shapes: not_null, in_range, in_set, regex match, and
+    composite-key uniqueness (the one rule that shuffles — its window
+    shares the same pass). Exact SQL oracle: each rule is a SUM of a
+    CASE in DuckDB, uniqueness via a windowed count."""
+    from etl_data_pipeline_spark.expectations import Expectation, violation_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = (
+        Expectation("flag_not_null", lambda: F.col("l_returnflag").isNotNull()),
+        Expectation(
+            "qty_in_range",
+            lambda: F.col("l_quantity").isNull()
+            | F.col("l_quantity").between(1, 40),
+        ),
+        Expectation(
+            "status_in_set",
+            lambda: F.col("l_linestatus").isNull()
+            | F.col("l_linestatus").isin("O", "F"),
+        ),
+        Expectation(
+            "flag_matches",
+            lambda: F.col("l_returnflag").isNull()
+            | F.col("l_returnflag").rlike("^[ANR]$"),
+        ),
+        Expectation.unique("l_orderkey", "l_linenumber"),
+    )
+    return violation_counts(li, rules).withColumnRenamed(
+        "unique(l_orderkey,l_linenumber)", "line_unique"
+    )
+
+
 PROFILE_COLS = ("o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority")
 
 
@@ -420,12 +456,38 @@ QUERIES = {
     "timeseries_user_sim": timeseries_user_sim,
     "events_anomaly_zscore": events_anomaly_zscore,
     "profile_table_quality": profile_table_quality,
+    "expectations_report": expectations_report,
     "events_transition_matrix": events_transition_matrix,
     "events_retention": events_retention,
     "events_resample_ffill": events_resample_ffill,
 }
 
 ORACLE = {
+    "expectations_report": """
+        WITH marked AS (
+            SELECT
+                (l_returnflag IS NULL) AS v_flag,
+                NOT (l_quantity IS NULL OR l_quantity BETWEEN 1 AND 40)
+                    AS v_qty,
+                NOT (l_linestatus IS NULL OR l_linestatus IN ('O', 'F'))
+                    AS v_status,
+                NOT (l_returnflag IS NULL
+                     OR regexp_matches(l_returnflag, '^[ANR]$')) AS v_match,
+                (l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+                 AND count(*) OVER (PARTITION BY l_orderkey, l_linenumber) > 1)
+                    AS v_uni
+            FROM lineitem
+        )
+        SELECT count(*)::BIGINT AS total_rows,
+               sum((v_flag OR v_qty OR v_status OR v_match OR v_uni)::INT)::BIGINT
+                   AS violating_rows,
+               sum(v_flag::INT)::BIGINT AS flag_not_null,
+               sum(v_qty::INT)::BIGINT AS qty_in_range,
+               sum(v_status::INT)::BIGINT AS status_in_set,
+               sum(v_match::INT)::BIGINT AS flag_matches,
+               sum(v_uni::INT)::BIGINT AS line_unique
+        FROM marked
+    """,
     "events_session_funnel": """
         WITH {cte},
         v AS (
