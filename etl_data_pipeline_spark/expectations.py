@@ -188,3 +188,30 @@ def check_expectations(
 class ExpectationError(ValueError):
     """A batch violated fail-mode expectations; message carries the
     per-rule counts so the table's error row is actionable."""
+
+
+def check_referential(
+    df: DataFrame,
+    col: str,
+    dim: DataFrame,
+    dim_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Referential-integrity check — the one common rule a per-row
+    Column cannot express (it needs the dimension relation): split
+    ``df`` into (valid, orphans) by whether ``col`` exists in
+    ``dim[dim_col]``.
+
+    Plan shape: the DISTINCT key set of the dimension is broadcast
+    (dimension keys are small even when the dimension is wide), so the
+    fact side streams through a broadcast semi/anti join pair — one
+    scan, no fact shuffle. NULL keys are valid here (absence is
+    not_null's business, same composability rule as the Column
+    rules)."""
+    keys = F.broadcast(dim.select(F.col(dim_col).alias(col)).distinct())
+    valid = df.join(keys, on=col, how="left_semi").unionByName(
+        df.filter(F.col(col).isNull())
+    )
+    orphans = df.filter(F.col(col).isNotNull()).join(
+        keys, on=col, how="left_anti"
+    )
+    return valid, orphans

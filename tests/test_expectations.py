@@ -142,3 +142,34 @@ def test_duplicate_rule_names_rejected(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError, match="duplicate expectation names"):
         check_expectations(df, (Expectation.not_null("id"), Expectation.not_null("id")))
+
+
+def test_referential_check_splits_orphans(spark):
+    from etl_data_pipeline_spark.expectations import check_referential
+
+    dim = spark.createDataFrame([(1,), (2,)], "custkey long")
+    fact = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 99), (13, None)], "id long, custkey long"
+    )
+    valid, orphans = check_referential(fact, "custkey", dim, "custkey")
+    assert sorted(r.id for r in valid.collect()) == [10, 11, 13]  # NULL passes
+    assert [r.id for r in orphans.collect()] == [12]
+
+
+def test_referential_is_broadcast_no_fact_shuffle(spark, sf_dir):
+    """The dimension key set must broadcast: the fact side streams
+    through BroadcastHashJoins with zero data exchanges."""
+    from etl_data_pipeline_spark.expectations import check_referential
+    from etl_data_pipeline_spark.plans import exchange_count, plan_str
+    from etl_data_pipeline_spark.session import load_table
+
+    spark.catalog.clearCache()
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    valid, orphans = check_referential(orders, "o_custkey", customer, "c_custkey")
+    for frame in (valid, orphans):
+        plan = plan_str(frame)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+    # harness integrity: every order points at a real customer
+    assert orphans.count() == 0
