@@ -17,6 +17,19 @@ a transient load spike landing on one query. The cache is cleared
 between passes so a query's persisted intermediates never make its
 next rep artificially fast. Loadavg at start/end is recorded so a
 hot-host run is identifiable after the fact.
+
+Quiet-window gate (round-5 VERDICT "Next round" #2): this host's
+loadavg swings with external noisy neighbors and inflates heavy-tail
+timings 20-60% (BASELINE.md documents a 64.8 s hot-host artifact vs
+44.1 s quiet for identical code). So before timing anything the
+harness polls ``os.getloadavg()`` and waits — up to a bounded budget
+(default 600 s, env ``SPARK_GRAFT_BENCH_WAIT_SEC``) — for 1-minute
+loadavg to drop below ``SPARK_GRAFT_BENCH_LOADAVG_MAX`` (default
+2.0). If the budget expires while still hot it runs anyway but stamps
+``"hot_host": true`` in the JSON, so a recorded number is either
+quiet-by-construction or self-labeled as unrepresentative. The wait
+happens BEFORE SparkSession startup so the idle JVM never skews the
+sampled loadavg.
 """
 
 from __future__ import annotations
@@ -81,6 +94,30 @@ BENCH_QUERIES = [
 ]
 
 
+def wait_for_quiet_host() -> tuple[float, bool]:
+    """Block until 1-min loadavg < SPARK_GRAFT_BENCH_LOADAVG_MAX or the
+    SPARK_GRAFT_BENCH_WAIT_SEC budget expires. Returns (seconds waited,
+    still_hot). Poll interval 15 s — loadavg's 1-min EMA moves slowly,
+    so finer polling buys nothing."""
+    limit = float(os.environ.get("SPARK_GRAFT_BENCH_LOADAVG_MAX", "2.0"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_SEC", "600"))
+    t0 = time.time()
+    while True:
+        load = os.getloadavg()[0]
+        waited = time.time() - t0
+        if load < limit:
+            return round(waited, 1), False
+        if waited >= budget:
+            print(
+                f"bench: host still hot after {waited:.0f}s "
+                f"(loadavg {load:.2f} >= {limit}); running anyway, "
+                "stamping hot_host=true",
+                file=sys.stderr,
+            )
+            return round(waited, 1), True
+        time.sleep(min(15.0, budget - waited))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -89,6 +126,8 @@ def main() -> None:
         sf = -1.0
 
     import __spark_entry__ as entrymod
+
+    waited_sec, hot_host = wait_for_quiet_host()
 
     qs = entrymod.queries()
     spark = get_spark("bench")
@@ -130,6 +169,8 @@ def main() -> None:
                 "sf": sf,
                 "runs": reps,
                 "loadavg": [round(load_start, 2), round(os.getloadavg()[0], 2)],
+                "hot_host": hot_host,
+                "quiet_wait_sec": waited_sec,
             }
         )
     )

@@ -78,90 +78,71 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # hoisted to the very front regardless of family (the harness
     # checks only a ~50-entry prefix per round, so the hoist rotates
     # stale evidence back into the check window).
-    # Round-5 rotation: the 10 BRAND-NEW r5 queries (TPC-H shapes +
-    # text_duplicate_spans — no driver evidence yet) lead, then the 33
-    # queries whose newest driver-green row is from round 2 (windows,
-    # setops, scalars date/math/case_null/array/json, both UDFs, LLM
-    # dedup, similarity, cdc_compact_latest), then r3-latest riders
-    # (subqueries, reshape, UDAFs, streaming batch-analogs) fill the
-    # remainder of the ~50-entry window. All pass the local sf0.01
-    # gate; this refreshes the hard driver signal per round-4 VERDICT
-    # "Next round" #1.
+    # Round-6 rotation (per round-5 VERDICT "Next round" #1): the
+    # brand-new r6 queries (declarative FK expectations report + the
+    # two approx-sketch error-bound checks) lead, then the ~42 queries
+    # whose newest driver-green row is from round 3 — the whole
+    # text/curation/features/multimodal block, events sessionization
+    # analytics, scalar string/map, both UDAFs, the r3 subquery riders,
+    # reshape, and the streaming batch-analogs. Everything else was
+    # driver-verified green in r4/r5 and passes the local sf0.01 gate.
     hoist = [
-        # -- BRAND NEW (r5): no driver evidence at all — first priority
-        "tpch_q2ish",
-        "tpch_q7ish",
-        "tpch_q8ish",
-        "tpch_q9ish",
-        "tpch_q10ish",
-        "tpch_q12ish",
-        "tpch_q19ish",
-        "tpch_q20ish",
-        "tpch_q21ish",
-        "text_duplicate_spans",
-        "expectations_report",
-        # windows family — r2-latest
-        "window_rank",
-        "window_running",
-        "window_lag_lead",
-        "window_range_frame",
-        "window_distribution",
-        "window_first_last",
-        "window_time_range",
-        # sort/set/dedup family — r2-latest
-        "sort_limit",
-        "topk_per_group",
-        "set_union",
-        "set_intersect",
-        "set_except",
-        "dedup_exact",
-        # scalars — r2-latest (string/map were r3)
-        "scalar_date",
-        "scalar_math",
-        "scalar_case_null",
-        "scalar_array",
-        "scalar_json",
-        # UDFs — r2-latest
-        "udf_scalar",
-        "udf_pandas",
-        # analytics rider — r2-latest
-        "cdc_compact_latest",
-        # LLM dedup family — r2-latest
-        "dedup_exact_docs",
-        "dedup_ngram_jaccard",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "dedup_clusters",
-        "dedup_canonical",
-        # similarity family — r2-latest
-        "sim_topk",
-        "sim_ann_lsh",
-        "sim_ann_ivf",
-        "embedding_centroids",
-        "embedding_kmeans",
-        "embedding_quantize",
-        # -- r3-latest riders: start rotating r3 evidence --
-        # subqueries family
-        "subq_exists_lateship",
-        "subq_not_exists_quiet_parts",
-        "subq_corr_scalar_avgqty",
-        "subq_in_heavy_orders",
-        "subq_nested_max_revenue",
-        "agg_promo_share",
-        "subq_q22ish",
-        "join_count_distribution",
-        # reshape family
-        "agg_pivot",
-        "unpivot_metrics",
-        # UDAFs
+        # -- BRAND NEW (r6): no driver evidence at all — first priority
+        "expectations_fk_report",
+        "agg_approx_distinct_bounds",
+        "agg_approx_percentile_bounds",
+        # text family — r3-latest
+        "text_stats",
+        "text_tokens",
+        "text_lang_id",
+        "text_quality",
+        "text_fingerprint",
+        "text_top_tokens",
+        "text_normalize",
+        "text_chunks",
+        "text_tfidf",
+        "text_contamination",
+        "text_pii_scrub",
+        "text_repetition",
+        # curation family — r3-latest
+        "pipeline_corpus_curation",
+        "pipeline_corpus_curation_v2",
+        "corpus_mix_weights",
+        "corpus_split",
+        "corpus_pack_sequences",
+        # features family — r3-latest
+        "recsys_negative_samples",
+        "events_decayed_value",
+        "corpus_quality_resample",
+        # multimodal family — r3-latest
+        "multimodal_decode_header",
+        "multimodal_binary_meta",
+        "multimodal_decode_stub",
+        "multimodal_resize_plan",
+        "multimodal_frame_sample",
+        # events sessionization analytics — r3-latest
+        "events_sessionize",
+        "events_conversion_sessions",
+        "events_session_funnel",
+        # scalars string/map — r3-latest
+        "scalar_string",
+        "scalar_map",
+        # UDAFs — r3-latest
         "udaf_grouped",
         "udaf_segment_trend",
-        # streaming batch-analogs
+        # subquery riders — r3-latest
+        "subq_q22ish",
+        "join_count_distribution",
+        # reshape family — r3-latest
+        "agg_pivot",
+        "unpivot_metrics",
+        # streaming batch-analogs — r3-latest
         "stream_tumbling",
         "stream_sliding",
         "stream_session",
         "stream_watermark_late",
         "stream_dedup",
+        "stream_join_attribution",
     ]
     ordered = {name: queries[name] for name in hoist if name in queries}
     ordered.update(queries)
