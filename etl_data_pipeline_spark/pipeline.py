@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import logging
 import os
+import re
 from concurrent.futures import ThreadPoolExecutor, as_completed
 from dataclasses import dataclass
 from typing import Any
@@ -325,7 +326,7 @@ class IncrementalPipeline:
             )
 
             if t.expectations:
-                df = self._apply_expectations(t, df)
+                df = self._apply_expectations(t, df, new_wm)
                 if df is None:  # drop mode, zero clean rows
                     if t.is_incremental and new_wm is not None:
                         self.store.set(t.name, new_wm)
@@ -377,12 +378,18 @@ class IncrementalPipeline:
             # the reference lets the ContextCleaner reclaim them.
             del df
 
-    def _apply_expectations(self, t: TableSpec, df):
+    def _apply_expectations(self, t: TableSpec, df, new_wm=None):
         """Run the declarative quality gate (expectations.py) on the
         checkpointed batch. 'fail' raises with per-rule counts (the
         table fails isolated, watermark frozen → retry after upstream
         fix); 'drop' quarantines violating rows to parquet beside the
-        sink and returns the clean subset (None when nothing passed)."""
+        sink and returns the clean subset (None when nothing passed).
+
+        Quarantine writes are IDEMPOTENT per batch: rows land in a
+        deterministic ``batch=<watermark>`` subdir in overwrite mode,
+        so when the sink write fails after the quarantine write the
+        whole-batch replay (watermark untouched) overwrites the same
+        subdir instead of appending duplicate violation rows."""
         from etl_data_pipeline_spark.expectations import (
             ExpectationError,
             check_expectations,
@@ -408,7 +415,14 @@ class IncrementalPipeline:
             (opts.get("path") or os.path.join(opts.get("dir", "."), t.name))
             + "_quarantine"
         )
-        report.violations.write.mode("append").parquet(qdir)
+        batch_key = (
+            re.sub(r"[^0-9A-Za-z._-]", "_", str(new_wm))
+            if new_wm is not None
+            else "full"
+        )
+        report.violations.write.mode("overwrite").parquet(
+            os.path.join(qdir, f"batch={batch_key}")
+        )
         log.warning(
             "table %s: quarantined %d/%d rows to %s (%s)",
             t.name,
@@ -420,6 +434,27 @@ class IncrementalPipeline:
         # clean subset may be empty: caller skips the write but still
         # advances the watermark over the whole batch
         return None if report.total == report.n_violations else report.passed
+
+    @staticmethod
+    def _tiebreak_expr(dtype, col):
+        """Deterministic-merge tiebreak expression for one column.
+        Spark cannot ORDER BY MapType (AnalysisException), so columns
+        whose type contains a map sort by their JSON rendering instead
+        — the same row always serializes the same way, so a replay
+        still picks the same winner. Orderable types sort natively."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        def orderable(dt):
+            if isinstance(dt, MapType):
+                return False
+            if isinstance(dt, ArrayType):
+                return orderable(dt.elementType)
+            if isinstance(dt, StructType):
+                return all(orderable(f.dataType) for f in dt.fields)
+            return True
+
+        return col if orderable(dtype) else F.to_json(col)
 
     def _merge_upsert_sink(self, t: TableSpec, df) -> None:
         """CDC upsert sink: ``sink_options={'mode': 'upsert'}`` on a
@@ -450,11 +485,27 @@ class IncrementalPipeline:
         from etl_data_pipeline_spark.sinks.manifest import merge_upsert
 
         opts = t.sink_options
+        if "txn" in opts:
+            # A static (app_id, version) in per-table config would mark
+            # every batch after the first as a replay — _merge_locked
+            # silently skips the merge and the table silently stops
+            # updating. The pipeline's own replay safety comes from
+            # whole-batch compaction + merge idempotency, so a txn
+            # fence here must be PER-RUN, which static config cannot
+            # express. Reject loudly instead of losing data quietly.
+            raise ValueError(
+                f"table {t.name}: 'txn' in sink_options is static "
+                "per-table config and would fence out every batch "
+                "after the first; upsert merges are replay-idempotent "
+                "without it (remove 'txn', or call "
+                "sinks.manifest.merge_upsert directly with a per-run "
+                "version)"
+            )
         path = opts.get("path") or os.path.join(opts["dir"], t.name)
         batch = df
         if t.is_incremental and t.watermark_column:
             tiebreak = [
-                F.col(c).desc()
+                self._tiebreak_expr(batch.schema[c].dataType, F.col(c)).desc()
                 for c in batch.columns
                 if c != t.watermark_column and c not in t.merge_keys
             ]
@@ -472,7 +523,6 @@ class IncrementalPipeline:
             path,
             batch,
             t.merge_keys,
-            txn=opts.get("txn"),
             partition_by=tuple(partition_by) if partition_by else None,
         )
 

@@ -55,6 +55,12 @@ MAGIC = b"Obj\x01"
 SYNC_SIZE = 16
 _EPOCH_DATE = date(1970, 1, 1)
 _EPOCH_DT = datetime(1970, 1, 1)
+# Decoders MUST build timestamps from a tz-aware UTC epoch: PySpark's
+# TimestampType converter treats a NAIVE datetime as OS-local time
+# (time.mktime), so naive decode silently shifts every value by the
+# host's UTC offset on any non-UTC machine — aware-UTC values go
+# through calendar.timegm and are host-tz-independent.
+_EPOCH_DT_UTC = datetime(1970, 1, 1, tzinfo=timezone.utc)
 FORMAT_NAME = "avro_py"
 DEFAULT_SPLIT_BYTES = 128 * 1024 * 1024
 
@@ -330,14 +336,14 @@ def build_decoder(sch, named: dict | None = None) -> Decoder:
 
         def dec_ts_us(buf, pos):
             v, pos = read_long(buf, pos)
-            return _EPOCH_DT + timedelta(microseconds=v), pos
+            return _EPOCH_DT_UTC + timedelta(microseconds=v), pos
 
         return dec_ts_us
     if logical == "timestamp-millis" and t == "long":
 
         def dec_ts_ms(buf, pos):
             v, pos = read_long(buf, pos)
-            return _EPOCH_DT + timedelta(milliseconds=v), pos
+            return _EPOCH_DT_UTC + timedelta(milliseconds=v), pos
 
         return dec_ts_ms
     if t == "record":

@@ -53,6 +53,17 @@ class TableSpec:
     expectations: tuple = ()
     expectations_mode: str = "fail"
 
+    def __post_init__(self) -> None:
+        # Validate at CONSTRUCTION, not first violation: a typo'd mode
+        # would otherwise run silently on clean data and fail the table
+        # only when a batch finally has violations — bad config must
+        # fail before any batch runs.
+        if self.expectations_mode not in ("fail", "drop"):
+            raise ValueError(
+                f"table {self.name}: unknown expectations_mode "
+                f"{self.expectations_mode!r} (use 'fail' or 'drop')"
+            )
+
     @property
     def is_incremental(self) -> bool:
         return self.watermark_column is not None

@@ -438,3 +438,49 @@ def test_null_second_union_pure_round_trip(tmp_path):
         w.close()
     rows = [r[0] for r in iter_block_rows(str(p), 0, os.path.getsize(p))]
     assert rows == [1, None, 3, None, 5]
+
+
+def test_timestamp_decode_is_host_tz_independent(tmp_path):
+    """Decoded timestamps must be tz-aware UTC so PySpark's
+    TimestampType converter (which treats NAIVE values as OS-local
+    time via time.mktime) produces the same internal micros on any
+    host timezone. Regression test for the naive-epoch decode bug:
+    under TZ=America/New_York a naive decode shifts every value by
+    5 hours; an aware-UTC decode goes through calendar.timegm and is
+    invariant."""
+    import time as _time
+
+    from pyspark.sql.types import TimestampType
+
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "ts",
+             "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        ],
+    }
+    want = dt.datetime(2024, 6, 1, 12, 30, 45, 123456,
+                       tzinfo=dt.timezone.utc)
+    micros = int(want.timestamp() * 1_000_000)
+    p = tmp_path / "ts.avro"
+    with open(p, "wb") as f:
+        w = OcfWriter(f, schema, codec="null")
+        w.write_row({"ts": want})
+        w.close()
+    (got,), = iter_block_rows(str(p), 0, os.path.getsize(p))
+    assert got.tzinfo is not None and got.utcoffset().total_seconds() == 0
+    assert got == want
+
+    conv = TimestampType()
+    old_tz = os.environ.get("TZ")
+    try:
+        for tz in ("America/New_York", "Asia/Tokyo", "UTC"):
+            os.environ["TZ"] = tz
+            _time.tzset()
+            assert conv.toInternal(got) == micros, tz
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        _time.tzset()

@@ -125,17 +125,13 @@ def test_pipeline_drop_mode_quarantines_and_advances(spark, tmp_path):
     assert sorted(r.id for r in spark.read.parquet(str(sinkd / "orders")).collect()) == [1, 3]
 
 
-def test_unknown_mode_fails_loudly(spark, tmp_path):
-    src = tmp_path / "src"; src.mkdir()
-    spark.createDataFrame([(1, -5.0)], "id long, amount double") \
-        .write.parquet(str(src / "orders.parquet"))
-    store = WatermarkStore(tmp_path / "wm.json")
+def test_unknown_mode_fails_at_construction(tmp_path):
+    """A typo'd mode must fail when the spec is BUILT, not on the
+    first batch that happens to have violations — clean data would
+    otherwise mask the misconfiguration for arbitrarily long."""
     rules = (Expectation.in_range("amount", lo=0.0),)
-    res = IncrementalPipeline(
-        spark, _spec(src, tmp_path / "sink", "warn", rules), store
-    ).run()
-    assert res[0].status == "failed"
-    assert "unknown expectations_mode" in res[0].error
+    with pytest.raises(ValueError, match="unknown expectations_mode"):
+        _spec(tmp_path / "src", tmp_path / "sink", "warn", rules)
 
 
 def test_duplicate_rule_names_rejected(spark):
@@ -173,3 +169,85 @@ def test_referential_is_broadcast_no_fact_shuffle(spark, sf_dir):
         assert "SortMergeJoin" not in plan
     # harness integrity: every order points at a real customer
     assert orphans.count() == 0
+
+
+def test_drop_mode_quarantine_replay_is_idempotent(spark, tmp_path):
+    """Sink write fails AFTER the quarantine write -> whole batch
+    replays (watermark untouched). The quarantine write targets a
+    deterministic batch=<watermark> subdir in overwrite mode, so the
+    replay overwrites the same rows instead of appending duplicates."""
+    src = tmp_path / "src"; src.mkdir()
+    sinkd = tmp_path / "sink"
+    spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, 7.0)], "id long, amount double"
+    ).write.parquet(str(src / "orders.parquet"))
+    store = WatermarkStore(tmp_path / "wm.json")
+    rules = (Expectation.in_range("amount", lo=0.0),)
+    pipe = IncrementalPipeline(spark, _spec(src, sinkd, "drop", rules), store)
+    t = pipe.spec.tables[0]
+    df = spark.read.parquet(str(src / "orders.parquet"))
+    # two "replays" of the same batch (same watermark -> same subdir)
+    pipe._apply_expectations(t, df, new_wm=3)
+    pipe._apply_expectations(t, df, new_wm=3)
+    quar = spark.read.parquet(str(sinkd / "orders_quarantine"))
+    assert [r.id for r in quar.collect()] == [2]  # no duplicates
+    # and the real pipeline run still loads/advances as before
+    res = pipe.run()
+    assert res[0].status == "loaded"
+    assert store.get("orders") == "3"
+
+
+def test_upsert_static_txn_rejected(spark, tmp_path):
+    """A static txn in sink_options would fence out every batch after
+    the first (silent data loss) — the pipeline must reject it."""
+    src = tmp_path / "src"; src.mkdir()
+    spark.createDataFrame([(1, 5.0)], "id long, amount double") \
+        .write.parquet(str(src / "orders.parquet"))
+    store = WatermarkStore(tmp_path / "wm.json")
+    spec = PipelineSpec(tables=[TableSpec(
+        name="orders",
+        watermark_column="id",
+        watermark_type="id",
+        source_format="parquet",
+        source_options={"dir": str(src)},
+        sink_format="manifest",
+        sink_options={"dir": str(tmp_path / "sink"),
+                      "mode": "upsert", "txn": ("app", 1)},
+        merge_keys=("id",),
+    )])
+    res = IncrementalPipeline(spark, spec, store).run()
+    assert res[0].status == "failed"
+    assert "'txn' in sink_options" in res[0].error
+    assert store.get("orders") is None  # nothing committed
+
+
+def test_upsert_tiebreak_tolerates_map_columns(spark, tmp_path):
+    """MapType cannot be ORDER BY'd; the deterministic tiebreak must
+    fall back to a serialized rendering instead of failing the table
+    (the merge itself never needed the map ordered natively)."""
+    src = tmp_path / "src"; src.mkdir()
+    sinkd = tmp_path / "sink"
+    spark.createDataFrame(
+        [(1, 10, {"a": 1.0}), (1, 10, {"a": 2.0}), (2, 11, {"b": 3.0})],
+        "id long, ver long, attrs map<string,double>",
+    ).write.parquet(str(src / "orders.parquet"))
+    store = WatermarkStore(tmp_path / "wm.json")
+    spec = PipelineSpec(tables=[TableSpec(
+        name="orders",
+        watermark_column="ver",
+        watermark_type="id",
+        source_format="parquet",
+        source_options={"dir": str(src)},
+        sink_format="manifest",
+        sink_options={"dir": str(sinkd), "mode": "upsert"},
+        merge_keys=("id",),
+    )])
+    res = IncrementalPipeline(spark, spec, store).run()
+    assert res[0].status == "loaded", res[0].error
+    from etl_data_pipeline_spark.sinks.manifest import read_table
+    got = read_table(spark, str(sinkd / "orders"))
+    rows = {r.id: r for r in got.collect()}
+    assert set(rows) == {1, 2}
+    # same-watermark duplicate for id=1 resolved deterministically:
+    # to_json desc picks {"a":2.0}
+    assert rows[1].attrs == {"a": 2.0}
