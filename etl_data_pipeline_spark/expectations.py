@@ -97,6 +97,25 @@ class Expectation:
         )
 
     @staticmethod
+    def foreign_key(col, dim, dim_col=None, name=None) -> "ForeignKey":
+        """Declarative referential-integrity rule: every non-NULL
+        ``col`` must exist in ``dim[dim_col]``. ``dim`` is a DataFrame
+        or a zero-arg thunk returning one (same lazy-construction rule
+        as ``holds`` — specs are declared before any session exists).
+        Compiles onto check_referential's plan shape: the DISTINCT
+        dimension key set broadcasts and the batch takes ONE broadcast
+        left join per FK rule — no fact-side shuffle, and the rule
+        still participates in the same single-pass marked projection
+        as every Column rule."""
+        return ForeignKey(
+            name=name or f"fk({col})",
+            holds=None,
+            col=col,
+            dim=dim,
+            dim_col=dim_col or col,
+        )
+
+    @staticmethod
     def unique(*cols: str) -> "Expectation":
         def build():
             # window count over the key: the one rule that shuffles;
@@ -108,6 +127,20 @@ class Expectation:
             return (~non_null) | (F.count("*").over(w) == 1)
 
         return Expectation(f"unique({','.join(cols)})", build)
+
+
+@dataclass(frozen=True)
+class ForeignKey(Expectation):
+    """A referential rule (see Expectation.foreign_key). ``holds`` is
+    unused — _marked gives each FK rule a broadcast-joined marker
+    column and derives its boolean from that."""
+
+    col: str = ""
+    dim: object = None  # DataFrame | Callable[[], DataFrame]
+    dim_col: str = ""
+
+    def dim_frame(self) -> DataFrame:
+        return self.dim() if callable(self.dim) else self.dim
 
 
 @dataclass
@@ -127,17 +160,38 @@ def _marked(df: DataFrame, rules: Sequence[Expectation]) -> DataFrame:
     names = [r.name for r in rules]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate expectation names: {names}")
-    return df.withColumn(
+    # FK rules first: each contributes one broadcast left join that
+    # tags rows with a membership marker, then every rule (Column and
+    # FK alike) folds into the SAME single-pass _violated projection.
+    # A NULL key is valid (absence is not_null's business).
+    work = df
+    checks: list[Column] = []
+    markers: list[str] = []
+    for i, r in enumerate(rules):
+        if isinstance(r, ForeignKey):
+            marker = f"_fk_ok_{i}"
+            keys = F.broadcast(
+                r.dim_frame()
+                .select(F.col(r.dim_col).alias(r.col))
+                .distinct()
+                .withColumn(marker, F.lit(True))
+            )
+            work = work.join(keys, on=r.col, how="left")
+            markers.append(marker)
+            checks.append(F.col(r.col).isNull() | F.col(marker).isNotNull())
+        else:
+            checks.append(r.column())
+    return work.withColumn(
         _VIOL,
         F.array_compact(
             F.array(
                 *[
-                    F.when(~r.column(), F.lit(r.name)).otherwise(F.lit(None))
-                    for r in rules
+                    F.when(~c, F.lit(r.name)).otherwise(F.lit(None))
+                    for r, c in zip(rules, checks)
                 ]
             )
         ),
-    )
+    ).select(*df.columns, _VIOL)
 
 
 def violation_counts(df: DataFrame, rules: Sequence[Expectation]) -> DataFrame:

@@ -242,6 +242,40 @@ def expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def expectations_fk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative REFERENTIAL expectations (Expectation.foreign_key)
+    mixed with Column rules in the same one-pass report: each FK rule
+    broadcasts the dimension's distinct key set and tags the batch via
+    ONE broadcast left join (no fact-side shuffle), then folds into
+    the same _violated projection as the row rules. The FK dimension
+    is deliberately RESTRICTED (nations < 20) so orphans exist and the
+    orphan count is a real number the DuckDB oracle must reproduce."""
+    from etl_data_pipeline_spark.expectations import Expectation, violation_counts
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rules = (
+        Expectation.foreign_key(
+            "c_nationkey",
+            lambda: nation.filter(F.col("n_nationkey") < 20),
+            dim_col="n_nationkey",
+            name="fk_nation",
+        ),
+        Expectation(
+            "acctbal_nonneg",
+            lambda: F.col("c_acctbal").isNull() | (F.col("c_acctbal") >= 0),
+        ),
+        Expectation.not_null("c_mktsegment"),
+    )
+    return violation_counts(cust, rules).toDF(
+        "total_rows",
+        "violating_rows",
+        "fk_nation",
+        "acctbal_nonneg",
+        "mktsegment_not_null",
+    )
+
+
 PROFILE_COLS = ("o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority")
 
 
@@ -457,6 +491,7 @@ QUERIES = {
     "events_anomaly_zscore": events_anomaly_zscore,
     "profile_table_quality": profile_table_quality,
     "expectations_report": expectations_report,
+    "expectations_fk_report": expectations_fk_report,
     "events_transition_matrix": events_transition_matrix,
     "events_retention": events_retention,
     "events_resample_ffill": events_resample_ffill,
@@ -486,6 +521,23 @@ ORACLE = {
                sum(v_status::INT)::BIGINT AS status_in_set,
                sum(v_match::INT)::BIGINT AS flag_matches,
                sum(v_uni::INT)::BIGINT AS line_unique
+        FROM marked
+    """,
+    "expectations_fk_report": """
+        WITH marked AS (
+            SELECT
+                (c_nationkey IS NOT NULL AND c_nationkey NOT IN (
+                    SELECT n_nationkey FROM nation WHERE n_nationkey < 20
+                )) AS v_fk,
+                (c_acctbal IS NOT NULL AND c_acctbal < 0) AS v_bal,
+                (c_mktsegment IS NULL) AS v_seg
+            FROM customer
+        )
+        SELECT count(*)::BIGINT AS total_rows,
+               sum((v_fk OR v_bal OR v_seg)::INT)::BIGINT AS violating_rows,
+               sum(v_fk::INT)::BIGINT AS fk_nation,
+               sum(v_bal::INT)::BIGINT AS acctbal_nonneg,
+               sum(v_seg::INT)::BIGINT AS mktsegment_not_null
         FROM marked
     """,
     "events_session_funnel": """

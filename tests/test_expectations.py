@@ -251,3 +251,100 @@ def test_upsert_tiebreak_tolerates_map_columns(spark, tmp_path):
     # same-watermark duplicate for id=1 resolved deterministically:
     # to_json desc picks {"a":2.0}
     assert rows[1].attrs == {"a": 2.0}
+
+
+def test_foreign_key_rule_in_one_pass_report(spark):
+    """FK rule mixed with Column rules: one report, orphans counted,
+    NULL keys valid, and the _violated array names the FK rule."""
+    dim = spark.createDataFrame([(1,), (2,)], "k long")
+    fact = spark.createDataFrame(
+        [(10, 1, 5.0), (11, 99, -1.0), (12, None, 2.0)],
+        "id long, k long, amount double",
+    )
+    rules = (
+        Expectation.foreign_key("k", dim, dim_col="k", name="fk_k"),
+        Expectation.in_range("amount", lo=0.0),
+    )
+    r = check_expectations(fact, rules)
+    assert r.total == 3
+    assert r.counts["fk_k"] == 1
+    assert r.counts["in_range(amount,0.0,None)"] == 1
+    assert sorted(row.id for row in r.passed.collect()) == [10, 12]
+    v = {row.id: sorted(row._violated) for row in r.violations.collect()}
+    assert v == {11: ["fk_k", "in_range(amount,0.0,None)"]}
+    # original column order preserved through the marker join
+    assert r.passed.columns == ["id", "k", "amount"]
+
+
+def test_foreign_key_plan_is_broadcast(spark):
+    """The FK marker join must broadcast the key set — no fact-side
+    shuffle regardless of rule count."""
+    from etl_data_pipeline_spark.expectations import _marked
+    from etl_data_pipeline_spark.plans import plan_str
+
+    dim = spark.range(100).toDF("k")
+    fact = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 150).alias("k")
+    )
+    plan = plan_str(_marked(fact, (Expectation.foreign_key("k", dim),)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def _fk_spec(src, sinkd, mode, spark):
+    dim_path = str(src / "dim.parquet")
+
+    def dim():
+        return spark.read.parquet(dim_path)
+
+    return PipelineSpec(tables=[TableSpec(
+        name="orders",
+        watermark_column="id",
+        watermark_type="id",
+        source_format="parquet",
+        source_options={"dir": str(src)},
+        sink_format="parquet",
+        sink_options={"dir": str(sinkd)},
+        expectations=(Expectation.foreign_key(
+            "custkey", dim, dim_col="custkey", name="fk_cust"
+        ),),
+        expectations_mode=mode,
+    )])
+
+
+def test_pipeline_fk_fail_mode(spark, tmp_path):
+    src = tmp_path / "src"; src.mkdir()
+    spark.createDataFrame([(1,), (2,)], "custkey long") \
+        .write.parquet(str(src / "dim.parquet"))
+    spark.createDataFrame(
+        [(1, 1), (2, 99)], "id long, custkey long"
+    ).write.parquet(str(src / "orders.parquet"))
+    store = WatermarkStore(tmp_path / "wm.json")
+    res = IncrementalPipeline(
+        spark, _fk_spec(src, tmp_path / "sink", "fail", spark), store
+    ).run()
+    assert res[0].status == "failed"
+    assert "fk_cust" in res[0].error
+    assert store.get("orders") is None
+
+
+def test_pipeline_fk_drop_mode(spark, tmp_path):
+    src = tmp_path / "src"; src.mkdir()
+    sinkd = tmp_path / "sink"
+    spark.createDataFrame([(1,), (2,)], "custkey long") \
+        .write.parquet(str(src / "dim.parquet"))
+    spark.createDataFrame(
+        [(1, 1), (2, 99), (3, 2)], "id long, custkey long"
+    ).write.parquet(str(src / "orders.parquet"))
+    store = WatermarkStore(tmp_path / "wm.json")
+    res = IncrementalPipeline(
+        spark, _fk_spec(src, sinkd, "drop", spark), store
+    ).run()
+    assert res[0].status == "loaded"
+    assert store.get("orders") == "3"
+    loaded = spark.read.parquet(str(sinkd / "orders"))
+    assert sorted(r.id for r in loaded.collect()) == [1, 3]
+    quar = spark.read.parquet(str(sinkd / "orders_quarantine"))
+    qrows = quar.collect()
+    assert [r.id for r in qrows] == [2]
+    assert qrows[0]._violated == ["fk_cust"]
