@@ -122,6 +122,59 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL error-bound check as an ORACLED query: per priority, the
+    exact distinct count plus a boolean asserting the HLL++ estimate
+    (rsd=0.01) landed within 5x its published relative standard
+    deviation. The oracle computes the exact count and TRUE — so the
+    hash matches iff the sketch actually honored its bound, turning
+    the one rows-only approx family into a hard correctness check
+    while keeping agg_approx_distinct itself as the raw-sketch
+    exhibit. Both aggregates share one shuffle (the exact distinct
+    dominates; at 100 TB you would run only the sketch)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_custs"),
+        F.approx_count_distinct("o_custkey", 0.01).alias("_approx"),
+    )
+    return per.select(
+        "o_orderpriority",
+        "exact_custs",
+        (
+            F.abs(F.col("_approx") - F.col("exact_custs"))
+            / F.col("exact_custs")
+            <= 0.05
+        ).alias("within_bound"),
+    )
+
+
+def agg_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna error-bound check as an ORACLED query: the GK
+    sketch at accuracy=10000 guarantees rank error <= n/accuracy; we
+    assert the far looser rank-window [q-0.01, q+0.01] — the approx
+    p50 must lie between the exact 49th and 51st percentiles, the
+    approx p99 between the exact 98th and the max. The oracle computes
+    the group keys and TRUE flags, so a sketch outside its bound
+    breaks the hash. Exact percentiles and the sketch share one
+    shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("_a50"),
+        F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("_a99"),
+        F.expr("percentile(value, 0.49)").alias("_lo50"),
+        F.expr("percentile(value, 0.51)").alias("_hi50"),
+        F.expr("percentile(value, 0.98)").alias("_lo99"),
+        F.max("value").alias("_hi99"),
+        F.count("*").alias("n"),
+    )
+    return per.select(
+        "event_type",
+        "n",
+        F.col("_a50").between(F.col("_lo50"), F.col("_hi50")).alias("p50_in_window"),
+        F.col("_a99").between(F.col("_lo99"), F.col("_hi99")).alias("p99_in_window"),
+    )
+
+
 def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution time rollup: hourly AND daily
     continuous-aggregate rows in one pass via GROUPING SETS (one
@@ -308,12 +361,26 @@ QUERIES = {
     "agg_time_rollup": agg_time_rollup,
     "agg_distinct": agg_distinct,
     "agg_approx_distinct": agg_approx_distinct,
+    "agg_approx_distinct_bounds": agg_approx_distinct_bounds,
+    "agg_approx_percentile_bounds": agg_approx_percentile_bounds,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
     "agg_having": agg_having,
 }
 
 ORACLE = {
+    "agg_approx_distinct_bounds": """
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey)::BIGINT AS exact_custs,
+               TRUE AS within_bound
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "agg_approx_percentile_bounds": """
+        SELECT event_type, count(*)::BIGINT AS n,
+               TRUE AS p50_in_window,
+               TRUE AS p99_in_window
+        FROM events GROUP BY event_type
+    """,
     "agg_stats": f"""
         SELECT l_returnflag, count(*) AS n,
                {sql_round('stddev_samp(l_quantity)', 4)} AS qty_std,
