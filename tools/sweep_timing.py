@@ -57,6 +57,29 @@ def _run_standalone(spark, fn, sf_dir: str, reps: int) -> float:
     return _st.median(ts)
 
 
+def _storage_leaks(spark, retries: int = 8, wait: float = 5.0) -> list[str]:
+    """Cached blocks still alive after release_tracked. localCheckpoint
+    blocks are freed by the ContextCleaner only after their RDD is
+    GC'd, so nudge both collectors and retry before calling leak."""
+    import gc
+
+    sc = spark.sparkContext
+    live = []
+    for _ in range(retries):
+        infos = sc._jsc.sc().getRDDStorageInfo()
+        live = [i for i in infos if i.numCachedPartitions() > 0]
+        if not live:
+            return []
+        gc.collect()
+        sc._jvm.System.gc()
+        time.sleep(wait)
+    return [
+        f"rdd {i.id()} ({i.numCachedPartitions()} cached parts, "
+        f"{i.memSize()}B mem): {i.name().strip()[:90]}"
+        for i in live
+    ]
+
+
 def main() -> int:
     argv = sys.argv[1:]
     passes = 1
@@ -202,7 +225,24 @@ def main() -> int:
                     # filler keeps the final odd row at exactly five cells
                     f.write(f"| {l_name} | {l_t:.2f} | | | |\n")
         print(f"wrote {table_out}")
-    return 1 if errors else 0
+
+    # -- cache-hygiene invariant (round-5 VERDICT "Next round" #8):
+    # after release_tracked() the tracker must be empty AND executor
+    # storage must be back at baseline — verified over EVERY registered
+    # query, not just the 10-query unit test. Leaks fail the sweep.
+    from etl_data_pipeline_spark.functions import caching
+
+    n_rel = caching.release_tracked(spark, blocking=True)
+    spark.catalog.clearCache()
+    leaks = _storage_leaks(spark)
+    left = sum(len(v) for v in caching._TRACKED.values())
+    print(
+        f"== cache hygiene: released {n_rel} tracked handle(s), "
+        f"{left} handle(s) left, {len(leaks)} storage leak(s) =="
+    )
+    for line in leaks:
+        print(f"LEAK {line}")
+    return 1 if (errors or leaks or left) else 0
 
 
 if __name__ == "__main__":
