@@ -512,10 +512,60 @@ def _read_dirs(
     return out
 
 
+def _range_disjoint(rng, lo, hi) -> bool:
+    """True when [rng.min, rng.max] provably misses [lo, hi] (either
+    bound may be None = unbounded). Incomparable types keep the dir."""
+    try:
+        if lo is not None and rng[1] < lo:
+            return True
+        if hi is not None and rng[0] > hi:
+            return True
+    except TypeError:
+        return False
+    return False
+
+
+def prune_dirs(
+    table_dir: str, dirs: list[str], ranges: dict[str, tuple]
+) -> list[str]:
+    """Delta directories that can contain rows matching every column
+    range in ``ranges`` ({col: (lo, hi)}, None = unbounded side).
+
+    Uses the same cached parquet footer min/max sidecar as merge
+    pruning (:func:`_dir_key_range_cached` — driver-side metadata
+    only, computed once per immutable dir). A dir with unknown stats
+    for a column is KEPT: pruning is an optimization, never the
+    correctness boundary. This is what makes z-ordered writes
+    (write_zordered) pay off on the READ side: clustered files give
+    narrow per-dir ranges, so a selective filter touches a strict
+    subset of dirs."""
+    kept = []
+    for d in dirs:
+        skip = False
+        for col, (lo, hi) in ranges.items():
+            rng = _dir_key_range_cached(table_dir, d, col)
+            if rng is not None and _range_disjoint(rng, lo, hi):
+                skip = True
+                break
+        if not skip:
+            kept.append(d)
+    return kept
+
+
 def read_table(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    where: dict | None = None,
 ) -> DataFrame:
     """Read the current version (or a pinned one — time travel).
+
+    ``where`` ({col: (lo, hi) | scalar}) both PRUNES delta directories
+    via cached footer min/max stats (prune_dirs) and applies the exact
+    row filter to the result, so ``read_table(..., where=w)`` equals
+    ``read_table(...)`` filtered — just cheaper: at 100 TB the scan,
+    not the merge, dominates, and a selective filter on a z-ordered
+    table reads a strict subset of dirs.
 
     Resolution is manifest -> immutable directories, so a concurrent
     COMMIT can never yield a missing path or a half-written mix: the
@@ -526,6 +576,8 @@ def read_table(
     contract); a pinned read that loses that race raises a clear
     "vacuumed" error, not a raw path error.
     """
+    from pyspark.sql import functions as F
+
     cur = read_manifest(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no committed version in {table_dir!r}")
@@ -537,7 +589,28 @@ def read_table(
                 f"version {version} not in [1, {cur['version']}] for {table_dir!r}"
             )
         m = _load_snapshot(table_dir, version, cur)
-    return _read_dirs(spark, table_dir, m["dirs"], m.get("schema"))
+    dirs = m["dirs"]
+    cond = None
+    if where:
+        ranges = {
+            c: (v if isinstance(v, tuple) else (v, v)) for c, v in where.items()
+        }
+        dirs = prune_dirs(table_dir, dirs, ranges)
+        for c, (lo, hi) in ranges.items():
+            for bound, op in ((lo, "__ge__"), (hi, "__le__")):
+                if bound is not None:
+                    term = getattr(F.col(c), op)(F.lit(bound))
+                    cond = term if cond is None else (cond & term)
+        if not dirs and m.get("schema"):
+            # every dir pruned: an empty frame with the table schema
+            ddl = ", ".join(f"`{c}` {t}" for c, t in m["schema"].items())
+            empty = spark.createDataFrame([], ddl)
+            return empty.filter(cond) if cond is not None else empty
+        if not dirs:
+            dirs = m["dirs"]  # legacy table without recorded schema:
+            # cannot synthesize an empty typed frame — skip pruning
+    out = _read_dirs(spark, table_dir, dirs, m.get("schema"))
+    return out.filter(cond) if cond is not None else out
 
 
 def _load_snapshot(table_dir: str, version: int, cur: dict) -> dict:

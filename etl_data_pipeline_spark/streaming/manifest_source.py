@@ -349,6 +349,68 @@ def _partition_prunes_file(filters, part_values, schema) -> bool:
     return False
 
 
+def _filters_to_ranges(filters) -> dict[str, tuple]:
+    """Fold pushed comparison filters into per-column (lo, hi) ranges
+    for DIRECTORY-level stats pruning. Only shapes whose rejection is
+    provable from a min/max range participate; everything else is
+    simply absent (no pruning on that column)."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    ranges: dict[str, tuple] = {}
+
+    def tighten(col, lo, hi):
+        cur = ranges.get(col, (None, None))
+        nlo = lo if cur[0] is None else (cur[0] if lo is None else max(cur[0], lo))
+        nhi = hi if cur[1] is None else (cur[1] if hi is None else min(cur[1], hi))
+        ranges[col] = (nlo, nhi)
+
+    for f in filters:
+        attr = getattr(f, "attribute", ())
+        if len(attr) != 1:
+            continue
+        col = attr[0]
+        try:
+            if isinstance(f, EqualTo):
+                tighten(col, f.value, f.value)
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                # footer ranges are CLOSED: pruning with the inclusive
+                # bound is safe for the strict operator too (a dir
+                # whose max == v cannot satisfy col > v only when all
+                # values equal v — not provable, so we keep it)
+                tighten(col, f.value, None)
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                tighten(col, None, f.value)
+            elif isinstance(f, In) and f.value:
+                vals = list(f.value)
+                tighten(col, min(vals), max(vals))
+        except TypeError:
+            continue
+    return ranges
+
+
+def _prune_dirs_by_stats(table_dir: str, dirs: list[str], filters) -> list[str]:
+    """Dir-level pruning via the cached parquet footer min/max sidecar
+    (manifest.prune_dirs — the same stats merge pruning maintains):
+    fewer dirs means fewer files listed, fewer partitions, fewer tasks.
+    Row-group pruning still applies inside kept files, and Spark
+    re-evaluates every filter — this only removes provably-dead IO."""
+    if not filters:
+        return dirs
+    from etl_data_pipeline_spark.sinks.manifest import prune_dirs
+
+    ranges = _filters_to_ranges(filters)
+    if not ranges:
+        return dirs
+    return prune_dirs(table_dir, dirs, ranges)
+
+
 _PUSHABLE = None  # lazily-built tuple of supported Filter classes
 
 
@@ -437,13 +499,18 @@ class ManifestBatchReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         want = _arrow_schema_for(self._schema)
         filters = tuple(getattr(self, "_filters", ()))
+        dirs = _prune_dirs_by_stats(self.table_dir, self._dirs, filters)
         return [
             _FilePartition(f, want, filters, pv)
-            for f, pv in _list_parquet_files(self.table_dir, self._dirs)
+            for f, pv in _list_parquet_files(self.table_dir, dirs)
             if not _partition_prunes_file(filters, pv, self._schema)
         ]
 
     def read(self, partition: _FilePartition) -> Iterator:
+        if partition is None:
+            # every file was pruned: Spark still schedules one task
+            # with a None partition for an empty partitions() list
+            return iter(())
         return _read_file_filtered(
             partition.file_path,
             partition.arrow_schema,
@@ -515,6 +582,8 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
     # -- executor-side read -------------------------------------------
 
     def read(self, partition: _FilePartition) -> Iterator:
+        if partition is None:
+            return iter(())  # empty micro-batch scheduled as one task
         return _read_file_as_arrow(
             partition.file_path, partition.arrow_schema, partition.part_values
         )

@@ -808,3 +808,42 @@ def test_staged_files_writer_rejects_partitioned_tables(spark, tmp_path):
     commit(df, t, partition_by=("p",))
     with pytest.raises(ValueError, match="hive-partitioned"):
         commit_staged_files(t, [], {"k": "bigint", "p": "int"}, mode="append")
+
+
+def test_read_table_where_prunes_dirs_and_matches_filter(spark, tmp_path):
+    """read_table(where=...) must (a) equal read_table().filter(...)
+    exactly and (b) scan a strict subset of parquet files when the
+    cached footer stats prove dirs dead — the read-side payoff of
+    clustered/z-ordered ingest layouts."""
+    from pyspark.sql import functions as F
+
+    from etl_data_pipeline_spark.sinks import morton_key
+    from etl_data_pipeline_spark.sinks.manifest import commit, read_table
+
+    t = str(tmp_path / "t")
+    for lo in (0, 1000, 2000, 3000):
+        frame = (
+            spark.range(lo, lo + 1000)
+            .select(F.col("id").alias("k"), (F.col("id") % 97).alias("k2"))
+            .withColumn("__z", morton_key(F.col("k"), F.col("k2")))
+            .repartitionByRange(2, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        commit(frame, t, mode="append" if lo else "overwrite")
+
+    full = read_table(spark, t)
+    filt = read_table(spark, t, where={"k": (1200, 1300)})
+    brute = full.filter("k >= 1200 AND k <= 1300")
+    assert sorted(r.k for r in filt.collect()) == sorted(
+        r.k for r in brute.collect()
+    )
+    assert set(filt.inputFiles()) < set(full.inputFiles())  # strict subset
+    # scalar equality form
+    one = read_table(spark, t, where={"k": 2500})
+    assert [r.k for r in one.collect()] == [2500]
+    assert len(one.inputFiles()) < len(full.inputFiles())
+    # fully-pruned range: empty result, correct schema, no files
+    none = read_table(spark, t, where={"k": (90_000, 99_000)})
+    assert none.count() == 0
+    assert set(none.columns) == {"k", "k2"}

@@ -343,3 +343,81 @@ def test_datasource_partitioned_table_reads_and_prunes(spark, tmp_path):
     feed = spark.table("pfeed")
     assert feed.count() == 91
     assert feed.filter("bucket = 0").count() == 30
+
+
+def _zordered_range_frame(spark, lo, hi):
+    """One ingest batch covering [lo, hi): files laid out by the
+    z-order idiom (morton key of the two filter columns), so parquet
+    footer min/max on k is narrow per file AND per delta dir."""
+    from etl_data_pipeline_spark.sinks import morton_key
+
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 97).alias("k2"),
+            F.lit(f"r{lo}").alias("v"),
+        )
+        .withColumn("__z", morton_key(F.col("k"), F.col("k2")))
+        .repartitionByRange(2, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
+def test_batch_reader_stats_prune_whole_dirs(spark, tmp_path):
+    """Dir-level IO pruning from the cached footer-stats sidecar: on a
+    table of z-ordered ingest batches, a selective filter must yield
+    PARTITIONS from a strict subset of delta dirs (fewer tasks, less
+    IO at 100 TB), while results stay identical to the unfiltered
+    read (Spark re-evaluates every filter)."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    from etl_data_pipeline_spark.streaming.manifest_source import (
+        ManifestBatchReader,
+    )
+
+    t = str(tmp_path / "t")
+    for lo in (0, 1000, 2000, 3000):
+        commit(_zordered_range_frame(spark, lo, lo + 1000), t,
+               mode="append" if lo else "overwrite")
+    dirs = read_manifest(t)["dirs"]
+    assert len(dirs) == 4
+
+    full = ManifestBatchReader({"path": t})
+    n_full = len(full.partitions())
+
+    pruned = ManifestBatchReader({"path": t})
+    kept_filters = list(pruned.pushFilters([
+        GreaterThanOrEqual(("k",), 2100), LessThanOrEqual(("k",), 2200),
+    ]))
+    assert len(kept_filters) == 2  # Spark re-evaluates everything
+    parts = pruned.partitions()
+    assert 0 < len(parts) < n_full
+    # every surviving partition comes from the ONE dir that can hold
+    # k in [2100, 2200]
+    touched = {p.file_path for p in parts}
+    other_dirs = [d for d in dirs if all(os.path.join(t, d) + os.sep
+                                         not in f for f in touched)]
+    assert len(other_dirs) == 3, (dirs, touched)
+
+    # end-to-end: filtered result equals the brute-force answer
+    df = spark.read.format("manifest_table").option("path", t).load()
+    got = df.filter("k >= 2100 AND k <= 2200")
+    assert got.count() == 101
+    assert got.agg(F.min("k"), F.max("k")).first() == (2100, 2200)
+
+
+def test_stats_pruning_never_wrong_on_unknown_columns(spark, tmp_path):
+    """Filters on columns with no usable stats (strings written across
+    commits, hive-partition-style values) must not prune anything
+    incorrectly — equality with the unfiltered+filter answer."""
+    t = str(tmp_path / "t")
+    for lo in (0, 500):
+        commit(_zordered_range_frame(spark, lo, lo + 500), t,
+               mode="append" if lo else "overwrite")
+    df = spark.read.format("manifest_table").option("path", t).load()
+    assert df.filter(F.col("v") == "r500").count() == 500
+    assert df.filter("k = 250 AND v = 'r0'").count() == 1
+    assert df.filter("k IN (10, 510)").count() == 2
+    assert df.filter("k > 10000").count() == 0
