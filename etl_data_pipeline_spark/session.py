@@ -52,6 +52,17 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # In local mode the driver JVM IS the executor; pyspark's 1g
+        # default heap silently caps every shuffle/agg at toy scale
+        # (32 task threads OOM a 1g heap at ~6M-row shuffles while the
+        # host has 128 GiB). Size it like the executor it is; env
+        # overrides for smaller hosts. Only effective for the process
+        # that launches the JVM — getOrCreate on a live session keeps
+        # the existing heap.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )
         # AQE: runtime partition coalescing, skew-join splitting, plan re-opt.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
