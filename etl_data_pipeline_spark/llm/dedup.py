@@ -119,7 +119,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             hash_set(_shingles()).alias("shingles"),
         ).withColumn("n_words", F.size("words"))
     )
-    a, b = d.alias("a"), d.alias("b")
+    # EXPLICIT fixed-count repartition on the block keys before the
+    # self-join: the join's shuffle INPUT is tiny (ids + hashed sets),
+    # so AQE's coalescing would legally collapse it to ~1 partition —
+    # but the join OUTPUT is the pair expansion, ~100x the input, and
+    # a collapsed exchange serializes the whole pairwise verify on one
+    # core (observed: 1.9s vs 13s bimodal on identical data). A
+    # user-specified partition count is exempt from AQE coalescing and
+    # keeps the expansion spread across the cluster; at 100 TB this is
+    # the difference between pair work scaling with cores and not.
+    n_par = d.sparkSession.sparkContext.defaultParallelism
+    blocked = d.repartition(n_par, "lang", "source")
+    a, b = blocked.alias("a"), blocked.alias("b")
     # Size prefilter INSIDE the join condition: Jaccard ≥ t requires
     # min(|A|,|B|) ≥ t·max(|A|,|B|) (since |A∩B| ≤ min and
     # |A∪B| ≥ max). An int comparison that prunes pairs BEFORE the
