@@ -55,13 +55,16 @@ def get_spark(
         # In local mode the driver JVM IS the executor; pyspark's 1g
         # default heap silently caps every shuffle/agg at toy scale
         # (32 task threads OOM a 1g heap at ~6M-row shuffles while the
-        # host has 128 GiB). Size it like the executor it is; env
-        # overrides for smaller hosts. Only effective for the process
-        # that launches the JVM — getOrCreate on a live session keeps
-        # the existing heap.
+        # host has 128 GiB). 8g, not bigger: an A/B on the iterative
+        # label-propagation query showed a 48g G1 heap DEGRADES
+        # steadily across runs (4.5s -> 33s; old-gen accumulation of
+        # checkpoint blocks between lazier collections) while 1g/8g
+        # stay flat, and 8g comfortably clears the 10x scale-probe
+        # shuffles that OOM 1g. Env-overridable; only effective for
+        # the process that launches the JVM.
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         )
         # AQE: runtime partition coalescing, skew-join splitting, plan re-opt.
         .config("spark.sql.adaptive.enabled", "true")
