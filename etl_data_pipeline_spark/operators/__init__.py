@@ -91,6 +91,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "expectations_fk_report",
         "agg_approx_distinct_bounds",
         "agg_approx_percentile_bounds",
+        "tpch_q11ish",
         # text family — r3-latest
         "text_stats",
         "text_tokens",

@@ -1,5 +1,5 @@
-"""Remaining canonical TPC-H query shapes (Q7/Q8/Q9/Q10/Q12/Q19/Q21
-analogs), adapted to the harness star schema.
+"""Remaining canonical TPC-H query shapes (Q2/Q7/Q8/Q9/Q10/Q11/Q12/
+Q19/Q20/Q21 analogs), adapted to the harness star schema.
 
 The earlier rounds covered Q1 (agg_groupby), Q3/Q5 (joins.py), Q6
 (sql_passthrough), Q4/Q14/Q15/Q16/Q17/Q18/Q22 shapes (subqueries.py)
@@ -343,8 +343,57 @@ def tpch_q20ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q11_CONCENTRATION = 2.0  # keep parts above 2x the MEAN per-part value
+Q11_NATIONS = (3, 7, 9)  # nation 3 has a supplier even at sf0.001
+
+
+def tpch_q11ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 value-concentration shape: parts whose shipped quantity
+    from a supplier-nation group exceeds 2x the group's MEAN per-part
+    quantity (Q11's ps_supplycost*ps_availqty concentration recast
+    onto shipped quantities — this schema has no partsupp). The real
+    Q11 scales its fraction by 1/SF; a mean-relative threshold is the
+    scale-INVARIANT form of the same test — a fixed fraction of the
+    grand total selects everything at tiny SF and nothing at large SF.
+
+    Plan: ONE fact pass pre-filtered by the broadcast supplier key
+    set; per-part partial agg; Q11's scalar subquery becomes a SECOND
+    aggregate (sum + count in one row) over the already-collapsed
+    per-part relation (persisted — without the pin both consumers
+    would re-run the fact join), broadcast back as a one-row join.
+    Quantity sums are exact integer doubles, so the threshold compare
+    is deterministic against the oracle."""
+    from etl_data_pipeline_spark.functions.caching import tracked_persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey").isin(*Q11_NATIONS))
+        .select("s_suppkey")
+    )
+    per_part = tracked_persist(
+        li.join(F.broadcast(supplier), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("value_qty"))
+    )
+    total = per_part.agg(
+        F.sum("value_qty").alias("total_qty"),
+        F.count("*").alias("n_parts"),
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("value_qty")
+            > Q11_CONCENTRATION * F.col("total_qty") / F.col("n_parts")
+        )
+        .select("l_partkey", "value_qty")
+        .orderBy(F.col("value_qty").desc(), "l_partkey")
+    )
+
+
 QUERIES = {
     "tpch_q2ish": tpch_q2ish,
+    "tpch_q11ish": tpch_q11ish,
     "tpch_q7ish": tpch_q7ish,
     "tpch_q8ish": tpch_q8ish,
     "tpch_q9ish": tpch_q9ish,
@@ -356,6 +405,19 @@ QUERIES = {
 }
 
 ORACLE = {
+    "tpch_q11ish": """
+        WITH per_part AS (
+            SELECT l_partkey, sum(l_quantity) AS value_qty
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            WHERE s_nationkey IN (3, 7, 9)
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey, value_qty
+        FROM per_part
+        WHERE value_qty > 2.0 * (SELECT sum(value_qty) FROM per_part)
+                              / (SELECT count(*) FROM per_part)
+        ORDER BY value_qty DESC, l_partkey
+    """,
     "tpch_q2ish": f"""
         WITH offers AS (
             SELECT p_partkey, p_name, l_suppkey,
