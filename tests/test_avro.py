@@ -647,3 +647,138 @@ def test_columnar_throughput_beats_per_row(tmp_path):
         f"columnar {n / t_col / 1000:.0f}k rows/s is only {speedup:.1f}x "
         f"per-row {n / t_row / 1000:.0f}k rows/s (need >={floor}x)"
     )
+
+
+# ---------------------------------------------------------------------
+# columnar (vectorized) encode
+# ---------------------------------------------------------------------
+
+
+def _wide_arrow_batch(n=1500):
+    import pyarrow as pa
+
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(range(n), pa.int64()),
+            pa.array([None if i % 3 == 0 else (i - n) * 2**33
+                      for i in range(n)], pa.int64()),
+            pa.array([i - n // 2 for i in range(n)], pa.int32()),
+            pa.array([i * 0.5 for i in range(n)], pa.float32()),
+            pa.array([None if i % 5 == 0 else -i * 1.5
+                      for i in range(n)], pa.float64()),
+            pa.array([i % 2 == 0 for i in range(n)], pa.bool_()),
+            pa.array([None if i % 7 == 0 else ("" if i % 11 == 0
+                      else f"ünï-{i}") for i in range(n)], pa.string()),
+            pa.array([None if i % 13 == 0 else bytes([i % 256, 0, 255])
+                      for i in range(n)], pa.binary()),
+            pa.array([None if i % 17 == 0
+                      else dt.date(2020, 1, 1) + dt.timedelta(days=i)
+                      for i in range(n)], pa.date32()),
+            pa.array([dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+                      + dt.timedelta(seconds=i, microseconds=i)
+                      for i in range(n)], pa.timestamp("us", tz="UTC")),
+        ],
+        ["id", "l", "i", "f", "d", "b", "s", "by", "dte", "ts"],
+    )
+
+
+def _wide_spark_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("l", T.LongType()),
+        T.StructField("i", T.IntegerType()), T.StructField("f", T.FloatType()),
+        T.StructField("d", T.DoubleType()), T.StructField("b", T.BooleanType()),
+        T.StructField("s", T.StringType()), T.StructField("by", T.BinaryType()),
+        T.StructField("dte", T.DateType()), T.StructField("ts", T.TimestampType()),
+    ])
+
+
+def test_columnar_encode_matches_row_decoder_all_kinds(tmp_path):
+    """A block body built by the vectorized encoder must decode (via
+    the independent per-row closure tree AND the columnar reader) to
+    exactly the Arrow batch's rows — every kind, nulls, empty strings,
+    unicode, binary, negative varints spanning multi-byte widths."""
+    import pyarrow as pa
+
+    batch = _wide_arrow_batch()
+    schema = avro_format.spark_to_avro(_wide_spark_schema())
+    plan = avro_format.columnar_plan(schema)
+    assert plan is not None
+    p = str(tmp_path / "enc.avro")
+    with open(p, "wb") as f:
+        w = OcfWriter(f, schema, codec="deflate")
+        w.write_block(batch.num_rows, avro_format.encode_batch_block(batch, plan))
+        w.close()
+    exp = list(zip(*(c.to_pylist() for c in batch.columns)))
+    assert list(iter_block_rows(p, 0, os.path.getsize(p))) == exp
+    tbl = pa.Table.from_batches(
+        list(avro_format.iter_record_batches(p, 0, os.path.getsize(p))))
+    assert list(zip(*(tbl.column(i).to_pylist()
+                      for i in range(tbl.num_columns)))) == exp
+
+
+def test_columnar_encode_interleaves_with_row_writes(tmp_path):
+    """write_block flushes buffered per-row writes first, so mixed
+    paths preserve row order (the Spark writer mixes them when one
+    batch falls back)."""
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "v", "type": ["null", "long"]}]}
+    import pyarrow as pa
+
+    plan = avro_format.columnar_plan(schema)
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([10, None, 12], pa.int64())], ["v"])
+    p = str(tmp_path / "mix.avro")
+    with open(p, "wb") as f:
+        w = OcfWriter(f, schema, codec="null", block_rows=100)
+        w.write_row({"v": 1})
+        w.write_row({"v": 2})
+        w.write_block(3, avro_format.encode_batch_block(batch, plan))
+        w.write_row({"v": 99})
+        w.close()
+    rows = [r[0] for r in iter_block_rows(p, 0, os.path.getsize(p))]
+    assert rows == [1, 2, 10, None, 12, 99]
+
+
+def test_columnar_encode_throughput_beats_per_row():
+    """The vectorized encoder must clearly beat the per-row closure
+    tree (measured ~3x at 20k-row batches; assert a load-safe 1.5x)."""
+    import time
+
+    import pyarrow as pa
+
+    n = 20000
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(range(n), pa.int64()),
+         pa.array([None if i % 7 == 0 else f"value-{i}"
+                   for i in range(n)], pa.string()),
+         pa.array([i * 1.5 for i in range(n)], pa.float64())],
+        ["id", "s", "v"])
+    from pyspark.sql import types as T
+
+    schema = avro_format.spark_to_avro(T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("s", T.StringType()),
+        T.StructField("v", T.DoubleType())]))
+    plan = avro_format.columnar_plan(schema)
+    rows = [dict(zip(batch.schema.names, r))
+            for r in zip(*(c.to_pylist() for c in batch.columns))]
+    enc = build_encoder(schema)
+
+    def per_row():
+        buf = bytearray()
+        for r in rows:
+            enc(buf, r)
+
+    def med(fn, reps=3):
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            ts.append(time.time() - t0)
+        return sorted(ts)[1]
+
+    per_row(); avro_format.encode_batch_block(batch, plan)  # warm
+    t_row = med(per_row)
+    t_col = med(lambda: avro_format.encode_batch_block(batch, plan))
+    assert t_row / t_col >= 1.5, (t_row, t_col)
