@@ -326,7 +326,13 @@ class IncrementalPipeline:
             )
 
             if t.expectations:
-                df = self._apply_expectations(t, df, new_wm)
+                # Batch key = the FROZEN stored watermark (raw), not
+                # new_wm: the upper bound changes when rows arrive
+                # between a failed write and its replay, which would
+                # scatter the same batch's violations across two
+                # batch=* subdirs. The lower bound is stable until the
+                # batch commits, so replays overwrite the same subdir.
+                df = self._apply_expectations(t, df, raw)
                 if df is None:  # drop mode, zero clean rows
                     if t.is_incremental and new_wm is not None:
                         self.store.set(t.name, new_wm)
@@ -378,7 +384,7 @@ class IncrementalPipeline:
             # the reference lets the ContextCleaner reclaim them.
             del df
 
-    def _apply_expectations(self, t: TableSpec, df, new_wm=None):
+    def _apply_expectations(self, t: TableSpec, df, batch_wm=None):
         """Run the declarative quality gate (expectations.py) on the
         checkpointed batch. 'fail' raises with per-rule counts (the
         table fails isolated, watermark frozen → retry after upstream
@@ -386,10 +392,12 @@ class IncrementalPipeline:
         sink and returns the clean subset (None when nothing passed).
 
         Quarantine writes are IDEMPOTENT per batch: rows land in a
-        deterministic ``batch=<watermark>`` subdir in overwrite mode,
-        so when the sink write fails after the quarantine write the
-        whole-batch replay (watermark untouched) overwrites the same
-        subdir instead of appending duplicate violation rows."""
+        deterministic ``batch=<stored-watermark>`` subdir in overwrite
+        mode. The key is the batch's frozen LOWER bound (the stored
+        watermark at batch start) — stable across replays even when
+        new rows arrive between a failed sink write and the retry —
+        so the replay overwrites the same subdir instead of leaving a
+        stale sibling with duplicated violation rows."""
         from etl_data_pipeline_spark.expectations import (
             ExpectationError,
             check_expectations,
@@ -416,8 +424,8 @@ class IncrementalPipeline:
             + "_quarantine"
         )
         batch_key = (
-            re.sub(r"[^0-9A-Za-z._-]", "_", str(new_wm))
-            if new_wm is not None
+            re.sub(r"[^0-9A-Za-z._-]", "_", str(batch_wm))
+            if batch_wm is not None
             else "full"
         )
         report.violations.write.mode("overwrite").parquet(

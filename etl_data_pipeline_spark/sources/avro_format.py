@@ -991,8 +991,26 @@ def _load_cscan():
         if cc is None:
             raise OSError("no C compiler on PATH")
         tag = hashlib.md5(_CSCAN_SRC.encode()).hexdigest()[:12]
-        so = os.path.join(tempfile.gettempdir(), f"etl_avro_colscan_{tag}.so")
-        if not os.path.exists(so):
+        # Cache the compiled .so in a PER-USER mode-0700 directory, not
+        # the shared tempdir: a world-writable predictable path would
+        # let another local user pre-plant a malicious library that a
+        # bare os.path.exists() check then CDLLs into every executor
+        # (classic /tmp preload, CWE-427). The uid in the name plus the
+        # 0700 mkdir plus the post-hoc ownership check make the cache
+        # single-user end to end; any mismatch falls back to a fresh
+        # private compile (and ultimately to the Python scanner).
+        cache_root = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+            os.path.expanduser("~"), ".cache"
+        )
+        sodir = os.path.join(cache_root, f"etl_avro_colscan_{os.getuid()}")
+        os.makedirs(sodir, mode=0o700, exist_ok=True)
+        st = os.stat(sodir)
+        if st.st_uid != os.getuid() or (st.st_mode & 0o077):
+            # Directory hijacked or group/world accessible: do not trust
+            # it — compile into a throwaway private dir instead.
+            sodir = tempfile.mkdtemp(prefix="etl_avro_colscan_")
+        so = os.path.join(sodir, f"colscan_{tag}.so")
+        if not (os.path.exists(so) and os.stat(so).st_uid == os.getuid()):
             work = tempfile.mkdtemp(prefix="avro_colscan_")
             csrc = os.path.join(work, "scan.c")
             with open(csrc, "w") as f:
@@ -1005,6 +1023,9 @@ def _load_cscan():
                 timeout=60,
             )
             os.replace(out, so)  # atomic vs concurrent compilers
+        final = os.stat(so)
+        if final.st_uid != os.getuid():
+            raise OSError("refusing to load .so not owned by current user")
         lib = ctypes.CDLL(so)
         LL, PI64 = ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)
         lib.scan_block.restype = LL
@@ -1138,9 +1159,22 @@ def _extract_arrays(buf, plan, state) -> "list":
             null = ln < 0
             L = np.where(null, 0, ln)
             n = len(s)
-            offs = np.zeros(n + 1, np.int32)
-            np.cumsum(L, out=offs[1:])
-            total = int(offs[-1])
+            # Cumsum in int64 FIRST: max_batch_bytes only caps payload
+            # between blocks, so one externally-written jumbo block can
+            # carry >2 GiB of string data — an int32 cumsum would wrap
+            # silently and surface later as an opaque numpy broadcast
+            # error. Detect and diagnose instead.
+            offs64 = np.zeros(n + 1, np.int64)
+            np.cumsum(L, out=offs64[1:])
+            total = int(offs64[-1])
+            if total > np.iinfo(np.int32).max:
+                raise ValueError(
+                    f"avro block string/binary payload is {total} bytes, "
+                    "which exceeds the 2 GiB int32 offset limit of Arrow "
+                    "string arrays; rewrite the file with smaller blocks "
+                    "or reduce batch_rows/max_batch_bytes"
+                )
+            offs = offs64.astype(np.int32)
             out_idx = np.repeat(s, L) + (
                 np.arange(total) - np.repeat(offs[:-1].astype(np.int64), L)
             )
@@ -1305,6 +1339,15 @@ def encode_batch_block(batch, plan) -> bytes:
         value_byte = None if null_byte is None else 2 - null_byte
         null = np.zeros(n, bool)
         if col.null_count:
+            if null_byte is None:
+                # Non-nullable Avro field with Arrow nulls: the per-row
+                # encoder errors on None here, so the vectorized path
+                # must too — silently writing 0/false/"" would make the
+                # two write paths disagree. ValueError (not
+                # AvroUnsupported) so callers do NOT fall back per-row.
+                raise ValueError(
+                    f"null value in non-nullable avro field {_name!r}"
+                )
             null = ~np.asarray(col.is_valid()).astype(bool)
         if kind == "ts_ms":
             raise AvroUnsupported("columnar encode writes timestamp-micros")

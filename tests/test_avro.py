@@ -782,3 +782,66 @@ def test_columnar_encode_throughput_beats_per_row():
     t_row = med(per_row)
     t_col = med(lambda: avro_format.encode_batch_block(batch, plan))
     assert t_row / t_col >= 1.5, (t_row, t_col)
+
+
+def test_columnar_encode_rejects_null_in_non_nullable_field():
+    """A null in a NON-nullable Avro field must raise (ValueError, not
+    AvroUnsupported): the per-row encoder errors on None there, so a
+    vectorized path that silently wrote 0/false/"" would make the two
+    write paths disagree — and AvroUnsupported would quietly fall back
+    to the per-row path, masking the schema bug."""
+    import pyarrow as pa
+
+    # non-nullable long + nullable string (hand-written: spark_to_avro
+    # always emits nullable unions): the null in "id" must trip
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "s", "type": ["null", "string"]}]}
+    plan = avro_format.columnar_plan(schema)
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([1, None, 3], pa.int64()),
+         pa.array(["a", None, "c"], pa.string())], ["id", "s"])
+    with pytest.raises(ValueError, match="non-nullable"):
+        avro_format.encode_batch_block(batch, plan)
+    # nulls confined to the NULLABLE column still encode fine
+    ok = pa.RecordBatch.from_arrays(
+        [pa.array([1, 2, 3], pa.int64()),
+         pa.array(["a", None, "c"], pa.string())], ["id", "s"])
+    assert isinstance(avro_format.encode_batch_block(ok, plan), bytes)
+
+
+def test_varlen_extract_diagnoses_int32_offset_overflow():
+    """A single block whose string payload exceeds 2 GiB must raise a
+    descriptive ValueError (int64 cumsum first), not wrap int32 and
+    die later in an opaque numpy broadcast error. The check fires
+    before any payload gather, so the test is cheap."""
+    import numpy as np
+
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "s", "type": "string"}]}
+    plan = avro_format.columnar_plan(schema)
+    # one row claiming a 2^31-byte string: total > INT32_MAX
+    state = [(np.array([0], np.int64), np.array([2 ** 31], np.int64))]
+    with pytest.raises(ValueError, match="int32 offset limit"):
+        avro_format._extract_arrays(np.zeros(8, np.uint8), plan, state)
+
+
+def test_cscan_cache_is_per_user_private(tmp_path, monkeypatch):
+    """The compiled scanner .so must be cached under a per-user 0700
+    directory owned by the current uid — never a predictable world-
+    writable tempdir path (CWE-427 /tmp preload)."""
+    import etl_data_pipeline_spark.sources.avro_format as af
+
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "cache"))
+    monkeypatch.setattr(af, "_CSCAN_LIB", [])  # force a fresh load
+    lib = af._load_cscan()
+    if lib is None:
+        pytest.skip("no C compiler available")
+    sodir = tmp_path / "cache" / f"etl_avro_colscan_{os.getuid()}"
+    assert sodir.is_dir()
+    st = os.stat(sodir)
+    assert st.st_uid == os.getuid()
+    assert (st.st_mode & 0o077) == 0  # no group/world access
+    sos = list(sodir.glob("colscan_*.so"))
+    assert len(sos) == 1
+    assert os.stat(sos[0]).st_uid == os.getuid()

@@ -173,9 +173,11 @@ def test_referential_is_broadcast_no_fact_shuffle(spark, sf_dir):
 
 def test_drop_mode_quarantine_replay_is_idempotent(spark, tmp_path):
     """Sink write fails AFTER the quarantine write -> whole batch
-    replays (watermark untouched). The quarantine write targets a
-    deterministic batch=<watermark> subdir in overwrite mode, so the
-    replay overwrites the same rows instead of appending duplicates."""
+    replays (watermark untouched). The quarantine write is keyed on
+    the batch's FROZEN stored watermark (lower bound) — stable even
+    when new rows arrive before the replay and change the batch's
+    upper bound — so the replay overwrites the same batch=* subdir
+    instead of leaving a stale sibling with duplicated rows."""
     src = tmp_path / "src"; src.mkdir()
     sinkd = tmp_path / "sink"
     spark.createDataFrame(
@@ -186,11 +188,23 @@ def test_drop_mode_quarantine_replay_is_idempotent(spark, tmp_path):
     pipe = IncrementalPipeline(spark, _spec(src, sinkd, "drop", rules), store)
     t = pipe.spec.tables[0]
     df = spark.read.parquet(str(src / "orders.parquet"))
-    # two "replays" of the same batch (same watermark -> same subdir)
-    pipe._apply_expectations(t, df, new_wm=3)
-    pipe._apply_expectations(t, df, new_wm=3)
+    # two "replays" of the same batch: the stored watermark (lower
+    # bound, here None -> "full") is the subdir key both times
+    pipe._apply_expectations(t, df, batch_wm=None)
+    # simulate a new bad row arriving between failure and replay: the
+    # replayed batch now includes it, but the key is unchanged
+    df2 = df.union(
+        spark.createDataFrame([(4, -9.0)], "id long, amount double")
+    )
+    pipe._apply_expectations(t, df2, batch_wm=None)
     quar = spark.read.parquet(str(sinkd / "orders_quarantine"))
-    assert [r.id for r in quar.collect()] == [2]  # no duplicates
+    assert sorted(r.id for r in quar.collect()) == [2, 4]  # no duplicates
+    import os as _os
+    subdirs = [
+        d for d in _os.listdir(sinkd / "orders_quarantine")
+        if d.startswith("batch=")
+    ]
+    assert subdirs == ["batch=full"]  # one subdir, not one per replay
     # and the real pipeline run still loads/advances as before
     res = pipe.run()
     assert res[0].status == "loaded"
