@@ -452,3 +452,23 @@ def test_duplicate_spans_single_scan_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert exchange_count(plan) <= 2  # span agg (+ AQE artifacts at most)
+
+
+def test_png_wav_decode_are_jvm_only(spark, sf_dir):
+    """The real-format header decodes (PNG big-endian + CRC32, WAV
+    little-endian RIFF) must stay map-only inside codegen: no Python
+    eval nodes, no exchange, one scan of documents — the 100 TB shape
+    where header analytics read ~45 bytes per row JVM-side."""
+    from etl_data_pipeline_spark.llm.multimodal import (
+        multimodal_decode_png,
+        multimodal_decode_wav,
+    )
+    from etl_data_pipeline_spark.plans import scan_count
+
+    for q in (multimodal_decode_png, multimodal_decode_wav):
+        plan = _plan(q(spark, sf_dir))
+        assert "Exchange" not in plan
+        for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert py_node not in plan
+        assert "* Project" in plan
+        assert scan_count(plan) == 1
