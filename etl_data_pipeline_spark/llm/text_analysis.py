@@ -513,7 +513,101 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup as a corpus REWRITE — the
+    actual output of Lee et al. 2021 ("Deduplicating Training Data
+    Makes Language Models Better"), not just the detection signal
+    (that is text_duplicate_spans): every token covered by a span
+    duplicated across documents is REMOVED from the corpus, keeping
+    exactly one copy — the lowest-doc_id document owning the span
+    keeps all its occurrences; every other document loses every
+    occurrence.
+
+    Plan (3 shuffles, all content-bounded, no UDF anywhere):
+    1. Duplicate-span discovery: per-doc DISTINCT spans explode from
+       one scan, ONE map-side-combined shuffle on span -> (span,
+       keeper=min(doc_id)) for spans in >= 2 docs (identical shape to
+       text_duplicate_spans, without the top-k).
+    2. Occurrence location: a second column-pruned scan explodes
+       positional spans (start index kept); an equi-join on span
+       against the duplicate set — the join IS the filter,
+       non-duplicated spans never survive it — drops keeper rows and
+       explodes each hit into its covered token indices, aggregated
+       per doc with collect_set (second + third shuffle). Re-scanning
+       beats deriving the distinct doc-span pairs from the positional
+       explode: that would trade a sequential column-pruned parquet
+       read for an extra all-tokens shuffle, which is the worse deal
+       at 100 TB.
+    3. Rewrite: documents left-join their covered-index set (sort-merge
+       on doc_id) and rebuild text with a codegen array filter on the
+       token index. Output is per-doc before/after accounting plus the
+       scrubbed text's md5 so the whole rewritten corpus is
+       value-hashed against the DuckDB oracle.
+
+    At 100 TB: state is bounded by corpus token count; hot spans
+    partial-aggregate map-side; no stage collects, broadcasts the
+    corpus, or holds more than one document's tokens in a row. The
+    keeper policy is deterministic (min doc_id), so reruns are
+    idempotent."""
+    return substring_scrub(spread(load_table(spark, sf_dir, "documents")))
+
+
+def substring_scrub(docs: DataFrame) -> DataFrame:
+    """Core of dedup_substring_scrub over any (doc_id, text) frame —
+    see that query's docstring for semantics and the plan shape."""
+    toks = _tokens()
+    # 1. spans duplicated across docs, with their keeper
+    dup = (
+        docs.select("doc_id", F.explode(_ngrams(DUP_SPAN_N)).alias("span"))
+        .groupBy("span")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_docs") >= 2)
+        .select("span", "keeper")
+    )
+    # 2. positional occurrences (1-based start index per span)
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size(toks) >= DUP_SPAN_N,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (DUP_SPAN_N - 1)),
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[F.element_at(toks, i + j) for j in range(DUP_SPAN_N)],
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos0", "span"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("start"), "span")
+    covered = (
+        pos.join(dup, "span")
+        .where(F.col("doc_id") != F.col("keeper"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (DUP_SPAN_N - 1))
+            ).alias("tok_idx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("tok_idx").alias("cov"))
+    )
+    # 3. rebuild: keep tokens whose 1-based index is not covered
+    cov = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    kept = F.filter(toks, lambda t, i: ~F.array_contains(cov, (i + 1).cast("int")))
+    return (
+        docs.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.size(cov).alias("n_removed"),
+            F.md5(F.concat_ws(" ", kept)).alias("scrubbed_md5"),
+        )
+    )
+
+
 QUERIES = {
+    "dedup_substring_scrub": dedup_substring_scrub,
     "text_duplicate_spans": text_duplicate_spans,
     "text_contamination": text_contamination,
     "text_pii_scrub": text_pii_scrub,
@@ -564,6 +658,48 @@ def sql_quality_cte() -> str:
         )"""
 
 ORACLE = {
+    # DuckDB replays the full scrub: duplicate-span discovery, keeper
+    # election, positional coverage, and the token-level rewrite — the
+    # scrubbed corpus md5 must match Spark's byte for byte.
+    "dedup_substring_scrub": f"""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), dup AS (
+            SELECT span, min(doc_id) AS keeper
+            FROM (SELECT doc_id, unnest({_sql_ngrams(DUP_SPAN_N)}) AS span
+                  FROM documents)
+            GROUP BY span HAVING count(*) >= 2
+        ), pos AS (
+            SELECT doc_id,
+                   unnest(range(1, greatest(len(toks) - {DUP_SPAN_N - 2}, 1)))
+                       AS start,
+                   toks
+            FROM tok
+        ), hits AS (
+            SELECT p.doc_id, p.start
+            FROM (SELECT doc_id, start,
+                         concat_ws(' ', {", ".join(
+                             f"toks[start+{j}]" for j in range(DUP_SPAN_N))})
+                             AS span
+                  FROM pos) p
+            JOIN dup d USING (span)
+            WHERE p.doc_id <> d.keeper
+        ), covidx AS (
+            SELECT doc_id, list(DISTINCT tok_idx) AS cov
+            FROM (SELECT doc_id,
+                         unnest(range(start, start + {DUP_SPAN_N})) AS tok_idx
+                  FROM hits)
+            GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               len(t.toks) AS n_tokens,
+               coalesce(len(c.cov), 0) AS n_removed,
+               md5(coalesce(array_to_string(list_transform(
+                   list_filter(range(1, len(t.toks) + 1),
+                               i -> NOT list_contains(coalesce(c.cov, []), i)),
+                   i -> t.toks[i]), ' '), '')) AS scrubbed_md5
+        FROM tok t LEFT JOIN covidx c USING (doc_id)
+    """,
     "text_duplicate_spans": f"""
         WITH spans AS (
             SELECT doc_id, unnest({_sql_ngrams(DUP_SPAN_N)}) AS span

@@ -522,3 +522,50 @@ def test_wav_decoder_parses_genuine_files(spark):
         2, 44100, 24)
     assert out[2].rate_consistent and out[2].duration_ms == 100.0
     assert out[3].format is None and out[3].rate_consistent is False
+
+
+def test_substring_scrub_removes_duplicate_mass(spark):
+    """Lee-et-al-style scrub on a planted corpus: the lowest-doc_id
+    owner keeps its copy of the duplicated span; every other document
+    loses every occurrence; unique text is untouched; and re-running
+    duplicate-span discovery on the scrubbed corpus finds NOTHING —
+    the before/after duplicate-mass assertion."""
+    import hashlib
+
+    from etl_data_pipeline_spark.llm.text_analysis import (
+        DUP_SPAN_N,
+        substring_scrub,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(DUP_SPAN_N))  # 6-token span
+    docs = [
+        (10, f"alpha beta {boiler} gamma delta"),        # keeper (min id)
+        (20, f"{boiler} epsilon zeta eta theta iota"),   # loses the span
+        (30, f"kappa {boiler} lam mu {boiler} nu xi"),   # loses BOTH copies
+        (40, "totally unique words only here nothing shared"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in substring_scrub(df).collect()}
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # keeper + unique docs: byte-identical round trip, zero removed
+    assert out[10].n_removed == 0 and out[10].scrubbed_md5 == md5(docs[0][1])
+    assert out[40].n_removed == 0 and out[40].scrubbed_md5 == md5(docs[3][1])
+    # non-keepers: exactly the span tokens removed, rest reassembled
+    assert out[20].n_removed == DUP_SPAN_N
+    assert out[20].scrubbed_md5 == md5("epsilon zeta eta theta iota")
+    assert out[30].n_removed == 2 * DUP_SPAN_N
+    assert out[30].scrubbed_md5 == md5("kappa lam mu nu xi")
+    # after: duplicate-span discovery over the scrubbed corpus is dry
+    scrubbed = [
+        (10, docs[0][1]),
+        (20, "epsilon zeta eta theta iota"),
+        (30, "kappa lam mu nu xi"),
+        (40, docs[3][1]),
+    ]
+    after = substring_scrub(
+        spark.createDataFrame(scrubbed, "doc_id long, text string")
+    ).collect()
+    assert all(r.n_removed == 0 for r in after)

@@ -472,3 +472,17 @@ def test_png_wav_decode_are_jvm_only(spark, sf_dir):
             assert py_node not in plan
         assert "* Project" in plan
         assert scan_count(plan) == 1
+
+
+def test_substring_scrub_exchange_budget(spark, sf_dir):
+    """dedup_substring_scrub: <= 5 shuffles (span agg, span join,
+    coverage agg, rebuild join), no Python nodes, no cartesian — the
+    rewrite must stay a bounded-shuffle relational pipeline."""
+    from etl_data_pipeline_spark.llm.text_analysis import dedup_substring_scrub
+    from etl_data_pipeline_spark.plans import exchange_count
+
+    plan = _plan(dedup_substring_scrub(spark, sf_dir))
+    assert exchange_count(plan) <= 5
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                "BroadcastNestedLoop"):
+        assert bad not in plan
