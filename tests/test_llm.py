@@ -569,3 +569,38 @@ def test_substring_scrub_removes_duplicate_mass(spark):
         spark.createDataFrame(scrubbed, "doc_id long, text string")
     ).collect()
     assert all(r.n_removed == 0 for r in after)
+
+
+def test_ann_ivf_nprobe_knob_improves_neighbors(spark, sf_dir):
+    """nprobe is the IVF recall knob: probing more cells can only grow
+    each query's candidate set (nested sets), so the best-found
+    neighbor similarity is monotonically nondecreasing per query, and
+    nprobe=1 must reproduce the original single-probe behavior."""
+    from etl_data_pipeline_spark.llm.similarity import ann_ivf
+
+    def top1(nprobe):
+        return {
+            r.query_id: r.cosine
+            for r in ann_ivf(spark, sf_dir, nprobe=nprobe)
+            .filter(F.col("rank") == 1)
+            .collect()
+        }
+
+    t1, t2 = top1(1), top1(2)
+    assert set(t1) <= set(t2)  # more probes never lose a query
+    assert all(t2[q] >= t1[q] for q in t1)
+    assert any(t2[q] > t1[q] for q in t1) or t1 == t2
+
+
+def test_sim_ann_recall_curve_monotone(spark, sf_dir):
+    """recall@k must be monotonically nondecreasing in nprobe, with
+    sane accounting: n_approx <= n_exact (top-k per query both sides),
+    n_hit <= n_approx."""
+    from etl_data_pipeline_spark.llm.similarity import sim_ann_recall
+
+    rows = {r.nprobe: r for r in sim_ann_recall(spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[1].recall_at_k <= rows[2].recall_at_k <= rows[4].recall_at_k
+    for r in rows.values():
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert r.n_hit <= r.n_approx <= r.n_exact
