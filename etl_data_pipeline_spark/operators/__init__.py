@@ -78,72 +78,73 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # hoisted to the very front regardless of family (the harness
     # checks only a ~50-entry prefix per round, so the hoist rotates
     # stale evidence back into the check window).
-    # Round-6 rotation (per round-5 VERDICT "Next round" #1): the
-    # brand-new r6 queries (declarative FK expectations report + the
-    # two approx-sketch error-bound checks) lead, then the ~42 queries
-    # whose newest driver-green row is from round 3 — the whole
-    # text/curation/features/multimodal block, events sessionization
-    # analytics, scalar string/map, both UDAFs, the r3 subquery riders,
-    # reshape, and the streaming batch-analogs. Everything else was
-    # driver-verified green in r4/r5 and passes the local sf0.01 gate.
+    # Round-7 rotation (per round-6 VERDICT "Next round" #1): the four
+    # brand-new r7 queries lead (no driver evidence yet), then the two
+    # r3-stale dedup queries, then the 50 queries whose newest
+    # driver-green row is CORRECTNESS_r04 — the whole relational core
+    # (scans, joins, aggs, events analytics, profiling). 56 entries vs
+    # a ~50-entry check window: the ~6 overflow tail entries lead the
+    # r8 rotation. Everything else was driver-verified in r5/r6.
     hoist = [
-        # -- BRAND NEW (r6): no driver evidence at all — first priority
-        "expectations_fk_report",
-        "agg_approx_distinct_bounds",
-        "agg_approx_percentile_bounds",
-        "tpch_q11ish",
-        # text family — r3-latest
-        "text_stats",
-        "text_tokens",
-        "text_lang_id",
-        "text_quality",
-        "text_fingerprint",
-        "text_top_tokens",
-        "text_normalize",
-        "text_chunks",
-        "text_tfidf",
-        "text_contamination",
-        "text_pii_scrub",
-        "text_repetition",
-        # curation family — r3-latest
-        "pipeline_corpus_curation",
-        "pipeline_corpus_curation_v2",
-        "corpus_mix_weights",
-        "corpus_split",
-        "corpus_pack_sequences",
-        # features family — r3-latest
-        "recsys_negative_samples",
-        "events_decayed_value",
-        "corpus_quality_resample",
-        # multimodal family — r3-latest
-        "multimodal_decode_header",
-        "multimodal_binary_meta",
-        "multimodal_decode_stub",
-        "multimodal_resize_plan",
-        "multimodal_frame_sample",
-        # events sessionization analytics — r3-latest
-        "events_sessionize",
-        "events_conversion_sessions",
-        "events_session_funnel",
-        # scalars string/map — r3-latest
-        "scalar_string",
-        "scalar_map",
-        # UDAFs — r3-latest
-        "udaf_grouped",
-        "udaf_segment_trend",
-        # subquery riders — r3-latest
-        "subq_q22ish",
-        "join_count_distribution",
-        # reshape family — r3-latest
-        "agg_pivot",
-        "unpivot_metrics",
-        # streaming batch-analogs — r3-latest
-        "stream_tumbling",
-        "stream_sliding",
-        "stream_session",
-        "stream_watermark_late",
-        "stream_dedup",
-        "stream_join_attribution",
+        # -- BRAND NEW (r7): no driver evidence at all -- first priority
+        "multimodal_decode_png",
+        "multimodal_decode_wav",
+        "dedup_substring_scrub",
+        "sim_ann_recall",
+        # -- r3-stale (oldest remaining evidence)
+        "dedup_embedding_cosine",
+        "dedup_levenshtein",
+        # -- r4-stale relational core (CORRECTNESS_r04 key order)
+        "scan_full",
+        "scan_incremental_id",
+        "scan_incremental_ts",
+        "watermark_advance",
+        "project_columns",
+        "filter_predicates",
+        "pipeline_incremental",
+        "sample_hash",
+        "sample_stratified",
+        "sql_passthrough_q6",
+        "profile_key_skew",
+        "export_shuffle",
+        "join_inner_hash",
+        "join_broadcast",
+        "join_left_outer",
+        "join_full_outer",
+        "join_semi",
+        "join_anti",
+        "join_theta_range",
+        "join_skew_salted",
+        "join_multiway",
+        "tpch_q3ish",
+        "tpch_q5ish",
+        "join_range_binned",
+        "join_cross",
+        "join_asof",
+        "join_asof_tolerance",
+        "agg_groupby",
+        "agg_distinct",
+        "agg_approx_distinct",
+        "agg_rollup",
+        "agg_cube",
+        "agg_having",
+        "agg_percentile",
+        "agg_approx_percentile",
+        "agg_time_rollup",
+        "subquery_scalar",
+        "agg_stats",
+        "agg_grouping_sets",
+        "agg_mode",
+        "agg_boolean",
+        "agg_histogram",
+        "events_funnel",
+        "events_retention",
+        "events_resample_ffill",
+        "events_transition_matrix",
+        "events_anomaly_zscore",
+        "profile_table_quality",
+        "timeseries_user_sim",
+        "agg_collect",
     ]
     ordered = {name: queries[name] for name in hoist if name in queries}
     ordered.update(queries)
