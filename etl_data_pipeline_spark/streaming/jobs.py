@@ -31,6 +31,61 @@ from etl_data_pipeline_spark.functions.rounding import hround
 from etl_data_pipeline_spark.watermark import WatermarkStore, parse_watermark
 
 
+STATE_STORE_PROVIDERS = {
+    # HDFS-backed provider keeps every key in executor heap with
+    # snapshot files in the checkpoint — fine while state fits memory.
+    "memory": (
+        "org.apache.spark.sql.execution.streaming.state"
+        ".HDFSBackedStateStoreProvider"
+    ),
+    # RocksDB spills state to local disk (native LSM, bounded heap) —
+    # the 100 TB posture for the stateful operators here: a
+    # sessionizer over billions of users cannot hold its keyed state
+    # in executor memory, and RocksDB is the stock Spark answer
+    # (spark.sql.streaming.stateStore.providerClass, bundled JNI).
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state"
+        ".RocksDBStateStoreProvider"
+    ),
+}
+
+
+class use_state_store:
+    """Context manager selecting the streaming state-store backend for
+    queries STARTED inside the block (the provider is captured at
+    query start from the session conf; running queries keep theirs).
+
+    ``use_state_store(spark, "rocksdb")`` is the scale switch for the
+    applyInPandasWithState jobs in this module — behavior is identical
+    by contract (tests pin parity), only the state residency changes:
+    executor heap + checkpoint snapshots (default) vs local RocksDB
+    instances checkpointed to the same location. Restores the previous
+    setting on exit so test sessions are not polluted."""
+
+    _KEY = "spark.sql.streaming.stateStore.providerClass"
+
+    def __init__(self, spark: SparkSession, provider: str):
+        if provider not in STATE_STORE_PROVIDERS:
+            raise ValueError(
+                f"unknown state store {provider!r}"
+                f" (use one of {sorted(STATE_STORE_PROVIDERS)})"
+            )
+        self.spark = spark
+        self.provider = STATE_STORE_PROVIDERS[provider]
+
+    def __enter__(self):
+        self._prev = self.spark.conf.get(self._KEY, None)
+        self.spark.conf.set(self._KEY, self.provider)
+        return self.spark
+
+    def __exit__(self, *exc):
+        if self._prev is None:
+            self.spark.conf.unset(self._KEY)
+        else:
+            self.spark.conf.set(self._KEY, self._prev)
+        return False
+
+
 def _schema_from_one_footer(source_dir: str):
     """Stream-source schema from ONE parquet footer, read driver-side
     with pyarrow — zero Spark jobs, zero directory-wide footer scans.

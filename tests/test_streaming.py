@@ -826,3 +826,46 @@ def test_stream_merge_current_state(spark, sf_dir, tmp_path):
     assert {
         r.user_id: r.event_id for r in read_table(spark, table).collect()
     } == expect
+
+
+def test_conversion_sessions_rocksdb_state_store_parity(spark, tmp_path):
+    """The stateful sessionizer under the RocksDB state-store provider
+    (the at-scale backend: keyed state on local disk, not executor
+    heap) must produce EXACTLY the sessions the default HDFS-backed
+    provider produces — and both must equal the Python reference. Also
+    pins that the provider conf round-trips (set inside the block,
+    restored after)."""
+    from etl_data_pipeline_spark.session import load_table
+    from etl_data_pipeline_spark.streaming.jobs import use_state_store
+    from tests.conftest import SF_DIR
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src = os.path.join(str(tmp_path), "rocks_src")
+    for i, c in enumerate(_time_quartile_chunks(ev)):
+        _write_stream_file(c, src, i)
+
+    with use_state_store(spark, "rocksdb"):
+        assert "RocksDB" in spark.conf.get(key)
+        stream = jobs.events_file_stream(spark, src, max_files_per_trigger=1)
+        got = _run_to_memory(
+            spark, jobs.conversion_sessions(stream, gap_secs=1800), "t_rocks"
+        )
+        got_set = {
+            (r.user_id, str(r.session_start), str(r.session_end),
+             r.n_events, r.ended_by)
+            for r in got.collect()
+        }
+    assert spark.conf.get(key, None) == before  # restored
+    expected = _conv_sessions_reference(ev.collect())
+    assert got_set == expected
+
+
+def test_use_state_store_rejects_unknown_provider(spark):
+    from etl_data_pipeline_spark.streaming.jobs import use_state_store
+
+    with pytest.raises(ValueError, match="unknown state store"):
+        use_state_store(spark, "cassandra")
