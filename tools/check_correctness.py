@@ -77,9 +77,12 @@ def main() -> int:
     spark = get_spark("correctness-check", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        # driver tiers ship single-file tables; Spark-written tiers
+        # (tools/gen_scale_data.py) are part-file DIRECTORIES — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failed, passed, rows_only = [], [], []
