@@ -425,7 +425,115 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# JPEG is the hard header format: the SOF frame header sits at a
+# VARIABLE offset behind a chain of variable-length segments (APPn,
+# COM, DQT, ...), so unlike PNG/WAV/SMF1 a fixed-offset parse cannot
+# work — the decoder must WALK segments. _JPEG_MAX_SEGMENTS bounds the
+# walk (an F.aggregate fold, still whole-stage codegen); real camera
+# files front-load EXIF/ICC segments, so production would raise it
+# (each step is a couple of codegen ops — 64 is still cheap).
+_JPEG_MAX_SEGMENTS = 8
+
+
+def _be16(h: Column, p: Column) -> Column:
+    """Big-endian u16 at 1-based BYTE offset ``p`` (a Column) of a
+    hex-string payload view."""
+    return F.conv(h.substr(p * 2 - 1, F.lit(4)), 16, 10).cast("int")
+
+
+def _packed_jpeg(docs: DataFrame) -> DataFrame:
+    """Synthesize genuine JFIF/JPEG header bytes per document: SOI,
+    the standard 18-byte APP0/JFIF segment, a COM segment of
+    md5-derived VARIABLE length (0-15 payload bytes — this is what
+    forces the decoder to walk, not peek), an SOF0 (baseline) or SOF2
+    (progressive, ~25% of rows) frame header carrying real big-endian
+    dimensions and a 3-component YCbCr layout, then EOI. ~6% of rows
+    get a corrupted SOI byte. (No entropy-coded scan data — header
+    fixture, same scope as the PNG/WAV packers.)"""
+    d = F.md5(F.col("text"))
+    height = 16 + F.conv(F.substring(d, 1, 3), 16, 10).cast("int") % 4080
+    width = 16 + F.conv(F.substring(d, 4, 3), 16, 10).cast("int") % 4080
+    pad = _hexbyte(d, 4) % 16
+    progressive = _hexbyte(d, 5) % 4 == 0
+    corrupt_sig = _hexbyte(d, 6) % 16 == 0
+    app0 = "FFE00010" + "4A46494600" + "0101" + "00" + "00010001" + "0000"
+    com = F.concat(
+        F.lit("FFFE"), _be_hex(pad + 2, 2),
+        F.lit("41" * 15).substr(F.lit(1), pad * 2),
+    )
+    sof = F.concat(
+        F.when(progressive, "FFC2").otherwise("FFC0"),
+        F.lit("0011" + "08"),  # length 17, precision 8
+        _be_hex(height, 2), _be_hex(width, 2),
+        F.lit("03" + "012200" + "021101" + "031101"),  # 3-comp YCbCr
+    )
+    payload_hex = F.concat(
+        F.when(corrupt_sig, "00D8").otherwise("FFD8"),
+        F.lit(app0), com, sof, F.lit("FFD9"),
+    )
+    return docs.select("doc_id", F.unhex(payload_hex).alias("payload"))
+
+
+def decode_jpeg_headers(payloads: DataFrame) -> DataFrame:
+    """Parse (doc_id, payload binary) rows as JPEG: validate the SOI
+    marker, then WALK the segment chain — each step reads the marker
+    and its big-endian length field and hops to the next — until an
+    SOF0/SOF2 frame header is found, and parse height/width/precision/
+    component-count from the frame header's fixed layout. The walk is
+    an F.aggregate fold over a bounded step sequence with dynamic
+    ``Column.substr`` offsets: per-row iterative parsing that still
+    compiles into whole-stage codegen, no Python. Rows with a bad
+    signature, or whose SOF lies beyond the walk bound, surface as
+    NULL fields."""
+    h = F.hex(F.col("payload"))
+
+    def byte_at(p: Column) -> Column:
+        return h.substr(p * 2 - 1, F.lit(2))
+
+    def is_sof(p: Column) -> Column:
+        return (byte_at(p) == "FF") & byte_at(p + 1).isin("C0", "C2")
+
+    # fold: stay once on an SOF marker, else hop 2 (marker) + length
+    sof_off = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_JPEG_MAX_SEGMENTS)),
+        F.lit(3).cast("int"),  # first segment starts right after SOI
+        lambda acc, _: F.when(is_sof(acc), acc).otherwise(
+            (acc + 2 + _be16(h, acc + 2)).cast("int")
+        ),
+    )
+    valid = F.coalesce(
+        (h.substr(1, 4) == "FFD8") & is_sof(sof_off), F.lit(False)
+    )
+    return payloads.select(
+        "doc_id",
+        F.length("payload").alias("byte_len"),
+        F.when(valid, "jpeg").alias("format"),
+        F.when(valid, _be16(h, sof_off + 7)).alias("width"),
+        F.when(valid, _be16(h, sof_off + 5)).alias("height"),
+        F.when(valid, F.conv(byte_at(sof_off + 4), 16, 10).cast("int")).alias(
+            "bit_precision"
+        ),
+        F.when(valid, F.conv(byte_at(sof_off + 9), 16, 10).cast("int")).alias(
+            "n_components"
+        ),
+        F.when(valid, byte_at(sof_off + 1) == "C2").alias("progressive"),
+        F.when(valid, sof_off).alias("sof_offset"),
+    )
+
+
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header decode of REAL JPEG bytes (segment-walk to a variable-
+    offset SOF frame header) synthesized per document — see
+    decode_jpeg_headers. The oracle re-derives every field INCLUDING
+    the SOF byte offset from the generation parameters, so the walk
+    arithmetic itself is value-hashed."""
+    return decode_jpeg_headers(
+        _packed_jpeg(load_table(spark, sf_dir, "documents"))
+    )
+
+
 QUERIES = {
+    "multimodal_decode_jpeg": multimodal_decode_jpeg,
     "multimodal_decode_png": multimodal_decode_png,
     "multimodal_decode_wav": multimodal_decode_wav,
     "multimodal_decode_header": multimodal_decode_header,
@@ -475,6 +583,27 @@ ORACLE = {
     # is pack -> genuine container bytes -> offset parse (+ CRC32
     # re-verification for PNG), so any error in byte assembly, endian
     # handling, offsets, or the CRC arithmetic breaks the value hash.
+    "multimodal_decode_jpeg": """
+        WITH g AS (
+            SELECT doc_id,
+                   16 + ('0x' || substr(md5(text), 1, 3))::INT % 4080 AS h,
+                   16 + ('0x' || substr(md5(text), 4, 3))::INT % 4080 AS w,
+                   ('0x' || substr(md5(text), 7, 2))::INT % 16 AS pad,
+                   ('0x' || substr(md5(text), 9, 2))::INT % 4 = 0 AS prog,
+                   ('0x' || substr(md5(text), 11, 2))::INT % 16 = 0 AS bad_sig
+            FROM documents
+        )
+        SELECT doc_id,
+               45 + pad AS byte_len,
+               CASE WHEN NOT bad_sig THEN 'jpeg' END AS format,
+               CASE WHEN NOT bad_sig THEN w END AS width,
+               CASE WHEN NOT bad_sig THEN h END AS height,
+               CASE WHEN NOT bad_sig THEN 8 END AS bit_precision,
+               CASE WHEN NOT bad_sig THEN 3 END AS n_components,
+               CASE WHEN NOT bad_sig THEN prog END AS progressive,
+               CASE WHEN NOT bad_sig THEN 25 + pad END AS sof_offset
+        FROM g
+    """,
     "multimodal_decode_png": """
         WITH g AS (
             SELECT doc_id,

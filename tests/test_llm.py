@@ -604,3 +604,48 @@ def test_sim_ann_recall_curve_monotone(spark, sf_dir):
     for r in rows.values():
         assert 0.0 <= r.recall_at_k <= 1.0
         assert r.n_hit <= r.n_approx <= r.n_exact
+
+
+def test_jpeg_decoder_walks_real_segment_chains(spark):
+    """decode_jpeg_headers must find SOF behind an INDEPENDENTLY-built
+    segment chain (struct-packed, not the engine's own hex assembly):
+    multiple APPn/COM/DQT segments of varying lengths before the frame
+    header, baseline and progressive markers, and NULL out garbage or
+    files whose SOF lies beyond the walk bound."""
+    import struct
+
+    from etl_data_pipeline_spark.llm.multimodal import (
+        _JPEG_MAX_SEGMENTS,
+        decode_jpeg_headers,
+    )
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def sof(height, width, marker=0xC0, ncomp=3):
+        comp = b"".join(bytes([i + 1, 0x11, 0x00]) for i in range(ncomp))
+        return seg(marker, struct.pack(">BHHB", 8, height, width, ncomp) + comp)
+
+    soi, eoi = b"\xff\xd8", b"\xff\xd9"
+    exif = seg(0xE1, b"Exif\x00\x00" + b"\x00" * 40)  # APP1, 48-byte
+    jfif = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, bytes(range(65)))
+    com = seg(0xFE, b"made by a camera")
+    rows = [
+        (1, soi + jfif + sof(480, 640) + eoi),                      # minimal
+        (2, soi + exif + com + dqt + sof(2160, 3840, 0xC2) + eoi),  # deep chain
+        (3, b"GIF89a not a jpeg"),                                  # garbage
+        # SOF pushed past the walk bound: MAX+1 filler segments first
+        (4, soi + com * (_JPEG_MAX_SEGMENTS + 1) + sof(10, 10) + eoi),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in decode_jpeg_headers(df).collect()}
+    assert (out[1].width, out[1].height) == (640, 480)
+    assert out[1].format == "jpeg" and out[1].progressive is False
+    assert out[1].bit_precision == 8 and out[1].n_components == 3
+    assert out[1].sof_offset == 3 + len(jfif)  # 1-based byte offset
+    assert (out[2].width, out[2].height) == (3840, 2160)
+    assert out[2].progressive is True
+    assert out[2].sof_offset == 3 + len(exif) + len(com) + len(dqt)
+    assert out[3].format is None and out[3].width is None
+    assert out[4].format is None  # beyond the bound -> NULL, not garbage
