@@ -259,6 +259,10 @@ def _le_int(h: Column, byte_off: int, nbytes: int) -> Column:
 
 
 def _packed_png(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", _png_payload_col().alias("payload"))
+
+
+def _png_payload_col() -> Column:
     """Synthesize genuine minimal PNG bytes (signature + IHDR with a
     REAL CRC32 + IEND) per document, entirely in JVM expressions:
     the hex image is assembled with concat/lpad and materialized to
@@ -292,7 +296,7 @@ def _packed_png(docs: DataFrame) -> DataFrame:
         _be_hex(crc_stored, 4),
         F.lit("0000000049454E44AE426082"),  # empty IEND + its constant CRC
     )
-    return docs.select("doc_id", F.unhex(payload_hex).alias("payload"))
+    return F.unhex(payload_hex)
 
 
 def decode_png_headers(payloads: DataFrame) -> DataFrame:
@@ -343,6 +347,10 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _packed_wav(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", _wav_payload_col().alias("payload"))
+
+
+def _wav_payload_col() -> Column:
     """Synthesize genuine WAV bytes (RIFF/WAVE + 16-byte PCM fmt chunk
     + data chunk, all fields little-endian per the RIFF spec) per
     document; the data payload is the document text bytes. Corruption
@@ -374,9 +382,7 @@ def _packed_wav(docs: DataFrame) -> DataFrame:
         F.lit("64617461"),  # 'data'
         _le_hex(data_size, 4),
     )
-    return docs.select(
-        "doc_id", F.concat(F.unhex(header_hex), body).alias("payload")
-    )
+    return F.concat(F.unhex(header_hex), body)
 
 
 def decode_wav_headers(payloads: DataFrame) -> DataFrame:
@@ -442,6 +448,10 @@ def _be16(h: Column, p: Column) -> Column:
 
 
 def _packed_jpeg(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", _jpeg_payload_col().alias("payload"))
+
+
+def _jpeg_payload_col() -> Column:
     """Synthesize genuine JFIF/JPEG header bytes per document: SOI,
     the standard 18-byte APP0/JFIF segment, a COM segment of
     md5-derived VARIABLE length (0-15 payload bytes — this is what
@@ -471,7 +481,38 @@ def _packed_jpeg(docs: DataFrame) -> DataFrame:
         F.when(corrupt_sig, "00D8").otherwise("FFD8"),
         F.lit(app0), com, sof, F.lit("FFD9"),
     )
-    return docs.select("doc_id", F.unhex(payload_hex).alias("payload"))
+    return F.unhex(payload_hex)
+
+
+def _jpeg_byte_at(h: Column):
+    def byte_at(p: Column) -> Column:
+        return h.substr(p * 2 - 1, F.lit(2))
+
+    return byte_at
+
+
+def _jpeg_is_sof(h: Column):
+    byte_at = _jpeg_byte_at(h)
+
+    def is_sof(p: Column) -> Column:
+        return (byte_at(p) == "FF") & byte_at(p + 1).isin("C0", "C2")
+
+    return is_sof
+
+
+def _jpeg_sof_offset(h: Column) -> Column:
+    """1-based byte offset of the SOF0/SOF2 marker: a bounded fold that
+    stays once on an SOF marker, else hops 2 (marker) + the segment's
+    big-endian length. Shared by decode_jpeg_headers and the sniffing
+    dispatcher."""
+    is_sof = _jpeg_is_sof(h)
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(_JPEG_MAX_SEGMENTS)),
+        F.lit(3).cast("int"),  # first segment starts right after SOI
+        lambda acc, _: F.when(is_sof(acc), acc).otherwise(
+            (acc + 2 + _be16(h, acc + 2)).cast("int")
+        ),
+    )
 
 
 def decode_jpeg_headers(payloads: DataFrame) -> DataFrame:
@@ -486,21 +527,8 @@ def decode_jpeg_headers(payloads: DataFrame) -> DataFrame:
     signature, or whose SOF lies beyond the walk bound, surface as
     NULL fields."""
     h = F.hex(F.col("payload"))
-
-    def byte_at(p: Column) -> Column:
-        return h.substr(p * 2 - 1, F.lit(2))
-
-    def is_sof(p: Column) -> Column:
-        return (byte_at(p) == "FF") & byte_at(p + 1).isin("C0", "C2")
-
-    # fold: stay once on an SOF marker, else hop 2 (marker) + length
-    sof_off = F.aggregate(
-        F.sequence(F.lit(1), F.lit(_JPEG_MAX_SEGMENTS)),
-        F.lit(3).cast("int"),  # first segment starts right after SOI
-        lambda acc, _: F.when(is_sof(acc), acc).otherwise(
-            (acc + 2 + _be16(h, acc + 2)).cast("int")
-        ),
-    )
+    byte_at, is_sof = _jpeg_byte_at(h), _jpeg_is_sof(h)
+    sof_off = _jpeg_sof_offset(h)
     valid = F.coalesce(
         (h.substr(1, 4) == "FFD8") & is_sof(sof_off), F.lit(False)
     )
@@ -532,7 +560,84 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sniff_dispatch(payloads: DataFrame) -> DataFrame:
+    """Format-sniffing dispatch over ONE mixed-format binary column —
+    the real ingest shape: a crawled media corpus is never
+    homogeneous, so the first decode stage sniffs each payload's magic
+    (PNG signature / JPEG SOI / RIFF) and routes it to the matching
+    parser, normalizing into one schema (images get width/height,
+    audio gets channels/sample_rate; channels is shared — PNG derives
+    it from color type, JPEG from SOF component count). Unrecognized
+    bytes get sniffed=NULL with everything else NULL — never an
+    exception. All three parsers and the sniff run as gated
+    expressions in ONE whole-stage-codegen projection: a single scan,
+    no per-format passes, no Python."""
+    h = F.hex(F.col("payload"))
+    sniffed = (
+        F.when(h.substr(1, 16) == _PNG_SIG_HEX, "png")
+        .when(h.substr(1, 4) == "FFD8", "jpeg")
+        .when(
+            (h.substr(1, 8) == "52494646") & (h.substr(17, 8) == "57415645"),
+            "wav",
+        )
+    )
+    # PNG fields (fixed offsets behind the 8-byte signature)
+    png_ok = (h.substr(17, 8) == "0000000D") & (h.substr(25, 8) == "49484452")
+    png_w = F.conv(h.substr(33, 8), 16, 10).cast("int")
+    png_h = F.conv(h.substr(41, 8), 16, 10).cast("int")
+    png_chan = F.create_map(
+        *[F.lit(x) for kv in _PNG_CHANNELS.items() for x in kv]
+    )[F.conv(h.substr(51, 2), 16, 10).cast("int")]
+    # JPEG fields (variable offset via the bounded segment walk)
+    sof = _jpeg_sof_offset(h)
+    jpeg_ok = F.coalesce(_jpeg_is_sof(h)(sof), F.lit(False))
+    # WAV fields (little-endian fmt chunk)
+    wav_ok = (h.substr(25, 8) == "666D7420") & (_le_int(h, 21, 2) == 1)
+    is_png = sniffed == "png"
+    is_jpeg = sniffed == "jpeg"
+    is_wav = sniffed == "wav"
+    return payloads.select(
+        "doc_id",
+        F.length("payload").alias("byte_len"),
+        sniffed.alias("sniffed"),
+        F.when(is_png & png_ok, png_w)
+        .when(is_jpeg & jpeg_ok, _be16(h, sof + 7))
+        .alias("width"),
+        F.when(is_png & png_ok, png_h)
+        .when(is_jpeg & jpeg_ok, _be16(h, sof + 5))
+        .alias("height"),
+        F.when(is_png & png_ok, png_chan)
+        .when(is_jpeg & jpeg_ok, F.conv(_jpeg_byte_at(h)(sof + 9), 16, 10).cast("int"))
+        .when(is_wav & wav_ok, _le_int(h, 23, 2).cast("int"))
+        .alias("channels"),
+        F.when(is_wav & wav_ok, _le_int(h, 25, 4).cast("int")).alias("sample_rate"),
+        F.coalesce(
+            F.when(is_png, png_ok)
+            .when(is_jpeg, jpeg_ok)
+            .when(is_wav, wav_ok),
+            F.lit(False),
+        ).alias("parsed_ok"),
+    )
+
+
+def multimodal_sniff_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sniff_dispatch over a synthesized MIXED corpus: each document's
+    payload is packed as PNG, JPEG, or WAV (md5-chosen, so roughly a
+    third each — including each format's corrupted-signature rows,
+    which must surface as sniffed=NULL). The oracle re-derives format
+    choice and expected fields from the generation parameters."""
+    docs = load_table(spark, sf_dir, "documents")
+    choice = _hexbyte(F.md5(F.col("text")), 7) % 3
+    payload = (
+        F.when(choice == 0, _png_payload_col())
+        .when(choice == 1, _jpeg_payload_col())
+        .otherwise(_wav_payload_col())
+    )
+    return sniff_dispatch(docs.select("doc_id", payload.alias("payload")))
+
+
 QUERIES = {
+    "multimodal_sniff_dispatch": multimodal_sniff_dispatch,
     "multimodal_decode_jpeg": multimodal_decode_jpeg,
     "multimodal_decode_png": multimodal_decode_png,
     "multimodal_decode_wav": multimodal_decode_wav,
@@ -583,6 +688,43 @@ ORACLE = {
     # is pack -> genuine container bytes -> offset parse (+ CRC32
     # re-verification for PNG), so any error in byte assembly, endian
     # handling, offsets, or the CRC arithmetic breaks the value hash.
+    "multimodal_sniff_dispatch": """
+        WITH g AS (
+            SELECT doc_id, md5(text) AS d,
+                   octet_length(text::BLOB) AS tlen
+            FROM documents
+        ), p AS (
+            SELECT doc_id,
+                   ('0x' || substr(d, 13, 2))::INT % 3 AS c,
+                   16 + ('0x' || substr(d, 1, 3))::INT % 4080 AS f1,
+                   16 + ('0x' || substr(d, 4, 3))::INT % 4080 AS f2,
+                   ('0x' || substr(d, 7, 2))::INT AS b4,
+                   1 + ('0x' || substr(d, 1, 2))::INT % 2 AS wav_ch,
+                   [8000,16000,22050,44100,48000][
+                       ('0x' || substr(d, 3, 2))::INT % 5 + 1] AS wav_rate,
+                   ('0x' || substr(d, 9, 2))::INT % 16 = 0 AS bad5,
+                   ('0x' || substr(d, 11, 2))::INT % 16 = 0 AS bad6,
+                   tlen
+            FROM g
+        )
+        SELECT doc_id,
+               CASE c WHEN 0 THEN 45 WHEN 1 THEN 45 + (b4 % 16)
+                      ELSE 44 + tlen END AS byte_len,
+               CASE WHEN c = 0 AND NOT bad5 THEN 'png'
+                    WHEN c = 1 AND NOT bad6 THEN 'jpeg'
+                    WHEN c = 2 AND NOT bad5 THEN 'wav' END AS sniffed,
+               CASE WHEN c = 0 AND NOT bad5 THEN f1
+                    WHEN c = 1 AND NOT bad6 THEN f2 END AS width,
+               CASE WHEN c = 0 AND NOT bad5 THEN f2
+                    WHEN c = 1 AND NOT bad6 THEN f1 END AS height,
+               CASE WHEN c = 0 AND NOT bad5
+                        THEN [3,4,3,1,1,1,1,1,2,2][(b4 % 10) + 1]
+                    WHEN c = 1 AND NOT bad6 THEN 3
+                    WHEN c = 2 AND NOT bad5 THEN wav_ch END AS channels,
+               CASE WHEN c = 2 AND NOT bad5 THEN wav_rate END AS sample_rate,
+               CASE WHEN c = 1 THEN NOT bad6 ELSE NOT bad5 END AS parsed_ok
+        FROM p
+    """,
     "multimodal_decode_jpeg": """
         WITH g AS (
             SELECT doc_id,

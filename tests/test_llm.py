@@ -649,3 +649,45 @@ def test_jpeg_decoder_walks_real_segment_chains(spark):
     assert out[2].sof_offset == 3 + len(exif) + len(com) + len(dqt)
     assert out[3].format is None and out[3].width is None
     assert out[4].format is None  # beyond the bound -> NULL, not garbage
+
+
+def test_sniff_dispatch_routes_genuine_mixed_corpus(spark):
+    """One binary column holding a REAL PNG, a REAL WAV (wave module),
+    an independently built JPEG, and garbage: the sniffing dispatcher
+    must route each to the right parser and normalize the fields."""
+    import io
+    import struct
+    import wave
+
+    from etl_data_pipeline_spark.llm.multimodal import sniff_dispatch
+
+    png = _genuine_png(800, 600, 8, 6)  # RGBA -> 4 channels
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setframerate(22050)
+        w.setsampwidth(2)
+        w.writeframes(b"\x00" * 400)
+    wav = buf.getvalue()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    jpeg = (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xC0, struct.pack(">BHHB", 8, 240, 320, 3) + b"\x01\x11\x00" * 3)
+        + b"\xff\xd9"
+    )
+    rows = [(1, png), (2, wav), (3, jpeg), (4, b"neither fish nor fowl")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in sniff_dispatch(df).collect()}
+    assert out[1].sniffed == "png" and out[1].parsed_ok
+    assert (out[1].width, out[1].height, out[1].channels) == (800, 600, 4)
+    assert out[1].sample_rate is None
+    assert out[2].sniffed == "wav" and out[2].parsed_ok
+    assert (out[2].channels, out[2].sample_rate) == (2, 22050)
+    assert out[2].width is None
+    assert out[3].sniffed == "jpeg" and out[3].parsed_ok
+    assert (out[3].width, out[3].height, out[3].channels) == (320, 240, 3)
+    assert out[4].sniffed is None and out[4].parsed_ok is False
