@@ -91,6 +91,13 @@ BENCH_QUERIES = [
     # (multi-dim star agg; double groupBy + self-rejoin)
     "tpch_q9ish",
     "tpch_q21ish",
+    # round-7 additions (new floors): the span-level corpus rewrite
+    # (heaviest new op — 3 shuffles over all token positions), the
+    # shared-work ANN recall pipeline, and the segment-walk dispatch
+    # decode (codegen fold; the cheap-scan representative)
+    "dedup_substring_scrub",
+    "sim_ann_recall",
+    "multimodal_sniff_dispatch",
 ]
 
 
