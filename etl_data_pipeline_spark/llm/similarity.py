@@ -308,7 +308,11 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", F.lit(1).alias("hit"))
     n_exact = exact.groupBy().agg(F.count("*").alias("n_exact"))
     per = (
-        approx.join(exact, ["query_id", "vec_id"], "left")
+        # exact is k rows per query — broadcast it explicitly: the
+        # planner can't size it behind the window over the brute-force
+        # join and would fall back to a sort-merge join of two tiny
+        # frames (same trap as dedup_canonical's losers side)
+        approx.join(F.broadcast(exact), ["query_id", "vec_id"], "left")
         .groupBy("nprobe")
         .agg(
             F.count("*").alias("n_approx"),

@@ -486,3 +486,45 @@ def test_substring_scrub_exchange_budget(spark, sf_dir):
     for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
                 "BroadcastNestedLoop"):
         assert bad not in plan
+
+
+def test_jpeg_and_dispatch_decode_are_jvm_only(spark, sf_dir):
+    """The segment-walk JPEG decode and the format-sniffing dispatcher
+    must stay map-only inside codegen — the aggregate-fold walk and
+    the three gated parsers all compile into one projection over one
+    scan: no Python nodes, no exchange."""
+    from etl_data_pipeline_spark.llm.multimodal import (
+        multimodal_decode_jpeg,
+        multimodal_sniff_dispatch,
+    )
+    from etl_data_pipeline_spark.plans import scan_count
+
+    for q in (multimodal_decode_jpeg, multimodal_sniff_dispatch):
+        plan = _plan(q(spark, sf_dir))
+        assert "Exchange" not in plan
+        for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert py_node not in plan
+        assert scan_count(plan) == 1
+
+
+def test_sim_ann_recall_shares_work_and_broadcasts(spark, sf_dir):
+    """sim_ann_recall: every join must broadcast its small side —
+    cell candidates hash-join against broadcast probe cells, the tiny
+    approx/exact intersection must NOT fall back to a sort-merge join,
+    and the only nested-loop joins are the INTENDED brute-force /
+    assignment broadcasts (corpus x small-broadcast, the sim_topk
+    shape). The per-depth expansion is a map-side explode, not a join
+    against the depth list."""
+    from etl_data_pipeline_spark.llm.similarity import sim_ann_recall
+    from etl_data_pipeline_spark.plans import join_operators
+
+    plan = _plan(sim_ann_recall(spark, sf_dir))
+    ops = join_operators(plan)
+    assert "CartesianProduct" not in ops
+    assert "SortMergeJoin" not in ops
+    assert "BroadcastHashJoin" in ops
+    # nested-loop joins are all broadcast-bounded (brute-force truth,
+    # centroid assignment, the 1-row totals join) — never unbounded
+    assert "ShuffledHashJoin" not in ops
+    for py_node in ("BatchEvalPython", "ArrowEvalPython"):
+        assert py_node not in plan
