@@ -328,6 +328,64 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding space (long
+    form: dim_i <= dim_j, cov) — the input every whitening / PCA /
+    Mahalanobis-outlier stage needs before it can touch a vector
+    corpus. cov(i,j) = E[x_i·x_j] − E[x_i]·E[x_j] (population form).
+
+    Scale shape: each row explodes into its dim(dim+1)/2 upper-
+    triangle products (two chained generators: posexplode for i,
+    sequence-explode for j>=i — no self-join of the corpus), and the
+    shuffle carries scalar (i, j, product) triples with map-side
+    partial aggregation into exactly dim(dim+1)/2 groups. Per-dim
+    means are a second tiny aggregate over the same scan, broadcast
+    back (64 rows) for the centering term. No vector is ever
+    reassembled; state is O(dim²) regardless of corpus size. Means
+    are rounded to 6 dp BEFORE the centering product and the result
+    rounded again, so cross-engine float-sum order noise is absorbed
+    at both steps (the embedding_centroids contract)."""
+    e = tracked_persist(
+        spread(load_table(spark, sf_dir, "embeddings")).select(
+            F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
+    means = (
+        e.select(F.posexplode("v").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(hround(F.avg("val"), 6).alias("mean"))
+    )
+    n_dims = F.size("v")
+    prods = (
+        e.select("v", F.posexplode("v").alias("dim_i", "xi"))
+        .select(
+            "dim_i",
+            "xi",
+            F.explode(F.sequence(F.col("dim_i"), n_dims - 1)).alias("dim_j"),
+            F.col("v"),
+        )
+        .select(
+            "dim_i",
+            "dim_j",
+            (F.col("xi") * F.element_at("v", F.col("dim_j") + 1)).alias("p"),
+        )
+    )
+    raw = prods.groupBy("dim_i", "dim_j").agg(F.avg("p").alias("e_ij"))
+    mi = means.select(F.col("dim").alias("dim_i"), F.col("mean").alias("mean_i"))
+    mj = means.select(F.col("dim").alias("dim_j"), F.col("mean").alias("mean_j"))
+    return (
+        raw.join(F.broadcast(mi), "dim_i")
+        .join(F.broadcast(mj), "dim_j")
+        .select(
+            "dim_i",
+            "dim_j",
+            hround(
+                F.col("e_ij") - F.col("mean_i") * F.col("mean_j"), 6
+            ).alias("cov"),
+        )
+    )
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding (class centroids), long form
     (label, dim, centroid_val).
@@ -440,6 +498,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sim_ann_recall": sim_ann_recall,
+    "embedding_covariance": embedding_covariance,
     "sim_topk": sim_topk,
     "embedding_kmeans": embedding_kmeans,
     "embedding_quantize": embedding_quantize,
@@ -661,6 +720,28 @@ ORACLE = {
         FROM m
     """,
     "sim_ann_recall": _oracle_sim_ann_recall(),
+    "embedding_covariance": """
+        WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        means AS (
+            SELECT dim, floor(avg(val) * 1000000 + 0.5) / 1000000 AS mean
+            FROM (SELECT unnest(range(len(v))) AS dim, unnest(v) AS val
+                  FROM e)
+            GROUP BY dim
+        ), prods AS (
+            SELECT i AS dim_i, j AS dim_j, v[i + 1] * v[j + 1] AS p
+            FROM (SELECT v, unnest(range(len(v))) AS i FROM e),
+                 LATERAL (SELECT unnest(range(i, len(v))) AS j)
+        ), raw AS (
+            SELECT dim_i, dim_j, avg(p) AS e_ij
+            FROM prods GROUP BY dim_i, dim_j
+        )
+        SELECT r.dim_i, r.dim_j,
+               floor((r.e_ij - mi.mean * mj.mean) * 1000000 + 0.5)
+                   / 1000000 AS cov
+        FROM raw r
+        JOIN means mi ON mi.dim = r.dim_i
+        JOIN means mj ON mj.dim = r.dim_j
+    """,
     "sim_topk": _oracle_sim_topk(),
     "sim_ann_lsh": _oracle_sim_ann_lsh(),
     "sim_ann_ivf": _oracle_sim_ann_ivf(),

@@ -606,7 +606,54 @@ def substring_scrub(docs: DataFrame) -> DataFrame:
     )
 
 
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality signal from a corpus-trained unigram
+    LM — the simplest member of the model-based-filter family (CCNet /
+    Gopher filter on LM perplexity; a unigram model is the degenerate
+    case that needs no external model artifact, so the whole pipeline
+    stays closed over the corpus): per document, the mean log-
+    probability of its tokens under the corpus unigram distribution,
+    plus a SELF-CALIBRATING keep flag (doc at or above the corpus
+    mean) — an absolute threshold would be vocabulary- and
+    scale-dependent, the corpus-relative one is not.
+
+    Plan: token counts are ONE map-side-combined shuffle; scoring
+    joins the token stream against the count table on token (the
+    count side is already hash-partitioned by token from its
+    aggregation — one new exchange, not two); per-doc mean is a third
+    shuffle; the grand total and corpus mean ride 1-row broadcast
+    cross joins. At 100 TB the vocabulary table is millions of rows —
+    a real shuffle join, never a collect. ln() last-ulp divergence
+    across engines is absorbed by 6-dp rounding (the text_tfidf
+    contract)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = vocab.groupBy().agg(F.sum("cnt").alias("total"))
+    per_doc = (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            hround(F.avg(F.log(F.col("cnt") / F.col("total"))), 6).alias(
+                "mean_logprob"
+            ),
+        )
+    )
+    gm = per_doc.groupBy().agg(
+        hround(F.avg("mean_logprob"), 6).alias("corpus_mean")
+    )
+    return per_doc.crossJoin(F.broadcast(gm)).select(
+        "doc_id",
+        "n_tokens",
+        "mean_logprob",
+        (F.col("mean_logprob") >= F.col("corpus_mean")).alias("keep"),
+    )
+
+
 QUERIES = {
+    "text_unigram_logprob": text_unigram_logprob,
     "dedup_substring_scrub": dedup_substring_scrub,
     "text_duplicate_spans": text_duplicate_spans,
     "text_contamination": text_contamination,
@@ -658,6 +705,28 @@ def sql_quality_cte() -> str:
         )"""
 
 ORACLE = {
+    "text_unigram_logprob": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), vocab AS (
+            SELECT token, count(*) AS cnt FROM toks GROUP BY token
+        ), tot AS (SELECT sum(cnt) AS total FROM vocab),
+        per_doc AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   floor(avg(ln(cnt * 1.0 / total)) * 1000000 + 0.5)
+                       / 1000000 AS mean_logprob
+            FROM toks JOIN vocab USING (token) CROSS JOIN tot
+            GROUP BY doc_id
+        ), gm AS (
+            SELECT floor(avg(mean_logprob) * 1000000 + 0.5) / 1000000
+                       AS corpus_mean
+            FROM per_doc
+        )
+        SELECT doc_id, n_tokens, mean_logprob,
+               mean_logprob >= corpus_mean AS keep
+        FROM per_doc CROSS JOIN gm
+    """,
     # DuckDB replays the full scrub: duplicate-span discovery, keeper
     # election, positional coverage, and the token-level rewrite — the
     # scrubbed corpus md5 must match Spark's byte for byte.

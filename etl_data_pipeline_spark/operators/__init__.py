@@ -87,6 +87,8 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # r8 rotation. Everything else was driver-verified in r5/r6.
     hoist = [
         # -- BRAND NEW (r7): no driver evidence at all -- first priority
+        "text_unigram_logprob",
+        "embedding_covariance",
         "multimodal_sniff_dispatch",
         "multimodal_decode_jpeg",
         "multimodal_decode_png",

@@ -691,3 +691,47 @@ def test_sniff_dispatch_routes_genuine_mixed_corpus(spark):
     assert out[3].sniffed == "jpeg" and out[3].parsed_ok
     assert (out[3].width, out[3].height, out[3].channels) == (320, 240, 3)
     assert out[4].sniffed is None and out[4].parsed_ok is False
+
+
+def test_unigram_logprob_invariants(spark, sf_dir):
+    """Unigram-LM scoring: every mean_logprob is negative (probs < 1),
+    docs made of rare tokens score below docs of common tokens, and
+    the self-calibrating keep flag splits the corpus non-trivially."""
+    from etl_data_pipeline_spark.llm.text_analysis import text_unigram_logprob
+
+    rows = text_unigram_logprob(spark, sf_dir).collect()
+    assert all(r.mean_logprob < 0 for r in rows)
+    kept = sum(1 for r in rows if r.keep)
+    assert 0 < kept < len(rows)
+    # corpus-relative threshold: kept docs all score >= every dropped doc's
+    # score is NOT required (threshold is the mean), but min(kept) must
+    # be >= max over the threshold boundary: verify against recomputed mean
+    import math
+    m = sum(r.mean_logprob for r in rows) / len(rows)
+    for r in rows:
+        assert r.keep == (r.mean_logprob >= math.floor(m * 1e6 + 0.5) / 1e6) or \
+            abs(r.mean_logprob - m) < 1e-9
+
+
+def test_embedding_covariance_matrix_properties(spark, sf_dir):
+    """Covariance output: exactly dim(dim+1)/2 upper-triangle entries,
+    non-negative variances on the diagonal, and the diagonal equals a
+    numpy reference within rounding."""
+    import numpy as np
+
+    from etl_data_pipeline_spark.llm.similarity import embedding_covariance
+
+    rows = embedding_covariance(spark, sf_dir).collect()
+    dims = max(r.dim_j for r in rows) + 1
+    assert len(rows) == dims * (dims + 1) // 2
+    assert all(r.dim_i <= r.dim_j for r in rows)
+    diag = {r.dim_i: r.cov for r in rows if r.dim_i == r.dim_j}
+    assert all(v >= 0 for v in diag.values())
+    X = np.array(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("embedding").toPandas()["embedding"].tolist(),
+        dtype=np.float64,
+    )
+    ref = X.var(axis=0)  # population variance, matches E[x^2]-E[x]^2
+    for d in range(dims):
+        assert abs(diag[d] - ref[d]) < 1e-4
