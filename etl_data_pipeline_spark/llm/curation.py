@@ -244,7 +244,64 @@ def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOKEN_BUDGET_FRACTION = 0.5  # select best docs until half the corpus tokens
+
+
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked selection up to a TOKEN budget — the "take the
+    best documents until N tokens" curation step every pretraining mix
+    ends with. A naive implementation sorts the corpus by quality and
+    takes a running sum: a GLOBAL sort plus a single-partition window
+    — the two things that cannot scale. This uses the bucket-CDF
+    pattern instead:
+
+    1. One scan scores each doc and coarsens quality to a 2-dp BUCKET.
+    2. Buckets aggregate to (bucket, token_sum) — a ≤ ~100-row table,
+       so the descending running sum over it runs in one tiny task
+       (single-partition window over the BUCKET table is fine; over
+       the corpus it would not be).
+    3. The bucket CDF broadcasts back; a doc is selected iff its
+       bucket's cumulative tokens fit the budget (whole buckets in or
+       out — deterministic, no arbitrary tie-breaking inside a
+       bucket). The budget is corpus-relative (a fraction of total
+       tokens), so the query is scale-invariant.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    q = text_analysis.quality_cols()
+    scored = tracked_persist(
+        docs.select(
+            "doc_id",
+            q["n_tokens"].alias("n_tokens"),
+            hround(q["quality_score"], 2).alias("q_bucket"),
+        )
+    )
+    buckets = scored.groupBy("q_bucket").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    total = scored.groupBy().agg(F.sum("n_tokens").alias("total_tokens"))
+    w = (
+        Window.orderBy(F.desc("q_bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = (
+        buckets.withColumn("cum_tokens", F.sum("bucket_tokens").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "q_bucket",
+            "cum_tokens",
+            (
+                F.col("cum_tokens")
+                <= F.col("total_tokens") * TOKEN_BUDGET_FRACTION
+            ).alias("selected"),
+        )
+    )
+    return scored.join(F.broadcast(cdf), "q_bucket").select(
+        "doc_id", "n_tokens", "q_bucket", "cum_tokens", "selected"
+    )
+
+
 QUERIES = {
+    "corpus_token_budget": corpus_token_budget,
     "pipeline_corpus_curation_v2": pipeline_corpus_curation_v2,
     "corpus_mix_weights": corpus_mix_weights,
     "corpus_split": corpus_split,
@@ -317,7 +374,38 @@ def _oracle_curation_v2() -> str:
 
 # The oracle is the SAME composition of the per-stage oracles —
 # each stage's SQL is reused verbatim as a subquery.
+def _oracle_token_budget() -> str:
+    from etl_data_pipeline_spark.functions.rounding import sql_round
+    from etl_data_pipeline_spark.llm.text_analysis import (
+        SQL_QUALITY_SCORE,
+        sql_quality_cte,
+    )
+
+    return f"""
+        WITH {sql_quality_cte()}, s AS (
+            SELECT doc_id, n_tokens,
+                   {sql_round(SQL_QUALITY_SCORE, 2)} AS q_bucket
+            FROM r
+        ), b AS (
+            SELECT q_bucket, sum(n_tokens) AS bucket_tokens
+            FROM s GROUP BY q_bucket
+        ), tot AS (SELECT sum(n_tokens) AS total_tokens FROM s),
+        cdf AS (
+            SELECT q_bucket,
+                   CAST(sum(bucket_tokens) OVER (ORDER BY q_bucket DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_tokens
+            FROM b
+        )
+        SELECT s.doc_id, s.n_tokens, s.q_bucket, cdf.cum_tokens,
+               cdf.cum_tokens <= tot.total_tokens * {TOKEN_BUDGET_FRACTION}
+                   AS selected
+        FROM s JOIN cdf USING (q_bucket) CROSS JOIN tot
+    """
+
+
 ORACLE = {
+    "corpus_token_budget": _oracle_token_budget(),
     "pipeline_corpus_curation_v2": _oracle_curation_v2(),
     "corpus_split": f"""
         WITH b AS (

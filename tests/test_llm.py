@@ -735,3 +735,31 @@ def test_embedding_covariance_matrix_properties(spark, sf_dir):
     ref = X.var(axis=0)  # population variance, matches E[x^2]-E[x]^2
     for d in range(dims):
         assert abs(diag[d] - ref[d]) < 1e-4
+
+
+def test_corpus_token_budget_invariants(spark, sf_dir):
+    """Token-budget selection: whole buckets are in or out, the
+    selected token mass fits the budget, adding the next (best
+    unselected) bucket would exceed it, and selection is monotone in
+    quality (no selected bucket below an unselected one)."""
+    from etl_data_pipeline_spark.llm.curation import (
+        TOKEN_BUDGET_FRACTION,
+        corpus_token_budget,
+    )
+
+    rows = corpus_token_budget(spark, sf_dir).collect()
+    total = sum(r.n_tokens for r in rows)
+    budget = total * TOKEN_BUDGET_FRACTION
+    sel = [r for r in rows if r.selected]
+    unsel = [r for r in rows if not r.selected]
+    assert sel and unsel
+    assert sum(r.n_tokens for r in sel) <= budget
+    # bucket-atomicity + monotonicity
+    sel_buckets = {r.q_bucket for r in sel}
+    unsel_buckets = {r.q_bucket for r in unsel}
+    assert not (sel_buckets & unsel_buckets)
+    assert min(sel_buckets) > max(unsel_buckets)
+    # greedy-maximality: the best unselected bucket would not fit
+    next_b = max(unsel_buckets)
+    next_mass = sum(r.n_tokens for r in unsel if r.q_bucket == next_b)
+    assert sum(r.n_tokens for r in sel) + next_mass > budget
