@@ -652,7 +652,39 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution —
+    the cheap gibberish/binary/boilerplate detector (natural prose
+    sits in a narrow entropy band; base64 blobs score high, repeated
+    padding scores low). H = −Σ p·ln p over the doc's own characters.
+
+    Plan: explode characters, ONE map-side-combined shuffle on
+    (doc_id, char) for counts, a second on doc_id folding the entropy
+    sum — character-class cardinality bounds the first shuffle's
+    groups at ~100 per doc regardless of document size. 6-dp rounding
+    absorbs ln() last-ulp and sum-order noise (the tfidf contract)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    chars = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.explode(F.split("text", "")).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "n_chars", "ch").agg(
+        F.count("*").alias("cnt")
+    )
+    p = F.col("cnt") / F.col("n_chars")
+    return (
+        counts.groupBy("doc_id", "n_chars")
+        .agg(
+            F.count("*").alias("n_distinct_chars"),
+            hround(-F.sum(p * F.log(p)), 6).alias("char_entropy"),
+        )
+        .select("doc_id", "n_chars", "n_distinct_chars", "char_entropy")
+    )
+
+
 QUERIES = {
+    "text_char_entropy": text_char_entropy,
     "text_unigram_logprob": text_unigram_logprob,
     "dedup_substring_scrub": dedup_substring_scrub,
     "text_duplicate_spans": text_duplicate_spans,
@@ -705,6 +737,22 @@ def sql_quality_cte() -> str:
         )"""
 
 ORACLE = {
+    "text_char_entropy": """
+        WITH chars AS (
+            SELECT doc_id, length(text) AS n_chars, substr(text, i, 1) AS ch
+            FROM (SELECT doc_id, text,
+                         unnest(range(1, length(text) + 1)) AS i
+                  FROM documents)
+        ), counts AS (
+            SELECT doc_id, n_chars, ch, count(*) AS cnt
+            FROM chars GROUP BY doc_id, n_chars, ch
+        )
+        SELECT doc_id, n_chars, count(*) AS n_distinct_chars,
+               floor((-sum((cnt * 1.0 / n_chars)
+                           * ln(cnt * 1.0 / n_chars))) * 1000000 + 0.5)
+                   / 1000000 AS char_entropy
+        FROM counts GROUP BY doc_id, n_chars
+    """,
     "text_unigram_logprob": """
         WITH toks AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -87,6 +87,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # r8 rotation. Everything else was driver-verified in r5/r6.
     hoist = [
         # -- BRAND NEW (r7): no driver evidence at all -- first priority
+        "text_char_entropy",
         "corpus_token_budget",
         "text_unigram_logprob",
         "embedding_covariance",

@@ -763,3 +763,22 @@ def test_corpus_token_budget_invariants(spark, sf_dir):
     next_b = max(unsel_buckets)
     next_mass = sum(r.n_tokens for r in unsel if r.q_bucket == next_b)
     assert sum(r.n_tokens for r in sel) + next_mass > budget
+
+
+def test_char_entropy_orders_texts_sensibly(spark):
+    """Entropy ordering on controlled inputs: uniform-random-ish text
+    scores above natural prose, which scores above single-char
+    padding (H = 0)."""
+    from etl_data_pipeline_spark.llm.text_analysis import text_char_entropy
+    import os, tempfile
+
+    rows = [
+        (1, "aaaaaaaaaaaaaaaaaaaaaaaa"),                    # H = 0
+        (2, "the quick brown fox jumps over the lazy dog"),  # prose
+        (3, "q8Zx2vK9mW4pL7nB3cJ6tY1rD5gH0sF"),              # base64-ish
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_docs(spark, tmp, rows)
+        out = {r.doc_id: r for r in text_char_entropy(spark, tmp).collect()}
+    assert out[1].char_entropy == 0.0 and out[1].n_distinct_chars == 1
+    assert 0 < out[2].char_entropy < out[3].char_entropy
