@@ -626,11 +626,23 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     a real shuffle join, never a collect. ln() last-ulp divergence
     across engines is absorbed by 6-dp rounding (the text_tfidf
     contract)."""
+    from etl_data_pipeline_spark.functions.caching import tracked_persist
+
     docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
-    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    # persist: the count table feeds the grand total AND the scoring
+    # join; it is also the natural reusable artifact of this query (a
+    # trained unigram LM). Vocabulary-bounded, so cacheable at any
+    # corpus size.
+    vocab = tracked_persist(
+        toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    )
     total = vocab.groupBy().agg(F.sum("cnt").alias("total"))
-    per_doc = (
+    # persist: per_doc feeds BOTH the corpus-mean aggregate and the
+    # final projection — without it Catalyst re-derives the entire
+    # count-join-aggregate lineage under each consumer (no cross-join
+    # common-subexpression elimination; measured 15 exchanges vs 6)
+    per_doc = tracked_persist(
         toks.join(vocab, "token")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")

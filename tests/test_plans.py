@@ -528,3 +528,33 @@ def test_sim_ann_recall_shares_work_and_broadcasts(spark, sf_dir):
     assert "ShuffledHashJoin" not in ops
     for py_node in ("BatchEvalPython", "ArrowEvalPython"):
         assert py_node not in plan
+
+
+def test_round7_signal_ops_exchange_budgets(spark, sf_dir):
+    """Shuffle budgets for the round-7 signal operators: unigram LM
+    scoring <= 5 exchanges (counts, scoring join, per-doc agg, totals),
+    char entropy <= 3, covariance <= 3 (pair products, means), token
+    budget <= 4 (bucket agg, tiny-window, rebroadcast join) — and no
+    Python nodes or cartesian products anywhere."""
+    from etl_data_pipeline_spark.llm.curation import corpus_token_budget
+    from etl_data_pipeline_spark.llm.similarity import embedding_covariance
+    from etl_data_pipeline_spark.llm.text_analysis import (
+        text_char_entropy,
+        text_unigram_logprob,
+    )
+    from etl_data_pipeline_spark.plans import exchange_count
+
+    budgets = [
+        # unigram: spread + vocab agg + scoring join + per-doc agg +
+        # the persisted-frame reads (vocab and per_doc persists cut
+        # this from a measured 15 to 6)
+        (text_unigram_logprob, 6),
+        (text_char_entropy, 3),
+        (embedding_covariance, 4),
+        (corpus_token_budget, 4),
+    ]
+    for q, budget in budgets:
+        plan = _plan(q(spark, sf_dir))
+        assert exchange_count(plan) <= budget, (q.__name__, plan)
+        for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+            assert bad not in plan, q.__name__
