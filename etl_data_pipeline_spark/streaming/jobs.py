@@ -250,6 +250,65 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_tws(stream: DataFrame) -> DataFrame:
+    """running_user_totals on ``transformWithStateInPandas`` — the
+    Spark-4 successor API to applyInPandasWithState (SPARK-49564
+    family: named state variables on a handle, explicit processor
+    lifecycle, timers; the direction stateful Python streaming is
+    moving). Semantics are IDENTICAL to running_user_totals — the
+    parity test replays the same chunks through both operators and
+    asserts equal emissions — so the engine offers both the
+    established and the successor API for custom stateful operators.
+
+    State: one named ValueState ("totals": n, s) per user — same
+    O(|users|) residency, same checkpoint/recovery contract, and it
+    composes with use_state_store(spark, "rocksdb") like any other
+    stateful operator.
+
+    RUNTIME REQUIREMENT: the transformWithState protocol speaks
+    protobuf between the JVM and the Python stateful-processor driver
+    (pyspark.sql.streaming.proto) — environments without
+    ``google.protobuf`` get a clear ImportError here instead of an
+    opaque mid-query worker crash. applyInPandasWithState
+    (running_user_totals) has no such dependency."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(pyspark.sql.streaming.proto wire protocol); use "
+            "running_user_totals (applyInPandasWithState) instead"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, s double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id long, n_events long, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def conversion_sessions(stream: DataFrame, gap_secs: int = 1800) -> DataFrame:
     """Custom stateful sessionizer via applyInPandasWithState: a
     user's session closes on an inactivity gap OR on a conversion
