@@ -98,6 +98,11 @@ BENCH_QUERIES = [
     "dedup_substring_scrub",
     "sim_ann_recall",
     "multimodal_sniff_dispatch",
+    # round-7 late additions (new floors): the iterative-DataFrame
+    # exhibit (5 join+agg rounds with plan truncation) and the
+    # explicit runtime Bloom-filter build+probe+join
+    "graph_pagerank",
+    "join_bloom_pruned",
 ]
 
 

@@ -695,7 +695,134 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021,
+    Appendix A): per-document boolean rules over cheap corpus
+    statistics, plus the composite keep decision. The rule FAMILY is
+    Gopher's; thresholds are adapted to this synthetic corpus so every
+    flag actually varies (the published bounds — e.g. 50..100k words —
+    would be constant over 10..99-word docs). Rules whose signal is
+    degenerate here (symbol-to-word ratio, bullet/ellipsis lines: the
+    corpus has no punctuation or newlines) are covered by
+    ``text_quality``'s punct_ratio instead and omitted.
+
+    Signals: word count, mean word length ((n_chars − (n_words−1)) /
+    n_words — integer ratio, so both engines compute the identical
+    double in ONE division, no rounding needed for the threshold
+    compare), English stop-hits, and the repetition signal: the count
+    of the most-frequent word BIGRAM (Gopher's top-2-gram mass).
+
+    Plan: one projection for the per-row signals carried as grouping
+    keys through the bigram explode → two map-side-combined shuffles
+    keyed by doc_id (bounded groups: ≤ n_words−1 bigrams/doc), then a
+    pure-codegen rule projection. Docs with < 2 words have no bigram
+    and drop out in both engines (inner semantics, documented)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", "n_chars", _tokens().alias("toks"))
+    sig = t.select(
+        "doc_id",
+        "n_chars",
+        F.size("toks").alias("n_words"),
+        F.size(
+            F.filter("toks", lambda x: x.isin(*STOPWORDS["en"]))
+        ).alias("stop_hits"),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), F.lit(1), F.size("toks") - 1),
+                F.slice(F.col("toks"), F.lit(2), F.size("toks") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram"),
+    )
+    top = (
+        sig.groupBy("doc_id", "n_chars", "n_words", "stop_hits", "bigram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id", "n_chars", "n_words", "stop_hits")
+        .agg(F.max("cnt").alias("top_bigram_cnt"))
+    )
+    mwl = (F.col("n_chars") - (F.col("n_words") - 1)) / F.col("n_words")
+    rules = {
+        "rule_word_count": F.col("n_words").between(20, 90),
+        "rule_mean_word_len": (mwl >= 4.3) & (mwl <= 4.7),
+        "rule_stopwords": F.col("stop_hits") >= 2,
+        "rule_repetition": F.col("top_bigram_cnt") <= 2,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return top.select(
+        "doc_id",
+        "n_words",
+        hround(mwl, 6).alias("mean_word_len"),
+        "stop_hits",
+        "top_bigram_cnt",
+        *[c.alias(name) for name, c in rules.items()],
+        keep.alias("keep"),
+    )
+
+
+# Hashed linear-model constants shared by the Spark impl and the
+# DuckDB oracle of text_quality_classifier. P bounds the fold
+# accumulator (acc*31+cp < 31·2^31+255 ≪ 2^63 — no BIGINT overflow);
+# D is the feature-hash bucket count; the weight of bucket j is the
+# Knuth-multiplicative pseudo-random ((j·2654435761) mod 2^21)/2^21 −
+# 0.5 ∈ [−0.5, 0.5) — fixed, not trained, but exercises the exact
+# inference plan a trained export would use.
+CLS_P = 2_147_483_647
+CLS_D = 1024
+CLS_BIAS = 0.1
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText/CCNet-style quality-classifier INFERENCE: score each
+    document with a hashed bag-of-words linear model — the standard
+    model-based quality filter in LLM data pipelines (CCNet's fastText
+    LM filter; LLaMA's Wikipedia-reference classifier).
+
+    The whole scorer is one whole-stage-codegen projection: tokens →
+    portable polynomial hash (fold of acc·31 + codepoint mod P — the
+    SAME integer fold DuckDB's list_reduce replays, so the oracle
+    reproduces bucket ids exactly) → feature bucket (mod D) → weight
+    lookup as pure arithmetic (no map, no broadcast, no UDF) → summed
+    logit → sigmoid. Both engines fold the token array LEFT-TO-RIGHT,
+    so even the floating-point sum order is identical. At 100 TB this
+    is an embarrassingly parallel per-row transform with zero shuffle;
+    swapping in trained weights means substituting a broadcast
+    map<int,double> for the weight formula — the plan shape is
+    unchanged."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def bucket(tok):
+        h = F.aggregate(
+            F.split(tok, ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * 31 + F.ascii(c)) % CLS_P,
+        )
+        return h % CLS_D
+
+    def weight(tok):
+        j = bucket(tok)
+        return ((j * F.lit(2_654_435_761)) % F.lit(2_097_152)) / F.lit(
+            2_097_152.0
+        ) - 0.5
+
+    toks = _tokens()
+    logit = F.aggregate(
+        toks, F.lit(0.0), lambda acc, tok: acc + weight(tok)
+    ) + F.lit(CLS_BIAS)
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        hround(logit, 6).alias("logit"),
+        hround(prob, 6).alias("prob"),
+        (prob >= 0.5).alias("keep"),
+    )
+
+
 QUERIES = {
+    "text_gopher_rules": text_gopher_rules,
+    "text_quality_classifier": text_quality_classifier,
     "text_char_entropy": text_char_entropy,
     "text_unigram_logprob": text_unigram_logprob,
     "dedup_substring_scrub": dedup_substring_scrub,
@@ -749,6 +876,67 @@ def sql_quality_cte() -> str:
         )"""
 
 ORACLE = {
+    "text_gopher_rules": f"""
+        WITH t AS (
+            SELECT doc_id, length(text) AS n_chars,
+                   string_split(text, ' ') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id, n_chars, len(toks) AS n_words,
+                   {_EN.replace("string_split(text, ' ')", 'toks')} AS stop_hits,
+                   unnest(list_zip(toks, toks[2:])) AS z
+            FROM t
+        ), b AS (
+            SELECT doc_id, n_chars, n_words, stop_hits,
+                   z[1] || ' ' || z[2] AS bigram, count(*) AS cnt
+            FROM s WHERE z[2] IS NOT NULL
+            GROUP BY doc_id, n_chars, n_words, stop_hits, bigram
+        ), top AS (
+            SELECT doc_id, n_chars, n_words, stop_hits,
+                   max(cnt) AS top_bigram_cnt
+            FROM b GROUP BY doc_id, n_chars, n_words, stop_hits
+        )
+        SELECT doc_id, n_words,
+               {sql_round('CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words', 6)}
+                   AS mean_word_len,
+               stop_hits, top_bigram_cnt,
+               n_words BETWEEN 20 AND 90 AS rule_word_count,
+               (CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words >= 4.3
+                AND CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words <= 4.7)
+                   AS rule_mean_word_len,
+               stop_hits >= 2 AS rule_stopwords,
+               top_bigram_cnt <= 2 AS rule_repetition,
+               (n_words BETWEEN 20 AND 90
+                AND CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words >= 4.3
+                AND CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words <= 4.7
+                AND stop_hits >= 2 AND top_bigram_cnt <= 2) AS keep
+        FROM top
+    """,
+    "text_quality_classifier": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), s AS (
+            SELECT doc_id, len(toks) AS n_tokens,
+                   list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                           list_transform(toks, tok ->
+                               CAST((((list_reduce(
+                                           list_prepend(CAST(0 AS BIGINT),
+                                               list_transform(
+                                                   string_split(tok, ''),
+                                                   c -> ord(c))),
+                                           (a, b) -> (a * 31 + b) % {CLS_P})
+                                       % {CLS_D}) * 2654435761) % 2097152)
+                                   AS DOUBLE) / 2097152.0 - 0.5)),
+                       (a, b) -> a + b) + {CLS_BIAS} AS logit
+            FROM t
+        )
+        SELECT doc_id, n_tokens,
+               {sql_round('logit', 6)} AS logit,
+               {sql_round('1.0 / (1.0 + exp(-logit))', 6)} AS prob,
+               1.0 / (1.0 + exp(-logit)) >= 0.5 AS keep
+        FROM s
+    """,
     "text_char_entropy": """
         WITH chars AS (
             SELECT doc_id, length(text) AS n_chars, substr(text, i, 1) AS ch

@@ -26,6 +26,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         aggregates,
         analytics,
         asof,
+        graph,
         joins,
         reshape,
         scalars,
@@ -53,6 +54,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # constraint the order is stable (dict insertion order).
     modules = [
         # -- families holding this round's hoisted entries --
+        graph,  # NEW in r7: zero driver evidence yet -> checked first
         tpch,  # NEW in r5: zero driver evidence yet -> checked first
         subqueries, features, batch_analogs, reshape, curation, text_analysis,
         multimodal,
@@ -87,6 +89,10 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # r8 rotation. Everything else was driver-verified in r5/r6.
     hoist = [
         # -- BRAND NEW (r7): no driver evidence at all -- first priority
+        "graph_pagerank",
+        "join_bloom_pruned",
+        "text_gopher_rules",
+        "text_quality_classifier",
         "text_char_entropy",
         "corpus_token_budget",
         "text_unigram_logprob",

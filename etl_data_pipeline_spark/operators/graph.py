@@ -1,0 +1,138 @@
+"""Graph analytics over relational edge lists (north-star extension;
+the reference has no graph surface — its nearest shape is the registry
+anti-join diagnostic, util.py:384-387).
+
+``graph_pagerank`` is the canonical iterative-DataFrame algorithm:
+fixed-iteration PageRank over the customer↔supplier co-purchase graph
+derived from orders ⋈ lineitem. The same loop discipline as
+llm/dedup.py's connected components applies — ``localCheckpoint`` per
+round to truncate the logical plan (the standard iterative-DataFrame
+trap), per-round state limited to (node, rank) pairs, and the only
+driver-side values are two scalars (node count, loop bound).
+
+Scale posture: each iteration is ONE shuffle join (edges ⋈ ranks on
+src) plus ONE map-side-combined aggregation (sum of contributions by
+dst). Edge and rank partitioning is stable across rounds, so at
+cluster scale the join co-locates after the first iteration's
+exchange; state per round is O(nodes), never O(edges × iterations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_data_pipeline_spark.functions.rounding import hround, sql_round
+from etl_data_pipeline_spark.session import load_table
+
+PR_ITERS = 5
+PR_DAMPING = 0.85
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (d=0.85, 5 rounds) on the undirected
+    bipartite graph customer —bought-from→ supplier (distinct
+    (o_custkey, l_suppkey) pairs via orders ⋈ lineitem, symmetrized so
+    every node has out-degree ≥ 1 — no dangling-mass term needed).
+
+    r_{t+1}(v) = (1-d)/N + d · Σ_{u→v} r_t(u)/outdeg(u)
+
+    Deterministic (fixed iteration count, no convergence test), so the
+    DuckDB oracle replays the exact recurrence as five unrolled CTEs.
+    Ranks are full-precision through the loop and rounded once (8 dp)
+    at the end.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.union(pairs.select("dst", "src")).toDF("src", "dst").persist()
+    )
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("outdeg"))
+        .withColumnRenamed("src", "node")
+        .persist()
+    )
+    n = deg.count()  # scalar node count, not a data collect
+    ranks = deg.select(
+        "node", "outdeg", (F.lit(1.0) / n).alias("rank")
+    ).localCheckpoint()
+    for _ in range(PR_ITERS):
+        contribs = edges.join(ranks, edges.src == ranks.node).select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("outdeg")).alias("contrib"),
+        )
+        summed = contribs.groupBy("node").agg(F.sum("contrib").alias("s"))
+        ranks = (
+            deg.join(summed, "node")
+            .select(
+                "node",
+                "outdeg",
+                (
+                    F.lit((1.0 - PR_DAMPING)) / n
+                    + F.lit(PR_DAMPING) * F.col("s")
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    edges.unpersist()
+    deg.unpersist()
+    return ranks.select("node", "outdeg", hround("rank", 8).alias("rank"))
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 5-iteration PageRank recurrence — same damping, same
+    edge construction, rounding only at the end (rounding.py
+    contract)."""
+    d = PR_DAMPING
+    ctes = [
+        """e0 AS (
+            SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ), edges AS (
+            SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+        ), deg AS (
+            SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src
+        ), nn AS (SELECT count(*) AS n FROM deg),
+        r0 AS (
+            SELECT node, outdeg, 1.0 / n AS rank FROM deg CROSS JOIN nn
+        )"""
+    ]
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"""r{i} AS (
+            SELECT deg.node, deg.outdeg,
+                   (1.0 - {d}) / any_value(nn.n)
+                     + {d} * sum(r.rank / r.outdeg) AS rank
+            FROM edges e
+            JOIN r{i - 1} r ON e.src = r.node
+            JOIN deg ON e.dst = deg.node
+            CROSS JOIN nn
+            GROUP BY deg.node, deg.outdeg
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT node, outdeg, {sql_round('rank', 8)} AS rank
+        FROM r{PR_ITERS}
+    """
+    )
+
+
+QUERIES = {
+    "graph_pagerank": graph_pagerank,
+}
+
+ORACLE = {
+    "graph_pagerank": _pagerank_oracle(),
+}
