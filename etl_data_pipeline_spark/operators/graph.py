@@ -52,19 +52,34 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # One partitioning, reused every round: edges hash-partitioned on
+    # src, deg (and therefore every round's ranks, which inherit deg's
+    # partitioning through the join) on node. Since node/src share the
+    # same hash family and partition count P, each round's edges⋈ranks
+    # join AND its deg⋈summed join are both zipped co-partitioned —
+    # the ONLY exchange per round is the contribution groupBy.
+    p = spark.sparkContext.defaultParallelism
     edges = (
-        pairs.union(pairs.select("dst", "src")).toDF("src", "dst").persist()
+        pairs.union(pairs.select("dst", "src"))
+        .toDF("src", "dst")
+        .repartition(p, "src")
+        .persist()
     )
     deg = (
         edges.groupBy("src")
         .agg(F.count("*").alias("outdeg"))
         .withColumnRenamed("src", "node")
+        .repartition(p, "node")
         .persist()
     )
     n = deg.count()  # scalar node count, not a data collect
+    # localCheckpoint(eager=False): plan truncation without a separate
+    # materialization job per round — PageRank (unlike the clusters
+    # loop) takes no per-round driver action, so all five rounds of
+    # checkpoints fold into the final job's execution.
     ranks = deg.select(
         "node", "outdeg", (F.lit(1.0) / n).alias("rank")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(PR_ITERS):
         contribs = edges.join(ranks, edges.src == ranks.node).select(
             F.col("dst").alias("node"),
@@ -81,10 +96,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(PR_DAMPING) * F.col("s")
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-    edges.unpersist()
-    deg.unpersist()
     return ranks.select("node", "outdeg", hround("rank", 8).alias("rank"))
 
 
