@@ -636,7 +636,87 @@ def multimodal_sniff_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sniff_dispatch(docs.select("doc_id", payload.alias("payload")))
 
 
+def _packed_gif(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", _gif_payload_col().alias("payload"))
+
+
+def _gif_payload_col() -> Column:
+    """Synthesize genuine GIF bytes (GIF87a/GIF89a signature + Logical
+    Screen Descriptor per the spec: width/height little-endian at
+    bytes 7-10, packed byte at 11 carrying the global-color-table flag
+    and size bits) per document; body is the document text bytes.
+    ~6% of rows get a corrupted first signature byte (validation is
+    data-dependent, the PNG/WAV discipline)."""
+    d = F.md5(F.col("text"))
+    width = 16 + F.conv(F.substring(d, 1, 3), 16, 10).cast("int") % 4080
+    height = 16 + F.conv(F.substring(d, 4, 3), 16, 10).cast("int") % 4080
+    ver89 = _hexbyte(d, 4) % 2 == 0
+    corrupt_sig = _hexbyte(d, 5) % 16 == 0
+    gct_flag = _hexbyte(d, 7) % 4 > 0
+    gct_bits = _hexbyte(d, 8) % 8
+    # packed: GCT flag (bit 7) | color resolution 7 (bits 6-4) |
+    # sort 0 (bit 3) | GCT size bits (2-0, table holds 2^(n+1) colors)
+    packed = (
+        F.when(gct_flag, 128).otherwise(0)
+        + F.lit(0x70)
+        + F.when(gct_flag, gct_bits).otherwise(0)
+    )
+    header_hex = F.concat(
+        F.when(corrupt_sig, F.lit("00494638")).otherwise(F.lit("47494638")),
+        F.when(ver89, F.lit("3961")).otherwise(F.lit("3761")),  # '9a'/'7a'
+        _le_hex(width, 2),
+        _le_hex(height, 2),
+        F.lpad(F.hex(packed), 2, "0"),
+        F.lit("0000"),  # background color index + pixel aspect ratio
+    )
+    return F.concat(F.unhex(header_hex), F.col("text").cast("binary"))
+
+
+def decode_gif_headers(payloads: DataFrame) -> DataFrame:
+    """Parse (doc_id, payload binary) rows as GIF: validate the
+    'GIF87a'/'GIF89a' signature, pull width/height from their
+    little-endian Logical-Screen-Descriptor offsets, and unpack the
+    global-color-table flag + table size (2^(bits+1) colors) from the
+    packed byte at offset 10. Whole-stage codegen over a hex view —
+    13 header bytes per row, no Python. Works on genuine files (the
+    tests feed the canonical 43-byte 1×1 transparent GIF89a)."""
+    h = F.hex(F.col("payload"))
+    valid = (F.substring(h, 1, 8) == "47494638") & F.substring(h, 9, 4).isin(
+        "3761", "3961"
+    )
+    packed = F.conv(F.substring(h, 21, 2), 16, 10).cast("int")
+    gct_flag = packed.bitwiseAND(128) != 0
+    gct_colors = F.when(
+        gct_flag,
+        F.pow(F.lit(2.0), packed.bitwiseAND(7) + 1).cast("int"),
+    ).otherwise(0)
+    return payloads.select(
+        "doc_id",
+        F.length("payload").alias("byte_len"),
+        F.when(valid, "gif").alias("format"),
+        F.when(
+            valid,
+            F.when(F.substring(h, 9, 4) == "3961", "89a").otherwise("87a"),
+        ).alias("version"),
+        F.when(valid, _le_int(h, 7, 2).cast("int")).alias("width"),
+        F.when(valid, _le_int(h, 9, 2).cast("int")).alias("height"),
+        F.when(valid, gct_flag).alias("gct_flag"),
+        F.when(valid, gct_colors).alias("gct_colors"),
+    )
+
+
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header decode of REAL GIF bytes (signature + Logical Screen
+    Descriptor) synthesized per document — see decode_gif_headers.
+    Oracle re-derives expected fields from the generation
+    parameters."""
+    return decode_gif_headers(
+        _packed_gif(load_table(spark, sf_dir, "documents"))
+    )
+
+
 QUERIES = {
+    "multimodal_decode_gif": multimodal_decode_gif,
     "multimodal_sniff_dispatch": multimodal_sniff_dispatch,
     "multimodal_decode_jpeg": multimodal_decode_jpeg,
     "multimodal_decode_png": multimodal_decode_png,
@@ -688,6 +768,33 @@ ORACLE = {
     # is pack -> genuine container bytes -> offset parse (+ CRC32
     # re-verification for PNG), so any error in byte assembly, endian
     # handling, offsets, or the CRC arithmetic breaks the value hash.
+    "multimodal_decode_gif": """
+        WITH g AS (
+            SELECT doc_id, md5(text) AS d,
+                   octet_length(text::BLOB) AS tlen
+            FROM documents
+        ), p AS (
+            SELECT doc_id, tlen,
+                   16 + ('0x' || substr(d, 1, 3))::INT % 4080 AS w,
+                   16 + ('0x' || substr(d, 4, 3))::INT % 4080 AS h,
+                   ('0x' || substr(d, 7, 2))::INT % 2 = 0 AS ver89,
+                   ('0x' || substr(d, 9, 2))::INT % 16 = 0 AS corrupt,
+                   ('0x' || substr(d, 13, 2))::INT % 4 > 0 AS gctf,
+                   ('0x' || substr(d, 15, 2))::INT % 8 AS gbits
+            FROM g
+        )
+        SELECT doc_id, tlen + 13 AS byte_len,
+               CASE WHEN NOT corrupt THEN 'gif' END AS format,
+               CASE WHEN NOT corrupt THEN
+                   CASE WHEN ver89 THEN '89a' ELSE '87a' END END AS version,
+               CASE WHEN NOT corrupt THEN w END AS width,
+               CASE WHEN NOT corrupt THEN h END AS height,
+               CASE WHEN NOT corrupt THEN gctf END AS gct_flag,
+               CASE WHEN NOT corrupt THEN
+                   CASE WHEN gctf THEN CAST(pow(2, gbits + 1) AS INT)
+                        ELSE 0 END END AS gct_colors
+        FROM p
+    """,
     "multimodal_sniff_dispatch": """
         WITH g AS (
             SELECT doc_id, md5(text) AS d,

@@ -90,9 +90,12 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     hoist = [
         # -- BRAND NEW (r7): no driver evidence at all -- first priority
         "graph_pagerank",
+        "graph_bfs_levels",
         "join_bloom_pruned",
+        "events_user_streaks",
         "text_gopher_rules",
         "text_quality_classifier",
+        "multimodal_decode_gif",
         "text_char_entropy",
         "corpus_token_budget",
         "text_unigram_logprob",

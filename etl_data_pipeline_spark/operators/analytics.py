@@ -483,7 +483,41 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity streaks per user — the gaps-and-islands pattern: a
+    streak is a maximal run of CONSECUTIVE calendar days with ≥ 1
+    event. Island key = day − row_number (constant within a
+    consecutive run, the classic trick), so the whole computation is
+    one window + two aggregations, all keyed by user_id — one shuffle
+    lineage on a high-cardinality key, no self-join, no per-day
+    calendar enumeration.
+
+    Output per user: streak count, active-day total, longest streak,
+    last active day."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = ev.withColumn(
+        "anchor", F.date_sub("day", F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("len"), F.max("day").alias("streak_end")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.count("*").alias("n_streaks"),
+        F.sum("len").alias("n_active_days"),
+        F.max("len").alias("longest_streak"),
+        F.date_format(F.max("streak_end"), "yyyy-MM-dd").alias(
+            "last_active_day"
+        ),
+    )
+
+
 QUERIES = {
+    "events_user_streaks": events_user_streaks,
     "cdc_compact_latest": cdc_compact_latest,
     "events_session_funnel": events_session_funnel,
     "events_funnel": events_funnel,
@@ -498,6 +532,25 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_user_streaks": """
+        WITH d AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), i AS (
+            SELECT user_id, day,
+                   day - CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY day) AS INTEGER)
+                       AS anchor
+            FROM d
+        ), s AS (
+            SELECT user_id, anchor, count(*) AS len, max(day) AS streak_end
+            FROM i GROUP BY user_id, anchor
+        )
+        SELECT user_id, count(*) AS n_streaks,
+               CAST(sum(len) AS BIGINT) AS n_active_days,
+               max(len) AS longest_streak,
+               strftime(max(streak_end), '%Y-%m-%d') AS last_active_day
+        FROM s GROUP BY user_id
+    """,
     "expectations_report": """
         WITH marked AS (
             SELECT

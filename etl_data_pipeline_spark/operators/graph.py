@@ -27,6 +27,32 @@ from etl_data_pipeline_spark.session import load_table
 
 PR_ITERS = 5
 PR_DAMPING = 0.85
+BFS_MAX_DEPTH = 4
+
+# Shared edge construction (Spark + the SQL twin the oracles embed):
+# the undirected bipartite co-purchase graph — distinct
+# (customer, supplier) pairs via orders ⋈ lineitem, symmetrized so
+# every node has out-degree ≥ 1.
+_SQL_EDGES_CTE = """e0 AS (
+            SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ), edges AS (
+            SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+        )"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pairs.union(pairs.select("dst", "src")).toDF("src", "dst")
 
 
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,16 +68,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranks are full-precision through the loop and rounded once (8 dp)
     at the end.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    pairs = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
-    )
     # One partitioning, reused every round: edges hash-partitioned on
     # src, deg (and therefore every round's ranks, which inherit deg's
     # partitioning through the join) on node. Since node/src share the
@@ -59,12 +75,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join AND its deg⋈summed join are both zipped co-partitioned —
     # the ONLY exchange per round is the contribution groupBy.
     p = spark.sparkContext.defaultParallelism
-    edges = (
-        pairs.union(pairs.select("dst", "src"))
-        .toDF("src", "dst")
-        .repartition(p, "src")
-        .persist()
-    )
+    edges = _edges(spark, sf_dir).repartition(p, "src").persist()
     deg = (
         edges.groupBy("src")
         .agg(F.count("*").alias("outdeg"))
@@ -107,12 +118,8 @@ def _pagerank_oracle() -> str:
     contract)."""
     d = PR_DAMPING
     ctes = [
-        """e0 AS (
-            SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
-            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        ), edges AS (
-            SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
-        ), deg AS (
+        _SQL_EDGES_CTE
+        + """, deg AS (
             SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src
         ), nn AS (SELECT count(*) AS n FROM deg),
         r0 AS (
@@ -142,10 +149,80 @@ def _pagerank_oracle() -> str:
     )
 
 
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first search levels: minimum hop distance from a
+    deterministic source (the lexicographically smallest supplier
+    node) to every node reachable within BFS_MAX_DEPTH hops on the
+    co-purchase graph. Fixed depth bound, so the DuckDB oracle unrolls
+    one frontier CTE per level.
+
+    The frontier pattern: per level, ONE join (edges ⋈ frontier on
+    src) + distinct + anti-join against the visited set. Per-level
+    state is (node, dist) pairs only; the visited set grows to
+    O(nodes), never O(edges). Unreached nodes are absent from the
+    output (both engines agree). Frontiers are lazily checkpointed —
+    the plan stays O(1) per level instead of nesting all prior
+    levels."""
+    p = spark.sparkContext.defaultParallelism
+    edges = _edges(spark, sf_dir).repartition(p, "src").persist()
+    src = (
+        edges.filter(F.col("src").startswith("s"))
+        .agg(F.min("src"))
+        .first()[0]
+    )  # scalar source pick, not a data collect
+    visited = spark.createDataFrame(
+        [(src, 0)], "node string, dist int"
+    ).localCheckpoint(eager=False)
+    frontier = visited
+    for depth in range(1, BFS_MAX_DEPTH + 1):
+        neighbors = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = (
+            neighbors.join(visited, "node", "left_anti")
+            .select("node", F.lit(depth).alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.union(frontier).localCheckpoint(eager=False)
+    return visited
+
+
+def _bfs_oracle() -> str:
+    ctes = [
+        _SQL_EDGES_CTE
+        + """, srcn AS (
+            SELECT min(src) AS node, 0 AS dist FROM edges WHERE src LIKE 's%'
+        ), v0 AS (SELECT node, dist FROM srcn)"""
+    ]
+    for i in range(1, BFS_MAX_DEPTH + 1):
+        ctes.append(
+            f"""d{i} AS (
+            SELECT DISTINCT e.dst AS node, {i} AS dist
+            FROM edges e JOIN v{i - 1} v ON e.src = v.node
+            WHERE v.dist = {i - 1}
+              AND e.dst NOT IN (SELECT node FROM v{i - 1})
+        ), v{i} AS (
+            SELECT node, dist FROM v{i - 1}
+            UNION ALL SELECT node, dist FROM d{i}
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT node, dist FROM v{BFS_MAX_DEPTH}
+    """
+    )
+
+
 QUERIES = {
     "graph_pagerank": graph_pagerank,
+    "graph_bfs_levels": graph_bfs_levels,
 }
 
 ORACLE = {
     "graph_pagerank": _pagerank_oracle(),
+    "graph_bfs_levels": _bfs_oracle(),
 }

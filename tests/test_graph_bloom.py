@@ -39,6 +39,48 @@ def test_pagerank_plan_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_bfs_levels_are_true_shortest_paths(spark, sf_dir):
+    """BFS invariants on the bipartite graph: exactly one source at
+    dist 0 (a supplier node); every dist-1 node is a direct neighbor
+    of the source; parity matches bipartiteness (odd hops land on
+    customers, even hops on suppliers); no node appears twice."""
+    out = graph.graph_bfs_levels(spark, sf_dir).collect()
+    by_node = {r.node: r.dist for r in out}
+    assert len(by_node) == len(out)  # each node exactly once
+    sources = [n for n, d in by_node.items() if d == 0]
+    assert len(sources) == 1 and sources[0].startswith("s")
+    for node, dist in by_node.items():
+        side = "c" if dist % 2 == 1 else "s"
+        assert node.startswith(side), (node, dist)
+    # dist-1 set == direct neighbors of the source
+    edges = graph._edges(spark, sf_dir).collect()
+    neigh = {e.dst for e in edges if e.src == sources[0]}
+    assert {n for n, d in by_node.items() if d == 1} == neigh
+
+
+def test_user_streaks_invariants(spark, sf_dir):
+    """Gaps-and-islands arithmetic: longest streak ≤ active days,
+    streak count ≥ 1, and Σ streak lengths equals the user's distinct
+    active days (recomputed independently)."""
+    from etl_data_pipeline_spark.operators import analytics
+
+    rows = analytics.events_user_streaks(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.longest_streak <= r.n_active_days
+        assert r.n_streaks >= 1
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    expected = {r.user_id: r["count"] for r in days}
+    assert {r.user_id: r.n_active_days for r in rows} == expected
+
+
 def test_bloom_prune_no_false_negatives_and_prunes(spark, sf_dir):
     """Every actually-joining fact row must survive the Bloom probe
     (no false negatives), and the probe must drop a real fraction of

@@ -524,6 +524,34 @@ def test_wav_decoder_parses_genuine_files(spark):
     assert out[3].format is None and out[3].rate_consistent is False
 
 
+def test_gif_decoder_parses_genuine_files(spark):
+    """decode_gif_headers must parse REAL GIF bytes — the canonical
+    43-byte 1×1 transparent GIF89a (a real-world artifact, not built
+    by this repo's packer) and a spec-assembled GIF87a — and NULL out
+    garbage."""
+    import base64
+    import struct
+
+    from etl_data_pipeline_spark.llm.multimodal import decode_gif_headers
+
+    onebyone = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    # GIF87a, 320x200, no global color table (packed=0x70)
+    gif87 = b"GIF87a" + struct.pack("<HH", 320, 200) + bytes([0x70, 0, 0])
+    rows = [(1, onebyone), (2, gif87), (3, b"GIFfy but not a gif")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in decode_gif_headers(df).collect()}
+    assert out[1].format == "gif" and out[1].version == "89a"
+    assert (out[1].width, out[1].height) == (1, 1)
+    assert out[1].gct_flag is True and out[1].gct_colors == 2
+    assert out[2].version == "87a"
+    assert (out[2].width, out[2].height) == (320, 200)
+    assert out[2].gct_flag is False and out[2].gct_colors == 0
+    assert out[3].format is None and out[3].width is None
+    assert out[3].byte_len == 19
+
+
 def test_substring_scrub_removes_duplicate_mass(spark):
     """Lee-et-al-style scrub on a planted corpus: the lowest-doc_id
     owner keeps its copy of the duplicated span; every other document
