@@ -640,6 +640,123 @@ def dedup_embedding_cosine(
     )
 
 
+SEM_COS_THRESHOLD = EMB_COS_THRESHOLD  # same loose harness threshold
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    dedup by CLUSTER-then-prune — k-means-assign every embedding to
+    its nearest centroid, compare pairs only WITHIN a cluster, and
+    drop every vector whose cosine to a lower-id cluster-mate exceeds
+    the threshold (keep-lowest-id is the deterministic stand-in for
+    the paper's keep-farthest-from-centroid).
+
+    This is the third point in the near-dup design space alongside
+    ``dedup_embedding_cosine`` (LSH buckets) and
+    ``dedup_ngram_jaccard`` (brute force): clustering gives LARGER,
+    semantically-coherent candidate blocks than LSH buckets — higher
+    recall at loose thresholds — while still never forming corpus²
+    pairs. Candidate volume is Σ(cluster size²); production picks
+    k ∝ corpus/10³ so clusters stay ~10³ rows, and the centroid set
+    (k × dim, built by the kmeans operator) stays broadcastable.
+    Plan: one broadcast-assign scan, one self-join co-partitioned on
+    cluster id, one broadcast anti-join of the loser set.
+
+    Deterministic end-to-end (seeded mod-sampled centroids, 6 dp
+    rounded cosines, id tiebreaks), so the full pipeline is
+    oracle-checked.
+    """
+    from etl_data_pipeline_spark.llm.similarity import (
+        CENTROID_MOD_REMAINDER,
+        QUERY_MOD,
+        _assign_to_centroids,
+    )
+    from etl_data_pipeline_spark.llm.vector import dot as _vdot
+
+    e = tracked_persist(
+        spread(load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
+    c0 = e.filter(F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    assigned = tracked_persist(
+        _assign_to_centroids(e, c0)
+        .withColumn("nrm", F.sqrt(_vdot(F.col("v"), F.col("v"))))
+        .select("vec_id", "v", "nrm", "cluster")
+    )
+    x, y = assigned.alias("x"), assigned.alias("y")
+    losers = (
+        x.join(
+            y,
+            (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("y.vec_id").alias("loser"),
+            hround(
+                _vdot(F.col("x.v"), F.col("y.v"))
+                / (F.col("x.nrm") * F.col("y.nrm")),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") > SEM_COS_THRESHOLD)
+        .select("loser")
+        .distinct()
+    )
+    return (
+        assigned.join(
+            F.broadcast(losers), assigned.vec_id == losers.loser, "left"
+        )
+        .select(
+            "vec_id", "cluster", F.col("loser").isNull().alias("kept")
+        )
+    )
+
+
+def _oracle_semantic() -> str:
+    """DuckDB rerun of assign → within-cluster pairwise → prune (same
+    centroid sampling, 6 dp rounding, id tiebreaks as the Spark
+    side; staged norms are bit-identical to per-pair norms)."""
+    from etl_data_pipeline_spark.llm.similarity import (
+        CENTROID_MOD_REMAINDER,
+        QUERY_MOD,
+    )
+
+    cos = (
+        "floor((list_dot_product({a}.v, {b}.v) /"
+        " (sqrt(list_dot_product({a}.v, {a}.v)) *"
+        " sqrt(list_dot_product({b}.v, {b}.v)))) * 1000000 + 0.5) / 1000000"
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+               WHERE vec_id % {QUERY_MOD} = {CENTROID_MOD_REMAINDER}),
+        s0 AS (
+            SELECT e.vec_id, e.v, c0.centroid_id,
+                   floor((list_dot_product(c0.cv, e.v) /
+                          (sqrt(list_dot_product(c0.cv, c0.cv)) *
+                           sqrt(list_dot_product(e.v, e.v)))) * 1000000 + 0.5)
+                       / 1000000 AS cc
+            FROM e CROSS JOIN c0
+        ), a0 AS (
+            SELECT vec_id, v, centroid_id AS cluster FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cc DESC, centroid_id ASC) AS r FROM s0)
+            WHERE r = 1
+        ), losers AS (
+            SELECT DISTINCT y.vec_id AS loser
+            FROM a0 x JOIN a0 y
+              ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+            WHERE {cos.format(a='x', b='y')} > {SEM_COS_THRESHOLD}
+        )
+        SELECT vec_id, cluster,
+               vec_id NOT IN (SELECT loser FROM losers) AS kept
+        FROM a0
+    """
+
+
 def _lsh_pairs_cte() -> str:
     """DuckDB rerun of the ENTIRE LSH pipeline (same md5-derived base
     hash, same affine permutations, same banding, same verify): a CTE
@@ -840,6 +957,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_levenshtein": dedup_levenshtein,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_semantic": dedup_semantic,
 }
 
 ORACLE = {
@@ -901,4 +1019,5 @@ ORACLE = {
     """,
     "dedup_levenshtein": _oracle_levenshtein(),
     "dedup_embedding_cosine": _oracle_embedding_cosine(),
+    "dedup_semantic": _oracle_semantic(),
 }

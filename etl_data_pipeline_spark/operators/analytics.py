@@ -516,7 +516,52 @@ def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_ALPHA = 0.2
+
+
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values —
+    the RECURSIVE operator (s_t = (1-α)·s_{t-1} + α·x_t, seeded with
+    the first observation) no window frame can express, run as a
+    JVM-side left fold: collect the user's values in (ts, event_id)
+    order and ``F.aggregate`` the tail onto the head.
+
+    Exactness: the fold is the SAME IEEE double sequence in both
+    engines (DuckDB ``list_reduce`` seeds with the first element and
+    folds left, identical literals 0.8/0.2), so the result is
+    bit-reproducible — the 8 dp rounding is belt-and-braces, not a
+    tolerance.
+
+    Scale posture: ONE shuffle (groupBy user_id, a high-cardinality
+    well-distributed key); per-user state is that user's value list,
+    bounded by per-entity history length — the same boundedness
+    contract as every sessionizer here. For entities with unbounded
+    history the streaming twin (transformWithState running totals)
+    is the scale path; a batch engine cannot stream an order-dependent
+    recurrence without carrying the segment anyway.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    xs = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s.value,
+    )
+    series = ev.groupBy("user_id").agg(xs.alias("xs"))
+    ewma = F.aggregate(
+        F.slice("xs", F.lit(2), F.size("xs") - 1),
+        F.element_at("xs", 1),
+        lambda acc, x: F.lit(0.8) * acc + F.lit(0.2) * x,
+    )
+    return series.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_events"),
+        hround(ewma, 8).alias("ewma"),
+    )
+
+
 QUERIES = {
+    "timeseries_ewma": timeseries_ewma,
     "events_user_streaks": events_user_streaks,
     "cdc_compact_latest": cdc_compact_latest,
     "events_session_funnel": events_session_funnel,
@@ -532,6 +577,15 @@ QUERIES = {
 }
 
 ORACLE = {
+    "timeseries_ewma": f"""
+        WITH s AS (
+            SELECT user_id, count(*) AS n_events,
+                   list_reduce(list(value ORDER BY ts, event_id),
+                               (acc, x) -> 0.8 * acc + 0.2 * x) AS raw
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, n_events, {sql_round('raw', 8)} AS ewma FROM s
+    """,
     "events_user_streaks": """
         WITH d AS (
             SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events

@@ -217,12 +217,146 @@ def _bfs_oracle() -> str:
     )
 
 
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the part co-order graph (parts are
+    adjacent when some order contains both), via DEGREE-ORDERED edge
+    orientation — the Cohen/compact-forward MapReduce algorithm.
+
+    Orient every undirected edge from its lower-(degree, id) endpoint
+    to the higher one: the orientation is acyclic, each triangle has
+    exactly ONE wedge representation (two out-edges at its smallest
+    endpoint), and — the scale property — every node's OUT-degree is
+    O(√m) regardless of its raw degree, so the wedge join's fan-out is
+    bounded even on power-law graphs where the naive edge³ join
+    explodes on hub nodes. Pipeline: one self-join on l_orderkey
+    (per-order fan-out is order size, small by schema), a broadcast
+    degree annotation, one wedge self-join co-partitioned on the wedge
+    apex, and one closure semi-check on (dst, dst) — three shuffles
+    total, none keyed on a raw-degree hub.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .union(pairs.select("v"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    # deg is |parts| rows — broadcast; the annotation never shuffles
+    # the edge list.
+    ann = (
+        pairs.join(
+            F.broadcast(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du")),
+            "u",
+        )
+        .join(
+            F.broadcast(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv")),
+            "v",
+        )
+    )
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    p = spark.sparkContext.defaultParallelism
+    # dst's degree rides along: wedge endpoints must be ordered by the
+    # SAME (degree, id) total order that oriented the edges, or the
+    # closure edge of a triangle whose two far corners sort the other
+    # way by raw id points "backwards" and the triangle is missed.
+    oriented = (
+        ann.select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+        )
+        .repartition(p, "src")
+        .persist()
+    )
+    wedge_lt = (F.col("e1.dd") < F.col("e2.dd")) | (
+        (F.col("e1.dd") == F.col("e2.dd")) & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    wedges = (
+        oriented.alias("e1")
+        .join(
+            oriented.alias("e2"),
+            (F.col("e1.src") == F.col("e2.src")) & wedge_lt,
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    tri = wedges.join(
+        oriented.alias("e3"),
+        (F.col("b") == F.col("e3.src")) & (F.col("c") == F.col("e3.dst")),
+    ).select("a", "b", "c")
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("tri_cnt"))
+    )
+
+
+_TRIANGLE_ORACLE = """
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), pairs AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ), deg AS (
+            SELECT node, count(*) AS d FROM (
+                SELECT u AS node FROM pairs
+                UNION ALL SELECT v FROM pairs
+            ) GROUP BY node
+        ), orient AS (
+            SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND p.u < p.v)
+                        THEN p.u ELSE p.v END AS src,
+                   CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND p.u < p.v)
+                        THEN p.v ELSE p.u END AS dst,
+                   CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND p.u < p.v)
+                        THEN dv.d ELSE du.d END AS dd
+            FROM pairs p
+            JOIN deg du ON p.u = du.node
+            JOIN deg dv ON p.v = dv.node
+        ), tri AS (
+            SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM orient e1
+            JOIN orient e2 ON e1.src = e2.src
+               AND ((e1.dd < e2.dd) OR (e1.dd = e2.dd AND e1.dst < e2.dst))
+            JOIN orient e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+        )
+        SELECT node, count(*) AS tri_cnt FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    """
+
+
 QUERIES = {
+    "graph_triangle_count": graph_triangle_count,
     "graph_pagerank": graph_pagerank,
     "graph_bfs_levels": graph_bfs_levels,
 }
 
 ORACLE = {
+    "graph_triangle_count": _TRIANGLE_ORACLE,
     "graph_pagerank": _pagerank_oracle(),
     "graph_bfs_levels": _bfs_oracle(),
 }

@@ -1,0 +1,133 @@
+"""Round-7 late additions: degree-oriented triangle counting,
+SemDeDup-style semantic dedup, and the EWMA recursive fold —
+behavioral invariants plus the 100 TB plan posture."""
+
+from pyspark.sql import functions as F
+
+from etl_data_pipeline_spark.llm import dedup
+from etl_data_pipeline_spark.operators import analytics, graph
+from etl_data_pipeline_spark.plans import plan_str as _plan
+from etl_data_pipeline_spark.session import load_table
+
+
+def test_triangle_count_matches_bruteforce(spark, sf_dir):
+    """Per-node counts from the degree-oriented wedge join must equal
+    an independent brute-force enumeration (all ordered triples
+    a<b<c with all three edges present) on the tiny tier."""
+    rows = graph.graph_triangle_count(spark, sf_dir).collect()
+    got = {r.node: r.tri_cnt for r in rows}
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_order = {}
+    for r in li:
+        by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                edges.add((u, v))
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    expected = {}
+    for u, v in edges:
+        for w in adj[u] & adj[v]:
+            if w > v:  # count each triangle once at its smallest pair
+                for node in (u, v, w):
+                    expected[node] = expected.get(node, 0) + 1
+    assert got == expected
+    total = sum(got.values())
+    assert total % 3 == 0 and total > 0
+
+
+def test_triangle_plan_broadcasts_degrees(spark, sf_dir):
+    """The degree annotation must arrive as broadcasts (deg is
+    dim-sized); no cartesian product anywhere in the lineage."""
+    plan = _plan(graph.graph_triangle_count(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_semantic_invariants(spark, sf_dir):
+    """Greedy keep-lowest-id semantics: (a) every vector appears
+    exactly once; (b) every cluster retains at least one vector;
+    (c) no two KEPT cluster-mates exceed the threshold (if they did,
+    the higher id would have been dropped); (d) every DROPPED vector
+    has a lower-id cluster-mate above the threshold."""
+    rows = dedup.dedup_semantic(spark, sf_dir).collect()
+    e = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    assert len({r.vec_id for r in rows}) == len(rows) == len(e)
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r.cluster, []).append(r)
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return math.floor((d / (na * nb)) * 1e6 + 0.5) / 1e6
+
+    t = dedup.SEM_COS_THRESHOLD
+    for members in clusters.values():
+        assert any(m.kept for m in members)
+        kept = sorted((m.vec_id for m in members if m.kept))
+        for i, a in enumerate(kept):
+            for b in kept[i + 1:]:
+                assert cos(e[a], e[b]) <= t, (a, b)
+        dropped = [m.vec_id for m in members if not m.kept]
+        ids = sorted(m.vec_id for m in members)
+        for d in dropped:
+            lower = [x for x in ids if x < d]
+            assert any(cos(e[x], e[d]) > t for x in lower), d
+
+
+def test_dedup_semantic_loser_join_is_broadcast(spark, sf_dir):
+    """The prune is a broadcast (left) join of the small loser set —
+    the corpus never reshuffles for the final filter."""
+    plan = _plan(dedup.dedup_semantic(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ewma_matches_python_fold_exactly(spark, sf_dir):
+    """The F.aggregate fold must be bit-identical to the reference
+    recurrence s_t = 0.8*s_{t-1} + 0.2*x_t seeded with the first
+    observation (same IEEE op order), before the 8 dp rounding."""
+    rows = analytics.timeseries_ewma(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).collect()
+    series = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        series.setdefault(r.user_id, []).append(r.value)
+    import math
+
+    for r in rows:
+        xs = series[r.user_id]
+        acc = xs[0]
+        for x in xs[1:]:
+            acc = 0.8 * acc + 0.2 * x
+        assert r.n_events == len(xs)
+        assert r.ewma == math.floor(acc * 1e8 + 0.5) / 1e8
+    assert set(series) == {r.user_id for r in rows}
+
+
+def test_ewma_single_shuffle(spark, sf_dir):
+    """One hash exchange total (the per-user groupBy); the fold is
+    JVM-side — no Python evaluation node."""
+    plan = _plan(analytics.timeseries_ewma(spark, sf_dir))
+    assert plan.count("Exchange (") == 1
+    assert "hashpartitioning(user_id" in plan
+    for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_node not in plan
