@@ -664,6 +664,68 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity filter — the CCNet-style upgrade of
+    ``text_unigram_logprob``: per document, the mean conditional log-
+    probability ln P(w_i | w_{i-1}) under the corpus bigram MLE
+    (P = cnt(h,w) / cnt(h,·)), with the same self-calibrating
+    corpus-mean keep flag. A bigram model penalizes scrambled or
+    boilerplate-stitched text that a unigram model scores as fluent —
+    word ORDER starts to matter — while still needing no external
+    model artifact.
+
+    Plan: bigrams come from one zip_with over each doc's token array
+    (no self-join); bigram counts are ONE map-side-combined shuffle;
+    head totals are a second aggregate over the already-collapsed
+    count table (vocabulary-sized, NOT corpus-sized); scoring joins
+    the bigram stream against both count tables on their natural keys.
+    Docs with fewer than two tokens drop out identically in both
+    engines (zero bigrams to aggregate). At 100 TB the bigram table is
+    the big dim (~billions of rows) — a real shuffle join, never a
+    collect; production would persist it as the trained-LM artifact."""
+    from etl_data_pipeline_spark.functions.caching import tracked_persist
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ts = _tokens()
+    n = F.size(ts)
+    bgs = F.zip_with(
+        F.slice(ts, F.lit(1), n - 1),
+        F.slice(ts, F.lit(2), n - 1),
+        lambda a, b: F.struct(a.alias("h"), b.alias("w")),
+    )
+    # persist: the bigram stream feeds the count shuffle AND the
+    # scoring join — without the pin both re-tokenize the corpus.
+    pairs = tracked_persist(
+        docs.select("doc_id", F.explode(bgs).alias("bg")).select(
+            "doc_id", F.col("bg.h").alias("h"), F.col("bg.w").alias("w")
+        )
+    )
+    bcnt = tracked_persist(
+        pairs.groupBy("h", "w").agg(F.count("*").alias("bcnt"))
+    )
+    hcnt = bcnt.groupBy("h").agg(F.sum("bcnt").alias("hcnt"))
+    per_doc = tracked_persist(
+        pairs.join(bcnt, ["h", "w"])
+        .join(hcnt, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            hround(
+                F.avg(F.log(F.col("bcnt") / F.col("hcnt"))), 6
+            ).alias("mean_logprob"),
+        )
+    )
+    gm = per_doc.groupBy().agg(
+        hround(F.avg("mean_logprob"), 6).alias("corpus_mean")
+    )
+    return per_doc.crossJoin(F.broadcast(gm)).select(
+        "doc_id",
+        "n_bigrams",
+        "mean_logprob",
+        (F.col("mean_logprob") >= F.col("corpus_mean")).alias("keep"),
+    )
+
+
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Shannon entropy of the character distribution —
     the cheap gibberish/binary/boilerplate detector (natural prose
@@ -825,6 +887,7 @@ QUERIES = {
     "text_quality_classifier": text_quality_classifier,
     "text_char_entropy": text_char_entropy,
     "text_unigram_logprob": text_unigram_logprob,
+    "text_bigram_logprob": text_bigram_logprob,
     "dedup_substring_scrub": dedup_substring_scrub,
     "text_duplicate_spans": text_duplicate_spans,
     "text_contamination": text_contamination,
@@ -952,6 +1015,31 @@ ORACLE = {
                            * ln(cnt * 1.0 / n_chars))) * 1000000 + 0.5)
                    / 1000000 AS char_entropy
         FROM counts GROUP BY doc_id, n_chars
+    """,
+    "text_bigram_logprob": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ), bg AS (
+            SELECT doc_id, ts[i] AS h, ts[i + 1] AS w
+            FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM t)
+        ), bcnt AS (
+            SELECT h, w, count(*) AS bcnt FROM bg GROUP BY h, w
+        ), hcnt AS (
+            SELECT h, sum(bcnt) AS hcnt FROM bcnt GROUP BY h
+        ), per_doc AS (
+            SELECT doc_id, count(*) AS n_bigrams,
+                   floor(avg(ln(bcnt * 1.0 / hcnt)) * 1000000 + 0.5)
+                       / 1000000 AS mean_logprob
+            FROM bg JOIN bcnt USING (h, w) JOIN hcnt USING (h)
+            GROUP BY doc_id
+        ), gm AS (
+            SELECT floor(avg(mean_logprob) * 1000000 + 0.5) / 1000000
+                       AS corpus_mean
+            FROM per_doc
+        )
+        SELECT doc_id, n_bigrams, mean_logprob,
+               mean_logprob >= corpus_mean AS keep
+        FROM per_doc CROSS JOIN gm
     """,
     "text_unigram_logprob": """
         WITH toks AS (

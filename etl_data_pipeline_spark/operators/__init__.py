@@ -92,6 +92,8 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "graph_triangle_count",
         "dedup_semantic",
         "timeseries_ewma",
+        "agg_hll_rollup_bounds",
+        "text_bigram_logprob",
         "graph_pagerank",
         "graph_bfs_levels",
         "join_bloom_pruned",

