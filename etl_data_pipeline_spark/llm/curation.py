@@ -300,7 +300,84 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling weights (Xie et al. 2023,
+    arXiv:2302.03169): score every document by how much more likely
+    its hashed-bigram features are under a TARGET distribution than
+    under the raw corpus, then keep the docs the reweighting favors.
+    Target here = the corpus' English slice (the in-harness stand-in
+    for DSIR's Wikipedia/books target); raw = the whole corpus.
+
+    w(x) = Π_b (p_tgt(b) / p_raw(b))^{cnt_x(b)}   — reported as the
+    length-normalized mean log ratio, with Laplace (+1) smoothing
+    over the 1024 hash buckets so unseen-in-target features stay
+    finite. Keep flag is corpus-relative (≥ mean), the same
+    self-calibration contract as the LM-perplexity filters.
+
+    Plan: ONE pass builds the hashed-feature stream (zip_with bigrams
+    → md5 bucket, the engine's portable hash); BOTH distributions come
+    from a single map-side-combined aggregate over it (target counts
+    are a conditional sum, not a second scan); the bucket table is
+    B=1024 rows → broadcast back to the stream; per-doc mean is one
+    shuffle on doc_id. At 100 TB the feature table stays B rows — the
+    method was designed exactly so the 'model' is a broadcastable
+    histogram."""
+    from etl_data_pipeline_spark.functions.hashing import md5_long60
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ts = F.split(F.col("text"), " ")
+    n = F.size(ts)
+    bgs = F.zip_with(
+        F.slice(ts, F.lit(1), n - 1),
+        F.slice(ts, F.lit(2), n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    feats = tracked_persist(
+        docs.select("doc_id", "lang", F.explode(bgs).alias("bg")).select(
+            "doc_id",
+            "lang",
+            (md5_long60(F.col("bg")) % DSIR_BUCKETS).alias("b"),
+        )
+    )
+    counts = feats.groupBy("b").agg(
+        F.count("*").alias("raw_cnt"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("tgt_cnt"),
+    )
+    tots = counts.groupBy().agg(
+        F.sum("raw_cnt").alias("raw_tot"), F.sum("tgt_cnt").alias("tgt_tot")
+    )
+    lw = F.log(
+        ((F.col("tgt_cnt") + F.lit(1.0)) / (F.col("tgt_tot") + F.lit(float(DSIR_BUCKETS))))
+        / ((F.col("raw_cnt") + F.lit(1.0)) / (F.col("raw_tot") + F.lit(float(DSIR_BUCKETS))))
+    )
+    per_doc = tracked_persist(
+        feats.join(F.broadcast(counts), "b")
+        .crossJoin(F.broadcast(tots))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            hround(F.avg(lw), 6).alias("log_weight"),
+        )
+    )
+    gm = per_doc.groupBy().agg(
+        hround(F.avg("log_weight"), 6).alias("corpus_mean")
+    )
+    return per_doc.crossJoin(F.broadcast(gm)).select(
+        "doc_id",
+        "n_feats",
+        "log_weight",
+        (F.col("log_weight") >= F.col("corpus_mean")).alias("keep"),
+    )
+
+
 QUERIES = {
+    "corpus_dsir_weights": corpus_dsir_weights,
     "corpus_token_budget": corpus_token_budget,
     "pipeline_corpus_curation_v2": pipeline_corpus_curation_v2,
     "corpus_mix_weights": corpus_mix_weights,
@@ -405,6 +482,37 @@ def _oracle_token_budget() -> str:
 
 
 ORACLE = {
+    "corpus_dsir_weights": f"""
+        WITH t AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+        ), feats AS (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5(ts[i] || ' ' || ts[i + 1]), 1, 15))::BIGINT
+                       % {DSIR_BUCKETS} AS b
+            FROM (SELECT doc_id, lang, ts, unnest(range(1, len(ts))) AS i FROM t)
+        ), counts AS (
+            SELECT b, count(*) AS raw_cnt,
+                   sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+                       AS tgt_cnt
+            FROM feats GROUP BY b
+        ), tots AS (
+            SELECT sum(raw_cnt) AS raw_tot, sum(tgt_cnt) AS tgt_tot FROM counts
+        ), per_doc AS (
+            SELECT doc_id, count(*) AS n_feats,
+                   floor(avg(ln(((tgt_cnt + 1.0) / (tgt_tot + {DSIR_BUCKETS}.0))
+                               / ((raw_cnt + 1.0) / (raw_tot + {DSIR_BUCKETS}.0))))
+                         * 1000000 + 0.5) / 1000000 AS log_weight
+            FROM feats JOIN counts USING (b) CROSS JOIN tots
+            GROUP BY doc_id
+        ), gm AS (
+            SELECT floor(avg(log_weight) * 1000000 + 0.5) / 1000000
+                       AS corpus_mean
+            FROM per_doc
+        )
+        SELECT doc_id, n_feats, log_weight,
+               log_weight >= corpus_mean AS keep
+        FROM per_doc CROSS JOIN gm
+    """,
     "corpus_token_budget": _oracle_token_budget(),
     "pipeline_corpus_curation_v2": _oracle_curation_v2(),
     "corpus_split": f"""

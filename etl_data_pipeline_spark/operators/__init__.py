@@ -94,6 +94,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "timeseries_ewma",
         "agg_hll_rollup_bounds",
         "text_bigram_logprob",
+        "corpus_dsir_weights",
         "graph_pagerank",
         "graph_bfs_levels",
         "join_bloom_pruned",

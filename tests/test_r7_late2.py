@@ -159,6 +159,29 @@ def test_bigram_logprob_is_normalized_lm(spark, sf_dir):
     assert keeps == {True, False}
 
 
+def test_dsir_weights_favor_target_language(spark, sf_dir):
+    """The importance weights must actually pull toward the target:
+    mean log-weight of English docs strictly exceeds that of non-
+    English docs, and each doc contributes len(tokens)-1 hashed
+    features."""
+    from etl_data_pipeline_spark.llm import curation
+
+    rows = curation.corpus_dsir_weights(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    lang = {d.doc_id: d.lang for d in docs}
+    n_bg = {d.doc_id: max(len(d.text.split(" ")) - 1, 0) for d in docs}
+    assert {r.doc_id: r.n_feats for r in rows} == {
+        k: v for k, v in n_bg.items() if v > 0
+    }
+    en = [r.log_weight for r in rows if lang[r.doc_id] == "en"]
+    other = [r.log_weight for r in rows if lang[r.doc_id] != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
+    assert {r.keep for r in rows} == {True, False}
+
+
 def test_ewma_single_shuffle(spark, sf_dir):
     """One hash exchange total (the per-user groupBy); the fold is
     JVM-side — no Python evaluation node."""
