@@ -536,9 +536,9 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     well-distributed key); per-user state is that user's value list,
     bounded by per-entity history length — the same boundedness
     contract as every sessionizer here. For entities with unbounded
-    history the streaming twin (transformWithState running totals)
-    is the scale path; a batch engine cannot stream an order-dependent
-    recurrence without carrying the segment anyway.
+    history the streaming twin ``streaming.jobs.running_user_ewma``
+    is the scale path: O(1) state per user, and the parity test
+    proves its replay is BIT-IDENTICAL to this fold.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "value"

@@ -250,6 +250,59 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def running_user_ewma(stream: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """Streaming twin of the batch ``timeseries_ewma`` operator
+    (operators/analytics.py): per-user exponentially-weighted moving
+    average maintained as ONE (ewma, n) pair per user in the state
+    store — the scale path the batch operator's docstring promises for
+    unbounded histories. The batch form carries the user's whole value
+    list through a collect; this form's state is O(1) per user forever.
+
+    Semantics contract: over a time-ordered micro-batch replay the
+    final emission per user is BIT-IDENTICAL to the batch fold — rows
+    are sorted (ts, event_id) within each micro-batch and the update
+    is the same IEEE sequence ``0.8*acc + 0.2*x`` seeded with the
+    first observation (deliberately a sequential Python-float loop,
+    not a vectorized closed form: ``(1-a)^k``-weighted dot products
+    regroup the arithmetic and drift in the last ulp; the exhibit
+    keeps exact batch parity, and per-batch row counts bound the loop).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import math
+
+    a = alpha
+
+    def update(key, pdf_iter, state: GroupState):
+        ewma, n = state.get if state.exists else (0.0, 0)
+        frames = list(pdf_iter)  # NoTimeout => invoked only with data,
+        batch = (                # but an all-empty chunk list is cheap
+            pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+        )
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            for x in batch["value"]:
+                x = float(x)
+                ewma = x if n == 0 else (1.0 - a) * ewma + a * x
+                n += 1
+            state.update((ewma, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "ewma": [math.floor(ewma * 1e8 + 0.5) / 1e8],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, ewma double",
+        stateStructType="ewma double, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_user_totals_tws(stream: DataFrame) -> DataFrame:
     """running_user_totals on ``transformWithStateInPandas`` — the
     Spark-4 successor API to applyInPandasWithState (SPARK-49564

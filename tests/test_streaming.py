@@ -497,6 +497,38 @@ def test_running_totals_reverse_time_replay(spark, tmp_path):
     assert got.count() > len(truth)
 
 
+def test_running_ewma_matches_batch_exactly(spark, tmp_path):
+    """The streaming EWMA twin replayed over time-ordered micro-batches
+    must converge to BIT-IDENTICAL per-user values as the batch
+    timeseries_ewma fold (same IEEE op sequence, same (ts, event_id)
+    ordering, same first-observation seed) — the O(1)-state scale path
+    provably computes the same recurrence."""
+    from etl_data_pipeline_spark.operators import analytics
+    from etl_data_pipeline_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    src = os.path.join(str(tmp_path), "ewma_src")
+    for seq, c in enumerate(_time_quartile_chunks(ev)):
+        _write_stream_file(c, src, seq)
+
+    stream = jobs.events_file_stream(spark, src, max_files_per_trigger=1)
+    got = _run_to_memory(spark, jobs.running_user_ewma(stream), "t_ewma")
+    rows = got.collect()
+    # the final emission per user = the row at that user's max n_events
+    final = {}
+    for r in rows:
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.ewma)
+    truth = {
+        r.user_id: (r.n_events, r.ewma)
+        for r in analytics.timeseries_ewma(spark, SF_DIR).collect()
+    }
+    assert final == truth
+    # cross-batch statefulness: some user emitted more than once
+    assert got.count() > len(truth)
+
+
 def test_tumbling_watermark_drops_late_events(spark, tmp_path):
     """Event-time watermark late-drop through a REAL out-of-order
     micro-batch replay — the streaming twin of the batch analog
