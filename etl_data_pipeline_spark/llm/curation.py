@@ -376,7 +376,63 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 curation chain — v2's rule stack upgraded with the
+    MODEL-BASED filters a 2023/24-era pretraining pipeline layers on
+    top of heuristics. A document survives iff it passes, SIMULTANEOUSLY:
+
+        Gopher rule battery          (text_gopher_rules.keep)
+        hashed linear classifier     (text_quality_classifier.keep)
+        bigram-LM perplexity filter  (text_bigram_logprob.keep)
+        DSIR importance selection    (corpus_dsir_weights.keep)
+        SemDeDup semantic dedup      (dedup_semantic.kept, embeddings
+                                      keyed by vec_id == doc_id)
+
+    Every gate is the ALREADY-ORACLED registered operator, evaluated
+    over the FULL corpus (the corpus-relative thresholds are
+    deliberately simultaneous, not sequential — re-fitting each stage
+    on the previous stage's survivors would make the result depend on
+    gate order and cost a corpus re-aggregate per stage). Documents
+    with fewer than two tokens have no bigram row and fail the LM gate
+    by absence (inner join) — identical in both engines.
+
+    Scale shape: each stage is its own bounded-shuffle pipeline
+    (single scans + vocabulary/bucket/centroid-sized side tables); the
+    composition joins NARROW per-doc relations (doc_id + one boolean)
+    on doc_id — co-partitioned post-aggregate joins, never a second
+    pass over document text."""
+    from etl_data_pipeline_spark.llm import dedup as _dd
+    from etl_data_pipeline_spark.llm import text_analysis as _ta
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    g = _ta.text_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("k_gopher")
+    )
+    c = _ta.text_quality_classifier(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("k_clf")
+    )
+    b = _ta.text_bigram_logprob(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("k_lm")
+    )
+    d = corpus_dsir_weights(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("k_dsir")
+    )
+    s = _dd.dedup_semantic(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("kept").alias("k_sem")
+    )
+    out = docs
+    for gate in (g, c, b, d, s):
+        out = out.join(gate, "doc_id")
+    return out.filter(
+        F.col("k_gopher") & F.col("k_clf") & F.col("k_lm")
+        & F.col("k_dsir") & F.col("k_sem")
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 QUERIES = {
+    "pipeline_corpus_curation_v3": pipeline_corpus_curation_v3,
     "corpus_dsir_weights": corpus_dsir_weights,
     "corpus_token_budget": corpus_token_budget,
     "pipeline_corpus_curation_v2": pipeline_corpus_curation_v2,
@@ -481,8 +537,7 @@ def _oracle_token_budget() -> str:
     """
 
 
-ORACLE = {
-    "corpus_dsir_weights": f"""
+_DSIR_ORACLE = f"""
         WITH t AS (
             SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
         ), feats AS (
@@ -512,7 +567,41 @@ ORACLE = {
         SELECT doc_id, n_feats, log_weight,
                log_weight >= corpus_mean AS keep
         FROM per_doc CROSS JOIN gm
-    """,
+    """
+
+
+def _oracle_curation_v3() -> str:
+    """Composed from the five stage oracles verbatim (each wrapped as
+    a CTE over its own WITH chain — DuckDB supports CTEs in derived
+    tables), so v3's oracle is exactly the conjunction of the already-
+    verified stage semantics."""
+    from etl_data_pipeline_spark.llm import dedup as _dd
+    from etl_data_pipeline_spark.llm import text_analysis as _ta
+
+    return f"""
+        WITH g AS (SELECT doc_id, keep AS k_gopher
+                   FROM ({_ta.ORACLE['text_gopher_rules']})),
+        c AS (SELECT doc_id, keep AS k_clf
+              FROM ({_ta.ORACLE['text_quality_classifier']})),
+        b AS (SELECT doc_id, keep AS k_lm
+              FROM ({_ta.ORACLE['text_bigram_logprob']})),
+        d AS (SELECT doc_id, keep AS k_dsir FROM ({_DSIR_ORACLE})),
+        s AS (SELECT vec_id AS doc_id, kept AS k_sem
+              FROM ({_dd.ORACLE['dedup_semantic']}))
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        JOIN g USING (doc_id)
+        JOIN c USING (doc_id)
+        JOIN b USING (doc_id)
+        JOIN d USING (doc_id)
+        JOIN s USING (doc_id)
+        WHERE k_gopher AND k_clf AND k_lm AND k_dsir AND k_sem
+    """
+
+
+ORACLE = {
+    "pipeline_corpus_curation_v3": _oracle_curation_v3(),
+    "corpus_dsir_weights": _DSIR_ORACLE,
     "corpus_token_budget": _oracle_token_budget(),
     "pipeline_corpus_curation_v2": _oracle_curation_v2(),
     "corpus_split": f"""

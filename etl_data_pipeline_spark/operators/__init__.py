@@ -95,6 +95,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "agg_hll_rollup_bounds",
         "text_bigram_logprob",
         "corpus_dsir_weights",
+        "pipeline_corpus_curation_v3",
         "graph_pagerank",
         "graph_bfs_levels",
         "join_bloom_pruned",

@@ -182,6 +182,24 @@ def test_dsir_weights_favor_target_language(spark, sf_dir):
     assert {r.keep for r in rows} == {True, False}
 
 
+def test_curation_v3_is_exact_gate_conjunction(spark, sf_dir):
+    """v3's survivor set must equal the intersection of the five stage
+    keeps computed independently (absent-bigram docs count as LM
+    fails, semantic dedup keyed by vec_id == doc_id)."""
+    from etl_data_pipeline_spark.llm import curation, dedup as dd, text_analysis as ta
+
+    got = {r.doc_id for r in curation.pipeline_corpus_curation_v3(spark, sf_dir).collect()}
+    keeps = [
+        {r.doc_id for r in ta.text_gopher_rules(spark, sf_dir).collect() if r.keep},
+        {r.doc_id for r in ta.text_quality_classifier(spark, sf_dir).collect() if r.keep},
+        {r.doc_id for r in ta.text_bigram_logprob(spark, sf_dir).collect() if r.keep},
+        {r.doc_id for r in curation.corpus_dsir_weights(spark, sf_dir).collect() if r.keep},
+        {r.vec_id for r in dd.dedup_semantic(spark, sf_dir).collect() if r.kept},
+    ]
+    expected = set.intersection(*keeps)
+    assert got == expected
+
+
 def test_ewma_single_shuffle(spark, sf_dir):
     """One hash exchange total (the per-user groupBy); the fold is
     JVM-side — no Python evaluation node."""
