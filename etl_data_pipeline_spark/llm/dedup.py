@@ -730,8 +730,8 @@ def _oracle_semantic() -> str:
         " sqrt(list_dot_product({b}.v, {b}.v)))) * 1000000 + 0.5) / 1000000"
     )
     return f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+        WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c0 AS MATERIALIZED (SELECT vec_id AS centroid_id, v AS cv FROM e
                WHERE vec_id % {QUERY_MOD} = {CENTROID_MOD_REMAINDER}),
         s0 AS (
             SELECT e.vec_id, e.v, c0.centroid_id,
@@ -740,12 +740,12 @@ def _oracle_semantic() -> str:
                            sqrt(list_dot_product(e.v, e.v)))) * 1000000 + 0.5)
                        / 1000000 AS cc
             FROM e CROSS JOIN c0
-        ), a0 AS (
+        ), a0 AS MATERIALIZED (
             SELECT vec_id, v, centroid_id AS cluster FROM (
                 SELECT *, row_number() OVER (PARTITION BY vec_id
                     ORDER BY cc DESC, centroid_id ASC) AS r FROM s0)
             WHERE r = 1
-        ), losers AS (
+        ), losers AS MATERIALIZED (
             SELECT DISTINCT y.vec_id AS loser
             FROM a0 x JOIN a0 y
               ON x.cluster = y.cluster AND x.vec_id < y.vec_id

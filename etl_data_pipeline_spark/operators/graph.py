@@ -33,12 +33,17 @@ BFS_MAX_DEPTH = 4
 # the undirected bipartite co-purchase graph — distinct
 # (customer, supplier) pairs via orders ⋈ lineitem, symmetrized so
 # every node has out-degree ≥ 1.
-_SQL_EDGES_CTE = """e0 AS (
+_SQL_EDGES_CTE = """e0 AS MATERIALIZED (
             SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        ), edges AS (
+        ), edges AS MATERIALIZED (
             SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
         )"""
+# AS MATERIALIZED throughout the graph oracles: DuckDB inlines a CTE
+# at every reference site, so the unrolled iterative chains (r_i reads
+# r_{i-1}, v_i reads v_{i-1} twice) recompute EXPONENTIALLY in the
+# iteration count without it — the sf1-tier oracle went >9 min inlined
+# vs 7 s materialized. Semantics identical; planning hint only.
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,16 +124,16 @@ def _pagerank_oracle() -> str:
     d = PR_DAMPING
     ctes = [
         _SQL_EDGES_CTE
-        + """, deg AS (
+        + """, deg AS MATERIALIZED (
             SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src
-        ), nn AS (SELECT count(*) AS n FROM deg),
-        r0 AS (
+        ), nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+        r0 AS MATERIALIZED (
             SELECT node, outdeg, 1.0 / n AS rank FROM deg CROSS JOIN nn
         )"""
     ]
     for i in range(1, PR_ITERS + 1):
         ctes.append(
-            f"""r{i} AS (
+            f"""r{i} AS MATERIALIZED (
             SELECT deg.node, deg.outdeg,
                    (1.0 - {d}) / any_value(nn.n)
                      + {d} * sum(r.rank / r.outdeg) AS rank
@@ -194,16 +199,16 @@ def _bfs_oracle() -> str:
         _SQL_EDGES_CTE
         + """, srcn AS (
             SELECT min(src) AS node, 0 AS dist FROM edges WHERE src LIKE 's%'
-        ), v0 AS (SELECT node, dist FROM srcn)"""
+        ), v0 AS MATERIALIZED (SELECT node, dist FROM srcn)"""
     ]
     for i in range(1, BFS_MAX_DEPTH + 1):
         ctes.append(
-            f"""d{i} AS (
+            f"""d{i} AS MATERIALIZED (
             SELECT DISTINCT e.dst AS node, {i} AS dist
             FROM edges e JOIN v{i - 1} v ON e.src = v.node
             WHERE v.dist = {i - 1}
               AND e.dst NOT IN (SELECT node FROM v{i - 1})
-        ), v{i} AS (
+        ), v{i} AS MATERIALIZED (
             SELECT node, dist FROM v{i - 1}
             UNION ALL SELECT node, dist FROM d{i}
         )"""
@@ -313,18 +318,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRIANGLE_ORACLE = """
-        WITH li AS (
+        WITH li AS MATERIALIZED (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        ), pairs AS (
+        ), pairs AS MATERIALIZED (
             SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
             FROM li a JOIN li b
               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        ), deg AS (
+        ), deg AS MATERIALIZED (
             SELECT node, count(*) AS d FROM (
                 SELECT u AS node FROM pairs
                 UNION ALL SELECT v FROM pairs
             ) GROUP BY node
-        ), orient AS (
+        ), orient AS MATERIALIZED (
             SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND p.u < p.v)
                         THEN p.u ELSE p.v END AS src,
                    CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND p.u < p.v)
@@ -334,7 +339,7 @@ _TRIANGLE_ORACLE = """
             FROM pairs p
             JOIN deg du ON p.u = du.node
             JOIN deg dv ON p.v = dv.node
-        ), tri AS (
+        ), tri AS MATERIALIZED (
             SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
             FROM orient e1
             JOIN orient e2 ON e1.src = e2.src
