@@ -96,6 +96,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "text_bigram_logprob",
         "corpus_dsir_weights",
         "pipeline_corpus_curation_v3",
+        "graph_triangle_doulion",
         "graph_pagerank",
         "graph_bfs_levels",
         "join_bloom_pruned",

@@ -222,29 +222,16 @@ def _bfs_oracle() -> str:
     )
 
 
-def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle counts on the part co-order graph (parts are
-    adjacent when some order contains both), via DEGREE-ORDERED edge
-    orientation — the Cohen/compact-forward MapReduce algorithm.
-
-    Orient every undirected edge from its lower-(degree, id) endpoint
-    to the higher one: the orientation is acyclic, each triangle has
-    exactly ONE wedge representation (two out-edges at its smallest
-    endpoint), and — the scale property — every node's OUT-degree is
-    O(√m) regardless of its raw degree, so the wedge join's fan-out is
-    bounded even on power-law graphs where the naive edge³ join
-    explodes on hub nodes. Pipeline: one self-join on l_orderkey
-    (per-order fan-out is order size, small by schema), a broadcast
-    degree annotation, one wedge self-join co-partitioned on the wedge
-    apex, and one closure semi-check on (dst, dst) — three shuffles
-    total, none keyed on a raw-degree hub.
-    """
+def _part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected part co-order edges (u < v): distinct part pairs
+    sharing an order. One self-join on l_orderkey — per-order fan-out
+    is order size, small by schema."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    pairs = (
+    return (
         li.alias("a")
         .join(
             li.alias("b"),
@@ -256,6 +243,37 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the part co-order graph (parts are
+    adjacent when some order contains both), via DEGREE-ORDERED edge
+    orientation — the Cohen/compact-forward MapReduce algorithm.
+
+    Orient every undirected edge from its lower-(degree, id) endpoint
+    to the higher one: the orientation is acyclic, each triangle has
+    exactly ONE wedge representation (two out-edges at its smallest
+    endpoint), and — the scale property — every node's OUT-degree is
+    O(√m) regardless of its raw degree, so the wedge join's fan-out is
+    bounded even on power-law graphs where the naive edge³ join
+    explodes on hub nodes. Pipeline: one self-join on l_orderkey,
+    a broadcast degree annotation, one wedge self-join co-partitioned
+    on the wedge apex, and one closure semi-check on (dst, dst) —
+    three shuffles total, none keyed on a raw-degree hub.
+    """
+    pairs = _part_pairs(spark, sf_dir)
+    tri = _triangles(spark, pairs)
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("tri_cnt"))
+    )
+
+
+def _triangles(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """(a, b, c) triangle triples of an undirected (u < v) edge list
+    via degree-ordered orientation + wedge closure (see
+    graph_triangle_count)."""
     deg = (
         pairs.select(F.col("u").alias("node"))
         .union(pairs.select("v"))
@@ -306,24 +324,63 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.dst").alias("c"),
         )
     )
-    tri = wedges.join(
+    return wedges.join(
         oriented.alias("e3"),
         (F.col("b") == F.col("e3.src")) & (F.col("c") == F.col("e3.dst")),
     ).select("a", "b", "c")
+
+
+DOULION_PCT = 50  # keep each edge iff md5_bucket(edge, 100) < 50 (p = 0.5)
+
+
+def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION approximate triangle counting (Tsourakakis et al., KDD
+    2009): SPARSIFY the graph by keeping each edge independently with
+    probability p, count triangles exactly on the sparsified graph,
+    and scale by 1/p³ — the standard answer when even the linear
+    compact-forward pass (see graph_triangle_count, measured exponent
+    0.99) is too much wall-clock at full scale: expected work drops by
+    p² per wedge while the estimator stays unbiased with relative
+    error ~1/sqrt(p³·Δ).
+
+    'Random' here is the engine's portable deterministic hash
+    (md5_bucket on the edge key), so the sampled edge set — and
+    therefore the estimate itself — is REPLAYABLE and exactly
+    oracle-checked (the same reason every sampler in this engine
+    hashes instead of rand()). p = 0.5 makes 1/p³ = 8 integer-exact.
+
+    Output: one row (sampled_edges, sampled_triangles, est_triangles).
+    """
+    from etl_data_pipeline_spark.functions.hashing import md5_bucket
+
+    pairs = _part_pairs(spark, sf_dir)
+    kept = pairs.filter(
+        md5_bucket(F.concat_ws("-", "u", "v"), 100) < DOULION_PCT
+    )
+    tri = _triangles(spark, kept)
+    scale = int(round((100 / DOULION_PCT) ** 3))
     return (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").alias("tri_cnt"))
+        kept.agg(F.count("*").alias("sampled_edges"))
+        .crossJoin(tri.agg(F.count("*").alias("sampled_triangles")))
+        .select(
+            "sampled_edges",
+            "sampled_triangles",
+            (F.col("sampled_triangles") * scale).alias("est_triangles"),
+        )
     )
 
 
-_TRIANGLE_ORACLE = """
-        WITH li AS MATERIALIZED (
+def _triangle_ctes(pairs_filter: str = "") -> str:
+    """The shared li→pairs→deg→orient→tri CTE chain; pairs_filter is
+    an optional WHERE-fragment applied to the edge set (the DOULION
+    sampler injects its hash predicate here)."""
+    return f"""li AS MATERIALIZED (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
         ), pairs AS MATERIALIZED (
             SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
             FROM li a JOIN li b
               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            {pairs_filter}
         ), deg AS MATERIALIZED (
             SELECT node, count(*) AS d FROM (
                 SELECT u AS node FROM pairs
@@ -345,7 +402,11 @@ _TRIANGLE_ORACLE = """
             JOIN orient e2 ON e1.src = e2.src
                AND ((e1.dd < e2.dd) OR (e1.dd = e2.dd AND e1.dst < e2.dst))
             JOIN orient e3 ON e3.src = e1.dst AND e3.dst = e2.dst
-        )
+        )"""
+
+
+_TRIANGLE_ORACLE = f"""
+        WITH {_triangle_ctes()}
         SELECT node, count(*) AS tri_cnt FROM (
             SELECT a AS node FROM tri
             UNION ALL SELECT b FROM tri
@@ -353,14 +414,30 @@ _TRIANGLE_ORACLE = """
         ) GROUP BY node
     """
 
+_DOULION_PRED = (
+    "WHERE ('0x' || substr(md5((a.l_partkey || '-' || b.l_partkey)::VARCHAR),"
+    f" 1, 15))::BIGINT % 100 < {DOULION_PCT}"
+)
+
+_DOULION_ORACLE = f"""
+        WITH {_triangle_ctes(_DOULION_PRED)}
+        SELECT (SELECT count(*) FROM pairs) AS sampled_edges,
+               count(*) AS sampled_triangles,
+               count(*) * {int(round((100 / DOULION_PCT) ** 3))}
+                   AS est_triangles
+        FROM tri
+    """
+
 
 QUERIES = {
+    "graph_triangle_doulion": graph_triangle_doulion,
     "graph_triangle_count": graph_triangle_count,
     "graph_pagerank": graph_pagerank,
     "graph_bfs_levels": graph_bfs_levels,
 }
 
 ORACLE = {
+    "graph_triangle_doulion": _DOULION_ORACLE,
     "graph_triangle_count": _TRIANGLE_ORACLE,
     "graph_pagerank": _pagerank_oracle(),
     "graph_bfs_levels": _bfs_oracle(),

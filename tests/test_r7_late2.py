@@ -47,6 +47,19 @@ def test_triangle_count_matches_bruteforce(spark, sf_dir):
     assert total % 3 == 0 and total > 0
 
 
+def test_triangle_doulion_estimator(spark, sf_dir):
+    """The hash-sampled DOULION estimate must (a) be exactly
+    sampled_triangles x 8 (p=0.5), (b) land within 15% of the true
+    count at this tier (measured 1.3%; the band leaves estimator
+    headroom), (c) replay identically (hash sampling, no rand())."""
+    r1 = graph.graph_triangle_doulion(spark, sf_dir).first()
+    r2 = graph.graph_triangle_doulion(spark, sf_dir).first()
+    assert r1 == r2
+    assert r1.est_triangles == r1.sampled_triangles * 8
+    true = graph._triangles(spark, graph._part_pairs(spark, sf_dir)).count()
+    assert abs(r1.est_triangles - true) / true < 0.15
+
+
 def test_triangle_plan_broadcasts_degrees(spark, sf_dir):
     """The degree annotation must arrive as broadcasts (deg is
     dim-sized); no cartesian product anywhere in the lineage."""
