@@ -97,6 +97,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "corpus_dsir_weights",
         "pipeline_corpus_curation_v3",
         "graph_triangle_doulion",
+        "join_asof_nearest",
         "graph_pagerank",
         "graph_bfs_levels",
         "join_bloom_pruned",

@@ -134,7 +134,81 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"join_asof": join_asof, "join_asof_tolerance": join_asof_tolerance}
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join (pandas merge_asof
+    direction='nearest'): each purchase matched to the same user's
+    closest view in time — before OR after — with ties resolved
+    backward. The third member of the as-of family here (backward =
+    join_asof, bounded-backward = join_asof_tolerance).
+
+    Built as two runs of the same union+window asof kernel: the
+    backward pass as-is, the forward pass on a NEGATED full-precision
+    epoch key (nearest following row in real time = most recent row in
+    negated time — direction reversal costs nothing new), then a
+    per-purchase pick of the smaller delta. Deltas compare on
+    fractional-second epochs (cast double) so sub-second timestamps
+    order identically in both engines. Three bounded shuffles total;
+    no range-condition pair explosion anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    back = asof_join(
+        purchases,
+        views.withColumn("b_ts", F.col("ts")).withColumnRenamed(
+            "view_id", "b_id"
+        ),
+        on="ts",
+        by="user_id",
+        value_cols=["b_id", "b_ts"],
+    )
+    fwd = asof_join(
+        purchases.withColumn("nts", -F.col("ts").cast("double")),
+        views.select(
+            "user_id",
+            (-F.col("ts").cast("double")).alias("nts"),
+            F.col("view_id").alias("f_id"),
+            F.col("ts").alias("f_ts"),
+        ),
+        on="nts",
+        by="user_id",
+        value_cols=["f_id", "f_ts"],
+    ).select("purchase_id", "f_id", "f_ts")
+    j = back.join(fwd, "purchase_id")
+    db = F.col("ts").cast("double") - F.col("b_ts").cast("double")
+    df_ = F.col("f_ts").cast("double") - F.col("ts").cast("double")
+    take_back = F.col("b_ts").isNotNull() & (
+        F.col("f_ts").isNull() | (db <= df_)
+    )
+    chosen_id = F.when(take_back, F.col("b_id")).otherwise(F.col("f_id"))
+    chosen_ts = F.when(take_back, F.col("b_ts")).otherwise(F.col("f_ts"))
+    direction = F.when(take_back, F.lit("back")).otherwise(
+        F.when(F.col("f_ts").isNotNull(), F.lit("fwd"))
+    )
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        chosen_id.alias("view_id"),
+        chosen_ts.alias("view_ts"),
+        direction.alias("direction"),
+        F.abs(
+            F.unix_timestamp("ts") - F.unix_timestamp(chosen_ts)
+        ).alias("secs_to_view"),
+    )
+
+
+QUERIES = {
+    "join_asof": join_asof,
+    "join_asof_tolerance": join_asof_tolerance,
+    "join_asof_nearest": join_asof_nearest,
+}
 
 ORACLE = {
     "join_asof": """
@@ -153,6 +227,40 @@ ORACLE = {
                    AS secs_since_view
         FROM p ASOF LEFT JOIN v
           ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    "join_asof_nearest": """
+        WITH v AS (
+            SELECT user_id, ts, max(event_id) AS view_id
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id, ts
+        ), p AS (
+            SELECT event_id AS purchase_id, user_id, ts
+            FROM events WHERE event_type = 'purchase'
+        ), b AS (
+            SELECT p.purchase_id, p.user_id, p.ts,
+                   v.view_id AS b_id, v.ts AS b_ts
+            FROM p ASOF LEFT JOIN v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+        ), f AS (
+            SELECT p.purchase_id, v.view_id AS f_id, v.ts AS f_ts
+            FROM p ASOF LEFT JOIN v
+              ON p.user_id = v.user_id AND p.ts <= v.ts
+        ), j AS (
+            SELECT b.*, f.f_id, f.f_ts,
+                   (b_ts IS NOT NULL AND (f_ts IS NULL OR
+                        epoch(b.ts) - epoch(b_ts) <= epoch(f_ts) - epoch(b.ts)))
+                       AS take_back
+            FROM b JOIN f USING (purchase_id)
+        )
+        SELECT purchase_id, user_id, ts AS purchase_ts,
+               CASE WHEN take_back THEN b_id ELSE f_id END AS view_id,
+               CASE WHEN take_back THEN b_ts ELSE f_ts END AS view_ts,
+               CASE WHEN take_back THEN 'back'
+                    WHEN f_ts IS NOT NULL THEN 'fwd' END AS direction,
+               abs(CAST(epoch(date_trunc('second', ts)) - epoch(date_trunc(
+                   'second', CASE WHEN take_back THEN b_ts ELSE f_ts END))
+                   AS BIGINT)) AS secs_to_view
+        FROM j
     """,
     "join_asof_tolerance": f"""
         WITH v AS (

@@ -45,3 +45,35 @@ def test_asof_all_left_rows_survive(spark):
     out = asof_join(left, right, on="ts", by="user_id", value_cols=["rid"])
     assert out.count() == 5
     assert all(r.rid is None for r in out.collect())
+
+
+def test_asof_nearest_picks_minimum_distance(spark, sf_dir):
+    """Nearest-direction semantics: the chosen view is never farther
+    than either directional candidate, direction labels agree with the
+    chosen side, and ties (equal back/forward distance) go backward."""
+    from etl_data_pipeline_spark.operators.asof import (
+        join_asof,
+        join_asof_nearest,
+    )
+
+    near = {r.purchase_id: r for r in join_asof_nearest(spark, sf_dir).collect()}
+    back = {r.purchase_id: r for r in join_asof(spark, sf_dir).collect()}
+    assert set(near) == set(back)
+    saw_fwd = saw_back = False
+    for pid, n in near.items():
+        b = back[pid]
+        if n.direction == "back":
+            saw_back = True
+            assert (n.view_id, n.view_ts) == (b.view_id, b.view_ts)
+            assert n.view_ts <= n.purchase_ts
+        elif n.direction == "fwd":
+            saw_fwd = True
+            assert n.view_ts >= n.purchase_ts
+            # forward won => strictly closer than the backward candidate
+            if b.view_ts is not None:
+                fwd_d = (n.view_ts - n.purchase_ts).total_seconds()
+                back_d = (b.purchase_ts - b.view_ts).total_seconds()
+                assert fwd_d < back_d
+        else:
+            assert n.view_id is None and b.view_id is None
+    assert saw_fwd and saw_back
