@@ -822,6 +822,71 @@ def run_incremental_rollup(
     )
 
 
+def run_stream_hll_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    schema=None,
+) -> StreamingQuery:
+    """Incremental DISTINCT-count maintenance — the streaming twin of
+    ``agg_hll_rollup_bounds``: per-week DataSketches HLL user sketches
+    kept current across micro-batches by SKETCH UNION, never recounting
+    history. This is the one aggregate the count/sum-merging rollup
+    (run_incremental_rollup) cannot maintain — distinct doesn't sum —
+    and exactly why mergeable sketches exist: each batch contributes a
+    (week, sketch) partial; merge = register-wise max via
+    ``hll_union_agg``, associative and order-independent, so the
+    maintained sketch is IDENTICAL to a from-scratch sketch over all
+    data (the parity test asserts estimate equality, not closeness).
+
+    State is the rollup table itself (weeks × ~2^lgK bytes); the same
+    last_batch_id-in-table exactly-once contract as the other merging
+    sinks — replayed batches are no-ops, data and dedup state swap
+    atomically under the writer lease."""
+    from etl_data_pipeline_spark.sinks import (
+        _overwrite_swap_locked,
+        read_parquet_if_exists,
+        writer_lease,
+    )
+
+    agg_path = os.path.join(target_dir, "hll_weekly")
+    stream = events_file_stream(spark, source_dir, schema=schema)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        with writer_lease(agg_path):
+            existing = read_parquet_if_exists(spark, agg_path, lease_held=True)
+            last = (
+                existing.agg(F.max("last_batch_id")).first()[0]
+                if existing is not None
+                else None
+            )
+            if last is not None and batch_id <= last:
+                return  # replayed batch — already merged atomically
+            if batch_df.isEmpty():
+                return
+            partial = batch_df.groupBy(
+                F.date_trunc("week", "ts").alias("week")
+            ).agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+            merged = (
+                partial
+                if existing is None
+                else existing.drop("last_batch_id")
+                .unionByName(partial)
+                .groupBy("week")
+                .agg(F.hll_union_agg("sk").alias("sk"))
+            ).withColumn("last_batch_id", F.lit(batch_id))
+            _overwrite_swap_locked(merged, agg_path)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option(
+            "checkpointLocation", os.path.join(target_dir, "_hll_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_incremental_scd2(
     spark: SparkSession,
     source_dir: str,

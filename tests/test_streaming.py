@@ -497,6 +497,42 @@ def test_running_totals_reverse_time_replay(spark, tmp_path):
     assert got.count() > len(truth)
 
 
+def test_stream_hll_rollup_sketch_parity_and_replay(spark, event_chunks, tmp_path):
+    """Union-of-batch-sketches must produce the IDENTICAL estimate as a
+    one-shot sketch over all data (HLL union is register-wise max —
+    associative, order-independent), the estimate must sit within 5%
+    of the exact weekly distinct, and a second availableNow run over
+    the same source must change nothing (batch-id dedup)."""
+    src, ev = event_chunks
+    target = str(tmp_path / "hll_target")
+    q = jobs.run_stream_hll_rollup(spark, src, target)
+    q.awaitTermination(120)
+    got = spark.read.parquet(os.path.join(target, "hll_weekly")).select(
+        "week", F.hll_sketch_estimate("sk").alias("est"), "last_batch_id"
+    )
+    got_rows = {r.week: r.est for r in got.collect()}
+    oneshot = {
+        r.week: r.est
+        for r in ev.groupBy(F.date_trunc("week", "ts").alias("week"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias("est"))
+        .collect()
+    }
+    assert got_rows == oneshot  # exact sketch parity, not approximate
+    exact = {
+        r.week: r.n
+        for r in ev.groupBy(F.date_trunc("week", "ts").alias("week"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for wk, est in got_rows.items():
+        assert abs(est - exact[wk]) / exact[wk] <= 0.05
+    before = sorted(map(tuple, spark.read.parquet(os.path.join(target, "hll_weekly")).collect()))
+    q2 = jobs.run_stream_hll_rollup(spark, src, target)
+    q2.awaitTermination(120)
+    after = sorted(map(tuple, spark.read.parquet(os.path.join(target, "hll_weekly")).collect()))
+    assert before == after
+
+
 def test_running_ewma_matches_batch_exactly(spark, tmp_path):
     """The streaming EWMA twin replayed over time-ordered micro-batches
     must converge to BIT-IDENTICAL per-user values as the batch
