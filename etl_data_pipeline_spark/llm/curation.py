@@ -327,20 +327,17 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     method was designed exactly so the 'model' is a broadcastable
     histogram."""
     from etl_data_pipeline_spark.functions.hashing import md5_long60
+    from etl_data_pipeline_spark.llm.text_analysis import bigram_pairs
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    ts = F.split(F.col("text"), " ")
-    n = F.size(ts)
-    bgs = F.zip_with(
-        F.slice(ts, F.lit(1), n - 1),
-        F.slice(ts, F.lit(2), n - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
     feats = tracked_persist(
-        docs.select("doc_id", "lang", F.explode(bgs).alias("bg")).select(
+        docs.select("doc_id", "lang", F.explode(bigram_pairs()).alias("bg")).select(
             "doc_id",
             "lang",
-            (md5_long60(F.col("bg")) % DSIR_BUCKETS).alias("b"),
+            (
+                md5_long60(F.concat_ws(" ", F.col("bg.h"), F.col("bg.w")))
+                % DSIR_BUCKETS
+            ).alias("b"),
         )
     )
     counts = feats.groupBy("b").agg(

@@ -660,7 +660,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     k ∝ corpus/10³ so clusters stay ~10³ rows, and the centroid set
     (k × dim, built by the kmeans operator) stays broadcastable.
     Plan: one broadcast-assign scan, one self-join co-partitioned on
-    cluster id, one broadcast anti-join of the loser set.
+    cluster id, one left join of the loser set — deliberately
+    UN-hinted: at a loose threshold the losers are a corpus FRACTION,
+    not dim-sized, so forcing a broadcast would pull O(corpus) rows
+    through the driver at scale; the planner/AQE picks broadcast when
+    the set is actually small (it is at harness scale).
 
     Deterministic end-to-end (seeded mod-sampled centroids, 6 dp
     rounded cosines, id tiebreaks), so the full pipeline is
@@ -705,14 +709,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("loser")
         .distinct()
     )
-    return (
-        assigned.join(
-            F.broadcast(losers), assigned.vec_id == losers.loser, "left"
-        )
-        .select(
-            "vec_id", "cluster", F.col("loser").isNull().alias("kept")
-        )
-    )
+    return assigned.join(
+        losers, assigned.vec_id == losers.loser, "left"
+    ).select("vec_id", "cluster", F.col("loser").isNull().alias("kept"))
 
 
 def _oracle_semantic() -> str:

@@ -31,6 +31,21 @@ def _tokens(col: str = "text") -> Column:
     return F.split(F.col(col), " ")
 
 
+def bigram_pairs(col: str = "text") -> Column:
+    """Adjacent-token (h, w) struct pairs of ``col`` via ONE zip_with
+    (no self-join); empty for docs under two tokens. Shared kernel of
+    text_bigram_logprob and corpus_dsir_weights — one definition so
+    the two operators (and both DuckDB oracles' ``ts[i] || ' ' ||
+    ts[i+1]`` renderings) can't drift apart."""
+    ts = _tokens(col)
+    n = F.size(ts)
+    return F.zip_with(
+        F.slice(ts, F.lit(1), n - 1),
+        F.slice(ts, F.lit(2), n - 1),
+        lambda a, b: F.struct(a.alias("h"), b.alias("w")),
+    )
+
+
 def _stop_hits(lang: str) -> Column:
     words = STOPWORDS[lang]
     return F.size(
@@ -686,17 +701,10 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_data_pipeline_spark.functions.caching import tracked_persist
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    ts = _tokens()
-    n = F.size(ts)
-    bgs = F.zip_with(
-        F.slice(ts, F.lit(1), n - 1),
-        F.slice(ts, F.lit(2), n - 1),
-        lambda a, b: F.struct(a.alias("h"), b.alias("w")),
-    )
     # persist: the bigram stream feeds the count shuffle AND the
     # scoring join — without the pin both re-tokenize the corpus.
     pairs = tracked_persist(
-        docs.select("doc_id", F.explode(bgs).alias("bg")).select(
+        docs.select("doc_id", F.explode(bigram_pairs()).alias("bg")).select(
             "doc_id", F.col("bg.h").alias("h"), F.col("bg.w").alias("w")
         )
     )

@@ -80,12 +80,13 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # hoisted to the very front regardless of family (the harness
     # checks only a ~50-entry prefix per round, so the hoist rotates
     # stale evidence back into the check window).
-    # Round-7 rotation (per round-6 VERDICT "Next round" #1): the four
-    # brand-new r7 queries lead (no driver evidence yet), then the two
-    # r3-stale dedup queries, then the 50 queries whose newest
-    # driver-green row is CORRECTNESS_r04 — the whole relational core
-    # (scans, joins, aggs, events analytics, profiling). 56 entries vs
-    # a ~50-entry check window: the ~6 overflow tail entries lead the
+    # Round-7 rotation (per round-6 VERDICT "Next round" #1): the
+    # brand-new r7 queries lead (no driver evidence yet — 26 of them
+    # after the late-round additions), then the two r3-stale dedup
+    # queries, then the r4-stale relational core in CORRECTNESS_r04 key
+    # order. With a ~50-entry check window that leaves ~22 slots for
+    # the r4-stale set; the displaced tail (~28 entries, events_funnel
+    # onward plus the entries the late additions pushed out) leads the
     # r8 rotation. Everything else was driver-verified in r5/r6.
     hoist = [
         # -- BRAND NEW (r7): no driver evidence at all -- first priority

@@ -551,7 +551,7 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ewma = F.aggregate(
         F.slice("xs", F.lit(2), F.size("xs") - 1),
         F.element_at("xs", 1),
-        lambda acc, x: F.lit(0.8) * acc + F.lit(0.2) * x,
+        lambda acc, x: F.lit(1.0 - EWMA_ALPHA) * acc + F.lit(EWMA_ALPHA) * x,
     )
     return series.select(
         "user_id",
@@ -581,7 +581,8 @@ ORACLE = {
         WITH s AS (
             SELECT user_id, count(*) AS n_events,
                    list_reduce(list(value ORDER BY ts, event_id),
-                               (acc, x) -> 0.8 * acc + 0.2 * x) AS raw
+                               (acc, x) -> {1.0 - EWMA_ALPHA} * acc
+                                           + {EWMA_ALPHA} * x) AS raw
             FROM events GROUP BY user_id
         )
         SELECT user_id, n_events, {sql_round('raw', 8)} AS ewma FROM s

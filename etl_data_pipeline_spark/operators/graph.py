@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_data_pipeline_spark.functions.caching import tracked_persist
 from etl_data_pipeline_spark.functions.rounding import hround, sql_round
 from etl_data_pipeline_spark.session import load_table
 
@@ -80,13 +81,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join AND its deg⋈summed join are both zipped co-partitioned —
     # the ONLY exchange per round is the contribution groupBy.
     p = spark.sparkContext.defaultParallelism
-    edges = _edges(spark, sf_dir).repartition(p, "src").persist()
-    deg = (
+    edges = tracked_persist(_edges(spark, sf_dir).repartition(p, "src"))
+    deg = tracked_persist(
         edges.groupBy("src")
         .agg(F.count("*").alias("outdeg"))
         .withColumnRenamed("src", "node")
         .repartition(p, "node")
-        .persist()
     )
     n = deg.count()  # scalar node count, not a data collect
     # localCheckpoint(eager=False): plan truncation without a separate
@@ -169,7 +169,7 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan stays O(1) per level instead of nesting all prior
     levels."""
     p = spark.sparkContext.defaultParallelism
-    edges = _edges(spark, sf_dir).repartition(p, "src").persist()
+    edges = tracked_persist(_edges(spark, sf_dir).repartition(p, "src"))
     src = (
         edges.filter(F.col("src").startswith("s"))
         .agg(F.min("src"))
@@ -261,7 +261,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the wedge apex, and one closure semi-check on (dst, dst) —
     three shuffles total, none keyed on a raw-degree hub.
     """
-    pairs = _part_pairs(spark, sf_dir)
+    # persist: _triangles consumes pairs twice (degree build + the
+    # degree annotation) — without the pin each re-runs the li⋈li
+    # self-join and both distincts.
+    pairs = tracked_persist(_part_pairs(spark, sf_dir))
     tri = _triangles(spark, pairs)
     return (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
@@ -307,8 +310,8 @@ def _triangles(spark: SparkSession, pairs: DataFrame) -> DataFrame:
             F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dd"),
         )
         .repartition(p, "src")
-        .persist()
     )
+    oriented = tracked_persist(oriented)
     wedge_lt = (F.col("e1.dd") < F.col("e2.dd")) | (
         (F.col("e1.dd") == F.col("e2.dd")) & (F.col("e1.dst") < F.col("e2.dst"))
     )
@@ -354,8 +357,10 @@ def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_data_pipeline_spark.functions.hashing import md5_bucket
 
     pairs = _part_pairs(spark, sf_dir)
-    kept = pairs.filter(
-        md5_bucket(F.concat_ws("-", "u", "v"), 100) < DOULION_PCT
+    # persist: kept feeds the degree build, the degree annotation, AND
+    # the sampled-edge count — three re-runs of the self-join otherwise.
+    kept = tracked_persist(
+        pairs.filter(md5_bucket(F.concat_ws("-", "u", "v"), 100) < DOULION_PCT)
     )
     tri = _triangles(spark, kept)
     scale = int(round((100 / DOULION_PCT) ** 3))

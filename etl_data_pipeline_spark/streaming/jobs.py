@@ -250,7 +250,7 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
-def running_user_ewma(stream: DataFrame, alpha: float = 0.2) -> DataFrame:
+def running_user_ewma(stream: DataFrame, alpha: float | None = None) -> DataFrame:
     """Streaming twin of the batch ``timeseries_ewma`` operator
     (operators/analytics.py): per-user exponentially-weighted moving
     average maintained as ONE (ewma, n) pair per user in the state
@@ -271,7 +271,9 @@ def running_user_ewma(stream: DataFrame, alpha: float = 0.2) -> DataFrame:
 
     import math
 
-    a = alpha
+    from etl_data_pipeline_spark.operators.analytics import EWMA_ALPHA
+
+    a = EWMA_ALPHA if alpha is None else alpha
 
     def update(key, pdf_iter, state: GroupState):
         ewma, n = state.get if state.exists else (0.0, 0)

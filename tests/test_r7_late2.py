@@ -105,12 +105,14 @@ def test_dedup_semantic_invariants(spark, sf_dir):
             assert any(cos(e[x], e[d]) > t for x in lower), d
 
 
-def test_dedup_semantic_loser_join_is_broadcast(spark, sf_dir):
-    """The prune is a broadcast (left) join of the small loser set —
-    the corpus never reshuffles for the final filter."""
+def test_dedup_semantic_plan_shape(spark, sf_dir):
+    """No cartesian product anywhere; the centroid-assignment side
+    still broadcasts (dim-sized). The loser join is deliberately
+    UN-hinted (corpus-fraction-sized at scale), so its strategy is the
+    planner's choice — not pinned."""
     plan = _plan(dedup.dedup_semantic(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin" in plan  # the centroid assignment
 
 
 def test_ewma_matches_python_fold_exactly(spark, sf_dir):
