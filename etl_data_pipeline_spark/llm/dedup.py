@@ -641,6 +641,21 @@ def dedup_embedding_cosine(
 
 
 SEM_COS_THRESHOLD = EMB_COS_THRESHOLD  # same loose harness threshold
+SEM_LSH_TABLES = 4       # OR-construction tables for centroid shortlisting
+SEM_LSH_MAX_PLANES = 12  # sign bits computed; count-derived prefix used
+SEM_SEED_OFFSET = 100    # plane seeds PLANES_SEED+100+t (disjoint from
+                         # dedup_embedding_cosine's PLANES_SEED+t tables)
+
+
+def _sem_planes_used(n_centroids: int) -> int:
+    """Effective plane count p from the centroid count: floor(log2(k))
+    clamped to [2, SEM_LSH_MAX_PLANES] — keeps expected centroid
+    density per bucket at ~1-2 for ANY corpus size, which is what
+    makes the shortlist size (and so the whole assignment) O(1) per
+    vector. Integer arithmetic (bit_length), matched exactly by the
+    oracle's length(format('{:b}', k)) - 1 — no cross-engine log2
+    rounding risk."""
+    return min(max(max(n_centroids, 1).bit_length() - 1, 2), SEM_LSH_MAX_PLANES)
 
 
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -656,45 +671,143 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_ngram_jaccard`` (brute force): clustering gives LARGER,
     semantically-coherent candidate blocks than LSH buckets — higher
     recall at loose thresholds — while still never forming corpus²
-    pairs. Candidate volume is Σ(cluster size²); production picks
-    k ∝ corpus/10³ so clusters stay ~10³ rows, and the centroid set
-    (k × dim, built by the kmeans operator) stays broadcastable.
-    Plan: one broadcast-assign scan, one self-join co-partitioned on
-    cluster id, one left join of the loser set — deliberately
-    UN-hinted: at a loose threshold the losers are a corpus FRACTION,
-    not dim-sized, so forcing a broadcast would pull O(corpus) rows
-    through the driver at scale; the planner/AQE picks broadcast when
-    the set is actually small (it is at harness scale).
+    pairs. Candidate volume is Σ(cluster size²); the mod-sampled
+    centroid rule keeps cluster size ~QUERY_MOD constant, so the
+    pairwise stage is LINEAR in the corpus.
 
-    Deterministic end-to-end (seeded mod-sampled centroids, 6 dp
-    rounded cosines, id tiebreaks), so the full pipeline is
+    Assignment is ANN-ASSISTED, exactly as the paper runs it at scale:
+    with k ∝ n centroids, scoring every vector against every centroid
+    is O(n·k) = quadratic (measured: segment exponent 1.65 over
+    10×→30× before this design). Instead, centroids are shortlisted
+    through SEM_LSH_TABLES hyperplane tables whose bucket count is
+    DERIVED FROM THE CENTROID COUNT (2^floor(log2 k), so expected
+    centroids per bucket stays ~1-2 at any scale) — each vector scores
+    only its same-bucket candidates, O(1) of them, and the whole
+    assignment is one bucket join. A vector whose buckets hold no
+    centroid in any table (rare by construction) becomes cluster -1, a
+    kept singleton excluded from the pairwise stage. The loser join is
+    deliberately UN-hinted: at a loose threshold the losers are a
+    corpus FRACTION, not dim-sized — the planner/AQE picks broadcast
+    only when the set is actually small.
+
+    Deterministic end-to-end (seeded mod-sampled centroids, seeded
+    planes, integer-arithmetic plane count, 6 dp rounded cosines, id
+    tiebreaks), so the full pipeline — bucketing included — is
     oracle-checked.
     """
     from etl_data_pipeline_spark.llm.similarity import (
         CENTROID_MOD_REMAINDER,
+        PLANES_SEED,
         QUERY_MOD,
-        _assign_to_centroids,
+        _planes,
     )
     from etl_data_pipeline_spark.llm.vector import dot as _vdot
 
     e = tracked_persist(
-        spread(load_table(spark, sf_dir, "embeddings")).select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", F.sqrt(_vdot(F.col("v"), F.col("v"))))
+    )
+    c0 = tracked_persist(
+        e.filter(F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
         )
     )
-    c0 = e.filter(F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    k = c0.count()  # scalar centroid count, not a data collect
+    mask = 1 << _sem_planes_used(k)
+    P = SEM_LSH_MAX_PLANES
+
+    def _buckets(vcol):
+        # ALL tables' planes in ONE array-of-sign-string literal and a
+        # single nested-HOF expression (bit_i·2^(i mod P) per element,
+        # then per-table slice sums): building 4×12 separate
+        # hyperplane_bucket expressions costs ~3.3 s of DRIVER-side
+        # py4j construction per relation (measured) — a pure fixed
+        # overhead this one-pass form removes. JVM-side arithmetic,
+        # fold order, and the resulting bucket ids are identical.
+        sign_strs = [
+            "".join("+" if x > 0 else "-" for x in plane)
+            for t in range(SEM_LSH_TABLES)
+            for plane in _planes(P, seed=PLANES_SEED + SEM_SEED_OFFSET + t)
+        ]
+        from etl_data_pipeline_spark.llm.vector import dot as _dot
+
+        weighted = F.transform(
+            F.array(*[F.lit(x) for x in sign_strs]),
+            lambda sstr, i: F.when(
+                _dot(
+                    vcol,
+                    F.transform(
+                        F.split(sstr, ""),
+                        lambda c: (44 - F.ascii(c)).cast("double"),
+                    ),
+                )
+                > 0,
+                F.pow(F.lit(2.0), (i % P).cast("double")).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        return F.array(
+            *[
+                F.aggregate(
+                    F.slice(weighted, t * P + 1, P),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                % mask
+                for t in range(SEM_LSH_TABLES)
+            ]
+        )
+
+    vkeys = e.select(
+        "vec_id", F.posexplode(_buckets(F.col("v"))).alias("tbl", "bucket")
+    )
+    ckeys = c0.select(
+        "centroid_id",
+        F.posexplode(_buckets(F.col("cv"))).alias("tbl", "bucket"),
+    )
+    cand = (
+        vkeys.join(ckeys, ["tbl", "bucket"])
+        .select("vec_id", "centroid_id")
+        .dropDuplicates(["vec_id", "centroid_id"])
+    )
+    scored = (
+        cand.join(e, "vec_id")
+        .join(c0, "centroid_id")
+        .select(
+            "vec_id",
+            "centroid_id",
+            hround(
+                _vdot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")),
+                6,
+            ).alias("cc"),
+        )
+    )
+    best_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cc"), F.asc("centroid_id")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(best_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("centroid_id").alias("cluster"))
     )
     assigned = tracked_persist(
-        _assign_to_centroids(e, c0)
-        .withColumn("nrm", F.sqrt(_vdot(F.col("v"), F.col("v"))))
-        .select("vec_id", "v", "nrm", "cluster")
+        e.join(best, "vec_id", "left").select(
+            "vec_id",
+            "v",
+            "nrm",
+            F.coalesce(F.col("cluster"), F.lit(-1).cast("long")).alias(
+                "cluster"
+            ),
+        )
     )
     x, y = assigned.alias("x"), assigned.alias("y")
     losers = (
         x.join(
             y,
             (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col("x.cluster") != -1)
             & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
         .select(
@@ -715,12 +828,18 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_semantic() -> str:
-    """DuckDB rerun of assign → within-cluster pairwise → prune (same
-    centroid sampling, 6 dp rounding, id tiebreaks as the Spark
-    side; staged norms are bit-identical to per-pair norms)."""
+    """DuckDB rerun of the FULL pipeline — count-derived bucket mask,
+    per-table hyperplane bucketing, candidate shortlist, nearest-
+    candidate assignment (-1 fallback), within-cluster pairwise prune
+    — same centroid sampling, plane constants, integer plane-count
+    arithmetic, 6 dp rounding, and id tiebreaks as the Spark side;
+    staged norms are bit-identical to per-pair norms."""
     from etl_data_pipeline_spark.llm.similarity import (
         CENTROID_MOD_REMAINDER,
+        PLANES_SEED,
         QUERY_MOD,
+        _planes,
+        sql_bucket_expr,
     )
 
     cos = (
@@ -728,26 +847,57 @@ def _oracle_semantic() -> str:
         " (sqrt(list_dot_product({a}.v, {a}.v)) *"
         " sqrt(list_dot_product({b}.v, {b}.v)))) * 1000000 + 0.5) / 1000000"
     )
+    vk_arms = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl,"
+        f" ({sql_bucket_expr(_planes(SEM_LSH_MAX_PLANES, seed=PLANES_SEED + SEM_SEED_OFFSET + t))})"
+        f" % (SELECT mask FROM pp) AS bucket FROM e"
+        for t in range(SEM_LSH_TABLES)
+    )
+    ck_arms = "\n            UNION ALL ".join(
+        f"SELECT centroid_id, {t} AS tbl,"
+        f" ({sql_bucket_expr(_planes(SEM_LSH_MAX_PLANES, seed=PLANES_SEED + SEM_SEED_OFFSET + t), vexpr='cv')})"
+        f" % (SELECT mask FROM pp) AS bucket FROM c0"
+        for t in range(SEM_LSH_TABLES)
+    )
     return f"""
         WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         c0 AS MATERIALIZED (SELECT vec_id AS centroid_id, v AS cv FROM e
                WHERE vec_id % {QUERY_MOD} = {CENTROID_MOD_REMAINDER}),
-        s0 AS (
-            SELECT e.vec_id, e.v, c0.centroid_id,
+        pp AS MATERIALIZED (
+            SELECT CAST(pow(2, least(greatest(
+                       length(format('{{:b}}', greatest(count(*), 1))) - 1,
+                       2), {SEM_LSH_MAX_PLANES})) AS BIGINT) AS mask
+            FROM c0
+        ), vk AS MATERIALIZED (
+            {vk_arms}
+        ), ck AS MATERIALIZED (
+            {ck_arms}
+        ), cand AS MATERIALIZED (
+            SELECT DISTINCT vk.vec_id, ck.centroid_id
+            FROM vk JOIN ck ON vk.tbl = ck.tbl AND vk.bucket = ck.bucket
+        ), scored AS (
+            SELECT cand.vec_id, cand.centroid_id,
                    floor((list_dot_product(c0.cv, e.v) /
                           (sqrt(list_dot_product(c0.cv, c0.cv)) *
                            sqrt(list_dot_product(e.v, e.v)))) * 1000000 + 0.5)
                        / 1000000 AS cc
-            FROM e CROSS JOIN c0
+            FROM cand
+            JOIN e ON e.vec_id = cand.vec_id
+            JOIN c0 ON c0.centroid_id = cand.centroid_id
         ), a0 AS MATERIALIZED (
-            SELECT vec_id, v, centroid_id AS cluster FROM (
-                SELECT *, row_number() OVER (PARTITION BY vec_id
-                    ORDER BY cc DESC, centroid_id ASC) AS r FROM s0)
-            WHERE r = 1
+            SELECT e.vec_id, e.v,
+                   COALESCE(best.cluster, CAST(-1 AS BIGINT)) AS cluster
+            FROM e LEFT JOIN (
+                SELECT vec_id, centroid_id AS cluster FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cc DESC, centroid_id ASC) AS r FROM scored)
+                WHERE r = 1
+            ) best ON best.vec_id = e.vec_id
         ), losers AS MATERIALIZED (
             SELECT DISTINCT y.vec_id AS loser
             FROM a0 x JOIN a0 y
-              ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+              ON x.cluster = y.cluster AND x.cluster <> -1
+                 AND x.vec_id < y.vec_id
             WHERE {cos.format(a='x', b='y')} > {SEM_COS_THRESHOLD}
         )
         SELECT vec_id, cluster,

@@ -92,8 +92,13 @@ def test_dedup_semantic_invariants(spark, sf_dir):
         return math.floor((d / (na * nb)) * 1e6 + 0.5) / 1e6
 
     t = dedup.SEM_COS_THRESHOLD
-    for members in clusters.values():
+    for cid, members in clusters.items():
         assert any(m.kept for m in members)
+        if cid == -1:
+            # bucket-miss fallback: unassigned vectors are kept
+            # singletons, exempt from pairwise pruning by design
+            assert all(m.kept for m in members)
+            continue
         kept = sorted((m.vec_id for m in members if m.kept))
         for i, a in enumerate(kept):
             for b in kept[i + 1:]:
