@@ -90,6 +90,8 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # r8 rotation. Everything else was driver-verified in r5/r6.
     hoist = [
         # -- BRAND NEW (r7): no driver evidence at all -- first priority
+        "pareto_frontier",
+        "asof_interpolate",
         "graph_triangle_count",
         "dedup_semantic",
         "timeseries_ewma",

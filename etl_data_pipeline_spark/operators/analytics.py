@@ -560,7 +560,67 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PARETO_BUCKET_WIDTH = 100.0  # price-range bucket for the parallel frontier
+
+
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) over parts, minimizing
+    (p_retailprice, p_size): the points no other part dominates on
+    both axes — multi-objective shortlist queries (cheapest-AND-
+    smallest tradeoff curves) that OLAP engines ship as SKYLINE.
+
+    Scale design — NO global-order window and NO all-pairs NOT
+    EXISTS (the textbook formulations; the first serializes onto one
+    partition, the second is O(n²)):
+      1. collapse to one row per price with min(size) — map-side
+         combinable, the only full-data shuffle;
+      2. range-bucket the price axis; the frontier test against
+         SMALLER-price points splits exactly into (a) points in
+         earlier buckets — summarized by a running min over the tiny
+         per-bucket-min relation (broadcast back), and (b) same-bucket
+         preceding points — a window PARTITIONED BY bucket, so every
+         bucket sorts in parallel.
+    A point survives iff its size beats the least of both guards.
+    Equivalent to the quadratic skyline definition, which is exactly
+    what the oracle runs (an independent NOT-EXISTS formulation).
+
+    Reference parity: none (reference is scan-only); §2.B extension
+    surface alongside topk_per_group/window_rank."""
+    pts = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(F.col("p_retailprice").alias("price"))
+        .agg(F.min("p_size").alias("size"))
+        .withColumn(
+            "bucket", F.floor(F.col("price") / F.lit(PARETO_BUCKET_WIDTH))
+        )
+    )
+    # Tiny relation: one row per bucket; its prefix-min summarizes every
+    # point in all earlier buckets.
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_guard = (
+        pts.groupBy("bucket")
+        .agg(F.min("size").alias("bmin"))
+        .select("bucket", F.min("bmin").over(wb).alias("earlier_min"))
+    )
+    # Parallel per-bucket running min over strictly-smaller prices.
+    wl = (
+        Window.partitionBy("bucket")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    guarded = pts.withColumn("local_min", F.min("size").over(wl)).join(
+        F.broadcast(bucket_guard), "bucket"
+    )
+    guard = F.least("local_min", "earlier_min")  # least() skips NULLs
+    return (
+        guarded.filter(guard.isNull() | (F.col("size") < guard))
+        .select("price", "size")
+        .orderBy("price")
+    )
+
+
 QUERIES = {
+    "pareto_frontier": pareto_frontier,
     "timeseries_ewma": timeseries_ewma,
     "events_user_streaks": events_user_streaks,
     "cdc_compact_latest": cdc_compact_latest,
@@ -577,6 +637,18 @@ QUERIES = {
 }
 
 ORACLE = {
+    "pareto_frontier": """
+        WITH pts AS (
+            SELECT p_retailprice AS price, min(p_size) AS size
+            FROM part GROUP BY p_retailprice
+        )
+        SELECT price, size FROM pts p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pts q
+            WHERE q.price < p.price AND q.size <= p.size
+        )
+        ORDER BY price
+    """,
     "timeseries_ewma": f"""
         WITH s AS (
             SELECT user_id, count(*) AS n_events,

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_data_pipeline_spark.functions.rounding import hround, sql_round
 from etl_data_pipeline_spark.session import load_table
 
 
@@ -204,13 +205,124 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INTERP_STEP_SECS = 21600  # 6-hour resample grid
+
+
+def asof_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR-interpolation resample (pandas ``interpolate`` /
+    TimescaleDB ``interpolate()``): each user's 'view' value series is
+    projected onto a regular 6-hour grid, with every grid instant
+    valued by linear interpolation between its bracketing
+    observations. Completes the gap-fill family: events_resample_ffill
+    is the step-function variant; this is the continuous one.
+
+    Built from TWO runs of the union+window as-of kernel (backward
+    pass for the previous observation, forward pass on a negated
+    full-precision epoch key for the next — see join_asof_nearest),
+    then pure arithmetic. The grid is generated per user between the
+    ceil/floor 6-hour boundaries of that user's observed span, so both
+    brackets always exist (no extrapolation rows) and the observation
+    microsecond offsets guarantee a nonzero denominator. Three bounded
+    shuffles, all keyed by user_id; grid size is span/step per user,
+    never |events|² anything.
+
+    Exactness: interpolation runs on fractional-second double epochs
+    with the SAME operation order in both engines (sub, sub, div, mul,
+    add on IEEE doubles), so values hash-compare exactly; hround(6) is
+    belt-and-braces.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("val"))
+    )
+    step = F.lit(float(INTERP_STEP_SECS))
+    bounds = views.groupBy("user_id").agg(
+        F.ceil(F.min(F.col("ts").cast("double")) / step).alias("lo"),
+        F.floor(F.max(F.col("ts").cast("double")) / step).alias("hi"),
+    )
+    grid = (
+        bounds.filter(F.col("lo") <= F.col("hi"))
+        .select("user_id", F.explode(F.sequence("lo", "hi")).alias("k"))
+        .select(
+            "user_id",
+            F.timestamp_seconds(F.col("k") * INTERP_STEP_SECS).alias("ts"),
+        )
+    )
+    back = asof_join(
+        grid,
+        views.select(
+            "user_id", "ts", F.col("val").alias("p_v"), F.col("ts").alias("p_ts")
+        ),
+        on="ts",
+        by="user_id",
+        value_cols=["p_v", "p_ts"],
+    )
+    fwd = asof_join(
+        grid.withColumn("nts", -F.col("ts").cast("double")),
+        views.select(
+            "user_id",
+            (-F.col("ts").cast("double")).alias("nts"),
+            F.col("val").alias("n_v"),
+            F.col("ts").alias("n_ts"),
+        ),
+        on="nts",
+        by="user_id",
+        value_cols=["n_v", "n_ts"],
+    ).select("user_id", "ts", "n_v", "n_ts")
+    j = back.join(fwd, ["user_id", "ts"])
+    t = F.col("ts").cast("double")
+    p = F.col("p_ts").cast("double")
+    n = F.col("n_ts").cast("double")
+    interp = F.when(F.col("n_ts") == F.col("p_ts"), F.col("p_v")).otherwise(
+        F.col("p_v") + (F.col("n_v") - F.col("p_v")) * ((t - p) / (n - p))
+    )
+    return j.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("grid_ts"),
+        hround(interp, 6).alias("value_interp"),
+    )
+
+
 QUERIES = {
+    "asof_interpolate": asof_interpolate,
     "join_asof": join_asof,
     "join_asof_tolerance": join_asof_tolerance,
     "join_asof_nearest": join_asof_nearest,
 }
 
 ORACLE = {
+    "asof_interpolate": f"""
+        WITH v AS (
+            SELECT user_id, ts, max(value) AS val
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id, ts
+        ), b AS (
+            SELECT user_id,
+                   CAST(ceil(epoch(min(ts)) / {INTERP_STEP_SECS}.0) AS BIGINT) AS lo,
+                   CAST(floor(epoch(max(ts)) / {INTERP_STEP_SECS}.0) AS BIGINT) AS hi
+            FROM v GROUP BY user_id
+        ), grid AS (
+            SELECT user_id, make_timestamp(g.k * {INTERP_STEP_SECS} * 1000000) AS ts
+            FROM b, unnest(generate_series(b.lo, b.hi)) AS g(k)
+            WHERE lo <= hi
+        ), p AS (
+            SELECT grid.user_id, grid.ts, v.val AS p_v, v.ts AS p_ts
+            FROM grid ASOF LEFT JOIN v
+              ON grid.user_id = v.user_id AND grid.ts >= v.ts
+        ), n AS (
+            SELECT grid.user_id, grid.ts, v.val AS n_v, v.ts AS n_ts
+            FROM grid ASOF LEFT JOIN v
+              ON grid.user_id = v.user_id AND grid.ts <= v.ts
+        )
+        SELECT p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS grid_ts,
+               {sql_round(
+                   "CASE WHEN n_ts = p_ts THEN p_v ELSE p_v + (n_v - p_v) * "
+                   "((epoch(p.ts) - epoch(p_ts)) / (epoch(n_ts) - epoch(p_ts)))"
+                   " END", 6)} AS value_interp
+        FROM p JOIN n ON p.user_id = n.user_id AND p.ts = n.ts
+    """,
     "join_asof": """
         WITH v AS (
             SELECT user_id, ts, max(event_id) AS view_id
