@@ -92,6 +92,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         # -- BRAND NEW (r7): no driver evidence at all -- first priority
         "pareto_frontier",
         "asof_interpolate",
+        "sketch_cms_topk_bounds",
         "graph_triangle_count",
         "dedup_semantic",
         "timeseries_ewma",

@@ -188,6 +188,88 @@ def agg_hll_rollup_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 2048  # buckets per row -> eps = e/2048 ~ 0.13% of stream mass
+CMS_TOPK = 20
+
+
+def sketch_cms_topk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation over the document token
+    stream, oracled via the bounds-twin trick: for the top-20 tokens,
+    the exact count plus TWO booleans — the CMS estimate is (a) never
+    below the true count (deterministic: counters only ever add) and
+    (b) within 3·ε·N above it (Markov bound per row; with depth 4 the
+    miss probability is ~(1/3e)^4 ≈ 2e-6 per token — deterministic in
+    practice on a fixed dataset, verified at every shipped SF tier).
+
+    Why CMS at 100 TB: the sketch is d×w COUNTERS (8 K rows here)
+    regardless of stream size, built with ONE map-side-combined
+    shuffle whose traffic caps at d·w rows per task, and it is
+    MERGEABLE — shard sketches add cell-wise, so frequency service
+    over a federated corpus never re-touches raw tokens. The exact
+    top-k aggregate here exists only to power the oracle check; at
+    scale you would keep the sketch and a heavy-hitters heap.
+
+    Estimate lookup is a broadcast join of the 20·d candidate cells
+    against the 8 K-row sketch — no token-universe enumeration.
+
+    Reference parity: none (reference is scan-only); extends the §2.B
+    sketch family (approx_distinct / hll_rollup / approx_percentile).
+    """
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.pmod(F.hash("token", F.lit(j)), F.lit(CMS_WIDTH)).alias("bucket"),
+            )
+            for j in range(CMS_DEPTH)
+        ]
+    )
+    sketch = (
+        tokens.select(F.explode(cells).alias("c"))
+        .groupBy("c.j", "c.bucket")
+        .agg(F.count("*").alias("cell_cnt"))
+    )
+    # Stream mass N = the row-0 counter total (every token lands in
+    # exactly one bucket per row) — no second pass over the tokens.
+    n_total = sketch.filter(F.col("j") == 0).agg(
+        F.sum("cell_cnt").alias("n_total")
+    )
+    top = (
+        tokens.groupBy("token")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("token"))
+        .limit(CMS_TOPK)
+    )
+    probes = top.select(
+        "token", "exact_cnt", F.explode(cells).alias("c")
+    ).select("token", "exact_cnt", "c.j", "c.bucket")
+    est = (
+        probes.hint("broadcast")
+        .join(sketch, ["j", "bucket"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("cell_cnt").alias("_est"))
+    )
+    eps = math.e / CMS_WIDTH
+    return (
+        est.join(F.broadcast(n_total))
+        .select(
+            "token",
+            "exact_cnt",
+            (F.col("_est") >= F.col("exact_cnt")).alias("never_undercounts"),
+            (
+                F.col("_est")
+                <= F.col("exact_cnt") + F.lit(3.0 * eps) * F.col("n_total")
+            ).alias("within_3eps"),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("token"))
+    )
+
+
 def agg_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna error-bound check as an ORACLED query: the GK
     sketch at accuracy=10000 guarantees rank error <= n/accuracy; we
@@ -403,6 +485,7 @@ QUERIES = {
     "agg_approx_distinct": agg_approx_distinct,
     "agg_approx_distinct_bounds": agg_approx_distinct_bounds,
     "agg_hll_rollup_bounds": agg_hll_rollup_bounds,
+    "sketch_cms_topk_bounds": sketch_cms_topk_bounds,
     "agg_approx_percentile_bounds": agg_approx_percentile_bounds,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
@@ -415,6 +498,20 @@ ORACLE = {
                count(DISTINCT o_custkey)::BIGINT AS exact_custs,
                TRUE AS within_bound
         FROM orders GROUP BY o_orderpriority
+    """,
+    "sketch_cms_topk_bounds": f"""
+        SELECT token, exact_cnt,
+               TRUE AS never_undercounts,
+               TRUE AS within_3eps
+        FROM (
+            SELECT token, count(*) AS exact_cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            GROUP BY token
+            ORDER BY exact_cnt DESC, token ASC
+            LIMIT {CMS_TOPK}
+        )
+        ORDER BY exact_cnt DESC, token ASC
     """,
     "agg_hll_rollup_bounds": """
         SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
