@@ -328,6 +328,116 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M = 4  # subspaces (dim 64 -> 16-dim subvectors)
+PQ_TOPK = 5
+
+
+def _sq_dist(a, b):
+    """Squared L2 distance via three sequential-fold dot products —
+    the SAME expression shape in the oracle SQL, so the doubles are
+    bit-identical (elementwise-fold formulations would accumulate in a
+    different order)."""
+    return _dot(a, a) - F.lit(2.0) * _dot(a, b) + _dot(b, b)
+
+
+def _subvectors(col, alias: str):
+    """Explode a dim-64 vector into PQ_M (s, 16-dim slice) rows."""
+    sub = DIM // PQ_M
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice(col, s * sub + 1, sub).alias(alias),
+                )
+                for s in range(PQ_M)
+            ]
+        )
+    )
+
+
+def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance computation
+    (Jégou et al. 2011, the FAISS ``IVF,PQ`` building block): vectors
+    are ENCODED as PQ_M one-byte codes (nearest codebook centroid per
+    16-dim subspace); a query scans CODES, not vectors — its distance
+    to any corpus vector is a sum of PQ_M table lookups from a
+    per-query LUT of |codebook|·PQ_M precomputed subdistances.
+
+    Why PQ at 100 TB: the corpus shrinks 64× (64 doubles → 4 codes),
+    the scan is table-lookup bound instead of FLOP bound, and encoding
+    is embarrassingly parallel (broadcast codebook, one corpus pass).
+    Here the LUT join + fold IS the ADC scan, expressed relationally:
+    codes ⋈ broadcast LUT on (subspace, code), then a deterministic
+    s-ordered fold per (query, vector) — no all-pairs
+    vector-by-vector math anywhere.
+
+    Codebook: 'pre-trained' deterministically (the centroid sample
+    vec_id % 100 == 50, as sim_ann_ivf), so the DuckDB oracle replays
+    encode + LUT + ADC exactly; distances fold in the same IEEE order
+    both sides and ranking uses the rounded distance with an id
+    tiebreak. ADC is approximate vs true L2 by construction — the
+    oracle checks the PQ pipeline itself, exactly."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cb = (
+        e.filter(F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER)
+        .select(F.col("vec_id").alias("cid"), _subvectors(F.col("v"), "cv").alias("c"))
+        .select("cid", "c.s", "c.cv")
+    )
+    corp = e.select("vec_id", _subvectors(F.col("v"), "sv").alias("p")).select(
+        "vec_id", "p.s", "p.sv"
+    )
+    # Encode: argmin centroid per (vector, subspace). min(struct) gives
+    # the lexicographic minimum -> deterministic (distance, cid) argmin.
+    codes = (
+        corp.join(F.broadcast(cb), "s")
+        .groupBy("vec_id", "s")
+        .agg(
+            F.min(
+                F.struct(
+                    _sq_dist(F.col("sv"), F.col("cv")).alias("d"),
+                    F.col("cid").alias("cid"),
+                )
+            ).alias("m")
+        )
+        .select("vec_id", "s", F.col("m.cid").alias("cid"))
+    )
+    qlut = (
+        corp.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cb), "s")
+        .select(
+            "query_id", "s", "cid",
+            _sq_dist(F.col("sv"), F.col("cv")).alias("qd"),
+        )
+    )
+    parts = codes.join(F.broadcast(qlut), ["s", "cid"]).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    xs = F.transform(
+        F.array_sort(F.collect_list(F.struct("s", "qd"))), lambda t: t.qd
+    )
+    folded = parts.groupBy("query_id", "vec_id").agg(xs.alias("xs"))
+    total = F.aggregate(
+        F.slice("xs", F.lit(2), F.size("xs") - 1),
+        F.element_at("xs", 1),
+        lambda acc, x: acc + x,
+    )
+    scored = folded.select(
+        "query_id", "vec_id", hround(total, 6).alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("query_id", "rank", "vec_id", "adc_dist")
+    )
+
+
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle covariance matrix of the embedding space (long
     form: dim_i <= dim_j, cov) — the input every whitening / PCA /
@@ -497,6 +607,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "sim_ann_pq_adc": sim_ann_pq_adc,
     "sim_ann_recall": sim_ann_recall,
     "embedding_covariance": embedding_covariance,
     "sim_topk": sim_topk,
@@ -666,6 +777,54 @@ def _oracle_sim_ann_recall() -> str:
     """
 
 
+def _oracle_sim_ann_pq_adc() -> str:
+    sub = DIM // PQ_M
+    sq = (
+        "list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b})"
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sp AS (SELECT unnest([{", ".join(str(s) for s in range(PQ_M))}]) AS s),
+        cb AS (
+            SELECT vec_id AS cid, s,
+                   list_slice(v, s*{sub}+1, (s+1)*{sub}) AS cv
+            FROM e CROSS JOIN sp
+            WHERE vec_id % {QUERY_MOD} = {CENTROID_MOD_REMAINDER}
+        ), corp AS (
+            SELECT vec_id, s, list_slice(v, s*{sub}+1, (s+1)*{sub}) AS sv
+            FROM e CROSS JOIN sp
+        ), codes AS (
+            SELECT vec_id, s, cid FROM (
+                SELECT corp.vec_id, corp.s, cb.cid,
+                       row_number() OVER (PARTITION BY corp.vec_id, corp.s
+                           ORDER BY {sq.format(a="sv", b="cv")} ASC,
+                                    cb.cid ASC) AS rn
+                FROM corp JOIN cb ON corp.s = cb.s)
+            WHERE rn = 1
+        ), qlut AS (
+            SELECT corp.vec_id AS query_id, corp.s, cb.cid,
+                   {sq.format(a="sv", b="cv")} AS qd
+            FROM corp JOIN cb ON corp.s = cb.s
+            WHERE corp.vec_id % {QUERY_MOD} = 0
+        ), folded AS (
+            SELECT q.query_id, c.vec_id,
+                   list_reduce(list(q.qd ORDER BY q.s), (a, b) -> a + b)
+                       AS raw
+            FROM codes c JOIN qlut q ON c.s = q.s AND c.cid = q.cid
+            WHERE c.vec_id <> q.query_id
+            GROUP BY q.query_id, c.vec_id
+        ), ranked AS (
+            SELECT query_id, vec_id,
+                   {sql_round("raw", 6)} AS adc_dist,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY {sql_round("raw", 6)} ASC, vec_id ASC) AS rank
+            FROM folded)
+        SELECT query_id, rank, vec_id, adc_dist
+        FROM ranked WHERE rank <= {PQ_TOPK}
+    """
+
+
 def _oracle_embedding_kmeans() -> str:
     cos = (
         "floor((list_dot_product({c}.cv, e.v) /"
@@ -704,6 +863,7 @@ def _oracle_embedding_kmeans() -> str:
 
 
 ORACLE = {
+    "sim_ann_pq_adc": _oracle_sim_ann_pq_adc(),
     "embedding_kmeans": _oracle_embedding_kmeans(),
     "embedding_quantize": """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

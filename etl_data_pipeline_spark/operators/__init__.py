@@ -93,6 +93,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "pareto_frontier",
         "asof_interpolate",
         "sketch_cms_topk_bounds",
+        "sim_ann_pq_adc",
         "graph_triangle_count",
         "dedup_semantic",
         "timeseries_ewma",
