@@ -1,0 +1,190 @@
+"""Behavioral tests for the round-7 continuation operators:
+pareto_frontier, asof_interpolate, sketch_cms_topk_bounds,
+sim_ann_pq_adc. Each is checked against an independent in-process
+recomputation (numpy/pure Python), not just the DuckDB oracle."""
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from etl_data_pipeline_spark.operators.aggregates import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    sketch_cms_topk_bounds,
+)
+from etl_data_pipeline_spark.operators.analytics import pareto_frontier
+from etl_data_pipeline_spark.operators.asof import (
+    INTERP_STEP_SECS,
+    asof_interpolate,
+)
+from etl_data_pipeline_spark.llm.similarity import (
+    CENTROID_MOD_REMAINDER,
+    DIM,
+    PQ_M,
+    QUERY_MOD,
+    sim_ann_pq_adc,
+)
+from etl_data_pipeline_spark.session import load_table
+
+
+def test_pareto_frontier_matches_quadratic_definition(spark, sf_dir):
+    got = {(r.price, r.size) for r in pareto_frontier(spark, sf_dir).collect()}
+    pts = {
+        (r.p_retailprice, r.p_size)
+        for r in load_table(spark, sf_dir, "part")
+        .select("p_retailprice", "p_size")
+        .collect()
+    }
+    brute = {
+        p
+        for p in pts
+        if not any(
+            q[0] <= p[0] and q[1] <= p[1] and q != p and
+            (q[0] < p[0] or q[1] < p[1])
+            for q in pts
+        )
+    }
+    assert got == brute and got
+
+
+def test_pareto_frontier_is_a_chain(spark, sf_dir):
+    # Frontier invariant: sorted by price ascending, sizes strictly fall.
+    rows = pareto_frontier(spark, sf_dir).collect()
+    sizes = [r.size for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+    assert len(set(sizes)) == len(sizes)
+
+
+def test_asof_interpolate_brackets_and_formula(spark, sf_dir):
+    out = asof_interpolate(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("val"))
+        .collect()
+    )
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(
+            (r.ts.timestamp(), r.val)
+        )
+    for series in by_user.values():
+        series.sort()
+    import bisect
+
+    checked = 0
+    for r in rows[:500]:
+        series = by_user[r.user_id]
+        from datetime import datetime, timezone
+
+        t = (
+            datetime.strptime(r.grid_ts, "%Y-%m-%d %H:%M:%S")
+            .replace(tzinfo=timezone.utc)
+            .timestamp()
+        )
+        assert t % INTERP_STEP_SECS == 0
+        i = bisect.bisect_right([s[0] for s in series], t)
+        assert 0 < i < len(series)  # inside the hull, both brackets exist
+        (pt, pv), (nt, nv) = series[i - 1], series[i]
+        expect = pv + (nv - pv) * ((t - pt) / (nt - pt))
+        assert abs(r.value_interp - expect) < 1e-5
+        checked += 1
+    assert checked
+
+
+def test_cms_bounds_hold_and_sketch_is_fixed_size(spark, sf_dir):
+    out = sketch_cms_topk_bounds(spark, sf_dir).collect()
+    assert out and all(r.never_undercounts for r in out)
+    assert all(r.within_3eps for r in out)
+    # The sketch relation itself never exceeds depth x width cells.
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    cells = tokens.select(
+        *[
+            F.pmod(F.hash("token", F.lit(j)), F.lit(CMS_WIDTH)).alias(f"b{j}")
+            for j in range(CMS_DEPTH)
+        ]
+    )
+    n_cells = (
+        cells.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(j).alias("j"), F.col(f"b{j}").alias("b"))
+                        for j in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("c")
+        )
+        .select("c.j", "c.b")
+        .distinct()
+        .count()
+    )
+    assert n_cells <= CMS_DEPTH * CMS_WIDTH
+
+
+def test_pq_adc_matches_numpy_pipeline(spark, sf_dir):
+    out = sim_ann_pq_adc(spark, sf_dir).collect()
+    assert out
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    sub = DIM // PQ_M
+    cb = {
+        cid: v for cid, v in vecs.items() if cid % QUERY_MOD == CENTROID_MOD_REMAINDER
+    }
+    cids = sorted(cb)
+
+    def codes(v):
+        out = []
+        for s in range(PQ_M):
+            sv = v[s * sub : (s + 1) * sub]
+            best = min(
+                (float(np.dot(sv - cb[c][s * sub : (s + 1) * sub],
+                              sv - cb[c][s * sub : (s + 1) * sub])), c)
+                for c in cids
+            )
+            out.append(best[1])
+        return out
+
+    code_map = {vid: codes(v) for vid, v in vecs.items()}
+    queries = sorted(v for v in vecs if v % QUERY_MOD == 0)
+    for q in queries:
+        qv = vecs[q]
+        dists = []
+        for vid, cs in code_map.items():
+            if vid == q:
+                continue
+            d = 0.0
+            for s, c in enumerate(cs):
+                qs = qv[s * sub : (s + 1) * sub]
+                cv = cb[c][s * sub : (s + 1) * sub]
+                d += float(np.dot(qs - cv, qs - cv))
+            dists.append((round(d, 6), vid))
+        dists.sort()
+        expect = [vid for _, vid in dists[:5]]
+        got = [r.vec_id for r in sorted(out, key=lambda r: r.rank) if r.query_id == q]
+        assert got == expect, (q, got, expect)
+
+
+def test_r7_cont_plan_budgets(spark, sf_dir):
+    """Shuffle budgets + no Python/cartesian nodes for the
+    continuation operators (the 100 TB posture pin)."""
+    from etl_data_pipeline_spark.plans import exchange_count, plan_str
+
+    budgets = [
+        (pareto_frontier, 6),
+        (asof_interpolate, 6),
+        (sketch_cms_topk_bounds, 6),
+        (sim_ann_pq_adc, 7),
+    ]
+    for q, budget in budgets:
+        plan = plan_str(q(spark, sf_dir))
+        assert exchange_count(plan) <= budget, (q.__name__, plan)
+        for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+            assert bad not in plan, q.__name__
