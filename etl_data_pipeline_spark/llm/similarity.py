@@ -330,6 +330,12 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PQ_M = 4  # subspaces (dim 64 -> 16-dim subvectors)
 PQ_TOPK = 5
+# Codebook = the centroid-sample ids BELOW this cap: K is FIXED (<=50)
+# at every corpus size, like a real trained PQ codebook (k=256 in
+# FAISS), so encode stays O(N*K) = O(N) — an uncapped K ∝ N sample
+# would make encoding quadratic, the same trap dedup_semantic's
+# assignment hit before its ANN-assisted fix.
+PQ_CODEBOOK_ID_CAP = 5000
 
 
 def _sq_dist(a, b):
@@ -382,7 +388,10 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cb = (
-        e.filter(F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER)
+        e.filter(
+            (F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER)
+            & (F.col("vec_id") < PQ_CODEBOOK_ID_CAP)
+        )
         .select(F.col("vec_id").alias("cid"), _subvectors(F.col("v"), "cv").alias("c"))
         .select("cid", "c.s", "c.cv")
     )
@@ -791,6 +800,7 @@ def _oracle_sim_ann_pq_adc() -> str:
                    list_slice(v, s*{sub}+1, (s+1)*{sub}) AS cv
             FROM e CROSS JOIN sp
             WHERE vec_id % {QUERY_MOD} = {CENTROID_MOD_REMAINDER}
+              AND vec_id < {PQ_CODEBOOK_ID_CAP}
         ), corp AS (
             SELECT vec_id, s, list_slice(v, s*{sub}+1, (s+1)*{sub}) AS sv
             FROM e CROSS JOIN sp

@@ -21,6 +21,7 @@ from etl_data_pipeline_spark.operators.asof import (
 from etl_data_pipeline_spark.llm.similarity import (
     CENTROID_MOD_REMAINDER,
     DIM,
+    PQ_CODEBOOK_ID_CAP,
     PQ_M,
     QUERY_MOD,
     sim_ann_pq_adc,
@@ -136,7 +137,10 @@ def test_pq_adc_matches_numpy_pipeline(spark, sf_dir):
     }
     sub = DIM // PQ_M
     cb = {
-        cid: v for cid, v in vecs.items() if cid % QUERY_MOD == CENTROID_MOD_REMAINDER
+        cid: v
+        for cid, v in vecs.items()
+        if cid % QUERY_MOD == CENTROID_MOD_REMAINDER
+        and cid < PQ_CODEBOOK_ID_CAP
     }
     cids = sorted(cb)
 
