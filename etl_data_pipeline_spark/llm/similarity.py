@@ -413,8 +413,15 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "s", F.col("m.cid").alias("cid"))
     )
+    # Fixed QUERY workload (same id cap as the codebook): ANN serving
+    # scales the corpus, not the query batch — uncapped Q ∝ N would
+    # make the full-scan ADC read as O(N²) when each query's scan is
+    # O(N) (and IVF cell pruning is the standard next step down).
     qlut = (
-        corp.filter(F.col("vec_id") % QUERY_MOD == 0)
+        corp.filter(
+            (F.col("vec_id") % QUERY_MOD == 0)
+            & (F.col("vec_id") < PQ_CODEBOOK_ID_CAP)
+        )
         .withColumnRenamed("vec_id", "query_id")
         .join(F.broadcast(cb), "s")
         .select(
@@ -817,6 +824,7 @@ def _oracle_sim_ann_pq_adc() -> str:
                    {sq.format(a="sv", b="cv")} AS qd
             FROM corp JOIN cb ON corp.s = cb.s
             WHERE corp.vec_id % {QUERY_MOD} = 0
+              AND corp.vec_id < {PQ_CODEBOOK_ID_CAP}
         ), folded AS (
             SELECT q.query_id, c.vec_id,
                    list_reduce(list(q.qd ORDER BY q.s), (a, b) -> a + b)

@@ -193,6 +193,22 @@ CMS_WIDTH = 2048  # buckets per row -> eps = e/2048 ~ 0.13% of stream mass
 CMS_TOPK = 20
 
 
+def cms_cell_array(col):
+    """The CMS_DEPTH (row, bucket) cells a value increments — ONE
+    shared expression builder for the batch sketch, the candidate
+    probes, and the streaming maintenance twin, so hash row seeds and
+    widths cannot drift between them."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.pmod(F.hash(col, F.lit(j)), F.lit(CMS_WIDTH)).alias("bucket"),
+            )
+            for j in range(CMS_DEPTH)
+        ]
+    )
+
+
 def sketch_cms_topk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch frequency estimation over the document token
     stream, oracled via the bounds-twin trick: for the top-20 tokens,
@@ -220,15 +236,7 @@ def sketch_cms_topk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tokens = docs.select(F.explode(F.split("text", " ")).alias("token"))
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("j"),
-                F.pmod(F.hash("token", F.lit(j)), F.lit(CMS_WIDTH)).alias("bucket"),
-            )
-            for j in range(CMS_DEPTH)
-        ]
-    )
+    cells = cms_cell_array(F.col("token"))
     sketch = (
         tokens.select(F.explode(cells).alias("c"))
         .groupBy("c.j", "c.bucket")

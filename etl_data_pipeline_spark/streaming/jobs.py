@@ -889,6 +889,76 @@ def run_stream_hll_rollup(
     )
 
 
+def run_stream_cms(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    token_col: str = "event_type",
+    schema=None,
+) -> StreamingQuery:
+    """Incremental FREQUENCY-sketch maintenance — the streaming twin of
+    ``sketch_cms_topk_bounds``: a Count-Min sketch over the streamed
+    ``token_col`` kept current across micro-batches by CELL-WISE SUM.
+    CMS is a LINEAR sketch (each cell is a plain counter), so the merge
+    is exact addition — unlike HLL's register-max the maintained sketch
+    EQUALS the from-scratch sketch over all data bit-for-bit, which the
+    parity test asserts as full-frame equality, not estimate equality.
+
+    Cell derivation is the SAME shared expression as the batch
+    operator (operators.aggregates.cms_cell_array), so seeds/width
+    cannot drift. State is the d×w sketch table itself (8 K rows at
+    the shipped parameters, constant at any stream volume); the same
+    last_batch_id-in-table exactly-once contract as the other merging
+    sinks — replayed batches are no-ops."""
+    from etl_data_pipeline_spark.operators.aggregates import cms_cell_array
+    from etl_data_pipeline_spark.sinks import (
+        _overwrite_swap_locked,
+        read_parquet_if_exists,
+        writer_lease,
+    )
+
+    agg_path = os.path.join(target_dir, "cms_sketch")
+    stream = events_file_stream(spark, source_dir, schema=schema)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        with writer_lease(agg_path):
+            existing = read_parquet_if_exists(spark, agg_path, lease_held=True)
+            last = (
+                existing.agg(F.max("last_batch_id")).first()[0]
+                if existing is not None
+                else None
+            )
+            if last is not None and batch_id <= last:
+                return  # replayed batch — already merged atomically
+            if batch_df.isEmpty():
+                return
+            partial = (
+                batch_df.select(
+                    F.explode(cms_cell_array(F.col(token_col))).alias("c")
+                )
+                .groupBy("c.j", "c.bucket")
+                .agg(F.count("*").alias("cell_cnt"))
+            )
+            merged = (
+                partial
+                if existing is None
+                else existing.drop("last_batch_id")
+                .unionByName(partial)
+                .groupBy("j", "bucket")
+                .agg(F.sum("cell_cnt").alias("cell_cnt"))
+            ).withColumn("last_batch_id", F.lit(batch_id))
+            _overwrite_swap_locked(merged, agg_path)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option(
+            "checkpointLocation", os.path.join(target_dir, "_cms_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_incremental_scd2(
     spark: SparkSession,
     source_dir: str,

@@ -157,7 +157,9 @@ def test_pq_adc_matches_numpy_pipeline(spark, sf_dir):
         return out
 
     code_map = {vid: codes(v) for vid, v in vecs.items()}
-    queries = sorted(v for v in vecs if v % QUERY_MOD == 0)
+    queries = sorted(
+        v for v in vecs if v % QUERY_MOD == 0 and v < PQ_CODEBOOK_ID_CAP
+    )
     for q in queries:
         qv = vecs[q]
         dists = []

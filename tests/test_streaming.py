@@ -533,6 +533,43 @@ def test_stream_hll_rollup_sketch_parity_and_replay(spark, event_chunks, tmp_pat
     assert before == after
 
 
+def test_stream_cms_exact_parity_and_replay(spark, event_chunks, tmp_path):
+    """CMS is a LINEAR sketch: the batch-wise maintained sketch must be
+    the IDENTICAL table (every cell counter equal) to a from-scratch
+    sketch over all data — stronger than the HLL estimate parity — and
+    a second availableNow run over the same source must change nothing
+    (batch-id dedup)."""
+    from etl_data_pipeline_spark.operators.aggregates import cms_cell_array
+
+    src, ev = event_chunks
+    target = str(tmp_path / "cms_target")
+    q = jobs.run_stream_cms(spark, src, target)
+    q.awaitTermination(120)
+    got = {
+        (r.j, r.bucket): r.cell_cnt
+        for r in spark.read.parquet(os.path.join(target, "cms_sketch")).collect()
+    }
+    oneshot = {
+        (r.j, r.bucket): r.cell_cnt
+        for r in ev.select(
+            F.explode(cms_cell_array(F.col("event_type"))).alias("c")
+        )
+        .groupBy("c.j", "c.bucket")
+        .agg(F.count("*").alias("cell_cnt"))
+        .collect()
+    }
+    assert got == oneshot and got  # exact cell-wise parity
+    before = sorted(
+        map(tuple, spark.read.parquet(os.path.join(target, "cms_sketch")).collect())
+    )
+    q2 = jobs.run_stream_cms(spark, src, target)
+    q2.awaitTermination(120)
+    after = sorted(
+        map(tuple, spark.read.parquet(os.path.join(target, "cms_sketch")).collect())
+    )
+    assert before == after
+
+
 def test_running_ewma_matches_batch_exactly(spark, tmp_path):
     """The streaming EWMA twin replayed over time-ordered micro-batches
     must converge to BIT-IDENTICAL per-user values as the batch
