@@ -387,6 +387,34 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    codes, qlut = _pq_codes_and_qlut(e)
+    parts = codes.join(F.broadcast(qlut), ["s", "cid"]).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = _adc_fold(parts)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("query_id", "rank", "vec_id", "adc_dist")
+    )
+
+
+def _pq_codes_and_qlut(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared PQ machinery: (codes, query LUT).
+
+    codes: one (vec_id, s, cid) row per corpus vector and subspace —
+    the 64x-compressed representation. Encode is an argmin against the
+    broadcast fixed-size codebook; min(struct) gives the lexicographic
+    minimum -> deterministic (distance, cid) tiebreak.
+
+    qlut: (query_id, s, cid, qd) — every query's precomputed distance
+    to every codebook entry per subspace. The query workload carries
+    the SAME id cap as the codebook: ANN serving scales the corpus,
+    not the query batch — an uncapped Q ∝ N sample would make the
+    O(N)-per-query ADC scan read as O(N²)."""
     cb = (
         e.filter(
             (F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER)
@@ -398,8 +426,6 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     corp = e.select("vec_id", _subvectors(F.col("v"), "sv").alias("p")).select(
         "vec_id", "p.s", "p.sv"
     )
-    # Encode: argmin centroid per (vector, subspace). min(struct) gives
-    # the lexicographic minimum -> deterministic (distance, cid) argmin.
     codes = (
         corp.join(F.broadcast(cb), "s")
         .groupBy("vec_id", "s")
@@ -413,10 +439,6 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "s", F.col("m.cid").alias("cid"))
     )
-    # Fixed QUERY workload (same id cap as the codebook): ANN serving
-    # scales the corpus, not the query batch — uncapped Q ∝ N would
-    # make the full-scan ADC read as O(N²) when each query's scan is
-    # O(N) (and IVF cell pruning is the standard next step down).
     qlut = (
         corp.filter(
             (F.col("vec_id") % QUERY_MOD == 0)
@@ -429,28 +451,91 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sq_dist(F.col("sv"), F.col("cv")).alias("qd"),
         )
     )
-    parts = codes.join(F.broadcast(qlut), ["s", "cid"]).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
+    return codes, qlut
+
+
+def _adc_fold(parts: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """Fold per-(query, vector) subspace distances in s order — the
+    deterministic IEEE sequence DuckDB's ordered list_reduce replays —
+    and round for the rank boundary. ``extra`` columns (constant per
+    group, e.g. the IVF cell) ride along in the groupBy."""
     xs = F.transform(
         F.array_sort(F.collect_list(F.struct("s", "qd"))), lambda t: t.qd
     )
-    folded = parts.groupBy("query_id", "vec_id").agg(xs.alias("xs"))
+    folded = parts.groupBy("query_id", "vec_id", *extra).agg(xs.alias("xs"))
     total = F.aggregate(
         F.slice("xs", F.lit(2), F.size("xs") - 1),
         F.element_at("xs", 1),
         lambda acc, x: acc + x,
     )
-    scored = folded.select(
-        "query_id", "vec_id", hround(total, 6).alias("adc_dist")
+    return folded.select(
+        "query_id", "vec_id", *extra, hround(total, 6).alias("adc_dist")
+    )
+
+
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF,PQ — the composed production ANN layout (FAISS
+    ``IVFx,PQy``): the coarse quantizer prunes the candidate set to
+    the query's Voronoi cell (sim_ann_ivf's assignment, nprobe=1) and
+    ADC scores ONLY the survivors from their PQ codes (sim_ann_pq_adc's
+    LUT fold). Neither half alone is the deployable index — IVF-flat
+    still reads full vectors for every candidate; full-scan ADC still
+    touches every code. Composed, per-query work is
+    |cell| · PQ_M lookups: with ~√n cells the candidate set stays a
+    vanishing corpus fraction, and candidates are 64× smaller than
+    vectors.
+
+    All determinism machinery is inherited: seeded disjoint
+    centroid/query/codebook samples, rounded scores, id tiebreaks —
+    the oracle replays assignment, encode, LUT and fold exactly.
+    Recall of the coarse stage is MEASURED by sim_ann_recall; the
+    assign step's own scale path (bucket-shortlisted centroids) is
+    proven in dedup_semantic."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    centroids = e.filter(
+        F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
+    # Persisted: consumed twice (corpus candidates + query cells) — an
+    # index structure by nature, built once, like the manifest of a
+    # write-time-partitioned IVF layout.
+    assigned = tracked_persist(
+        rank_topk(
+            e.join(F.broadcast(centroids)).select(
+                "vec_id", "centroid_id",
+                hround(cosine(F.col("cv"), F.col("v")), 6).alias("centroid_cos"),
+            ),
+            1,
+            partition_col="vec_id",
+            score_col="centroid_cos",
+            id_col="centroid_id",
+        ).select("vec_id", F.col("centroid_id").alias("cell"))
+    )
+    codes, qlut = _pq_codes_and_qlut(e)
+    qcells = (
+        assigned.filter(
+            (F.col("vec_id") % QUERY_MOD == 0)
+            & (F.col("vec_id") < PQ_CODEBOOK_ID_CAP)
+        )
+        .select(F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell"))
+    )
+    cand = codes.join(assigned, "vec_id").join(
+        F.broadcast(qcells), F.col("cell") == F.col("qcell")
+    )
+    parts = cand.join(F.broadcast(qlut), ["query_id", "s", "cid"]).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = _adc_fold(
+        parts.select("query_id", "vec_id", "s", "qd", "cell"), extra=("cell",)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("vec_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= PQ_TOPK)
-        .select("query_id", "rank", "vec_id", "adc_dist")
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "cell", "rank", "vec_id", "adc_dist")
     )
 
 
@@ -624,6 +709,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sim_ann_pq_adc": sim_ann_pq_adc,
+    "sim_ann_ivfpq": sim_ann_ivfpq,
     "sim_ann_recall": sim_ann_recall,
     "embedding_covariance": embedding_covariance,
     "sim_topk": sim_topk,
@@ -843,6 +929,77 @@ def _oracle_sim_ann_pq_adc() -> str:
     """
 
 
+def _oracle_sim_ann_ivfpq() -> str:
+    sub = DIM // PQ_M
+    sq = (
+        "list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b})"
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+              WHERE vec_id % {QUERY_MOD} = {CENTROID_MOD_REMAINDER}),
+        scored_assign AS (
+            SELECT e.vec_id, c.centroid_id,
+                   floor((list_dot_product(c.cv, e.v) /
+                          (sqrt(list_dot_product(c.cv, c.cv)) *
+                           sqrt(list_dot_product(e.v, e.v)))) * 1000000 + 0.5)
+                       / 1000000 AS centroid_cos
+            FROM e CROSS JOIN c
+        ), assigned AS MATERIALIZED (
+            SELECT vec_id, centroid_id AS cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY centroid_cos DESC, centroid_id ASC) AS arank
+                FROM scored_assign) WHERE arank = 1
+        ), sp AS (SELECT unnest([{", ".join(str(s) for s in range(PQ_M))}]) AS s),
+        cb AS (
+            SELECT vec_id AS cid, s,
+                   list_slice(v, s*{sub}+1, (s+1)*{sub}) AS cv
+            FROM e CROSS JOIN sp
+            WHERE vec_id % {QUERY_MOD} = {CENTROID_MOD_REMAINDER}
+              AND vec_id < {PQ_CODEBOOK_ID_CAP}
+        ), corp AS (
+            SELECT vec_id, s, list_slice(v, s*{sub}+1, (s+1)*{sub}) AS sv
+            FROM e CROSS JOIN sp
+        ), codes AS (
+            SELECT vec_id, s, cid FROM (
+                SELECT corp.vec_id, corp.s, cb.cid,
+                       row_number() OVER (PARTITION BY corp.vec_id, corp.s
+                           ORDER BY {sq.format(a="sv", b="cv")} ASC,
+                                    cb.cid ASC) AS rn
+                FROM corp JOIN cb ON corp.s = cb.s)
+            WHERE rn = 1
+        ), qlut AS (
+            SELECT corp.vec_id AS query_id, corp.s, cb.cid,
+                   {sq.format(a="sv", b="cv")} AS qd
+            FROM corp JOIN cb ON corp.s = cb.s
+            WHERE corp.vec_id % {QUERY_MOD} = 0
+              AND corp.vec_id < {PQ_CODEBOOK_ID_CAP}
+        ), qcells AS (
+            SELECT vec_id AS query_id, cell AS qcell FROM assigned
+            WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {PQ_CODEBOOK_ID_CAP}
+        ), folded AS (
+            SELECT q.query_id, cd.vec_id, a.cell,
+                   list_reduce(list(q.qd ORDER BY q.s), (x, y) -> x + y)
+                       AS raw
+            FROM codes cd
+            JOIN assigned a ON cd.vec_id = a.vec_id
+            JOIN qcells qc ON a.cell = qc.qcell
+            JOIN qlut q ON cd.s = q.s AND cd.cid = q.cid
+                       AND q.query_id = qc.query_id
+            WHERE cd.vec_id <> qc.query_id
+            GROUP BY q.query_id, cd.vec_id, a.cell
+        ), ranked AS (
+            SELECT query_id, cell, vec_id,
+                   {sql_round("raw", 6)} AS adc_dist,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY {sql_round("raw", 6)} ASC, vec_id ASC) AS rank
+            FROM folded)
+        SELECT query_id, cell, rank, vec_id, adc_dist
+        FROM ranked WHERE rank <= 3
+    """
+
+
 def _oracle_embedding_kmeans() -> str:
     cos = (
         "floor((list_dot_product({c}.cv, e.v) /"
@@ -882,6 +1039,7 @@ def _oracle_embedding_kmeans() -> str:
 
 ORACLE = {
     "sim_ann_pq_adc": _oracle_sim_ann_pq_adc(),
+    "sim_ann_ivfpq": _oracle_sim_ann_ivfpq(),
     "embedding_kmeans": _oracle_embedding_kmeans(),
     "embedding_quantize": """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

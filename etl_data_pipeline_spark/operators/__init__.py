@@ -94,6 +94,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "asof_interpolate",
         "sketch_cms_topk_bounds",
         "sim_ann_pq_adc",
+        "sim_ann_ivfpq",
         "graph_triangle_count",
         "dedup_semantic",
         "timeseries_ewma",

@@ -178,16 +178,91 @@ def test_pq_adc_matches_numpy_pipeline(spark, sf_dir):
         assert got == expect, (q, got, expect)
 
 
+def test_ivfpq_matches_numpy_pipeline(spark, sf_dir):
+    from etl_data_pipeline_spark.llm.similarity import sim_ann_ivfpq
+
+    out = sim_ann_ivfpq(spark, sf_dir).collect()
+    assert out
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    cents = {
+        cid: v for cid, v in vecs.items() if cid % QUERY_MOD == CENTROID_MOD_REMAINDER
+    }
+
+    def cell(v):
+        scored = sorted(
+            (
+                -round(
+                    float(np.dot(c, v))
+                    / (math.sqrt(float(np.dot(c, c))) * math.sqrt(float(np.dot(v, v)))),
+                    6,
+                ),
+                cid,
+            )
+            for cid, c in cents.items()
+        )
+        return scored[0][1]
+
+    cells = {vid: cell(v) for vid, v in vecs.items()}
+    sub = DIM // PQ_M
+    cb = {c: v for c, v in cents.items() if c < PQ_CODEBOOK_ID_CAP}
+    cids = sorted(cb)
+
+    def codes(v):
+        cs = []
+        for s in range(PQ_M):
+            sv = v[s * sub : (s + 1) * sub]
+            cs.append(
+                min(
+                    (float(np.dot(sv - cb[c][s * sub : (s + 1) * sub],
+                                  sv - cb[c][s * sub : (s + 1) * sub])), c)
+                    for c in cids
+                )[1]
+            )
+        return cs
+
+    code_map = {vid: codes(v) for vid, v in vecs.items()}
+    queries = sorted(
+        v for v in vecs if v % QUERY_MOD == 0 and v < PQ_CODEBOOK_ID_CAP
+    )
+    for q in queries:
+        qv, qcell = vecs[q], cells[q]
+        dists = []
+        for vid, cs in code_map.items():
+            if vid == q or cells[vid] != qcell:
+                continue
+            d = 0.0
+            for s, c in enumerate(cs):
+                qs = qv[s * sub : (s + 1) * sub]
+                cv = cb[c][s * sub : (s + 1) * sub]
+                d += float(np.dot(qs - cv, qs - cv))
+            dists.append((round(d, 6), vid))
+        dists.sort()
+        expect = [vid for _, vid in dists[:3]]
+        got_rows = sorted(
+            (r for r in out if r.query_id == q), key=lambda r: r.rank
+        )
+        assert [r.vec_id for r in got_rows] == expect, (q, got_rows, expect)
+        assert all(r.cell == qcell for r in got_rows)
+
+
 def test_r7_cont_plan_budgets(spark, sf_dir):
     """Shuffle budgets + no Python/cartesian nodes for the
     continuation operators (the 100 TB posture pin)."""
     from etl_data_pipeline_spark.plans import exchange_count, plan_str
+
+    from etl_data_pipeline_spark.llm.similarity import sim_ann_ivfpq
 
     budgets = [
         (pareto_frontier, 6),
         (asof_interpolate, 6),
         (sketch_cms_topk_bounds, 6),
         (sim_ann_pq_adc, 7),
+        # 11 standalone; 13 when the session already holds the persisted
+        # assignment (cache-state-dependent reuse) — pin the max.
+        (sim_ann_ivfpq, 13),
     ]
     for q, budget in budgets:
         plan = plan_str(q(spark, sf_dir))
