@@ -95,6 +95,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "sketch_cms_topk_bounds",
         "sim_ann_pq_adc",
         "sim_ann_ivfpq",
+        "udtf_doc_tokens",
         "graph_triangle_count",
         "dedup_semantic",
         "timeseries_ewma",

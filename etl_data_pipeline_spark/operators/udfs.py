@@ -209,14 +209,64 @@ def udaf_segment_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("grp", "c_mktsegment")
 
 
+def udtf_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 4 ``@udtf``) — the
+    fourth Python-extension tier after scalar/pandas/grouped-map: one
+    input row LATERAL-expands to many output rows with per-row Python
+    state (here a running character total across a document's tokens
+    — trivially stateful inside one doc, which is the natural UDTF
+    shape). Arrow-optimized (``useArrow=True``), so batches cross the
+    boundary columnar like a pandas UDF.
+
+    Cost model (same warning as udf_scalar): everything this one does
+    is expressible as posexplode + a window (the oracle does exactly
+    that) — a real deployment reaches for a UDTF only when the
+    expansion logic needs Python (a tokenizer library, a parser). API
+    parity exhibit, kept off every other query's path."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, idx int, token string, cum_chars bigint",
+          useArrow=True)
+    class SplitTokens:
+        def eval(self, doc_id, text):
+            cum = 0
+            for i, tok in enumerate((text or "").split(" ")):
+                cum += len(tok)
+                yield doc_id, i, tok, cum
+
+    spark.udtf.register("split_tokens_udtf", SplitTokens)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__udtf_docs"
+    )
+    return spark.sql(
+        """SELECT s.doc_id, s.idx, s.token, s.cum_chars
+           FROM __udtf_docs d,
+                LATERAL split_tokens_udtf(d.doc_id, d.text) s"""
+    )
+
+
 QUERIES = {
     "udf_scalar": udf_scalar,
+    "udtf_doc_tokens": udtf_doc_tokens,
     "udf_pandas": udf_pandas,
     "udaf_grouped": udaf_grouped,
     "udaf_segment_trend": udaf_segment_trend,
 }
 
 ORACLE = {
+    "udtf_doc_tokens": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        ), pos AS (
+            SELECT doc_id, CAST(g.i - 1 AS INTEGER) AS idx, l[g.i] AS token
+            FROM toks, unnest(generate_series(1, len(l))) AS g(i)
+        )
+        SELECT doc_id, idx, token,
+               CAST(sum(length(token)) OVER (
+                   PARTITION BY doc_id ORDER BY idx
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars
+        FROM pos
+    """,
     "udf_scalar": """
         SELECT o_orderkey,
                CASE WHEN o_totalprice IS NULL THEN 'unknown'
