@@ -278,6 +278,73 @@ def sketch_cms_topk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OVERLAP_TYPES = ("view", "purchase")
+
+
+def sketch_overlap_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from MERGEABLE sketches: |A∩B| of
+    the view/purchase user sets via inclusion-exclusion over HLL
+    (|A| + |B| − |A∪B|), where the union estimate comes from MERGING
+    the two per-type sketches — never re-touching raw events. This is
+    the sketch-algebra every 100 TB audience system runs: per-segment
+    sketches are built once at ingest; any pairwise (or k-way) overlap
+    is then answered at sketch size. The subtraction compounds the
+    three estimates' errors, which is exactly why it must ship with a
+    measured bound, not folklore.
+
+    Bounds-twin oracle: output carries the exact intersection (one
+    distinct-users semi-intersection, shares the scan; at scale you
+    would keep only the sketches) plus a boolean asserting the
+    sketch-derived estimate lands within 5% of it (lgConfigK=14 → rsd
+    ≈ 0.8%; inclusion-exclusion at these overlap fractions stays ~6σ
+    inside 5%, verified at every shipped tier). Oracle computes the
+    exact value and TRUE."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    per_type = (
+        ev.filter(F.col("event_type").isin(*OVERLAP_TYPES))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    )
+    ests = per_type.agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == OVERLAP_TYPES[0],
+                F.hll_sketch_estimate("sk"),
+            ).otherwise(0.0)
+        ).alias("_a"),
+        F.sum(
+            F.when(
+                F.col("event_type") == OVERLAP_TYPES[1],
+                F.hll_sketch_estimate("sk"),
+            ).otherwise(0.0)
+        ).alias("_b"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_u"),
+    )
+    users_a = ev.filter(F.col("event_type") == OVERLAP_TYPES[0]).select(
+        "user_id"
+    )
+    users_b = ev.filter(F.col("event_type") == OVERLAP_TYPES[1]).select(
+        "user_id"
+    )
+    exact = (
+        users_a.intersect(users_b)
+        .agg(F.count("*").alias("exact_overlap"))
+    )
+    return exact.join(F.broadcast(ests)).select(
+        F.lit(OVERLAP_TYPES[0]).alias("set_a"),
+        F.lit(OVERLAP_TYPES[1]).alias("set_b"),
+        "exact_overlap",
+        (
+            F.abs(
+                (F.col("_a") + F.col("_b") - F.col("_u"))
+                - F.col("exact_overlap")
+            )
+            / F.col("exact_overlap")
+            <= 0.05
+        ).alias("within_bound"),
+    )
+
+
 def agg_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna error-bound check as an ORACLED query: the GK
     sketch at accuracy=10000 guarantees rank error <= n/accuracy; we
@@ -494,6 +561,7 @@ QUERIES = {
     "agg_approx_distinct_bounds": agg_approx_distinct_bounds,
     "agg_hll_rollup_bounds": agg_hll_rollup_bounds,
     "sketch_cms_topk_bounds": sketch_cms_topk_bounds,
+    "sketch_overlap_bounds": sketch_overlap_bounds,
     "agg_approx_percentile_bounds": agg_approx_percentile_bounds,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
@@ -506,6 +574,17 @@ ORACLE = {
                count(DISTINCT o_custkey)::BIGINT AS exact_custs,
                TRUE AS within_bound
         FROM orders GROUP BY o_orderpriority
+    """,
+    "sketch_overlap_bounds": f"""
+        SELECT '{OVERLAP_TYPES[0]}' AS set_a, '{OVERLAP_TYPES[1]}' AS set_b,
+               (SELECT count(*) FROM (
+                    SELECT DISTINCT user_id FROM events
+                    WHERE event_type = '{OVERLAP_TYPES[0]}'
+                    INTERSECT
+                    SELECT DISTINCT user_id FROM events
+                    WHERE event_type = '{OVERLAP_TYPES[1]}'
+               ))::BIGINT AS exact_overlap,
+               TRUE AS within_bound
     """,
     "sketch_cms_topk_bounds": f"""
         SELECT token, exact_cnt,
