@@ -189,6 +189,24 @@ def dedup_stream(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
 
 
+def dedup_stream_within_watermark(
+    stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Bounded-state streaming dedup on IDENTITY ALONE
+    (``dropDuplicatesWithinWatermark``): duplicates are dropped even
+    when the replay carries a DIFFERENT event time — the case
+    ``dedup_stream`` (key = event_id+ts) misses, and the common one in
+    practice: at-least-once producers re-emit with a fresh ingest
+    timestamp. The event-time column stays OUT of the key; state for
+    an id expires once the watermark passes its last sighting, so
+    state is bounded by the id arrival rate × watermark horizon —
+    the contract that keeps a 100 TB/day stream's dedup state finite.
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def stream_stream_attribution_join(
     purchases: DataFrame, views: DataFrame, horizon: str = "1 hour"
 ) -> DataFrame:

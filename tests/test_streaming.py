@@ -570,6 +570,59 @@ def test_stream_cms_exact_parity_and_replay(spark, event_chunks, tmp_path):
     assert before == after
 
 
+def test_dedup_within_watermark_catches_retimed_replays(spark, tmp_path):
+    """A replay of the same event_id with a DIFFERENT event time must
+    be dropped by dropDuplicatesWithinWatermark (identity-only key,
+    bounded state) — exactly the duplicate the (event_id, ts)-keyed
+    dedup_stream cannot see."""
+    from etl_data_pipeline_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").limit(200)
+    src = os.path.join(str(tmp_path), "ddww_src")
+    _write_stream_file(ev, src, 0)
+    # replay: same ids, event time nudged 5 seconds (a re-ingest)
+    retimed = ev.withColumn("ts", F.col("ts") + F.expr("INTERVAL 5 SECONDS"))
+    _write_stream_file(retimed, src, 1)
+
+    stream = jobs.events_file_stream(spark, src, max_files_per_trigger=1)
+    out = _run_to_memory(
+        spark, jobs.dedup_stream_within_watermark(stream), "t_ddww"
+    )
+    ids = [r.event_id for r in out.select("event_id").collect()]
+    assert sorted(ids) == sorted(set(ids))  # every replay suppressed
+    assert len(ids) == 200
+    # contrast: the (event_id, ts)-keyed variant passes both copies
+    stream2 = jobs.events_file_stream(spark, src, max_files_per_trigger=1)
+    out2 = _run_to_memory(spark, jobs.dedup_stream(stream2), "t_ddww2")
+    assert out2.count() == 400
+
+
+def test_observation_metrics_ride_the_action(spark):
+    """with_quality_observation must (a) not change the observed
+    result, (b) deliver counts/null-rates computed by the SAME action
+    — no second scan issued by the helper itself."""
+    from etl_data_pipeline_spark.functions.observe import (
+        with_quality_observation,
+    )
+    from etl_data_pipeline_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    observed, obs = with_quality_observation(
+        orders,
+        null_cols=("o_custkey",),
+        extra={"max_price": F.max("o_totalprice")},
+    )
+    plain = orders.collect()
+    got = observed.collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, plain))
+    m = obs.get
+    assert m["n_rows"] == len(plain)
+    assert m["nulls_o_custkey"] == sum(1 for r in plain if r.o_custkey is None)
+    assert m["max_price"] == max(r.o_totalprice for r in plain)
+
+
 def test_running_ewma_matches_batch_exactly(spark, tmp_path):
     """The streaming EWMA twin replayed over time-ordered micro-batches
     must converge to BIT-IDENTICAL per-user values as the batch
