@@ -658,6 +658,148 @@ def _sem_planes_used(n_centroids: int) -> int:
     return min(max(max(n_centroids, 1).bit_length() - 1, 2), SEM_LSH_MAX_PLANES)
 
 
+def sem_bucket_array(vcol, mask: int):
+    """ALL shortlist tables' hyperplane buckets for one vector, as ONE
+    array expression: per-element sign bit · 2^(i mod P), then
+    per-table slice sums mod ``mask``. Batching every table's planes
+    into a single array-of-sign-string literal and one nested-HOF
+    expression removes the ~3.3 s/relation DRIVER-side py4j cost of
+    building 4×12 separate hyperplane_bucket trees (measured); the
+    JVM-side arithmetic, fold order and resulting bucket ids are
+    identical to the unbatched form — and to the oracle's inlined
+    rendering (sem_assign_sql_arms)."""
+    from etl_data_pipeline_spark.llm.similarity import PLANES_SEED, _planes
+    from etl_data_pipeline_spark.llm.vector import dot as _dot
+
+    P = SEM_LSH_MAX_PLANES
+    sign_strs = [
+        "".join("+" if x > 0 else "-" for x in plane)
+        for t in range(SEM_LSH_TABLES)
+        for plane in _planes(P, seed=PLANES_SEED + SEM_SEED_OFFSET + t)
+    ]
+    weighted = F.transform(
+        F.array(*[F.lit(x) for x in sign_strs]),
+        lambda sstr, i: F.when(
+            _dot(
+                vcol,
+                F.transform(
+                    F.split(sstr, ""),
+                    lambda c: (44 - F.ascii(c)).cast("double"),
+                ),
+            )
+            > 0,
+            F.pow(F.lit(2.0), (i % P).cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.array(
+        *[
+            F.aggregate(
+                F.slice(weighted, t * P + 1, P),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            % mask
+            for t in range(SEM_LSH_TABLES)
+        ]
+    )
+
+
+def sem_assign(e: DataFrame, c0: DataFrame) -> DataFrame:
+    """ANN-ASSISTED nearest-centroid assignment — the O(1)-candidates-
+    per-vector kernel shared by dedup_semantic (SemDeDup clustering)
+    and sim_ann_ivfpq (IVF coarse quantizer): centroids are
+    shortlisted through SEM_LSH_TABLES hyperplane tables whose bucket
+    count derives from the CENTROID COUNT (2^floor(log2 k), expected
+    centroid density ~1-2 per bucket at any scale), each vector scores
+    only its same-bucket candidates, and a vector whose buckets hold
+    no centroid becomes cluster -1. This replaces the dense O(N·K)
+    scoring that reads quadratic when K ∝ N (measured: dedup_semantic
+    1.65, sim_ann_ivfpq 1.51 segment exponents before their switches).
+
+    ``e`` must carry (vec_id, v, nrm); ``c0`` (centroid_id, cv, cnrm).
+    Returns (vec_id, v, nrm, cluster), deterministic end-to-end
+    (seeded planes, integer plane-count arithmetic, 6 dp rounded
+    cosines, id tiebreaks)."""
+    from etl_data_pipeline_spark.llm.vector import dot as _vdot
+
+    k = c0.count()  # scalar centroid count, not a data collect
+    mask = 1 << _sem_planes_used(k)
+    vkeys = e.select(
+        "vec_id",
+        F.posexplode(sem_bucket_array(F.col("v"), mask)).alias("tbl", "bucket"),
+    )
+    ckeys = c0.select(
+        "centroid_id",
+        F.posexplode(sem_bucket_array(F.col("cv"), mask)).alias("tbl", "bucket"),
+    )
+    cand = (
+        vkeys.join(ckeys, ["tbl", "bucket"])
+        .select("vec_id", "centroid_id")
+        .dropDuplicates(["vec_id", "centroid_id"])
+    )
+    scored = (
+        cand.join(e, "vec_id")
+        .join(c0, "centroid_id")
+        .select(
+            "vec_id",
+            "centroid_id",
+            hround(
+                _vdot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")),
+                6,
+            ).alias("cc"),
+        )
+    )
+    best_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cc"), F.asc("centroid_id")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(best_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("centroid_id").alias("cluster"))
+    )
+    return e.join(best, "vec_id", "left").select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.coalesce(F.col("cluster"), F.lit(-1).cast("long")).alias("cluster"),
+    )
+
+
+def sem_assign_sql_arms() -> tuple[str, str]:
+    """The DuckDB renderings of sem_bucket_array for vectors (over a
+    CTE ``e(vec_id, v)``) and centroids (over ``c0(centroid_id, cv)``),
+    as UNION ALL arms referencing a mask CTE ``pp(mask)`` — shared by
+    the dedup_semantic and sim_ann_ivfpq oracles so the two replays
+    cannot drift."""
+    from etl_data_pipeline_spark.llm.similarity import (
+        PLANES_SEED,
+        _planes,
+        sql_bucket_expr,
+    )
+
+    vk_arms = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl,"
+        f" ({sql_bucket_expr(_planes(SEM_LSH_MAX_PLANES, seed=PLANES_SEED + SEM_SEED_OFFSET + t))})"
+        f" % (SELECT mask FROM pp) AS bucket FROM e"
+        for t in range(SEM_LSH_TABLES)
+    )
+    ck_arms = "\n            UNION ALL ".join(
+        f"SELECT centroid_id, {t} AS tbl,"
+        f" ({sql_bucket_expr(_planes(SEM_LSH_MAX_PLANES, seed=PLANES_SEED + SEM_SEED_OFFSET + t), vexpr='cv')})"
+        f" % (SELECT mask FROM pp) AS bucket FROM c0"
+        for t in range(SEM_LSH_TABLES)
+    )
+    return vk_arms, ck_arms
+
+
+SEM_ASSIGN_MASK_SQL = f"""
+            SELECT CAST(pow(2, least(greatest(
+                       length(format('{{:b}}', greatest(count(*), 1))) - 1,
+                       2), {SEM_LSH_MAX_PLANES})) AS BIGINT) AS mask
+            FROM c0
+"""
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     dedup by CLUSTER-then-prune — k-means-assign every embedding to
@@ -697,9 +839,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from etl_data_pipeline_spark.llm.similarity import (
         CENTROID_MOD_REMAINDER,
-        PLANES_SEED,
         QUERY_MOD,
-        _planes,
     )
     from etl_data_pipeline_spark.llm.vector import dot as _vdot
 
@@ -715,93 +855,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("cnrm"),
         )
     )
-    k = c0.count()  # scalar centroid count, not a data collect
-    mask = 1 << _sem_planes_used(k)
-    P = SEM_LSH_MAX_PLANES
-
-    def _buckets(vcol):
-        # ALL tables' planes in ONE array-of-sign-string literal and a
-        # single nested-HOF expression (bit_i·2^(i mod P) per element,
-        # then per-table slice sums): building 4×12 separate
-        # hyperplane_bucket expressions costs ~3.3 s of DRIVER-side
-        # py4j construction per relation (measured) — a pure fixed
-        # overhead this one-pass form removes. JVM-side arithmetic,
-        # fold order, and the resulting bucket ids are identical.
-        sign_strs = [
-            "".join("+" if x > 0 else "-" for x in plane)
-            for t in range(SEM_LSH_TABLES)
-            for plane in _planes(P, seed=PLANES_SEED + SEM_SEED_OFFSET + t)
-        ]
-        from etl_data_pipeline_spark.llm.vector import dot as _dot
-
-        weighted = F.transform(
-            F.array(*[F.lit(x) for x in sign_strs]),
-            lambda sstr, i: F.when(
-                _dot(
-                    vcol,
-                    F.transform(
-                        F.split(sstr, ""),
-                        lambda c: (44 - F.ascii(c)).cast("double"),
-                    ),
-                )
-                > 0,
-                F.pow(F.lit(2.0), (i % P).cast("double")).cast("long"),
-            ).otherwise(F.lit(0).cast("long")),
-        )
-        return F.array(
-            *[
-                F.aggregate(
-                    F.slice(weighted, t * P + 1, P),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                )
-                % mask
-                for t in range(SEM_LSH_TABLES)
-            ]
-        )
-
-    vkeys = e.select(
-        "vec_id", F.posexplode(_buckets(F.col("v"))).alias("tbl", "bucket")
-    )
-    ckeys = c0.select(
-        "centroid_id",
-        F.posexplode(_buckets(F.col("cv"))).alias("tbl", "bucket"),
-    )
-    cand = (
-        vkeys.join(ckeys, ["tbl", "bucket"])
-        .select("vec_id", "centroid_id")
-        .dropDuplicates(["vec_id", "centroid_id"])
-    )
-    scored = (
-        cand.join(e, "vec_id")
-        .join(c0, "centroid_id")
-        .select(
-            "vec_id",
-            "centroid_id",
-            hround(
-                _vdot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")),
-                6,
-            ).alias("cc"),
-        )
-    )
-    best_w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cc"), F.asc("centroid_id")
-    )
-    best = (
-        scored.withColumn("rn", F.row_number().over(best_w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("centroid_id").alias("cluster"))
-    )
-    assigned = tracked_persist(
-        e.join(best, "vec_id", "left").select(
-            "vec_id",
-            "v",
-            "nrm",
-            F.coalesce(F.col("cluster"), F.lit(-1).cast("long")).alias(
-                "cluster"
-            ),
-        )
-    )
+    assigned = tracked_persist(sem_assign(e, c0))
     x, y = assigned.alias("x"), assigned.alias("y")
     losers = (
         x.join(
@@ -836,10 +890,7 @@ def _oracle_semantic() -> str:
     staged norms are bit-identical to per-pair norms."""
     from etl_data_pipeline_spark.llm.similarity import (
         CENTROID_MOD_REMAINDER,
-        PLANES_SEED,
         QUERY_MOD,
-        _planes,
-        sql_bucket_expr,
     )
 
     cos = (
@@ -847,27 +898,12 @@ def _oracle_semantic() -> str:
         " (sqrt(list_dot_product({a}.v, {a}.v)) *"
         " sqrt(list_dot_product({b}.v, {b}.v)))) * 1000000 + 0.5) / 1000000"
     )
-    vk_arms = "\n            UNION ALL ".join(
-        f"SELECT vec_id, {t} AS tbl,"
-        f" ({sql_bucket_expr(_planes(SEM_LSH_MAX_PLANES, seed=PLANES_SEED + SEM_SEED_OFFSET + t))})"
-        f" % (SELECT mask FROM pp) AS bucket FROM e"
-        for t in range(SEM_LSH_TABLES)
-    )
-    ck_arms = "\n            UNION ALL ".join(
-        f"SELECT centroid_id, {t} AS tbl,"
-        f" ({sql_bucket_expr(_planes(SEM_LSH_MAX_PLANES, seed=PLANES_SEED + SEM_SEED_OFFSET + t), vexpr='cv')})"
-        f" % (SELECT mask FROM pp) AS bucket FROM c0"
-        for t in range(SEM_LSH_TABLES)
-    )
+    vk_arms, ck_arms = sem_assign_sql_arms()
     return f"""
         WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         c0 AS MATERIALIZED (SELECT vec_id AS centroid_id, v AS cv FROM e
                WHERE vec_id % {QUERY_MOD} = {CENTROID_MOD_REMAINDER}),
-        pp AS MATERIALIZED (
-            SELECT CAST(pow(2, least(greatest(
-                       length(format('{{:b}}', greatest(count(*), 1))) - 1,
-                       2), {SEM_LSH_MAX_PLANES})) AS BIGINT) AS mask
-            FROM c0
+        pp AS MATERIALIZED ({SEM_ASSIGN_MASK_SQL}
         ), vk AS MATERIALIZED (
             {vk_arms}
         ), ck AS MATERIALIZED (

