@@ -98,6 +98,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "sim_ann_ivfpq",
         "udtf_doc_tokens",
         "sketch_overlap_bounds",
+        "events_pattern_match",
         "graph_triangle_count",
         "dedup_semantic",
         "timeseries_ewma",

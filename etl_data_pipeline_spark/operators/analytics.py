@@ -619,8 +619,52 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PATTERN_STRICT = "vcp"  # view -> click -> purchase, CONSECUTIVE
+PATTERN_FUNNEL = "v[^p]*p"  # view ... purchase with any non-purchase gap
+
+
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style row-sequence pattern detection: per user,
+    count occurrences of (a) the strict consecutive path
+    view→click→purchase and (b) the gap-tolerant funnel
+    view→…→purchase — the Oracle/Flink `MATCH_RECOGNIZE` workload,
+    which Spark has no native operator for.
+
+    Spark-first rendering: the per-user event-initial sequence is ONE
+    ordered fold into a string (array_sort(collect_list) — the same
+    bounded-per-entity-history contract as timeseries_ewma), and the
+    pattern automaton is the JVM regex engine via regexp_count —
+    non-overlapping leftmost-first in both Java regex and DuckDB RE2
+    for these character-class patterns, so counts hash-compare
+    exactly. One user-keyed shuffle; no self-joins, no per-step
+    window chains (an L-step pattern as lead() chains costs L windows
+    and breaks on gaps)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.substring("event_type", 1, 1).alias("i"),
+    )
+    seq = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "i"))),
+            lambda s: s.i,
+        ),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(seq.alias("seq"))
+        .select(
+            "user_id",
+            F.length("seq").alias("n_events"),
+            F.regexp_count("seq", F.lit(PATTERN_STRICT)).alias("n_strict_paths"),
+            F.regexp_count("seq", F.lit(PATTERN_FUNNEL)).alias("n_funnel_paths"),
+        )
+    )
+
+
 QUERIES = {
     "pareto_frontier": pareto_frontier,
+    "events_pattern_match": events_pattern_match,
     "timeseries_ewma": timeseries_ewma,
     "events_user_streaks": events_user_streaks,
     "cdc_compact_latest": cdc_compact_latest,
@@ -637,6 +681,21 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_pattern_match": f"""
+        WITH s AS (
+            SELECT user_id,
+                   string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(length(seq) AS INTEGER) AS n_events,
+               CAST(len(regexp_extract_all(seq, '{PATTERN_STRICT}'))
+                    AS INTEGER) AS n_strict_paths,
+               CAST(len(regexp_extract_all(seq, '{PATTERN_FUNNEL}'))
+                    AS INTEGER) AS n_funnel_paths
+        FROM s
+    """,
     "pareto_frontier": """
         WITH pts AS (
             SELECT p_retailprice AS price, min(p_size) AS size
