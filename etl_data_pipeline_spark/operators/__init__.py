@@ -99,6 +99,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "udtf_doc_tokens",
         "sketch_overlap_bounds",
         "events_pattern_match",
+        "sim_ann_ivfpq_recall",
         "graph_triangle_count",
         "dedup_semantic",
         "timeseries_ewma",
