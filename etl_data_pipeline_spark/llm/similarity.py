@@ -504,13 +504,20 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    en = e.withColumn("nrm", F.sqrt(_vdot(F.col("v"), F.col("v"))))
-    c0 = en.filter(
-        F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER
-    ).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cnrm"),
+    # Both persisted, as in dedup_semantic: sem_assign's internal
+    # centroid count() plus the candidate/scoring/reattach consumers
+    # would otherwise re-scan the corpus several times per build.
+    en = tracked_persist(
+        e.withColumn("nrm", F.sqrt(_vdot(F.col("v"), F.col("v"))))
+    )
+    c0 = tracked_persist(
+        en.filter(
+            F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER
+        ).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
     )
     # Persisted: consumed twice (corpus candidates + query cells) — an
     # index structure by nature, built once, like the manifest of a
@@ -945,15 +952,23 @@ def _oracle_sim_ann_recall() -> str:
     """
 
 
-def _oracle_sim_ann_pq_adc() -> str:
+# Squared-L2 as three dot products — the ONE SQL rendering every PQ
+# oracle shares (the Spark twin is _sq_dist; both must stay the same
+# IEEE op sequence).
+_SQ_SQL = (
+    "list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
+    " + list_dot_product({b}, {b})"
+)
+
+
+def _pq_sql_ctes() -> str:
+    """The PQ codebook/encode/LUT replay as continuing CTEs
+    (``sp``/``cb``/``corp``/``codes``/``qlut``, no WITH keyword,
+    expects an ``e(vec_id, v)`` CTE upstream) — ONE source shared by
+    the sim_ann_pq_adc, sim_ann_ivfpq and ivfpq-recall oracles so the
+    encode tiebreak and cap filters cannot drift between them."""
     sub = DIM // PQ_M
-    sq = (
-        "list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
-        " + list_dot_product({b}, {b})"
-    )
-    return f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        sp AS (SELECT unnest([{", ".join(str(s) for s in range(PQ_M))}]) AS s),
+    return f"""sp AS (SELECT unnest([{", ".join(str(s) for s in range(PQ_M))}]) AS s),
         cb AS (
             SELECT vec_id AS cid, s,
                    list_slice(v, s*{sub}+1, (s+1)*{sub}) AS cv
@@ -967,17 +982,23 @@ def _oracle_sim_ann_pq_adc() -> str:
             SELECT vec_id, s, cid FROM (
                 SELECT corp.vec_id, corp.s, cb.cid,
                        row_number() OVER (PARTITION BY corp.vec_id, corp.s
-                           ORDER BY {sq.format(a="sv", b="cv")} ASC,
+                           ORDER BY {_SQ_SQL.format(a="sv", b="cv")} ASC,
                                     cb.cid ASC) AS rn
                 FROM corp JOIN cb ON corp.s = cb.s)
             WHERE rn = 1
         ), qlut AS (
             SELECT corp.vec_id AS query_id, corp.s, cb.cid,
-                   {sq.format(a="sv", b="cv")} AS qd
+                   {_SQ_SQL.format(a="sv", b="cv")} AS qd
             FROM corp JOIN cb ON corp.s = cb.s
             WHERE corp.vec_id % {QUERY_MOD} = 0
               AND corp.vec_id < {PQ_CODEBOOK_ID_CAP}
-        ), folded AS (
+        )"""
+
+
+def _oracle_sim_ann_pq_adc() -> str:
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        {_pq_sql_ctes()}, folded AS (
             SELECT q.query_id, c.vec_id,
                    list_reduce(list(q.qd ORDER BY q.s), (a, b) -> a + b)
                        AS raw
@@ -1004,11 +1025,6 @@ def _ivfpq_sql_ctes() -> str:
         sem_assign_sql_arms,
     )
 
-    sub = DIM // PQ_M
-    sq = (
-        "list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
-        " + list_dot_product({b}, {b})"
-    )
     vk_arms, ck_arms = sem_assign_sql_arms()
     return f"""
         WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1036,31 +1052,7 @@ def _ivfpq_sql_ctes() -> str:
                 SELECT *, row_number() OVER (PARTITION BY vec_id
                     ORDER BY cc DESC, centroid_id ASC) AS arank
                 FROM ascored) WHERE arank = 1
-        ), sp AS (SELECT unnest([{", ".join(str(s) for s in range(PQ_M))}]) AS s),
-        cb AS (
-            SELECT vec_id AS cid, s,
-                   list_slice(v, s*{sub}+1, (s+1)*{sub}) AS cv
-            FROM e CROSS JOIN sp
-            WHERE vec_id % {QUERY_MOD} = {CENTROID_MOD_REMAINDER}
-              AND vec_id < {PQ_CODEBOOK_ID_CAP}
-        ), corp AS (
-            SELECT vec_id, s, list_slice(v, s*{sub}+1, (s+1)*{sub}) AS sv
-            FROM e CROSS JOIN sp
-        ), codes AS (
-            SELECT vec_id, s, cid FROM (
-                SELECT corp.vec_id, corp.s, cb.cid,
-                       row_number() OVER (PARTITION BY corp.vec_id, corp.s
-                           ORDER BY {sq.format(a="sv", b="cv")} ASC,
-                                    cb.cid ASC) AS rn
-                FROM corp JOIN cb ON corp.s = cb.s)
-            WHERE rn = 1
-        ), qlut AS (
-            SELECT corp.vec_id AS query_id, corp.s, cb.cid,
-                   {sq.format(a="sv", b="cv")} AS qd
-            FROM corp JOIN cb ON corp.s = cb.s
-            WHERE corp.vec_id % {QUERY_MOD} = 0
-              AND corp.vec_id < {PQ_CODEBOOK_ID_CAP}
-        ), qcells AS (
+        ), {_pq_sql_ctes()}, qcells AS (
             SELECT vec_id AS query_id, cell AS qcell FROM assigned
             WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {PQ_CODEBOOK_ID_CAP}
         ), folded AS (
@@ -1090,10 +1082,7 @@ def _oracle_sim_ann_ivfpq() -> str:
 
 
 def _oracle_sim_ann_ivfpq_recall() -> str:
-    sq = (
-        "list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
-        " + list_dot_product({b}, {b})"
-    )
+    sq = _SQ_SQL
     return f"""{_ivfpq_sql_ctes()},
         qv AS (
             SELECT vec_id AS query_id, v AS q FROM e

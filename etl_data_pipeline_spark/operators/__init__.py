@@ -82,12 +82,13 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # stale evidence back into the check window).
     # Round-7 rotation (per round-6 VERDICT "Next round" #1): the
     # brand-new r7 queries lead (no driver evidence yet — 26 from the
-    # first continuation + 7 from the second: pareto/interpolate/CMS/
-    # PQ/IVFPQ/UDTF/overlap), then the two r3-stale dedup queries,
-    # then the r4-stale relational core in CORRECTNESS_r04 key order.
-    # With a ~50-entry check window that leaves ~15 slots for the
-    # r4-stale set; the displaced tail (events_funnel onward plus the
-    # entries the additions pushed out) leads the r8 rotation.
+    # first continuation + 9 from the second: pareto/interpolate/CMS/
+    # PQ/IVFPQ/UDTF/overlap/pattern-match/ivfpq-recall), then the two
+    # r3-stale dedup queries, then the r4-stale relational core in
+    # CORRECTNESS_r04 key order. With a ~50-entry check window that
+    # leaves ~13 slots for the r4-stale set; the displaced tail
+    # (everything after ~join_inner_hash: the remaining joins, aggs,
+    # windows, events, profiling) leads the r8 rotation.
     # Everything else was driver-verified in r5/r6.
     hoist = [
         # -- BRAND NEW (r7): no driver evidence at all -- first priority

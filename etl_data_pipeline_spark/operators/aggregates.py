@@ -330,18 +330,21 @@ def sketch_overlap_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         users_a.intersect(users_b)
         .agg(F.count("*").alias("exact_overlap"))
     )
+    err = F.abs(
+        (F.col("_a") + F.col("_b") - F.col("_u")) - F.col("exact_overlap")
+    )
+    # Zero-overlap guard: relative error is undefined at 0, so fall
+    # back to an absolute bound of 5% of the combined set mass (the
+    # natural scale of the compounded sketch errors).
+    bound = F.when(
+        F.col("exact_overlap") == 0,
+        err <= 0.05 * (F.col("_a") + F.col("_b")),
+    ).otherwise(err / F.col("exact_overlap") <= 0.05)
     return exact.join(F.broadcast(ests)).select(
         F.lit(OVERLAP_TYPES[0]).alias("set_a"),
         F.lit(OVERLAP_TYPES[1]).alias("set_b"),
         "exact_overlap",
-        (
-            F.abs(
-                (F.col("_a") + F.col("_b") - F.col("_u"))
-                - F.col("exact_overlap")
-            )
-            / F.col("exact_overlap")
-            <= 0.05
-        ).alias("within_bound"),
+        bound.alias("within_bound"),
     )
 
 

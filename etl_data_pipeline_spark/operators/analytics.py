@@ -560,7 +560,11 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PARETO_BUCKET_WIDTH = 100.0  # price-range bucket for the parallel frontier
+PARETO_BUCKET_WIDTH = 10.0  # price-range bucket for the parallel frontier
+# (the generator's p_retailprice domain is [900, 1000) — width 10 gives
+# ~10 populated buckets so the per-bucket windows actually parallelize;
+# a width swallowing the whole domain would degenerate to one global
+# window and dead guard machinery)
 
 
 def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:

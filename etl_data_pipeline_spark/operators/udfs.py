@@ -229,8 +229,10 @@ def udtf_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
           useArrow=True)
     class SplitTokens:
         def eval(self, doc_id, text):
+            if text is None:
+                return  # match the oracle: a NULL doc expands to no rows
             cum = 0
-            for i, tok in enumerate((text or "").split(" ")):
+            for i, tok in enumerate(text.split(" ")):
                 cum += len(tok)
                 yield doc_id, i, tok, cum
 

@@ -29,6 +29,21 @@ from etl_data_pipeline_spark.llm.similarity import (
 from etl_data_pipeline_spark.session import load_table
 
 
+def _r6(x: float) -> float:
+    """Engine-faithful half-up rounding (hround/sql_round's
+    floor(x*1e6+0.5)/1e6), NOT Python's banker's round()."""
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _sq(a, b) -> float:
+    """Engine-faithful squared L2: the same three-dot expansion
+    Spark's _sq_dist and the oracles' _SQ_SQL compute — np.dot(a-b,
+    a-b) accumulates differently in the last ulps."""
+    return (
+        float(np.dot(a, a)) - 2.0 * float(np.dot(a, b)) + float(np.dot(b, b))
+    )
+
+
 def test_pareto_frontier_matches_quadratic_definition(spark, sf_dir):
     got = {(r.price, r.size) for r in pareto_frontier(spark, sf_dir).collect()}
     pts = {
@@ -68,10 +83,14 @@ def test_asof_interpolate_brackets_and_formula(spark, sf_dir):
         .agg(F.max("value").alias("val"))
         .collect()
     )
+    from datetime import timezone
+
+    # collect() returns session-TZ (UTC) wall-clock NAIVE datetimes;
+    # interpret them explicitly as UTC so the test passes on any host TZ.
     by_user = {}
     for r in ev:
         by_user.setdefault(r.user_id, []).append(
-            (r.ts.timestamp(), r.val)
+            (r.ts.replace(tzinfo=timezone.utc).timestamp(), r.val)
         )
     for series in by_user.values():
         series.sort()
@@ -149,9 +168,7 @@ def test_pq_adc_matches_numpy_pipeline(spark, sf_dir):
         for s in range(PQ_M):
             sv = v[s * sub : (s + 1) * sub]
             best = min(
-                (float(np.dot(sv - cb[c][s * sub : (s + 1) * sub],
-                              sv - cb[c][s * sub : (s + 1) * sub])), c)
-                for c in cids
+                (_sq(sv, cb[c][s * sub : (s + 1) * sub]), c) for c in cids
             )
             out.append(best[1])
         return out
@@ -170,8 +187,8 @@ def test_pq_adc_matches_numpy_pipeline(spark, sf_dir):
             for s, c in enumerate(cs):
                 qs = qv[s * sub : (s + 1) * sub]
                 cv = cb[c][s * sub : (s + 1) * sub]
-                d += float(np.dot(qs - cv, qs - cv))
-            dists.append((round(d, 6), vid))
+                d += _sq(qs, cv)
+            dists.append((_r6(d), vid))
         dists.sort()
         expect = [vid for _, vid in dists[:5]]
         got = [r.vec_id for r in sorted(out, key=lambda r: r.rank) if r.query_id == q]
@@ -223,11 +240,10 @@ def test_ivfpq_matches_numpy_pipeline(spark, sf_dir):
             return None
         scored = sorted(
             (
-                -round(
+                -_r6(
                     float(np.dot(cents[c], v))
                     / (math.sqrt(float(np.dot(cents[c], cents[c])))
-                       * math.sqrt(float(np.dot(v, v)))),
-                    6,
+                       * math.sqrt(float(np.dot(v, v))))
                 ),
                 c,
             )
@@ -246,8 +262,7 @@ def test_ivfpq_matches_numpy_pipeline(spark, sf_dir):
             sv = v[s * sub : (s + 1) * sub]
             cs.append(
                 min(
-                    (float(np.dot(sv - cb[c][s * sub : (s + 1) * sub],
-                                  sv - cb[c][s * sub : (s + 1) * sub])), c)
+                    (_sq(sv, cb[c][s * sub : (s + 1) * sub]), c)
                     for c in cids
                 )[1]
             )
@@ -270,8 +285,8 @@ def test_ivfpq_matches_numpy_pipeline(spark, sf_dir):
             for s, c in enumerate(cs):
                 qs = qv[s * sub : (s + 1) * sub]
                 cv = cb[c][s * sub : (s + 1) * sub]
-                d += float(np.dot(qs - cv, qs - cv))
-            dists.append((round(d, 6), vid))
+                d += _sq(qs, cv)
+            dists.append((_r6(d), vid))
         dists.sort()
         expect = [vid for _, vid in dists[:3]]
         got_rows = sorted(
