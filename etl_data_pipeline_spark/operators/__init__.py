@@ -101,6 +101,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "sketch_overlap_bounds",
         "events_pattern_match",
         "sim_ann_ivfpq_recall",
+        "agg_robust_stats",
         "graph_triangle_count",
         "dedup_semantic",
         "timeseries_ewma",

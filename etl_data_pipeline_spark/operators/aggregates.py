@@ -278,6 +278,49 @@ def sketch_cms_topk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group statistics — median, MAD (median absolute
+    deviation, the robust σ), and the 10–90% trimmed mean: the outlier-
+    resistant profile a data-quality layer wants where mean/stddev
+    (agg_stats) are skew-fragile.
+
+    Two-pass shape by necessity (MAD is a nested median): pass 1
+    computes the per-group quantiles, which BROADCAST back onto the
+    fact scan for pass 2's deviation median and trimmed mean — the
+    second shuffle carries only (group, value) pairs again, never a
+    per-group value collection. Exact percentiles here mirror
+    agg_percentile's caveat: at 100 TB prefer the sketch variants;
+    the robust-stats SHAPE (quantile → broadcast → deviation agg) is
+    what carries over."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    g1 = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"),
+        F.expr("percentile(value, 0.1)").alias("p10"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.count("*").alias("n"),
+    )
+    joined = ev.join(F.broadcast(g1), "event_type")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            hround(F.first("med"), 6).alias("median"),
+            hround(
+                F.expr("percentile(abs(value - med), 0.5)"), 6
+            ).alias("mad"),
+            hround(
+                F.avg(
+                    F.when(
+                        F.col("value").between(F.col("p10"), F.col("p90")),
+                        F.col("value"),
+                    )
+                ),
+                6,
+            ).alias("trimmed_mean"),
+            F.first("n").alias("n"),
+        )
+    )
+
+
 OVERLAP_TYPES = ("view", "purchase")
 
 
@@ -565,6 +608,7 @@ QUERIES = {
     "agg_hll_rollup_bounds": agg_hll_rollup_bounds,
     "sketch_cms_topk_bounds": sketch_cms_topk_bounds,
     "sketch_overlap_bounds": sketch_overlap_bounds,
+    "agg_robust_stats": agg_robust_stats,
     "agg_approx_percentile_bounds": agg_approx_percentile_bounds,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
@@ -577,6 +621,26 @@ ORACLE = {
                count(DISTINCT o_custkey)::BIGINT AS exact_custs,
                TRUE AS within_bound
         FROM orders GROUP BY o_orderpriority
+    """,
+    "agg_robust_stats": f"""
+        WITH g AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS med,
+                   quantile_cont(value, 0.1) AS p10,
+                   quantile_cont(value, 0.9) AS p90,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               {sql_round("any_value(g.med)", 6)} AS median,
+               {sql_round("quantile_cont(abs(e.value - g.med), 0.5)", 6)}
+                   AS mad,
+               {sql_round(
+                   "avg(CASE WHEN e.value BETWEEN g.p10 AND g.p90 "
+                   "THEN e.value END)", 6)} AS trimmed_mean,
+               any_value(g.n) AS n
+        FROM events e JOIN g USING (event_type)
+        GROUP BY e.event_type
     """,
     "sketch_overlap_bounds": f"""
         SELECT '{OVERLAP_TYPES[0]}' AS set_a, '{OVERLAP_TYPES[1]}' AS set_b,
