@@ -428,7 +428,69 @@ def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source", "n_chars")
 
 
+# Per-language stride weights for the training-order interleave: a
+# weight of 2.0 feeds that stream twice as often into the merged order
+# (epoch-factor upsampling a corpus mix applies at read time).
+INTERLEAVE_WEIGHTS = {"en": 1.0, "de": 2.0, "es": 2.0, "fr": 3.0, "zh": 1.5}
+INTERLEAVE_SALT = ":ileave"
+
+
+def corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted interleave of per-language document
+    streams into ONE global training order — stride scheduling
+    (weighted round-robin, the WFQ/token-bucket merge): each stream
+    is hash-shuffled (replayable, no rand()), the i-th doc of a
+    weight-w stream lands at virtual time (i - 0.5) / w, and the
+    merged order sorts by that. A weight-3 stream appears 3× as often
+    per unit of output as a weight-1 stream, evenly spread — unlike
+    concatenation (all of stream A first) or per-batch sampling
+    (clumpy). This is the read-order twin of corpus_mix_weights:
+    weights decide HOW MUCH of each source; interleave decides WHERE
+    in the epoch those docs appear.
+
+    Determinism: the within-stream order is the md5 shuffle key with
+    doc_id tiebreak; virtual time is exact IEEE division of exact
+    inputs (rank, weight literals), rounded at 6 dp only for display;
+    the global ORDER BY carries (lang, doc_id) tiebreaks — a total
+    order, identical on every engine.
+
+    Scale posture: within-stream ranks are per-language windows
+    (well-distributed keys); the final global position is ONE
+    distributed range-partitioned sort of scalar rows, the same cost
+    class as export_shuffle — no driver materialization. row_number
+    over the empty frame after a global sort is Spark's one
+    single-partition window; at 100 TB emit zipWithIndex on the
+    sorted frame instead (export_shuffle documents the swap) — kept
+    as the window here because the oracle needs the identical
+    1-based dense position semantics.
+    """
+    from etl_data_pipeline_spark.functions.hashing import md5_long60
+
+    docs = load_table(spark, sf_dir, "documents")
+    weight = F.lit(1.0)
+    for lang, wgt in INTERLEAVE_WEIGHTS.items():
+        weight = F.when(F.col("lang") == lang, float(wgt)).otherwise(weight)
+    shuffle_key = md5_long60(
+        F.concat(F.col("doc_id").cast("string"), F.lit(INTERLEAVE_SALT))
+    )
+    per_stream = Window.partitionBy("lang").orderBy(
+        F.asc("shuffle_key"), F.asc("doc_id")
+    )
+    ranked = docs.select(
+        "doc_id", "lang", shuffle_key.alias("shuffle_key"), weight.alias("w")
+    ).withColumn("within_rank", F.row_number().over(per_stream))
+    pos = ranked.select(
+        "doc_id",
+        "lang",
+        "within_rank",
+        hround((F.col("within_rank") - 0.5) / F.col("w"), 6).alias("stride_pos"),
+    )
+    merged = Window.orderBy(F.asc("stride_pos"), F.asc("lang"), F.asc("doc_id"))
+    return pos.withColumn("global_pos", F.row_number().over(merged).cast("long"))
+
+
 QUERIES = {
+    "corpus_interleave": corpus_interleave,
     "pipeline_corpus_curation_v3": pipeline_corpus_curation_v3,
     "corpus_dsir_weights": corpus_dsir_weights,
     "corpus_token_budget": corpus_token_budget,
@@ -596,7 +658,33 @@ def _oracle_curation_v3() -> str:
     """
 
 
+_ILEAVE_WCASE = " ".join(
+    f"WHEN lang = '{l}' THEN {w}" for l, w in INTERLEAVE_WEIGHTS.items()
+)
+
 ORACLE = {
+    "corpus_interleave": f"""
+        WITH ranked AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ('0x' || substr(md5(doc_id::VARCHAR
+                                     || '{INTERLEAVE_SALT}'), 1, 15))::BIGINT,
+                                doc_id) AS rn,
+                   CASE {_ILEAVE_WCASE} ELSE 1.0 END AS w
+            FROM documents
+        ), pos AS (
+            SELECT doc_id, lang,
+                   CAST(rn AS INTEGER) AS within_rank,
+                   floor((rn - 0.5) / w * 1000000 + 0.5) / 1000000
+                       AS stride_pos
+            FROM ranked
+        )
+        SELECT doc_id, lang, within_rank, stride_pos,
+               row_number() OVER (
+                   ORDER BY stride_pos, lang, doc_id) AS global_pos
+        FROM pos
+    """,
     "pipeline_corpus_curation_v3": _oracle_curation_v3(),
     "corpus_dsir_weights": _DSIR_ORACLE,
     "corpus_token_budget": _oracle_token_budget(),

@@ -669,6 +669,91 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PCA_ITERS = 8        # fixed power-iteration step count (both engines)
+PCA_INIT = 0.123456  # uniform start value, deliberately NON-dyadic:
+# with a dyadic x0 (e.g. 1/8) the first matvec over the 1e-6-quantized
+# covariance lands EXACTLY on .5 rounding boundaries for a constant
+# fraction of entries (measured: 8/64 at x0=0.125 — y·1e6 = K/8 with K
+# integer), where engine-dependent float-sum order decides the floor.
+# 123456/1e6 shares only a factor 64 with 1e6, so K·123456 ≡ 500000
+# (mod 1e6) has NO solution — exact ties are arithmetically impossible
+# at every step, and the ~1e-16 sum noise sits ≥3.2e-5 away from any
+# boundary. (Iterates after step 1 are 1e-6-quantized, where a tie
+# needs Σk·m ≡ 500000 mod 1e6 — probability ~1e-6, measure-zero in
+# practice.) The start norm is irrelevant: step 1 normalizes.
+
+
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding space by PCA_ITERS
+    fixed power-iteration steps on the covariance matrix, plus the
+    Rayleigh-quotient eigenvalue — the whitening/compression direction
+    a vector corpus pipeline extracts before quantization (and the
+    d×d-sized step of full PCA; further components = the same loop
+    with deflation).
+
+    Exactness across engines WITHOUT convergence assumptions: the
+    input matrix is embedding_covariance's 6 dp-rounded output
+    (already hash-oracled, so bit-identical in both engines), the
+    start vector is an exact double, and every matvec result and
+    every normalized iterate is re-rounded to 6 dp — float-sum order
+    noise (~1e-15) is absorbed at each step, so both engines walk the
+    SAME trajectory even on a flat spectrum where the direction
+    itself hasn't converged. The oracle unrolls the identical
+    PCA_ITERS steps as chained CTEs.
+
+    Scale posture: the corpus-sized work is exactly one
+    embedding_covariance pass (O(dim²) state, map-side combined);
+    the iteration then runs on the d² matrix — persisted once,
+    re-joined per step with the d-row iterate (broadcast), never
+    touching corpus rows again. Driver never sees a vector: the
+    matvec is join + groupBy, the norm a 1-row broadcast aggregate.
+    """
+    cov_ut = embedding_covariance(spark, sf_dir)
+    lower = cov_ut.filter(F.col("dim_i") < F.col("dim_j")).select(
+        F.col("dim_j").alias("i"), F.col("dim_i").alias("j"), F.col("cov").alias("c")
+    )
+    cov = tracked_persist(
+        cov_ut.select(
+            F.col("dim_i").alias("i"), F.col("dim_j").alias("j"), F.col("cov").alias("c")
+        ).unionAll(lower)
+    )
+    vec = cov.select(F.col("i")).distinct().select(
+        "i", F.lit(PCA_INIT).alias("x")
+    )
+    for _ in range(PCA_ITERS):
+        # localCheckpoint (not persist): the norm aggregate AND the
+        # normalized iterate both reference the matvec, so each step
+        # would otherwise DOUBLE the logical plan (2^T growth) and
+        # Catalyst re-optimization explodes — the iterative-DataFrame
+        # trap dedup_clusters documents; persist alone doesn't help
+        # because the optimizer still walks the un-truncated lineage.
+        y = (
+            cov.join(F.broadcast(vec.withColumnRenamed("i", "j")), "j")
+            .groupBy("i")
+            .agg(hround(F.sum(F.col("c") * F.col("x")), 6).alias("y"))
+        ).localCheckpoint()
+        norm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
+        vec = y.crossJoin(F.broadcast(norm)).select(
+            "i", hround(F.col("y") / F.col("nrm"), 6).alias("x")
+        )
+    yf = (
+        cov.join(F.broadcast(vec.withColumnRenamed("i", "j")), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("x")).alias("y"))
+    )
+    lam = (
+        yf.join(F.broadcast(vec), "i")
+        .agg(
+            hround(
+                F.sum(F.col("y") * F.col("x")) / F.sum(F.col("x") * F.col("x")), 6
+            ).alias("eigenvalue")
+        )
+    )
+    return vec.crossJoin(F.broadcast(lam)).select(
+        F.col("i").alias("dim"), F.col("x").alias("loading"), "eigenvalue"
+    )
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding (class centroids), long form
     (label, dim, centroid_val).
@@ -785,6 +870,7 @@ QUERIES = {
     "sim_ann_ivfpq_recall": sim_ann_ivfpq_recall,
     "sim_ann_recall": sim_ann_recall,
     "embedding_covariance": embedding_covariance,
+    "embedding_pca_power": embedding_pca_power,
     "sim_topk": sim_topk,
     "embedding_kmeans": embedding_kmeans,
     "embedding_quantize": embedding_quantize,
@@ -1147,6 +1233,71 @@ def _oracle_embedding_kmeans() -> str:
     """
 
 
+def _oracle_pca_power() -> str:
+    """Unrolled power iteration: the covariance CTE (verbatim from
+    the embedding_covariance oracle, mirrored to the full matrix),
+    then PCA_ITERS chained (matvec -> round6 -> normalize -> round6)
+    CTE pairs, then the Rayleigh-quotient eigenvalue. Chained CTEs
+    instead of WITH RECURSIVE: the step count is a fixed constant and
+    the unrolled form needs no aggregate-in-recursion support."""
+    head = f"""
+        WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        means AS (
+            SELECT dim, floor(avg(val) * 1000000 + 0.5) / 1000000 AS mean
+            FROM (SELECT unnest(range(len(v))) AS dim, unnest(v) AS val
+                  FROM e)
+            GROUP BY dim
+        ), prods AS (
+            SELECT i AS dim_i, j AS dim_j, v[i + 1] * v[j + 1] AS p
+            FROM (SELECT v, unnest(range(len(v))) AS i FROM e),
+                 LATERAL (SELECT unnest(range(i, len(v))) AS j)
+        ), raw AS (
+            SELECT dim_i, dim_j, avg(p) AS e_ij
+            FROM prods GROUP BY dim_i, dim_j
+        ), covut AS (
+            SELECT r.dim_i, r.dim_j,
+                   floor((r.e_ij - mi.mean * mj.mean) * 1000000 + 0.5)
+                       / 1000000 AS cov
+            FROM raw r
+            JOIN means mi ON mi.dim = r.dim_i
+            JOIN means mj ON mj.dim = r.dim_j
+        ), cov AS (
+            SELECT dim_i AS i, dim_j AS j, cov AS c FROM covut
+            UNION ALL
+            SELECT dim_j, dim_i, cov FROM covut WHERE dim_i < dim_j
+        ), v0 AS (
+            SELECT DISTINCT dim_i AS i, CAST({PCA_INIT} AS DOUBLE) AS x
+            FROM covut
+        )"""
+    steps = []
+    prev = "v0"
+    for t in range(1, PCA_ITERS + 1):
+        steps.append(f""",
+        y{t} AS (
+            SELECT cov.i AS i,
+                   floor(sum(cov.c * {prev}.x) * 1000000 + 0.5) / 1000000
+                       AS y
+            FROM cov JOIN {prev} ON cov.j = {prev}.i GROUP BY cov.i
+        ), v{t} AS (
+            SELECT i, floor(y / sqrt(sum(y*y) OVER ()) * 1000000 + 0.5)
+                          / 1000000 AS x
+            FROM y{t}
+        )""")
+        prev = f"v{t}"
+    tail = f""",
+        yf AS (
+            SELECT cov.i AS i, sum(cov.c * {prev}.x) AS y
+            FROM cov JOIN {prev} ON cov.j = {prev}.i GROUP BY cov.i
+        ), lam AS (
+            SELECT floor(sum(yf.y * v.x) / sum(v.x * v.x) * 1000000 + 0.5)
+                       / 1000000 AS eigenvalue
+            FROM yf JOIN {prev} v ON yf.i = v.i
+        )
+        SELECT v.i AS dim, v.x AS loading, lam.eigenvalue
+        FROM {prev} v CROSS JOIN lam"""
+    return head + "".join(steps) + tail
+
+
 ORACLE = {
     "sim_ann_pq_adc": _oracle_sim_ann_pq_adc(),
     "sim_ann_ivfpq": _oracle_sim_ann_ivfpq(),
@@ -1167,6 +1318,7 @@ ORACLE = {
         FROM m
     """,
     "sim_ann_recall": _oracle_sim_ann_recall(),
+    "embedding_pca_power": _oracle_pca_power(),
     "embedding_covariance": """
         WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
         means AS (

@@ -347,6 +347,57 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_NGRAM = 3           # shorter shingles than exact contamination:
+#                           the fuzzy rule measures PARTIAL overlap
+FUZZY_CONTAM_MIN = 0.05   # containment ratio above which a doc is flagged
+
+
+def text_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark-contamination scoring: per training doc, the
+    CONTAINMENT of its distinct 3-gram set in the eval corpus's union
+    ngram set — |ngrams(d) ∩ eval| / |ngrams(d)| — with docs above
+    FUZZY_CONTAM_MIN flagged. Containment (not Jaccard) is the right
+    asymmetric measure here: a short eval prompt embedded in a long
+    training doc scores high even though the symmetric Jaccard is
+    tiny (the near-dup detectors use resemblance; decontamination
+    needs containment — same distinction as Broder 1997).
+
+    Complements text_contamination (exact ≥1 shared 5-gram, a binary
+    flag that misses paraphrase-level leakage): the graded score
+    ranks *partially* leaked docs for the removal-threshold sweep a
+    curation run does.
+
+    Scale posture: the eval ngram set is distinct-reduced and
+    BROADCAST, so the training corpus streams through one scan/one
+    explode with a broadcast-hash semi-side join — no corpus shuffle;
+    both groupBys combine map-side on the well-distributed doc_id.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = docs.select("doc_id", F.explode(_ngrams(FUZZY_NGRAM)).alias("ngram"))
+    eval_ng = (
+        sh.filter(F.col("doc_id") % CONTAM_EVAL_MOD == 0).select("ngram").distinct()
+    )
+    train = sh.filter(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
+    tsz = train.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
+    hits = (
+        train.join(F.broadcast(eval_ng), "ngram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("hit"))
+    )
+    n_shared = F.coalesce(F.col("hit"), F.lit(0)).cast("long")
+    ratio = n_shared.cast("double") / F.col("n_ngrams")
+    return (
+        tsz.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            n_shared.alias("n_shared"),
+            hround(ratio, 6).alias("containment"),
+            F.when(ratio >= FUZZY_CONTAM_MIN, 1).otherwise(0).alias("contaminated"),
+        )
+    )
+
+
 # PII patterns: RE2-compatible (DuckDB) AND Java-regex-compatible
 # (Spark) — no lookaround, no backrefs, POSIX-safe classes only.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -899,6 +950,7 @@ QUERIES = {
     "dedup_substring_scrub": dedup_substring_scrub,
     "text_duplicate_spans": text_duplicate_spans,
     "text_contamination": text_contamination,
+    "text_contamination_fuzzy": text_contamination_fuzzy,
     "text_pii_scrub": text_pii_scrub,
     "text_repetition": text_repetition,
     "text_stats": text_stats,
@@ -1127,6 +1179,29 @@ ORACLE = {
         HAVING count(*) >= 2
         ORDER BY n_docs DESC, span ASC
         LIMIT {DUP_SPAN_TOPK}
+    """,
+    "text_contamination_fuzzy": f"""
+        WITH sh AS (
+            SELECT doc_id, unnest({_sql_ngrams(FUZZY_NGRAM)}) AS ngram
+            FROM documents
+        ), e AS (
+            SELECT DISTINCT ngram FROM sh WHERE doc_id % {CONTAM_EVAL_MOD} = 0
+        ), tsz AS (
+            SELECT doc_id, count(*) AS n_ngrams FROM sh
+            WHERE doc_id % {CONTAM_EVAL_MOD} <> 0 GROUP BY doc_id
+        ), hits AS (
+            SELECT sh.doc_id, count(*) AS hit
+            FROM sh JOIN e USING (ngram)
+            WHERE sh.doc_id % {CONTAM_EVAL_MOD} <> 0 GROUP BY sh.doc_id
+        )
+        SELECT t.doc_id, t.n_ngrams,
+               coalesce(h.hit, 0) AS n_shared,
+               {sql_round('coalesce(h.hit, 0)::DOUBLE / t.n_ngrams', 6)}
+                   AS containment,
+               CASE WHEN coalesce(h.hit, 0)::DOUBLE / t.n_ngrams
+                         >= {FUZZY_CONTAM_MIN} THEN 1 ELSE 0 END
+                   AS contaminated
+        FROM tsz t LEFT JOIN hits h ON t.doc_id = h.doc_id
     """,
     "text_contamination": f"""
         WITH sh AS (

@@ -83,13 +83,14 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # Round-7 rotation (per round-6 VERDICT "Next round" #1): the
     # brand-new r7 queries lead (no driver evidence yet — 26 from the
     # first continuation + 9 from the second: pareto/interpolate/CMS/
-    # PQ/IVFPQ/UDTF/overlap/pattern-match/ivfpq-recall), then the two
-    # r3-stale dedup queries, then the r4-stale relational core in
-    # CORRECTNESS_r04 key order. With a ~50-entry check window that
-    # leaves ~13 slots for the r4-stale set; the displaced tail
-    # (everything after ~join_inner_hash: the remaining joins, aggs,
-    # windows, events, profiling) leads the r8 rotation.
-    # Everything else was driver-verified in r5/r6.
+    # PQ/IVFPQ/UDTF/overlap/pattern-match/ivfpq-recall + 6 from the
+    # third: weighted-sample/interleave/autocorr/RFM/fuzzy-contam/
+    # PCA), then the two r3-stale dedup queries, then the r4-stale
+    # relational core in CORRECTNESS_r04 key order. With a ~50-entry
+    # check window that leaves ~6 slots for the r4-stale set; the
+    # displaced tail (everything after ~pipeline_incremental: the
+    # remaining joins, aggs, windows, events, profiling) leads the r8
+    # rotation. Everything else was driver-verified in r5/r6.
     hoist = [
         # -- BRAND NEW (r7): no driver evidence at all -- first priority
         "pareto_frontier",
@@ -128,6 +129,13 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "multimodal_decode_wav",
         "dedup_substring_scrub",
         "sim_ann_recall",
+        # -- BRAND NEW (r7 third continuation): no driver evidence yet
+        "sample_weighted",
+        "corpus_interleave",
+        "timeseries_autocorr",
+        "events_rfm",
+        "text_contamination_fuzzy",
+        "embedding_pca_power",
         # -- r3-stale (oldest remaining evidence)
         "dedup_embedding_cosine",
         "dedup_levenshtein",

@@ -666,7 +666,121 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUTOCORR_MIN_PAIRS = 10  # below this a lag-1 estimate is noise
+
+
+def timeseries_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 autocorrelation of event values in (ts, event_id)
+    order — the serial-dependence diagnostic that decides whether a
+    metric series can be modeled i.i.d. (A/B testing, anomaly
+    thresholds) or needs an AR term. Pearson correlation of (x_t,
+    x_{t-1}) computed from the five raw sums, NOT corr(): the sum-form
+    is the identical IEEE expression in both engines, while built-in
+    corr kernels differ in centering strategy across engines.
+
+    Scale posture: one window (partitioned by the high-cardinality
+    user_id — no global sort) to pair each value with its predecessor,
+    then one map-side-combinable groupBy of scalar sums. Per-user
+    state never materializes the series; the shuffle carries six
+    doubles per user. Degenerate series (constant values → zero
+    variance) and short series (< AUTOCORR_MIN_PAIRS pairs) are
+    filtered, mirroring the oracle's guards.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", F.col("value").alias("x"), F.lag("value").over(w).alias("xl"))
+        .filter(F.col("xl").isNotNull())
+    )
+    s = pairs.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("xl").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("xl") * F.col("xl")).alias("syy"),
+        F.sum(F.col("x") * F.col("xl")).alias("sxy"),
+    )
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov_xy = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        s.filter(
+            (F.col("n") >= AUTOCORR_MIN_PAIRS) & (var_x > 0) & (var_y > 0)
+        )
+        .select(
+            "user_id",
+            F.col("n").alias("n_pairs"),
+            hround(cov_xy / F.sqrt(var_x * var_y), 6).alias("autocorr_lag1"),
+        )
+    )
+
+
+RFM_QUANTILES = 4  # quartile scoring: the classic 1..4 RFM grid
+
+
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary) — the
+    marketing-analytics staple: per-user days-since-last-event,
+    event count and value sum, each scored into quartiles by ntile,
+    concatenated into the classic 3-digit segment label.
+
+    Determinism contract: every ntile ORDER BY carries a user_id
+    tiebreak so the quartile assignment is a total order (ntile's
+    bucket split is value-order-dependent; without the tiebreak two
+    engines could legally disagree on equal keys). Recency diffs on
+    DATE precision (datediff), matching the oracle's ::DATE cast.
+
+    Scale posture: one groupBy(user_id) shuffle reduces events to one
+    scalar row per user; the three ntile windows then run over the
+    per-user relation (orders of magnitude smaller than the event
+    log). The global max(ts) is a 1-row broadcast, not a second scan
+    dependency. At 100 TB the per-user relation is still large — each
+    ntile is a Spark range-partitioned global sort of scalar rows,
+    the same cost class as export_shuffle's distributed sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    gmax = ev.agg(F.max("ts").alias("gmax"))
+    base = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("frequency"),
+            hround(F.sum("value"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("gmax"), F.to_date("last_ts")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r_q = F.ntile(RFM_QUANTILES).over(
+        Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
+    )
+    f_q = F.ntile(RFM_QUANTILES).over(
+        Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    )
+    m_q = F.ntile(RFM_QUANTILES).over(
+        Window.orderBy(F.desc("monetary"), F.asc("user_id"))
+    )
+    scored = base.select(
+        "user_id", "recency_days", "frequency", "monetary",
+        r_q.alias("r_q"), f_q.alias("f_q"), m_q.alias("m_q"),
+    )
+    return scored.withColumn(
+        "rfm_segment",
+        F.concat(
+            F.col("r_q").cast("string"),
+            F.col("f_q").cast("string"),
+            F.col("m_q").cast("string"),
+        ),
+    )
+
+
 QUERIES = {
+    "timeseries_autocorr": timeseries_autocorr,
+    "events_rfm": events_rfm,
     "pareto_frontier": pareto_frontier,
     "events_pattern_match": events_pattern_match,
     "timeseries_ewma": timeseries_ewma,
@@ -685,6 +799,55 @@ QUERIES = {
 }
 
 ORACLE = {
+    "timeseries_autocorr": f"""
+        WITH seq AS (
+            SELECT user_id, value AS x,
+                   lag(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS xl
+            FROM events
+        ), pairs AS (
+            SELECT user_id, x, xl FROM seq WHERE xl IS NOT NULL
+        ), s AS (
+            SELECT user_id, count(*) AS n, sum(x) AS sx, sum(xl) AS sy,
+                   sum(x*x) AS sxx, sum(xl*xl) AS syy, sum(x*xl) AS sxy
+            FROM pairs GROUP BY user_id
+        )
+        SELECT user_id, n AS n_pairs,
+               {sql_round('(n*sxy - sx*sy)'
+                          ' / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))', 6)}
+                   AS autocorr_lag1
+        FROM s
+        WHERE n >= {AUTOCORR_MIN_PAIRS}
+          AND (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+    """,
+    "events_rfm": f"""
+        WITH mx AS (SELECT max(ts) AS gmax FROM events),
+        base AS (
+            SELECT user_id,
+                   date_diff('day', max(ts)::DATE,
+                             (SELECT gmax FROM mx)::DATE) AS recency_days,
+                   count(*) AS frequency,
+                   {sql_round('sum(value)', 2)} AS monetary
+            FROM events GROUP BY user_id
+        ), scored AS (
+            SELECT user_id,
+                   CAST(recency_days AS INTEGER) AS recency_days,
+                   frequency, monetary,
+                   CAST(ntile({RFM_QUANTILES}) OVER (
+                       ORDER BY recency_days ASC, user_id ASC) AS INTEGER)
+                       AS r_q,
+                   CAST(ntile({RFM_QUANTILES}) OVER (
+                       ORDER BY frequency DESC, user_id ASC) AS INTEGER)
+                       AS f_q,
+                   CAST(ntile({RFM_QUANTILES}) OVER (
+                       ORDER BY monetary DESC, user_id ASC) AS INTEGER)
+                       AS m_q
+            FROM base
+        )
+        SELECT user_id, recency_days, frequency, monetary, r_q, f_q, m_q,
+               r_q::VARCHAR || f_q::VARCHAR || m_q::VARCHAR AS rfm_segment
+        FROM scored
+    """,
     "events_pattern_match": f"""
         WITH s AS (
             SELECT user_id,

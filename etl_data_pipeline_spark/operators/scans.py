@@ -160,6 +160,53 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WSAMPLE_K = 3          # keep the k best-keyed docs per source
+WSAMPLE_SALT = ":wsamp"  # hash-domain separator vs the other samplers
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis–Spirakis
+    A-ES: per source, keep the k docs with the largest u^(1/w) where
+    u is a deterministic hash-uniform in (0, 1] and w = n_chars —
+    longer documents proportionally more likely to be drawn (the
+    exposure-weighted draw a corpus mix does when sampling by tokens
+    rather than by docs). Compared on ln(u)/w (monotone in u^(1/w)),
+    ranked on the 9 dp-rounded key so both engines order identical
+    doubles, with a doc_id tiebreak making the pick a total order.
+
+    Replayable like sample_hash: no rand(), the same rows on every
+    engine and every run. Scale posture: the key is a map-only
+    projection; the per-group top-k is one window over the
+    well-distributed ``source`` key — no global sort, no candidate
+    materialization beyond k rows per group surviving the rank
+    filter (Spark's WindowGroupLimit pushes the rk <= k cut into the
+    shuffle read at execution).
+    """
+    from pyspark.sql.window import Window
+
+    from etl_data_pipeline_spark.functions.hashing import md5_long60
+    from etl_data_pipeline_spark.functions.rounding import hround
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        md5_long60(F.concat(F.col("doc_id").cast("string"), F.lit(WSAMPLE_SALT)))
+        + 1
+    ) / F.lit(float(1 << 60))
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        hround(F.log(u) / F.col("n_chars"), 9).alias("sample_key"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("sample_key"), F.asc("doc_id")
+    )
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= WSAMPLE_K)
+    )
+
+
 # One ANSI-SQL text, two engines: registered verbatim as BOTH the
 # Spark implementation (spark.sql is our SQL parser — SURVEY.md §7.3
 # "explicitly NOT built") and the DuckDB oracle. TPC-H Q6 shape.
@@ -240,6 +287,7 @@ QUERIES = {
     "profile_key_skew": profile_key_skew,
     "sample_hash": sample_hash,
     "sample_stratified": sample_stratified,
+    "sample_weighted": sample_weighted,
     "scan_incremental_id": scan_incremental_id,
     "scan_incremental_ts": scan_incremental_ts,
     "watermark_advance": watermark_advance,
@@ -276,6 +324,27 @@ ORACLE = {
         FROM orders
         WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT
               % {SAMPLE_MOD} = 0
+    """,
+    "sample_weighted": f"""
+        WITH keyed AS (
+            SELECT doc_id, source, n_chars,
+                   {sql_round("ln((('0x' || substr(md5(doc_id::VARCHAR || '"
+                              + WSAMPLE_SALT
+                              + "'), 1, 15))::BIGINT + 1)"
+                              " / 1152921504606846976.0) / n_chars", 9)}
+                       AS sample_key
+            FROM documents
+            WHERE n_chars > 0
+        )
+        SELECT doc_id, source, n_chars, sample_key,
+               CAST(sample_rank AS INTEGER) AS sample_rank
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY sample_key DESC, doc_id ASC) AS sample_rank
+            FROM keyed
+        )
+        WHERE sample_rank <= {WSAMPLE_K}
     """,
     "sample_stratified": f"""
         SELECT doc_id, lang, source, n_chars

@@ -1,0 +1,258 @@
+"""Round-7 third-continuation additions: weighted sampling (A-ES),
+training-order interleave, lag-1 autocorrelation, RFM segmentation,
+fuzzy (containment) decontamination, and power-iteration PCA —
+behavioral invariants against independent recomputation plus the
+100 TB plan posture."""
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from etl_data_pipeline_spark.llm import curation, similarity, text_analysis
+from etl_data_pipeline_spark.operators import analytics, scans
+from etl_data_pipeline_spark.plans import plan_str as _plan
+from etl_data_pipeline_spark.session import load_table
+
+
+# ---------------------------------------------------------------- sampling
+
+
+def test_sample_weighted_k_per_group_and_replay(spark, sf_dir):
+    """Exactly <= k rows per source, ranks dense from 1, and the
+    selection replays identically (hash keys, no rand())."""
+    df1 = scans.sample_weighted(spark, sf_dir)
+    rows = df1.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.sample_rank)
+    for src, rks in by_src.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= scans.WSAMPLE_K
+    assert sorted(rows) == sorted(scans.sample_weighted(spark, sf_dir).collect())
+
+
+def test_sample_weighted_biases_toward_long_docs(spark, sf_dir):
+    """A-ES with w = n_chars must overrepresent long documents: the
+    sampled mean length exceeds the corpus mean (the whole point of
+    exposure weighting)."""
+    samp = scans.sample_weighted(spark, sf_dir).agg(F.avg("n_chars")).first()[0]
+    full = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    assert samp > full
+
+
+def test_sample_weighted_matches_bruteforce_aes(spark, sf_dir):
+    """The picked doc_ids must equal an independent Python replay of
+    the Efraimidis-Spirakis keys over the collected corpus."""
+    import hashlib
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .filter(F.col("n_chars") > 0)
+        .collect()
+    )
+    keyed = []
+    for r in docs:
+        h = int(hashlib.md5(f"{r.doc_id}:wsamp".encode()).hexdigest()[:15], 16)
+        u = (h + 1) / float(1 << 60)
+        key = math.floor(math.log(u) / r.n_chars * 1e9 + 0.5) / 1e9
+        keyed.append((r.source, -key, r.doc_id))
+    keyed.sort()
+    expected = set()
+    seen = {}
+    for src, _negkey, did in keyed:
+        seen[src] = seen.get(src, 0) + 1
+        if seen[src] <= scans.WSAMPLE_K:
+            expected.add(did)
+    got = {r.doc_id for r in scans.sample_weighted(spark, sf_dir).collect()}
+    assert got == expected
+
+
+# -------------------------------------------------------------- interleave
+
+
+def test_corpus_interleave_is_dense_total_order(spark, sf_dir):
+    rows = curation.corpus_interleave(spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r.global_pos for r in rows) == list(range(1, n + 1))
+    # within each lang, within_rank dense from 1
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.within_rank)
+    for lang, rks in by_lang.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+
+
+def test_corpus_interleave_respects_stride_weights(spark, sf_dir):
+    """In any output prefix, a weight-w stream of ample length should
+    have emitted ~w docs per unit of virtual time: after the k-th doc
+    of the heaviest stream, a lighter stream must not be AHEAD of its
+    weight ratio (checked on stride positions directly: the i-th doc
+    of stream s appears at virtual time (i-0.5)/w_s, which is the
+    definition — so per-lang counts in the first half follow the
+    weight ratios within rounding)."""
+    rows = curation.corpus_interleave(spark, sf_dir).collect()
+    n = len(rows)
+    half = [r for r in rows if r.global_pos <= n // 2]
+    counts = {}
+    totals = {}
+    for r in rows:
+        totals[r.lang] = totals.get(r.lang, 0) + 1
+    for r in half:
+        counts[r.lang] = counts.get(r.lang, 0) + 1
+    w = curation.INTERLEAVE_WEIGHTS
+    # emitted-so-far count for lang should be ~ min(total, w*T) where T
+    # is the cut virtual time; verify the ORDER of exhaustion: heavier
+    # (relative to stream size) streams exhaust earlier. Sanity: every
+    # lang present in the first half.
+    assert set(counts) == set(totals)
+    # stride property: the first half must contain a strictly larger
+    # FRACTION of each heavier stream than of the weight-1 stream,
+    # unless the heavy stream is already exhausted.
+    base = counts.get("en", 0) / totals["en"]  # weight 1.0
+    for lang, wt in w.items():
+        if wt > 1.0 and counts.get(lang, 0) < totals[lang]:
+            assert counts[lang] / totals[lang] >= base
+
+
+# -------------------------------------------------------------- autocorr
+
+
+def test_timeseries_autocorr_matches_numpy(spark, sf_dir):
+    got = {
+        r.user_id: r.autocorr_lag1
+        for r in analytics.timeseries_autocorr(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    series = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        series.setdefault(r.user_id, []).append(r.value)
+    expected = {}
+    for uid, xs in series.items():
+        if len(xs) - 1 < analytics.AUTOCORR_MIN_PAIRS:
+            continue
+        x = np.array(xs[1:])
+        xl = np.array(xs[:-1])
+        if x.std() == 0 or xl.std() == 0:
+            continue
+        expected[uid] = float(np.corrcoef(x, xl)[0, 1])
+    assert set(got) == set(expected)
+    for uid, v in expected.items():
+        assert abs(got[uid] - v) < 1e-5
+
+
+# -------------------------------------------------------------------- rfm
+
+
+def test_events_rfm_quartiles_and_segment(spark, sf_dir):
+    rows = analytics.events_rfm(spark, sf_dir).collect()
+    n = len(rows)
+    for col in ("r_q", "f_q", "m_q"):
+        vals = sorted(getattr(r, col) for r in rows)
+        # ntile(4): bucket sizes differ by at most 1 and cover 1..4
+        sizes = [vals.count(q) for q in range(1, 5)]
+        assert max(sizes) - min(sizes) <= 1
+        assert sum(sizes) == n
+    for r in rows:
+        assert r.rfm_segment == f"{r.r_q}{r.f_q}{r.m_q}"
+        assert r.frequency > 0 and r.recency_days >= 0
+
+
+def test_events_rfm_monetary_ranking(spark, sf_dir):
+    """m_q=1 users must all have monetary >= every m_q=4 user (ntile
+    is order-preserving)."""
+    rows = analytics.events_rfm(spark, sf_dir).collect()
+    top = [r.monetary for r in rows if r.m_q == 1]
+    bot = [r.monetary for r in rows if r.m_q == 4]
+    assert min(top) >= max(bot)
+
+
+# ---------------------------------------------------- fuzzy contamination
+
+
+def test_contamination_fuzzy_matches_python_replay(spark, sf_dir):
+    got = {
+        r.doc_id: (r.n_ngrams, r.n_shared, r.contaminated)
+        for r in text_analysis.text_contamination_fuzzy(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    n = text_analysis.FUZZY_NGRAM
+
+    def shingles(text):
+        toks = text.split(" ")
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        } if len(toks) >= n else set()
+
+    ev = set()
+    tr = {}
+    for r in docs:
+        sh = shingles(r.text)
+        if r.doc_id % text_analysis.CONTAM_EVAL_MOD == 0:
+            ev |= sh
+        elif sh:
+            tr[r.doc_id] = sh
+    assert set(got) == set(tr)
+    for did, sh in tr.items():
+        hits = len(sh & ev)
+        flag = 1 if hits / len(sh) >= text_analysis.FUZZY_CONTAM_MIN else 0
+        assert got[did] == (len(sh), hits, flag)
+
+
+def test_contamination_fuzzy_plan_broadcasts_eval_set(spark, sf_dir):
+    plan = _plan(text_analysis.text_contamination_fuzzy(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+# -------------------------------------------------------------------- pca
+
+
+def test_embedding_pca_power_matches_numpy_trajectory(spark, sf_dir):
+    """The loading vector must equal a numpy replay of the SAME
+    rounded power iteration on the covariance matrix the engine
+    itself reports (which test_llm already oracles)."""
+    cov_rows = similarity.embedding_covariance(spark, sf_dir).collect()
+    d = max(r.dim_j for r in cov_rows) + 1
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r.dim_i, r.dim_j] = r.cov
+        C[r.dim_j, r.dim_i] = r.cov
+
+    def rnd(a, p=6):
+        return np.floor(a * 10**p + 0.5) / 10**p
+
+    x = np.full(d, similarity.PCA_INIT)
+    for _ in range(similarity.PCA_ITERS):
+        y = rnd(C @ x)
+        x = rnd(y / np.sqrt((y * y).sum()))
+    yf = C @ x
+    lam = rnd((yf * x).sum() / (x * x).sum())
+
+    rows = similarity.embedding_pca_power(spark, sf_dir).collect()
+    assert len(rows) == d
+    for r in rows:
+        assert abs(r.loading - x[r.dim]) < 2e-6
+        assert abs(r.eigenvalue - lam) < 2e-6
+    # unit norm (to rounding) and a positive, trace-bounded eigenvalue
+    nrm = sum(r.loading**2 for r in rows)
+    assert abs(nrm - 1.0) < 1e-4
+    assert 0 < rows[0].eigenvalue <= np.trace(C)
+
+
+def test_embedding_pca_power_plan_no_corpus_rejoin(spark, sf_dir):
+    """The corpus must be scanned only by the covariance stage; the
+    iteration joins the tiny matrix with broadcast iterates — no
+    cartesian product, no corpus-side shuffle join."""
+    plan = _plan(similarity.embedding_pca_power(spark, sf_dir))
+    assert "CartesianProduct" not in plan
