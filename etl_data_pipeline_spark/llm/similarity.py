@@ -712,10 +712,17 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower = cov_ut.filter(F.col("dim_i") < F.col("dim_j")).select(
         F.col("dim_j").alias("i"), F.col("dim_i").alias("j"), F.col("cov").alias("c")
     )
+    # repartition(1) before persisting: the union inherits ~2× the
+    # covariance shuffle partitioning (64 near-empty partitions of a
+    # 4096-row matrix), and every one of the 8 iteration jobs would
+    # re-launch that many scan tasks. One partition = one task per
+    # step — d² rows is driver-trivial but TASK COUNT is the cost here.
     cov = tracked_persist(
         cov_ut.select(
             F.col("dim_i").alias("i"), F.col("dim_j").alias("j"), F.col("cov").alias("c")
-        ).unionAll(lower)
+        )
+        .unionAll(lower)
+        .repartition(1)
     )
     vec = cov.select(F.col("i")).distinct().select(
         "i", F.lit(PCA_INIT).alias("x")
@@ -731,6 +738,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             cov.join(F.broadcast(vec.withColumnRenamed("i", "j")), "j")
             .groupBy("i")
             .agg(hround(F.sum(F.col("c") * F.col("x")), 6).alias("y"))
+            .coalesce(1)
         ).localCheckpoint()
         norm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
         vec = y.crossJoin(F.broadcast(norm)).select(
