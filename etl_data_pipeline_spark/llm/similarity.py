@@ -762,6 +762,63 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA applied: every vector's score along the top principal
+    component (centered dot product) plus its residual norm — the
+    dimensionality-reduction / outlier-scoring output a vector
+    pipeline actually consumes (residual_norm is the "how much of
+    this vector the 1-D compression loses" signal; unit-norm loading
+    makes residual² = ‖xc‖² − score²).
+
+    Composition contract: the loading vector IS embedding_pca_power's
+    output (the oracle replays the identical unrolled trajectory via
+    the shared CTE chain), and the centering means are rounded 6 dp
+    exactly as the covariance stage rounds them — so the projection
+    is engine-exact for the same reasons the trajectory is.
+
+    Scale posture: ONE corpus pass — posexplode to (vec_id, dim, val)
+    cells, two broadcast joins (64-row means, 64-row loading), one
+    map-side-combinable groupBy(vec_id) carrying two double sums. The
+    power iteration's cost is corpus-independent (see
+    embedding_pca_power); nothing here shuffles vectors.
+    """
+    pc = embedding_pca_power(spark, sf_dir).select(
+        F.col("dim"), F.col("loading")
+    )
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    means = (
+        e.select(F.posexplode("v").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(hround(F.avg("val"), 6).alias("mean"))
+    )
+    cells = e.select("vec_id", F.posexplode("v").alias("dim", "val"))
+    xc = F.col("val") - F.col("mean")
+    agg = (
+        cells.join(F.broadcast(means), "dim")
+        .join(F.broadcast(pc), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(xc * F.col("loading")).alias("raw_score"),
+            F.sum(xc * xc).alias("ss"),
+        )
+    )
+    return agg.select(
+        "vec_id",
+        hround(F.col("raw_score"), 6).alias("pc1_score"),
+        hround(
+            F.sqrt(
+                F.greatest(
+                    F.col("ss") - F.col("raw_score") * F.col("raw_score"),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("residual_norm"),
+    )
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding (class centroids), long form
     (label, dim, centroid_val).
@@ -879,6 +936,7 @@ QUERIES = {
     "sim_ann_recall": sim_ann_recall,
     "embedding_covariance": embedding_covariance,
     "embedding_pca_power": embedding_pca_power,
+    "embedding_pca_project": embedding_pca_project,
     "sim_topk": sim_topk,
     "embedding_kmeans": embedding_kmeans,
     "embedding_quantize": embedding_quantize,
@@ -1241,15 +1299,16 @@ def _oracle_embedding_kmeans() -> str:
     """
 
 
-def _oracle_pca_power() -> str:
-    """Unrolled power iteration: the covariance CTE (verbatim from
-    the embedding_covariance oracle, mirrored to the full matrix),
-    then PCA_ITERS chained (matvec -> round6 -> normalize -> round6)
-    CTE pairs, then the Rayleigh-quotient eigenvalue. Chained CTEs
-    instead of WITH RECURSIVE: the step count is a fixed constant and
-    the unrolled form needs no aggregate-in-recursion support."""
-    head = f"""
-        WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+def _pca_cte_chain() -> tuple[str, str]:
+    """The shared unrolled power-iteration CTE chain: covariance
+    (verbatim from the embedding_covariance oracle, mirrored to the
+    full matrix), then PCA_ITERS (matvec -> round6 -> normalize ->
+    round6) CTE pairs. Returns (sql_without_WITH, final_vec_cte_name).
+    Chained CTEs instead of WITH RECURSIVE: the step count is a fixed
+    constant and the unrolled form needs no aggregate-in-recursion
+    support. Consumed by BOTH pca oracles so the trajectories cannot
+    drift apart."""
+    head = f"""e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
         means AS (
             SELECT dim, floor(avg(val) * 1000000 + 0.5) / 1000000 AS mean
             FROM (SELECT unnest(range(len(v))) AS dim, unnest(v) AS val
@@ -1292,7 +1351,13 @@ def _oracle_pca_power() -> str:
             FROM y{t}
         )""")
         prev = f"v{t}"
-    tail = f""",
+    return head + "".join(steps), prev
+
+
+def _oracle_pca_power() -> str:
+    chain, prev = _pca_cte_chain()
+    return f"""
+        WITH {chain},
         yf AS (
             SELECT cov.i AS i, sum(cov.c * {prev}.x) AS y
             FROM cov JOIN {prev} ON cov.j = {prev}.i GROUP BY cov.i
@@ -1303,7 +1368,30 @@ def _oracle_pca_power() -> str:
         )
         SELECT v.i AS dim, v.x AS loading, lam.eigenvalue
         FROM {prev} v CROSS JOIN lam"""
-    return head + "".join(steps) + tail
+
+
+def _oracle_pca_project() -> str:
+    chain, prev = _pca_cte_chain()
+    return f"""
+        WITH {chain},
+        cells AS (
+            SELECT vec_id, unnest(range(len(v))) AS dim,
+                   unnest(v::DOUBLE[]) AS val
+            FROM (SELECT vec_id, embedding AS v FROM embeddings)
+        ), agg AS (
+            SELECT c.vec_id,
+                   sum((c.val - m.mean) * pc.x) AS raw_score,
+                   sum((c.val - m.mean) * (c.val - m.mean)) AS ss
+            FROM cells c
+            JOIN means m ON m.dim = c.dim
+            JOIN {prev} pc ON pc.i = c.dim
+            GROUP BY c.vec_id
+        )
+        SELECT vec_id,
+               floor(raw_score * 1000000 + 0.5) / 1000000 AS pc1_score,
+               floor(sqrt(greatest(ss - raw_score * raw_score, 0))
+                     * 1000000 + 0.5) / 1000000 AS residual_norm
+        FROM agg"""
 
 
 ORACLE = {
@@ -1327,6 +1415,7 @@ ORACLE = {
     """,
     "sim_ann_recall": _oracle_sim_ann_recall(),
     "embedding_pca_power": _oracle_pca_power(),
+    "embedding_pca_project": _oracle_pca_project(),
     "embedding_covariance": """
         WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
         means AS (

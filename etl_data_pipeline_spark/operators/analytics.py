@@ -666,6 +666,67 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HOLT_ALPHA = 0.5   # level smoothing — exact dyadic doubles: the fold
+HOLT_BETA = 0.25   # trend smoothing — is pure double arithmetic (no
+#                    mid-fold quantization), so bit-parity needs only
+#                    identical literals + identical op order
+
+
+def timeseries_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt double-exponential smoothing (level + linear
+    trend) with one-step-ahead forecast — the trend-aware upgrade of
+    timeseries_ewma, and like it an order-dependent RECURRENCE no
+    window frame expresses:
+
+        l_t = α·x_t + (1-α)·(l_{t-1} + b_{t-1})
+        b_t = β·(l_t - l_{t-1}) + (1-β)·b_{t-1}
+
+    seeded l_2 = x_2, b_2 = x_2 − x_1 (Hyndman & Athanasopoulos §8.2
+    init). Run as a JVM-side left fold: ordered collect per user,
+    F.aggregate with a (level, trend) STRUCT accumulator over the
+    tail. The fold is the SAME IEEE double sequence DuckDB's
+    recursive CTE replays (l_t appears twice in b_t's expression on
+    BOTH engines), so the comparison is bit-exact; the 8 dp rounding
+    is belt-and-braces — the timeseries_ewma contract, extended to a
+    2-component state.
+
+    Scale posture: identical to timeseries_ewma — ONE groupBy(user)
+    shuffle, per-user state bounded by per-entity history; unbounded
+    histories belong to the streaming twin pattern
+    (streaming.jobs.running_user_ewma generalizes the same way).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    xs = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s.value,
+    )
+    series = ev.groupBy("user_id").agg(xs.alias("xs")).filter(F.size("xs") >= 2)
+    x1, x2 = F.element_at("xs", 1), F.element_at("xs", 2)
+    init = F.struct(x2.alias("level"), (x2 - x1).alias("trend"))
+
+    def step(acc, x):
+        new_level = (
+            F.lit(HOLT_ALPHA) * x
+            + F.lit(1 - HOLT_ALPHA) * (acc.level + acc.trend)
+        )
+        new_trend = (
+            F.lit(HOLT_BETA) * (new_level - acc.level)
+            + F.lit(1 - HOLT_BETA) * acc.trend
+        )
+        return F.struct(new_level.alias("level"), new_trend.alias("trend"))
+
+    fold = F.aggregate(F.slice("xs", F.lit(3), F.size("xs") - 2), init, step)
+    return series.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_events"),
+        hround(fold.level, 8).alias("level"),
+        hround(fold.trend, 8).alias("trend"),
+        hround(fold.level + fold.trend, 8).alias("forecast_next"),
+    )
+
+
 AUTOCORR_MIN_PAIRS = 10  # below this a lag-1 estimate is noise
 
 
@@ -779,6 +840,7 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "timeseries_holt": timeseries_holt,
     "timeseries_autocorr": timeseries_autocorr,
     "events_rfm": events_rfm,
     "pareto_frontier": pareto_frontier,
@@ -799,6 +861,37 @@ QUERIES = {
 }
 
 ORACLE = {
+    "timeseries_holt": f"""
+        WITH RECURSIVE xs AS (
+            SELECT user_id,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS idx,
+                   value
+            FROM events
+        ), nn AS (
+            SELECT user_id, max(idx) AS n FROM xs GROUP BY user_id
+        ), rec AS (
+            SELECT a.user_id, CAST(2 AS BIGINT) AS idx,
+                   b.value AS level, b.value - a.value AS trend
+            FROM xs a JOIN xs b
+              ON a.user_id = b.user_id AND a.idx = 1 AND b.idx = 2
+            UNION ALL
+            SELECT r.user_id, r.idx + 1,
+                   {HOLT_ALPHA} * x.value
+                       + {1 - HOLT_ALPHA} * (r.level + r.trend) AS level,
+                   {HOLT_BETA} * (({HOLT_ALPHA} * x.value
+                       + {1 - HOLT_ALPHA} * (r.level + r.trend)) - r.level)
+                       + {1 - HOLT_BETA} * r.trend AS trend
+            FROM rec r
+            JOIN xs x ON x.user_id = r.user_id AND x.idx = r.idx + 1
+        )
+        SELECT r.user_id, nn.n AS n_events,
+               {sql_round('r.level', 8)} AS level,
+               {sql_round('r.trend', 8)} AS trend,
+               {sql_round('r.level + r.trend', 8)} AS forecast_next
+        FROM rec r JOIN nn ON r.user_id = nn.user_id AND r.idx = nn.n
+        WHERE nn.n >= 2
+    """,
     "timeseries_autocorr": f"""
         WITH seq AS (
             SELECT user_id, value AS x,

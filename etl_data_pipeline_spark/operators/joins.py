@@ -360,7 +360,100 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OVERLAP_BIN_US = 6 * 3600 * 1_000_000  # 6-hour grid, exact int micros
+OVERLAP_HOT_MIN = 18                   # purchases/bin above which a
+#                                        window counts as "hot"
+
+
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP join: user sessions (variable-length
+    intervals from the shared gaps-and-islands sessionizer) against
+    hot 6-hour windows (bins with > OVERLAP_HOT_MIN purchases),
+    emitting the overlapped pair plus the overlap duration — the
+    "which sessions ran during an incident/promo window" shape that
+    needs interval×interval semantics, completing the temporal-join
+    family (asof = nearest-point, theta_range = point-in-band, this =
+    interval∩interval).
+
+    Scale design — NO theta join of two interval sets (O(n·m) via
+    BroadcastNestedLoop): each session explodes into the grid bins
+    its span covers (sequence() over exact integer micros bucket ids;
+    the explode factor is bounded by session length / bin width), the
+    windows relation IS bin-keyed by construction, and the join is a
+    plain equi hash join on the bin id — followed by the exact
+    overlap predicate + duration as a refine step (the standard
+    bin-then-refine interval join; here windows tile the grid so the
+    predicate is always satisfied, but the refine survives any window
+    shape). Windows are time-range-bounded (≤ a few k per decade of
+    data) and broadcast; sessions arrive already user-bucketed from
+    the sessionizer's single exchange.
+
+    Overlap convention: sessions are CLOSED point-event hulls
+    [s_start, s_end]; windows half-open [w, w+BIN): a session ending
+    exactly at w+BIN belongs to the NEXT bin only. overlap_us is the
+    intersection length capped at the window's inclusive last micro —
+    0 for a single-point session, never negative.
+
+    Reference parity: the reference has no joins at all (its only
+    join-like op is the registry anti-join, util.py:384-387); this is
+    target-surface extension like the rest of the join family.
+    """
+    from etl_data_pipeline_spark.functions.sessions import with_session_seq
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        with_session_seq(ev.select("user_id", "ts", "event_id"))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s_start"),
+            F.max(F.unix_micros("ts")).alias("s_end"),
+        )
+    )
+    # bucket via s - s % BIN (exact long arithmetic; micros are
+    # positive) — NOT floor(s / BIN), whose double division can round
+    # across an integer boundary near 2^53-scale numerators.
+    us = F.unix_micros("ts")
+    hot = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy((us - us % OVERLAP_BIN_US).alias("w_start"))
+        .agg(F.count("*").alias("n_purchases"))
+        .filter(F.col("n_purchases") > OVERLAP_HOT_MIN)
+    )
+    binned = sess.select(
+        "user_id",
+        "session_seq",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                F.col("s_start") - F.col("s_start") % OVERLAP_BIN_US,
+                F.col("s_end") - F.col("s_end") % OVERLAP_BIN_US,
+                F.lit(OVERLAP_BIN_US).cast("long"),
+            )
+        ).alias("bin_start"),
+    )
+    joined = binned.join(F.broadcast(hot), binned.bin_start == hot.w_start)
+    w_end_incl = F.col("w_start") + (OVERLAP_BIN_US - 1)
+    return (
+        joined.filter(
+            (F.col("s_start") < F.col("w_start") + OVERLAP_BIN_US)
+            & (F.col("s_end") >= F.col("w_start"))
+        )
+        .select(
+            "user_id",
+            "session_seq",
+            F.col("w_start").alias("window_start_us"),
+            "n_purchases",
+            (
+                F.least(F.col("s_end"), w_end_incl)
+                - F.greatest(F.col("s_start"), F.col("w_start"))
+            ).alias("overlap_us"),
+        )
+    )
+
+
 QUERIES = {
+    "join_interval_overlap": join_interval_overlap,
     "join_bloom_pruned": join_bloom_pruned,
     "join_inner_hash": join_inner_hash,
     "join_cross": join_cross,
@@ -377,7 +470,32 @@ QUERIES = {
     "tpch_q5ish": tpch_q5ish,
 }
 
+def _oracle_interval_overlap() -> str:
+    from etl_data_pipeline_spark.functions.sessions import sql_session_seq_cte
+
+    b = OVERLAP_BIN_US
+    return f"""
+        WITH {sql_session_seq_cte()}, sess AS (
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   min(us) AS s_start, max(us) AS s_end
+            FROM t GROUP BY user_id, session_seq
+        ), hot AS (
+            SELECT (epoch_us(ts) // {b}) * {b} AS w_start,
+                   count(*) AS n_purchases
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1 HAVING count(*) > {OVERLAP_HOT_MIN}
+        )
+        SELECT s.user_id, s.session_seq, h.w_start AS window_start_us,
+               h.n_purchases,
+               least(s.s_end, h.w_start + {b} - 1)
+                   - greatest(s.s_start, h.w_start) AS overlap_us
+        FROM sess s JOIN hot h
+          ON s.s_start < h.w_start + {b} AND s.s_end >= h.w_start
+    """
+
+
 ORACLE = {
+    "join_interval_overlap": _oracle_interval_overlap(),
     "join_bloom_pruned": f"""
         SELECT l_returnflag, count(*) AS n_lines,
                {sql_round("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue

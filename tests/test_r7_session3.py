@@ -256,3 +256,121 @@ def test_embedding_pca_power_plan_no_corpus_rejoin(spark, sf_dir):
     cartesian product, no corpus-side shuffle join."""
     plan = _plan(similarity.embedding_pca_power(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+# -------------------------------------------------- interval-overlap join
+
+
+def test_join_interval_overlap_matches_bruteforce(spark, sf_dir):
+    """Pairs + overlap durations must equal an independent Python
+    replay: sessionize (30-min gap), hot 6h windows, closed-session ×
+    half-open-window intersection."""
+    from etl_data_pipeline_spark.functions.sessions import SESSION_GAP_US
+    from etl_data_pipeline_spark.operators.joins import (
+        OVERLAP_BIN_US,
+        OVERLAP_HOT_MIN,
+        join_interval_overlap,
+    )
+
+    got = {
+        (r.user_id, r.session_seq, r.window_start_us): (r.n_purchases, r.overlap_us)
+        for r in join_interval_overlap(spark, sf_dir).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user = {}
+    hot = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        us = int(r.ts.timestamp() * 1_000_000)
+        by_user.setdefault(r.user_id, []).append(us)
+        if r.event_type == "purchase":
+            w = us - us % OVERLAP_BIN_US
+            hot[w] = hot.get(w, 0) + 1
+    hot = {w: c for w, c in hot.items() if c > OVERLAP_HOT_MIN}
+    expected = {}
+    for uid, uss in by_user.items():
+        seq, s_start, s_end = 0, None, None
+        sessions = []
+        for us in uss:
+            if s_end is None or us - s_end > SESSION_GAP_US:
+                if s_end is not None:
+                    sessions.append((seq, s_start, s_end))
+                seq += 1
+                s_start = us
+            s_end = us
+        sessions.append((seq, s_start, s_end))
+        for seq, a, b in sessions:
+            for w, c in hot.items():
+                if a < w + OVERLAP_BIN_US and b >= w:
+                    ov = min(b, w + OVERLAP_BIN_US - 1) - max(a, w)
+                    expected[(uid, seq, w)] = (c, ov)
+    assert got == expected
+
+
+def test_join_interval_overlap_plan_no_nested_loop(spark, sf_dir):
+    """The bin equi-join must plan as a (broadcast) hash join — never
+    BroadcastNestedLoop/Cartesian (the theta-join trap this operator
+    exists to avoid)."""
+    from etl_data_pipeline_spark.operators.joins import join_interval_overlap
+
+    plan = _plan(join_interval_overlap(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------- pca project
+
+
+def test_embedding_pca_project_identities(spark, sf_dir):
+    """Per-vector identities: residual² + score² == ‖centered‖²
+    (to rounding), every corpus vector present, and the scores'
+    variance ≈ the reported eigenvalue (the defining property of the
+    top principal component)."""
+    rows = similarity.embedding_pca_project(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "embeddings").collect()
+    assert len(rows) == len(e)
+    vecs = {r.vec_id: np.array([float(v) for v in r.embedding]) for r in e}
+    mean = np.mean(np.stack(list(vecs.values())), axis=0)
+    mean = np.floor(mean * 1e6 + 0.5) / 1e6
+    eig = similarity.embedding_pca_power(spark, sf_dir).first().eigenvalue
+    scores = []
+    for r in rows:
+        xc = vecs[r.vec_id] - mean
+        total = float(xc @ xc)
+        assert abs((r.pc1_score**2 + r.residual_norm**2) - total) < 1e-3
+        scores.append(r.pc1_score)
+    var = float(np.mean(np.square(scores)) - np.mean(scores) ** 2)
+    # power iteration on a near-flat spectrum: score variance must be
+    # in the eigenvalue's ballpark (exact equality needs convergence)
+    assert var > 0.5 * eig
+
+
+# ------------------------------------------------------------------ holt
+
+
+def test_timeseries_holt_matches_python_fold(spark, sf_dir):
+    got = {
+        r.user_id: (r.n_events, r.level, r.trend, r.forecast_next)
+        for r in analytics.timeseries_holt(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).collect()
+    series = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        series.setdefault(r.user_id, []).append(r.value)
+    a, b = analytics.HOLT_ALPHA, analytics.HOLT_BETA
+    assert set(got) == {u for u, xs in series.items() if len(xs) >= 2}
+    for uid, xs in series.items():
+        if len(xs) < 2:
+            continue
+        level, trend = xs[1], xs[1] - xs[0]
+        for x in xs[2:]:
+            nl = a * x + (1 - a) * (level + trend)
+            trend = b * (nl - level) + (1 - b) * trend
+            level = nl
+        r8 = lambda v: math.floor(v * 1e8 + 0.5) / 1e8
+        assert got[uid] == (len(xs), r8(level), r8(trend), r8(level + trend))
