@@ -666,6 +666,80 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over orders: for every pair of
+    part types co-purchased in one order, the support, both
+    directional confidences, and the lift — the retail-analytics
+    co-occurrence primitive (Apriori's k=2 stage; higher k = the same
+    pair-expansion repeated on surviving itemsets).
+
+    Scale design — NO corpus self-join: baskets collapse to one
+    sorted distinct-item array per order (items-per-basket is
+    bounded; the array is the basket), and the pair relation explodes
+    from each array with an index-aware transform — per-basket cost
+    k(k-1)/2 with k ≤ the catalog's type count, combined map-side
+    into at most |types|² groups. Item counts and the basket total
+    are two more tiny aggregates broadcast back; no join ever carries
+    basket-level rows on both sides.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    items = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_type")
+        .distinct()
+    )
+    tot = items.agg(F.count_distinct("l_orderkey").alias("n_baskets"))
+    item_cnt = items.groupBy("p_type").agg(F.count("*").alias("c"))
+    arr = F.array_sort(F.collect_set("p_type"))
+    pairs = (
+        items.groupBy("l_orderkey")
+        .agg(arr.alias("basket"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "basket",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                "basket", i + 2, F.size("basket")
+                            ),
+                            lambda y: F.struct(
+                                x.alias("item_a"), y.alias("item_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    ca = item_cnt.select(F.col("p_type").alias("item_a"), F.col("c").alias("n_a"))
+    cb = item_cnt.select(F.col("p_type").alias("item_b"), F.col("c").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "item_a",
+            "item_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            "n_baskets",
+            hround(F.col("n_pair") / F.col("n_baskets"), 6).alias("support"),
+            hround(F.col("n_pair") / F.col("n_a"), 6).alias("conf_a_b"),
+            hround(F.col("n_pair") / F.col("n_b"), 6).alias("conf_b_a"),
+            hround(
+                F.col("n_pair") * F.col("n_baskets") / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
 HOLT_ALPHA = 0.5   # level smoothing — exact dyadic doubles: the fold
 HOLT_BETA = 0.25   # trend smoothing — is pure double arithmetic (no
 #                    mid-fold quantization), so bit-parity needs only
@@ -840,6 +914,7 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "basket_affinity": basket_affinity,
     "timeseries_holt": timeseries_holt,
     "timeseries_autocorr": timeseries_autocorr,
     "events_rfm": events_rfm,
@@ -861,6 +936,33 @@ QUERIES = {
 }
 
 ORACLE = {
+    "basket_affinity": f"""
+        WITH it AS (
+            SELECT DISTINCT l_orderkey, p_type
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ), tot AS (
+            SELECT count(DISTINCT l_orderkey) AS n_baskets FROM it
+        ), ic AS (
+            SELECT p_type, count(*) AS c FROM it GROUP BY p_type
+        ), pc AS (
+            SELECT a.p_type AS item_a, b.p_type AS item_b,
+                   count(*) AS n_pair
+            FROM it a JOIN it b
+              ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+            GROUP BY 1, 2
+        )
+        SELECT item_a, item_b, n_pair,
+               ca.c AS n_a, cb.c AS n_b, tot.n_baskets,
+               {sql_round('n_pair / tot.n_baskets', 6)} AS support,
+               {sql_round('n_pair / ca.c', 6)} AS conf_a_b,
+               {sql_round('n_pair / cb.c', 6)} AS conf_b_a,
+               {sql_round('n_pair * tot.n_baskets / (ca.c * cb.c)', 6)}
+                   AS lift
+        FROM pc
+        JOIN ic ca ON ca.p_type = item_a
+        JOIN ic cb ON cb.p_type = item_b
+        CROSS JOIN tot
+    """,
     "timeseries_holt": f"""
         WITH RECURSIVE xs AS (
             SELECT user_id,

@@ -374,3 +374,46 @@ def test_timeseries_holt_matches_python_fold(spark, sf_dir):
             level = nl
         r8 = lambda v: math.floor(v * 1e8 + 0.5) / 1e8
         assert got[uid] == (len(xs), r8(level), r8(trend), r8(level + trend))
+
+
+# ------------------------------------------------------------------ basket
+
+
+def test_basket_affinity_matches_bruteforce(spark, sf_dir):
+    """Pair counts and the derived support/confidence/lift must equal
+    an independent Python recomputation from the raw baskets."""
+    got = {
+        (r.item_a, r.item_b): (r.n_pair, r.n_a, r.n_b, r.n_baskets,
+                               r.support, r.conf_a_b, r.conf_b_a, r.lift)
+        for r in analytics.basket_affinity(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect()
+    pt = {r.p_partkey: r.p_type for r in load_table(spark, sf_dir, "part").collect()}
+    baskets = {}
+    for r in li:
+        baskets.setdefault(r.l_orderkey, set()).add(pt[r.l_partkey])
+    n = len(baskets)
+    ic, pc = {}, {}
+    for items in baskets.values():
+        s = sorted(items)
+        for it in s:
+            ic[it] = ic.get(it, 0) + 1
+        for i, a in enumerate(s):
+            for b in s[i + 1:]:
+                pc[(a, b)] = pc.get((a, b), 0) + 1
+    r6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+    expected = {
+        (a, b): (c, ic[a], ic[b], n, r6(c / n), r6(c / ic[a]), r6(c / ic[b]),
+                 r6(c * n / (ic[a] * ic[b])))
+        for (a, b), c in pc.items()
+    }
+    assert got == expected
+
+
+def test_basket_affinity_plan_no_big_selfjoin(spark, sf_dir):
+    """Pairs must come from the per-basket array expansion — the plan
+    joins only broadcast-sized count relations (no sort-merge join of
+    two basket-level inputs, no cartesian)."""
+    plan = _plan(analytics.basket_affinity(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
