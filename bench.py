@@ -103,6 +103,13 @@ BENCH_QUERIES = [
     # explicit runtime Bloom-filter build+probe+join
     "graph_pagerank",
     "join_bloom_pruned",
+    # round-7 third-continuation additions (new floors): the applied
+    # PCA pipeline (power iteration + one-pass projection — the
+    # heaviest new op), the broadcast-containment decontamination
+    # scan, and the basket pair expansion
+    "embedding_pca_project",
+    "text_contamination_fuzzy",
+    "basket_affinity",
 ]
 
 
