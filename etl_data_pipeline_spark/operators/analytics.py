@@ -684,6 +684,12 @@ def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    # deliberately NOT persisted: the three consumers (basket total,
+    # item counts, pair expansion) re-run this pipelined
+    # scan+broadcast-join+distinct, which a measured A/B showed beats
+    # caching the distinct relation (write+read of a lineitem-sized
+    # cache costs more than two extra columnar scans — 1.6 s vs 2.2 s
+    # at sf0.1)
     items = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_type")

@@ -558,3 +558,47 @@ def test_round7_signal_ops_exchange_budgets(spark, sf_dir):
         assert exchange_count(plan) <= budget, (q.__name__, plan)
         for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
             assert bad not in plan, q.__name__
+
+
+def test_third_continuation_ops_exchange_budgets(spark, sf_dir):
+    """Shuffle budgets for the third-continuation operators:
+    weighted sampling <= 1 exchange (one per-source window),
+    interleave <= 3 (per-stream window, global range sort, the
+    final single-partition position window), autocorr <= 2 (user
+    window + sum agg), RFM <= 5 (user agg + three scalar-row ntile
+    sorts + the 1-row max broadcast), fuzzy contamination <= 4
+    (shingle aggs + broadcast-join sides), basket affinity <= 4
+    (basket collapse, pair agg, tiny count aggs) — and no Python
+    nodes or cartesian products anywhere (the 1-row crossJoins plan
+    as broadcast nested loops of singletons, not CartesianProduct)."""
+    from etl_data_pipeline_spark.llm.curation import corpus_interleave
+    from etl_data_pipeline_spark.llm.text_analysis import text_contamination_fuzzy
+    from etl_data_pipeline_spark.operators.analytics import (
+        basket_affinity,
+        events_rfm,
+        timeseries_autocorr,
+        timeseries_holt,
+    )
+    from etl_data_pipeline_spark.operators.scans import sample_weighted
+    from etl_data_pipeline_spark.plans import exchange_count
+
+    budgets = [
+        (sample_weighted, 1),
+        (corpus_interleave, 2),
+        (timeseries_autocorr, 1),
+        (events_rfm, 3),
+        # 6: eval-distinct + train-size + train-hits groupBys, each
+        # over an unpersisted (deliberately — pipelined re-scan beats
+        # caching the shingle stream) explode subtree, + the final
+        # doc-keyed join's two sides
+        (text_contamination_fuzzy, 6),
+        # 8: the items distinct subtree repeats per consumer
+        # (measured A/B: re-scanning beats caching, see the operator)
+        (basket_affinity, 8),
+        (timeseries_holt, 1),
+    ]
+    for q, budget in budgets:
+        plan = _plan(q(spark, sf_dir))
+        assert exchange_count(plan) <= budget, (q.__name__, plan)
+        for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+            assert bad not in plan, q.__name__
