@@ -771,9 +771,12 @@ def timeseries_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-component state.
 
     Scale posture: identical to timeseries_ewma — ONE groupBy(user)
-    shuffle, per-user state bounded by per-entity history; unbounded
-    histories belong to the streaming twin pattern
-    (streaming.jobs.running_user_ewma generalizes the same way).
+    shuffle, per-user state bounded by per-entity history; for
+    unbounded histories the streaming twin
+    ``streaming.jobs.running_user_holt`` keeps O(1) (level, trend, n)
+    state per user, and its parity test proves the replay is
+    BIT-IDENTICAL to this fold (including a micro-batch boundary
+    between the two seed observations).
     """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "value"

@@ -323,6 +323,78 @@ def running_user_ewma(stream: DataFrame, alpha: float | None = None) -> DataFram
     )
 
 
+def running_user_holt(
+    stream: DataFrame, alpha: float | None = None, beta: float | None = None
+) -> DataFrame:
+    """Streaming twin of the batch ``timeseries_holt`` operator
+    (operators/analytics.py): per-user Holt level+trend smoothing
+    maintained as ONE (level, trend, n) triple per user — O(1) state
+    forever, the scale path for unbounded per-entity histories (the
+    running_user_ewma contract extended to 2-component state).
+
+    Semantics contract: over a time-ordered micro-batch replay the
+    final emission per user is BIT-IDENTICAL to the batch fold. The
+    update is the same IEEE sequence as the batch F.aggregate lambda
+    (nl = a*x + (1-a)*(level+trend); trend' = b*(nl-level) +
+    (1-b)*trend), seeded across the first TWO observations: the first
+    value parks in the level slot, the second completes the
+    Hyndman-init (l₂ = x₂, b₂ = x₂ − x₁) — state encodes the seeding
+    phase in n, so the recurrence survives any micro-batch split,
+    including one that separates x₁ from x₂.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import math
+
+    from etl_data_pipeline_spark.operators.analytics import HOLT_ALPHA, HOLT_BETA
+
+    a = HOLT_ALPHA if alpha is None else alpha
+    b = HOLT_BETA if beta is None else beta
+
+    def update(key, pdf_iter, state: GroupState):
+        level, trend, n = state.get if state.exists else (0.0, 0.0, 0)
+        frames = list(pdf_iter)
+        batch = (
+            pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+        )
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            for x in batch["value"]:
+                x = float(x)
+                if n == 0:
+                    level, trend = x, 0.0  # park x1; not yet a state
+                elif n == 1:
+                    trend = x - level  # b2 = x2 - x1
+                    level = x          # l2 = x2
+                else:
+                    nl = a * x + (1.0 - a) * (level + trend)
+                    trend = b * (nl - level) + (1.0 - b) * trend
+                    level = nl
+                n += 1
+            state.update((level, trend, n))
+        r8 = lambda v: math.floor(v * 1e8 + 0.5) / 1e8  # noqa: E731
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "level": [r8(level)],
+                "trend": [r8(trend)],
+                "forecast_next": [r8(level + trend)],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, n_events long, level double, trend double,"
+            " forecast_next double"
+        ),
+        stateStructType="level double, trend double, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_user_totals_tws(stream: DataFrame) -> DataFrame:
     """running_user_totals on ``transformWithStateInPandas`` — the
     Spark-4 successor API to applyInPandasWithState (SPARK-49564

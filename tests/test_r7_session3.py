@@ -417,3 +417,42 @@ def test_basket_affinity_plan_no_big_selfjoin(spark, sf_dir):
     plan = _plan(analytics.basket_affinity(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------------- streaming twin
+
+
+def test_running_holt_matches_batch_exactly(spark, tmp_path):
+    """The streaming Holt twin replayed over time-ordered micro-batches
+    must converge to BIT-IDENTICAL per-user (level, trend, forecast)
+    as the batch timeseries_holt fold — including when a micro-batch
+    boundary splits the two seed observations (max_files_per_trigger=1
+    over time-quartile chunks makes that split occur for real)."""
+    import os
+
+    from etl_data_pipeline_spark.streaming import jobs
+    from tests.conftest import SF_DIR
+    from tests.test_streaming import (
+        _run_to_memory,
+        _time_quartile_chunks,
+        _write_stream_file,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    src = os.path.join(str(tmp_path), "holt_src")
+    for seq, c in enumerate(_time_quartile_chunks(ev)):
+        _write_stream_file(c, src, seq)
+
+    stream = jobs.events_file_stream(spark, src, max_files_per_trigger=1)
+    got = _run_to_memory(spark, jobs.running_user_holt(stream), "t_holt")
+    rows = got.collect()
+    final = {}
+    for r in rows:
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.level, r.trend, r.forecast_next)
+    truth = {
+        r.user_id: (r.n_events, r.level, r.trend, r.forecast_next)
+        for r in analytics.timeseries_holt(spark, SF_DIR).collect()
+    }
+    assert final == truth
+    assert got.count() > len(truth)  # cross-batch statefulness
