@@ -628,9 +628,18 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     are rounded to 6 dp BEFORE the centering product and the result
     rounded again, so cross-engine float-sum order noise is absorbed
     at both steps (the embedding_centroids contract)."""
+    return _covariance_parts(spark, sf_dir)[2]
+
+
+def _covariance_parts(spark, sf_dir):
+    """Shared covariance machinery: returns (persisted embeddings
+    frame keyed by vec_id, rounded per-dim means, upper-triangle
+    covariance). The PCA operators consume the SAME persisted corpus
+    frame and means relation, so composing them costs no extra corpus
+    scan or duplicate aggregation."""
     e = tracked_persist(
         spread(load_table(spark, sf_dir, "embeddings")).select(
-            F.col("embedding").cast("array<double>").alias("v")
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
     )
     means = (
@@ -656,7 +665,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = prods.groupBy("dim_i", "dim_j").agg(F.avg("p").alias("e_ij"))
     mi = means.select(F.col("dim").alias("dim_i"), F.col("mean").alias("mean_i"))
     mj = means.select(F.col("dim").alias("dim_j"), F.col("mean").alias("mean_j"))
-    return (
+    cov_ut = (
         raw.join(F.broadcast(mi), "dim_i")
         .join(F.broadcast(mj), "dim_j")
         .select(
@@ -667,6 +676,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+    return e, means, cov_ut
 
 
 PCA_ITERS = 8        # fixed power-iteration step count (both engines)
@@ -708,7 +718,20 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     touching corpus rows again. Driver never sees a vector: the
     matvec is join + groupBy, the norm a 1-row broadcast aggregate.
     """
-    cov_ut = embedding_covariance(spark, sf_dir)
+    _, _, cov_ut = _covariance_parts(spark, sf_dir)
+    vec, _cov = _pca_power_iterate(cov_ut)
+    return _pca_eigen_output(vec, _cov)
+
+
+def _pca_power_iterate(cov_ut: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The PCA_ITERS rounded power-iteration loop; returns (final
+    iterate (i, x), persisted full matrix (i, j, c))."""
+    # persist the UPPER TRIANGLE before mirroring: both union branches
+    # otherwise re-run the corpus-sized covariance aggregation (the
+    # dim_i < dim_j filter pushes below the aggregate, so the branches
+    # are non-identical and Catalyst cannot reuse the exchange —
+    # verified: 0 ReusedExchange without this).
+    cov_ut = tracked_persist(cov_ut)
     lower = cov_ut.filter(F.col("dim_i") < F.col("dim_j")).select(
         F.col("dim_j").alias("i"), F.col("dim_i").alias("j"), F.col("cov").alias("c")
     )
@@ -744,6 +767,11 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec = y.crossJoin(F.broadcast(norm)).select(
             "i", hround(F.col("y") / F.col("nrm"), 6).alias("x")
         )
+    return vec, cov
+
+
+def _pca_eigen_output(vec: DataFrame, cov: DataFrame) -> DataFrame:
+    """Rayleigh-quotient eigenvalue + (dim, loading, eigenvalue)."""
     yf = (
         cov.join(F.broadcast(vec.withColumnRenamed("i", "j")), "j")
         .groupBy("i")
@@ -782,16 +810,13 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     power iteration's cost is corpus-independent (see
     embedding_pca_power); nothing here shuffles vectors.
     """
-    pc = embedding_pca_power(spark, sf_dir).select(
-        F.col("dim"), F.col("loading")
-    )
-    e = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    means = (
-        e.select(F.posexplode("v").alias("dim", "val"))
-        .groupBy("dim")
-        .agg(hround(F.avg("val"), 6).alias("mean"))
+    # one _covariance_parts call: the persisted corpus frame, the
+    # rounded means, and the covariance feed BOTH the iteration and
+    # the projection — no second corpus scan, no duplicate means agg
+    e, means, cov_ut = _covariance_parts(spark, sf_dir)
+    loading_vec, _ = _pca_power_iterate(cov_ut)
+    pc = loading_vec.select(
+        F.col("i").alias("dim"), F.col("x").alias("loading")
     )
     cells = e.select("vec_id", F.posexplode("v").alias("dim", "val"))
     xc = F.col("val") - F.col("mean")

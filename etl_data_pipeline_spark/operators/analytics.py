@@ -847,9 +847,15 @@ def timeseries_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     cov_xy = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    # the zero-variance guard tests the 6 dp-QUANTIZED variance: a
+    # constant-valued series gives a raw variance of ±1e-13 float-sum
+    # noise whose SIGN is engine-dependent — an unrounded `> 0` would
+    # make row membership itself disagree with the oracle
     return (
         s.filter(
-            (F.col("n") >= AUTOCORR_MIN_PAIRS) & (var_x > 0) & (var_y > 0)
+            (F.col("n") >= AUTOCORR_MIN_PAIRS)
+            & (hround(var_x, 6) > 0)
+            & (hround(var_y, 6) > 0)
         )
         .select(
             "user_id",
@@ -1022,7 +1028,8 @@ ORACLE = {
                    AS autocorr_lag1
         FROM s
         WHERE n >= {AUTOCORR_MIN_PAIRS}
-          AND (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+          AND {sql_round('n*sxx - sx*sx', 6)} > 0
+          AND {sql_round('n*syy - sy*sy', 6)} > 0
     """,
     "events_rfm": f"""
         WITH mx AS (SELECT max(ts) AS gmax FROM events),

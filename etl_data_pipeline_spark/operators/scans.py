@@ -185,7 +185,6 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     from etl_data_pipeline_spark.functions.hashing import md5_long60
-    from etl_data_pipeline_spark.functions.rounding import hround
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     u = (

@@ -372,16 +372,20 @@ def running_user_holt(
                     level = nl
                 n += 1
             state.update((level, trend, n))
-        r8 = lambda v: math.floor(v * 1e8 + 0.5) / 1e8  # noqa: E731
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [n],
-                "level": [r8(level)],
-                "trend": [r8(trend)],
-                "forecast_next": [r8(level + trend)],
-            }
-        )
+        # emit only once the init is complete (n >= 2): the batch twin
+        # filters series shorter than two observations, and parity
+        # means matching its ROW SET too, not just its values
+        if n >= 2:
+            r8 = lambda v: math.floor(v * 1e8 + 0.5) / 1e8  # noqa: E731
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "level": [r8(level)],
+                    "trend": [r8(trend)],
+                    "forecast_next": [r8(level + trend)],
+                }
+            )
 
     return stream.groupBy("user_id").applyInPandasWithState(
         update,

@@ -561,16 +561,11 @@ def test_round7_signal_ops_exchange_budgets(spark, sf_dir):
 
 
 def test_third_continuation_ops_exchange_budgets(spark, sf_dir):
-    """Shuffle budgets for the third-continuation operators:
-    weighted sampling <= 1 exchange (one per-source window),
-    interleave <= 3 (per-stream window, global range sort, the
-    final single-partition position window), autocorr <= 2 (user
-    window + sum agg), RFM <= 5 (user agg + three scalar-row ntile
-    sorts + the 1-row max broadcast), fuzzy contamination <= 4
-    (shingle aggs + broadcast-join sides), basket affinity <= 4
-    (basket collapse, pair agg, tiny count aggs) — and no Python
-    nodes or cartesian products anywhere (the 1-row crossJoins plan
-    as broadcast nested loops of singletons, not CartesianProduct)."""
+    """Shuffle budgets for the third-continuation operators (the
+    numbers live in the ``budgets`` list below, one comment per
+    non-obvious entry) — and no Python nodes or cartesian products
+    anywhere (the 1-row crossJoins plan as broadcast nested loops of
+    singletons, not CartesianProduct)."""
     from etl_data_pipeline_spark.llm.curation import corpus_interleave
     from etl_data_pipeline_spark.llm.text_analysis import text_contamination_fuzzy
     from etl_data_pipeline_spark.operators.analytics import (

@@ -115,6 +115,7 @@ def test_corpus_interleave_respects_stride_weights(spark, sf_dir):
     # stride property: the first half must contain a strictly larger
     # FRACTION of each heavier stream than of the weight-1 stream,
     # unless the heavy stream is already exhausted.
+    assert "en" in totals, "fixture precondition: needs lang='en' docs"
     base = counts.get("en", 0) / totals["en"]  # weight 1.0
     for lang, wt in w.items():
         if wt > 1.0 and counts.get(lang, 0) < totals[lang]:
