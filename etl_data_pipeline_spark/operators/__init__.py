@@ -83,15 +83,14 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # Round-7 rotation (per round-6 VERDICT "Next round" #1): the
     # brand-new r7 queries lead (no driver evidence yet — 26 from the
     # first continuation + 9 from the second: pareto/interpolate/CMS/
-    # PQ/IVFPQ/UDTF/overlap/pattern-match/ivfpq-recall + 10 from the
+    # PQ/IVFPQ/UDTF/overlap/pattern-match/ivfpq-recall + 12 from the
     # third: weighted-sample/interleave/autocorr/RFM/fuzzy-contam/
-    # PCA×2/interval-overlap/Holt/basket), then the two r3-stale dedup
-    # queries, then the r4-stale relational core in CORRECTNESS_r04
-    # key order. With a ~50-entry check window that leaves ~2 slots
-    # for the r4-stale set; the displaced tail (everything after
-    # ~scan_incremental_id: the remaining scans, joins, aggs, windows,
-    # events, profiling) leads the r8 rotation. Everything else was
-    # driver-verified in r5/r6.
+    # PCA×2/interval-overlap/Holt/basket/attribution/PSI-drift), then
+    # the two r3-stale dedup queries, then the r4-stale relational
+    # core in CORRECTNESS_r04 key order. With a ~50-entry check window
+    # the 47 brand-new + 2 r3-stale fill it; the r4-stale set leads
+    # the r8 rotation (every one of those queries also re-passed this
+    # session's local full gate + the sf1 answer gate).
     hoist = [
         # -- BRAND NEW (r7): no driver evidence at all -- first priority
         "pareto_frontier",
@@ -141,6 +140,8 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "embedding_pca_project",
         "timeseries_holt",
         "basket_affinity",
+        "events_attribution",
+        "profile_drift_psi",
         # -- r3-stale (oldest remaining evidence)
         "dedup_embedding_cosine",
         "dedup_levenshtein",

@@ -666,6 +666,210 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PSI_SPLIT_DATE = "1999-01-01"  # reference period < split <= current
+PSI_PRICE_BINS = 10            # fixed-width bins for the numeric column
+PSI_DRIFT_MIN = 0.1            # the standard PSI "investigate" threshold
+
+
+def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report between two periods of
+    the orders stream — the data-quality gate a production pipeline
+    runs before retraining/redeploying on new data: PSI =
+    Σ_bins (p−q)·ln(p/q) with Laplace smoothing, for a numeric column
+    (o_totalprice, fixed-width bins over the global domain) and a
+    categorical one (o_orderpriority, categories as bins). PSI ≥ 0.1
+    flags the column as drifted (the industry rule of thumb; ≥ 0.25
+    is "act now").
+
+    Cross-engine exactness: bin assignment is the identical IEEE
+    expression (floor((x−lo)/w) on the same doubles), counts are
+    exact integers, and the smoothed log term is computed from those
+    integers identically on both engines — only the FINAL psi is
+    rounded. Scale shape: two map-side-combinable groupBys (one per
+    column) over one scan each, with the global min/max and period
+    totals as 1-row broadcasts; the PSI fold runs over ≤ max(bins,
+    categories) rows. Nothing shuffles more than (bin, two counts).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        "o_orderpriority",
+        (F.col("o_orderdate") < F.lit(PSI_SPLIT_DATE).cast("timestamp")).alias(
+            "is_ref"
+        ),
+    )
+
+    from etl_data_pipeline_spark.functions.caching import tracked_persist
+
+    def psi_of(binned: DataFrame, colname: str) -> DataFrame:
+        # persist: the ≤ max(bins, categories)-row counts relation
+        # feeds BOTH the totals aggregate and the PSI fold — without
+        # it each reference re-runs the full column scan + groupBy
+        counts = tracked_persist(
+            binned.groupBy("bin").agg(
+                F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("c_ref"),
+                F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("c_cur"),
+            )
+        )
+        tot = counts.agg(
+            F.sum("c_ref").alias("n_ref"),
+            F.sum("c_cur").alias("n_cur"),
+            F.count("*").alias("n_bins"),
+        )
+        p = (F.col("c_ref") + 1) / (F.col("n_ref") + F.col("n_bins"))
+        q = (F.col("c_cur") + 1) / (F.col("n_cur") + F.col("n_bins"))
+        return (
+            counts.crossJoin(F.broadcast(tot))
+            .select(((p - q) * F.log(p / q)).alias("term"), "n_bins")
+            .groupBy("n_bins")
+            .agg(hround(F.sum("term"), 6).alias("psi"))
+            .select(
+                F.lit(colname).alias("column_name"),
+                "n_bins",
+                "psi",
+                F.when(F.col("psi") >= PSI_DRIFT_MIN, 1).otherwise(0).alias(
+                    "drifted"
+                ),
+            )
+        )
+
+    mm = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / PSI_PRICE_BINS
+    price_bins = o.crossJoin(F.broadcast(mm)).select(
+        "is_ref",
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / width),
+            F.lit(PSI_PRICE_BINS - 1),
+        ).alias("bin"),
+    )
+    prio_bins = o.select("is_ref", F.col("o_orderpriority").alias("bin"))
+    return psi_of(price_bins, "o_totalprice").unionAll(
+        psi_of(prio_bins, "o_orderpriority")
+    )
+
+
+ATTR_LOOKBACK_US = 24 * 3600 * 1_000_000  # 24-h attribution window
+ATTR_TOUCHES = ("view", "click", "signup")  # credit-eligible channels
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution: for every purchase, credit
+    the user's touch events (view/click/signup) inside a 24-h
+    lookback under THREE industry models at once — last-touch
+    (conversions + full value to the latest touch), first-touch
+    (conversion counts), and linear (value split evenly across the
+    window's touches) — the marketing-analytics report that decides
+    channel budgets.
+
+    Scale design — NO conversion×touch join (the oracle's lateral
+    formulation; pair volume = conversions × touches-in-window): one
+    user-partitioned sort feeds ALL the signals as window functions —
+    last-touch via F.last(IGNORE NULLS) over the preceding-rows frame
+    with an explicit in-window check, first-touch and per-channel
+    counts via RANGE frames over exact integer micros. The shuffle is
+    ONE exchange (every window hashes by user_id); the three tiny
+    per-channel aggregates then join broadcast-sized relations.
+    Within-user timestamps are unique at micro precision in this data
+    model (verified at 1× and 10×); the rows-frame ordering still
+    carries an event_id tiebreak so equal-timestamp data would stay
+    deterministic, matching the oracle's row_number tiebreaks.
+    """
+    from pyspark.sql.window import Window
+
+    us = F.unix_micros("ts")
+    is_touch = F.col("event_type").isin(*ATTR_TOUCHES)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", us.alias("us"),
+        is_touch.alias("is_touch"),
+    )
+    w_rows = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-ATTR_LOOKBACK_US, -1)
+    )
+    touch_struct = F.when(
+        F.col("is_touch"), F.struct(F.col("us").alias("tus"),
+                                    F.col("event_type").alias("channel"))
+    )
+    chan_cnt = {
+        c: F.sum(
+            F.when(F.col("is_touch") & (F.col("event_type") == c), 1).otherwise(0)
+        ).over(w_range)
+        for c in ATTR_TOUCHES
+    }
+    scored = e.select(
+        "*",
+        F.last(touch_struct, ignorenulls=True).over(w_rows).alias("last_t"),
+        F.first(
+            F.when(F.col("is_touch"), F.col("event_type")), ignorenulls=True
+        ).over(w_range).alias("first_channel"),
+        *[chan_cnt[c].alias(f"cnt_{c}") for c in ATTR_TOUCHES],
+    )
+    from etl_data_pipeline_spark.functions.caching import tracked_persist
+
+    total_cnt = sum(F.col(f"cnt_{c}") for c in ATTR_TOUCHES)
+    # persist the per-conversion relation: three consumers (last/
+    # first/linear aggregates) would each re-run the full-events sort
+    # behind the windows, and the cached frame is purchases-only —
+    # the opposite tradeoff from basket_affinity's re-scan choice
+    conv = tracked_persist(scored.filter(F.col("event_type") == "purchase").select(
+        "value",
+        F.when(
+            F.col("last_t.tus") >= F.col("us") - ATTR_LOOKBACK_US,
+            F.col("last_t.channel"),
+        ).alias("last_channel"),
+        "first_channel",
+        total_cnt.alias("cnt_total"),
+        *[F.col(f"cnt_{c}") for c in ATTR_TOUCHES],
+    ))
+    lastagg = (
+        conv.filter(F.col("last_channel").isNotNull())
+        .groupBy(F.col("last_channel").alias("channel"))
+        .agg(
+            F.count("*").alias("conv_last"),
+            hround(F.sum("value"), 2).alias("value_last"),
+        )
+    )
+    firstagg = (
+        conv.filter(F.col("first_channel").isNotNull())
+        .groupBy(F.col("first_channel").alias("channel"))
+        .agg(F.count("*").alias("conv_first"))
+    )
+    credits = conv.filter(F.col("cnt_total") > 0).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("channel"),
+                        (F.col("value") * F.col(f"cnt_{c}") / F.col("cnt_total")).alias(
+                            "credit"
+                        ),
+                    )
+                    for c in ATTR_TOUCHES
+                ]
+            )
+        ).alias("x")
+    )
+    linear = (
+        credits.select("x.channel", "x.credit")
+        .groupBy("channel")
+        .agg(hround(F.sum("credit"), 2).alias("value_linear"))
+    )
+    return (
+        lastagg.join(firstagg, "channel")
+        .join(linear, "channel")
+        .select(
+            "channel", "conv_last", "value_last", "conv_first", "value_linear"
+        )
+    )
+
+
 def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over orders: for every pair of
     part types co-purchased in one order, the support, both
@@ -929,6 +1133,8 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "profile_drift_psi": profile_drift_psi,
+    "events_attribution": events_attribution,
     "basket_affinity": basket_affinity,
     "timeseries_holt": timeseries_holt,
     "timeseries_autocorr": timeseries_autocorr,
@@ -950,7 +1156,108 @@ QUERIES = {
     "events_resample_ffill": events_resample_ffill,
 }
 
+_ATTR_TOUCH_SQL = "('" + "','".join(ATTR_TOUCHES) + "')"
+
+
+def _psi_oracle_block(bins_cte: str, colname: str) -> str:
+    """One column's PSI as a SELECT (smoothed (p−q)·ln(p/q) over the
+    observed-bin union) — identical arithmetic to the Spark helper."""
+    p = "((c_ref + 1.0) / (n_ref + n_bins))"
+    q = "((c_cur + 1.0) / (n_cur + n_bins))"
+    return f"""
+        SELECT '{colname}' AS column_name, n_bins,
+               {sql_round(f'sum(({p} - {q}) * ln({p} / {q}))', 6)} AS psi
+        FROM (
+            SELECT bin,
+                   sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS c_ref,
+                   sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS c_cur
+            FROM ({bins_cte}) GROUP BY bin
+        ) c CROSS JOIN (
+            SELECT count(DISTINCT bin) AS n_bins,
+                   sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+                   sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+            FROM ({bins_cte})
+        ) t
+        GROUP BY n_bins"""
+
+
+_PSI_PRICE_BINS_CTE = f"""
+    SELECT (o_orderdate < TIMESTAMP '{PSI_SPLIT_DATE}') AS is_ref,
+           least(floor((o_totalprice - lo) / ((hi - lo) / {PSI_PRICE_BINS})),
+                 {PSI_PRICE_BINS - 1}) AS bin
+    FROM orders CROSS JOIN (
+        SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+"""
+_PSI_PRIO_BINS_CTE = f"""
+    SELECT (o_orderdate < TIMESTAMP '{PSI_SPLIT_DATE}') AS is_ref,
+           o_orderpriority AS bin
+    FROM orders
+"""
+
 ORACLE = {
+    "profile_drift_psi": f"""
+        SELECT column_name, n_bins, psi,
+               CASE WHEN psi >= {PSI_DRIFT_MIN} THEN 1 ELSE 0 END AS drifted
+        FROM (
+            {_psi_oracle_block(_PSI_PRICE_BINS_CTE, 'o_totalprice')}
+            UNION ALL
+            {_psi_oracle_block(_PSI_PRIO_BINS_CTE, 'o_orderpriority')}
+        )
+    """,
+    # deliberately the OTHER formulation: a lateral conversion×touch
+    # join (pair volume bounded only by the fixture size) — agreeing
+    # with the window-function implementation from two independent
+    # shapes is the point
+    "events_attribution": f"""
+        WITH e AS (
+            SELECT user_id, event_id, event_type, value,
+                   epoch_us(ts) AS us
+            FROM events
+        ), conv AS (
+            SELECT user_id, event_id AS conv_id, us AS conv_us,
+                   value AS conv_value
+            FROM e WHERE event_type = 'purchase'
+        ), tw AS (
+            SELECT c.conv_id, c.conv_value, t.event_type AS channel,
+                   t.us, t.event_id
+            FROM conv c JOIN e t
+              ON t.user_id = c.user_id
+             AND t.event_type IN {_ATTR_TOUCH_SQL}
+             AND t.us >= c.conv_us - {ATTR_LOOKBACK_US}
+             AND t.us < c.conv_us
+        ), lastt AS (
+            SELECT conv_id, channel AS last_channel FROM (
+                SELECT conv_id, channel,
+                       row_number() OVER (PARTITION BY conv_id
+                           ORDER BY us DESC, event_id DESC) AS rk
+                FROM tw) WHERE rk = 1
+        ), firstt AS (
+            SELECT conv_id, channel AS first_channel FROM (
+                SELECT conv_id, channel,
+                       row_number() OVER (PARTITION BY conv_id
+                           ORDER BY us ASC, event_id ASC) AS rk
+                FROM tw) WHERE rk = 1
+        ), lin AS (
+            SELECT channel, {sql_round('sum(conv_value / cnt)', 2)}
+                       AS value_linear
+            FROM (SELECT conv_id, conv_value, channel,
+                         count(*) OVER (PARTITION BY conv_id) AS cnt
+                  FROM tw)
+            GROUP BY channel
+        ), lastagg AS (
+            SELECT l.last_channel AS channel, count(*) AS conv_last,
+                   {sql_round('sum(c.conv_value)', 2)} AS value_last
+            FROM lastt l JOIN conv c USING (conv_id) GROUP BY 1
+        ), firstagg AS (
+            SELECT first_channel AS channel, count(*) AS conv_first
+            FROM firstt GROUP BY 1
+        )
+        SELECT channel, la.conv_last, la.value_last, fa.conv_first,
+               li.value_linear
+        FROM lastagg la
+        JOIN firstagg fa USING (channel)
+        JOIN lin li USING (channel)
+    """,
     "basket_affinity": f"""
         WITH it AS (
             SELECT DISTINCT l_orderkey, p_type

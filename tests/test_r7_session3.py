@@ -457,3 +457,124 @@ def test_running_holt_matches_batch_exactly(spark, tmp_path):
     }
     assert final == truth
     assert got.count() > len(truth)  # cross-batch statefulness
+
+
+# ------------------------------------------------------------ attribution
+
+
+def test_events_attribution_matches_bruteforce(spark, sf_dir):
+    """All three models must equal a Python replay over the raw
+    events: per purchase, the touches in the 24-h lookback; last/first
+    by (ts, event_id); linear = value split evenly."""
+    from etl_data_pipeline_spark.operators.analytics import (
+        ATTR_LOOKBACK_US,
+        ATTR_TOUCHES,
+        events_attribution,
+    )
+
+    got = {
+        r.channel: (r.conv_last, r.value_last, r.conv_first, r.value_linear)
+        for r in events_attribution(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").collect()
+    rows = sorted(
+        (
+            (r.user_id, int(r.ts.timestamp() * 1e6), r.event_id, r.event_type, r.value)
+            for r in ev
+        ),
+    )
+    by_user = {}
+    for u, us, eid, et, val in rows:
+        by_user.setdefault(u, []).append((us, eid, et, val))
+    last_cnt, last_val, first_cnt, lin = {}, {}, {}, {}
+    for u, seq in by_user.items():
+        seq.sort()
+        for us, eid, et, val in seq:
+            if et != "purchase":
+                continue
+            touches = [
+                (tus, teid, tet)
+                for tus, teid, tet, _ in seq
+                if tet in ATTR_TOUCHES and us - ATTR_LOOKBACK_US <= tus < us
+            ]
+            if not touches:
+                continue
+            lc = max(touches)[2]
+            fc = min(touches)[2]
+            last_cnt[lc] = last_cnt.get(lc, 0) + 1
+            last_val[lc] = last_val.get(lc, 0.0) + val
+            first_cnt[fc] = first_cnt.get(fc, 0) + 1
+            for _, _, tet in touches:
+                lin[tet] = lin.get(tet, 0.0) + val / len(touches)
+    r2 = lambda v: math.floor(v * 100 + 0.5) / 100
+    expected = {
+        c: (last_cnt[c], r2(last_val[c]), first_cnt[c], r2(lin[c]))
+        for c in last_cnt
+    }
+    assert set(got) == set(expected)
+    for c in expected:
+        g, e = got[c], expected[c]
+        assert g[0] == e[0] and g[2] == e[2]
+        assert abs(g[1] - e[1]) < 0.02 and abs(g[3] - e[3]) < 0.02
+
+
+def test_events_attribution_single_exchange_windows(spark, sf_dir):
+    """All window signals must share the one user-hash exchange; the
+    per-channel joins are broadcast-sized."""
+    from etl_data_pipeline_spark.operators.analytics import events_attribution
+    from etl_data_pipeline_spark.plans import exchange_count
+
+    plan = _plan(events_attribution(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # 1 user exchange + the three tiny per-channel aggregates
+    assert exchange_count(plan) <= 5, plan
+
+
+# -------------------------------------------------------------- psi drift
+
+
+def test_profile_drift_psi_matches_python(spark, sf_dir):
+    from etl_data_pipeline_spark.operators.analytics import (
+        PSI_PRICE_BINS,
+        PSI_SPLIT_DATE,
+        profile_drift_psi,
+    )
+
+    got = {
+        r.column_name: (r.n_bins, r.psi, r.drifted)
+        for r in profile_drift_psi(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders").collect()
+    import datetime
+
+    split = datetime.datetime.fromisoformat(PSI_SPLIT_DATE)
+
+    def psi(pairs):
+        bins = {}
+        for ref, b in pairs:
+            c = bins.setdefault(b, [0, 0])
+            c[0 if ref else 1] += 1
+        n_ref = sum(c[0] for c in bins.values())
+        n_cur = sum(c[1] for c in bins.values())
+        nb = len(bins)
+        s = 0.0
+        for c_ref, c_cur in bins.values():
+            p = (c_ref + 1) / (n_ref + nb)
+            q = (c_cur + 1) / (n_cur + nb)
+            s += (p - q) * math.log(p / q)
+        return nb, math.floor(s * 1e6 + 0.5) / 1e6
+
+    lo = min(r.o_totalprice for r in orders)
+    hi = max(r.o_totalprice for r in orders)
+    w = (hi - lo) / PSI_PRICE_BINS
+    price_pairs = [
+        (r.o_orderdate < split,
+         min(math.floor((r.o_totalprice - lo) / w), PSI_PRICE_BINS - 1))
+        for r in orders
+    ]
+    prio_pairs = [(r.o_orderdate < split, r.o_orderpriority) for r in orders]
+    for col, pairs in [("o_totalprice", price_pairs), ("o_orderpriority", prio_pairs)]:
+        nb, s = psi(pairs)
+        assert got[col][0] == nb
+        assert abs(got[col][1] - s) < 2e-6
+        assert got[col][2] == (1 if got[col][1] >= 0.1 else 0)
