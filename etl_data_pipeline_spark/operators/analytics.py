@@ -666,6 +666,88 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AB_SALT = ":ab"        # hash-domain separator for variant assignment
+AB_Z_CRITICAL = 1.96   # two-sided 5% significance
+AB_CONV_MIN_PURCHASES = 14  # "heavy purchaser" conversion bar: this
+# data model averages ~13 purchases/user at EVERY tier (users scale
+# with events), so a ≥1-purchase metric saturates at 100% — the bar
+# sits at the distribution's center so both variants get a real rate
+
+
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically hash-assigned
+    to control/treatment (the replayable assignment an experiment
+    platform must guarantee — same user, same variant, every run and
+    every engine), per-variant conversion to 'purchase' measured, and
+    the two-proportion z-statistic for the rate difference with the
+    5% significance flag — the full experiment-analysis query, one
+    row.
+
+    z = (p_t − p_c) / sqrt(p̂(1−p̂)(1/n_c + 1/n_t)) with p̂ the pooled
+    rate; all inputs are exact integer counts so the statistic is the
+    identical IEEE expression on both engines (only the output is
+    rounded). Scale posture: one groupBy(user) reduction of the event
+    log, then a single conditional aggregate over per-user scalar
+    rows into ONE row — no shuffle after the user reduction; the hash
+    assignment is a map-side expression, never a join against an
+    assignment table.
+    """
+    from etl_data_pipeline_spark.functions.hashing import md5_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= AB_CONV_MIN_PURCHASES,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    assigned = per_user.select(
+        "converted",
+        (
+            md5_bucket(
+                F.concat(F.col("user_id").cast("string"), F.lit(AB_SALT)), 2
+            )
+            == 1
+        ).alias("is_treatment"),
+    )
+    n_c = F.sum(F.when(~F.col("is_treatment"), 1).otherwise(0))
+    n_t = F.sum(F.when(F.col("is_treatment"), 1).otherwise(0))
+    x_c = F.sum(F.when(~F.col("is_treatment"), F.col("converted")).otherwise(0))
+    x_t = F.sum(F.when(F.col("is_treatment"), F.col("converted")).otherwise(0))
+    agg = assigned.agg(
+        n_c.alias("n_control"),
+        n_t.alias("n_treatment"),
+        x_c.alias("conv_control"),
+        x_t.alias("conv_treatment"),
+    )
+    p_c = F.col("conv_control") / F.col("n_control")
+    p_t = F.col("conv_treatment") / F.col("n_treatment")
+    pool = (F.col("conv_control") + F.col("conv_treatment")) / (
+        F.col("n_control") + F.col("n_treatment")
+    )
+    denom2 = pool * (1 - pool) * (
+        1 / F.col("n_control") + 1 / F.col("n_treatment")
+    )
+    # a saturated metric (pooled rate 0 or 1) has no variance — the
+    # z-test is undefined, reported as NULL rather than a div-by-zero
+    z = F.when(denom2 > 0, (p_t - p_c) / F.sqrt(denom2))
+    return agg.select(
+        "n_control",
+        "n_treatment",
+        "conv_control",
+        "conv_treatment",
+        hround(p_c, 6).alias("rate_control"),
+        hround(p_t, 6).alias("rate_treatment"),
+        hround(z, 6).alias("z_score"),
+        F.when(F.abs(z) >= AB_Z_CRITICAL, 1).otherwise(0).alias("significant"),
+    )
+
+
 PSI_SPLIT_DATE = "1999-01-01"  # reference period < split <= current
 PSI_PRICE_BINS = 10            # fixed-width bins for the numeric column
 PSI_DRIFT_MIN = 0.1            # the standard PSI "investigate" threshold
@@ -1133,6 +1215,7 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "events_ab_test": events_ab_test,
     "profile_drift_psi": profile_drift_psi,
     "events_attribution": events_attribution,
     "basket_affinity": basket_affinity,
@@ -1195,6 +1278,55 @@ _PSI_PRIO_BINS_CTE = f"""
 """
 
 ORACLE = {
+    "events_ab_test": f"""
+        WITH pu AS (
+            SELECT user_id,
+                   CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END)
+                             >= {AB_CONV_MIN_PURCHASES}
+                        THEN 1 ELSE 0 END AS converted
+            FROM events GROUP BY user_id
+        ), a AS (
+            SELECT converted,
+                   (('0x' || substr(md5(user_id::VARCHAR || '{AB_SALT}'),
+                       1, 15))::BIGINT % 2 = 1) AS is_treatment
+            FROM pu
+        ), agg AS (
+            SELECT CAST(sum(CASE WHEN is_treatment THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_control,
+                   CAST(sum(CASE WHEN is_treatment THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_treatment,
+                   CAST(sum(CASE WHEN is_treatment THEN 0 ELSE converted END)
+                        AS BIGINT) AS conv_control,
+                   CAST(sum(CASE WHEN is_treatment THEN converted ELSE 0 END)
+                        AS BIGINT) AS conv_treatment
+            FROM a
+        )
+        SELECT n_control, n_treatment, conv_control, conv_treatment,
+               {sql_round('conv_control / n_control::DOUBLE', 6)}
+                   AS rate_control,
+               {sql_round('conv_treatment / n_treatment::DOUBLE', 6)}
+                   AS rate_treatment,
+               CASE WHEN denom2 > 0
+                    THEN {sql_round('(conv_treatment / n_treatment::DOUBLE'
+                                    ' - conv_control / n_control::DOUBLE)'
+                                    ' / sqrt(denom2)', 6)}
+               END AS z_score,
+               CASE WHEN denom2 > 0
+                     AND abs((conv_treatment / n_treatment::DOUBLE
+                              - conv_control / n_control::DOUBLE)
+                             / sqrt(denom2)) >= {AB_Z_CRITICAL}
+                    THEN 1 ELSE 0 END AS significant
+        FROM (
+            SELECT *,
+                   ((conv_control + conv_treatment)
+                        / (n_control + n_treatment)::DOUBLE)
+                   * (1 - (conv_control + conv_treatment)
+                        / (n_control + n_treatment)::DOUBLE)
+                   * (1.0 / n_control + 1.0 / n_treatment) AS denom2
+            FROM agg
+        )
+    """,
     "profile_drift_psi": f"""
         SELECT column_name, n_bins, psi,
                CASE WHEN psi >= {PSI_DRIFT_MIN} THEN 1 ELSE 0 END AS drifted

@@ -578,3 +578,43 @@ def test_profile_drift_psi_matches_python(spark, sf_dir):
         assert got[col][0] == nb
         assert abs(got[col][1] - s) < 2e-6
         assert got[col][2] == (1 if got[col][1] >= 0.1 else 0)
+
+
+# ---------------------------------------------------------------- ab test
+
+
+def test_events_ab_test_matches_python(spark, sf_dir):
+    import hashlib
+
+    from etl_data_pipeline_spark.operators.analytics import (
+        AB_CONV_MIN_PURCHASES,
+        AB_SALT,
+        AB_Z_CRITICAL,
+        events_ab_test,
+    )
+
+    r = events_ab_test(spark, sf_dir).first()
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    purchases = {}
+    users = set()
+    for e in ev:
+        users.add(e.user_id)
+        if e.event_type == "purchase":
+            purchases[e.user_id] = purchases.get(e.user_id, 0) + 1
+    n = {False: 0, True: 0}
+    x = {False: 0, True: 0}
+    for u in users:
+        t = int(hashlib.md5(f"{u}{AB_SALT}".encode()).hexdigest()[:15], 16) % 2 == 1
+        n[t] += 1
+        x[t] += 1 if purchases.get(u, 0) >= AB_CONV_MIN_PURCHASES else 0
+    assert (r.n_control, r.n_treatment) == (n[False], n[True])
+    assert (r.conv_control, r.conv_treatment) == (x[False], x[True])
+    p_c, p_t = x[False] / n[False], x[True] / n[True]
+    pool = (x[False] + x[True]) / (n[False] + n[True])
+    d2 = pool * (1 - pool) * (1 / n[False] + 1 / n[True])
+    assert 0 < pool < 1  # the conversion bar must actually split users
+    z = (p_t - p_c) / math.sqrt(d2)
+    assert abs(r.z_score - z) < 2e-6
+    assert r.significant == (1 if abs(z) >= AB_Z_CRITICAL else 0)
+    # variants roughly balanced: a broken hash assignment shows up here
+    assert abs(n[False] - n[True]) < 0.3 * (n[False] + n[True])
