@@ -570,7 +570,9 @@ def test_third_continuation_ops_exchange_budgets(spark, sf_dir):
     from etl_data_pipeline_spark.llm.text_analysis import text_contamination_fuzzy
     from etl_data_pipeline_spark.operators.analytics import (
         basket_affinity,
+        events_ab_test,
         events_rfm,
+        profile_drift_psi,
         timeseries_autocorr,
         timeseries_holt,
     )
@@ -591,6 +593,11 @@ def test_third_continuation_ops_exchange_budgets(spark, sf_dir):
         # (measured A/B: re-scanning beats caching, see the operator)
         (basket_affinity, 8),
         (timeseries_holt, 1),
+        # 7: per column, the bin groupBy + its totals reference (the
+        # counts relation is persisted but explain prints the cached
+        # subtree per reference) + the final 1-row folds
+        (profile_drift_psi, 7),
+        (events_ab_test, 2),
     ]
     for q, budget in budgets:
         plan = _plan(q(spark, sf_dir))
