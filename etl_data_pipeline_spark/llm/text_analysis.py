@@ -398,6 +398,64 @@ def text_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TOP_K = 25  # merge candidates reported per induction round
+
+
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction, the counting stage of one BPE round
+    (Sennrich et al. 2016): adjacent character-pair frequencies over
+    the corpus, weighted by word frequency — the statistic whose
+    argmax becomes the next merge rule. Full BPE training = this
+    operator iterated with the chosen merge applied to the vocab
+    (driver-side on the SMALL distinct-word relation, as real BPE
+    trainers do).
+
+    The global top-K window is over the ≤ |alphabet|² pair-count
+    relation, not data-sized rows.
+
+    Scale design — the classic BPE trainer trick, distributed: the
+    corpus collapses to the DISTINCT-WORD relation first (one
+    map-side-combinable groupBy; natural-language vocab grows ~ Heaps'
+    law, orders of magnitude slower than tokens), and the pair
+    explosion runs over vocab entries × word length, never over
+    corpus tokens. Top-K via TakeOrdered, not a global sort.
+    """
+    from pyspark.sql.window import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    wc = words.groupBy("w").agg(F.count("*").alias("n"))
+    pairs = (
+        wc.select(
+            "w",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        )
+        .select(
+            F.col("w").substr(F.col("i"), F.lit(1)).alias("left_sym"),
+            F.col("w").substr(F.col("i") + 1, F.lit(1)).alias("right_sym"),
+            "n",
+        )
+        .groupBy("left_sym", "right_sym")
+        .agg(F.sum("n").alias("pair_count"))
+    )
+    ranked = pairs.select(
+        "left_sym",
+        "right_sym",
+        "pair_count",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
+            )
+        )
+        .alias("merge_rank"),
+    )
+    return ranked.filter(F.col("merge_rank") <= BPE_TOP_K)
+
+
 # PII patterns: RE2-compatible (DuckDB) AND Java-regex-compatible
 # (Spark) — no lookaround, no backrefs, POSIX-safe classes only.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -951,6 +1009,7 @@ QUERIES = {
     "text_duplicate_spans": text_duplicate_spans,
     "text_contamination": text_contamination,
     "text_contamination_fuzzy": text_contamination_fuzzy,
+    "text_bpe_pairs": text_bpe_pairs,
     "text_pii_scrub": text_pii_scrub,
     "text_repetition": text_repetition,
     "text_stats": text_stats,
@@ -1179,6 +1238,28 @@ ORACLE = {
         HAVING count(*) >= 2
         ORDER BY n_docs DESC, span ASC
         LIMIT {DUP_SPAN_TOPK}
+    """,
+    "text_bpe_pairs": f"""
+        WITH words AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ), wc AS (
+            SELECT w, count(*) AS n FROM words
+            WHERE length(w) >= 2 GROUP BY w
+        ), pairs AS (
+            SELECT substr(w, i, 1) AS left_sym,
+                   substr(w, i + 1, 1) AS right_sym,
+                   sum(n) AS pair_count
+            FROM wc, LATERAL (SELECT unnest(range(1, length(w))) AS i)
+            GROUP BY 1, 2
+        )
+        SELECT left_sym, right_sym,
+               CAST(pair_count AS BIGINT) AS pair_count,
+               CAST(row_number() OVER (
+                   ORDER BY pair_count DESC, left_sym, right_sym)
+                   AS INTEGER) AS merge_rank
+        FROM pairs
+        ORDER BY merge_rank
+        LIMIT {BPE_TOP_K}
     """,
     "text_contamination_fuzzy": f"""
         WITH sh AS (

@@ -618,3 +618,44 @@ def test_events_ab_test_matches_python(spark, sf_dir):
     assert r.significant == (1 if abs(z) >= AB_Z_CRITICAL else 0)
     # variants roughly balanced: a broken hash assignment shows up here
     assert abs(n[False] - n[True]) < 0.3 * (n[False] + n[True])
+
+
+# --------------------------------------------------------------- bpe pairs
+
+
+def test_text_bpe_pairs_matches_python(spark, sf_dir):
+    from etl_data_pipeline_spark.llm.text_analysis import (
+        BPE_TOP_K,
+        text_bpe_pairs,
+    )
+
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in text_bpe_pairs(spark, sf_dir).collect()
+    ]
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    wc = {}
+    for r in docs:
+        for w in r.text.split(" "):
+            if len(w) >= 2:
+                wc[w] = wc.get(w, 0) + 1
+    pc = {}
+    for w, n in wc.items():
+        for i in range(len(w) - 1):
+            pc[(w[i], w[i + 1])] = pc.get((w[i], w[i + 1]), 0) + n
+    top = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_K]
+    expected = [(i + 1, a, b, c) for i, ((a, b), c) in enumerate(top)]
+    assert sorted(got) == expected
+
+
+def test_text_bpe_pairs_plan_preaggregates_vocab(spark, sf_dir):
+    """The pair explosion must run over the distinct-word relation:
+    exactly one corpus scan, and a word-count aggregate BELOW the
+    pair aggregate (two exchanges + the 1-partition rank window)."""
+    from etl_data_pipeline_spark.llm.text_analysis import text_bpe_pairs
+    from etl_data_pipeline_spark.plans import exchange_count, scan_count
+
+    plan = _plan(text_bpe_pairs(spark, sf_dir))
+    assert scan_count(plan) == 1
+    assert exchange_count(plan) <= 3, plan
+    assert "CartesianProduct" not in plan
