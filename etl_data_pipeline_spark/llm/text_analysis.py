@@ -456,6 +456,114 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("merge_rank") <= BPE_TOP_K)
 
 
+BPE_MARKER = "\x01"  # stand-in symbol for the round-1 merged pair: a
+#                      control char, definitionally outside any
+#                      printable corpus alphabet
+
+
+def text_bpe_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE induction ITERATED: apply round 1's winning merge to the
+    vocabulary (greedy leftmost non-overlapping replace — the actual
+    BPE merge semantics, identical in both engines), then recount
+    pairs over the updated symbol sequences and report round 2's
+    top-K candidates. Proves the induction LOOP distributes, not just
+    one counting pass: each round is (tiny argmax broadcast → vocab
+    rewrite → recount), with the corpus never re-tokenized after the
+    initial word-count collapse.
+
+    Output readability: the merged symbol appears in round-2 pairs as
+    ``<lr>`` (e.g. a pair ('<er>', 's') = the merged 'er' followed by
+    's'), rendered from the marker via replace on BOTH engines.
+
+    Scale posture: identical to text_bpe_pairs (all per-round work on
+    the distinct-word relation) plus one 1-row broadcast for the
+    argmax merge rule — k rounds = k such passes over the (shrinking)
+    vocab, the standard distributed-BPE-trainer loop.
+    """
+    from pyspark.sql.window import Window
+
+    from etl_data_pipeline_spark.functions.caching import tracked_persist
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    wc = tracked_persist(words.groupBy("w").agg(F.count("*").alias("n")))
+
+    def pair_counts(vocab: DataFrame) -> DataFrame:
+        return (
+            vocab.filter(F.length("w") >= 2)
+            .select(
+                "w",
+                "n",
+                F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+            )
+            .select(
+                F.col("w").substr(F.col("i"), F.lit(1)).alias("left_sym"),
+                F.col("w").substr(F.col("i") + 1, F.lit(1)).alias("right_sym"),
+                "n",
+            )
+            .groupBy("left_sym", "right_sym")
+            .agg(F.sum("n").alias("pair_count"))
+        )
+
+    top1 = (
+        pair_counts(wc)
+        .select(
+            "left_sym",
+            "right_sym",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
+                )
+            )
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("left_sym").alias("m_l"), F.col("right_sym").alias("m_r")
+        )
+    )
+    vocab2 = wc.crossJoin(F.broadcast(top1)).select(
+        F.replace(
+            F.col("w"), F.concat(F.col("m_l"), F.col("m_r")), F.lit(BPE_MARKER)
+        ).alias("w"),
+        "n",
+        "m_l",
+        "m_r",
+    )
+    merged_disp = F.concat(F.lit("<"), F.col("m_l"), F.col("m_r"), F.lit(">"))
+    r2 = (
+        pair_counts(vocab2.select("w", "n"))
+        .crossJoin(F.broadcast(top1))
+        .select(
+            F.replace(F.col("left_sym"), F.lit(BPE_MARKER), merged_disp).alias(
+                "left_sym"
+            ),
+            F.replace(
+                F.col("right_sym"), F.lit(BPE_MARKER), merged_disp
+            ).alias("right_sym"),
+            "pair_count",
+        )
+    )
+    return (
+        r2.select(
+            "left_sym",
+            "right_sym",
+            "pair_count",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
+                )
+            )
+            .alias("merge_rank"),
+        )
+        .filter(F.col("merge_rank") <= BPE_TOP_K)
+    )
+
+
 # PII patterns: RE2-compatible (DuckDB) AND Java-regex-compatible
 # (Spark) — no lookaround, no backrefs, POSIX-safe classes only.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -1010,6 +1118,7 @@ QUERIES = {
     "text_contamination": text_contamination,
     "text_contamination_fuzzy": text_contamination_fuzzy,
     "text_bpe_pairs": text_bpe_pairs,
+    "text_bpe_round2": text_bpe_round2,
     "text_pii_scrub": text_pii_scrub,
     "text_repetition": text_repetition,
     "text_stats": text_stats,
@@ -1238,6 +1347,47 @@ ORACLE = {
         HAVING count(*) >= 2
         ORDER BY n_docs DESC, span ASC
         LIMIT {DUP_SPAN_TOPK}
+    """,
+    "text_bpe_round2": f"""
+        WITH words AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ), wc AS (
+            SELECT w, count(*) AS n FROM words
+            WHERE length(w) >= 2 GROUP BY w
+        ), r1 AS (
+            SELECT substr(w, i, 1) AS left_sym,
+                   substr(w, i + 1, 1) AS right_sym,
+                   sum(n) AS pair_count
+            FROM wc, LATERAL (SELECT unnest(range(1, length(w))) AS i)
+            GROUP BY 1, 2
+        ), top1 AS (
+            SELECT left_sym AS m_l, right_sym AS m_r FROM (
+                SELECT *, row_number() OVER (
+                    ORDER BY pair_count DESC, left_sym, right_sym) AS rk
+                FROM r1) WHERE rk = 1
+        ), v2 AS (
+            SELECT replace(w, m_l || m_r, chr(1)) AS w, n, m_l, m_r
+            FROM wc CROSS JOIN top1
+        ), p2 AS (
+            SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r,
+                   sum(n) AS pair_count
+            FROM (SELECT w, n FROM v2 WHERE length(w) >= 2) vv,
+                 LATERAL (SELECT unnest(range(1, length(w))) AS i)
+            GROUP BY 1, 2
+        ), disp AS (
+            SELECT replace(l, chr(1), '<' || m_l || m_r || '>') AS left_sym,
+                   replace(r, chr(1), '<' || m_l || m_r || '>') AS right_sym,
+                   pair_count
+            FROM p2 CROSS JOIN top1
+        )
+        SELECT left_sym, right_sym,
+               CAST(pair_count AS BIGINT) AS pair_count,
+               CAST(row_number() OVER (
+                   ORDER BY pair_count DESC, left_sym, right_sym)
+                   AS INTEGER) AS merge_rank
+        FROM disp
+        ORDER BY merge_rank
+        LIMIT {BPE_TOP_K}
     """,
     "text_bpe_pairs": f"""
         WITH words AS (

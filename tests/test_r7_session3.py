@@ -659,3 +659,48 @@ def test_text_bpe_pairs_plan_preaggregates_vocab(spark, sf_dir):
     assert scan_count(plan) == 1
     assert exchange_count(plan) <= 3, plan
     assert "CartesianProduct" not in plan
+
+
+def test_text_bpe_round2_matches_python(spark, sf_dir):
+    """Round 2 must equal a Python replay: apply round 1's argmax
+    merge greedily leftmost-non-overlapping, recount, rank."""
+    from etl_data_pipeline_spark.llm.text_analysis import (
+        BPE_TOP_K,
+        text_bpe_round2,
+    )
+
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in text_bpe_round2(spark, sf_dir).collect()
+    ]
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    wc = {}
+    for r in docs:
+        for w in r.text.split(" "):
+            if len(w) >= 2:
+                wc[w] = wc.get(w, 0) + 1
+
+    def counts(vocab):
+        pc = {}
+        for w, n in vocab.items():
+            for i in range(len(w) - 1):
+                pc[(w[i], w[i + 1])] = pc.get((w[i], w[i + 1]), 0) + n
+        return pc
+
+    (ml, mr), _ = min(counts(wc).items(), key=lambda kv: (-kv[1], kv[0]))
+    M = "\x01"
+    v2 = {}
+    for w, n in wc.items():
+        w2 = w.replace(ml + mr, M)
+        if len(w2) >= 2:
+            v2[w2] = v2.get(w2, 0) + n
+    disp = lambda s: s.replace(M, f"<{ml}{mr}>")
+    pc2 = {}
+    for (a, b), c in counts(v2).items():
+        key = (disp(a), disp(b))
+        pc2[key] = pc2.get(key, 0) + c
+    top = sorted(pc2.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_K]
+    expected = [(i + 1, a, b, c) for i, ((a, b), c) in enumerate(top)]
+    assert sorted(got) == expected
+    # the merged symbol must actually appear in round 2's top pairs
+    assert any(f"<{ml}{mr}>" in (a, b) for _, a, b, _ in got)
