@@ -83,9 +83,9 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # Round-7 rotation (per round-6 VERDICT "Next round" #1): the
     # brand-new r7 queries lead (no driver evidence yet — 26 from the
     # first continuation + 9 from the second: pareto/interpolate/CMS/
-    # PQ/IVFPQ/UDTF/overlap/pattern-match/ivfpq-recall + 15 from the
+    # PQ/IVFPQ/UDTF/overlap/pattern-match/ivfpq-recall + 16 from the
     # third: weighted-sample/interleave/autocorr/RFM/fuzzy-contam/
-    # PCA×2/interval-overlap/Holt/basket/attribution/PSI-drift/AB-test/BPE×2),
+    # PCA×2/interval-overlap/Holt/basket/attribution/PSI-drift/AB-test/BPE×2/peak-concurrency),
     # the two r3-stale dedup queries, then the r4-stale relational
     # core in CORRECTNESS_r04 key order. With a ~50-entry check window
     # the 47 brand-new + 2 r3-stale fill it; the r4-stale set leads
@@ -145,6 +145,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "events_ab_test",
         "text_bpe_pairs",
         "text_bpe_round2",
+        "events_peak_concurrency",
         # -- r3-stale (oldest remaining evidence)
         "dedup_embedding_cosine",
         "dedup_levenshtein",

@@ -666,6 +666,85 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DAY_US = 86400 * 1_000_000  # one day of exact integer micros
+
+
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning
+    number (license seats, connection pools, autoscaling floors) —
+    by the classic sweep line: every session contributes (+1 at
+    start, −1 at end), the running sum over time is the number of
+    sessions open, and its daily maximum is the answer.
+
+    A global sweep needs a total order; the distributed form bounds
+    each sweep to a DAY partition by clipping sessions at midnight
+    (exact integer `div`/modulo on micros — no double division), so
+    every window hashes on day_start and days sweep in parallel.
+    Tie semantics: at an instant where sessions both start and end,
+    +1 sorts before −1 (delta DESC), making closed-interval overlap
+    count; the per-day MAX is invariant to ordering WITHIN the +1
+    (or −1) group at one timestamp — each engine may interleave ties
+    differently but the peak after all +1s is the same value, which
+    is what makes this oracle-exact despite the nondeterministic
+    intermediate sweep states.
+    """
+    from pyspark.sql.window import Window
+
+    from etl_data_pipeline_spark.functions.sessions import with_session_seq
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    sess = (
+        with_session_seq(ev)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s_start"),
+            F.max(F.unix_micros("ts")).alias("s_end"),
+        )
+    )
+    clipped = sess.select(
+        F.explode(
+            F.sequence(
+                F.expr(f"s_start div {DAY_US}"), F.expr(f"s_end div {DAY_US}")
+            )
+        ).alias("d"),
+        "s_start",
+        "s_end",
+    ).select(
+        (F.col("d") * DAY_US).alias("day_start"),
+        F.greatest(F.col("s_start"), F.col("d") * DAY_US).alias("c_start"),
+        F.least(F.col("s_end"), (F.col("d") + 1) * DAY_US - 1).alias("c_end"),
+    )
+    deltas = clipped.select(
+        "day_start", F.col("c_start").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        clipped.select(
+            "day_start", F.col("c_end").alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    sweep_w = (
+        Window.partitionBy("day_start")
+        .orderBy(F.asc("t"), F.desc("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = deltas.select(
+        "day_start", F.sum("delta").over(sweep_w).alias("open_now")
+    )
+    return (
+        sweep.groupBy("day_start")
+        .agg(
+            F.max("open_now").alias("peak_concurrency"),
+            (F.count("*") / 2).cast("long").alias("n_session_slices"),
+        )
+        .select(
+            F.date_format(F.timestamp_micros(F.col("day_start")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "peak_concurrency",
+            "n_session_slices",
+        )
+    )
+
+
 AB_SALT = ":ab"        # hash-domain separator for variant assignment
 AB_Z_CRITICAL = 1.96   # two-sided 5% significance
 AB_CONV_MIN_PURCHASES = 14  # "heavy purchaser" conversion bar: this
@@ -1215,6 +1294,7 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "events_peak_concurrency": events_peak_concurrency,
     "events_ab_test": events_ab_test,
     "profile_drift_psi": profile_drift_psi,
     "events_attribution": events_attribution,
@@ -1278,6 +1358,34 @@ _PSI_PRIO_BINS_CTE = f"""
 """
 
 ORACLE = {
+    "events_peak_concurrency": f"""
+        WITH {_SQL_SESSION_CTE}, sess AS (
+            SELECT user_id, session_seq,
+                   min(us) AS s_start, max(us) AS s_end
+            FROM t GROUP BY user_id, session_seq
+        ), clipped AS (
+            SELECT d * {DAY_US} AS day_start,
+                   greatest(s_start, d * {DAY_US}) AS c_start,
+                   least(s_end, (d + 1) * {DAY_US} - 1) AS c_end
+            FROM sess, LATERAL (
+                SELECT unnest(range(s_start // {DAY_US},
+                                    s_end // {DAY_US} + 1)) AS d)
+        ), deltas AS (
+            SELECT day_start, c_start AS t, 1 AS delta FROM clipped
+            UNION ALL
+            SELECT day_start, c_end AS t, -1 FROM clipped
+        ), sweep AS (
+            SELECT day_start,
+                   sum(delta) OVER (PARTITION BY day_start
+                                    ORDER BY t, delta DESC
+                                    ROWS UNBOUNDED PRECEDING) AS open_now
+            FROM deltas
+        )
+        SELECT strftime(epoch_ms(day_start // 1000), '%Y-%m-%d') AS day,
+               CAST(max(open_now) AS BIGINT) AS peak_concurrency,
+               CAST(count(*) / 2 AS BIGINT) AS n_session_slices
+        FROM sweep GROUP BY day_start
+    """,
     "events_ab_test": f"""
         WITH pu AS (
             SELECT user_id,

@@ -704,3 +704,58 @@ def test_text_bpe_round2_matches_python(spark, sf_dir):
     assert sorted(got) == expected
     # the merged symbol must actually appear in round 2's top pairs
     assert any(f"<{ml}{mr}>" in (a, b) for _, a, b, _ in got)
+
+
+# ---------------------------------------------------------- concurrency
+
+
+def test_events_peak_concurrency_matches_bruteforce(spark, sf_dir):
+    """Daily peaks must equal a brute-force instant-count: for each
+    day, the max over all session start instants of how many clipped
+    sessions cover that instant (closed intervals — the sweep's
+    +1-before-−1 tie rule)."""
+    from etl_data_pipeline_spark.functions.sessions import SESSION_GAP_US
+    from etl_data_pipeline_spark.operators.analytics import (
+        DAY_US,
+        events_peak_concurrency,
+    )
+
+    got = {
+        r.day: (r.peak_concurrency, r.n_session_slices)
+        for r in events_peak_concurrency(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    ).collect()
+    by_user = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(int(r.ts.timestamp() * 1e6))
+    slices = {}  # day_start -> list[(c_start, c_end)]
+    for uss in by_user.values():
+        s, e = None, None
+        spans = []
+        for us in uss:
+            if e is None or us - e > SESSION_GAP_US:
+                if e is not None:
+                    spans.append((s, e))
+                s = us
+            e = us
+        spans.append((s, e))
+        for a, b in spans:
+            for d in range(a // DAY_US, b // DAY_US + 1):
+                slices.setdefault(d * DAY_US, []).append(
+                    (max(a, d * DAY_US), min(b, (d + 1) * DAY_US - 1))
+                )
+        del spans
+    import datetime
+
+    expected = {}
+    for day_start, ivs in slices.items():
+        peak = max(
+            sum(1 for a2, b2 in ivs if a2 <= a <= b2) for a, _ in ivs
+        )
+        day = datetime.datetime.fromtimestamp(
+            day_start / 1e6, datetime.timezone.utc
+        ).strftime("%Y-%m-%d")
+        expected[day] = (peak, len(ivs))
+    assert got == expected
