@@ -420,15 +420,33 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosion runs over vocab entries × word length, never over
     corpus tokens. Top-K via TakeOrdered, not a global sort.
     """
-    from pyspark.sql.window import Window
+    return _bpe_ranked(
+        _bpe_pair_counts(_bpe_word_counts(spark, sf_dir))
+    ).filter(F.col("merge_rank") <= BPE_TOP_K)
 
+
+BPE_MARKER = "\x01"  # stand-in symbol for the round-1 merged pair: a
+#                      control char, definitionally outside any
+#                      printable corpus alphabet
+
+
+def _bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w, n): the distinct-word relation both BPE operators count
+    over — ONE definition so the two rounds cannot diverge."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
-        F.length("w") >= 2
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
     )
-    wc = words.groupBy("w").agg(F.count("*").alias("n"))
-    pairs = (
-        wc.select(
+
+
+def _bpe_pair_counts(vocab: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent symbol-pair counts over (w, n)."""
+    return (
+        vocab.filter(F.length("w") >= 2)
+        .select(
             "w",
             "n",
             F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
@@ -441,7 +459,14 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("left_sym", "right_sym")
         .agg(F.sum("n").alias("pair_count"))
     )
-    ranked = pairs.select(
+
+
+def _bpe_ranked(pairs: DataFrame) -> DataFrame:
+    """Append merge_rank: count desc, (left, right) asc tiebreak —
+    the one tiebreak definition shared by argmax and top-K."""
+    from pyspark.sql.window import Window
+
+    return pairs.select(
         "left_sym",
         "right_sym",
         "pair_count",
@@ -453,12 +478,6 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("merge_rank"),
     )
-    return ranked.filter(F.col("merge_rank") <= BPE_TOP_K)
-
-
-BPE_MARKER = "\x01"  # stand-in symbol for the round-1 merged pair: a
-#                      control char, definitionally outside any
-#                      printable corpus alphabet
 
 
 def text_bpe_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -480,47 +499,12 @@ def text_bpe_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax merge rule — k rounds = k such passes over the (shrinking)
     vocab, the standard distributed-BPE-trainer loop.
     """
-    from pyspark.sql.window import Window
-
     from etl_data_pipeline_spark.functions.caching import tracked_persist
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
-        F.length("w") >= 2
-    )
-    wc = tracked_persist(words.groupBy("w").agg(F.count("*").alias("n")))
-
-    def pair_counts(vocab: DataFrame) -> DataFrame:
-        return (
-            vocab.filter(F.length("w") >= 2)
-            .select(
-                "w",
-                "n",
-                F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
-            )
-            .select(
-                F.col("w").substr(F.col("i"), F.lit(1)).alias("left_sym"),
-                F.col("w").substr(F.col("i") + 1, F.lit(1)).alias("right_sym"),
-                "n",
-            )
-            .groupBy("left_sym", "right_sym")
-            .agg(F.sum("n").alias("pair_count"))
-        )
-
+    wc = tracked_persist(_bpe_word_counts(spark, sf_dir))
     top1 = (
-        pair_counts(wc)
-        .select(
-            "left_sym",
-            "right_sym",
-            F.row_number()
-            .over(
-                Window.orderBy(
-                    F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
-                )
-            )
-            .alias("rk"),
-        )
-        .filter(F.col("rk") == 1)
+        _bpe_ranked(_bpe_pair_counts(wc))
+        .filter(F.col("merge_rank") == 1)
         .select(
             F.col("left_sym").alias("m_l"), F.col("right_sym").alias("m_r")
         )
@@ -535,7 +519,7 @@ def text_bpe_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged_disp = F.concat(F.lit("<"), F.col("m_l"), F.col("m_r"), F.lit(">"))
     r2 = (
-        pair_counts(vocab2.select("w", "n"))
+        _bpe_pair_counts(vocab2.select("w", "n"))
         .crossJoin(F.broadcast(top1))
         .select(
             F.replace(F.col("left_sym"), F.lit(BPE_MARKER), merged_disp).alias(
@@ -547,21 +531,7 @@ def text_bpe_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pair_count",
         )
     )
-    return (
-        r2.select(
-            "left_sym",
-            "right_sym",
-            "pair_count",
-            F.row_number()
-            .over(
-                Window.orderBy(
-                    F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
-                )
-            )
-            .alias("merge_rank"),
-        )
-        .filter(F.col("merge_rank") <= BPE_TOP_K)
-    )
+    return _bpe_ranked(r2).filter(F.col("merge_rank") <= BPE_TOP_K)
 
 
 # PII patterns: RE2-compatible (DuckDB) AND Java-regex-compatible

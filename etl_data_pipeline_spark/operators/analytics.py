@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_data_pipeline_spark.functions.hashing import sql_md5_long60
 from etl_data_pipeline_spark.functions.rounding import hround, sql_round
 from etl_data_pipeline_spark.functions.sessions import sql_session_seq_cte
 from etl_data_pipeline_spark.session import load_table
@@ -714,13 +715,17 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("s_start"), F.col("d") * DAY_US).alias("c_start"),
         F.least(F.col("s_end"), (F.col("d") + 1) * DAY_US - 1).alias("c_end"),
     )
+    # one explode, not a unionAll of two selects: each union branch
+    # would re-plan the whole sessionize subtree (double events scan)
     deltas = clipped.select(
-        "day_start", F.col("c_start").alias("t"), F.lit(1).alias("delta")
-    ).unionAll(
-        clipped.select(
-            "day_start", F.col("c_end").alias("t"), F.lit(-1).alias("delta")
-        )
-    )
+        "day_start",
+        F.explode(
+            F.array(
+                F.struct(F.col("c_start").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("c_end").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("x"),
+    ).select("day_start", "x.t", "x.delta")
     sweep_w = (
         Window.partitionBy("day_start")
         .orderBy(F.asc("t"), F.desc("delta"))
@@ -874,7 +879,10 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot = counts.agg(
             F.sum("c_ref").alias("n_ref"),
             F.sum("c_cur").alias("n_cur"),
-            F.count("*").alias("n_bins"),
+            # count("bin"), not count("*"): a NULL bin (NULL column
+            # value) must not inflate the smoothing denominator — the
+            # oracle's count(DISTINCT bin) skips NULLs too
+            F.count("bin").alias("n_bins"),
         )
         p = (F.col("c_ref") + 1) / (F.col("n_ref") + F.col("n_bins"))
         q = (F.col("c_cur") + 1) / (F.col("n_cur") + F.col("n_bins"))
@@ -926,15 +934,17 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design — NO conversion×touch join (the oracle's lateral
     formulation; pair volume = conversions × touches-in-window): one
     user-partitioned sort feeds ALL the signals as window functions —
-    last-touch via F.last(IGNORE NULLS) over the preceding-rows frame
-    with an explicit in-window check, first-touch and per-channel
-    counts via RANGE frames over exact integer micros. The shuffle is
-    ONE exchange (every window hashes by user_id); the three tiny
-    per-channel aggregates then join broadcast-sized relations.
-    Within-user timestamps are unique at micro precision in this data
-    model (verified at 1× and 10×); the rows-frame ordering still
-    carries an event_id tiebreak so equal-timestamp data would stay
-    deterministic, matching the oracle's row_number tiebreaks.
+    last-touch, first-touch and per-channel counts all via RANGE
+    frames spanning exactly [conv_us − LOOKBACK, conv_us) in integer
+    micros, so the frame IS the oracle's window predicate (a
+    same-instant touch is excluded on both engines by construction).
+    The shuffle is ONE exchange (every window hashes by user_id); the
+    three tiny per-channel aggregates then join broadcast-sized
+    relations. Precondition: within-user timestamps are unique at
+    micro precision (true of this data model, verified at 1×/10×/30×)
+    — RANGE frames order by the single time key, so equal-timestamp
+    touches WITHIN one frame would make the first/last pick
+    tie-ambiguous in any engine.
     """
     from pyspark.sql.window import Window
 
@@ -944,20 +954,12 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "event_type", "value", us.alias("us"),
         is_touch.alias("is_touch"),
     )
-    w_rows = (
-        Window.partitionBy("user_id")
-        .orderBy("us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     w_range = (
         Window.partitionBy("user_id")
         .orderBy("us")
         .rangeBetween(-ATTR_LOOKBACK_US, -1)
     )
-    touch_struct = F.when(
-        F.col("is_touch"), F.struct(F.col("us").alias("tus"),
-                                    F.col("event_type").alias("channel"))
-    )
+    touch_channel = F.when(F.col("is_touch"), F.col("event_type"))
     chan_cnt = {
         c: F.sum(
             F.when(F.col("is_touch") & (F.col("event_type") == c), 1).otherwise(0)
@@ -966,10 +968,12 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     scored = e.select(
         "*",
-        F.last(touch_struct, ignorenulls=True).over(w_rows).alias("last_t"),
-        F.first(
-            F.when(F.col("is_touch"), F.col("event_type")), ignorenulls=True
-        ).over(w_range).alias("first_channel"),
+        F.last(touch_channel, ignorenulls=True).over(w_range).alias(
+            "last_channel_w"
+        ),
+        F.first(touch_channel, ignorenulls=True).over(w_range).alias(
+            "first_channel"
+        ),
         *[chan_cnt[c].alias(f"cnt_{c}") for c in ATTR_TOUCHES],
     )
     from etl_data_pipeline_spark.functions.caching import tracked_persist
@@ -981,10 +985,7 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the opposite tradeoff from basket_affinity's re-scan choice
     conv = tracked_persist(scored.filter(F.col("event_type") == "purchase").select(
         "value",
-        F.when(
-            F.col("last_t.tus") >= F.col("us") - ATTR_LOOKBACK_US,
-            F.col("last_t.channel"),
-        ).alias("last_channel"),
+        F.col("last_channel_w").alias("last_channel"),
         "first_channel",
         total_cnt.alias("cnt_total"),
         *[F.col(f"cnt_{c}") for c in ATTR_TOUCHES],
@@ -1022,11 +1023,18 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("channel")
         .agg(hround(F.sum("credit"), 2).alias("value_linear"))
     )
+    # FULL outer + zero-fill: a channel can appear in one model but
+    # not another (e.g. always a mid-path touch, never the last) — an
+    # inner join would silently drop its row from the budget report
     return (
-        lastagg.join(firstagg, "channel")
-        .join(linear, "channel")
+        lastagg.join(firstagg, "channel", "full_outer")
+        .join(linear, "channel", "full_outer")
         .select(
-            "channel", "conv_last", "value_last", "conv_first", "value_linear"
+            "channel",
+            F.coalesce("conv_last", F.lit(0)).alias("conv_last"),
+            F.coalesce("value_last", F.lit(0.0)).alias("value_last"),
+            F.coalesce("conv_first", F.lit(0)).alias("conv_first"),
+            F.coalesce("value_linear", F.lit(0.0)).alias("value_linear"),
         )
     )
 
@@ -1396,8 +1404,8 @@ ORACLE = {
             FROM events GROUP BY user_id
         ), a AS (
             SELECT converted,
-                   (('0x' || substr(md5(user_id::VARCHAR || '{AB_SALT}'),
-                       1, 15))::BIGINT % 2 = 1) AS is_treatment
+                   ({sql_md5_long60(f"user_id::VARCHAR || '{AB_SALT}'")}
+                       % 2 = 1) AS is_treatment
             FROM pu
         ), agg AS (
             SELECT CAST(sum(CASE WHEN is_treatment THEN 0 ELSE 1 END)
@@ -1492,11 +1500,14 @@ ORACLE = {
             SELECT first_channel AS channel, count(*) AS conv_first
             FROM firstt GROUP BY 1
         )
-        SELECT channel, la.conv_last, la.value_last, fa.conv_first,
-               li.value_linear
+        SELECT channel,
+               coalesce(la.conv_last, 0) AS conv_last,
+               coalesce(la.value_last, 0.0) AS value_last,
+               coalesce(fa.conv_first, 0) AS conv_first,
+               coalesce(li.value_linear, 0.0) AS value_linear
         FROM lastagg la
-        JOIN firstagg fa USING (channel)
-        JOIN lin li USING (channel)
+        FULL JOIN firstagg fa USING (channel)
+        FULL JOIN lin li USING (channel)
     """,
     "basket_affinity": f"""
         WITH it AS (

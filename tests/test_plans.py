@@ -571,6 +571,7 @@ def test_third_continuation_ops_exchange_budgets(spark, sf_dir):
     from etl_data_pipeline_spark.operators.analytics import (
         basket_affinity,
         events_ab_test,
+        events_peak_concurrency,
         events_rfm,
         profile_drift_psi,
         timeseries_autocorr,
@@ -598,6 +599,9 @@ def test_third_continuation_ops_exchange_budgets(spark, sf_dir):
         # subtree per reference) + the final 1-row folds
         (profile_drift_psi, 7),
         (events_ab_test, 2),
+        # 2 + exactly ONE events scan: the sweep deltas come from one
+        # explode, not a unionAll re-planning the sessionize subtree
+        (events_peak_concurrency, 2),
     ]
     for q, budget in budgets:
         plan = _plan(q(spark, sf_dir))

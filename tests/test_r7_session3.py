@@ -284,7 +284,7 @@ def test_join_interval_overlap_matches_bruteforce(spark, sf_dir):
     by_user = {}
     hot = {}
     for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
-        us = int(r.ts.timestamp() * 1_000_000)
+        us = round(r.ts.timestamp() * 1_000_000)
         by_user.setdefault(r.user_id, []).append(us)
         if r.event_type == "purchase":
             w = us - us % OVERLAP_BIN_US
@@ -479,7 +479,7 @@ def test_events_attribution_matches_bruteforce(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").collect()
     rows = sorted(
         (
-            (r.user_id, int(r.ts.timestamp() * 1e6), r.event_id, r.event_type, r.value)
+            (r.user_id, round(r.ts.timestamp() * 1e6), r.event_id, r.event_type, r.value)
             for r in ev
         ),
     )
@@ -507,9 +507,15 @@ def test_events_attribution_matches_bruteforce(spark, sf_dir):
             for _, _, tet in touches:
                 lin[tet] = lin.get(tet, 0.0) + val / len(touches)
     r2 = lambda v: math.floor(v * 100 + 0.5) / 100
+    channels = set(last_cnt) | set(first_cnt) | set(lin)
     expected = {
-        c: (last_cnt[c], r2(last_val[c]), first_cnt[c], r2(lin[c]))
-        for c in last_cnt
+        c: (
+            last_cnt.get(c, 0),
+            r2(last_val.get(c, 0.0)),
+            first_cnt.get(c, 0),
+            r2(lin.get(c, 0.0)),
+        )
+        for c in channels
     }
     assert set(got) == set(expected)
     for c in expected:
@@ -521,9 +527,14 @@ def test_events_attribution_matches_bruteforce(spark, sf_dir):
 def test_events_attribution_single_exchange_windows(spark, sf_dir):
     """All window signals must share the one user-hash exchange; the
     per-channel joins are broadcast-sized."""
+    from etl_data_pipeline_spark.functions.caching import release_tracked
     from etl_data_pipeline_spark.operators.analytics import events_attribution
     from etl_data_pipeline_spark.plans import exchange_count
 
+    # a prior test's persisted relation would splice InMemoryTableScan
+    # sections (with their own printed exchanges) into this plan text
+    spark.catalog.clearCache()
+    release_tracked(spark)
     plan = _plan(events_attribution(spark, sf_dir))
     assert "CartesianProduct" not in plan
     # 1 user exchange + the three tiny per-channel aggregates
@@ -729,7 +740,7 @@ def test_events_peak_concurrency_matches_bruteforce(spark, sf_dir):
     ).collect()
     by_user = {}
     for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
-        by_user.setdefault(r.user_id, []).append(int(r.ts.timestamp() * 1e6))
+        by_user.setdefault(r.user_id, []).append(round(r.ts.timestamp() * 1e6))
     slices = {}  # day_start -> list[(c_start, c_end)]
     for uss in by_user.values():
         s, e = None, None
