@@ -856,12 +856,21 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals as 1-row broadcasts; the PSI fold runs over ≤ max(bins,
     categories) rows. Nothing shuffles more than (bin, two counts).
     """
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_totalprice",
-        "o_orderpriority",
-        (F.col("o_orderdate") < F.lit(PSI_SPLIT_DATE).cast("timestamp")).alias(
-            "is_ref"
-        ),
+    # NULL o_orderdate is filtered explicitly (and identically in the
+    # oracle CTEs): without the filter Spark's when(~is_ref,...) would
+    # count a NULL-date row in NEITHER period while a naive CASE WHEN
+    # counts it as current — an engine divergence waiting for a fixture
+    # change, even though this data model has no NULL dates.
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(
+            "o_totalprice",
+            "o_orderpriority",
+            (F.col("o_orderdate") < F.lit(PSI_SPLIT_DATE).cast("timestamp")).alias(
+                "is_ref"
+            ),
+        )
     )
 
     from etl_data_pipeline_spark.functions.caching import tracked_persist
@@ -905,12 +914,18 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
     width = (F.col("hi") - F.col("lo")) / PSI_PRICE_BINS
+    # Degenerate-domain guard (hi == lo, e.g. a constant price column):
+    # width 0 would make the bin expression NaN on both engines; collapse
+    # to a single bin 0 instead. Mirrored verbatim in the oracle CTE.
     price_bins = o.crossJoin(F.broadcast(mm)).select(
         "is_ref",
-        F.least(
-            F.floor((F.col("o_totalprice") - F.col("lo")) / width),
-            F.lit(PSI_PRICE_BINS - 1),
-        ).alias("bin"),
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.floor((F.col("o_totalprice") - F.col("lo")) / width),
+                F.lit(PSI_PRICE_BINS - 1),
+            ),
+        ).otherwise(F.lit(0).cast("long")).alias("bin"),
     )
     prio_bins = o.select("is_ref", F.col("o_orderpriority").alias("bin"))
     return psi_of(price_bins, "o_totalprice").unionAll(
@@ -944,7 +959,15 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro precision (true of this data model, verified at 1×/10×/30×)
     — RANGE frames order by the single time key, so equal-timestamp
     touches WITHIN one frame would make the first/last pick
-    tie-ambiguous in any engine.
+    tie-ambiguous in any engine. Enforced, not assumed: a zero-width
+    RANGE frame (same partitioning+sort — no extra exchange, the second
+    Window pass reuses the first's sort) flags touches that share a
+    microsecond, a max over the attribution frame lands the flag on
+    each conversion row, and an ``assert_true`` fails the job with a
+    clear message iff a tied touch sits INSIDE some conversion's
+    lookback — the exact condition under which the first/last pick
+    could silently diverge from the oracle's event_id-tiebroken answer.
+    Ties that no conversion frame observes are harmless and ignored.
     """
     from pyspark.sql.window import Window
 
@@ -966,10 +989,28 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).over(w_range)
         for c in ATTR_TOUCHES
     }
+    # Zero-width RANGE frame on the same (partitionBy, orderBy): counts
+    # touch rows sharing this row's exact micro timestamp within the
+    # user. A touch with >1 peer is a tie — nondeterministic only if
+    # some conversion's frame contains it, which the max-over-w_range
+    # below detects on the conversion row itself (where the post-filter
+    # Project actually evaluates, unlike a per-touch-row assert that
+    # the purchase filter would skip right past).
+    w_self = Window.partitionBy("user_id").orderBy("us").rangeBetween(0, 0)
+    e = e.select(
+        "*",
+        (
+            F.col("is_touch")
+            & (F.sum(F.col("is_touch").cast("int")).over(w_self) > 1)
+        ).alias("tied_touch"),
+    )
     scored = e.select(
         "*",
         F.last(touch_channel, ignorenulls=True).over(w_range).alias(
             "last_channel_w"
+        ),
+        F.max(F.col("tied_touch").cast("int")).over(w_range).alias(
+            "ties_in_frame"
         ),
         F.first(touch_channel, ignorenulls=True).over(w_range).alias(
             "first_channel"
@@ -983,8 +1024,20 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # first/linear aggregates) would each re-run the full-events sort
     # behind the windows, and the cached frame is purchases-only —
     # the opposite tradeoff from basket_affinity's re-scan choice
+    # assert_true yields NULL when the predicate holds; coalescing it
+    # under the consumed value column forces per-conversion evaluation
+    # without changing any value (and column pruning can't drop it)
+    ties_guard = F.assert_true(
+        F.coalesce(F.col("ties_in_frame"), F.lit(0)) == 0,
+        F.lit(
+            "events_attribution precondition violated: duplicate "
+            "(user_id, ts) touch pair at microsecond precision inside "
+            "a conversion's lookback frame — RANGE-frame first/last "
+            "attribution would be nondeterministic"
+        ),
+    )
     conv = tracked_persist(scored.filter(F.col("event_type") == "purchase").select(
-        "value",
+        F.coalesce(ties_guard.cast("double"), F.col("value")).alias("value"),
         F.col("last_channel_w").alias("last_channel"),
         "first_channel",
         total_cnt.alias("cnt_total"),
@@ -1354,15 +1407,20 @@ def _psi_oracle_block(bins_cte: str, colname: str) -> str:
 
 _PSI_PRICE_BINS_CTE = f"""
     SELECT (o_orderdate < TIMESTAMP '{PSI_SPLIT_DATE}') AS is_ref,
-           least(floor((o_totalprice - lo) / ((hi - lo) / {PSI_PRICE_BINS})),
-                 {PSI_PRICE_BINS - 1}) AS bin
+           CASE WHEN hi > lo THEN
+               least(floor((o_totalprice - lo) / ((hi - lo) / {PSI_PRICE_BINS})),
+                     {PSI_PRICE_BINS - 1})
+           ELSE 0 END AS bin
     FROM orders CROSS JOIN (
-        SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+        SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        FROM orders WHERE o_orderdate IS NOT NULL)
+    WHERE o_orderdate IS NOT NULL
 """
 _PSI_PRIO_BINS_CTE = f"""
     SELECT (o_orderdate < TIMESTAMP '{PSI_SPLIT_DATE}') AS is_ref,
            o_orderpriority AS bin
     FROM orders
+    WHERE o_orderdate IS NOT NULL
 """
 
 ORACLE = {
