@@ -59,6 +59,53 @@ def _toks() -> Column:
     return F.array_distinct(F.split(F.col("text"), " "))
 
 
+# Hard ceiling on block size for the two DELIBERATELY-quadratic
+# exhibits (dedup_ngram_jaccard, dedup_levenshtein). Within-block pair
+# volume is rows²/2, so 50k rows caps a block at ~1.25B candidate pairs
+# — heavy but finite; at 100 TB blocks reach millions of rows and the
+# exhibits must refuse to run rather than silently attempt Θ(block²)
+# work. Comfortably above every measured tier (sf10 max documents
+# block ≈ 11.2k rows), so the shipped gates/probes are unaffected.
+# Bypass: call with exhibit=True (an explicit "I know it's quadratic").
+EXHIBIT_BLOCK_CAP = 50_000
+
+
+def _block_cap_guard(
+    df: DataFrame, block_keys: list[str], fold_col: str, query: str, scale_path: str
+) -> DataFrame:
+    """Plan-embedded guard that fails the job when any block exceeds
+    EXHIBIT_BLOCK_CAP rows, evaluated lazily with the query itself.
+
+    Mechanics: a tiny per-block count aggregate is broadcast back onto
+    the rows (no extra exchange of ``df``; the counts relation has one
+    row per block), and an ``assert_true`` is folded into the consumed
+    ``fold_col`` via a NULL-typed coalesce — value-preserving, but
+    column pruning cannot drop it, so EVERY row of EVERY block checks
+    its block's size before any pairwise work starts.
+    """
+    blk = df.groupBy(*block_keys).agg(F.count("*").alias("_blk_n"))
+    guard = F.assert_true(
+        F.col("_blk_n") <= F.lit(EXHIBIT_BLOCK_CAP),
+        F.concat(
+            F.lit(
+                f"{query}: a {tuple(block_keys)} block has "
+            ),
+            F.col("_blk_n").cast("string"),
+            F.lit(
+                f" rows (> {EXHIBIT_BLOCK_CAP}); refusing to run the "
+                f"blocked-quadratic exhibit at this scale — use "
+                f"{scale_path}, or pass exhibit=True to override"
+            ),
+        ),
+    )
+    folded = F.coalesce(guard.cast(df.schema[fold_col].dataType), F.col(fold_col))
+    return (
+        df.join(F.broadcast(blk), block_keys)
+        .withColumn(fold_col, folded)
+        .drop("_blk_n")
+    )
+
+
 def _shingles() -> Column:
     """Distinct 3-gram token shingles (guarded for short docs: Spark
     sequence(1, n<1) would count DOWN, and ANSI element_at errors)."""
@@ -93,7 +140,9 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, exhibit: bool = False
+) -> DataFrame:
     """Blocked pairwise Jaccard: word-set and 3-gram-shingle-set
     similarity for same-(lang,source) pairs above threshold.
 
@@ -101,6 +150,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersections compare longs, not strings — at 125k+ pairs the
     string→long move is a ~2× win and collision risk is ~|set|²/2⁶⁴
     (irrelevant; the DuckDB oracle on raw strings still matches).
+
+    QUADRATIC EXHIBIT: within-block pair volume is Θ(block²) by
+    design (this is the exact baseline/oracle generator; the
+    production near-dup path is dedup_minhash_lsh, measured exponent
+    0.41). A plan-embedded guard refuses any (lang, source) block
+    over EXHIBIT_BLOCK_CAP rows unless ``exhibit=True``.
     """
     # spread(): shingle/hash compute and the per-pair verify are
     # CPU-bound — fan the single small parquet split across all cores.
@@ -119,6 +174,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             hash_set(_shingles()).alias("shingles"),
         ).withColumn("n_words", F.size("words"))
     )
+    if not exhibit:
+        d = _block_cap_guard(
+            d, ["lang", "source"], "n_words",
+            "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        )
     # EXPLICIT fixed-count repartition on the block keys before the
     # self-join: the join's shuffle INPUT is tiny (ids + hashed sets),
     # so AQE's coalescing would legally collapse it to ~1 partition —
@@ -464,10 +524,19 @@ LEVENSHTEIN_SEGMENTS = LEVENSHTEIN_MAX + 1  # pigeonhole: τ+1 segments
 LEVENSHTEIN_SEG_LEN = 3                     # 3 digits per segment
 
 
-def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_levenshtein(
+    spark: SparkSession, sf_dir: str, exhibit: bool = False
+) -> DataFrame:
     """Edit-distance entity resolution: customer pairs whose names are
     within 2 edits — the fuzzy-name-matching flavor of dedup (record
     linkage), vs the content-similarity flavors above.
+
+    QUADRATIC EXHIBIT: within-block candidate volume is Θ(block²) in
+    the worst case (constant segment values); a plan-embedded guard
+    refuses any (seg, seg_val) block over EXHIBIT_BLOCK_CAP rows
+    unless ``exhibit=True``. The LSH/banding family is the scale path
+    for content dedup; for record linkage at scale, entropy-aware
+    segment selection (docstring below) is the production mitigation.
 
     Blocking is a CONTENT-DERIVED pigeonhole key, not a metadata
     column: the name's digit part (the distinctive portion — the
@@ -512,6 +581,11 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("seg", "seg_val"),
     )
+    if not exhibit:
+        keyed = _block_cap_guard(
+            keyed, ["seg", "seg_val"], "seg_val",
+            "dedup_levenshtein", "entropy-aware segmentation / LSH blocking",
+        )
     # spread the probe side: the join is broadcast, so the streamed
     # side's partitioning decides parallelism — a small-file scan would
     # otherwise run the whole candidate verify (the CPU cost) in 1 task

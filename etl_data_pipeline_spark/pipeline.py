@@ -58,7 +58,12 @@ def incremental_source_options(t: TableSpec, raw_watermark: str | None) -> dict:
     other source format). A caller-provided dbtable wins — it may
     already be a custom pushdown subquery. 'dialect' picks the
     identifier quoting and is consumed here (jdbc_reader_options does
-    not forward unknown keys to the JVM)."""
+    not forward unknown keys to the JVM); when absent it is INFERRED
+    from the JDBC URL subprotocol (dialect_for_url) — a MySQL URL
+    must never get ANSI double-quoting by default, because MySQL reads
+    it as a string literal and the predicate silently matches nothing."""
+    from etl_data_pipeline_spark.sources import dialect_for_url
+
     opts = dict(t.source_options)
     if (
         t.source_format == "jdbc"
@@ -66,12 +71,15 @@ def incremental_source_options(t: TableSpec, raw_watermark: str | None) -> dict:
         and t.watermark_column
         and "dbtable" not in opts
     ):
+        dialect = opts.pop("dialect", None) or dialect_for_url(
+            opts.get("url")
+        ) or "ansi"
         opts["dbtable"] = jdbc_incremental_dbtable(
             t.name,
             t.watermark_column,
             t.watermark_type,
             raw_watermark,
-            dialect=opts.pop("dialect", "ansi"),
+            dialect=dialect,
         )
     return opts
 

@@ -95,8 +95,35 @@ def jdbc_reader_options(table: str, options: dict) -> dict[str, str]:
 _DIALECTS: dict[str, tuple[str, str]] = {
     "ansi": ('"', "TIMESTAMP '{}'"),
     "mysql": ("`", "TIMESTAMP '{}'"),
+    # Postgres is ANSI-faithful for both (reference target engine,
+    # util.py:190-271) — a named entry so configs can say what they
+    # mean and URL inference has a stable answer.
+    "postgres": ('"', "TIMESTAMP '{}'"),
     "derby": ('"', "TIMESTAMP('{}')"),
 }
+
+# JDBC URL subprotocol -> dialect. The reference's two real engines
+# (MySQL source util.py:111-187, Postgres target util.py:190-271) plus
+# the live-tested embedded Derby. Inference exists because the failure
+# mode of a WRONG default is silent: an ANSI-quoted watermark predicate
+# against MySQL compares a string literal to the bound — zero rows
+# forever, no error. A recognized URL therefore overrides the generic
+# default; an explicit user dialect always wins.
+_URL_DIALECTS: dict[str, str] = {
+    "mysql": "mysql",
+    "mariadb": "mysql",          # MariaDB speaks MySQL's quoting
+    "postgresql": "postgres",
+    "derby": "derby",
+}
+
+
+def dialect_for_url(url: str | None) -> str | None:
+    """Infer the SQL dialect from a JDBC URL's subprotocol
+    (``jdbc:mysql://...`` -> 'mysql'), or None if unrecognized."""
+    if not url or not url.startswith("jdbc:"):
+        return None
+    sub = url[len("jdbc:"):].split(":", 1)[0].lower()
+    return _URL_DIALECTS.get(sub)
 
 
 def jdbc_incremental_dbtable(

@@ -608,3 +608,61 @@ def test_third_continuation_ops_exchange_budgets(spark, sf_dir):
         assert exchange_count(plan) <= budget, (q.__name__, plan)
         for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
             assert bad not in plan, q.__name__
+
+
+# ------------------------------------------ registry-wide plan gate
+
+
+# The ONLY plans allowed to contain Python evaluation nodes: the four
+# Python-extension tiers, the mandated multimodal stub, and
+# dedup_simhash's vectorized bit-majority vote (token hashing JVM-side).
+# A new operator that plans a Python node must either go JVM-side or be
+# added here WITH the documentation that makes it a deliberate exhibit.
+PYTHON_EXHIBITS = {
+    "udf_scalar",
+    "udf_pandas",
+    "udaf_grouped",
+    "udaf_segment_trend",
+    "udtf_doc_tokens",
+    "multimodal_decode_stub",
+    "dedup_simhash",
+}
+PY_NODES = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+    "PythonDataSource",
+)
+
+
+def test_registry_wide_plan_posture(spark, sf_dir):
+    """Every registered query's physical plan: zero CartesianProduct,
+    and Python evaluation nodes only in the documented exhibits — the
+    CI-shaped version of PLANS.md's repo-wide invariants, so a future
+    operator cannot silently regress plan posture (round-7 verdict
+    item 8). Builds plans only; never executes the queries."""
+    from etl_data_pipeline_spark.functions.caching import release_tracked
+    from etl_data_pipeline_spark.operators import collect_registry
+
+    queries, _ = collect_registry()
+    cartesian, stray_python, failures = [], [], []
+    for name, fn in queries.items():
+        try:
+            plan = _plan(fn(spark, sf_dir))
+        except Exception as e:
+            failures.append((name, str(e)[:120]))
+            continue
+        finally:
+            # iterative operators persist/checkpoint during construction
+            spark.catalog.clearCache()
+            release_tracked(spark)
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
+        if name not in PYTHON_EXHIBITS and any(n in plan for n in PY_NODES):
+            stray_python.append(name)
+    assert not failures, failures
+    assert not cartesian, f"CartesianProduct plans: {cartesian}"
+    assert not stray_python, (
+        f"Python evaluation outside the documented exhibits: {stray_python}"
+    )

@@ -129,3 +129,105 @@ def test_profile_drift_psi_constant_price_agrees(spark, tmp_path):
     price = [r for r in got if r[0] == "o_totalprice"]
     assert price and price[0][1] == 1  # single collapsed bin
     assert price[0][2] == pytest.approx(0.0, abs=1e-9) or price[0][2] is not None
+
+
+# ----------------------------------------------------- exhibit guards
+
+
+def _tiny_docs(spark, tmp_path, n, lang="en", source="web"):
+    rows = [
+        (i, lang, source, f"tok{i} alpha beta gamma delta tok{i}", 30)
+        for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string, n_chars int"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_ngram_jaccard_block_cap_guard_fires(spark, tmp_path, monkeypatch):
+    """One (lang, source) block over the cap must refuse to run the
+    quadratic exhibit with an actionable message."""
+    from etl_data_pipeline_spark.llm import dedup
+
+    monkeypatch.setattr(dedup, "EXHIBIT_BLOCK_CAP", 5)
+    _tiny_docs(spark, tmp_path, 8)
+    df = dedup.dedup_ngram_jaccard(spark, str(tmp_path))
+    with pytest.raises(Exception, match="refusing to run the blocked-quadratic"):
+        df.collect()
+
+
+def test_ngram_jaccard_exhibit_override_bypasses_guard(spark, tmp_path, monkeypatch):
+    from etl_data_pipeline_spark.llm import dedup
+
+    monkeypatch.setattr(dedup, "EXHIBIT_BLOCK_CAP", 5)
+    _tiny_docs(spark, tmp_path, 8)
+    out = dedup.dedup_ngram_jaccard(spark, str(tmp_path), exhibit=True).collect()
+    # every doc shares the 4 middle tokens; with distinct tok{i} ends,
+    # word jaccard = 4/6 >= 0.5 for every pair: C(8,2) rows
+    assert len(out) == 28
+
+
+def test_ngram_jaccard_under_cap_unaffected(spark, tmp_path, monkeypatch):
+    from etl_data_pipeline_spark.llm import dedup
+
+    monkeypatch.setattr(dedup, "EXHIBIT_BLOCK_CAP", 100)
+    _tiny_docs(spark, tmp_path, 8)
+    assert len(dedup.dedup_ngram_jaccard(spark, str(tmp_path)).collect()) == 28
+
+
+def test_levenshtein_block_cap_guard_fires(spark, tmp_path, monkeypatch):
+    from etl_data_pipeline_spark.llm import dedup
+
+    monkeypatch.setattr(dedup, "EXHIBIT_BLOCK_CAP", 4)
+    rows = [(i, f"Customer#{i:09d}") for i in range(1, 10)]
+    spark.createDataFrame(rows, "c_custkey long, c_name string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    df = dedup.dedup_levenshtein(spark, str(tmp_path))
+    with pytest.raises(Exception, match="refusing to run the blocked-quadratic"):
+        df.collect()
+    # override returns the best-match graph instead
+    out = dedup.dedup_levenshtein(spark, str(tmp_path), exhibit=True).collect()
+    assert len(out) > 0
+
+
+# ------------------------------------------- substring scrub boundedness
+
+
+def test_substring_scrub_min_dup_docs_knob(spark):
+    """Raising the span-frequency floor keeps low-multiplicity dup
+    spans: a span in exactly 2 docs is scrubbed at the default but
+    survives min_dup_docs=3; a 3-doc span is scrubbed by both."""
+    from etl_data_pipeline_spark.llm.text_analysis import substring_scrub
+
+    hot = "h1 h2 h3 h4 h5 h6 h7 h8"      # appears in docs 1,2,3
+    warm = "w1 w2 w3 w4 w5 w6 w7 w8"     # appears in docs 4,5 only
+    df = spark.createDataFrame(
+        [
+            (1, f"{hot} a1 a2 a3"),
+            (2, f"{hot} b1 b2 b3"),
+            (3, f"{hot} c1 c2 c3"),
+            (4, f"{warm} d1 d2 d3"),
+            (5, f"{warm} e1 e2 e3"),
+        ],
+        "doc_id long, text string",
+    )
+    default = {r.doc_id: r.n_removed for r in substring_scrub(df).collect()}
+    bounded = {
+        r.doc_id: r.n_removed
+        for r in substring_scrub(df, min_dup_docs=3).collect()
+    }
+    # default: docs 2,3 lose the hot span; doc 5 loses the warm span
+    assert default[2] > 0 and default[3] > 0 and default[5] > 0
+    assert default[1] == 0 and default[4] == 0  # keepers untouched
+    # bounded: the 2-doc warm span is below the floor -> doc 5 keeps it
+    assert bounded[5] == 0
+    assert bounded[2] == default[2] and bounded[3] == default[3]
+
+
+def test_substring_scrub_rejects_degenerate_floor(spark):
+    from etl_data_pipeline_spark.llm.text_analysis import substring_scrub
+
+    df = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_dup_docs"):
+        substring_scrub(df, min_dup_docs=1)
