@@ -110,6 +110,12 @@ BENCH_QUERIES = [
     "embedding_pca_project",
     "text_contamination_fuzzy",
     "basket_affinity",
+    # round-8 additions (new floors): the minhash estimator-vs-exact
+    # accounting pass (LSH candidate generation + K-array compare) and
+    # the metadata-filtered IVF ANN (nprobe=2 + label predicate in
+    # candidate generation)
+    "dedup_minhash_estimate",
+    "sim_ann_ivf_filtered",
 ]
 
 

@@ -337,6 +337,80 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash as an ESTIMATOR, shipped with its own error
+    measurement: for every LSH candidate pair, the sketch-estimated
+    Jaccard (fraction of the K=32 minhashes that agree — the unbiased
+    Broder estimator, Var = J(1-J)/K) NEXT TO the exact shingle
+    Jaccard and the absolute error. The sketch-accountability pattern
+    of the IVF/PQ recall queries and the CMS/HLL ``_bounds`` twins,
+    applied to the dedup family's own sketch: a user deciding whether
+    minhash agreement alone (no exact verify) is good enough for
+    their threshold reads this table, not a formula.
+
+    Scale shape: identical to dedup_minhash_lsh through candidate
+    generation (band-bucket join on bare ids+signatures, no all-pairs
+    anywhere); the estimate adds one K-int array comparison per
+    candidate pair — cheaper than the exact verify it sits beside,
+    which is the point being measured. Pairs are NOT threshold-
+    filtered: sub-threshold candidates are exactly where the
+    estimator's false-positive behavior lives.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh_hashed = F.array_distinct(
+        F.transform(_shingles(), lambda t: _md5_long(t))
+    )
+    sh = tracked_persist(docs.select("doc_id", sh_hashed.alias("sh_hash")))
+    # persist: the (id, shingles, K minhashes) relation feeds the band
+    # path AND both per-pair sides; text never moves past this point
+    with_mh = tracked_persist(sh.select("doc_id", "sh_hash", *_minhash_cols()))
+    bands = F.array(
+        *[
+            (F.col(f"mh{2 * b}") * MINHASH_P + F.col(f"mh{2 * b + 1}"))
+            for b in range(LSH_BANDS)
+        ]
+    )
+    sigs = tracked_persist(
+        with_mh.select("doc_id", F.posexplode(bands).alias("band_id", "band_sig"))
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    mh_arr = F.array(*[F.col(f"mh{i}") for i in range(MINHASH_K)])
+    side = lambda tag: with_mh.select(
+        F.col("doc_id").alias(f"doc_{tag}"),
+        F.col("sh_hash").alias(f"sh_{tag}"),
+        mh_arr.alias(f"mh_{tag}"),
+    )
+    paired = candidates.join(side("a"), "doc_a").join(side("b"), "doc_b")
+    matches = F.size(
+        F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v)
+    )
+    est = matches / F.lit(float(MINHASH_K))
+    s_int = F.size(F.array_intersect("sh_a", "sh_b"))
+    exact = s_int / F.greatest(
+        F.size("sh_a") + F.size("sh_b") - s_int, F.lit(1)
+    )
+    return paired.select(
+        "doc_a",
+        "doc_b",
+        hround(est, 6).alias("est_jaccard"),
+        hround(exact, 6).alias("exact_jaccard"),
+        hround(F.abs(est - exact), 6).alias("abs_err"),
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup pairs, exact-Jaccard verified.
 
@@ -584,8 +658,17 @@ def dedup_levenshtein(
     if not exhibit:
         keyed = _block_cap_guard(
             keyed, ["seg", "seg_val"], "seg_val",
-            "dedup_levenshtein", "entropy-aware segmentation / LSH blocking",
+            "dedup_levenshtein", "dedup_levenshtein_entropy / LSH blocking",
         )
+    return _levenshtein_best_match(keyed)
+
+
+def _levenshtein_best_match(keyed: DataFrame) -> DataFrame:
+    """Shared tail of the record-linkage queries: block self-join on
+    (seg, seg_val), codegen levenshtein verify, rank-1 best match per
+    left record. See dedup_levenshtein's docstring for why there is no
+    dropDuplicates (rank-1 absorbs the multi-segment duplicates) and
+    how WindowGroupLimit bounds the shuffle."""
     # spread the probe side: the join is broadcast, so the streamed
     # side's partitioning decides parallelism — a small-file scan would
     # otherwise run the whole candidate verify (the CPU cost) in 1 task
@@ -615,6 +698,114 @@ def dedup_levenshtein(
         matched.withColumn("rn", F.row_number().over(best))
         .filter(F.col("rn") == 1)
         .drop("rn")
+    )
+
+
+def dedup_levenshtein_entropy(
+    spark: SparkSession, sf_dir: str, exhibit: bool = False
+) -> DataFrame:
+    """The PRODUCTION path dedup_levenshtein's docstring promises:
+    pigeonhole segmentation with DATA-DERIVED, entropy-aware segment
+    boundaries, so constant regions (the zero-padded prefix that makes
+    the fixed split's leading blocks huge) stop dominating block sizes.
+
+    Boundary derivation — deterministic, engine-portable, collect-free:
+    per digit position p, the DISCRIMINATIVE MASS disc_p = n_p² − Σ_c
+    c_p(c)² (twice the number of record pairs position p distinguishes
+    — the collision-counting / Rényi-2 form of entropy, chosen over
+    Shannon's because it is ALL-INTEGER arithmetic: no ln(), so the
+    DuckDB oracle reproduces the boundaries bit-exactly, where a
+    float-entropy cumsum could flip a boundary on a last-ulp
+    disagreement). Boundaries split the cumulative disc at 1/3 and
+    2/3 of the total, clamped to keep three non-empty contiguous
+    segments. A constant position has disc = 0 and consumes no budget,
+    so boundaries land where the data varies — the fix for the
+    adversarial sequential-id case.
+
+    The pigeonhole guarantee is derivation-independent (ANY contiguous
+    τ+1-partition works: ≤ τ substitutions cannot touch all 3
+    segments), so recall is identical to the fixed split; only block
+    sizes change. Plan: one tiny (position, digit) aggregate + three
+    1-row folds broadcast back — the derivation adds no full-data
+    shuffle; candidate generation and verify are the shared
+    _levenshtein_best_match tail. The block-cap guard stays (a corpus
+    whose digits are constant EVERYWHERE still degenerates; refuse
+    rather than run quadratic).
+    """
+    keyed = _entropy_keyed(spark, sf_dir)
+    if not exhibit:
+        keyed = _block_cap_guard(
+            keyed, ["seg", "seg_val"], "seg_val",
+            "dedup_levenshtein_entropy", "LSH blocking on a richer key",
+        )
+    return _levenshtein_best_match(keyed)
+
+
+def _entropy_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The entropy-aware (seg, seg_val) keying relation — separate so
+    tests can measure its block-size distribution directly."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    digits = F.regexp_replace(F.col("c_name"), "[^0-9]", "")
+    base = cust.select("c_custkey", "c_name", digits.alias("digits"))
+    # per-(position, digit) counts: |positions| × 10 rows, map-side
+    # combined — the "sampled per-position entropy" table
+    chars = base.select(
+        "digits", F.explode(F.sequence(F.lit(1), F.length("digits"))).alias("pos")
+    ).select("pos", F.col("digits").substr(F.col("pos"), F.lit(1)).alias("ch"))
+    pc = chars.groupBy("pos", "ch").agg(F.count("*").alias("n"))
+    p = pc.groupBy("pos").agg(
+        F.sum("n").alias("n_p"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    wcum = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    cum = tracked_persist(
+        p.select(
+            "pos",
+            F.sum(F.col("n_p") * F.col("n_p") - F.col("s2")).over(wcum).alias(
+                "cumdisc"
+            ),
+        )
+    )
+    tot = cum.agg(F.max("cumdisc").alias("total"), F.max("pos").alias("L"))
+    joined = cum.crossJoin(F.broadcast(tot))
+    b1 = joined.filter(F.col("cumdisc") * 3 >= F.col("total")).agg(
+        F.min("pos").alias("b1")
+    )
+    b2 = joined.filter(F.col("cumdisc") * 3 >= F.col("total") * 2).agg(
+        F.min("pos").alias("b2")
+    )
+    bounds = (
+        b1.crossJoin(b2)
+        .crossJoin(tot)
+        .select(
+            F.least(F.greatest(F.col("b1"), F.lit(1)), F.col("L") - 2).alias(
+                "b1c"
+            ),
+            "b2",
+            "L",
+        )
+        .select(
+            "b1c",
+            F.least(
+                F.greatest(F.col("b2"), F.col("b1c") + 1), F.col("L") - 1
+            ).alias("b2c"),
+            "L",
+        )
+    )
+    return base.crossJoin(F.broadcast(bounds)).select(
+        "c_custkey",
+        "c_name",
+        F.posexplode(
+            F.array(
+                F.col("digits").substr(F.lit(1), F.col("b1c")),
+                F.col("digits").substr(
+                    F.col("b1c") + 1, F.col("b2c") - F.col("b1c")
+                ),
+                F.col("digits").substr(
+                    F.col("b2c") + 1, F.col("L") - F.col("b2c")
+                ),
+            )
+        ).alias("seg", "seg_val"),
     )
 
 
@@ -1144,6 +1335,65 @@ def _oracle_levenshtein() -> str:
     """
 
 
+def _oracle_levenshtein_entropy() -> str:
+    """DuckDB rerun of the FULL entropy-aware pipeline: the all-integer
+    collision-mass boundary derivation (bit-exact across engines — the
+    reason Rényi-2 replaced Shannon here), then the same blocking +
+    verify + rank as the fixed-segment oracle."""
+    return f"""
+        WITH c AS (
+            SELECT c_custkey, c_name,
+                   regexp_replace(c_name, '[^0-9]', '', 'g') AS digits
+            FROM customer
+        ), chars AS (
+            -- list-valued range + lateral UNNEST (the table function
+            -- form rejects lateral column parameters in DuckDB)
+            SELECT t.pos AS pos, substr(c.digits, t.pos::INT, 1) AS ch
+            FROM c, UNNEST(range(1, length(c.digits) + 1)) AS t(pos)
+        ), pc AS (
+            SELECT pos, ch, count(*) AS n FROM chars GROUP BY 1, 2
+        ), p AS (
+            SELECT pos, sum(n) AS n_p, sum(n * n) AS s2 FROM pc GROUP BY 1
+        ), cum AS (
+            SELECT pos, sum(n_p * n_p - s2) OVER (ORDER BY pos) AS cumdisc
+            FROM p
+        ), tot AS (
+            SELECT max(cumdisc) AS total, max(pos) AS L FROM cum
+        ), b1t AS (
+            SELECT min(pos) AS b1 FROM cum, tot WHERE 3 * cumdisc >= total
+        ), b2t AS (
+            SELECT min(pos) AS b2 FROM cum, tot WHERE 3 * cumdisc >= 2 * total
+        ), b1c_t AS (
+            SELECT least(greatest(b1, 1), L - 2) AS b1c, L FROM b1t, tot
+        ), bounds AS (
+            SELECT b1c, least(greatest(b2, b1c + 1), L - 1) AS b2c, L
+            FROM b1c_t, b2t
+        ), keyed AS (
+            SELECT c_custkey, c_name, 0 AS seg,
+                   substr(digits, 1, b1c::INT) AS seg_val FROM c, bounds
+            UNION ALL
+            SELECT c_custkey, c_name, 1,
+                   substr(digits, b1c::INT + 1, (b2c - b1c)::INT) FROM c, bounds
+            UNION ALL
+            SELECT c_custkey, c_name, 2,
+                   substr(digits, b2c::INT + 1, (L - b2c)::INT) FROM c, bounds
+        ), cand AS (
+            SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+                   a.c_name AS name_a, b.c_name AS name_b
+            FROM keyed a JOIN keyed b
+              ON a.seg = b.seg AND a.seg_val = b.seg_val
+             AND a.c_custkey < b.c_custkey
+        )
+        SELECT cust_a, cust_b, name_a, name_b,
+               levenshtein(name_a, name_b) AS edit_dist
+        FROM cand
+        WHERE levenshtein(name_a, name_b) <= {LEVENSHTEIN_MAX}
+        QUALIFY row_number() OVER (
+            PARTITION BY cust_a
+            ORDER BY levenshtein(name_a, name_b), cust_b) = 1
+    """
+
+
 def _oracle_embedding_cosine() -> str:
     """DuckDB rerun of the multi-table hyperplane bucketing + exact
     cosine verify (same plane constants, same OR-construction)."""
@@ -1213,8 +1463,10 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_canonical": dedup_canonical,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_estimate": dedup_minhash_estimate,
     "dedup_simhash": dedup_simhash,
     "dedup_levenshtein": dedup_levenshtein,
+    "dedup_levenshtein_entropy": dedup_levenshtein_entropy,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_semantic": dedup_semantic,
 }
@@ -1255,6 +1507,24 @@ ORACLE = {
         WITH {_lsh_pairs_cte()}
         SELECT doc_a, doc_b, shingle_jaccard FROM lshp
     """,
+    # reuses the generator CTEs through cand (estimator measured on ALL
+    # LSH candidates, including sub-threshold false positives); the
+    # estimate is the count of agreeing minhash columns / K and the
+    # error is computed from the RAW ratios in the same IEEE order as
+    # the Spark expression, rounded once at the end
+    "dedup_minhash_estimate": f"""
+        WITH {_lsh_pairs_cte()}
+        SELECT doc_a, doc_b,
+               {sql_round(f"(({' + '.join(f'CASE WHEN ma.mh{i} = mb.mh{i} THEN 1 ELSE 0 END' for i in range(MINHASH_K))}) / {float(MINHASH_K)})", 6)}
+                   AS est_jaccard,
+               {sql_round("(CAST(len(list_intersect(ma.sh_hash, mb.sh_hash)) AS DOUBLE) / greatest(len(ma.sh_hash) + len(mb.sh_hash) - len(list_intersect(ma.sh_hash, mb.sh_hash)), 1))", 6)}
+                   AS exact_jaccard,
+               {sql_round(f"abs((({' + '.join(f'CASE WHEN ma.mh{i} = mb.mh{i} THEN 1 ELSE 0 END' for i in range(MINHASH_K))}) / {float(MINHASH_K)}) - (CAST(len(list_intersect(ma.sh_hash, mb.sh_hash)) AS DOUBLE) / greatest(len(ma.sh_hash) + len(mb.sh_hash) - len(list_intersect(ma.sh_hash, mb.sh_hash)), 1)))", 6)}
+                   AS abs_err
+        FROM cand
+        JOIN mh ma ON ma.doc_id = doc_a
+        JOIN mh mb ON mb.doc_id = doc_b
+    """,
     "dedup_simhash": _oracle_simhash(),
     "dedup_canonical": f"""
         WITH RECURSIVE {_lsh_pairs_cte()},
@@ -1277,6 +1547,7 @@ ORACLE = {
         WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component_id)
     """,
     "dedup_levenshtein": _oracle_levenshtein(),
+    "dedup_levenshtein_entropy": _oracle_levenshtein_entropy(),
     "dedup_embedding_cosine": _oracle_embedding_cosine(),
     "dedup_semantic": _oracle_semantic(),
 }

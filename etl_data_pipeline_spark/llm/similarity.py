@@ -227,6 +227,84 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf(spark, sf_dir)
 
 
+IVF_FILTERED_NPROBE = 2
+
+
+def sim_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED ANN — the production vector-search shape the
+    plain index queries skip: each query wants its top-k among corpus
+    vectors satisfying a predicate (here: same ``label`` as the query
+    — the tenant/category/language filter every retrieval deployment
+    has). Strategy is PRE-FILTER: the predicate joins into the
+    candidate generation itself (cell match AND label match before any
+    scoring), NOT post-filtering an unfiltered top-k — post-filter
+    silently returns fewer than k results whenever the true neighbors
+    are predicate-sparse, which is exactly when the filter matters.
+
+    nprobe=2 because filtering thins cells: with only ~1/|labels| of
+    each probed cell eligible, a filtered query needs deeper probing
+    to keep candidate counts (and recall) comparable to the unfiltered
+    index — the interaction this query exists to demonstrate.
+
+    Scale shape: identical to ann_ivf — centroid broadcast + one
+    corpus scan for assignment, query-cells broadcast against the
+    cell-partitioned corpus; the label predicate rides the same
+    broadcast-hash join (at 100 TB with cells as write-time partitions
+    and label as a secondary partition/cluster key, the filter becomes
+    partition pruning). Deterministic tie-breaks as everywhere
+    (cosine desc, vec_id asc)."""
+    e = tracked_persist(
+        spread(load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            "label",
+        )
+    )
+    centroids = e.filter(
+        F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
+    assigned = rank_topk(
+        e.join(F.broadcast(centroids)).select(
+            "vec_id", "v", "label", "centroid_id",
+            hround(cosine(F.col("cv"), F.col("v")), 6).alias("centroid_cos"),
+        ),
+        1,
+        partition_col="vec_id",
+        score_col="centroid_cos",
+        id_col="centroid_id",
+    ).select("vec_id", "v", "label", F.col("centroid_id").alias("cell"))
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    qcells = rank_topk(
+        q.join(F.broadcast(centroids)).select(
+            "query_id", "qv", "qlabel", "centroid_id",
+            hround(cosine(F.col("cv"), F.col("qv")), 6).alias("qc_cos"),
+        ),
+        IVF_FILTERED_NPROBE,
+        partition_col="query_id",
+        score_col="qc_cos",
+        id_col="centroid_id",
+    ).select("query_id", "qv", "qlabel", F.col("centroid_id").alias("qcell"))
+    # the filter IS part of candidate generation: label equality sits
+    # in the join condition next to the cell match, so ineligible
+    # vectors are never scored (and never crowd out eligible ones)
+    pairs = assigned.join(
+        F.broadcast(qcells),
+        (F.col("cell") == F.col("qcell"))
+        & (F.col("label") == F.col("qlabel"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    # no dedup needed: a corpus vector lives in exactly ONE cell, so it
+    # can match at most one of a query's (distinct) probed cells
+    scored = scored_pairs(pairs, ["query_id", "label", "vec_id"])
+    return rank_topk(scored, 3).select(
+        "query_id", "label", "rank", "vec_id", "cosine"
+    )
+
+
 # Measured at sf0.1 (60 queries, 61 cells, k=3): recall@3 = 0.13 (nprobe=1)
 # -> 0.20 (2) -> 0.45 (4) — near-uniform synthetic embeddings are the
 # hard case for coarse quantization (cell boundaries cut neighborhoods
@@ -967,6 +1045,7 @@ QUERIES = {
     "embedding_quantize": embedding_quantize,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
+    "sim_ann_ivf_filtered": sim_ann_ivf_filtered,
     "embedding_centroids": embedding_centroids,
 }
 
@@ -1052,6 +1131,53 @@ def _oracle_sim_ann_ivf() -> str:
                        ORDER BY cosine DESC, vec_id ASC) AS rank
             FROM scored)
         SELECT query_id, cell, rank, vec_id, cosine FROM ranked WHERE rank <= 3
+    """
+
+
+def _oracle_sim_ann_ivf_filtered() -> str:
+    cos = (
+        "floor((list_dot_product({x}, {y}) /"
+        " (sqrt(list_dot_product({x}, {x})) *"
+        " sqrt(list_dot_product({y}, {y})))) * 1000000 + 0.5) / 1000000"
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        c AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+              WHERE vec_id % {QUERY_MOD} = {CENTROID_MOD_REMAINDER}),
+        sa AS (
+            SELECT e.vec_id, e.v, e.label, c.centroid_id,
+                   {cos.format(x='c.cv', y='e.v')} AS centroid_cos
+            FROM e CROSS JOIN c
+        ), assigned AS (
+            SELECT vec_id, v, label, centroid_id AS cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY centroid_cos DESC, centroid_id ASC) AS arank
+                FROM sa) WHERE arank = 1
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv, label AS qlabel FROM e
+            WHERE vec_id % {QUERY_MOD} = 0
+        ), qs AS (
+            SELECT q.query_id, q.qv, q.qlabel, c.centroid_id,
+                   {cos.format(x='c.cv', y='q.qv')} AS qc_cos
+            FROM q CROSS JOIN c
+        ), qcells AS (
+            SELECT query_id, qv, qlabel, centroid_id AS qcell FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY qc_cos DESC, centroid_id ASC) AS prank
+                FROM qs) WHERE prank <= {IVF_FILTERED_NPROBE}
+        ), scored AS (
+            SELECT qc.query_id, a.label, a.vec_id,
+                   {cos.format(x='qc.qv', y='a.v')} AS cosine
+            FROM assigned a JOIN qcells qc
+              ON a.cell = qc.qcell AND a.label = qc.qlabel
+             AND a.vec_id <> qc.query_id
+        ), ranked AS (
+            SELECT query_id, label, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, label, rank, vec_id, cosine
+        FROM ranked WHERE rank <= 3
     """
 
 
@@ -1466,6 +1592,7 @@ ORACLE = {
     "sim_topk": _oracle_sim_topk(),
     "sim_ann_lsh": _oracle_sim_ann_lsh(),
     "sim_ann_ivf": _oracle_sim_ann_ivf(),
+    "sim_ann_ivf_filtered": _oracle_sim_ann_ivf_filtered(),
     "embedding_centroids": f"""
         SELECT label, dim, {sql_round('avg(v)', 6)} AS centroid_val
         FROM (SELECT label,

@@ -1,0 +1,161 @@
+"""Round-8 additions: minhash-as-estimator error accounting and
+metadata-filtered IVF ANN — behavioral invariants beyond the DuckDB
+oracle parity both queries already carry."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_pipeline_spark.llm import dedup, similarity
+from etl_data_pipeline_spark.plans import plan_str as _plan
+from etl_data_pipeline_spark.session import load_table
+
+
+# ------------------------------------------------- minhash estimator
+
+
+def test_minhash_estimate_error_is_sketch_sized(spark, sf_dir):
+    """The Broder estimator's per-pair std is sqrt(J(1-J)/K) <= 0.089
+    at K=32; the MEAN absolute error across candidate pairs must be
+    well inside a few std — a systematic bias (wrong permutation
+    arithmetic, mismatched shingle sets) would blow past this."""
+    rows = dedup.dedup_minhash_estimate(spark, sf_dir).collect()
+    assert rows, "LSH produced no candidate pairs at this SF"
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert r.abs_err == pytest.approx(
+            abs(r.est_jaccard - r.exact_jaccard), abs=2e-6
+        )
+    mean_err = sum(r.abs_err for r in rows) / len(rows)
+    assert mean_err < 0.2
+
+
+def test_minhash_estimate_covers_lsh_pairs(spark, sf_dir):
+    """Every verified LSH near-dup pair appears among the estimator's
+    candidate pairs (same generator), with exact_jaccard agreeing."""
+    est = {
+        (r.doc_a, r.doc_b): r.exact_jaccard
+        for r in dedup.dedup_minhash_estimate(spark, sf_dir).collect()
+    }
+    for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect():
+        assert est.get((r.doc_a, r.doc_b)) == pytest.approx(
+            r.shingle_jaccard, abs=1e-6
+        )
+
+
+# ------------------------------------------------- filtered ANN
+
+
+def test_filtered_ann_respects_predicate(spark, sf_dir):
+    """Every returned neighbor carries the query's own label — the
+    filter is part of candidate generation, not post-hoc."""
+    qlabel = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % similarity.QUERY_MOD == 0)
+        .select("vec_id", "label")
+        .collect()
+    }
+    rows = similarity.sim_ann_ivf_filtered(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.label == qlabel[r.query_id]
+        assert 1 <= r.rank <= 3
+        assert r.vec_id != r.query_id
+
+
+def test_filtered_ann_ranks_are_dense_and_ordered(spark, sf_dir):
+    by_q = {}
+    for r in similarity.sim_ann_ivf_filtered(spark, sf_dir).collect():
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cosine, r.vec_id))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [r[0] for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r[1] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_filtered_ann_plan_posture(spark, sf_dir):
+    """Broadcast joins only (centroids + query cells), no cartesian,
+    no Python nodes — the ann_ivf plan shape with the label predicate
+    riding the same joins."""
+    plan = _plan(similarity.sim_ann_ivf_filtered(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
+
+
+# --------------------------------------- entropy-aware record linkage
+
+
+def test_levenshtein_entropy_matches_fixed_split(spark, sf_dir):
+    """Recall is derivation-independent (any contiguous tau+1 split
+    pigeonholes substitutions), so on this corpus the best-match output
+    must EQUAL the fixed-segment exhibit's output row for row."""
+    fixed = sorted(
+        map(tuple, dedup.dedup_levenshtein(spark, sf_dir).collect())
+    )
+    entropy = sorted(
+        map(tuple, dedup.dedup_levenshtein_entropy(spark, sf_dir).collect())
+    )
+    assert entropy == fixed and len(entropy) > 0
+
+
+def test_levenshtein_entropy_shrinks_dominant_block(spark, sf_dir):
+    """The point of the derivation: on zero-padded sequential ids the
+    fixed split's constant-prefix segment is one giant block; the
+    entropy boundaries must make the LARGEST block strictly smaller
+    (and with it the worst-case quadratic verify volume)."""
+
+    def max_block(keyed):
+        return (
+            keyed.groupBy("seg", "seg_val")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    digits = F.regexp_replace(F.col("c_name"), "[^0-9]", "")
+    fixed_keyed = cust.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(
+                        digits,
+                        1 + dedup.LEVENSHTEIN_SEG_LEN * i,
+                        dedup.LEVENSHTEIN_SEG_LEN,
+                    )
+                    for i in range(dedup.LEVENSHTEIN_SEGMENTS)
+                ]
+            )
+        ).alias("seg", "seg_val")
+    )
+    fixed_max = max_block(fixed_keyed)
+    entropy_max = max_block(dedup._entropy_keyed(spark, sf_dir))
+    assert entropy_max < fixed_max, (entropy_max, fixed_max)
+
+
+def test_levenshtein_entropy_boundaries_skip_constant_positions(spark):
+    """A corpus whose first 6 digits are constant: both boundaries
+    must land in the varying tail (positions 7..9), because constant
+    positions carry zero discriminative mass."""
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    rows = [(i, f"Customer#000000{i:03d}") for i in range(1, 301)]
+    spark.createDataFrame(rows, "c_custkey long, c_name string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    keyed = dedup._entropy_keyed(spark, d)
+    # max block: with boundaries in the varying tail, segments are
+    # ~1 digit wide there, so no block exceeds ~n/10 + ties; with the
+    # fixed 3/3/3 split, segment 0 and 1 would each be ONE 300-row
+    # block. 100 is the discriminator between the two regimes.
+    blocks = keyed.groupBy("seg", "seg_val").count().collect()
+    assert max(b["count"] for b in blocks) < 150
+    out = sorted(
+        map(tuple, dedup.dedup_levenshtein_entropy(spark, d).collect())
+    )
+    assert out  # neighbors within 2 digit edits exist and are found
