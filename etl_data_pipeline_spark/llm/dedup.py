@@ -774,7 +774,11 @@ def _entropy_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = joined.filter(F.col("cumdisc") * 3 >= F.col("total") * 2).agg(
         F.min("pos").alias("b2")
     )
-    bounds = (
+    # persist the 1-ROW bounds relation: it feeds BOTH sides of the
+    # downstream block self-join, and without the persist the whole
+    # derivation subtree (char explode + two aggregates + window +
+    # three folds) replays once per side
+    bounds = tracked_persist(
         b1.crossJoin(b2)
         .crossJoin(tot)
         .select(
