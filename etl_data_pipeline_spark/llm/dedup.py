@@ -425,6 +425,83 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_verified_pairs(spark, sf_dir)
 
 
+INCR_BATCH_MOD = 10  # "new batch" = doc_id % 10 == 0; the rest is the index
+
+
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup: dedup a NEW batch of documents against an
+    already-indexed corpus — the form a production ingest actually
+    runs (the reference's whole reason to exist is incremental loads,
+    app.py:96-132; this is that idea applied to LSH dedup). The corpus
+    side's band signatures are the persisted artifact a real pipeline
+    writes at ingest; the arriving batch (here: doc_id % 10 == 0, the
+    same kind of deterministic split the recall queries use) computes
+    its own signatures and PROBES the index — a batch-to-index join,
+    never a corpus self-join, so incremental cost is
+    O(batch + matched buckets), not O(corpus).
+
+    Output: for each batch doc with a near-dup already in the index,
+    its best match (highest exact shingle Jaccard, ties to smallest
+    index doc_id) — the decision row an ingest pipeline needs ("skip
+    this document, it is a copy of X").
+
+    Scale: signatures are ids+ints (text never moves); the band join
+    shuffles only the batch's buckets; the exact verify re-attaches
+    shingle sets to surviving candidates alone. Same engine-portable
+    md5 minhash arithmetic as the LSH family, so the DuckDB oracle
+    replays the entire incremental pipeline.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh_hashed = F.array_distinct(
+        F.transform(_shingles(), lambda t: _md5_long(t))
+    )
+    sh = tracked_persist(docs.select("doc_id", sh_hashed.alias("sh_hash")))
+    with_mh = sh.select("doc_id", "sh_hash", *_minhash_cols())
+    bands = F.array(
+        *[
+            (F.col(f"mh{2 * b}") * MINHASH_P + F.col(f"mh{2 * b + 1}"))
+            for b in range(LSH_BANDS)
+        ]
+    )
+    sigs = tracked_persist(
+        with_mh.select("doc_id", F.posexplode(bands).alias("band_id", "band_sig"))
+    )
+    is_batch = F.col("doc_id") % INCR_BATCH_MOD == 0
+    index_sigs = sigs.filter(~is_batch).select(
+        F.col("doc_id").alias("index_doc"), "band_id", "band_sig"
+    )
+    batch_sigs = sigs.filter(is_batch).select(
+        F.col("doc_id").alias("batch_doc"), "band_id", "band_sig"
+    )
+    candidates = (
+        batch_sigs.join(index_sigs, ["band_id", "band_sig"])
+        .select("batch_doc", "index_doc")
+        .dropDuplicates(["batch_doc", "index_doc"])
+    )
+    paired = candidates.join(
+        sh.select(F.col("doc_id").alias("batch_doc"), F.col("sh_hash").alias("sh_b")),
+        "batch_doc",
+    ).join(
+        sh.select(F.col("doc_id").alias("index_doc"), F.col("sh_hash").alias("sh_i")),
+        "index_doc",
+    )
+    s_int = F.size(F.array_intersect("sh_b", "sh_i"))
+    jac = s_int / F.greatest(
+        F.size("sh_b") + F.size("sh_i") - s_int, F.lit(1)
+    )
+    verified = paired.select(
+        "batch_doc", "index_doc", hround(jac, 6).alias("shingle_jaccard")
+    ).filter(F.col("shingle_jaccard") >= JACCARD_THRESHOLD)
+    best = Window.partitionBy("batch_doc").orderBy(
+        F.desc("shingle_jaccard"), F.asc("index_doc")
+    )
+    return (
+        verified.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 SIMHASH_BITS = 60       # md5-derived portable token hashes (see _md5_long60)
 SIMHASH_CHUNKS = 4      # 4 × 15-bit chunks: exact recall for hamming ≤ 3
 SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
@@ -1468,6 +1545,7 @@ QUERIES = {
     "dedup_canonical": dedup_canonical,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_estimate": dedup_minhash_estimate,
+    "dedup_minhash_incremental": dedup_minhash_incremental,
     "dedup_simhash": dedup_simhash,
     "dedup_levenshtein": dedup_levenshtein,
     "dedup_levenshtein_entropy": dedup_levenshtein_entropy,
@@ -1510,6 +1588,32 @@ ORACLE = {
     "dedup_minhash_lsh": f"""
         WITH {_lsh_pairs_cte()}
         SELECT doc_a, doc_b, shingle_jaccard FROM lshp
+    """,
+    # reuses the sh/mh/sigs CTEs (cand/lshp go unreferenced and DuckDB
+    # never evaluates unreferenced CTEs); batch probes index, best
+    # match per batch doc — the same incremental split as the Spark side
+    "dedup_minhash_incremental": f"""
+        WITH {_lsh_pairs_cte()},
+        bidx AS (SELECT doc_id AS index_doc, band_id, band_sig
+                 FROM sigs WHERE doc_id % {INCR_BATCH_MOD} <> 0),
+        bbat AS (SELECT doc_id AS batch_doc, band_id, band_sig
+                 FROM sigs WHERE doc_id % {INCR_BATCH_MOD} = 0),
+        icand AS (SELECT DISTINCT batch_doc, index_doc
+                  FROM bbat JOIN bidx USING (band_id, band_sig)),
+        ver AS (
+            SELECT batch_doc, index_doc,
+                   {sql_round('''CAST(len(list_intersect(sb.sh_hash, si.sh_hash)) AS DOUBLE)
+                       / greatest(len(sb.sh_hash) + len(si.sh_hash)
+                                  - len(list_intersect(sb.sh_hash, si.sh_hash)), 1)''', 6)}
+                       AS shingle_jaccard
+            FROM icand
+            JOIN sh sb ON sb.doc_id = batch_doc
+            JOIN sh si ON si.doc_id = index_doc
+        )
+        SELECT batch_doc, index_doc, shingle_jaccard FROM ver
+        WHERE shingle_jaccard >= {JACCARD_THRESHOLD}
+        QUALIFY row_number() OVER (PARTITION BY batch_doc
+            ORDER BY shingle_jaccard DESC, index_doc ASC) = 1
     """,
     # reuses the generator CTEs through cand (estimator measured on ALL
     # LSH candidates, including sub-threshold false positives); the

@@ -159,3 +159,29 @@ def test_levenshtein_entropy_boundaries_skip_constant_positions(spark):
         map(tuple, dedup.dedup_levenshtein_entropy(spark, d).collect())
     )
     assert out  # neighbors within 2 digit edits exist and are found
+
+
+# ------------------------------------------------ incremental dedup
+
+
+def test_minhash_incremental_split_and_best_match(spark, sf_dir):
+    """Every output row pairs a batch doc (id % 10 == 0) with an index
+    doc (id % 10 != 0), one row per batch doc, and the match dominates
+    every cross-split pair the full LSH listing knows about."""
+    rows = dedup.dedup_minhash_incremental(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    best = {}
+    for r in rows:
+        assert r.batch_doc % dedup.INCR_BATCH_MOD == 0
+        assert r.index_doc % dedup.INCR_BATCH_MOD != 0
+        assert r.batch_doc not in seen  # rank-1: single decision row
+        seen.add(r.batch_doc)
+        assert r.shingle_jaccard >= dedup.JACCARD_THRESHOLD
+        best[r.batch_doc] = r.shingle_jaccard
+    # cross-split pairs from the full self-join listing cannot beat the
+    # incremental best match for their batch-side doc
+    for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect():
+        for b, i in ((r.doc_a, r.doc_b), (r.doc_b, r.doc_a)):
+            if b % dedup.INCR_BATCH_MOD == 0 and i % dedup.INCR_BATCH_MOD != 0:
+                assert b in best and best[b] >= r.shingle_jaccard - 1e-9
