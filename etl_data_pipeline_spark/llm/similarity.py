@@ -244,7 +244,10 @@ def sim_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe=2 because filtering thins cells: with only ~1/|labels| of
     each probed cell eligible, a filtered query needs deeper probing
     to keep candidate counts (and recall) comparable to the unfiltered
-    index — the interaction this query exists to demonstrate.
+    index — the interaction this query exists to demonstrate, and that
+    sim_ann_ivf_filtered_recall MEASURES (sf0.01: recall@3 = 0.27 at
+    nprobe=1 → 0.47 at 2 → 0.87 at 4 against the label-constrained
+    exact truth).
 
     Scale shape: identical to ann_ivf — centroid broadcast + one
     corpus scan for assignment, query-cells broadcast against the
@@ -390,6 +393,110 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         # planner can't size it behind the window over the brute-force
         # join and would fall back to a sort-merge join of two tiny
         # frames (same trap as dedup_canonical's losers side)
+        approx.join(F.broadcast(exact), ["query_id", "vec_id"], "left")
+        .groupBy("nprobe")
+        .agg(
+            F.count("*").alias("n_approx"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
+        )
+    )
+    return per.crossJoin(n_exact).select(
+        "nprobe",
+        "n_exact",
+        "n_approx",
+        "n_hit",
+        hround(F.col("n_hit") / F.col("n_exact"), 4).alias("recall_at_k"),
+    )
+
+
+def sim_ann_ivf_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@k of the FILTERED ANN against the FILTERED
+    brute-force truth, at nprobe ∈ {1, 2, 4} — the accountability row
+    for sim_ann_ivf_filtered, and the measurement that justifies its
+    nprobe=2 default: predicate filtering thins every probed cell to
+    ~1/|labels| of its rows, so filtered recall at a given nprobe sits
+    BELOW unfiltered recall (sim_ann_recall's curve) and the knob must
+    be re-measured under the filter, not assumed. Ground truth is the
+    label-constrained exact top-k (brute force over same-label
+    vectors), because that is the query the user actually asked.
+
+    Same shared-work shape as sim_ann_recall: candidates scored once
+    at the deepest probe depth, exploded into the probe depths that
+    contain them, re-ranked per (nprobe, query)."""
+    e = tracked_persist(
+        spread(load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            "label",
+        )
+    )
+    centroids = e.filter(
+        F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
+    assigned = rank_topk(
+        e.join(F.broadcast(centroids)).select(
+            "vec_id", "v", "label", "centroid_id",
+            hround(cosine(F.col("cv"), F.col("v")), 6).alias("centroid_cos"),
+        ),
+        1,
+        partition_col="vec_id",
+        score_col="centroid_cos",
+        id_col="centroid_id",
+    ).select("vec_id", "v", "label", F.col("centroid_id").alias("cell"))
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    qcells = rank_topk(
+        q.join(F.broadcast(centroids)).select(
+            "query_id", "qv", "qlabel", "centroid_id",
+            hround(cosine(F.col("cv"), F.col("qv")), 6).alias("qc_cos"),
+        ),
+        max(RECALL_NPROBES),
+        partition_col="query_id",
+        score_col="qc_cos",
+        id_col="centroid_id",
+    ).select(
+        "query_id", "qv", "qlabel",
+        F.col("centroid_id").alias("qcell"),
+        F.col("rank").alias("probe_rank"),
+    )
+    cand = scored_pairs(
+        assigned.join(
+            F.broadcast(qcells),
+            (F.col("cell") == F.col("qcell"))
+            & (F.col("label") == F.col("qlabel"))
+            & (F.col("vec_id") != F.col("query_id")),
+        ),
+        ["query_id", "probe_rank", "vec_id"],
+    )
+    probes = F.array(*[F.lit(n) for n in RECALL_NPROBES])
+    expanded = cand.withColumn(
+        "nprobe", F.explode(F.filter(probes, lambda n: n >= F.col("probe_rank")))
+    )
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    approx = (
+        expanded.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RECALL_K)
+        .select("nprobe", "query_id", "vec_id")
+    )
+    # filtered brute-force truth: same-label corpus scan per query
+    exact = rank_topk(
+        scored_pairs(
+            e.join(
+                F.broadcast(q),
+                (F.col("vec_id") != F.col("query_id"))
+                & (F.col("label") == F.col("qlabel")),
+            ),
+            ["query_id", "vec_id"],
+        ),
+        RECALL_K,
+    ).select("query_id", "vec_id", F.lit(1).alias("hit"))
+    n_exact = exact.groupBy().agg(F.count("*").alias("n_exact"))
+    per = (
         approx.join(F.broadcast(exact), ["query_id", "vec_id"], "left")
         .groupBy("nprobe")
         .agg(
@@ -1046,6 +1153,7 @@ QUERIES = {
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
     "sim_ann_ivf_filtered": sim_ann_ivf_filtered,
+    "sim_ann_ivf_filtered_recall": sim_ann_ivf_filtered_recall,
     "embedding_centroids": embedding_centroids,
 }
 
@@ -1178,6 +1286,78 @@ def _oracle_sim_ann_ivf_filtered() -> str:
             FROM scored)
         SELECT query_id, label, rank, vec_id, cosine
         FROM ranked WHERE rank <= 3
+    """
+
+
+def _oracle_sim_ann_ivf_filtered_recall() -> str:
+    cos = (
+        "floor((list_dot_product({x}, {y}) /"
+        " (sqrt(list_dot_product({x}, {x})) *"
+        " sqrt(list_dot_product({y}, {y})))) * 1000000 + 0.5) / 1000000"
+    )
+    values = ", ".join(f"({n})" for n in RECALL_NPROBES)
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        c AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+              WHERE vec_id % {QUERY_MOD} = {CENTROID_MOD_REMAINDER}),
+        sa AS (
+            SELECT e.vec_id, e.v, e.label, c.centroid_id,
+                   {cos.format(x='c.cv', y='e.v')} AS centroid_cos
+            FROM e CROSS JOIN c
+        ), assigned AS (
+            SELECT vec_id, v, label, centroid_id AS cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY centroid_cos DESC, centroid_id ASC) AS arank
+                FROM sa) WHERE arank = 1
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv, label AS qlabel FROM e
+            WHERE vec_id % {QUERY_MOD} = 0
+        ), qs AS (
+            SELECT q.query_id, q.qv, q.qlabel, c.centroid_id,
+                   {cos.format(x='c.cv', y='q.qv')} AS qc_cos
+            FROM q CROSS JOIN c
+        ), qcells AS (
+            SELECT query_id, qv, qlabel, centroid_id AS qcell,
+                   prank AS probe_rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY qc_cos DESC, centroid_id ASC) AS prank
+                  FROM qs)
+            WHERE prank <= {max(RECALL_NPROBES)}
+        ), cand AS (
+            SELECT qc.query_id, qc.probe_rank, a.vec_id,
+                   {cos.format(x='qc.qv', y='a.v')} AS cosine
+            FROM qcells qc JOIN assigned a
+              ON a.cell = qc.qcell AND a.label = qc.qlabel
+             AND a.vec_id <> qc.query_id
+        ), expanded AS (
+            SELECT n.nprobe, cd.query_id, cd.vec_id, cd.cosine
+            FROM cand cd JOIN (VALUES {values}) n(nprobe)
+              ON cd.probe_rank <= n.nprobe
+        ), approx AS (
+            SELECT nprobe, query_id, vec_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY nprobe, query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS rk
+                FROM expanded) WHERE rk <= {RECALL_K}
+        ), ex_scored AS (
+            SELECT q.query_id, e.vec_id, {cos.format(x='q.qv', y='e.v')} AS cosine
+            FROM e JOIN q ON e.vec_id <> q.query_id AND e.label = q.qlabel
+        ), exact AS (
+            SELECT query_id, vec_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS rk
+                FROM ex_scored) WHERE rk <= {RECALL_K}
+        ), tot AS (SELECT count(*) AS n_exact FROM exact)
+        SELECT a.nprobe,
+               tot.n_exact,
+               count(*) AS n_approx,
+               count(x.query_id) AS n_hit,
+               floor(count(x.query_id) * 1.0 / tot.n_exact * 10000 + 0.5)
+                   / 10000 AS recall_at_k
+        FROM approx a
+        LEFT JOIN exact x
+          ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+        CROSS JOIN tot
+        GROUP BY a.nprobe, tot.n_exact
     """
 
 
@@ -1593,6 +1773,7 @@ ORACLE = {
     "sim_ann_lsh": _oracle_sim_ann_lsh(),
     "sim_ann_ivf": _oracle_sim_ann_ivf(),
     "sim_ann_ivf_filtered": _oracle_sim_ann_ivf_filtered(),
+    "sim_ann_ivf_filtered_recall": _oracle_sim_ann_ivf_filtered_recall(),
     "embedding_centroids": f"""
         SELECT label, dim, {sql_round('avg(v)', 6)} AS centroid_val
         FROM (SELECT label,

@@ -185,3 +185,19 @@ def test_minhash_incremental_split_and_best_match(spark, sf_dir):
         for b, i in ((r.doc_a, r.doc_b), (r.doc_b, r.doc_a)):
             if b % dedup.INCR_BATCH_MOD == 0 and i % dedup.INCR_BATCH_MOD != 0:
                 assert b in best and best[b] >= r.shingle_jaccard - 1e-9
+
+
+def test_filtered_recall_monotonic_in_nprobe(spark, sf_dir):
+    """Deeper probing can only add candidates, so filtered recall@k is
+    non-decreasing in nprobe, and the hit count never exceeds the
+    approx or exact counts."""
+    rows = sorted(
+        similarity.sim_ann_ivf_filtered_recall(spark, sf_dir).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == list(similarity.RECALL_NPROBES)
+    recalls = [r.recall_at_k for r in rows]
+    assert recalls == sorted(recalls)
+    for r in rows:
+        assert r.n_hit <= min(r.n_approx, r.n_exact)
+        assert 0.0 <= r.recall_at_k <= 1.0
