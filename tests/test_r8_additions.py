@@ -201,3 +201,42 @@ def test_filtered_recall_monotonic_in_nprobe(spark, sf_dir):
     for r in rows:
         assert r.n_hit <= min(r.n_approx, r.n_exact)
         assert 0.0 <= r.recall_at_k <= 1.0
+
+
+# ------------------------------------------------ BMP header decode
+
+
+def test_decode_bmp_parses_real_bytes(spark):
+    """decode_bmp_headers must parse REAL BMP bytes built here from
+    the spec (not by the operator's own packer): a 2x2 24-bit
+    bottom-up bitmap and a 3x5 8-bit TOP-DOWN one (negative height),
+    plus a corrupted signature that must yield NULL fields."""
+    import struct
+
+    from etl_data_pipeline_spark.llm.multimodal import decode_bmp_headers
+
+    def bmp(width, height, bpp, body=b"x"):
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, bpp, 0, 0, 0, 0, 0, 0
+        )
+        filehdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+        return filehdr + dib + body
+
+    rows = [
+        (1, bytearray(bmp(2, 2, 24))),
+        (2, bytearray(bmp(3, -5, 8))),       # top-down: height stored negative
+        (3, bytearray(b"XM" + bmp(9, 9, 32)[2:])),  # bad signature
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in decode_bmp_headers(df).collect()}
+    r1 = out[1]
+    assert (r1.format, r1.width, r1.height, r1.top_down, r1.bpp) == (
+        "bmp", 2, 2, False, 24,
+    )
+    assert r1.row_stride == 8  # 2 px * 3 B = 6, aligned up to 8
+    r2 = out[2]
+    assert (r2.format, r2.width, r2.height, r2.top_down, r2.bpp) == (
+        "bmp", 3, 5, True, 8,
+    )
+    assert r2.row_stride == 4  # 3 px * 1 B = 3, aligned up to 4
+    assert out[3].format is None and out[3].width is None
