@@ -1292,3 +1292,186 @@ def run_stream_merge(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_incremental_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    schema=None,
+) -> StreamingQuery:
+    """Streaming incremental near-dup ingest — the continuous form of
+    ``llm.dedup.dedup_minhash_incremental``: each micro-batch of
+    arriving documents is probed against the PERSISTED signature index
+    of everything ingested before it, every document gets a keep /
+    skip_duplicate decision row (with its best match and exact
+    Jaccard), and the kept documents' signatures are appended to the
+    index — the "don't re-ingest copies" gate a production corpus
+    pipeline runs at the door.
+
+    State layout: ONE index row per kept doc — (doc_id, band
+    signatures array, shingle-hash set, last_batch_id) — swapped
+    atomically under the writer lease with the batch-id fence the
+    other merging sinks use, so data and exactly-once dedup state are
+    a single atomic unit (a replayed batch after a crash between
+    write and checkpoint-commit is a no-op, and the per-batch-id
+    decision directories are overwrite-idempotent). Probing explodes
+    the index's band arrays per batch — O(index × bands) at this
+    scale; a production layout materializes the banded table as the
+    persisted artifact instead (llm.dedup.dedup_minhash_incremental's
+    shape) and this job's contract is unchanged.
+
+    Within-batch duplicates: the batch is first exact-deduped on a
+    content digest (min doc_id kept; the dropped rows get
+    skip_duplicate decisions against the batch-local keeper), so two
+    identical documents arriving together cannot both enter the
+    index. NEAR-dup pairs arriving in one batch both pass (the
+    window a streaming dedup can miss by design — a nightly
+    dedup_minhash_lsh sweep over the index closes it).
+    """
+    from etl_data_pipeline_spark.llm.dedup import (
+        JACCARD_THRESHOLD,
+        LSH_BANDS,
+        MINHASH_P,
+        _md5_long,
+        _minhash_cols,
+        _shingles,
+    )
+    from etl_data_pipeline_spark.sinks import (
+        _overwrite_swap_locked,
+        read_parquet_if_exists,
+        writer_lease,
+    )
+    from pyspark.sql.window import Window
+
+    index_path = os.path.join(target_dir, "dedup_index")
+    decisions_dir = os.path.join(target_dir, "dedup_decisions")
+    stream = events_file_stream(spark, source_dir, schema=schema)
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        with writer_lease(index_path):
+            index = read_parquet_if_exists(spark, index_path, lease_held=True)
+            last = (
+                index.agg(F.max("last_batch_id")).first()[0]
+                if index is not None
+                else None
+            )
+            if last is not None and batch_id <= last:
+                return  # replayed batch — decisions + index already swapped
+            if batch_df.isEmpty():
+                return
+            # within-batch exact dedup: digest keeper wins, losers get
+            # batch-local skip decisions
+            w_dig = Window.partitionBy("digest").orderBy("doc_id")
+            by_digest = batch_df.select(
+                "doc_id", "text", F.md5("text").alias("digest")
+            ).withColumn("keeper_doc", F.first("doc_id").over(w_dig))
+            exact_skips = (
+                by_digest.filter(F.col("doc_id") != F.col("keeper_doc"))
+                .select(
+                    "doc_id",
+                    F.lit("skip_duplicate").alias("decision"),
+                    F.col("keeper_doc").alias("match_doc"),
+                    F.lit(1.0).alias("match_jaccard"),
+                )
+            )
+            uniq = by_digest.filter(F.col("doc_id") == F.col("keeper_doc"))
+            sh_hashed = F.array_distinct(
+                F.transform(_shingles(), lambda t: _md5_long(t))
+            )
+            ms = uniq.select(
+                "doc_id", sh_hashed.alias("sh_hash")
+            ).select("doc_id", "sh_hash", *_minhash_cols())
+            bands = F.array(
+                *[
+                    (F.col(f"mh{2 * b}") * MINHASH_P + F.col(f"mh{2 * b + 1}"))
+                    for b in range(LSH_BANDS)
+                ]
+            )
+            # persist: consumed by the probe AND (filtered) the index
+            # merge — without it the shingle+minhash compute runs twice
+            batch_sigs = ms.select("doc_id", "sh_hash", bands.alias("bands")).persist()
+            try:
+                if index is not None:
+                    b_band = batch_sigs.select(
+                        F.col("doc_id").alias("batch_doc"),
+                        F.col("sh_hash").alias("sh_b"),
+                        F.posexplode("bands").alias("band_id", "band_sig"),
+                    )
+                    i_band = index.select(
+                        F.col("doc_id").alias("index_doc"),
+                        F.col("sh_hash").alias("sh_i"),
+                        F.posexplode("bands").alias("band_id", "band_sig"),
+                    )
+                    cand = (
+                        b_band.join(i_band, ["band_id", "band_sig"])
+                        .select("batch_doc", "index_doc", "sh_b", "sh_i")
+                        .dropDuplicates(["batch_doc", "index_doc"])
+                    )
+                    s_int = F.size(F.array_intersect("sh_b", "sh_i"))
+                    jac = s_int / F.greatest(
+                        F.size("sh_b") + F.size("sh_i") - s_int, F.lit(1)
+                    )
+                    verified = cand.select(
+                        "batch_doc", "index_doc", jac.alias("jaccard")
+                    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+                    best = Window.partitionBy("batch_doc").orderBy(
+                        F.desc("jaccard"), F.asc("index_doc")
+                    )
+                    matches = (
+                        verified.withColumn("rn", F.row_number().over(best))
+                        .filter(F.col("rn") == 1)
+                        .select(
+                            F.col("batch_doc").alias("doc_id"),
+                            F.col("index_doc").alias("match_doc"),
+                            F.round("jaccard", 6).alias("match_jaccard"),
+                        )
+                    )
+                else:
+                    matches = None
+                uniq_ids = batch_sigs.select("doc_id")
+                if matches is not None:
+                    decided = uniq_ids.join(matches, "doc_id", "left").select(
+                        "doc_id",
+                        F.when(F.col("match_doc").isNotNull(), "skip_duplicate")
+                        .otherwise("keep")
+                        .alias("decision"),
+                        "match_doc",
+                        "match_jaccard",
+                    )
+                else:
+                    decided = uniq_ids.select(
+                        "doc_id",
+                        F.lit("keep").alias("decision"),
+                        F.lit(None).cast("long").alias("match_doc"),
+                        F.lit(None).cast("double").alias("match_jaccard"),
+                    )
+                decisions = decided.unionByName(exact_skips)
+                # idempotent per-batch sink: replay overwrites, never appends
+                decisions.write.mode("overwrite").parquet(
+                    os.path.join(decisions_dir, f"batch={batch_id}")
+                )
+                kept = batch_sigs.join(
+                    decided.filter(F.col("decision") == "keep").select("doc_id"),
+                    "doc_id",
+                ).select(
+                    "doc_id", "bands", "sh_hash",
+                    F.lit(batch_id).cast("long").alias("last_batch_id"),
+                )
+                merged = (
+                    kept
+                    if index is None
+                    else index.withColumn(
+                        "last_batch_id", F.col("last_batch_id").cast("long")
+                    ).unionByName(kept)
+                )
+                _overwrite_swap_locked(merged, index_path)
+            finally:
+                batch_sigs.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", os.path.join(target_dir, "_dedup_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1193,3 +1193,84 @@ def test_processing_time_soak_rocksdb_kill_restart(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_incremental_dedup_stream(spark, tmp_path):
+    """Streaming incremental dedup: documents arrive in 3 ordered
+    chunks; every doc gets exactly one decision row; exact duplicates
+    of EARLIER-ingested docs are skipped with jaccard 1.0 and their
+    keeper as the match; the index holds exactly the kept docs; a
+    second availableNow run over the same source changes nothing."""
+    import glob as _glob
+    import shutil
+
+    src = str(tmp_path / "docs_src")
+    tgt = str(tmp_path / "dedup_tgt")
+    stage = str(tmp_path / "docs_stage")
+    os.makedirs(src)
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    # chunk 0: originals 1..10
+    for i in range(1, 11):
+        rows.append((i, 0, f"{base} doc{i} " + " ".join(f"w{i}{j}" for j in range(6))))
+    # chunk 1: 11..15 new + 16,17 EXACT copies of docs 3 and 7
+    for i in range(11, 16):
+        rows.append((i, 1, f"{base} doc{i} " + " ".join(f"x{i}{j}" for j in range(6))))
+    rows.append((16, 1, rows[2][2]))
+    rows.append((17, 1, rows[6][2]))
+    # chunk 2: 18 new + 19 exact copy of 11 + 20,21 identical twins (within-batch)
+    rows.append((18, 2, f"{base} doc18 " + " ".join(f"y{j}" for j in range(6))))
+    rows.append((19, 2, rows[10][2]))
+    twin = f"{base} twin " + " ".join(f"z{j}" for j in range(6))
+    rows.append((20, 2, twin))
+    rows.append((21, 2, twin))
+
+    df = spark.createDataFrame(
+        [(d, t) for d, c, t in rows], "doc_id long, text string"
+    )
+    for c in range(3):
+        ids = [d for d, cc, _ in rows if cc == c]
+        part = df.filter(F.col("doc_id").isin(ids)).coalesce(1)
+        stage_d = os.path.join(stage, f"c{c}")
+        part.write.mode("overwrite").parquet(stage_d)
+        pf = _glob.glob(os.path.join(stage_d, "part-*.parquet"))[0]
+        shutil.move(pf, os.path.join(src, f"chunk_{c}.parquet"))
+
+    q = jobs.run_incremental_dedup(spark, src, tgt)
+    q.awaitTermination(180)
+
+    dec = {
+        r.doc_id: r
+        for r in spark.read.parquet(os.path.join(tgt, "dedup_decisions")).collect()
+    }
+    assert sorted(dec) == list(range(1, 22))  # every doc decided once
+    for i in list(range(1, 16)) + [18, 20]:
+        assert dec[i].decision == "keep", i
+    # exact copies of earlier docs: skipped, matched to the original
+    assert (dec[16].decision, dec[16].match_doc, dec[16].match_jaccard) == (
+        "skip_duplicate", 3, 1.0,
+    )
+    assert (dec[17].decision, dec[17].match_doc) == ("skip_duplicate", 7)
+    assert (dec[19].decision, dec[19].match_doc) == ("skip_duplicate", 11)
+    # within-batch twins: digest keeper (min doc_id) wins
+    assert (dec[21].decision, dec[21].match_doc, dec[21].match_jaccard) == (
+        "skip_duplicate", 20, 1.0,
+    )
+    idx = spark.read.parquet(os.path.join(tgt, "dedup_index"))
+    kept_ids = sorted(r.doc_id for r in idx.select("doc_id").collect())
+    assert kept_ids == sorted(
+        d for d in dec if dec[d].decision == "keep"
+    )
+
+    # replay: same source, same checkpoint — a no-op
+    before = sorted(map(tuple, spark.read.parquet(
+        os.path.join(tgt, "dedup_decisions")).collect()))
+    q2 = jobs.run_incremental_dedup(spark, src, tgt)
+    q2.awaitTermination(180)
+    after = sorted(map(tuple, spark.read.parquet(
+        os.path.join(tgt, "dedup_decisions")).collect()))
+    assert after == before
+    assert spark.read.parquet(os.path.join(tgt, "dedup_index")).count() == len(
+        kept_ids
+    )
