@@ -34,6 +34,8 @@ from pyspark.sql.window import Window
 from etl_data_pipeline_spark.functions.caching import tracked_persist
 from etl_data_pipeline_spark.functions.rounding import hround, sql_round
 from etl_data_pipeline_spark.session import load_table, spread
+# no cycle: text_analysis does not import this module
+from etl_data_pipeline_spark.llm.text_analysis import DUP_SPAN_N, _sql_ngrams
 
 MINHASH_K = 32          # minhash functions
 LSH_BANDS = 16          # bands of 2 rows each (r=2): P(candidate) = 1-(1-s^2)^16
@@ -423,6 +425,81 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact pairwise is additionally asserted in tests.
     """
     return _lsh_verified_pairs(spark, sf_dir)
+
+
+def pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-stop corpus duplication report — the first thing a curator
+    runs before choosing a dedup strategy: one row per signal family
+    with the corpus-level duplication mass it sees.
+
+    - exact:     documents whose full content digest repeats (how much
+                 a digest groupBy alone would remove);
+    - near_lsh:  documents appearing in at least one verified
+                 MinHash-LSH near-dup pair at the shared threshold
+                 (doc-level near-duplication beyond exact copies);
+    - substring: documents containing at least one cross-document
+                 duplicated 6-gram span, and the total token mass a
+                 span-level scrub would remove (Lee et al. 2021 —
+                 duplication that doc-level signals cannot see).
+
+    Columns: signal, n_docs (corpus size — same in every row, so the
+    report is self-contained), affected_docs, dup_mass (docs beyond
+    one survivor per exact group / near-dup docs / removed tokens),
+    pct_affected. Scale shape: each signal is the already-audited
+    lineage of its standalone query (digest groupBy; LSH banding +
+    verify; span discovery + positional join) folded to a 1-row
+    aggregate, unioned — no new join shapes, and the report output is
+    3 rows regardless of corpus size."""
+    from etl_data_pipeline_spark.llm.text_analysis import substring_scrub
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n_docs = docs.groupBy().agg(F.count("*").alias("n_docs"))
+
+    exact = (
+        docs.select(F.md5("text").alias("d"), "doc_id")
+        .groupBy("d")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("n") > 1, F.col("n"))), F.lit(0))
+            .cast("long")
+            .alias("affected_docs"),
+            F.coalesce(F.sum(F.when(F.col("n") > 1, F.col("n") - 1)), F.lit(0))
+            .cast("long")
+            .alias("dup_mass"),
+        )
+        .select(F.lit("exact").alias("signal"), "affected_docs", "dup_mass")
+    )
+    pairs = _lsh_verified_pairs(spark, sf_dir)
+    near = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .agg(F.count_distinct("doc_id").cast("long").alias("affected_docs"))
+        .select(
+            F.lit("near_lsh").alias("signal"),
+            "affected_docs",
+            F.col("affected_docs").alias("dup_mass"),
+        )
+    )
+    scrub = substring_scrub(docs).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("n_removed") > 0, 1)), F.lit(0)
+        ).cast("long").alias("affected_docs"),
+        F.coalesce(F.sum("n_removed"), F.lit(0)).cast("long").alias("dup_mass"),
+    ).select(F.lit("substring").alias("signal"), "affected_docs", "dup_mass")
+
+    return (
+        exact.unionByName(near)
+        .unionByName(scrub)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "signal",
+            "n_docs",
+            "affected_docs",
+            "dup_mass",
+            hround(F.col("affected_docs") / F.col("n_docs"), 6).alias(
+                "pct_affected"
+            ),
+        )
+    )
 
 
 INCR_BATCH_MOD = 10  # "new batch" = doc_id % 10 == 0; the rest is the index
@@ -1559,6 +1636,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_estimate": dedup_minhash_estimate,
     "dedup_minhash_incremental": dedup_minhash_incremental,
+    "pipeline_dedup_report": pipeline_dedup_report,
     "dedup_simhash": dedup_simhash,
     "dedup_levenshtein": dedup_levenshtein,
     "dedup_levenshtein_entropy": dedup_levenshtein_entropy,
@@ -1601,6 +1679,75 @@ ORACLE = {
     "dedup_minhash_lsh": f"""
         WITH {_lsh_pairs_cte()}
         SELECT doc_a, doc_b, shingle_jaccard FROM lshp
+    """,
+    # three 1-row folds over the standalone queries' own oracle
+    # lineages (digest groups, lshp pairs, scrub coverage), unioned
+    "pipeline_dedup_report": f"""
+        WITH {_lsh_pairs_cte()},
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        exact_g AS (
+            SELECT count(*) AS n FROM documents GROUP BY md5(text)
+        ),
+        exact_row AS (
+            SELECT 'exact' AS signal,
+                   coalesce(sum(CASE WHEN n > 1 THEN n END), 0)::BIGINT
+                       AS affected_docs,
+                   coalesce(sum(CASE WHEN n > 1 THEN n - 1 END), 0)::BIGINT
+                       AS dup_mass
+            FROM exact_g
+        ),
+        near_row AS (
+            SELECT 'near_lsh' AS signal,
+                   count(DISTINCT doc_id)::BIGINT AS affected_docs,
+                   count(DISTINCT doc_id)::BIGINT AS dup_mass
+            FROM (SELECT doc_a AS doc_id FROM lshp
+                  UNION ALL SELECT doc_b FROM lshp)
+        ),
+        tok AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), dup AS (
+            SELECT span, min(doc_id) AS keeper
+            FROM (SELECT doc_id,
+                         unnest({_sql_ngrams(DUP_SPAN_N)}) AS span
+                  FROM documents)
+            GROUP BY span HAVING count(*) >= 2
+        ), pos AS (
+            SELECT doc_id,
+                   unnest(range(1, greatest(len(toks) - {DUP_SPAN_N - 2}, 1)))
+                       AS start,
+                   toks
+            FROM tok
+        ), hits AS (
+            SELECT p.doc_id, p.start
+            FROM (SELECT doc_id, start,
+                         concat_ws(' ', {", ".join(
+                             f"toks[start+{j}]" for j in range(DUP_SPAN_N))})
+                             AS span
+                  FROM pos) p
+            JOIN dup d USING (span)
+            WHERE p.doc_id <> d.keeper
+        ), cov AS (
+            SELECT doc_id, count(DISTINCT tok_idx) AS n_removed
+            FROM (SELECT doc_id,
+                         unnest(range(start, start + {DUP_SPAN_N}))
+                             AS tok_idx
+                  FROM hits)
+            GROUP BY doc_id
+        ),
+        scrub_row AS (
+            SELECT 'substring' AS signal,
+                   count(*)::BIGINT AS affected_docs,
+                   coalesce(sum(n_removed), 0)::BIGINT AS dup_mass
+            FROM cov WHERE n_removed > 0
+        ),
+        unioned AS (
+            SELECT * FROM exact_row
+            UNION ALL SELECT * FROM near_row
+            UNION ALL SELECT * FROM scrub_row
+        )
+        SELECT signal, n_docs, affected_docs, dup_mass,
+               {sql_round('affected_docs * 1.0 / n_docs', 6)} AS pct_affected
+        FROM unioned CROSS JOIN nd
     """,
     # reuses the sh/mh/sigs CTEs (cand/lshp go unreferenced and DuckDB
     # never evaluates unreferenced CTEs); batch probes index, best

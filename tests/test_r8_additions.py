@@ -240,3 +240,37 @@ def test_decode_bmp_parses_real_bytes(spark):
     )
     assert r2.row_stride == 4  # 3 px * 1 B = 3, aligned up to 4
     assert out[3].format is None and out[3].width is None
+
+
+# ------------------------------------------------- dedup report
+
+
+def test_dedup_report_cross_checks_standalone_queries(spark, sf_dir):
+    """Each report row must equal an independent recomputation from
+    the standalone queries it summarizes."""
+    from etl_data_pipeline_spark.llm.text_analysis import substring_scrub
+
+    rows = {r.signal: r for r in dedup.pipeline_dedup_report(spark, sf_dir).collect()}
+    assert set(rows) == {"exact", "near_lsh", "substring"}
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    for r in rows.values():
+        assert r.n_docs == n
+        assert 0 <= r.affected_docs <= n
+        assert r.pct_affected == pytest.approx(r.affected_docs / n, abs=1e-6)
+    groups = dedup.dedup_exact_docs(spark, sf_dir).collect()
+    assert rows["exact"].affected_docs == sum(
+        g.n_copies for g in groups if g.n_copies > 1
+    )
+    assert rows["exact"].dup_mass == sum(
+        g.n_copies - 1 for g in groups if g.n_copies > 1
+    )
+    near_docs = set()
+    for p in dedup.dedup_minhash_lsh(spark, sf_dir).collect():
+        near_docs.update((p.doc_a, p.doc_b))
+    assert rows["near_lsh"].affected_docs == len(near_docs)
+    scrubbed = substring_scrub(docs.select("doc_id", "text")).collect()
+    assert rows["substring"].affected_docs == sum(
+        1 for s in scrubbed if s.n_removed > 0
+    )
+    assert rows["substring"].dup_mass == sum(s.n_removed for s in scrubbed)
