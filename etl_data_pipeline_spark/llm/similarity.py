@@ -409,6 +409,82 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def write_ivf_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Materialize the IVF index LAYOUT the filtered-ANN docstring
+    promises for 100 TB: the cell-assigned corpus written with
+    ``partitionBy(cell, label)``, so a query's probed cells and its
+    label predicate become PARTITION PRUNING at the scan instead of a
+    full-corpus filter. This is the write-time half of a real IVF
+    deployment (FAISS's inverted lists as a columnar layout); the
+    read half is query_ivf_index below, and the pruning is asserted
+    in tests via the plan's dynamic-partition-pruning subquery."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        "label",
+    )
+    centroids = e.filter(
+        F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
+    assigned = rank_topk(
+        e.join(F.broadcast(centroids)).select(
+            "vec_id", "v", "label", "centroid_id",
+            hround(cosine(F.col("cv"), F.col("v")), 6).alias("centroid_cos"),
+        ),
+        1,
+        partition_col="vec_id",
+        score_col="centroid_cos",
+        id_col="centroid_id",
+    ).select("vec_id", "v", "label", F.col("centroid_id").alias("cell"))
+    assigned.write.mode("overwrite").partitionBy("cell", "label").parquet(out_dir)
+
+
+def query_ivf_index(
+    spark: SparkSession, index_dir: str, sf_dir: str
+) -> DataFrame:
+    """Filtered ANN over the write_ivf_index layout: identical
+    semantics (and output) to sim_ann_ivf_filtered, but the corpus
+    side is the (cell, label)-partitioned index — the broadcast join
+    on the partition columns lets Spark insert a dynamic-partition-
+    pruning subquery, so only the probed (cell, label) directories
+    are ever read. At 100 TB this is the difference between scanning
+    the index and scanning the PROBED FRACTION of it."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        "label",
+    )
+    centroids = e.filter(
+        F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    qcells = rank_topk(
+        q.join(F.broadcast(centroids)).select(
+            "query_id", "qv", "qlabel", "centroid_id",
+            hround(cosine(F.col("cv"), F.col("qv")), 6).alias("qc_cos"),
+        ),
+        IVF_FILTERED_NPROBE,
+        partition_col="query_id",
+        score_col="qc_cos",
+        id_col="centroid_id",
+    ).select("query_id", "qv", "qlabel", F.col("centroid_id").alias("qcell"))
+    index = spark.read.parquet(index_dir)
+    pairs = index.join(
+        F.broadcast(qcells),
+        (F.col("cell") == F.col("qcell"))
+        & (F.col("label") == F.col("qlabel"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = scored_pairs(pairs, ["query_id", "label", "vec_id"])
+    return rank_topk(scored, 3).select(
+        "query_id", "label", "rank", "vec_id", "cosine"
+    )
+
+
 def sim_ann_ivf_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall@k of the FILTERED ANN against the FILTERED
     brute-force truth, at nprobe ∈ {1, 2, 4} — the accountability row

@@ -2,6 +2,8 @@
 metadata-filtered IVF ANN — behavioral invariants beyond the DuckDB
 oracle parity both queries already carry."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -274,3 +276,31 @@ def test_dedup_report_cross_checks_standalone_queries(spark, sf_dir):
         1 for s in scrubbed if s.n_removed > 0
     )
     assert rows["substring"].dup_mass == sum(s.n_removed for s in scrubbed)
+
+
+# -------------------------------------------- IVF index layout + DPP
+
+
+def test_ivf_index_layout_prunes_and_matches(spark, sf_dir, tmp_path):
+    """The (cell, label)-partitioned index: querying it returns
+    EXACTLY sim_ann_ivf_filtered's rows, and the physical plan carries
+    a dynamic-partition-pruning subquery on the partition columns —
+    the probed fraction is all that gets read."""
+    idx = str(tmp_path / "ivf_index")
+    similarity.write_ivf_index(spark, sf_dir, idx)
+    got = similarity.query_ivf_index(spark, idx, sf_dir)
+    want = sorted(
+        map(tuple, similarity.sim_ann_ivf_filtered(spark, sf_dir).collect())
+    )
+    assert sorted(map(tuple, got.collect())) == want and want
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # layout sanity: hive-style partition dirs for both columns
+    cells = [d for d in os.listdir(idx) if d.startswith("cell=")]
+    assert cells
+    labels = [
+        d
+        for d in os.listdir(os.path.join(idx, cells[0]))
+        if d.startswith("label=")
+    ]
+    assert labels
