@@ -910,13 +910,42 @@ def dedup_levenshtein_entropy(
 
 def _entropy_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The entropy-aware (seg, seg_val) keying relation — separate so
-    tests can measure its block-size distribution directly."""
+    tests can measure its block-size distribution directly.
+
+    TWO-LEVEL (round 9): level 1 splits the digits into τ+1 = 3
+    entropy-balanced segments as before; level 2 re-applies the same
+    derivation to each segment's COMPLEMENT (the positions a pair
+    agreeing on that segment can still differ in), splitting it into 3
+    more entropy-balanced sub-segments. A record emits 9 keys —
+    (s, t) for s, t ∈ {0,1,2} with value val_s ':' subval_{s,t} — and
+    the pigeonhole survives both levels FOR SUBSTITUTIONS: ≤ τ = 2
+    substitutions leave ≥ 1 level-1 segment untouched (val_s equal),
+    and all of them land in that segment's complement, where they
+    leave ≥ 1 of the 3 sub-segments untouched (subval equal), so every
+    true pair shares ≥ 1 composite key. (Substitutions don't shift
+    position frames, so the sub-partition need not be contiguous in
+    the original string — the complement is concatenated across the
+    level-1 gap and split in complement coordinates.) This is
+    PassJoin's recursive-partition idea (Li et al. 2011) restricted to
+    the substitution case the level-1 scheme already documents.
+
+    Why: one level bounds blocks at ~n/10 on zero-padded SEQUENTIAL
+    ids (the tail segment is ~1 digit), which crosses the block cap at
+    ~500k records. Each composite key covers segment ∪ sub-segment ≈
+    5/9 of the discriminative mass, so blocks shrink to ~n/10³ on the
+    same adversarial ids — bounded well past the 30× tier. Level-2
+    boundaries reuse the per-position collision-mass relation (no new
+    corpus pass; three more ≤L-row folds), all-integer as before, so
+    the DuckDB oracle reproduces every boundary bit-exactly."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     digits = F.regexp_replace(F.col("c_name"), "[^0-9]", "")
     base = cust.select("c_custkey", "c_name", digits.alias("digits"))
     # per-(position, digit) counts: |positions| × 10 rows, map-side
     # combined — the "sampled per-position entropy" table
-    chars = base.select(
+    # digit-free names must contribute NO (pos, ch) rows: Spark's
+    # sequence(1, 0) counts DOWN to [1, 0] while the oracle's
+    # range(1, len+1) is empty — guard the explode like _shingles does
+    chars = base.filter(F.length("digits") >= 1).select(
         "digits", F.explode(F.sequence(F.lit(1), F.length("digits"))).alias("pos")
     ).select("pos", F.col("digits").substr(F.col("pos"), F.lit(1)).alias("ch"))
     pc = chars.groupBy("pos", "ch").agg(F.count("*").alias("n"))
@@ -924,15 +953,13 @@ def _entropy_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_p"),
         F.sum(F.col("n") * F.col("n")).alias("s2"),
     )
-    wcum = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
-    cum = tracked_persist(
-        p.select(
-            "pos",
-            F.sum(F.col("n_p") * F.col("n_p") - F.col("s2")).over(wcum).alias(
-                "cumdisc"
-            ),
-        )
+    # per-position discriminative mass — persisted: feeds the level-1
+    # cumsum AND the three level-2 complement cumsums
+    posd = tracked_persist(
+        p.select("pos", (F.col("n_p") * F.col("n_p") - F.col("s2")).alias("disc"))
     )
+    wcum = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    cum = posd.select("pos", F.sum("disc").over(wcum).alias("cumdisc"))
     tot = cum.agg(F.max("cumdisc").alias("total"), F.max("pos").alias("L"))
     joined = cum.crossJoin(F.broadcast(tot))
     b1 = joined.filter(F.col("cumdisc") * 3 >= F.col("total")).agg(
@@ -941,10 +968,10 @@ def _entropy_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = joined.filter(F.col("cumdisc") * 3 >= F.col("total") * 2).agg(
         F.min("pos").alias("b2")
     )
-    # persist the 1-ROW bounds relation: it feeds BOTH sides of the
-    # downstream block self-join, and without the persist the whole
-    # derivation subtree (char explode + two aggregates + window +
-    # three folds) replays once per side
+    # persist the 1-ROW bounds relation: it feeds the three level-2
+    # derivations AND both sides of the downstream block self-join,
+    # and without the persist the whole derivation subtree (char
+    # explode + two aggregates + window + three folds) replays per use
     bounds = tracked_persist(
         b1.crossJoin(b2)
         .crossJoin(tot)
@@ -963,20 +990,86 @@ def _entropy_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "L",
         )
     )
-    return base.crossJoin(F.broadcast(bounds)).select(
+    # level 2: for each level-1 segment s, split its COMPLEMENT (in
+    # complement coordinates, ordered by original position) at 1/3 and
+    # 2/3 of the complement's cumulative disc — same derivation, same
+    # clamps, over the already-persisted posd/bounds relations
+    comp_filters = [
+        F.col("pos") > F.col("b1c"),  # complement of seg 0 = (b1c, L]
+        (F.col("pos") <= F.col("b1c")) | (F.col("pos") > F.col("b2c")),
+        F.col("pos") <= F.col("b2c"),  # complement of seg 2 = [1, b2c]
+    ]
+    sub_bounds = None
+    for s, flt in enumerate(comp_filters):
+        comp = (
+            posd.crossJoin(F.broadcast(bounds))
+            .filter(flt)
+            .select(
+                "disc",
+                F.row_number().over(Window.orderBy("pos")).alias("rn"),
+            )
+        )
+        wc = Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)
+        cc = comp.select("rn", F.sum("disc").over(wc).alias("cd"))
+        ct = cc.agg(F.max("cd").alias("ctotal"), F.max("rn").alias("cl"))
+        cj = cc.crossJoin(F.broadcast(ct))
+        sb1 = cj.filter(F.col("cd") * 3 >= F.col("ctotal")).agg(
+            F.min("rn").alias("sb1")
+        )
+        sb2 = cj.filter(F.col("cd") * 3 >= F.col("ctotal") * 2).agg(
+            F.min("rn").alias("sb2")
+        )
+        one = (
+            sb1.crossJoin(sb2)
+            .crossJoin(ct)
+            .select(
+                F.least(F.greatest(F.col("sb1"), F.lit(1)), F.col("cl") - 2)
+                .alias(f"sb1c_{s}"),
+                "sb2",
+                "cl",
+            )
+            .select(
+                f"sb1c_{s}",
+                F.least(
+                    F.greatest(F.col("sb2"), F.col(f"sb1c_{s}") + 1),
+                    F.col("cl") - 1,
+                ).alias(f"sb2c_{s}"),
+                F.col("cl").alias(f"cl_{s}"),
+            )
+        )
+        sub_bounds = one if sub_bounds is None else sub_bounds.crossJoin(one)
+    allb = tracked_persist(bounds.crossJoin(sub_bounds))
+    # per-record key emission: 9 composite keys (3 level-1 segments ×
+    # 3 complement sub-segments), seg = s*3 + t, value = val_s ':' sub
+    dg = F.col("digits")
+    lv1_vals = [
+        dg.substr(F.lit(1), F.col("b1c")),
+        dg.substr(F.col("b1c") + 1, F.col("b2c") - F.col("b1c")),
+        dg.substr(F.col("b2c") + 1, F.col("L") - F.col("b2c")),
+    ]
+    comps = [
+        dg.substr(F.col("b1c") + 1, F.col("L") - F.col("b1c")),
+        F.concat(
+            dg.substr(F.lit(1), F.col("b1c")),
+            dg.substr(F.col("b2c") + 1, F.col("L") - F.col("b2c")),
+        ),
+        dg.substr(F.lit(1), F.col("b2c")),
+    ]
+    keys = []
+    for s in range(3):
+        sb1c, sb2c, cl = (
+            F.col(f"sb1c_{s}"), F.col(f"sb2c_{s}"), F.col(f"cl_{s}")
+        )
+        for sub in (
+            comps[s].substr(F.lit(1), sb1c),
+            comps[s].substr(sb1c + 1, sb2c - sb1c),
+            comps[s].substr(sb2c + 1, cl - sb2c),
+        ):
+            keys.append(F.concat(lv1_vals[s], F.lit(":"), sub))
+    return base.crossJoin(F.broadcast(allb)).select(
         "c_custkey",
         "c_name",
-        F.posexplode(
-            F.array(
-                F.col("digits").substr(F.lit(1), F.col("b1c")),
-                F.col("digits").substr(
-                    F.col("b1c") + 1, F.col("b2c") - F.col("b1c")
-                ),
-                F.col("digits").substr(
-                    F.col("b2c") + 1, F.col("L") - F.col("b2c")
-                ),
-            )
-        ).alias("seg", "seg_val"),
+        F.posexplode(F.array(*keys)).alias("seg", "seg_val"),
     )
 
 
@@ -1140,22 +1233,20 @@ def sem_bucket_array(vcol, mask: int):
     )
 
 
-def sem_assign(e: DataFrame, c0: DataFrame) -> DataFrame:
-    """ANN-ASSISTED nearest-centroid assignment — the O(1)-candidates-
-    per-vector kernel shared by dedup_semantic (SemDeDup clustering)
-    and sim_ann_ivfpq (IVF coarse quantizer): centroids are
-    shortlisted through SEM_LSH_TABLES hyperplane tables whose bucket
-    count derives from the CENTROID COUNT (2^floor(log2 k), expected
-    centroid density ~1-2 per bucket at any scale), each vector scores
-    only its same-bucket candidates, and a vector whose buckets hold
-    no centroid becomes cluster -1. This replaces the dense O(N·K)
-    scoring that reads quadratic when K ∝ N (measured: dedup_semantic
-    1.65, sim_ann_ivfpq 1.51 segment exponents before their switches).
+def sem_scored(e: DataFrame, c0: DataFrame) -> DataFrame:
+    """The shortlist + scoring half of ``sem_assign``: hyperplane-
+    bucket candidate generation followed by rounded-cosine scoring of
+    ONLY the same-bucket (vector, centroid) pairs. Exposed separately
+    so the IVF family (llm.similarity) can derive both the corpus cell
+    assignment (rank 1) and the query probe list (rank <= nprobe) from
+    ONE scoring pass — the same kernel, two consumers.
 
-    ``e`` must carry (vec_id, v, nrm); ``c0`` (centroid_id, cv, cnrm).
-    Returns (vec_id, v, nrm, cluster), deterministic end-to-end
-    (seeded planes, integer plane-count arithmetic, 6 dp rounded
-    cosines, id tiebreaks)."""
+    ``e`` must carry (vec_id, v, nrm) (extra columns are ignored);
+    ``c0`` (centroid_id, cv, cnrm). Returns (vec_id, centroid_id, cc)
+    for every shortlisted pair; a vector whose buckets hold no
+    centroid yields NO rows (callers map that to cluster -1 /
+    unindexed). Deterministic: seeded planes, integer plane-count
+    arithmetic, 6 dp rounded cosines."""
     from etl_data_pipeline_spark.llm.vector import dot as _vdot
 
     k = c0.count()  # scalar centroid count, not a data collect
@@ -1173,8 +1264,8 @@ def sem_assign(e: DataFrame, c0: DataFrame) -> DataFrame:
         .select("vec_id", "centroid_id")
         .dropDuplicates(["vec_id", "centroid_id"])
     )
-    scored = (
-        cand.join(e, "vec_id")
+    return (
+        cand.join(e.select("vec_id", "v", "nrm"), "vec_id")
         .join(c0, "centroid_id")
         .select(
             "vec_id",
@@ -1185,11 +1276,31 @@ def sem_assign(e: DataFrame, c0: DataFrame) -> DataFrame:
             ).alias("cc"),
         )
     )
+
+
+def sem_assign(e: DataFrame, c0: DataFrame) -> DataFrame:
+    """ANN-ASSISTED nearest-centroid assignment — the O(1)-candidates-
+    per-vector kernel shared by dedup_semantic (SemDeDup clustering)
+    and the IVF coarse quantizers (sim_ann_ivfpq and, since round 9,
+    the whole llm.similarity IVF family): centroids are shortlisted
+    through SEM_LSH_TABLES hyperplane tables whose bucket count
+    derives from the CENTROID COUNT (2^floor(log2 k), expected
+    centroid density ~1-2 per bucket at any scale), each vector scores
+    only its same-bucket candidates, and a vector whose buckets hold
+    no centroid becomes cluster -1. This replaces the dense O(N·K)
+    scoring that reads quadratic when K ∝ N (measured: dedup_semantic
+    1.65, sim_ann_ivfpq 1.51 segment exponents before their switches).
+
+    ``e`` must carry (vec_id, v, nrm); ``c0`` (centroid_id, cv, cnrm).
+    Returns (vec_id, v, nrm, cluster), deterministic end-to-end
+    (seeded planes, integer plane-count arithmetic, 6 dp rounded
+    cosines, id tiebreaks)."""
     best_w = Window.partitionBy("vec_id").orderBy(
         F.desc("cc"), F.asc("centroid_id")
     )
     best = (
-        scored.withColumn("rn", F.row_number().over(best_w))
+        sem_scored(e, c0)
+        .withColumn("rn", F.row_number().over(best_w))
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("centroid_id").alias("cluster"))
     )
@@ -1507,10 +1618,11 @@ def _oracle_levenshtein() -> str:
 
 
 def _oracle_levenshtein_entropy() -> str:
-    """DuckDB rerun of the FULL entropy-aware pipeline: the all-integer
-    collision-mass boundary derivation (bit-exact across engines — the
-    reason Rényi-2 replaced Shannon here), then the same blocking +
-    verify + rank as the fixed-segment oracle."""
+    """DuckDB rerun of the FULL two-level entropy-aware pipeline: the
+    all-integer collision-mass boundary derivation at BOTH levels
+    (bit-exact across engines — the reason Rényi-2 replaced Shannon
+    here), then the same 9-key blocking + verify + rank as the
+    fixed-segment oracle."""
     return f"""
         WITH c AS (
             SELECT c_custkey, c_name,
@@ -1525,9 +1637,10 @@ def _oracle_levenshtein_entropy() -> str:
             SELECT pos, ch, count(*) AS n FROM chars GROUP BY 1, 2
         ), p AS (
             SELECT pos, sum(n) AS n_p, sum(n * n) AS s2 FROM pc GROUP BY 1
+        ), posd AS (
+            SELECT pos, n_p * n_p - s2 AS disc FROM p
         ), cum AS (
-            SELECT pos, sum(n_p * n_p - s2) OVER (ORDER BY pos) AS cumdisc
-            FROM p
+            SELECT pos, sum(disc) OVER (ORDER BY pos) AS cumdisc FROM posd
         ), tot AS (
             SELECT max(cumdisc) AS total, max(pos) AS L FROM cum
         ), b1t AS (
@@ -1539,15 +1652,62 @@ def _oracle_levenshtein_entropy() -> str:
         ), bounds AS (
             SELECT b1c, least(greatest(b2, b1c + 1), L - 1) AS b2c, L
             FROM b1c_t, b2t
+        ), compd AS (
+            -- level 2: each segment's complement re-indexed in
+            -- complement coordinates (original position order)
+            SELECT s.s, d.disc,
+                   row_number() OVER (PARTITION BY s.s ORDER BY d.pos) AS rn
+            FROM posd d, bounds, (VALUES (0), (1), (2)) s(s)
+            WHERE (s.s = 0 AND d.pos > b1c)
+               OR (s.s = 1 AND (d.pos <= b1c OR d.pos > b2c))
+               OR (s.s = 2 AND d.pos <= b2c)
+        ), ccum AS (
+            SELECT s, rn,
+                   sum(disc) OVER (PARTITION BY s ORDER BY rn) AS cd
+            FROM compd
+        ), ctot AS (
+            SELECT s, max(cd) AS ctotal, max(rn) AS cl FROM ccum GROUP BY s
+        ), csb1 AS (
+            SELECT ccum.s, min(rn) AS sb1
+            FROM ccum JOIN ctot ON ccum.s = ctot.s
+            WHERE 3 * cd >= ctotal GROUP BY ccum.s
+        ), csb2 AS (
+            SELECT ccum.s, min(rn) AS sb2
+            FROM ccum JOIN ctot ON ccum.s = ctot.s
+            WHERE 3 * cd >= 2 * ctotal GROUP BY ccum.s
+        ), csb1c AS (
+            SELECT csb1.s, least(greatest(sb1, 1), cl - 2) AS sb1c, cl
+            FROM csb1 JOIN ctot ON csb1.s = ctot.s
+        ), cbounds AS (
+            SELECT csb1c.s, sb1c,
+                   least(greatest(sb2, sb1c + 1), cl - 1) AS sb2c, cl
+            FROM csb1c JOIN csb2 ON csb1c.s = csb2.s
+        ), lv1 AS (
+            SELECT c.c_custkey, c.c_name, s.s,
+                   CASE s.s
+                       WHEN 0 THEN substr(digits, 1, b1c::INT)
+                       WHEN 1 THEN substr(digits, b1c::INT + 1, (b2c - b1c)::INT)
+                       ELSE substr(digits, b2c::INT + 1, (L - b2c)::INT)
+                   END AS val_s,
+                   CASE s.s
+                       WHEN 0 THEN substr(digits, b1c::INT + 1, (L - b1c)::INT)
+                       WHEN 1 THEN substr(digits, 1, b1c::INT)
+                                   || substr(digits, b2c::INT + 1, (L - b2c)::INT)
+                       ELSE substr(digits, 1, b2c::INT)
+                   END AS comp
+            FROM c, bounds, (VALUES (0), (1), (2)) s(s)
         ), keyed AS (
-            SELECT c_custkey, c_name, 0 AS seg,
-                   substr(digits, 1, b1c::INT) AS seg_val FROM c, bounds
-            UNION ALL
-            SELECT c_custkey, c_name, 1,
-                   substr(digits, b1c::INT + 1, (b2c - b1c)::INT) FROM c, bounds
-            UNION ALL
-            SELECT c_custkey, c_name, 2,
-                   substr(digits, b2c::INT + 1, (L - b2c)::INT) FROM c, bounds
+            SELECT l.c_custkey, l.c_name, l.s * 3 + t.t AS seg,
+                   l.val_s || ':' ||
+                   CASE t.t
+                       WHEN 0 THEN substr(l.comp, 1, cb.sb1c::INT)
+                       WHEN 1 THEN substr(l.comp, cb.sb1c::INT + 1,
+                                          (cb.sb2c - cb.sb1c)::INT)
+                       ELSE substr(l.comp, cb.sb2c::INT + 1,
+                                   (cb.cl - cb.sb2c)::INT)
+                   END AS seg_val
+            FROM lv1 l
+            JOIN cbounds cb ON cb.s = l.s, (VALUES (0), (1), (2)) t(t)
         ), cand AS (
             SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
                    a.c_name AS name_a, b.c_name AS name_b

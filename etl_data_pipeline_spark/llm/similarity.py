@@ -144,6 +144,100 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 CENTROID_MOD_REMAINDER = 50  # centroid set = vec_id % 100 == 50 (disjoint from queries)
 
 
+def _ivf_sem_build(
+    spark: SparkSession,
+    sf_dir: str,
+    with_label: bool = False,
+    centroid_mod: int = QUERY_MOD,
+    centroid_rem: int = CENTROID_MOD_REMAINDER,
+):
+    """ANN-ASSISTED IVF build shared by the whole registered IVF
+    family (sim_ann_ivf / _filtered / both recall curves / the index
+    layout): centroids are a deterministic id-sample (1/centroid_mod
+    of the corpus), and every corpus vector scores only the centroids
+    shortlisted by the hyperplane-bucket tables of
+    ``llm.dedup.sem_scored`` — O(1) candidates per vector at any
+    corpus size — NOT a dense corpus × centroids cross join. With
+    K ∝ N centroids the dense form is O(N²/centroid_mod) flops and
+    broadcasts 1% of the corpus: the exact shape whose 10×→30×
+    segment exponent measured 1.51 on sim_ann_ivfpq before it was
+    routed through this kernel (BASELINE.md "IVF,PQ knee"); round 9
+    back-ports that fix to the rest of the family.
+
+    ONE scoring pass feeds both consumers: the corpus cell is the
+    rank-1 shortlisted centroid (arank = 1), and a query's nprobe
+    probe cells are its arank <= nprobe centroids — queries are corpus
+    members, so probe_rank 1 IS the query's own cell and nprobe=1
+    reproduces single-probe IVF exactly. Bucket-miss vectors are
+    UNINDEXED (no cell, sim_ann_ivfpq's cluster -1): excluded from
+    candidates, and a bucket-miss query returns no rows — the
+    documented recall trade of a pruned index, replayed exactly by
+    the shared oracle CTEs (_ivf_sem_sql_ctes).
+
+    Returns (e, assigned, aranked): ``e`` the persisted corpus
+    (vec_id, v[, label], nrm), ``assigned`` the indexed corpus
+    (vec_id, v[, label], cell), ``aranked`` the persisted scored
+    shortlist (vec_id, centroid_id, cc, arank)."""
+    from etl_data_pipeline_spark.llm.dedup import sem_scored
+
+    cols = ["vec_id", F.col("embedding").cast("array<double>").alias("v")]
+    if with_label:
+        cols.append(F.col("label"))
+    e = tracked_persist(
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .select(*cols)
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    c0 = tracked_persist(
+        e.filter(F.col("vec_id") % centroid_mod == centroid_rem).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    # Persisted: consumed by BOTH the corpus assignment (arank = 1)
+    # and the query probe list (arank <= nprobe) — an index structure
+    # by nature, built once.
+    aranked = tracked_persist(
+        sem_scored(e, c0).withColumn(
+            "arank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("cc"), F.asc("centroid_id")
+                )
+            ),
+        )
+    )
+    out_cols = ["vec_id", "v"] + (["label"] if with_label else []) + ["cell"]
+    assigned = (
+        aranked.filter(F.col("arank") == 1)
+        .select("vec_id", F.col("centroid_id").alias("cell"))
+        .join(e, "vec_id")
+        .select(*out_cols)
+    )
+    return e, assigned, aranked
+
+
+def _ivf_probes(
+    e: DataFrame, aranked: DataFrame, nprobe: int, with_label: bool = False
+) -> DataFrame:
+    """The query set's probe cells from the shared shortlist scoring:
+    (query_id, qv[, qlabel], qcell, probe_rank) for probe_rank <=
+    nprobe. Inner join: a bucket-miss query has no probes (unindexed —
+    see _ivf_sem_build)."""
+    qcols = [
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+    ] + ([F.col("label").alias("qlabel")] if with_label else [])
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(*qcols)
+    probes = aranked.filter(F.col("arank") <= nprobe).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("centroid_id").alias("qcell"),
+        F.col("arank").alias("probe_rank"),
+    )
+    return q.join(probes, "query_id")
+
+
 def ann_ivf(
     spark: SparkSession,
     sf_dir: str,
@@ -152,74 +246,36 @@ def ann_ivf(
     nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN, parameterized: partition the corpus into Voronoi
-    cells around a deterministic centroid set, probe the query's
-    ``nprobe`` nearest cells, exact cosine inside the probed cells.
+    cells around a deterministic centroid set via the ANN-assisted
+    shortlist assignment (_ivf_sem_build — the dense alternative reads
+    quadratic when centroids ∝ corpus), probe the query's ``nprobe``
+    nearest shortlisted cells, exact cosine inside the probed cells.
     ``nprobe`` is THE recall/cost knob of an IVF index: candidates
     (and flops) grow linearly with it while recall climbs toward the
     brute-force answer — sim_ann_recall MEASURES that curve so the
     knob is set on evidence, not folklore.
 
     ``centroid_mod`` is the density knob: 1/centroid_mod of the corpus
-    become centroids, so expected cell size = centroid_mod rows. The
-    IVF sweet spot is ~√n cells (centroid_mod ≈ √n): assignment cost
-    n·√n dominates either extreme. Centroids are a fixed id-sample
-    rather than k-means iterates so the oracle can reproduce them; at
-    corpus scale the assignment step is a broadcast of the centroid
-    set against one scan of the corpus, and cells become write-time
-    partitions so a query touches one partition (the IVF index
-    layout). Tie-breaks are deterministic: (cosine desc, centroid_id
-    asc). The remainder must avoid the query residue class (vec_id %
-    100 == 0) so query and centroid sets stay disjoint.
-    """
-    e = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    become centroids, so expected cell size = centroid_mod rows.
+    Centroids are a fixed id-sample rather than k-means iterates so
+    the oracle can reproduce them; at corpus scale cells become
+    write-time partitions so a query touches one partition (the IVF
+    index layout — write_ivf_index). Tie-breaks are deterministic:
+    (cosine desc, centroid_id asc). The remainder must avoid the query
+    residue class (vec_id % 100 == 0) so query and centroid sets stay
+    disjoint."""
+    e, assigned, aranked = _ivf_sem_build(
+        spark, sf_dir, False, centroid_mod, centroid_rem
     )
-    centroids = e.filter(F.col("vec_id") % centroid_mod == centroid_rem).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
-    )
-    assigned = (
-        rank_topk(
-            e.join(F.broadcast(centroids)).select(
-                "vec_id", "v", "centroid_id",
-                hround(cosine(F.col("cv"), F.col("v")), 6).alias("centroid_cos"),
-            ),
-            1,
-            partition_col="vec_id",
-            score_col="centroid_cos",
-            id_col="centroid_id",
-        )
-        .select("vec_id", "v", F.col("centroid_id").alias("cell"))
-    )
-    qcells = _probe_cells(e, centroids, nprobe).select("query_id", "qv", "qcell")
+    qcells = _ivf_probes(e, aranked, nprobe).drop("probe_rank")
     pairs = assigned.join(
         F.broadcast(qcells),
         (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
     )
+    # no dedup needed: a corpus vector lives in exactly ONE cell, so it
+    # can match at most one of a query's (distinct) probed cells
     scored = scored_pairs(pairs, ["query_id", "cell", "vec_id"])
     return rank_topk(scored, 3).select("query_id", "cell", "rank", "vec_id", "cosine")
-
-
-def _probe_cells(e: DataFrame, centroids: DataFrame, nprobe: int) -> DataFrame:
-    """The query set's ``nprobe`` nearest centroid cells: (query_id,
-    qv, qcell, probe_rank). Scoring is identical to cell assignment
-    (rounded cosine desc, centroid_id asc), so probe_rank=1 IS the
-    query's own cell and nprobe=1 reproduces single-probe IVF
-    exactly. Broadcast of the centroid set; one pass over the query
-    rows."""
-    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    qs = q.join(F.broadcast(centroids)).select(
-        "query_id", "qv", "centroid_id",
-        hround(cosine(F.col("cv"), F.col("qv")), 6).alias("qc_cos"),
-    )
-    return rank_topk(
-        qs, nprobe, partition_col="query_id", score_col="qc_cos",
-        id_col="centroid_id",
-    ).select(
-        "query_id", "qv", F.col("centroid_id").alias("qcell"),
-        F.col("rank").alias("probe_rank"),
-    )
 
 
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,52 +301,21 @@ def sim_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     each probed cell eligible, a filtered query needs deeper probing
     to keep candidate counts (and recall) comparable to the unfiltered
     index — the interaction this query exists to demonstrate, and that
-    sim_ann_ivf_filtered_recall MEASURES (sf0.01: recall@3 = 0.27 at
-    nprobe=1 → 0.47 at 2 → 0.87 at 4 against the label-constrained
-    exact truth).
+    sim_ann_ivf_filtered_recall MEASURES against the label-constrained
+    exact truth.
 
-    Scale shape: identical to ann_ivf — centroid broadcast + one
-    corpus scan for assignment, query-cells broadcast against the
-    cell-partitioned corpus; the label predicate rides the same
-    broadcast-hash join (at 100 TB with cells as write-time partitions
-    and label as a secondary partition/cluster key, the filter becomes
-    partition pruning). Deterministic tie-breaks as everywhere
+    Scale shape: shortlist-assisted assignment (one corpus scan, O(1)
+    candidate centroids per vector — _ivf_sem_build), query-cells
+    broadcast against the cell-partitioned corpus; the label predicate
+    rides the same broadcast-hash join (at 100 TB with cells as
+    write-time partitions and label as a secondary partition key, the
+    filter becomes partition pruning — write_ivf_index/query_ivf_index
+    make that concrete). Deterministic tie-breaks as everywhere
     (cosine desc, vec_id asc)."""
-    e = tracked_persist(
-        spread(load_table(spark, sf_dir, "embeddings")).select(
-            "vec_id",
-            F.col("embedding").cast("array<double>").alias("v"),
-            "label",
-        )
-    )
-    centroids = e.filter(
-        F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER
-    ).select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
-    assigned = rank_topk(
-        e.join(F.broadcast(centroids)).select(
-            "vec_id", "v", "label", "centroid_id",
-            hround(cosine(F.col("cv"), F.col("v")), 6).alias("centroid_cos"),
-        ),
-        1,
-        partition_col="vec_id",
-        score_col="centroid_cos",
-        id_col="centroid_id",
-    ).select("vec_id", "v", "label", F.col("centroid_id").alias("cell"))
-    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("label").alias("qlabel"),
-    )
-    qcells = rank_topk(
-        q.join(F.broadcast(centroids)).select(
-            "query_id", "qv", "qlabel", "centroid_id",
-            hround(cosine(F.col("cv"), F.col("qv")), 6).alias("qc_cos"),
-        ),
-        IVF_FILTERED_NPROBE,
-        partition_col="query_id",
-        score_col="qc_cos",
-        id_col="centroid_id",
-    ).select("query_id", "qv", "qlabel", F.col("centroid_id").alias("qcell"))
+    e, assigned, aranked = _ivf_sem_build(spark, sf_dir, with_label=True)
+    qcells = _ivf_probes(
+        e, aranked, IVF_FILTERED_NPROBE, with_label=True
+    ).drop("probe_rank")
     # the filter IS part of candidate generation: label equality sits
     # in the join condition next to the cell match, so ineligible
     # vectors are never scored (and never crowd out eligible ones)
@@ -300,20 +325,12 @@ def sim_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("label") == F.col("qlabel"))
         & (F.col("vec_id") != F.col("query_id")),
     )
-    # no dedup needed: a corpus vector lives in exactly ONE cell, so it
-    # can match at most one of a query's (distinct) probed cells
     scored = scored_pairs(pairs, ["query_id", "label", "vec_id"])
     return rank_topk(scored, 3).select(
         "query_id", "label", "rank", "vec_id", "cosine"
     )
 
 
-# Measured at sf0.1 (60 queries, 61 cells, k=3): recall@3 = 0.13 (nprobe=1)
-# -> 0.20 (2) -> 0.45 (4) — near-uniform synthetic embeddings are the
-# hard case for coarse quantization (cell boundaries cut neighborhoods
-# aggressively), which is exactly why the curve must be measured: at
-# these defaults single-probe IVF is a ~7x speedup that finds 1-in-7 of
-# the true neighbors, and nprobe is how a deployment buys recall back.
 RECALL_NPROBES = (1, 2, 4)
 RECALL_K = 3
 
@@ -323,9 +340,12 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth, at nprobe ∈ {1, 2, 4}, in ONE pipeline — the evidence an
     ANN operator must ship with: an approximate index without a
     recall number is untunable at 100 TB (is nprobe=1 losing 2% or
-    40%?). Deterministic end to end (seeded centroids, rounded
-    cosines, id tiebreaks), so the DuckDB oracle reproduces recall
-    EXACTLY, not statistically.
+    40%?). Deterministic end to end (seeded centroids, shortlist
+    tables, rounded cosines, id tiebreaks), so the DuckDB oracle
+    reproduces recall EXACTLY, not statistically. Measures the index
+    AS REGISTERED — the ANN-assisted shortlist assignment, including
+    its bucket-miss losses (an unindexed query contributes its exact
+    top-k to the denominator and nothing to the hits).
 
     Shared-work shape: cell assignment and candidate scoring run ONCE
     at the deepest probe depth (each candidate is scored a single
@@ -335,25 +355,8 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     no join and no rescoring) and re-ranking per (nprobe, query). The
     brute-force truth is the sim_topk shape: broadcast query set, one
     corpus scan. Recall@k = |approx ∩ exact| / |exact|."""
-    e = tracked_persist(
-        spread(load_table(spark, sf_dir, "embeddings")).select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("v")
-        )
-    )
-    centroids = e.filter(
-        F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER
-    ).select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
-    assigned = rank_topk(
-        e.join(F.broadcast(centroids)).select(
-            "vec_id", "v", "centroid_id",
-            hround(cosine(F.col("cv"), F.col("v")), 6).alias("centroid_cos"),
-        ),
-        1,
-        partition_col="vec_id",
-        score_col="centroid_cos",
-        id_col="centroid_id",
-    ).select("vec_id", "v", F.col("centroid_id").alias("cell"))
-    qcells = _probe_cells(e, centroids, max(RECALL_NPROBES))
+    e, assigned, aranked = _ivf_sem_build(spark, sf_dir)
+    qcells = _ivf_probes(e, aranked, max(RECALL_NPROBES))
     cand = scored_pairs(
         assigned.join(
             F.broadcast(qcells),
@@ -411,32 +414,29 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def write_ivf_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     """Materialize the IVF index LAYOUT the filtered-ANN docstring
-    promises for 100 TB: the cell-assigned corpus written with
-    ``partitionBy(cell, label)``, so a query's probed cells and its
-    label predicate become PARTITION PRUNING at the scan instead of a
-    full-corpus filter. This is the write-time half of a real IVF
-    deployment (FAISS's inverted lists as a columnar layout); the
-    read half is query_ivf_index below, and the pruning is asserted
-    in tests via the plan's dynamic-partition-pruning subquery."""
-    e = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-        "label",
-    )
-    centroids = e.filter(
-        F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER
-    ).select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
-    assigned = rank_topk(
-        e.join(F.broadcast(centroids)).select(
-            "vec_id", "v", "label", "centroid_id",
-            hround(cosine(F.col("cv"), F.col("v")), 6).alias("centroid_cos"),
-        ),
-        1,
-        partition_col="vec_id",
-        score_col="centroid_cos",
-        id_col="centroid_id",
-    ).select("vec_id", "v", "label", F.col("centroid_id").alias("cell"))
+    promises for 100 TB: the cell-assigned corpus (ANN-assisted
+    assignment — _ivf_sem_build; bucket-miss vectors are unindexed and
+    simply absent from the layout) written with ``partitionBy(cell,
+    label)``, so a query's probed cells and its label predicate become
+    PARTITION PRUNING at the scan instead of a full-corpus filter.
+    This is the write-time half of a real IVF deployment (FAISS's
+    inverted lists as a columnar layout); the read half is
+    query_ivf_index below, and the pruning is asserted in tests via
+    the plan's dynamic-partition-pruning subquery."""
+    _, assigned, _ = _ivf_sem_build(spark, sf_dir, with_label=True)
     assigned.write.mode("overwrite").partitionBy("cell", "label").parquet(out_dir)
+
+
+# The read-back schema of the write_ivf_index layout. Explicit, NOT
+# inferred: partition-column type inference re-derives cell/label
+# types from the directory STRINGS, so a data-model change (e.g.
+# alphanumeric tenant labels) would silently flip the inferred dtype
+# — and with it the output schema and join cast semantics — away from
+# sim_ann_ivf_filtered's. Pinning the schema makes the layout contract
+# explicit (label is int32 in the harness data model) while keeping
+# cell/label plain attributes, so dynamic partition pruning still
+# applies.
+IVF_INDEX_SCHEMA = "vec_id bigint, v array<double>, cell bigint, label int"
 
 
 def query_ivf_index(
@@ -448,31 +448,48 @@ def query_ivf_index(
     on the partition columns lets Spark insert a dynamic-partition-
     pruning subquery, so only the probed (cell, label) directories
     are ever read. At 100 TB this is the difference between scanning
-    the index and scanning the PROBED FRACTION of it."""
-    e = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-        "label",
+    the index and scanning the PROBED FRACTION of it. Only the QUERY
+    rows are shortlist-scored here (the corpus assignment lives in the
+    index): query-side probe work is O(|queries|), independent of
+    corpus size."""
+    from etl_data_pipeline_spark.llm.dedup import sem_scored
+
+    e = tracked_persist(
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            "label",
+        )
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     )
-    centroids = e.filter(
-        F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER
-    ).select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
-    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    c0 = e.filter(F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    qe = e.filter(F.col("vec_id") % QUERY_MOD == 0)
+    qranked = sem_scored(qe, c0).withColumn(
+        "arank",
+        F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(
+                F.desc("cc"), F.asc("centroid_id")
+            )
+        ),
+    )
+    q = qe.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("label").alias("qlabel"),
     )
-    qcells = rank_topk(
-        q.join(F.broadcast(centroids)).select(
-            "query_id", "qv", "qlabel", "centroid_id",
-            hround(cosine(F.col("cv"), F.col("qv")), 6).alias("qc_cos"),
+    qcells = q.join(
+        qranked.filter(F.col("arank") <= IVF_FILTERED_NPROBE).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("centroid_id").alias("qcell"),
         ),
-        IVF_FILTERED_NPROBE,
-        partition_col="query_id",
-        score_col="qc_cos",
-        id_col="centroid_id",
-    ).select("query_id", "qv", "qlabel", F.col("centroid_id").alias("qcell"))
-    index = spark.read.parquet(index_dir)
+        "query_id",
+    )
+    index = spark.read.schema(IVF_INDEX_SCHEMA).parquet(index_dir)
     pairs = index.join(
         F.broadcast(qcells),
         (F.col("cell") == F.col("qcell"))
@@ -495,49 +512,14 @@ def sim_ann_ivf_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     be re-measured under the filter, not assumed. Ground truth is the
     label-constrained exact top-k (brute force over same-label
     vectors), because that is the query the user actually asked.
+    Measures the index AS REGISTERED (ANN-assisted shortlist
+    assignment, bucket-miss losses included).
 
     Same shared-work shape as sim_ann_recall: candidates scored once
     at the deepest probe depth, exploded into the probe depths that
     contain them, re-ranked per (nprobe, query)."""
-    e = tracked_persist(
-        spread(load_table(spark, sf_dir, "embeddings")).select(
-            "vec_id",
-            F.col("embedding").cast("array<double>").alias("v"),
-            "label",
-        )
-    )
-    centroids = e.filter(
-        F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER
-    ).select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
-    assigned = rank_topk(
-        e.join(F.broadcast(centroids)).select(
-            "vec_id", "v", "label", "centroid_id",
-            hround(cosine(F.col("cv"), F.col("v")), 6).alias("centroid_cos"),
-        ),
-        1,
-        partition_col="vec_id",
-        score_col="centroid_cos",
-        id_col="centroid_id",
-    ).select("vec_id", "v", "label", F.col("centroid_id").alias("cell"))
-    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("label").alias("qlabel"),
-    )
-    qcells = rank_topk(
-        q.join(F.broadcast(centroids)).select(
-            "query_id", "qv", "qlabel", "centroid_id",
-            hround(cosine(F.col("cv"), F.col("qv")), 6).alias("qc_cos"),
-        ),
-        max(RECALL_NPROBES),
-        partition_col="query_id",
-        score_col="qc_cos",
-        id_col="centroid_id",
-    ).select(
-        "query_id", "qv", "qlabel",
-        F.col("centroid_id").alias("qcell"),
-        F.col("rank").alias("probe_rank"),
-    )
+    e, assigned, aranked = _ivf_sem_build(spark, sf_dir, with_label=True)
+    qcells = _ivf_probes(e, aranked, max(RECALL_NPROBES), with_label=True)
     cand = scored_pairs(
         assigned.join(
             F.broadcast(qcells),
@@ -560,6 +542,11 @@ def sim_ann_ivf_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("nprobe", "query_id", "vec_id")
     )
     # filtered brute-force truth: same-label corpus scan per query
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
     exact = rank_topk(
         scored_pairs(
             e.join(
@@ -1282,24 +1269,58 @@ def _oracle_sim_ann_lsh() -> str:
     """
 
 
-def _oracle_sim_ann_ivf() -> str:
+def _ivf_sem_sql_ctes(with_label: bool = False) -> str:
+    """The ANN-assisted IVF assignment replay as a CTE chain ending in
+    ``aranked(vec_id, centroid_id, cc, arank)`` (the scored centroid
+    shortlist per vector) and ``assigned(vec_id, v[, label], cell)``
+    (the indexed corpus) — ONE source shared by every IVF-family
+    oracle (sim_ann_ivf / _filtered / both recall curves) so the
+    shortlist tables, scoring, and tiebreaks cannot drift between
+    them. Mirrors _ivfpq_sql_ctes, which replays the same
+    llm.dedup.sem_scored kernel."""
+    from etl_data_pipeline_spark.llm.dedup import (
+        SEM_ASSIGN_MASK_SQL,
+        sem_assign_sql_arms,
+    )
+
+    vk_arms, ck_arms = sem_assign_sql_arms()
+    label = ", label" if with_label else ""
+    elabel = ", e.label" if with_label else ""
     return f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        c AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+        WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v{label} FROM embeddings),
+        c0 AS MATERIALIZED (SELECT vec_id AS centroid_id, v AS cv FROM e
               WHERE vec_id % {QUERY_MOD} = {CENTROID_MOD_REMAINDER}),
-        scored_assign AS (
-            SELECT e.vec_id, e.v, c.centroid_id,
-                   floor((list_dot_product(c.cv, e.v) /
-                          (sqrt(list_dot_product(c.cv, c.cv)) *
+        pp AS MATERIALIZED ({SEM_ASSIGN_MASK_SQL}
+        ), vk AS MATERIALIZED (
+            {vk_arms}
+        ), ck AS MATERIALIZED (
+            {ck_arms}
+        ), acand AS MATERIALIZED (
+            SELECT DISTINCT vk.vec_id, ck.centroid_id
+            FROM vk JOIN ck ON vk.tbl = ck.tbl AND vk.bucket = ck.bucket
+        ), ascored AS (
+            SELECT acand.vec_id, acand.centroid_id,
+                   floor((list_dot_product(c0.cv, e.v) /
+                          (sqrt(list_dot_product(c0.cv, c0.cv)) *
                            sqrt(list_dot_product(e.v, e.v)))) * 1000000 + 0.5)
-                       / 1000000 AS centroid_cos
-            FROM e CROSS JOIN c
-        ), assigned AS (
-            SELECT vec_id, v, centroid_id AS cell FROM (
-                SELECT *, row_number() OVER (PARTITION BY vec_id
-                    ORDER BY centroid_cos DESC, centroid_id ASC) AS arank
-                FROM scored_assign) WHERE arank = 1
-        ), q AS (
+                       / 1000000 AS cc
+            FROM acand
+            JOIN e ON e.vec_id = acand.vec_id
+            JOIN c0 ON c0.centroid_id = acand.centroid_id
+        ), aranked AS MATERIALIZED (
+            SELECT vec_id, centroid_id, cc,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cc DESC, centroid_id ASC) AS arank
+            FROM ascored
+        ), assigned AS MATERIALIZED (
+            SELECT a.vec_id, e.v{elabel}, a.centroid_id AS cell
+            FROM aranked a JOIN e ON e.vec_id = a.vec_id
+            WHERE a.arank = 1
+        )"""
+
+
+def _oracle_sim_ann_ivf() -> str:
+    return f"""{_ivf_sem_sql_ctes()}, q AS (
             SELECT vec_id AS query_id, v AS qv, cell AS qcell FROM assigned
             WHERE vec_id % {QUERY_MOD} = 0
         ), scored AS (
@@ -1324,31 +1345,13 @@ def _oracle_sim_ann_ivf_filtered() -> str:
         " (sqrt(list_dot_product({x}, {x})) *"
         " sqrt(list_dot_product({y}, {y})))) * 1000000 + 0.5) / 1000000"
     )
-    return f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-        c AS (SELECT vec_id AS centroid_id, v AS cv FROM e
-              WHERE vec_id % {QUERY_MOD} = {CENTROID_MOD_REMAINDER}),
-        sa AS (
-            SELECT e.vec_id, e.v, e.label, c.centroid_id,
-                   {cos.format(x='c.cv', y='e.v')} AS centroid_cos
-            FROM e CROSS JOIN c
-        ), assigned AS (
-            SELECT vec_id, v, label, centroid_id AS cell FROM (
-                SELECT *, row_number() OVER (PARTITION BY vec_id
-                    ORDER BY centroid_cos DESC, centroid_id ASC) AS arank
-                FROM sa) WHERE arank = 1
-        ), q AS (
+    return f"""{_ivf_sem_sql_ctes(with_label=True)}, q AS (
             SELECT vec_id AS query_id, v AS qv, label AS qlabel FROM e
             WHERE vec_id % {QUERY_MOD} = 0
-        ), qs AS (
-            SELECT q.query_id, q.qv, q.qlabel, c.centroid_id,
-                   {cos.format(x='c.cv', y='q.qv')} AS qc_cos
-            FROM q CROSS JOIN c
         ), qcells AS (
-            SELECT query_id, qv, qlabel, centroid_id AS qcell FROM (
-                SELECT *, row_number() OVER (PARTITION BY query_id
-                    ORDER BY qc_cos DESC, centroid_id ASC) AS prank
-                FROM qs) WHERE prank <= {IVF_FILTERED_NPROBE}
+            SELECT q.query_id, q.qv, q.qlabel, a.centroid_id AS qcell
+            FROM q JOIN aranked a
+              ON a.vec_id = q.query_id AND a.arank <= {IVF_FILTERED_NPROBE}
         ), scored AS (
             SELECT qc.query_id, a.label, a.vec_id,
                    {cos.format(x='qc.qv', y='a.v')} AS cosine
@@ -1372,33 +1375,14 @@ def _oracle_sim_ann_ivf_filtered_recall() -> str:
         " sqrt(list_dot_product({y}, {y})))) * 1000000 + 0.5) / 1000000"
     )
     values = ", ".join(f"({n})" for n in RECALL_NPROBES)
-    return f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-        c AS (SELECT vec_id AS centroid_id, v AS cv FROM e
-              WHERE vec_id % {QUERY_MOD} = {CENTROID_MOD_REMAINDER}),
-        sa AS (
-            SELECT e.vec_id, e.v, e.label, c.centroid_id,
-                   {cos.format(x='c.cv', y='e.v')} AS centroid_cos
-            FROM e CROSS JOIN c
-        ), assigned AS (
-            SELECT vec_id, v, label, centroid_id AS cell FROM (
-                SELECT *, row_number() OVER (PARTITION BY vec_id
-                    ORDER BY centroid_cos DESC, centroid_id ASC) AS arank
-                FROM sa) WHERE arank = 1
-        ), q AS (
+    return f"""{_ivf_sem_sql_ctes(with_label=True)}, q AS (
             SELECT vec_id AS query_id, v AS qv, label AS qlabel FROM e
             WHERE vec_id % {QUERY_MOD} = 0
-        ), qs AS (
-            SELECT q.query_id, q.qv, q.qlabel, c.centroid_id,
-                   {cos.format(x='c.cv', y='q.qv')} AS qc_cos
-            FROM q CROSS JOIN c
         ), qcells AS (
-            SELECT query_id, qv, qlabel, centroid_id AS qcell,
-                   prank AS probe_rank
-            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                      ORDER BY qc_cos DESC, centroid_id ASC) AS prank
-                  FROM qs)
-            WHERE prank <= {max(RECALL_NPROBES)}
+            SELECT q.query_id, q.qv, q.qlabel, a.centroid_id AS qcell,
+                   a.arank AS probe_rank
+            FROM q JOIN aranked a
+              ON a.vec_id = q.query_id AND a.arank <= {max(RECALL_NPROBES)}
         ), cand AS (
             SELECT qc.query_id, qc.probe_rank, a.vec_id,
                    {cos.format(x='qc.qv', y='a.v')} AS cosine
@@ -1448,32 +1432,14 @@ def _oracle_sim_ann_recall() -> str:
         return cos.format(a=f"list_dot_product({x}, {y})", x=x, y=y)
 
     values = ", ".join(f"({n})" for n in RECALL_NPROBES)
-    return f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        c AS (SELECT vec_id AS centroid_id, v AS cv FROM e
-              WHERE vec_id % {QUERY_MOD} = {CENTROID_MOD_REMAINDER}),
-        sa AS (
-            SELECT e.vec_id, e.v, c.centroid_id,
-                   {rounded_cos('c.cv', 'e.v')} AS centroid_cos
-            FROM e CROSS JOIN c
-        ), assigned AS (
-            SELECT vec_id, v, centroid_id AS cell FROM (
-                SELECT *, row_number() OVER (PARTITION BY vec_id
-                    ORDER BY centroid_cos DESC, centroid_id ASC) AS arank
-                FROM sa) WHERE arank = 1
-        ), q AS (
+    return f"""{_ivf_sem_sql_ctes()}, q AS (
             SELECT vec_id AS query_id, v AS qv FROM e
             WHERE vec_id % {QUERY_MOD} = 0
-        ), qs AS (
-            SELECT q.query_id, q.qv, c.centroid_id,
-                   {rounded_cos('c.cv', 'q.qv')} AS qc_cos
-            FROM q CROSS JOIN c
         ), qcells AS (
-            SELECT query_id, qv, centroid_id AS qcell, prank AS probe_rank
-            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                      ORDER BY qc_cos DESC, centroid_id ASC) AS prank
-                  FROM qs)
-            WHERE prank <= {max(RECALL_NPROBES)}
+            SELECT q.query_id, q.qv, a.centroid_id AS qcell,
+                   a.arank AS probe_rank
+            FROM q JOIN aranked a
+              ON a.vec_id = q.query_id AND a.arank <= {max(RECALL_NPROBES)}
         ), cand AS (
             SELECT qc.query_id, qc.probe_rank, a.vec_id,
                    {rounded_cos('qc.qv', 'a.v')} AS cosine

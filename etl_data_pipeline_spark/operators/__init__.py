@@ -80,71 +80,23 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # hoisted to the very front regardless of family (the harness
     # checks only a ~50-entry prefix per round, so the hoist rotates
     # stale evidence back into the check window).
-    # Round-8 rotation (round-7 VERDICT item 1 + ADVICE item 1):
-    # base order generated by `python tools/evidence_freshness.py
-    # --hoist 54`, then the 4 queries REGISTERED this round prepended
-    # (they have no driver row by definition). After those: the 2
-    # r7-tail queries with no driver row (text_bpe_round2,
-    # events_peak_concurrency — landed after the r7 snapshot and fell
-    # outside that round's ~50-entry window), the 2 r3-stale dedup
-    # queries, then the 50 r4-stale relational-core queries in
-    # CORRECTNESS_r04 key order. 58 names > the ~50-entry window, so
-    # the tail (~8 r4-stale event queries) rolls to the r9 rotation;
-    # the freshness tool recomputes the exact cut each round. Every
-    # hoisted query also re-passed this session's local sf0.01 gate.
+    # Round-9 rotation (round-8 VERDICT items 1 + 3): first the 4 IVF-
+    # family queries whose ANSWERS changed this round (coarse
+    # assignment re-routed through the sem_scored shortlist kernel —
+    # their r8 evidence describes the old dense plan), then the base
+    # order from `python tools/evidence_freshness.py --hoist 60`: the
+    # 11 r4-stale queries, then the r5-stale tail in CORRECTNESS_r05
+    # key order. ~57 names > the ~50-entry window, so the tail rolls
+    # to the r10 rotation; the freshness tool recomputes the exact cut
+    # each round. Every hoisted query also re-passed this session's
+    # local sf0.01 gate.
     hoist = [
-        # brand-new in r8 (no driver evidence yet) — first priority
-        "dedup_minhash_estimate",
+        # answers changed in r9 (ANN-assisted IVF assignment) — first
+        "sim_ann_ivf",
+        "sim_ann_recall",
         "sim_ann_ivf_filtered",
-        "dedup_levenshtein_entropy",
-        "dedup_minhash_incremental",
         "sim_ann_ivf_filtered_recall",
-        "multimodal_decode_bmp",
-        "pipeline_dedup_report",
-        # never-covered r7 tail, then r3/r4-stale (tool output below)
-        "text_bpe_round2",
-        "events_peak_concurrency",
-        "dedup_embedding_cosine",
-        "dedup_levenshtein",
-        "scan_full",
-        "scan_incremental_id",
-        "scan_incremental_ts",
-        "watermark_advance",
-        "project_columns",
-        "filter_predicates",
-        "pipeline_incremental",
-        "sample_hash",
-        "sample_stratified",
-        "sql_passthrough_q6",
-        "profile_key_skew",
-        "export_shuffle",
-        "join_inner_hash",
-        "join_broadcast",
-        "join_left_outer",
-        "join_full_outer",
-        "join_semi",
-        "join_anti",
-        "join_theta_range",
-        "join_skew_salted",
-        "join_multiway",
-        "tpch_q3ish",
-        "tpch_q5ish",
-        "join_range_binned",
-        "join_cross",
-        "join_asof",
-        "join_asof_tolerance",
-        "agg_groupby",
-        "agg_distinct",
-        "agg_approx_distinct",
-        "agg_rollup",
-        "agg_cube",
-        "agg_having",
-        "agg_percentile",
-        "agg_approx_percentile",
-        "agg_time_rollup",
-        "subquery_scalar",
-        "agg_stats",
-        "agg_grouping_sets",
+        # r4-stale (the round-8 verdict's staleness tail), then r5-stale
         "agg_mode",
         "agg_boolean",
         "agg_histogram",
@@ -156,6 +108,51 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "profile_table_quality",
         "timeseries_user_sim",
         "agg_collect",
+        "tpch_q10ish",
+        "tpch_q12ish",
+        "tpch_q19ish",
+        "tpch_q20ish",
+        "tpch_q21ish",
+        "subq_exists_lateship",
+        "subq_not_exists_quiet_parts",
+        "subq_corr_scalar_avgqty",
+        "subq_in_heavy_orders",
+        "subq_nested_max_revenue",
+        "agg_promo_share",
+        "text_duplicate_spans",
+        "scalar_date",
+        "scalar_math",
+        "scalar_case_null",
+        "scalar_array",
+        "scalar_json",
+        "sort_limit",
+        "topk_per_group",
+        "set_union",
+        "set_intersect",
+        "set_except",
+        "dedup_exact",
+        "window_rank",
+        "window_time_range",
+        "window_first_last",
+        "window_running",
+        "window_lag_lead",
+        "window_range_frame",
+        "window_distribution",
+        "udf_scalar",
+        "udf_pandas",
+        "cdc_compact_latest",
+        "expectations_report",
+        "dedup_exact_docs",
+        "dedup_ngram_jaccard",
+        "dedup_clusters",
+        "dedup_canonical",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "sim_topk",
+        "embedding_kmeans",
+        "embedding_quantize",
+        "sim_ann_lsh",
+        "embedding_centroids",
     ]
     ordered = {name: queries[name] for name in hoist if name in queries}
     ordered.update(queries)

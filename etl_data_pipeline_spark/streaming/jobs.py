@@ -1424,7 +1424,14 @@ def run_incremental_dedup(
                         .select(
                             F.col("batch_doc").alias("doc_id"),
                             F.col("index_doc").alias("match_doc"),
-                            F.round("jaccard", 6).alias("match_jaccard"),
+                            # hround, not F.round: the batch twin
+                            # (dedup_minhash_incremental) and the rest
+                            # of the dedup family round via
+                            # floor(x*1e6+0.5)/1e6 — F.round can differ
+                            # by one ulp on representation edges, and
+                            # the streaming decisions are documented as
+                            # byte-identical to the batch query's
+                            hround(F.col("jaccard"), 6).alias("match_jaccard"),
                         )
                     )
                 else:

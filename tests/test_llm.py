@@ -303,8 +303,19 @@ def test_ann_lsh_second_setting_matches_numpy_reference(spark, sf_dir):
 def test_ann_ivf_denser_centroids_matches_numpy_reference(spark, sf_dir):
     """ann_ivf at a denser centroid setting (centroid_mod=50 -> ~2x the
     cells, half the expected cell size) must equal an independent NumPy
-    reference of assignment + in-cell exact search."""
+    reference of the ANN-ASSISTED assignment (hyperplane-bucket
+    shortlist with a count-derived mask, argmax over shortlisted
+    centroids only, bucket-miss -> unindexed) + in-cell exact search.
+    Pins the knob wiring — the centroid-count-dependent mask included,
+    since a denser centroid set changes the bucket mask."""
     import numpy as np
+
+    from etl_data_pipeline_spark.llm.dedup import (
+        SEM_LSH_MAX_PLANES,
+        SEM_LSH_TABLES,
+        SEM_SEED_OFFSET,
+        _sem_planes_used,
+    )
 
     mod, rem = 50, 25
     out = {
@@ -315,9 +326,30 @@ def test_ann_ivf_denser_centroids_matches_numpy_reference(spark, sf_dir):
     cents = [(int(cid), vecs[i]) for i, cid in enumerate(ids) if cid % mod == rem]
     assert len(cents) > len([c for c, _ in cents if c % 100 == 50])  # denser than default
 
+    mask = 1 << _sem_planes_used(len(cents))
+    table_planes = [
+        similarity._planes(
+            SEM_LSH_MAX_PLANES, seed=similarity.PLANES_SEED + SEM_SEED_OFFSET + t
+        )
+        for t in range(SEM_LSH_TABLES)
+    ]
+
+    def buckets(v):
+        return {
+            (t, sum(1 << i for i, p in enumerate(planes)
+                    if float(np.dot(v, np.array(p))) > 0) % mask)
+            for t, planes in enumerate(table_planes)
+        }
+
+    cent_buckets = {cid: buckets(cv) for cid, cv in cents}
+    cvecs = dict(cents)
+
     def cell_of(v):
-        scored = sorted((-_np_cos6(cv, v), cid) for cid, cv in cents)
-        return scored[0][1]
+        vb = buckets(v)
+        shortlist = [c for c, bs in cent_buckets.items() if bs & vb]
+        if not shortlist:
+            return None
+        return min((-_np_cos6(cvecs[c], v), c) for c in shortlist)[1]
 
     cells = {int(vid): cell_of(vecs[i]) for i, vid in enumerate(ids)}
     expected = {}
@@ -325,6 +357,8 @@ def test_ann_ivf_denser_centroids_matches_numpy_reference(spark, sf_dir):
         if qid % similarity.QUERY_MOD != 0:
             continue
         qcell = cells[int(qid)]
+        if qcell is None:  # bucket-miss query: unindexed, no rows
+            continue
         cand = [
             (-_np_cos6(vecs[qi], vecs[ci]), int(cid))
             for ci, cid in enumerate(ids)

@@ -92,9 +92,7 @@ def main(argv: list[str]) -> int:
             print(f'        "{n}",')
         return 1 if never else 0
 
-    stale_records = sorted(evidence) - set(names) if False else [
-        n for n in evidence if n not in set(names)
-    ]
+    stale_records = [n for n in evidence if n not in set(names)]
     print(f"registry queries : {len(names)}")
     print(f"driver evidence  : {len([n for n in names if n in evidence])}")
     if never:
