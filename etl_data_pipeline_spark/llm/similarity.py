@@ -333,6 +333,17 @@ def sim_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RECALL_NPROBES = (1, 2, 4)
 RECALL_K = 3
+# Recall is measured on a FIXED query workload: vec_id % 100 == 0 AND
+# vec_id < RECALL_QUERY_CAP (same device as sim_ann_ivfpq's
+# PQ_CODEBOOK_ID_CAP). Without the cap the ground-truth side is
+# Θ(N·Q) with Q ∝ N — a quadratic MEASUREMENT stapled to a linear
+# index (measured 1.63 segment exponent over 10×→30× in round 9,
+# while the capped form probes at 0.5-0.8 with the index itself).
+# A deployment estimates recall from a sampled workload for exactly
+# this reason; the cap keeps the estimate deterministic and
+# oracle-replayable, and leaves every harness tier ≤ sf0.01 with the
+# identical query set (all its vec_ids are below the cap).
+RECALL_QUERY_CAP = 5000
 
 
 def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -356,7 +367,9 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force truth is the sim_topk shape: broadcast query set, one
     corpus scan. Recall@k = |approx ∩ exact| / |exact|."""
     e, assigned, aranked = _ivf_sem_build(spark, sf_dir)
-    qcells = _ivf_probes(e, aranked, max(RECALL_NPROBES))
+    qcells = _ivf_probes(e, aranked, max(RECALL_NPROBES)).filter(
+        F.col("query_id") < RECALL_QUERY_CAP
+    )
     cand = scored_pairs(
         assigned.join(
             F.broadcast(qcells),
@@ -379,10 +392,12 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= RECALL_K)
         .select("nprobe", "query_id", "vec_id")
     )
-    # brute-force truth (sim_topk shape, k = RECALL_K)
-    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
+    # brute-force truth (sim_topk shape, k = RECALL_K) over the FIXED
+    # capped workload — O(N·|workload|) = O(N), not O(N²/100)
+    q = e.filter(
+        (F.col("vec_id") % QUERY_MOD == 0)
+        & (F.col("vec_id") < RECALL_QUERY_CAP)
+    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     exact = rank_topk(
         scored_pairs(
             e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")),
@@ -424,7 +439,17 @@ def write_ivf_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     query_ivf_index below, and the pruning is asserted in tests via
     the plan's dynamic-partition-pruning subquery."""
     _, assigned, _ = _ivf_sem_build(spark, sf_dir, with_label=True)
-    assigned.write.mode("overwrite").partitionBy("cell", "label").parquet(out_dir)
+    # repartition on the partition columns first: ONE file per
+    # (cell, label) inverted list instead of one per upstream task ×
+    # list (32× fewer files at local parallelism; at 100 TB this is
+    # the difference between a list being a contiguous read and a
+    # directory of shards)
+    (
+        assigned.repartition(F.col("cell"), F.col("label"))
+        .write.mode("overwrite")
+        .partitionBy("cell", "label")
+        .parquet(out_dir)
+    )
 
 
 # The read-back schema of the write_ivf_index layout. Explicit, NOT
@@ -440,18 +465,33 @@ IVF_INDEX_SCHEMA = "vec_id bigint, v array<double>, cell bigint, label int"
 
 
 def query_ivf_index(
-    spark: SparkSession, index_dir: str, sf_dir: str
+    spark: SparkSession, index_dir: str, sf_dir: str, query_ids=None
 ) -> DataFrame:
     """Filtered ANN over the write_ivf_index layout: identical
     semantics (and output) to sim_ann_ivf_filtered, but the corpus
     side is the (cell, label)-partitioned index — the broadcast join
     on the partition columns lets Spark insert a dynamic-partition-
     pruning subquery, so only the probed (cell, label) directories
-    are ever read. At 100 TB this is the difference between scanning
-    the index and scanning the PROBED FRACTION of it. Only the QUERY
-    rows are shortlist-scored here (the corpus assignment lives in the
-    index): query-side probe work is O(|queries|), independent of
-    corpus size."""
+    are ever read. Only the QUERY rows are shortlist-scored here (the
+    corpus assignment lives in the index): query-side probe work is
+    O(|queries|), independent of corpus size.
+
+    ``query_ids`` restricts the workload (the production LOOKUP shape:
+    one or a few queries against the index), and switches the scan to
+    STATIC partition pruning: the ≤ |query_ids| × nprobe probed
+    (cell, label) pairs are computed first — bounded by the REQUEST
+    size, never the corpus — and pushed as a literal partition
+    predicate, so the scan lists and reads only the probed
+    directories (assertable via ``inputFiles``, like the manifest
+    pruning tests). This is what a production vector store does for a
+    point lookup: probes client-side, partition filters pushed down.
+    Dynamic partition pruning is NOT the mechanism here — Spark's DPP
+    rule declines to insert a pruning subquery when the filtering side
+    contains a window (the rank-by-distance probe list), and the
+    full-workload case wouldn't benefit anyway: every 100th vector as
+    a query collectively probes ~every cell, so the aggregate run
+    (query_ids=None) legitimately reads the whole index — per-LOOKUP
+    pruning is what the layout buys at 100 TB."""
     from etl_data_pipeline_spark.llm.dedup import sem_scored
 
     e = tracked_persist(
@@ -469,6 +509,8 @@ def query_ivf_index(
         F.col("nrm").alias("cnrm"),
     )
     qe = e.filter(F.col("vec_id") % QUERY_MOD == 0)
+    if query_ids is not None:
+        qe = qe.filter(F.col("vec_id").isin(list(query_ids)))
     qranked = sem_scored(qe, c0).withColumn(
         "arank",
         F.row_number().over(
@@ -489,7 +531,37 @@ def query_ivf_index(
         ),
         "query_id",
     )
-    index = spark.read.schema(IVF_INDEX_SCHEMA).parquet(index_dir)
+    if query_ids is None:
+        index = spark.read.schema(IVF_INDEX_SCHEMA).parquet(index_dir)
+    else:
+        # LOOKUP shape: materialize the probed (cell, label) pairs —
+        # ≤ |query_ids| × nprobe rows, bounded by the request — and
+        # read ONLY those directories (basePath keeps the partition
+        # columns). File-list pruning at the source: no listing of
+        # the unprobed 1 - probed/total fraction of the index ever
+        # happens, and inputFiles() reflects exactly the probed dirs.
+        probed = {
+            (r.qcell, r.qlabel)
+            for r in qcells.select("qcell", "qlabel").collect()
+        }
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        paths = []
+        for c, l in sorted(probed):
+            p = f"{index_dir}/cell={c}/label={l}"
+            hp = jvm.org.apache.hadoop.fs.Path(p)
+            # a probed list can be empty for this label (the filter
+            # thins cells) — skip dirs that were never written
+            if hp.getFileSystem(hconf).exists(hp):
+                paths.append(p)
+        if not paths:  # every probe missed: empty result, full schema
+            index = spark.createDataFrame([], IVF_INDEX_SCHEMA)
+        else:
+            index = (
+                spark.read.schema(IVF_INDEX_SCHEMA)
+                .option("basePath", index_dir)
+                .parquet(*paths)
+            )
     pairs = index.join(
         F.broadcast(qcells),
         (F.col("cell") == F.col("qcell"))
@@ -519,7 +591,9 @@ def sim_ann_ivf_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the deepest probe depth, exploded into the probe depths that
     contain them, re-ranked per (nprobe, query)."""
     e, assigned, aranked = _ivf_sem_build(spark, sf_dir, with_label=True)
-    qcells = _ivf_probes(e, aranked, max(RECALL_NPROBES), with_label=True)
+    qcells = _ivf_probes(e, aranked, max(RECALL_NPROBES), with_label=True).filter(
+        F.col("query_id") < RECALL_QUERY_CAP
+    )
     cand = scored_pairs(
         assigned.join(
             F.broadcast(qcells),
@@ -541,8 +615,12 @@ def sim_ann_ivf_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= RECALL_K)
         .select("nprobe", "query_id", "vec_id")
     )
-    # filtered brute-force truth: same-label corpus scan per query
-    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    # filtered brute-force truth over the FIXED capped workload:
+    # same-label corpus scan per query, O(N·|workload|) = O(N)
+    q = e.filter(
+        (F.col("vec_id") % QUERY_MOD == 0)
+        & (F.col("vec_id") < RECALL_QUERY_CAP)
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("label").alias("qlabel"),
@@ -1377,7 +1455,7 @@ def _oracle_sim_ann_ivf_filtered_recall() -> str:
     values = ", ".join(f"({n})" for n in RECALL_NPROBES)
     return f"""{_ivf_sem_sql_ctes(with_label=True)}, q AS (
             SELECT vec_id AS query_id, v AS qv, label AS qlabel FROM e
-            WHERE vec_id % {QUERY_MOD} = 0
+            WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {RECALL_QUERY_CAP}
         ), qcells AS (
             SELECT q.query_id, q.qv, q.qlabel, a.centroid_id AS qcell,
                    a.arank AS probe_rank
@@ -1434,7 +1512,7 @@ def _oracle_sim_ann_recall() -> str:
     values = ", ".join(f"({n})" for n in RECALL_NPROBES)
     return f"""{_ivf_sem_sql_ctes()}, q AS (
             SELECT vec_id AS query_id, v AS qv FROM e
-            WHERE vec_id % {QUERY_MOD} = 0
+            WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {RECALL_QUERY_CAP}
         ), qcells AS (
             SELECT q.query_id, q.qv, a.centroid_id AS qcell,
                    a.arank AS probe_rank

@@ -126,6 +126,143 @@ def dialect_for_url(url: str | None) -> str | None:
     return _URL_DIALECTS.get(sub)
 
 
+# Spark type -> engine DDL type, per dialect — the TYPE-MAPPING half of
+# the dialect contract (the quoting/literal half is _DIALECTS above).
+# Exists because the DDL-LESS FIRST WRITE is where type drift hides:
+# when the target table doesn't pre-exist, the JDBC connector CREATEs
+# it from the DataFrame schema with its own defaults, and those
+# defaults are lossy in exactly the places this table pins —
+# * timestamps: an INSTANT (Spark ``timestamp``) needs
+#   ``TIMESTAMP WITH TIME ZONE`` on Postgres (plain TIMESTAMP there is
+#   tz-naive and silently reinterprets instants in server-local time);
+#   on MySQL the fractional-seconds precision DEFAULTS TO 0, so
+#   ``TIMESTAMP``/``DATETIME`` without ``(6)`` silently truncates the
+#   microseconds every watermark comparison depends on;
+# * strings: MySQL's TEXT caps at 64 KB — LONGTEXT for document-sized
+#   payloads; Derby has no TEXT at all (CLOB is its unbounded string);
+# * doubles: ``DOUBLE`` is invalid Postgres (``DOUBLE PRECISION``) and
+#   ``DOUBLE PRECISION`` is an alias MySQL accepts but never prints.
+# The rendered DDL is meant for the PRE-CREATE path (the reference's
+# retail_db/retail_dwh tables are DDL-scripted, util.py:190-271): run
+# it on a bootstrap connection, then the Spark JDBC append (sinks)
+# writes into a table whose types are an explicit, reviewed contract
+# instead of connector defaults. Golden-pinned per dialect in
+# tests/test_jdbc_dialects.py; the Derby rendering is live-executed
+# against the embedded engine in tests/test_jdbc_live.py.
+_DDL_TYPES: dict[str, dict[str, str]] = {
+    "ansi": {
+        "tinyint": "SMALLINT", "smallint": "SMALLINT", "int": "INTEGER",
+        "bigint": "BIGINT", "float": "REAL", "double": "DOUBLE PRECISION",
+        "string": "CLOB", "boolean": "BOOLEAN", "date": "DATE",
+        "timestamp": "TIMESTAMP", "timestamp_ntz": "TIMESTAMP",
+        "binary": "BLOB",
+    },
+    "mysql": {
+        "tinyint": "TINYINT", "smallint": "SMALLINT", "int": "INT",
+        "bigint": "BIGINT", "float": "FLOAT", "double": "DOUBLE",
+        "string": "LONGTEXT", "boolean": "TINYINT(1)", "date": "DATE",
+        # (6): MySQL temporal types default to fsp=0 — microseconds
+        # (the watermark resolution) would be silently truncated
+        "timestamp": "TIMESTAMP(6)", "timestamp_ntz": "DATETIME(6)",
+        "binary": "LONGBLOB",
+    },
+    "postgres": {
+        "tinyint": "SMALLINT", "smallint": "SMALLINT", "int": "INTEGER",
+        "bigint": "BIGINT", "float": "REAL", "double": "DOUBLE PRECISION",
+        "string": "TEXT", "boolean": "BOOLEAN", "date": "DATE",
+        # Spark timestamps are instants (session-TZ rendered): tz-aware
+        # on the engine, or reloading from another session shifts them
+        "timestamp": "TIMESTAMP WITH TIME ZONE", "timestamp_ntz": "TIMESTAMP",
+        "binary": "BYTEA",
+    },
+    "derby": {
+        "tinyint": "SMALLINT", "smallint": "SMALLINT", "int": "INTEGER",
+        "bigint": "BIGINT", "float": "REAL", "double": "DOUBLE",
+        "string": "CLOB", "boolean": "BOOLEAN", "date": "DATE",
+        "timestamp": "TIMESTAMP", "timestamp_ntz": "TIMESTAMP",
+        "binary": "BLOB",
+    },
+}
+
+
+def jdbc_ddl_type(spark_type: str, dialect: str = "ansi") -> str:
+    """The dialect's DDL type for one Spark ``simpleString`` type.
+    Parameterized types pass through with their arguments preserved:
+    ``decimal(p,s)`` -> ``DECIMAL(p,s)`` (identical semantics on all
+    four engines), ``varchar(n)``/``char(n)`` uppercased as-is."""
+    try:
+        m = _DDL_TYPES[dialect]
+    except KeyError:
+        raise ValueError(
+            f"unknown JDBC dialect {dialect!r} (have {sorted(_DDL_TYPES)})"
+        ) from None
+    t = spark_type.strip().lower()
+    if t.startswith(("decimal(", "varchar(", "char(")):
+        return t.upper()
+    if t == "decimal":  # bare decimal = Spark's decimal(10,0)
+        return "DECIMAL(10,0)"
+    if t not in m:
+        raise ValueError(
+            f"no {dialect} DDL mapping for Spark type {spark_type!r}"
+        )
+    return m[t]
+
+
+def jdbc_create_table_ddl(table: str, schema, dialect: str = "ansi") -> str:
+    """Render the pre-create DDL for a Spark schema on the dialect:
+    ``CREATE TABLE t ("col" TYPE, ...)`` with the dialect's identifier
+    quoting (backticks on MySQL — ANSI quotes there would create
+    string-literal column names in default sql_mode, the same defect
+    class the watermark predicate tests pin). ``schema`` is a
+    StructType or a Spark DDL string (``name type [not null], ...`` —
+    parsed here without a JVM, so configs and tests can render DDL
+    before any SparkSession exists)."""
+    if dialect not in _DDL_TYPES:
+        raise ValueError(
+            f"unknown JDBC dialect {dialect!r} (have {sorted(_DDL_TYPES)})"
+        )
+    q, _ = _DIALECTS[dialect]
+    if isinstance(schema, str):
+        fields = []
+        for part in _split_top_level(schema):
+            name, rest = part.strip().split(None, 1)
+            nullable = True
+            if rest.lower().endswith("not null"):
+                nullable = False
+                rest = rest[: len(rest) - len("not null")].strip()
+            fields.append((name, rest.strip(), nullable))
+    else:
+        fields = [
+            (f.name, f.dataType.simpleString(), f.nullable)
+            for f in schema.fields
+        ]
+    cols = ", ".join(
+        f"{q}{name}{q} {jdbc_ddl_type(t, dialect)}"
+        + ("" if nullable else " NOT NULL")
+        for name, t, nullable in fields
+    )
+    return f"CREATE TABLE {table} ({cols})"
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split a DDL field list on commas OUTSIDE parentheses/angles
+    (``decimal(12,2)`` and ``array<int>`` stay whole)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
 def jdbc_incremental_dbtable(
     table: str,
     column: str,

@@ -1299,6 +1299,7 @@ def run_incremental_dedup(
     source_dir: str,
     target_dir: str,
     schema=None,
+    trigger: dict | None = None,
 ) -> StreamingQuery:
     """Streaming incremental near-dup ingest — the continuous form of
     ``llm.dedup.dedup_minhash_incremental``: each micro-batch of
@@ -1479,6 +1480,11 @@ def run_incremental_dedup(
     return (
         stream.writeStream.foreachBatch(_probe)
         .option("checkpointLocation", os.path.join(target_dir, "_dedup_checkpoint"))
-        .trigger(availableNow=True)
+        # availableNow by default (drain-and-stop, the test/replay
+        # shape); pass e.g. {"processingTime": "1 second"} for the
+        # continuous soak form — the exactly-once story is identical
+        # (lease + batch-id fence + overwrite-idempotent decisions),
+        # only the scheduler differs
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )

@@ -257,3 +257,108 @@ def test_reader_options_golden_mysql_partitioned():
         "numPartitions": "8",
         "fetchsize": "1000",
     }
+
+
+# ----------------------------------------------- DDL type contracts
+
+DDL_SCHEMA = (
+    "order_id bigint not null, qty int, price decimal(12,2), "
+    "note string, ok boolean, d date, ts timestamp, "
+    "ts_local timestamp_ntz, payload binary, ratio double"
+)
+
+GOLDEN_DDL = {
+    "ansi": (
+        'CREATE TABLE orders ("order_id" BIGINT NOT NULL, "qty" INTEGER, '
+        '"price" DECIMAL(12,2), "note" CLOB, "ok" BOOLEAN, "d" DATE, '
+        '"ts" TIMESTAMP, "ts_local" TIMESTAMP, "payload" BLOB, '
+        '"ratio" DOUBLE PRECISION)'
+    ),
+    "mysql": (
+        "CREATE TABLE orders (`order_id` BIGINT NOT NULL, `qty` INT, "
+        "`price` DECIMAL(12,2), `note` LONGTEXT, `ok` TINYINT(1), "
+        "`d` DATE, `ts` TIMESTAMP(6), `ts_local` DATETIME(6), "
+        "`payload` LONGBLOB, `ratio` DOUBLE)"
+    ),
+    "postgres": (
+        'CREATE TABLE orders ("order_id" BIGINT NOT NULL, "qty" INTEGER, '
+        '"price" DECIMAL(12,2), "note" TEXT, "ok" BOOLEAN, "d" DATE, '
+        '"ts" TIMESTAMP WITH TIME ZONE, "ts_local" TIMESTAMP, '
+        '"payload" BYTEA, "ratio" DOUBLE PRECISION)'
+    ),
+    "derby": (
+        'CREATE TABLE orders ("order_id" BIGINT NOT NULL, "qty" INTEGER, '
+        '"price" DECIMAL(12,2), "note" CLOB, "ok" BOOLEAN, "d" DATE, '
+        '"ts" TIMESTAMP, "ts_local" TIMESTAMP, "payload" BLOB, '
+        '"ratio" DOUBLE)'
+    ),
+}
+
+
+@pytest.mark.parametrize("dialect", sorted(GOLDEN_DDL))
+def test_create_table_ddl_golden(dialect):
+    """The pre-create DDL per dialect is a pinned contract: the
+    type-mapping half of the dialect table (quoting/literals being the
+    other half), covering the spots connector defaults get wrong —
+    tz-aware instants on Postgres, fsp=0 truncation on MySQL temporal
+    types, Derby's CLOB-not-TEXT string type."""
+    from etl_data_pipeline_spark.sources import jdbc_create_table_ddl
+
+    assert jdbc_create_table_ddl("orders", DDL_SCHEMA, dialect) == GOLDEN_DDL[dialect]
+
+
+def test_postgres_ddl_executes_and_keeps_microseconds():
+    """The postgres rendering runs verbatim on DuckDB (ANSI-faithful
+    for every type in the map, BYTEA/TIMESTAMPTZ included), and a
+    microsecond-precision instant survives a write+read round trip —
+    the property the (6)/WITH TIME ZONE choices exist to protect."""
+    from etl_data_pipeline_spark.sources import jdbc_create_table_ddl
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone = 'UTC'")
+    con.execute(jdbc_create_table_ddl("orders", DDL_SCHEMA, "postgres"))
+    con.execute(
+        "INSERT INTO orders VALUES (1, 2, 12.34, 'n', true, DATE '2026-01-15',"
+        " TIMESTAMP WITH TIME ZONE '2026-01-15 07:00:00.123456+00',"
+        " TIMESTAMP '2026-01-15 07:00:00.123456', 'ab'::BLOB, 0.5)"
+    )
+    ts, ts_local = con.execute("SELECT ts, ts_local FROM orders").fetchone()
+    assert ts.microsecond == 123456 and ts_local.microsecond == 123456
+    # the watermark predicate composes with the created table
+    sub = jdbc_incremental_dbtable(
+        "orders", "ts", "timestamp", "2026-01-15 07:00:00.123455",
+        dialect="postgres",
+    )
+    assert con.execute(f"SELECT count(*) FROM {sub}").fetchone()[0] == 1
+    con.close()
+
+
+def test_mysql_ddl_parses_on_mysql_quoting_engine():
+    """The mysql rendering (backtick identifiers, engine-native types)
+    executes on sqlite3, which accepts MySQL quoting and arbitrary
+    type names — parseability + quoting proof, as for the watermark
+    goldens."""
+    from etl_data_pipeline_spark.sources import jdbc_create_table_ddl
+
+    con = sqlite3.connect(":memory:")
+    con.execute(jdbc_create_table_ddl("orders", DDL_SCHEMA, "mysql"))
+    con.execute(
+        "INSERT INTO orders VALUES (1, 2, 12.34, 'n', 1, '2026-01-15',"
+        " '2026-01-15 07:00:00.123456', '2026-01-15 07:00:00.123456',"
+        " x'ab', 0.5)"
+    )
+    assert con.execute("SELECT count(*) FROM orders").fetchone()[0] == 1
+    con.close()
+
+
+def test_ddl_type_unknowns_raise():
+    """No silent fallback: an unmapped Spark type or unknown dialect is
+    a loud error, not a guessed engine type."""
+    from etl_data_pipeline_spark.sources import jdbc_ddl_type
+
+    with pytest.raises(ValueError):
+        jdbc_ddl_type("array<int>", "mysql")
+    with pytest.raises(ValueError):
+        jdbc_ddl_type("bigint", "oracle")
+    assert jdbc_ddl_type("decimal(38,18)", "postgres") == "DECIMAL(38,18)"
+    assert jdbc_ddl_type("varchar(40)", "mysql") == "VARCHAR(40)"

@@ -279,3 +279,53 @@ def test_timestamp_watermark_pipeline_derby_dialect(spark, derby, tmp_path):
     sink = read_source(spark, "jdbc", "ts_pipe_sink", _jdbc_opts(url))
     assert sorted(r.id for r in sink.collect()) == list(range(1, 9))  # no dups
     assert [r.status for r in pipe.run()] == ["skipped_empty"]
+
+
+def test_ddl_type_contract_executes_on_derby(spark, derby):
+    """The derby DDL rendering (jdbc_create_table_ddl) EXECUTES on the
+    embedded engine — pre-create the table on a bootstrap connection,
+    then the Spark JDBC append writes into it and a microsecond
+    timestamp survives the round trip. This is the type-mapping half
+    of the dialect contract run on a real RDBMS, the same way the
+    TIMESTAMP('...') literal defect was caught."""
+    from etl_data_pipeline_spark.sources import jdbc_create_table_ddl
+
+    url, _ = derby
+    ddl = jdbc_create_table_ddl(
+        "typed_orders",
+        "order_id bigint not null, price decimal(12,2), note string, "
+        "ts timestamp, ratio double",
+        dialect="derby",
+    )
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        st.execute(ddl)
+        st.close()
+    finally:
+        conn.close()
+    rows = [
+        (
+            1,
+            __import__("decimal").Decimal("12.34"),
+            "n",
+            dt.datetime(2026, 1, 15, 7, 0, 0, 123456),
+            0.5,
+        )
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "order_id bigint, price decimal(12,2), note string, "
+        "ts timestamp, ratio double",
+    )
+    df.write.jdbc(
+        url, "typed_orders", mode="append", properties={"driver": DERBY_DRIVER}
+    )
+    back = read_source(
+        spark, "jdbc", "typed_orders", _jdbc_opts(url, dbtable="typed_orders")
+    ).collect()
+    assert len(back) == 1
+    r = back[0]
+    assert r.order_id == 1 and float(r.price) == 12.34
+    assert r.ts.microsecond == 123456  # Derby TIMESTAMP keeps fractions

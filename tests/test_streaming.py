@@ -1274,3 +1274,214 @@ def test_incremental_dedup_stream(spark, tmp_path):
     assert spark.read.parquet(os.path.join(tgt, "dedup_index")).count() == len(
         kept_ids
     )
+
+
+def test_incremental_dedup_soak_sf01_kill_restart(spark, tmp_path):
+    """Round-9 soak (round-8 verdict item 5): run the streaming
+    incremental dedup against a PERSISTED sf0.1-scale signature index
+    (4500 indexed docs), feeding the 500 batch-side docs in 5
+    micro-batches under a processingTime trigger with the RocksDB
+    store configured (the job's exactly-once state lives in the index
+    artifact + batch-id fence, so the store choice must be inert), and
+    KILL the query mid-stream, restarting from the checkpoint.
+
+    Asserted: every batch doc decided exactly once; the kill-restart
+    run's final decisions AND index equal a straight-through
+    availableNow reference run byte-for-byte; and for every batch doc
+    free of batch-batch interference (no digest twin and no verified
+    near-dup among the batch docs themselves — those can match
+    earlier-kept batch docs, which the one-shot batch query by design
+    cannot see), the decision equals dedup_minhash_incremental's
+    row: same match_doc, same rounded jaccard, keep when the twin has
+    no row."""
+    import glob as _glob
+    import shutil
+    import time
+
+    from etl_data_pipeline_spark.llm import dedup as dd
+
+    sfd = "/root/testdata/sf0.1"
+    docs = load_table(spark, sfd, "documents").select("doc_id", "text")
+    is_batch = F.col("doc_id") % dd.INCR_BATCH_MOD == 0
+
+    sh_hashed = F.array_distinct(
+        F.transform(dd._shingles(), lambda t: dd._md5_long(t))
+    )
+    bands = F.array(
+        *[
+            (F.col(f"mh{2 * b}") * dd.MINHASH_P + F.col(f"mh{2 * b + 1}"))
+            for b in range(dd.LSH_BANDS)
+        ]
+    )
+
+    def seed_index(tgt):
+        (
+            docs.filter(~is_batch)
+            .select("doc_id", sh_hashed.alias("sh_hash"))
+            .select("doc_id", "sh_hash", *dd._minhash_cols())
+            .select(
+                "doc_id", bands.alias("bands"), "sh_hash",
+                F.lit(-1).cast("long").alias("last_batch_id"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(tgt, "dedup_index"))
+        )
+
+    batch_ids = sorted(
+        r.doc_id for r in docs.filter(is_batch).select("doc_id").collect()
+    )
+    assert len(batch_ids) == 500  # sf0.1: the soak is at real index scale
+
+    def deliver(src, stage, chunk_no, ids):
+        d = os.path.join(stage, f"c{chunk_no}")
+        docs.filter(F.col("doc_id").isin(ids)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        part = _glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"chunk_{chunk_no}.parquet"))
+
+    chunks = [batch_ids[i * 100 : (i + 1) * 100] for i in range(5)]
+
+    def decided_count(tgt):
+        try:
+            return (
+                spark.read.parquet(os.path.join(tgt, "dedup_decisions"))
+                .select("doc_id").distinct().count()
+            )
+        except Exception:
+            return -1
+
+    # --- kill-restart run under processingTime + RocksDB ---
+    src = str(tmp_path / "soak_src")
+    stage = str(tmp_path / "soak_stage")
+    tgt = str(tmp_path / "soak_tgt")
+    os.makedirs(src)
+    os.makedirs(tgt)
+    seed_index(tgt)
+    with jobs.use_state_store(spark, "rocksdb"):
+        for i in range(3):
+            deliver(src, stage, i, chunks[i])
+        q1 = jobs.run_incremental_dedup(
+            spark, src, tgt, trigger={"processingTime": "200 milliseconds"}
+        )
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            if decided_count(tgt) >= 100:  # >=1 batch committed
+                break
+            time.sleep(0.3)
+        else:
+            q1.stop()
+            raise AssertionError("dedup soak phase 1: no progress in 180s")
+        q1.stop()  # kill mid-stream
+        q1.awaitTermination(60)
+        for i in range(3, 5):
+            deliver(src, stage, i, chunks[i])
+        q2 = jobs.run_incremental_dedup(
+            spark, src, tgt, trigger={"processingTime": "200 milliseconds"}
+        )
+
+        def fully_settled():
+            """All 500 decided AND every keep has landed in the index —
+            decisions are written BEFORE the index swap inside a batch,
+            so polling decisions alone can stop the query mid-merge."""
+            if decided_count(tgt) != 500:
+                return False
+            try:
+                dec = spark.read.parquet(os.path.join(tgt, "dedup_decisions"))
+                keeps = dec.filter(F.col("decision") == "keep").count()
+                idx_n = spark.read.parquet(
+                    os.path.join(tgt, "dedup_index")
+                ).count()
+            except Exception:
+                return False
+            return idx_n == 4500 + keeps
+
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            if fully_settled():
+                break
+            time.sleep(0.3)
+        q2.stop()
+        q2.awaitTermination(60)
+    assert decided_count(tgt) == 500
+
+    # --- straight-through reference run (availableNow, default store) ---
+    src2 = str(tmp_path / "ref_src")
+    tgt2 = str(tmp_path / "ref_tgt")
+    os.makedirs(src2)
+    os.makedirs(tgt2)
+    seed_index(tgt2)
+    for i in range(5):
+        deliver(src2, str(tmp_path / "ref_stage"), i, chunks[i])
+    qr = jobs.run_incremental_dedup(spark, src2, tgt2)
+    qr.awaitTermination(300)
+
+    def decisions(tgt):
+        return sorted(
+            (r.doc_id, r.decision, r.match_doc, r.match_jaccard)
+            for r in spark.read.parquet(
+                os.path.join(tgt, "dedup_decisions")
+            ).collect()
+        )
+
+    def index_rows(tgt):
+        return sorted(
+            (r.doc_id, tuple(r.bands), tuple(sorted(r.sh_hash)))
+            for r in spark.read.parquet(os.path.join(tgt, "dedup_index")).collect()
+        )
+
+    got = decisions(tgt)
+    assert got == decisions(tgt2)  # kill-restart == straight-through
+    assert index_rows(tgt) == index_rows(tgt2)
+
+    # --- equality with the batch twin outside interference ---
+    twin = {
+        r.batch_doc: (r.index_doc, r.shingle_jaccard)
+        for r in dd.dedup_minhash_incremental(spark, sfd).collect()
+    }
+    # batch-batch interference: digest twins + verified near-dup pairs
+    b = docs.filter(is_batch)
+    digests = b.select("doc_id", F.md5("text").alias("dg"))
+    dup_dg = (
+        digests.groupBy("dg").count().filter(F.col("count") > 1).select("dg")
+    )
+    interfered = {
+        r.doc_id
+        for r in digests.join(dup_dg, "dg").select("doc_id").collect()
+    }
+    bsig = b.select("doc_id", sh_hashed.alias("sh_hash")).select(
+        "doc_id", "sh_hash", *dd._minhash_cols()
+    ).select("doc_id", "sh_hash", F.posexplode(bands).alias("band_id", "band_sig"))
+    bb = (
+        bsig.alias("x")
+        .join(
+            bsig.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_sig") == F.col("y.band_sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"),
+            F.col("x.sh_hash").alias("sh_a"), F.col("y.sh_hash").alias("sh_b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    s_int = F.size(F.array_intersect("sh_a", "sh_b"))
+    jacc = s_int / F.greatest(F.size("sh_a") + F.size("sh_b") - s_int, F.lit(1))
+    for r in bb.select("a", "b", jacc.alias("j")).filter(
+        F.col("j") >= dd.JACCARD_THRESHOLD
+    ).collect():
+        interfered |= {r.a, r.b}
+
+    checked = 0
+    for doc_id, decision, match_doc, match_jac in got:
+        if doc_id in interfered:
+            continue
+        if doc_id in twin:
+            assert (decision, match_doc, match_jac) == (
+                "skip_duplicate", twin[doc_id][0], twin[doc_id][1],
+            ), doc_id
+        else:
+            assert decision == "keep", doc_id
+        checked += 1
+    assert checked >= 450  # interference is the rare case, not the rule
