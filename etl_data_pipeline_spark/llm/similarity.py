@@ -895,9 +895,10 @@ def sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Measured on this harness corpus: avg recall@3 ≈ 0.02 (sf0.1) /
     0.00 (sf1) — near-uniform random embeddings are the WORST case
-    for coarse quantization (sim_ann_recall reads 0.13 for IVF-flat
-    single-probe on the same data) and the deliberately replayable
-    id-sample codebook adds untrained-PQ error on top. That number is
+    for coarse quantization (sim_ann_recall reads 0.08 at sf0.1 for
+    IVF-flat single-probe under the same shortlist assignment) and
+    the deliberately replayable id-sample codebook adds untrained-PQ
+    error on top. That number is
     the point: it tells a deployment this configuration is NOT
     shippable on this distribution before any cluster time is spent —
     the knobs it prices are nprobe, a trained (k-means) codebook, and
