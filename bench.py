@@ -116,6 +116,10 @@ BENCH_QUERIES = [
     # candidate generation)
     "dedup_minhash_estimate",
     "sim_ann_ivf_filtered",
+    # round-9 addition (new floor): the trained-centroid IVF — one
+    # shortlist-assisted Lloyd step + shortlist assignment, the
+    # heaviest member of the re-routed IVF family
+    "sim_ann_ivf_trained",
 ]
 
 

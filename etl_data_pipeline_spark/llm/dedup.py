@@ -1312,31 +1312,37 @@ def sem_assign(e: DataFrame, c0: DataFrame) -> DataFrame:
     )
 
 
-def sem_assign_sql_arms() -> tuple[str, str]:
-    """The DuckDB renderings of sem_bucket_array for vectors (over a
-    CTE ``e(vec_id, v)``) and centroids (over ``c0(centroid_id, cv)``),
-    as UNION ALL arms referencing a mask CTE ``pp(mask)`` — shared by
-    the dedup_semantic and sim_ann_ivfpq oracles so the two replays
-    cannot drift."""
+def sem_bucket_sql_arms(
+    table: str, id_col: str, vexpr: str, mask_cte: str = "pp"
+) -> str:
+    """The DuckDB rendering of sem_bucket_array over any relation:
+    UNION ALL arms ``SELECT {id_col}, t AS tbl, bucket FROM {table}``
+    referencing a mask CTE ``{mask_cte}(mask)`` — the single source of
+    the shortlist-table constants for every oracle that replays the
+    kernel (dedup_semantic, sim_ann_ivfpq, the IVF family, trained
+    centroids), so the replays cannot drift."""
     from etl_data_pipeline_spark.llm.similarity import (
         PLANES_SEED,
         _planes,
         sql_bucket_expr,
     )
 
-    vk_arms = "\n            UNION ALL ".join(
-        f"SELECT vec_id, {t} AS tbl,"
-        f" ({sql_bucket_expr(_planes(SEM_LSH_MAX_PLANES, seed=PLANES_SEED + SEM_SEED_OFFSET + t))})"
-        f" % (SELECT mask FROM pp) AS bucket FROM e"
+    return "\n            UNION ALL ".join(
+        f"SELECT {id_col}, {t} AS tbl,"
+        f" ({sql_bucket_expr(_planes(SEM_LSH_MAX_PLANES, seed=PLANES_SEED + SEM_SEED_OFFSET + t), vexpr=vexpr)})"
+        f" % (SELECT mask FROM {mask_cte}) AS bucket FROM {table}"
         for t in range(SEM_LSH_TABLES)
     )
-    ck_arms = "\n            UNION ALL ".join(
-        f"SELECT centroid_id, {t} AS tbl,"
-        f" ({sql_bucket_expr(_planes(SEM_LSH_MAX_PLANES, seed=PLANES_SEED + SEM_SEED_OFFSET + t), vexpr='cv')})"
-        f" % (SELECT mask FROM pp) AS bucket FROM c0"
-        for t in range(SEM_LSH_TABLES)
+
+
+def sem_assign_sql_arms() -> tuple[str, str]:
+    """The (vector-side, centroid-side) arms at the historical CTE
+    names ``e(vec_id, v)`` / ``c0(centroid_id, cv)`` — see
+    sem_bucket_sql_arms."""
+    return (
+        sem_bucket_sql_arms("e", "vec_id", "v"),
+        sem_bucket_sql_arms("c0", "centroid_id", "cv"),
     )
-    return vk_arms, ck_arms
 
 
 SEM_ASSIGN_MASK_SQL = f"""

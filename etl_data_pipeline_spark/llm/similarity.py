@@ -367,6 +367,14 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force truth is the sim_topk shape: broadcast query set, one
     corpus scan. Recall@k = |approx ∩ exact| / |exact|."""
     e, assigned, aranked = _ivf_sem_build(spark, sf_dir)
+    return _unfiltered_recall_tail(e, assigned, aranked)
+
+
+def _unfiltered_recall_tail(
+    e: DataFrame, assigned: DataFrame, aranked: DataFrame
+) -> DataFrame:
+    """The shared-work recall pipeline downstream of an (untrained or
+    trained) IVF build — see sim_ann_recall's docstring."""
     qcells = _ivf_probes(e, aranked, max(RECALL_NPROBES)).filter(
         F.col("query_id") < RECALL_QUERY_CAP
     )
@@ -425,6 +433,108 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hit",
         hround(F.col("n_hit") / F.col("n_exact"), 4).alias("recall_at_k"),
     )
+
+
+def _ivf_trained_build(spark: SparkSession, sf_dir: str):
+    """Lloyd-REFINED coarse quantizer, shortlist-assisted END TO END:
+    one spherical k-means step (embedding_kmeans' algorithm) whose
+    assignment runs through sem_scored — a dense Lloyd step is
+    O(N·K) with K ∝ N, the exact knee the round-7/9 work removed from
+    the query-time path, so the TRAINING pass must not reintroduce it.
+    Vectors whose buckets hold no centroid sit out the mean update
+    (and are unindexed afterwards), exactly as at query time.
+
+    Returns (e, assigned, aranked) with the same contracts as
+    _ivf_sem_build, but cells/probes ranked against the REFINED
+    centroid set c1 (per-dim means of each seed cell, rounded 6 dp —
+    deterministic in both engines, the embedding_kmeans recipe)."""
+    from etl_data_pipeline_spark.llm.dedup import sem_scored
+
+    e = tracked_persist(
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    c0 = tracked_persist(
+        e.filter(F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    w1 = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("centroid_id"))
+    a0 = (
+        sem_scored(e, c0)
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("centroid_id").alias("cluster"))
+    )
+    c1 = tracked_persist(
+        a0.join(e, "vec_id")
+        .select("cluster", F.posexplode("v").alias("dim", "val"))
+        .groupBy("cluster", "dim")
+        .agg(hround(F.avg("val"), 6).alias("cval"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                lambda s: s.cval,
+            ).alias("cv")
+        )
+        .select(
+            F.col("cluster").alias("centroid_id"),
+            "cv",
+            F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cnrm"),
+        )
+    )
+    aranked = tracked_persist(
+        sem_scored(e, c1).withColumn(
+            "arank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("cc"), F.asc("centroid_id")
+                )
+            ),
+        )
+    )
+    assigned = (
+        aranked.filter(F.col("arank") == 1)
+        .select("vec_id", F.col("centroid_id").alias("cell"))
+        .join(e, "vec_id")
+        .select("vec_id", "v", "cell")
+    )
+    return e, assigned, aranked
+
+
+def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over TRAINED centroids — the knob every recall docstring in
+    this family prices: the seed id-sample is refined by one Lloyd
+    step (FAISS trains its coarse quantizer the same way, just to
+    convergence) before the corpus is cell-assigned, and the whole
+    pipeline — training assignment included — runs through the
+    shortlist kernel, so it stays sublinear where a dense Lloyd step
+    is O(N·K) (see _ivf_trained_build). Output shape identical to
+    sim_ann_ivf (top-3 per query at nprobe=1, deterministic
+    tiebreaks); sim_ann_ivf_trained_recall measures what the training
+    step buys on this corpus."""
+    e, assigned, aranked = _ivf_trained_build(spark, sf_dir)
+    qcells = _ivf_probes(e, aranked, 1).drop("probe_rank")
+    pairs = assigned.join(
+        F.broadcast(qcells),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = scored_pairs(pairs, ["query_id", "cell", "vec_id"])
+    return rank_topk(scored, 3).select("query_id", "cell", "rank", "vec_id", "cosine")
+
+
+def sim_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@k of the TRAINED-centroid IVF at nprobe ∈
+    {1, 2, 4} vs the brute-force truth over the capped workload — the
+    accountability row for sim_ann_ivf_trained, directly comparable to
+    sim_ann_recall's untrained curve: their difference IS the value of
+    the Lloyd step on this corpus."""
+    e, assigned, aranked = _ivf_trained_build(spark, sf_dir)
+    return _unfiltered_recall_tail(e, assigned, aranked)
 
 
 def write_ivf_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
@@ -1294,6 +1404,8 @@ QUERIES = {
     "embedding_quantize": embedding_quantize,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
+    "sim_ann_ivf_trained": sim_ann_ivf_trained,
+    "sim_ann_ivf_trained_recall": sim_ann_ivf_trained_recall,
     "sim_ann_ivf_filtered": sim_ann_ivf_filtered,
     "sim_ann_ivf_filtered_recall": sim_ann_ivf_filtered_recall,
     "embedding_centroids": embedding_centroids,
@@ -1348,24 +1460,31 @@ def _oracle_sim_ann_lsh() -> str:
     """
 
 
-def _ivf_sem_sql_ctes(with_label: bool = False) -> str:
+def _ivf_sem_sql_ctes(with_label: bool = False, trained: bool = False) -> str:
     """The ANN-assisted IVF assignment replay as a CTE chain ending in
     ``aranked(vec_id, centroid_id, cc, arank)`` (the scored centroid
     shortlist per vector) and ``assigned(vec_id, v[, label], cell)``
     (the indexed corpus) — ONE source shared by every IVF-family
-    oracle (sim_ann_ivf / _filtered / both recall curves) so the
-    shortlist tables, scoring, and tiebreaks cannot drift between
-    them. Mirrors _ivfpq_sql_ctes, which replays the same
-    llm.dedup.sem_scored kernel."""
+    oracle (sim_ann_ivf / _filtered / both recall curves / the trained
+    variants) so the shortlist tables, scoring, and tiebreaks cannot
+    drift between them. Mirrors _ivfpq_sql_ctes, which replays the
+    same llm.dedup.sem_scored kernel.
+
+    ``trained``: insert the one-Lloyd-step refinement between the seed
+    sample and the final assignment — shortlist-assign to the seeds,
+    per-(cluster, dim) rounded means reassembled into c1 (the
+    embedding_kmeans recipe), then the final shortlist scoring runs
+    against c1 with its OWN count-derived mask."""
     from etl_data_pipeline_spark.llm.dedup import (
         SEM_ASSIGN_MASK_SQL,
         sem_assign_sql_arms,
+        sem_bucket_sql_arms,
     )
 
     vk_arms, ck_arms = sem_assign_sql_arms()
     label = ", label" if with_label else ""
     elabel = ", e.label" if with_label else ""
-    return f"""
+    head = f"""
         WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v{label} FROM embeddings),
         c0 AS MATERIALIZED (SELECT vec_id AS centroid_id, v AS cv FROM e
               WHERE vec_id % {QUERY_MOD} = {CENTROID_MOD_REMAINDER}),
@@ -1386,7 +1505,9 @@ def _ivf_sem_sql_ctes(with_label: bool = False) -> str:
             FROM acand
             JOIN e ON e.vec_id = acand.vec_id
             JOIN c0 ON c0.centroid_id = acand.centroid_id
-        ), aranked AS MATERIALIZED (
+        )"""
+    if not trained:
+        return f"""{head}, aranked AS MATERIALIZED (
             SELECT vec_id, centroid_id, cc,
                    row_number() OVER (PARTITION BY vec_id
                        ORDER BY cc DESC, centroid_id ASC) AS arank
@@ -1396,10 +1517,53 @@ def _ivf_sem_sql_ctes(with_label: bool = False) -> str:
             FROM aranked a JOIN e ON e.vec_id = a.vec_id
             WHERE a.arank = 1
         )"""
+    vk1_arms = sem_bucket_sql_arms("e", "vec_id", "v", mask_cte="pp1")
+    ck1_arms = sem_bucket_sql_arms("c1", "centroid_id", "cv", mask_cte="pp1")
+    return f"""{head}, a0 AS MATERIALIZED (
+            SELECT vec_id, centroid_id AS cluster FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cc DESC, centroid_id ASC) AS rn
+                FROM ascored) WHERE rn = 1
+        ), means AS (
+            SELECT cluster, dim,
+                   floor(avg(val) * 1000000 + 0.5) / 1000000 AS cval
+            FROM (SELECT a0.cluster, unnest(range(len(e.v))) AS dim,
+                         unnest(e.v) AS val
+                  FROM a0 JOIN e ON e.vec_id = a0.vec_id)
+            GROUP BY cluster, dim
+        ), c1 AS MATERIALIZED (
+            SELECT cluster AS centroid_id, list(cval ORDER BY dim) AS cv
+            FROM means GROUP BY cluster
+        ), pp1 AS MATERIALIZED ({SEM_ASSIGN_MASK_SQL.replace("FROM c0", "FROM c1")}
+        ), vk1 AS MATERIALIZED (
+            {vk1_arms}
+        ), ck1 AS MATERIALIZED (
+            {ck1_arms}
+        ), acand1 AS MATERIALIZED (
+            SELECT DISTINCT vk1.vec_id, ck1.centroid_id
+            FROM vk1 JOIN ck1 ON vk1.tbl = ck1.tbl AND vk1.bucket = ck1.bucket
+        ), aranked AS MATERIALIZED (
+            SELECT vec_id, centroid_id, cc,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cc DESC, centroid_id ASC) AS arank
+            FROM (
+                SELECT acand1.vec_id, acand1.centroid_id,
+                       floor((list_dot_product(c1.cv, e.v) /
+                              (sqrt(list_dot_product(c1.cv, c1.cv)) *
+                               sqrt(list_dot_product(e.v, e.v)))) * 1000000 + 0.5)
+                           / 1000000 AS cc
+                FROM acand1
+                JOIN e ON e.vec_id = acand1.vec_id
+                JOIN c1 ON c1.centroid_id = acand1.centroid_id)
+        ), assigned AS MATERIALIZED (
+            SELECT a.vec_id, e.v{elabel}, a.centroid_id AS cell
+            FROM aranked a JOIN e ON e.vec_id = a.vec_id
+            WHERE a.arank = 1
+        )"""
 
 
-def _oracle_sim_ann_ivf() -> str:
-    return f"""{_ivf_sem_sql_ctes()}, q AS (
+def _oracle_sim_ann_ivf(trained: bool = False) -> str:
+    return f"""{_ivf_sem_sql_ctes(trained=trained)}, q AS (
             SELECT vec_id AS query_id, v AS qv, cell AS qcell FROM assigned
             WHERE vec_id % {QUERY_MOD} = 0
         ), scored AS (
@@ -1500,7 +1664,7 @@ def _oracle_sim_ann_ivf_filtered_recall() -> str:
     """
 
 
-def _oracle_sim_ann_recall() -> str:
+def _oracle_sim_ann_recall(trained: bool = False) -> str:
     cos = (
         "floor(({a} /"
         " (sqrt(list_dot_product({x}, {x})) *"
@@ -1511,7 +1675,7 @@ def _oracle_sim_ann_recall() -> str:
         return cos.format(a=f"list_dot_product({x}, {y})", x=x, y=y)
 
     values = ", ".join(f"({n})" for n in RECALL_NPROBES)
-    return f"""{_ivf_sem_sql_ctes()}, q AS (
+    return f"""{_ivf_sem_sql_ctes(trained=trained)}, q AS (
             SELECT vec_id AS query_id, v AS qv FROM e
             WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {RECALL_QUERY_CAP}
         ), qcells AS (
@@ -1893,6 +2057,8 @@ ORACLE = {
     "sim_topk": _oracle_sim_topk(),
     "sim_ann_lsh": _oracle_sim_ann_lsh(),
     "sim_ann_ivf": _oracle_sim_ann_ivf(),
+    "sim_ann_ivf_trained": _oracle_sim_ann_ivf(trained=True),
+    "sim_ann_ivf_trained_recall": _oracle_sim_ann_recall(trained=True),
     "sim_ann_ivf_filtered": _oracle_sim_ann_ivf_filtered(),
     "sim_ann_ivf_filtered_recall": _oracle_sim_ann_ivf_filtered_recall(),
     "embedding_centroids": f"""

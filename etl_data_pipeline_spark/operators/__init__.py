@@ -91,7 +91,10 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # each round. Every hoisted query also re-passed this session's
     # local sf0.01 gate.
     hoist = [
-        # answers changed in r9 (ANN-assisted IVF assignment) — first
+        # brand-new in r9 (no driver evidence yet) — first priority
+        "sim_ann_ivf_trained",
+        "sim_ann_ivf_trained_recall",
+        # answers changed in r9 (ANN-assisted IVF assignment)
         "sim_ann_ivf",
         "sim_ann_recall",
         "sim_ann_ivf_filtered",

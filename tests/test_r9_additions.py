@@ -1,0 +1,140 @@
+"""Round-9 additions: the trained-centroid IVF pair.
+
+sim_ann_ivf_trained runs one spherical-k-means (Lloyd) refinement over
+the seed centroid sample — with the TRAINING assignment itself routed
+through the shortlist kernel, not a dense corpus × centroids join —
+then cell-assigns and answers top-3 per query at nprobe=1.
+sim_ann_ivf_trained_recall is its accountability curve, directly
+comparable to sim_ann_recall's untrained one (measured at sf0.1:
+0.083/0.133/0.167 untrained → 0.133/0.150/0.233 trained).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_pipeline_spark.llm import similarity
+from etl_data_pipeline_spark.session import load_table
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _r6(x: float) -> float:
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def test_trained_ivf_matches_numpy_pipeline(spark, sf_dir):
+    """End-to-end NumPy replica of the trained pipeline: shortlist
+    assignment to the seed sample (count-derived mask), per-cluster
+    rounded means, shortlist assignment to the refined centroids (its
+    OWN count-derived mask), in-cell exact top-3 with deterministic
+    tiebreaks. Pins both Lloyd arithmetic and the two mask
+    derivations."""
+    import numpy as np
+
+    from etl_data_pipeline_spark.llm.dedup import (
+        SEM_LSH_MAX_PLANES,
+        SEM_LSH_TABLES,
+        SEM_SEED_OFFSET,
+        _sem_planes_used,
+    )
+
+    out = {
+        (r.query_id, r.rank): (r.cell, r.vec_id, r.cosine)
+        for r in similarity.sim_ann_ivf_trained(spark, sf_dir).collect()
+    }
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+
+    table_planes = [
+        similarity._planes(
+            SEM_LSH_MAX_PLANES, seed=similarity.PLANES_SEED + SEM_SEED_OFFSET + t
+        )
+        for t in range(SEM_LSH_TABLES)
+    ]
+
+    def buckets(v, mask):
+        return {
+            (t, sum(1 << i for i, p in enumerate(planes)
+                    if float(np.dot(v, np.array(p))) > 0) % mask)
+            for t, planes in enumerate(table_planes)
+        }
+
+    def cos6(a, b):
+        return _r6(
+            float(np.dot(a, b))
+            / (math.sqrt(float(np.dot(a, a))) * math.sqrt(float(np.dot(b, b))))
+        )
+
+    def assign(cents):
+        mask = 1 << _sem_planes_used(len(cents))
+        cb = {cid: buckets(cv, mask) for cid, cv in cents.items()}
+        cells = {}
+        for vid, v in vecs.items():
+            vb = buckets(v, mask)
+            short = [c for c, bs in cb.items() if bs & vb]
+            if short:
+                cells[vid] = min((-cos6(cents[c], v), c) for c in short)[1]
+        return cells
+
+    seeds = {
+        vid: v
+        for vid, v in vecs.items()
+        if vid % similarity.QUERY_MOD == similarity.CENTROID_MOD_REMAINDER
+    }
+    a0 = assign(seeds)
+    # per-cluster per-dim rounded means (the embedding_kmeans recipe)
+    members = {}
+    for vid, c in a0.items():
+        members.setdefault(c, []).append(vecs[vid])
+    c1 = {
+        c: np.array([_r6(float(x)) for x in np.mean(np.stack(ms), axis=0)])
+        for c, ms in members.items()
+    }
+    cells = assign(c1)
+
+    expected = {}
+    for qid in sorted(vecs):
+        if qid % similarity.QUERY_MOD != 0 or qid not in cells:
+            continue
+        qcell = cells[qid]
+        cand = sorted(
+            (-cos6(vecs[qid], vecs[vid]), vid)
+            for vid in vecs
+            if vid != qid and cells.get(vid) == qcell
+        )
+        for rank, (negc, vid) in enumerate(cand[:3], start=1):
+            expected[(qid, rank)] = (qcell, vid, -negc)
+    assert out == expected and out
+
+
+def test_trained_recall_monotonic_and_bounded(spark, sf_dir):
+    rows = sorted(
+        similarity.sim_ann_ivf_trained_recall(spark, sf_dir).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == list(similarity.RECALL_NPROBES)
+    recalls = [r.recall_at_k for r in rows]
+    assert recalls == sorted(recalls)
+    for r in rows:
+        assert r.n_hit <= min(r.n_approx, r.n_exact)
+        assert 0.0 <= r.recall_at_k <= 1.0
+
+
+def test_trained_ivf_plan_posture(spark, sf_dir):
+    """Broadcast joins for the query cells, no cartesian products, no
+    Python nodes — the training step must not smuggle in a dense
+    corpus × centroids shape (its joins are all shortlist-keyed or
+    vec_id-keyed)."""
+    plan = _plan(similarity.sim_ann_ivf_trained(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
