@@ -1302,25 +1302,6 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _assign_to_centroids(points: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment by (rounded cosine desc, centroid_id
-    asc): broadcast the small centroid set against one scan of the
-    points — the Lloyd-step shape at any corpus scale."""
-    scored = points.join(F.broadcast(cents)).select(
-        "vec_id",
-        "v",
-        "centroid_id",
-        hround(cosine(F.col("cv"), F.col("v")), 6).alias("centroid_cos"),
-    )
-    return rank_topk(
-        scored, 1, partition_col="vec_id", score_col="centroid_cos",
-        id_col="centroid_id",
-    ).select(
-        "vec_id", "v", F.col("centroid_id").alias("cluster"),
-        F.col("centroid_cos").alias("cosine"),
-    )
-
-
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One deterministic Lloyd iteration of spherical k-means:
     assign to seeded centroids → recompute per-cluster mean vectors →
@@ -1330,38 +1311,33 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     before reuse (cross-engine float-sum noise is absorbed by the
     rounding, SURVEY.md §7.4 risk 5).
 
-    Scale shape per iteration: broadcast ~√n centroids; assignment is
-    one corpus scan; the mean recompute shuffles scalar
-    (cluster, dim, val) triples with map-side partial aggregation;
-    centroid vectors are reassembled from the SMALL (k × dim) result —
-    never from corpus rows. More iterations = the same stage repeated;
-    one is enough to pin the algorithm end-to-end for the harness.
+    BOTH assignment stages run through the shortlist kernel
+    (_ivf_trained_build / llm.dedup.sem_scored) since round 9: with
+    the centroid sample ∝ corpus size, a dense Lloyd step is O(N·K) =
+    O(N²/100) — the identical knee measured at exponent 1.51 on the
+    IVF family's dense assignment before its re-route, just hidden in
+    the TRAINING pass. Bucket-miss vectors (no shortlisted centroid)
+    report cluster -1 with NULL cosine — sem_assign's convention, and
+    they sit out the mean update exactly as at assignment time.
+
+    Scale shape per iteration: one shortlist-keyed scoring pass; the
+    mean recompute shuffles scalar (cluster, dim, val) triples with
+    map-side partial aggregation; centroid vectors are reassembled
+    from the SMALL (k × dim) result — never from corpus rows. More
+    iterations = the same stage repeated; one is enough to pin the
+    algorithm end-to-end for the harness.
     """
-    # persist: the corpus feeds three consumers (centroid filter, both
-    # assignment scans) — without it each re-reads and re-repartitions.
-    e = tracked_persist(
-        spread(load_table(spark, sf_dir, "embeddings")).select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("v")
-        )
+    e, _, aranked = _ivf_trained_build(spark, sf_dir)
+    best = aranked.filter(F.col("arank") == 1).select(
+        "vec_id",
+        F.col("centroid_id").alias("cluster"),
+        F.col("cc").alias("cosine"),
     )
-    c0 = e.filter(F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    return e.select("vec_id").join(best, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce(F.col("cluster"), F.lit(-1).cast("long")).alias("cluster"),
+        "cosine",
     )
-    assigned0 = _assign_to_centroids(e, c0)
-    c1 = (
-        assigned0.select("cluster", F.posexplode("v").alias("dim", "val"))
-        .groupBy("cluster", "dim")
-        .agg(hround(F.avg("val"), 6).alias("cval"))
-        .groupBy("cluster")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "cval"))),
-                lambda s: s.cval,
-            ).alias("cv")
-        )
-        .select(F.col("cluster").alias("centroid_id"), "cv")
-    )
-    return _assign_to_centroids(e, c1).select("vec_id", "cluster", "cosine")
 
 
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1879,39 +1855,17 @@ def _oracle_sim_ann_ivfpq_recall() -> str:
 
 
 def _oracle_embedding_kmeans() -> str:
-    cos = (
-        "floor((list_dot_product({c}.cv, e.v) /"
-        " (sqrt(list_dot_product({c}.cv, {c}.cv)) *"
-        " sqrt(list_dot_product(e.v, e.v)))) * 1000000 + 0.5) / 1000000"
-    )
-    return f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e
-               WHERE vec_id % {QUERY_MOD} = {CENTROID_MOD_REMAINDER}),
-        s0 AS (
-            SELECT e.vec_id, e.v, c0.centroid_id, {cos.format(c='c0')} AS cc
-            FROM e CROSS JOIN c0
-        ), a0 AS (
-            SELECT vec_id, v, centroid_id AS cluster FROM (
-                SELECT *, row_number() OVER (PARTITION BY vec_id
-                    ORDER BY cc DESC, centroid_id ASC) AS r FROM s0)
-            WHERE r = 1
-        ), means AS (
-            SELECT cluster, dim, floor(avg(val) * 1000000 + 0.5) / 1000000 AS cval
-            FROM (SELECT cluster, unnest(range(len(v))) AS dim,
-                         unnest(v) AS val FROM a0)
-            GROUP BY cluster, dim
-        ), c1 AS (
-            SELECT cluster AS centroid_id, list(cval ORDER BY dim) AS cv
-            FROM means GROUP BY cluster
-        ), s1 AS (
-            SELECT e.vec_id, c1.centroid_id, {cos.format(c='c1')} AS cc
-            FROM e CROSS JOIN c1
+    """Replays the SAME shortlist-assisted Lloyd chain as the trained
+    IVF oracles (shared CTE builder), then the every-vector output with
+    the -1/NULL bucket-miss convention."""
+    return f"""{_ivf_sem_sql_ctes(trained=True)}, best AS (
+            SELECT vec_id, centroid_id AS cluster, cc AS cosine
+            FROM aranked WHERE arank = 1
         )
-        SELECT vec_id, centroid_id AS cluster, cc AS cosine FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id
-                ORDER BY cc DESC, centroid_id ASC) AS r FROM s1)
-        WHERE r = 1
+        SELECT e.vec_id,
+               coalesce(best.cluster, -1) AS cluster,
+               best.cosine
+        FROM e LEFT JOIN best ON best.vec_id = e.vec_id
     """
 
 

@@ -80,25 +80,27 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # hoisted to the very front regardless of family (the harness
     # checks only a ~50-entry prefix per round, so the hoist rotates
     # stale evidence back into the check window).
-    # Round-9 rotation (round-8 VERDICT items 1 + 3): first the 4 IVF-
-    # family queries whose ANSWERS changed this round (coarse
-    # assignment re-routed through the sem_scored shortlist kernel —
-    # their r8 evidence describes the old dense plan), then the base
-    # order from `python tools/evidence_freshness.py --hoist 60`: the
-    # 11 r4-stale queries, then the r5-stale tail in CORRECTNESS_r05
-    # key order. ~57 names > the ~50-entry window, so the tail rolls
-    # to the r10 rotation; the freshness tool recomputes the exact cut
-    # each round. Every hoisted query also re-passed this session's
-    # local sf0.01 gate.
+    # Round-9 rotation (round-8 VERDICT items 1 + 3): first the 2
+    # queries REGISTERED this round (trained IVF pair — no driver row
+    # by definition), then the 5 whose ANSWERS changed (IVF family +
+    # embedding_kmeans, all re-routed through the sem_scored shortlist
+    # kernel — their r8 evidence describes the old dense plan), then
+    # the base order from `python tools/evidence_freshness.py --hoist
+    # 60`: the 11 r4-stale queries, then the r5-stale tail in
+    # CORRECTNESS_r05 key order. ~60 names > the ~50-entry window, so
+    # the tail rolls to the r10 rotation; the freshness tool recomputes
+    # the exact cut each round. Every hoisted query also re-passed this
+    # session's local sf0.01 gate (and sf3 for the changed family).
     hoist = [
         # brand-new in r9 (no driver evidence yet) — first priority
         "sim_ann_ivf_trained",
         "sim_ann_ivf_trained_recall",
-        # answers changed in r9 (ANN-assisted IVF assignment)
+        # answers changed in r9 (ANN-assisted IVF/Lloyd assignment)
         "sim_ann_ivf",
         "sim_ann_recall",
         "sim_ann_ivf_filtered",
         "sim_ann_ivf_filtered_recall",
+        "embedding_kmeans",
         # r4-stale (the round-8 verdict's staleness tail), then r5-stale
         "agg_mode",
         "agg_boolean",
@@ -152,7 +154,6 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "dedup_minhash_lsh",
         "dedup_simhash",
         "sim_topk",
-        "embedding_kmeans",
         "embedding_quantize",
         "sim_ann_lsh",
         "embedding_centroids",

@@ -44,6 +44,10 @@ def _settle_storage(spark):
 
 
 def test_tracked_persist_roundtrip(spark):
+    # clean slate: the tracked registry is session-global, so frames
+    # left by earlier tests (any registry query persists internals)
+    # would inflate the exact release count below
+    release_tracked(spark, blocking=True)
     df = tracked_persist(spark.range(100).select((F.col("id") * 2).alias("x")))
     assert df.count() == 100  # materialize the cache
     assert _cached_rdd_count(spark) >= 1
