@@ -88,15 +88,22 @@ def sql_bucket_expr(planes: list[list[float]], vexpr: str = "v") -> str:
 def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: for each query vector, the K nearest
     corpus vectors (excluding itself), ranked deterministically on
-    (rounded sim desc, vec_id)."""
+    (rounded sim desc, vec_id). The query workload is the FIXED capped
+    set (vec_id % 100 == 0 AND < RECALL_QUERY_CAP, same as every
+    recall measurement): brute force is the ground-truth baseline, and
+    with queries ∝ corpus it would be Θ(N²/100) — a quadratic stapled
+    to the one query family whose whole point is exactness per query,
+    not exhaustiveness of the workload. One corpus scan, broadcast
+    queries, O(N·|workload|) = O(N)."""
     # spread(): the corpus side does |queries| dot products per row —
     # CPU-bound, so fan the single small parquet split across cores.
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    queries = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
+    queries = e.filter(
+        (F.col("vec_id") % QUERY_MOD == 0)
+        & (F.col("vec_id") < RECALL_QUERY_CAP)
+    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     pairs = e.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
     scored = scored_pairs(pairs, ["query_id", "vec_id"])
     return rank_topk(scored, TOP_K).select("query_id", "rank", "vec_id", "cosine")
@@ -1396,7 +1403,8 @@ def _oracle_sim_topk() -> str:
     return f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         q AS (SELECT vec_id AS query_id, v AS qv FROM e
-              WHERE vec_id % {QUERY_MOD} = 0),
+              WHERE vec_id % {QUERY_MOD} = 0
+                AND vec_id < {RECALL_QUERY_CAP}),
         scored AS (
             SELECT q.query_id, e.vec_id,
                    floor((list_dot_product(q.qv, e.v) /

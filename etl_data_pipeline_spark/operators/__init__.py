@@ -101,6 +101,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "sim_ann_ivf_filtered",
         "sim_ann_ivf_filtered_recall",
         "embedding_kmeans",
+        "sim_topk",
         # r4-stale (the round-8 verdict's staleness tail), then r5-stale
         "agg_mode",
         "agg_boolean",
@@ -153,7 +154,6 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "dedup_canonical",
         "dedup_minhash_lsh",
         "dedup_simhash",
-        "sim_topk",
         "embedding_quantize",
         "sim_ann_lsh",
         "embedding_centroids",
