@@ -878,8 +878,17 @@ def dedup_levenshtein_entropy(
 
     The pigeonhole guarantee is derivation-independent (ANY contiguous
     τ+1-partition works: ≤ τ substitutions cannot touch all 3
-    segments), so recall is identical to the fixed split; only block
-    sizes change. Plan: one tiny (position, digit) aggregate + three
+    segments), so the GUARANTEED recall class — every pair within
+    τ = 2 substitutions, the class the fixed split's own docstring
+    promises — is identical to the fixed split; only block sizes
+    change. Candidate coverage OUTSIDE that class is narrower than
+    the fixed split's since round 9's two-level keys (_entropy_keyed):
+    a position-shifting (indel) pair that incidentally kept one
+    fixed segment aligned could surface under the 3 one-level keys
+    but may share none of the 9 composite keys. Neither scheme ever
+    guaranteed indel pairs (that takes PassJoin's shifted-substring
+    machinery); the oracle replays the same keying, so cross-engine
+    equality is unaffected. Plan: one tiny (position, digit) aggregate + three
     1-row folds broadcast back — the derivation adds no full-data
     shuffle; candidate generation and verify are the shared
     _levenshtein_best_match tail. The block-cap guard stays (a corpus
@@ -1345,12 +1354,24 @@ def sem_assign_sql_arms() -> tuple[str, str]:
     )
 
 
-SEM_ASSIGN_MASK_SQL = f"""
+def sem_assign_mask_sql(cte: str = "c0") -> str:
+    """The count-derived bucket-mask CTE body over an arbitrary
+    centroid relation. Parameterized on the CTE name (like
+    sem_bucket_sql_arms' ``mask_cte``) rather than string-replaced by
+    callers: a textual ``.replace("FROM c0", ...)`` on the rendered
+    constant is a silent no-op the moment the constant is reworded,
+    leaving the oracle counting the WRONG relation — a cross-engine
+    mask divergence that only fires when the two counts straddle a
+    power of two."""
+    return f"""
             SELECT CAST(pow(2, least(greatest(
                        length(format('{{:b}}', greatest(count(*), 1))) - 1,
                        2), {SEM_LSH_MAX_PLANES})) AS BIGINT) AS mask
-            FROM c0
+            FROM {cte}
 """
+
+
+SEM_ASSIGN_MASK_SQL = sem_assign_mask_sql()
 
 
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:

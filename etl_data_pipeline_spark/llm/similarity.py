@@ -185,44 +185,71 @@ def _ivf_sem_build(
     (vec_id, v[, label], nrm), ``assigned`` the indexed corpus
     (vec_id, v[, label], cell), ``aranked`` the persisted scored
     shortlist (vec_id, centroid_id, cc, arank)."""
-    from etl_data_pipeline_spark.llm.dedup import sem_scored
+    e = _ivf_corpus(spark, sf_dir, with_label)
+    c0 = tracked_persist(_seed_centroids(e, centroid_mod, centroid_rem))
+    # Persisted: consumed by BOTH the corpus assignment (arank = 1)
+    # and the query probe list (arank <= nprobe) — an index structure
+    # by nature, built once.
+    aranked = tracked_persist(_rank_shortlist(e, c0))
+    return e, _assigned_from(aranked, e, with_label), aranked
 
+
+def _ivf_corpus(spark: SparkSession, sf_dir: str, with_label: bool = False):
+    """The persisted embedding corpus (vec_id, v[, label], nrm) every
+    IVF build and the index lookup start from — ONE definition so the
+    family cannot drift on the cast/norm recipe."""
     cols = ["vec_id", F.col("embedding").cast("array<double>").alias("v")]
     if with_label:
         cols.append(F.col("label"))
-    e = tracked_persist(
+    return tracked_persist(
         spread(load_table(spark, sf_dir, "embeddings"))
         .select(*cols)
         .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     )
-    c0 = tracked_persist(
-        e.filter(F.col("vec_id") % centroid_mod == centroid_rem).select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("v").alias("cv"),
-            F.col("nrm").alias("cnrm"),
-        )
+
+
+def _seed_centroids(
+    e: DataFrame,
+    centroid_mod: int = QUERY_MOD,
+    centroid_rem: int = CENTROID_MOD_REMAINDER,
+) -> DataFrame:
+    """The deterministic id-sample seed quantizer (centroid_id, cv,
+    cnrm) — unpersisted; callers decide."""
+    return e.filter(F.col("vec_id") % centroid_mod == centroid_rem).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
     )
-    # Persisted: consumed by BOTH the corpus assignment (arank = 1)
-    # and the query probe list (arank <= nprobe) — an index structure
-    # by nature, built once.
-    aranked = tracked_persist(
-        sem_scored(e, c0).withColumn(
-            "arank",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.desc("cc"), F.asc("centroid_id")
-                )
-            ),
-        )
+
+
+def _rank_shortlist(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """sem_scored + the family's ONE deterministic rank window
+    (cosine desc, centroid_id asc): (vec_id, centroid_id, cc, arank).
+    Shared by the seed build, the trained build's BOTH Lloyd passes,
+    and the index lookup's query-side probes — the tiebreak the
+    oracle CTEs replay lives here and nowhere else."""
+    from etl_data_pipeline_spark.llm.dedup import sem_scored
+
+    return sem_scored(vectors, centroids).withColumn(
+        "arank",
+        F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("centroid_id"))
+        ),
     )
+
+
+def _assigned_from(
+    aranked: DataFrame, e: DataFrame, with_label: bool = False
+) -> DataFrame:
+    """The indexed corpus (vec_id, v[, label], cell) from a ranked
+    shortlist: cell = the rank-1 shortlisted centroid."""
     out_cols = ["vec_id", "v"] + (["label"] if with_label else []) + ["cell"]
-    assigned = (
+    return (
         aranked.filter(F.col("arank") == 1)
         .select("vec_id", F.col("centroid_id").alias("cell"))
         .join(e, "vec_id")
         .select(*out_cols)
     )
-    return e, assigned, aranked
 
 
 def _ivf_probes(
@@ -454,27 +481,17 @@ def _ivf_trained_build(spark: SparkSession, sf_dir: str):
     Returns (e, assigned, aranked) with the same contracts as
     _ivf_sem_build, but cells/probes ranked against the REFINED
     centroid set c1 (per-dim means of each seed cell, rounded 6 dp —
-    deterministic in both engines, the embedding_kmeans recipe)."""
-    from etl_data_pipeline_spark.llm.dedup import sem_scored
+    deterministic in both engines, the embedding_kmeans recipe).
 
-    e = tracked_persist(
-        spread(load_table(spark, sf_dir, "embeddings"))
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    )
-    c0 = tracked_persist(
-        e.filter(F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER).select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("v").alias("cv"),
-            F.col("nrm").alias("cnrm"),
-        )
-    )
-    w1 = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("centroid_id"))
-    a0 = (
-        sem_scored(e, c0)
-        .withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("centroid_id").alias("cluster"))
+    Built FROM _ivf_sem_build (the seed assignment IS the untrained
+    build's rank-1 shortlist) + the shared _rank_shortlist /
+    _assigned_from tail — the r9 review flagged the previous
+    line-for-line copy as a desynchronization hazard: every tiebreak
+    and rounding here must stay bit-identical to the rest of the
+    family for the shared oracle CTEs to hold."""
+    e, _seed_assigned, seed_aranked = _ivf_sem_build(spark, sf_dir)
+    a0 = seed_aranked.filter(F.col("arank") == 1).select(
+        "vec_id", F.col("centroid_id").alias("cluster")
     )
     c1 = tracked_persist(
         a0.join(e, "vec_id")
@@ -494,23 +511,8 @@ def _ivf_trained_build(spark: SparkSession, sf_dir: str):
             F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cnrm"),
         )
     )
-    aranked = tracked_persist(
-        sem_scored(e, c1).withColumn(
-            "arank",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.desc("cc"), F.asc("centroid_id")
-                )
-            ),
-        )
-    )
-    assigned = (
-        aranked.filter(F.col("arank") == 1)
-        .select("vec_id", F.col("centroid_id").alias("cell"))
-        .join(e, "vec_id")
-        .select("vec_id", "v", "cell")
-    )
-    return e, assigned, aranked
+    aranked = tracked_persist(_rank_shortlist(e, c1))
+    return e, _assigned_from(aranked, e), aranked
 
 
 def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -609,33 +611,14 @@ def query_ivf_index(
     a query collectively probes ~every cell, so the aggregate run
     (query_ids=None) legitimately reads the whole index — per-LOOKUP
     pruning is what the layout buys at 100 TB."""
-    from etl_data_pipeline_spark.llm.dedup import sem_scored
-
-    e = tracked_persist(
-        spread(load_table(spark, sf_dir, "embeddings"))
-        .select(
-            "vec_id",
-            F.col("embedding").cast("array<double>").alias("v"),
-            "label",
-        )
-        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    )
-    c0 = e.filter(F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cnrm"),
-    )
+    e = _ivf_corpus(spark, sf_dir, with_label=True)
+    c0 = _seed_centroids(e)
     qe = e.filter(F.col("vec_id") % QUERY_MOD == 0)
     if query_ids is not None:
         qe = qe.filter(F.col("vec_id").isin(list(query_ids)))
-    qranked = sem_scored(qe, c0).withColumn(
-        "arank",
-        F.row_number().over(
-            Window.partitionBy("vec_id").orderBy(
-                F.desc("cc"), F.asc("centroid_id")
-            )
-        ),
-    )
+    # Only the QUERY rows are shortlist-scored (the corpus assignment
+    # lives in the index) — same kernel + rank window as the builds.
+    qranked = _rank_shortlist(qe, c0)
     q = qe.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -657,6 +640,11 @@ def query_ivf_index(
         # columns). File-list pruning at the source: no listing of
         # the unprobed 1 - probed/total fraction of the index ever
         # happens, and inputFiles() reflects exactly the probed dirs.
+        # Persist first: the probe derivation (shortlist scoring +
+        # rank window) is the dominant query-side cost, and it feeds
+        # BOTH this collect and the final join — unpersisted it would
+        # execute twice per lookup.
+        qcells = tracked_persist(qcells)
         probed = {
             (r.qcell, r.qlabel)
             for r in qcells.select("qcell", "qlabel").collect()
@@ -1461,6 +1449,7 @@ def _ivf_sem_sql_ctes(with_label: bool = False, trained: bool = False) -> str:
     against c1 with its OWN count-derived mask."""
     from etl_data_pipeline_spark.llm.dedup import (
         SEM_ASSIGN_MASK_SQL,
+        sem_assign_mask_sql,
         sem_assign_sql_arms,
         sem_bucket_sql_arms,
     )
@@ -1518,7 +1507,7 @@ def _ivf_sem_sql_ctes(with_label: bool = False, trained: bool = False) -> str:
         ), c1 AS MATERIALIZED (
             SELECT cluster AS centroid_id, list(cval ORDER BY dim) AS cv
             FROM means GROUP BY cluster
-        ), pp1 AS MATERIALIZED ({SEM_ASSIGN_MASK_SQL.replace("FROM c0", "FROM c1")}
+        ), pp1 AS MATERIALIZED ({sem_assign_mask_sql("c1")}
         ), vk1 AS MATERIALIZED (
             {vk1_arms}
         ), ck1 AS MATERIALIZED (

@@ -65,14 +65,17 @@ def main() -> None:
         files = glob.glob(os.path.join(p, "*.parquet")) if os.path.isdir(p) else [p]
         return sum(pq.read_metadata(f).num_rows for f in files)
 
-    def run(name: str, d: str, warm: bool) -> float:
+    # BOTH tiers drop a warm-up rep: an asymmetric warm-up (r9 review
+    # finding) leaves the upper tier's median carrying one-time
+    # JIT/codegen/page-cache cost, biasing the reported exponent UP.
+    def run(name: str, d: str) -> float:
         ts = []
-        for r in range(reps + (1 if warm else 0)):
+        for r in range(reps + 1):
             t0 = time.time()
             qs[name](spark, d).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             spark.catalog.clearCache()
-            if r or not warm:
+            if r:
                 ts.append(dt)
         return sorted(ts)[len(ts) // 2]
 
@@ -82,8 +85,8 @@ def main() -> None:
     print(f"| query | t({nrows[0]}) s | t({nrows[1]}) s | factor | segment exponent |")
     print("|---|---|---|---|---|")
     for name in names:
-        t1 = run(name, tiers[0], warm=True)
-        t2 = run(name, tiers[1], warm=False)
+        t1 = run(name, tiers[0])
+        t2 = run(name, tiers[1])
         factor = t2 / t1
         exp = math.log(factor) / math.log(ratio)
         print(f"| {name} | {t1:.2f} | {t2:.2f} | {factor:.1f}x | {exp:.2f} |")
