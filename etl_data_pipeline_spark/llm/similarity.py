@@ -17,6 +17,7 @@ Scale design:
 from __future__ import annotations
 
 import random
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -667,6 +668,15 @@ def query_ivf_index(
                 .option("basePath", index_dir)
                 .parquet(*paths)
             )
+    return _filtered_lookup_tail(index, qcells)
+
+
+def _filtered_lookup_tail(index: DataFrame, qcells: DataFrame) -> DataFrame:
+    """The shared read-side tail of every index-backed filtered
+    lookup: probe-join the index on (cell, label), exact cosine,
+    top-3 per query — one definition so the static-pruned parquet
+    lookup and the manifest-table lookup cannot drift from
+    sim_ann_ivf_filtered's semantics."""
     pairs = index.join(
         F.broadcast(qcells),
         (F.col("cell") == F.col("qcell"))
@@ -676,6 +686,59 @@ def query_ivf_index(
     scored = scored_pairs(pairs, ["query_id", "label", "vec_id"])
     return rank_topk(scored, 3).select(
         "query_id", "label", "rank", "vec_id", "cosine"
+    )
+
+
+def query_incremental_ann_index(
+    spark: SparkSession, table_dir: str, sf_dir: str, query_ids=None
+) -> DataFrame:
+    """Filtered ANN lookup over the STREAMING-maintained index
+    (streaming.jobs.run_incremental_ann_index): identical semantics to
+    query_ivf_index, but the corpus side is a manifest TABLE whose
+    delta directories are per-batch appends. With ``query_ids`` the
+    probed (cell, label) pairs become ``manifest.read_table(where=...)``
+    reads — pruned at the version-dir level by cached footer stats AND
+    at the hive-partition level inside each delta dir — unioned over
+    the ≤ |request| × nprobe probed pairs, so a point lookup reads
+    only the probed inverted lists of only the batches that wrote
+    them, no matter how many batches the index has absorbed."""
+    from etl_data_pipeline_spark.sinks import manifest
+
+    e = _ivf_corpus(spark, sf_dir, with_label=True)
+    c0 = _seed_centroids(e)
+    qe = e.filter(F.col("vec_id") % QUERY_MOD == 0)
+    if query_ids is not None:
+        qe = qe.filter(F.col("vec_id").isin(list(query_ids)))
+    qranked = _rank_shortlist(qe, c0)
+    q = qe.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    qcells = q.join(
+        qranked.filter(F.col("arank") <= IVF_FILTERED_NPROBE).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("centroid_id").alias("qcell"),
+        ),
+        "query_id",
+    )
+    if query_ids is None:
+        index = manifest.read_table(spark, table_dir)
+    else:
+        qcells = tracked_persist(qcells)
+        probed = sorted(
+            {(r.qcell, r.qlabel) for r in qcells.select("qcell", "qlabel").collect()}
+        )
+        if not probed:  # every probe missed: empty result, full schema
+            index = spark.createDataFrame([], IVF_INDEX_SCHEMA)
+        else:
+            frames = [
+                manifest.read_table(spark, table_dir, where={"cell": c, "label": l})
+                for c, l in probed
+            ]
+            index = reduce(DataFrame.unionByName, frames)
+    return _filtered_lookup_tail(
+        index.select("vec_id", "v", "cell", "label"), qcells
     )
 
 

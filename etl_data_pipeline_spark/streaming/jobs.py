@@ -1488,3 +1488,117 @@ def run_incremental_dedup(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+ANN_BATCH_SCHEMA = "vec_id bigint, embedding array<double>, label int"
+
+
+def run_incremental_ann_index(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    sf_dir: str,
+    schema=None,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Streaming IVF index MAINTENANCE — the continuous form of
+    ``llm.similarity.write_ivf_index``: each micro-batch of newly
+    arriving vectors is cell-assigned against a FROZEN coarse
+    quantizer (the same deterministic seed-centroid set the batch
+    build uses — a production deployment trains its quantizer offline
+    and only re-trains with a full index rebuild, FAISS's
+    train-once/add-many contract) and APPENDED to the partitioned
+    index, so the index a point lookup prunes is always current
+    without ever rebuilding it. The missing half of the r8/r9 index
+    story: write_ivf_index builds the 100 TB layout once;
+    this job keeps it fresh as the corpus grows.
+
+    Exactly-once without full-index rewrites: the index is a manifest
+    TABLE (sinks.manifest) partitioned by (cell, label) — each batch
+    is ONE O(delta) append commit carrying the Delta-style
+    ``txn=(app_id, batch_id)`` transaction fence, so the batch data
+    and its replay mark publish in a single atomic rename, and a
+    replayed batch after a crash between write and checkpoint-commit
+    is detected without reading the batch at all. Contrast
+    run_incremental_dedup, whose per-batch state swap REWRITES its
+    (small, signature-only) index: an ANN index is the corpus, so
+    maintenance must be O(batch), never O(index).
+
+    Every batch vector gets a decision row — ``indexed`` with its
+    cell, or ``unindexed`` for bucket-miss vectors (no shortlisted
+    centroid: sem_assign's convention, identical to the batch build,
+    where such vectors are absent from the layout) — written
+    overwrite-idempotent per batch id like the dedup decisions.
+
+    Reads: ``query_incremental_ann_index`` (llm.similarity) — per
+    probed (cell, label) pair, a ``manifest.read_table(where=...)``
+    read that prunes BOTH at the version-dir level (footer stats) and
+    at the hive-partition level inside each delta dir, so a lookup
+    touches only the probed inverted lists of only the batches that
+    wrote them.
+    """
+    from etl_data_pipeline_spark.llm.similarity import (
+        _dot,
+        _ivf_corpus,
+        _rank_shortlist,
+        _seed_centroids,
+    )
+    from etl_data_pipeline_spark.functions.caching import tracked_persist
+    from etl_data_pipeline_spark.sinks import manifest
+
+    index_table = os.path.join(target_dir, "ann_index")
+    decisions_dir = os.path.join(target_dir, "ann_decisions")
+    # The quantizer is frozen at job start (and identical across
+    # restarts: a deterministic id-sample of the BASE corpus) — per
+    # batch it is only re-read from cache, never re-derived.
+    c0 = tracked_persist(_seed_centroids(_ivf_corpus(spark, sf_dir)))
+
+    stream = events_file_stream(spark, source_dir, schema=schema or ANN_BATCH_SCHEMA)
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = batch_df.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            "label",
+        ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        cells = (
+            _rank_shortlist(b.select("vec_id", "v", "nrm"), c0)
+            .filter(F.col("arank") == 1)
+            .select("vec_id", F.col("centroid_id").alias("cell"))
+        )
+        indexed = b.join(cells, "vec_id").select("vec_id", "v", "cell", "label")
+        decisions = (
+            b.select("vec_id")
+            .join(cells, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.when(F.col("cell").isNotNull(), "indexed")
+                .otherwise("unindexed")
+                .alias("decision"),
+                "cell",
+            )
+        )
+        # idempotent per-batch decision sink: replay overwrites
+        decisions.write.mode("overwrite").parquet(
+            os.path.join(decisions_dir, f"batch={batch_id}")
+        )
+        # ONE atomic O(delta) append; the txn fence makes a replayed
+        # batch a read-nothing no-op. One file per touched inverted
+        # list (repartition on the partition columns — the same 32×
+        # file-count fix write_ivf_index carries).
+        manifest.commit(
+            indexed.repartition(F.col("cell"), F.col("label")),
+            index_table,
+            mode="append",
+            txn=("ann_index", int(batch_id)),
+            partition_by=("cell", "label"),
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", os.path.join(target_dir, "_ann_checkpoint"))
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

@@ -138,3 +138,107 @@ def test_trained_ivf_plan_posture(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     for bad in ("BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan
+
+
+def test_incremental_ann_index_stream(spark, sf_dir, tmp_path):
+    """Streaming IVF index maintenance (run_incremental_ann_index):
+    the corpus arrives in 3 chunks; after the drain the manifest
+    table holds EXACTLY the batch build's layout rows (same frozen
+    quantizer ⇒ same cells), every vector has exactly one decision
+    row, a point LOOKUP over the streamed index returns exactly
+    query_ivf_index's answer for the same ids, and a second
+    availableNow run over the same source is a no-op (txn fence:
+    same manifest version, same decisions)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from etl_data_pipeline_spark.sinks import manifest
+    from etl_data_pipeline_spark.streaming import jobs
+
+    src = str(tmp_path / "vec_src")
+    tgt = str(tmp_path / "ann_tgt")
+    stage = str(tmp_path / "vec_stage")
+    os.makedirs(src)
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    )
+    for c in range(3):
+        part = emb.filter(F.col("vec_id") % 3 == c).coalesce(1)
+        stage_d = os.path.join(stage, f"c{c}")
+        part.write.mode("overwrite").parquet(stage_d)
+        pf = _glob.glob(os.path.join(stage_d, "part-*.parquet"))[0]
+        shutil.move(pf, os.path.join(src, f"chunk_{c}.parquet"))
+
+    q = jobs.run_incremental_ann_index(spark, src, tgt, sf_dir)
+    q.awaitTermination(180)
+
+    # batch-built reference layout over the same corpus + quantizer
+    idx_dir = str(tmp_path / "batch_index")
+    similarity.write_ivf_index(spark, sf_dir, idx_dir)
+    want_rows = sorted(
+        map(
+            tuple,
+            spark.read.schema(similarity.IVF_INDEX_SCHEMA)
+            .parquet(idx_dir)
+            .select("vec_id", "cell", "label")
+            .collect(),
+        )
+    )
+    table_dir = os.path.join(tgt, "ann_index")
+    got_rows = sorted(
+        map(
+            tuple,
+            manifest.read_table(spark, table_dir)
+            .select("vec_id", "cell", "label")
+            .collect(),
+        )
+    )
+    assert got_rows == want_rows and got_rows
+
+    # one decision per vector; indexed set == the layout's vec_ids
+    dec = spark.read.parquet(os.path.join(tgt, "ann_decisions"))
+    by_id = {r.vec_id: r for r in dec.collect()}
+    assert dec.count() == emb.count()  # exactly one row per vector
+    assert len(by_id) == emb.count()
+    indexed_ids = {v for v, _, _ in want_rows}
+    for vid, r in by_id.items():
+        if vid in indexed_ids:
+            assert r.decision == "indexed" and r.cell is not None
+        else:
+            assert r.decision == "unindexed" and r.cell is None
+
+    # point lookup over the streamed table == the parquet-layout lookup
+    want_full = sorted(
+        map(tuple, similarity.sim_ann_ivf_filtered(spark, sf_dir).collect())
+    )
+    qid = want_full[0][0]
+    got_one = sorted(
+        map(
+            tuple,
+            similarity.query_incremental_ann_index(
+                spark, table_dir, sf_dir, query_ids=[qid]
+            ).collect(),
+        )
+    )
+    assert got_one == [r for r in want_full if r[0] == qid] and got_one
+    # and the full-workload read over the table matches end-to-end
+    got_full = sorted(
+        map(
+            tuple,
+            similarity.query_incremental_ann_index(spark, table_dir, sf_dir).collect(),
+        )
+    )
+    assert got_full == want_full
+
+    # replay: same source, same checkpoint — txn fence makes it a no-op
+    v_before = manifest.read_manifest(table_dir)["version"]
+    dec_before = sorted(map(tuple, dec.collect()))
+    q2 = jobs.run_incremental_ann_index(spark, src, tgt, sf_dir)
+    q2.awaitTermination(180)
+    assert manifest.read_manifest(table_dir)["version"] == v_before
+    dec_after = sorted(
+        map(tuple, spark.read.parquet(os.path.join(tgt, "ann_decisions")).collect())
+    )
+    assert dec_after == dec_before
