@@ -1558,43 +1558,59 @@ def run_incremental_ann_index(
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        b = batch_df.select(
-            "vec_id",
-            F.col("embedding").cast("array<double>").alias("v"),
-            "label",
-        ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        # persist BOTH batch-derived frames: inside foreachBatch the
+        # batch source is re-read per ACTION, and this function runs
+        # two (decisions write, index commit) over frames that each
+        # reference b and cells more than once — unpersisted, the
+        # ingest-probe measured the 2 000-row source read 7× per
+        # micro-batch (numInputRows 14 000), with the shortlist
+        # scoring re-executed alongside
+        b = (
+            batch_df.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("v"),
+                "label",
+            )
+            .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+            .persist()
+        )
         cells = (
             _rank_shortlist(b.select("vec_id", "v", "nrm"), c0)
             .filter(F.col("arank") == 1)
             .select("vec_id", F.col("centroid_id").alias("cell"))
+            .persist()
         )
-        indexed = b.join(cells, "vec_id").select("vec_id", "v", "cell", "label")
-        decisions = (
-            b.select("vec_id")
-            .join(cells, "vec_id", "left")
-            .select(
-                "vec_id",
-                F.when(F.col("cell").isNotNull(), "indexed")
-                .otherwise("unindexed")
-                .alias("decision"),
-                "cell",
+        try:
+            indexed = b.join(cells, "vec_id").select("vec_id", "v", "cell", "label")
+            decisions = (
+                b.select("vec_id")
+                .join(cells, "vec_id", "left")
+                .select(
+                    "vec_id",
+                    F.when(F.col("cell").isNotNull(), "indexed")
+                    .otherwise("unindexed")
+                    .alias("decision"),
+                    "cell",
+                )
             )
-        )
-        # idempotent per-batch decision sink: replay overwrites
-        decisions.write.mode("overwrite").parquet(
-            os.path.join(decisions_dir, f"batch={batch_id}")
-        )
-        # ONE atomic O(delta) append; the txn fence makes a replayed
-        # batch a read-nothing no-op. One file per touched inverted
-        # list (repartition on the partition columns — the same 32×
-        # file-count fix write_ivf_index carries).
-        manifest.commit(
-            indexed.repartition(F.col("cell"), F.col("label")),
-            index_table,
-            mode="append",
-            txn=("ann_index", int(batch_id)),
-            partition_by=("cell", "label"),
-        )
+            # idempotent per-batch decision sink: replay overwrites
+            decisions.write.mode("overwrite").parquet(
+                os.path.join(decisions_dir, f"batch={batch_id}")
+            )
+            # ONE atomic O(delta) append; the txn fence makes a replayed
+            # batch a read-nothing no-op. One file per touched inverted
+            # list (repartition on the partition columns — the same 32×
+            # file-count fix write_ivf_index carries).
+            manifest.commit(
+                indexed.repartition(F.col("cell"), F.col("label")),
+                index_table,
+                mode="append",
+                txn=("ann_index", int(batch_id)),
+                partition_by=("cell", "label"),
+            )
+        finally:
+            cells.unpersist()
+            b.unpersist()
 
     return (
         stream.writeStream.foreachBatch(_ingest)
