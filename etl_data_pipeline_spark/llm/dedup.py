@@ -1242,7 +1242,7 @@ def sem_bucket_array(vcol, mask: int):
     )
 
 
-def sem_scored(e: DataFrame, c0: DataFrame) -> DataFrame:
+def sem_scored(e: DataFrame, c0: DataFrame, n_centroids: int | None = None) -> DataFrame:
     """The shortlist + scoring half of ``sem_assign``: hyperplane-
     bucket candidate generation followed by rounded-cosine scoring of
     ONLY the same-bucket (vector, centroid) pairs. Exposed separately
@@ -1255,10 +1255,16 @@ def sem_scored(e: DataFrame, c0: DataFrame) -> DataFrame:
     for every shortlisted pair; a vector whose buckets hold no
     centroid yields NO rows (callers map that to cluster -1 /
     unindexed). Deterministic: seeded planes, integer plane-count
-    arithmetic, 6 dp rounded cosines."""
+    arithmetic, 6 dp rounded cosines.
+
+    ``n_centroids``: the centroid count, for callers that already know
+    it — the streaming ingest scores every micro-batch against the
+    SAME frozen quantizer, and re-deriving the constant here would run
+    a blocking count() job per batch. None (the default) counts."""
     from etl_data_pipeline_spark.llm.vector import dot as _vdot
 
-    k = c0.count()  # scalar centroid count, not a data collect
+    # scalar centroid count, not a data collect
+    k = c0.count() if n_centroids is None else n_centroids
     mask = 1 << _sem_planes_used(k)
     vkeys = e.select(
         "vec_id",

@@ -223,15 +223,19 @@ def _seed_centroids(
     )
 
 
-def _rank_shortlist(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+def _rank_shortlist(
+    vectors: DataFrame, centroids: DataFrame, n_centroids: int | None = None
+) -> DataFrame:
     """sem_scored + the family's ONE deterministic rank window
     (cosine desc, centroid_id asc): (vec_id, centroid_id, cc, arank).
     Shared by the seed build, the trained build's BOTH Lloyd passes,
     and the index lookup's query-side probes — the tiebreak the
-    oracle CTEs replay lives here and nowhere else."""
+    oracle CTEs replay lives here and nowhere else. ``n_centroids``
+    is passed through to sem_scored for callers that already hold the
+    (frozen) centroid count."""
     from etl_data_pipeline_spark.llm.dedup import sem_scored
 
-    return sem_scored(vectors, centroids).withColumn(
+    return sem_scored(vectors, centroids, n_centroids).withColumn(
         "arank",
         F.row_number().over(
             Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("centroid_id"))
@@ -612,6 +616,50 @@ def query_ivf_index(
     a query collectively probes ~every cell, so the aggregate run
     (query_ids=None) legitimately reads the whole index — per-LOOKUP
     pruning is what the layout buys at 100 TB."""
+    qcells, probed = _probed_qcells(spark, sf_dir, query_ids)
+    if probed is None:
+        index = spark.read.schema(IVF_INDEX_SCHEMA).parquet(index_dir)
+    else:
+        # LOOKUP shape: read ONLY the probed directories (basePath
+        # keeps the partition columns). File-list pruning at the
+        # source: no listing of the unprobed 1 - probed/total fraction
+        # of the index ever happens, and inputFiles() reflects exactly
+        # the probed dirs.
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        paths = []
+        for c, l in probed:
+            p = f"{index_dir}/cell={c}/label={l}"
+            hp = jvm.org.apache.hadoop.fs.Path(p)
+            # a probed list can be empty for this label (the filter
+            # thins cells) — skip dirs that were never written
+            if hp.getFileSystem(hconf).exists(hp):
+                paths.append(p)
+        if not paths:  # every probe missed: empty result, full schema
+            index = spark.createDataFrame([], IVF_INDEX_SCHEMA)
+        else:
+            index = (
+                spark.read.schema(IVF_INDEX_SCHEMA)
+                .option("basePath", index_dir)
+                .parquet(*paths)
+            )
+    return _filtered_lookup_tail(index, qcells)
+
+
+def _probed_qcells(spark: SparkSession, sf_dir: str, query_ids):
+    """The query-side probe derivation shared by BOTH index lookups
+    (the parquet layout's and the manifest table's): the probe recipe
+    — corpus load, seed quantizer, shortlist rank, nprobe cut — must
+    stay bit-identical between them and sim_ann_ivf_filtered for the
+    equality contracts to hold, so it has one definition.
+
+    Returns (qcells, probed): ``qcells`` the (query_id, qv, qlabel,
+    qcell) probe relation; ``probed`` the sorted distinct (cell,
+    label) pair list when ``query_ids`` restricts the workload (qcells
+    is then persisted — the probe derivation is the dominant
+    query-side cost and feeds both the pair collect and the final
+    join), else None (full workload: no driver-side pair
+    materialization)."""
     e = _ivf_corpus(spark, sf_dir, with_label=True)
     c0 = _seed_centroids(e)
     qe = e.filter(F.col("vec_id") % QUERY_MOD == 0)
@@ -633,42 +681,12 @@ def query_ivf_index(
         "query_id",
     )
     if query_ids is None:
-        index = spark.read.schema(IVF_INDEX_SCHEMA).parquet(index_dir)
-    else:
-        # LOOKUP shape: materialize the probed (cell, label) pairs —
-        # ≤ |query_ids| × nprobe rows, bounded by the request — and
-        # read ONLY those directories (basePath keeps the partition
-        # columns). File-list pruning at the source: no listing of
-        # the unprobed 1 - probed/total fraction of the index ever
-        # happens, and inputFiles() reflects exactly the probed dirs.
-        # Persist first: the probe derivation (shortlist scoring +
-        # rank window) is the dominant query-side cost, and it feeds
-        # BOTH this collect and the final join — unpersisted it would
-        # execute twice per lookup.
-        qcells = tracked_persist(qcells)
-        probed = {
-            (r.qcell, r.qlabel)
-            for r in qcells.select("qcell", "qlabel").collect()
-        }
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
-        paths = []
-        for c, l in sorted(probed):
-            p = f"{index_dir}/cell={c}/label={l}"
-            hp = jvm.org.apache.hadoop.fs.Path(p)
-            # a probed list can be empty for this label (the filter
-            # thins cells) — skip dirs that were never written
-            if hp.getFileSystem(hconf).exists(hp):
-                paths.append(p)
-        if not paths:  # every probe missed: empty result, full schema
-            index = spark.createDataFrame([], IVF_INDEX_SCHEMA)
-        else:
-            index = (
-                spark.read.schema(IVF_INDEX_SCHEMA)
-                .option("basePath", index_dir)
-                .parquet(*paths)
-            )
-    return _filtered_lookup_tail(index, qcells)
+        return qcells, None
+    qcells = tracked_persist(qcells)
+    probed = sorted(
+        {(r.qcell, r.qlabel) for r in qcells.select("qcell", "qlabel").collect()}
+    )
+    return qcells, probed
 
 
 def _filtered_lookup_tail(index: DataFrame, qcells: DataFrame) -> DataFrame:
@@ -696,46 +714,44 @@ def query_incremental_ann_index(
     (streaming.jobs.run_incremental_ann_index): identical semantics to
     query_ivf_index, but the corpus side is a manifest TABLE whose
     delta directories are per-batch appends. With ``query_ids`` the
-    probed (cell, label) pairs become ``manifest.read_table(where=...)``
-    reads — pruned at the version-dir level by cached footer stats AND
-    at the hive-partition level inside each delta dir — unioned over
-    the ≤ |request| × nprobe probed pairs, so a point lookup reads
-    only the probed inverted lists of only the batches that wrote
-    them, no matter how many batches the index has absorbed."""
+    probed (cell, label) pairs are pruned to LEAF directories: for
+    each committed delta dir, only the probed ``cell=…/label=…``
+    subdirectories that EXIST are read (explicit schema + per-delta
+    basePath), so a point lookup reads only the probed inverted lists
+    of only the batches that wrote them, no matter how many batches
+    the index has absorbed. (Footer-stat dir pruning cannot do this:
+    hive-partition columns are absent from the data files, so their
+    per-dir ranges are unknown — directory existence IS the partition
+    statistic here, exactly as in query_ivf_index's single-layout
+    path.)"""
+    import os
+
     from etl_data_pipeline_spark.sinks import manifest
 
-    e = _ivf_corpus(spark, sf_dir, with_label=True)
-    c0 = _seed_centroids(e)
-    qe = e.filter(F.col("vec_id") % QUERY_MOD == 0)
-    if query_ids is not None:
-        qe = qe.filter(F.col("vec_id").isin(list(query_ids)))
-    qranked = _rank_shortlist(qe, c0)
-    q = qe.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("label").alias("qlabel"),
-    )
-    qcells = q.join(
-        qranked.filter(F.col("arank") <= IVF_FILTERED_NPROBE).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("centroid_id").alias("qcell"),
-        ),
-        "query_id",
-    )
-    if query_ids is None:
+    qcells, probed = _probed_qcells(spark, sf_dir, query_ids)
+    if probed is None:
         index = manifest.read_table(spark, table_dir)
     else:
-        qcells = tracked_persist(qcells)
-        probed = sorted(
-            {(r.qcell, r.qlabel) for r in qcells.select("qcell", "qlabel").collect()}
-        )
-        if not probed:  # every probe missed: empty result, full schema
+        m = manifest.read_manifest(table_dir)
+        if m is None:
+            raise FileNotFoundError(f"no committed version in {table_dir!r}")
+        frames = []
+        for d in m["dirs"]:
+            base = os.path.join(table_dir, d)
+            leaves = [
+                os.path.join(base, f"cell={c}", f"label={l}")
+                for c, l in probed
+                if os.path.isdir(os.path.join(base, f"cell={c}", f"label={l}"))
+            ]
+            if leaves:
+                frames.append(
+                    spark.read.schema(IVF_INDEX_SCHEMA)
+                    .option("basePath", base)
+                    .parquet(*leaves)
+                )
+        if not frames:  # every probe missed: empty result, full schema
             index = spark.createDataFrame([], IVF_INDEX_SCHEMA)
         else:
-            frames = [
-                manifest.read_table(spark, table_dir, where={"cell": c, "label": l})
-                for c, l in probed
-            ]
             index = reduce(DataFrame.unionByName, frames)
     return _filtered_lookup_tail(
         index.select("vec_id", "v", "cell", "label"), qcells

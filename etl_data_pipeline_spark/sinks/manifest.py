@@ -490,10 +490,25 @@ def _read_dirs(
     """Union the delta directories of one version. Multi-dir versions
     unionByName with null-fill so post-evolution reads see old deltas
     null-filled in the evolved columns; the final select pins the
-    manifest's column order."""
+    manifest's column order.
+
+    When the manifest records a schema, each dir is read WITH it: an
+    inference read would fail outright on a delta dir holding zero
+    parquet files (a committed empty partitioned append writes only
+    _SUCCESS — UNABLE_TO_INFER_SCHEMA), poisoning every later read of
+    the whole table; the recorded schema turns that dir into an empty
+    frame instead. It also pins hive-partition column types at the
+    SCAN instead of directory inference."""
     from pyspark.sql import functions as F
 
-    frames = [spark.read.parquet(os.path.join(table_dir, d)) for d in dirs]
+    if schema:
+        ddl = ", ".join(f"`{c}` {t}" for c, t in schema.items())
+        frames = [
+            spark.read.schema(ddl).parquet(os.path.join(table_dir, d))
+            for d in dirs
+        ]
+    else:
+        frames = [spark.read.parquet(os.path.join(table_dir, d)) for d in dirs]
     if len(frames) == 1:
         out = frames[0]
     else:

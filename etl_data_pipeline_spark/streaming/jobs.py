@@ -1500,6 +1500,7 @@ def run_incremental_ann_index(
     sf_dir: str,
     schema=None,
     trigger: dict | None = None,
+    app_id: str = "ann_index",
 ) -> StreamingQuery:
     """Streaming IVF index MAINTENANCE — the continuous form of
     ``llm.similarity.write_ivf_index``: each micro-batch of newly
@@ -1530,12 +1531,17 @@ def run_incremental_ann_index(
     where such vectors are absent from the layout) — written
     overwrite-idempotent per batch id like the dedup decisions.
 
-    Reads: ``query_incremental_ann_index`` (llm.similarity) — per
-    probed (cell, label) pair, a ``manifest.read_table(where=...)``
-    read that prunes BOTH at the version-dir level (footer stats) and
-    at the hive-partition level inside each delta dir, so a lookup
-    touches only the probed inverted lists of only the batches that
-    wrote them.
+    Reads: ``query_incremental_ann_index`` (llm.similarity) — probed
+    (cell, label) pairs are pruned to the LEAF directories that exist
+    under each committed delta dir, so a lookup touches only the
+    probed inverted lists of only the batches that wrote them.
+
+    ``app_id`` namespaces the txn fence and is coupled to the
+    CHECKPOINT, not the table: batch ids restart at 0 under a fresh
+    checkpoint, so resuming the same table with a new checkpoint (or
+    feeding it from a second source) REQUIRES a new app_id — reusing
+    one would make the fence silently skip every batch up to the old
+    high-water mark (the same contract as run_incremental_events).
     """
     from etl_data_pipeline_spark.llm.similarity import (
         _dot,
@@ -1550,8 +1556,11 @@ def run_incremental_ann_index(
     decisions_dir = os.path.join(target_dir, "ann_decisions")
     # The quantizer is frozen at job start (and identical across
     # restarts: a deterministic id-sample of the BASE corpus) — per
-    # batch it is only re-read from cache, never re-derived.
+    # batch it is only re-read from cache, never re-derived. Its
+    # COUNT is frozen with it: sem_scored would otherwise rerun a
+    # blocking count() job per micro-batch for a constant.
     c0 = tracked_persist(_seed_centroids(_ivf_corpus(spark, sf_dir)))
+    n_centroids = c0.count()
 
     stream = events_file_stream(spark, source_dir, schema=schema or ANN_BATCH_SCHEMA)
 
@@ -1575,7 +1584,7 @@ def run_incremental_ann_index(
             .persist()
         )
         cells = (
-            _rank_shortlist(b.select("vec_id", "v", "nrm"), c0)
+            _rank_shortlist(b.select("vec_id", "v", "nrm"), c0, n_centroids)
             .filter(F.col("arank") == 1)
             .select("vec_id", F.col("centroid_id").alias("cell"))
             .persist()
@@ -1597,6 +1606,16 @@ def run_incremental_ann_index(
             decisions.write.mode("overwrite").parquet(
                 os.path.join(decisions_dir, f"batch={batch_id}")
             )
+            # An ALL-bucket-miss batch has nothing to append — and an
+            # empty partitionBy write produces a delta dir with ZERO
+            # parquet files, which would make every later read of the
+            # union fail schema inference (reproduced in review). The
+            # decisions above are the durable record for such a batch;
+            # skipping the commit (and its txn mark) is safe because a
+            # replay re-derives the same empty append and the decision
+            # overwrite is idempotent.
+            if cells.limit(1).count() == 0:
+                return
             # ONE atomic O(delta) append; the txn fence makes a replayed
             # batch a read-nothing no-op. One file per touched inverted
             # list (repartition on the partition columns — the same 32×
@@ -1605,7 +1624,7 @@ def run_incremental_ann_index(
                 indexed.repartition(F.col("cell"), F.col("label")),
                 index_table,
                 mode="append",
-                txn=("ann_index", int(batch_id)),
+                txn=(app_id, int(batch_id)),
                 partition_by=("cell", "label"),
             )
         finally:

@@ -223,6 +223,17 @@ def test_incremental_ann_index_stream(spark, sf_dir, tmp_path):
         )
     )
     assert got_one == [r for r in want_full if r[0] == qid] and got_one
+    # the lookup reads only the probed LEAF dirs (cell=…/label=…) of
+    # the delta dirs that wrote them — a strict subset of the table's
+    # files, bounded by nprobe pairs × committed versions
+    one = similarity.query_incremental_ann_index(
+        spark, table_dir, sf_dir, query_ids=[qid]
+    )
+    all_files = set(manifest.read_table(spark, table_dir).inputFiles())
+    one_files = set(one.inputFiles())
+    assert one_files and one_files < all_files
+    n_versions = manifest.read_manifest(table_dir)["version"]
+    assert len(one_files) <= similarity.IVF_FILTERED_NPROBE * n_versions
     # and the full-workload read over the table matches end-to-end
     got_full = sorted(
         map(
@@ -242,3 +253,31 @@ def test_incremental_ann_index_stream(spark, sf_dir, tmp_path):
         map(tuple, spark.read.parquet(os.path.join(tgt, "ann_decisions")).collect())
     )
     assert dec_after == dec_before
+
+
+def test_manifest_empty_partitioned_append_does_not_poison_reads(spark, tmp_path):
+    """Review-caught poison case: an empty partitioned append writes a
+    delta dir with ZERO parquet files (just _SUCCESS), and a
+    schema-inference read of that dir fails — breaking every later
+    read of the whole table. The reader now scans each delta dir with
+    the manifest's RECORDED schema, so the empty dir contributes an
+    empty frame instead. (The streaming ANN job additionally skips
+    the commit for all-miss batches; this pins the reader-side
+    defense for any other writer.)"""
+    from etl_data_pipeline_spark.sinks import manifest
+
+    tdir = str(tmp_path / "t")
+    ddl = "vec_id bigint, v array<double>, cell bigint, label int"
+    rows = spark.createDataFrame(
+        [(1, [0.5, 0.5], 7, 1), (2, [0.1, 0.9], 7, 2)], ddl
+    )
+    manifest.commit(rows, tdir, partition_by=("cell", "label"))
+    manifest.commit(
+        spark.createDataFrame([], ddl), tdir, mode="append"
+    )  # the empty delta
+    assert manifest.read_manifest(tdir)["version"] == 2
+    got = sorted(
+        (r.vec_id, r.cell, r.label)
+        for r in manifest.read_table(spark, tdir).collect()
+    )
+    assert got == [(1, 7, 1), (2, 7, 2)]

@@ -82,9 +82,13 @@ def main() -> None:
             for p in prog
             if p.get("numInputRows", 0) > 0
         }
+        # only decision == 'indexed' rows actually land in the index
+        # (bucket misses get decision rows but no index append)
         dec_dir = os.path.join(tgt, "ann_decisions")
         nrows = {
-            int(d.split("=")[1]): spark.read.parquet(os.path.join(dec_dir, d)).count()
+            int(d.split("=")[1]): spark.read.parquet(os.path.join(dec_dir, d))
+            .filter("decision = 'indexed'")
+            .count()
             for d in os.listdir(dec_dir)
             if d.startswith("batch=")
         }
