@@ -1501,6 +1501,7 @@ def run_incremental_ann_index(
     schema=None,
     trigger: dict | None = None,
     app_id: str = "ann_index",
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Streaming IVF index MAINTENANCE — the continuous form of
     ``llm.similarity.write_ivf_index``: each micro-batch of newly
@@ -1542,6 +1543,13 @@ def run_incremental_ann_index(
     feeding it from a second source) REQUIRES a new app_id — reusing
     one would make the fence silently skip every batch up to the old
     high-water mark (the same contract as run_incremental_events).
+
+    ``compact_every=N`` folds the delta-dir list whenever it reaches N
+    (a layout-only commit, run_incremental_events' hygiene knob): a
+    point lookup reads ≤ nprobe probed leaf dirs PER delta dir, so an
+    uncompacted long-running index makes lookups union one tiny file
+    per batch per probed list — compaction folds them back to one
+    file per inverted list, restoring write_ivf_index's read shape.
     """
     from etl_data_pipeline_spark.llm.similarity import (
         _dot,
@@ -1620,13 +1628,21 @@ def run_incremental_ann_index(
             # batch a read-nothing no-op. One file per touched inverted
             # list (repartition on the partition columns — the same 32×
             # file-count fix write_ivf_index carries).
-            manifest.commit(
+            m = manifest.commit(
                 indexed.repartition(F.col("cell"), F.col("label")),
                 index_table,
                 mode="append",
                 txn=(app_id, int(batch_id)),
                 partition_by=("cell", "label"),
             )
+            if (
+                compact_every
+                and len(m.get("dirs", ())) >= compact_every
+                # replayed (fenced-out) batches return the old manifest;
+                # only compact after a commit this batch actually made
+                and m.get("txn", {}).get(app_id) == int(batch_id)
+            ):
+                manifest.compact(spark, index_table)
         finally:
             cells.unpersist()
             b.unpersist()

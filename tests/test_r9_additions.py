@@ -281,3 +281,53 @@ def test_manifest_empty_partitioned_append_does_not_poison_reads(spark, tmp_path
         for r in manifest.read_table(spark, tdir).collect()
     )
     assert got == [(1, 7, 1), (2, 7, 2)]
+
+
+def test_incremental_ann_index_compaction(spark, sf_dir, tmp_path):
+    """compact_every folds the delta-dir list while preserving BOTH
+    the (cell, label) layout and output equality: with 3 chunks and
+    compact_every=2 the table ends with fewer dirs than batches, and
+    the full-workload read still equals sim_ann_ivf_filtered."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from etl_data_pipeline_spark.sinks import manifest
+    from etl_data_pipeline_spark.streaming import jobs
+
+    src = str(tmp_path / "vec_src")
+    tgt = str(tmp_path / "ann_tgt")
+    stage = str(tmp_path / "vec_stage")
+    os.makedirs(src)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    )
+    for c in range(3):
+        stage_d = os.path.join(stage, f"c{c}")
+        emb.filter(F.col("vec_id") % 3 == c).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage_d)
+        shutil.move(
+            _glob.glob(os.path.join(stage_d, "part-*.parquet"))[0],
+            os.path.join(src, f"chunk_{c}.parquet"),
+        )
+
+    q = jobs.run_incremental_ann_index(
+        spark, src, tgt, sf_dir, compact_every=2, app_id="ann_compact_test"
+    )
+    q.awaitTermination(180)
+
+    table_dir = os.path.join(tgt, "ann_index")
+    m = manifest.read_manifest(table_dir)
+    assert m["partition_by"] == ["cell", "label"]
+    assert len(m["dirs"]) < 3  # folded at least once
+    want = sorted(
+        map(tuple, similarity.sim_ann_ivf_filtered(spark, sf_dir).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            similarity.query_incremental_ann_index(spark, table_dir, sf_dir).collect(),
+        )
+    )
+    assert got == want and got
