@@ -331,3 +331,85 @@ def test_incremental_ann_index_compaction(spark, sf_dir, tmp_path):
         )
     )
     assert got == want and got
+
+
+def test_incremental_ann_index_kill_restart(spark, sf_dir, tmp_path):
+    """Crash-window soak for the streaming index: deliver 5 chunks
+    under a processingTime trigger, KILL the query mid-stream (some
+    batches committed, some not — including possibly a batch whose
+    manifest commit landed but whose checkpoint offset didn't), then
+    restart with availableNow to drain. The txn fence must absorb the
+    replayed boundary batch, so the final table equals a
+    straight-through run (and the batch layout) row-for-row, with no
+    duplicated vec_ids."""
+    import glob as _glob
+    import os
+    import shutil
+    import time
+
+    from etl_data_pipeline_spark.sinks import manifest
+    from etl_data_pipeline_spark.streaming import jobs
+
+    src = str(tmp_path / "vec_src")
+    tgt = str(tmp_path / "ann_tgt")
+    stage = str(tmp_path / "vec_stage")
+    os.makedirs(src)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    )
+
+    def deliver(i):
+        d = os.path.join(stage, f"c{i}")
+        emb.filter(F.col("vec_id") % 5 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        shutil.move(
+            _glob.glob(os.path.join(d, "part-*.parquet"))[0],
+            os.path.join(src, f"chunk_{i}.parquet"),
+        )
+
+    for i in range(5):
+        deliver(i)
+    q1 = jobs.run_incremental_ann_index(
+        spark, src, tgt, sf_dir,
+        trigger={"processingTime": "200 milliseconds"},
+        app_id="ann_soak",
+    )
+    table_dir = os.path.join(tgt, "ann_index")
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        m = manifest.read_manifest(table_dir)
+        if m is not None and m.get("txn", {}).get("ann_soak", -1) >= 1:
+            break
+        time.sleep(0.2)
+    else:
+        raise AssertionError("ann soak: no committed batch within 120s")
+    q1.stop()  # kill mid-stream: later chunks may be unprocessed
+
+    # restart over the SAME checkpoint; drain the rest
+    q2 = jobs.run_incremental_ann_index(
+        spark, src, tgt, sf_dir, app_id="ann_soak"
+    )
+    q2.awaitTermination(180)
+
+    got = sorted(
+        map(
+            tuple,
+            manifest.read_table(spark, table_dir)
+            .select("vec_id", "cell", "label")
+            .collect(),
+        )
+    )
+    assert len({v for v, _, _ in got}) == len(got)  # no duplicated vec_id
+    idx_dir = str(tmp_path / "batch_index")
+    similarity.write_ivf_index(spark, sf_dir, idx_dir)
+    want = sorted(
+        map(
+            tuple,
+            spark.read.schema(similarity.IVF_INDEX_SCHEMA)
+            .parquet(idx_dir)
+            .select("vec_id", "cell", "label")
+            .collect(),
+        )
+    )
+    assert got == want and got
