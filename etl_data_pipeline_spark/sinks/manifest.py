@@ -73,6 +73,12 @@ MANIFEST = "MANIFEST.json"
 _VERSION_RE = re.compile(r"v(\d{8})")
 
 
+def _ddl(schema: dict[str, str]) -> str:
+    """The recorded column->type map as a Spark DDL string — one
+    definition for every schema-pinned read/empty-frame site."""
+    return ", ".join(f"`{c}` {t}" for c, t in schema.items())
+
+
 def _manifest_path(table_dir: str) -> str:
     return os.path.join(table_dir, MANIFEST)
 
@@ -252,6 +258,7 @@ def _commit_locked(
     data_dir = os.path.join(table_dir, rel)
     shutil.rmtree(data_dir, ignore_errors=True)  # crashed orphan of a failed commit
     out = df
+    keyed = False
     if mode == "append" and cur is not None:
         schema = _check_schema(cur, df, merge_schema, table_dir)
         if merge_keys:
@@ -259,25 +266,35 @@ def _commit_locked(
             prev_keys = _read_dirs(
                 df.sparkSession, table_dir, cur["dirs"], cur.get("schema")
             ).select(*keys).distinct()
-            out = df.join(prev_keys, on=keys, how="left_anti")
+            # persist: the anti-joined plan (a full-table key scan) is
+            # evaluated by BOTH the emptiness probe and the write —
+            # unpersisted it would run twice per batch, and a
+            # non-deterministic input could even diverge between them
+            out = df.join(prev_keys, on=keys, how="left_anti").persist()
+            keyed = True
             # all rows already present and no txn mark to record:
             # true no-op — don't burn a version on an empty delta
             if txn is None and out.limit(1).count() == 0:
+                out.unpersist()
                 return cur
         dirs = list(cur["dirs"]) + [rel]
     else:
         schema = _schema_of(df)
         dirs = [rel]
-    if parts:
-        missing = [c for c in parts if c not in out.columns]
-        if missing:
-            raise ValueError(
-                f"partition_by columns {missing} not in the DataFrame "
-                f"(columns: {out.columns})"
-            )
-        out.write.partitionBy(*parts).parquet(data_dir)
-    else:
-        out.write.parquet(data_dir)
+    try:
+        if parts:
+            missing = [c for c in parts if c not in out.columns]
+            if missing:
+                raise ValueError(
+                    f"partition_by columns {missing} not in the DataFrame "
+                    f"(columns: {out.columns})"
+                )
+            out.write.partitionBy(*parts).parquet(data_dir)
+        else:
+            out.write.parquet(data_dir)
+    finally:
+        if keyed:
+            out.unpersist()
     manifest = {"version": version, "dirs": dirs, "schema": schema, "fence": fence}
     if parts:
         manifest["partition_by"] = list(parts)
@@ -502,7 +519,7 @@ def _read_dirs(
     from pyspark.sql import functions as F
 
     if schema:
-        ddl = ", ".join(f"`{c}` {t}" for c, t in schema.items())
+        ddl = _ddl(schema)
         frames = [
             spark.read.schema(ddl).parquet(os.path.join(table_dir, d))
             for d in dirs
@@ -618,7 +635,7 @@ def read_table(
                     cond = term if cond is None else (cond & term)
         if not dirs and m.get("schema"):
             # every dir pruned: an empty frame with the table schema
-            ddl = ", ".join(f"`{c}` {t}" for c, t in m["schema"].items())
+            ddl = _ddl(m["schema"])
             empty = spark.createDataFrame([], ddl)
             return empty.filter(cond) if cond is not None else empty
         if not dirs:
@@ -731,7 +748,7 @@ def read_changes(
         # empty feed with the bound version's schema, so downstream
         # unions and writes see stable columns
         if schema:
-            ddl = ", ".join(f"`{c}` {t}" for c, t in schema.items())
+            ddl = _ddl(schema)
             return spark.createDataFrame([], ddl)
         return _read_dirs(spark, table_dir, cur["dirs"], None).limit(0)
     return _read_dirs(spark, table_dir, added, schema)
@@ -756,12 +773,43 @@ def history(table_dir: str) -> list[dict]:
     return out
 
 
+# sentinel for "the footers could not be READ" — distinct from "the
+# stats are genuinely absent": the former must never be cached (a
+# transient IO blip would otherwise permanently disable pruning for
+# an immutable dir), the latter is a stable, cacheable fact
+_STATS_READ_FAILED = object()
+
+
+def _norm_stat(v):
+    """Normalize a parquet footer stat for comparison against
+    Spark-side aggregates: footer TIMESTAMP stats come back tz-AWARE
+    (Spark writes isAdjustedToUTC instants) while Spark's F.min/F.max
+    collect as naive session-time values — an aware-vs-naive
+    comparison raises TypeError, silently disabling pruning for every
+    timestamp-keyed merge. Both sides are therefore normalized to the
+    INTEGER epoch-microsecond instant (the batch side via
+    F.unix_micros in _validate_merge_batch): converting either side
+    to a naive wall-clock rendering instead would be WRONG under a
+    non-UTC session timezone (shifted ranges ⇒ a dir wrongly pruned ⇒
+    silent row loss in merges) and ambiguous inside DST folds —
+    integer instants have neither problem. Naive footer timestamps
+    (TIMESTAMP_NTZ files) stay naive: incomparable with the integer ⇒
+    _range_disjoint keeps the dir ⇒ never prunes, never corrupts."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        return (v - epoch) // _dt.timedelta(microseconds=1)
+    return v
+
+
 def _dir_key_range(table_dir: str, rel_dir: str, column: str):
     """(min, max) of ``column`` across every parquet footer under one
-    delta directory, or None when pruning is impossible — missing
-    stats, a hive-partition column absent from the files, or any
-    footer read failure. Driver-side METADATA reads only (the same
-    footers `_dir_rowcount` uses); no data pages touched."""
+    delta directory; None when stats are genuinely absent (missing
+    footer stats, a hive-partition column absent from the files,
+    incomparable stat types); the ``_STATS_READ_FAILED`` sentinel when
+    a footer could not be read at all. Driver-side METADATA reads only
+    (the same footers `_dir_rowcount` uses); no data pages touched."""
     import pyarrow.parquet as pq
 
     lo = hi = None
@@ -771,16 +819,20 @@ def _dir_key_range(table_dir: str, rel_dir: str, column: str):
                 continue
             try:
                 md = pq.ParquetFile(os.path.join(root, fn)).metadata
+            except OSError:
+                return _STATS_READ_FAILED
+            try:
                 idx = md.schema.names.index(column)
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(idx).statistics
                     if st is None or not st.has_min_max:
                         return None
-                    if lo is None or st.min < lo:
-                        lo = st.min
-                    if hi is None or st.max > hi:
-                        hi = st.max
-            except (ValueError, OSError, TypeError):
+                    mn, mx = _norm_stat(st.min), _norm_stat(st.max)
+                    if lo is None or mn < lo:
+                        lo = mn
+                    if hi is None or mx > hi:
+                        hi = mx
+            except (ValueError, TypeError):
                 return None
     return None if lo is None else (lo, hi)
 
@@ -789,19 +841,31 @@ def _validate_merge_batch(batch: DataFrame, keys: list[str]):
     """Key-contract checks shared by BOTH merge paths (first write
     included — a fresh table must not be born violating the contract):
     no NULL keys, no duplicate keys. Returns the stats row (n, kmin,
-    kmax on the first key) so callers don't re-aggregate."""
+    kmax on the first key) so callers don't re-aggregate.
+
+    For a TIMESTAMP first key, kmin/kmax are the integer
+    epoch-microsecond INSTANTS (unix_micros), matching _norm_stat's
+    footer normalization — collecting the datetime would render it in
+    the session timezone, and comparing wall-clock renderings against
+    UTC instants mis-prunes under any non-UTC session (see
+    _norm_stat)."""
     from pyspark.sql import functions as F
 
     missing = [k for k in keys if k not in batch.columns]
     if missing:
         raise ValueError(f"merge keys {missing} not in batch columns")
+    k0 = F.col(keys[0])
+    if batch.schema[keys[0]].dataType.simpleString() == "timestamp":
+        kmin, kmax = F.unix_micros(F.min(k0)), F.unix_micros(F.max(k0))
+    else:
+        kmin, kmax = F.min(k0), F.max(k0)
     null_key = reduce(lambda a, b: a | b, [F.col(k).isNull() for k in keys])
     stats = batch.agg(
         F.count("*").alias("n"),
         F.count_distinct(*[F.col(k) for k in keys]).alias("nk"),
         F.sum(F.when(null_key, 1).otherwise(0)).alias("n_null"),
-        F.min(keys[0]).alias("kmin"),
-        F.max(keys[0]).alias("kmax"),
+        kmin.alias("kmin"),
+        kmax.alias("kmax"),
     ).first()
     if stats["n"] and stats["n_null"]:
         # checked FIRST: count_distinct skips null-containing key
@@ -842,23 +906,66 @@ def _dir_key_range_cached(table_dir: str, rel_dir: str, column: str):
     try:
         with open(cache_path) as f:
             cached = json.load(f)
-        return None if cached is None else tuple(cached)
-    except (FileNotFoundError, ValueError):
+        # a malformed sidecar (foreign writer, hand edit) is a cache
+        # MISS, never an error surfaced to merges/pruned reads — the
+        # cache must not become the correctness boundary
+        if cached is None:
+            return None
+        if isinstance(cached, list) and len(cached) == 2:
+            return (_stat_from_json(cached[0]), _stat_from_json(cached[1]))
+    except (FileNotFoundError, ValueError, TypeError, OSError):
         pass
     rng = _dir_key_range(table_dir, rel_dir, column)
-    serializable = rng is None or all(
-        isinstance(v, (int, float, str)) for v in rng
-    )
-    if serializable:
+    if rng is _STATS_READ_FAILED:
+        # transient footer-read failure: behave as "no stats" for THIS
+        # call but do NOT cache — the dir's footers may be fine on the
+        # next attempt
+        return None
+    enc = None if rng is None else [_stat_to_json(v) for v in rng]
+    if enc is None or all(v is not _UNSERIALIZABLE for v in enc):
         try:
             os.makedirs(cache_dir, exist_ok=True)
             fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".tmp")
             with os.fdopen(fd, "w") as f:
-                json.dump(None if rng is None else list(rng), f)
+                json.dump(enc, f)
             os.replace(tmp, cache_path)
         except OSError:
             pass
     return rng
+
+
+_UNSERIALIZABLE = object()
+
+
+def _stat_to_json(v):
+    """JSON form of a footer stat: native for int/float/str, a tagged
+    ISO string for date/datetime (temporal merge keys are the common
+    case the cache previously refused, re-reading every footer on
+    every merge), the _UNSERIALIZABLE sentinel otherwise (skip
+    caching; correctness unaffected)."""
+    import datetime as _dt
+
+    if isinstance(v, bool) or not isinstance(
+        v, (int, float, str, _dt.date, _dt.datetime)
+    ):
+        return _UNSERIALIZABLE
+    if isinstance(v, _dt.datetime):
+        return {"__ts__": v.isoformat()}
+    if isinstance(v, _dt.date):
+        return {"__d__": v.isoformat()}
+    return v
+
+
+def _stat_from_json(v):
+    import datetime as _dt
+
+    if isinstance(v, dict):
+        if "__ts__" in v:
+            return _dt.datetime.fromisoformat(v["__ts__"])
+        if "__d__" in v:
+            return _dt.date.fromisoformat(v["__d__"])
+        raise ValueError(f"unknown stat tag: {v!r}")
+    return v
 
 
 def merge_upsert(
@@ -956,19 +1063,27 @@ def _merge_locked(
         prev_txn[app_id] = int(txn_version)
     schema = _check_schema(cur, batch, merge_schema=False, table_dir=table_dir)
     stats = _validate_merge_batch(batch, keys)
-    if stats["n"] == 0:
+    if stats["n"] == 0 and txn is None:
         return cur  # empty batch: nothing to merge, no version burned
     touched: list[str] = []
     kept: list[str] = []
-    for d in cur["dirs"]:
-        rng = _dir_key_range_cached(table_dir, d, keys[0])
-        try:
-            disjoint = rng is not None and (
-                rng[1] < stats["kmin"] or rng[0] > stats["kmax"]
+    if stats["n"] == 0:
+        # empty batch WITH a txn: record the high-water mark the same
+        # way commit() does (an empty delta carrying the mark) —
+        # returning early would leave a hole in the (app_id -> batch)
+        # sequence, and a later out-of-order replay of this batch id
+        # WITH data would not be fenced. Nothing can match, so no dir
+        # is touched.
+        kept = list(cur["dirs"])
+    else:
+        for d in cur["dirs"]:
+            rng = _dir_key_range_cached(table_dir, d, keys[0])
+            # one audited comparison path (incomparable types: never
+            # prune — _range_disjoint keeps the dir on TypeError)
+            disjoint = rng is not None and _range_disjoint(
+                rng, stats["kmin"], stats["kmax"]
             )
-        except TypeError:  # incomparable stat types: never prune
-            disjoint = False
-        (kept if disjoint else touched).append(d)
+            (kept if disjoint else touched).append(d)
     if touched:
         existing = _read_dirs(spark, table_dir, touched, schema)
         survivors = existing.join(batch.select(*keys), on=keys, how="left_anti")
@@ -1130,7 +1245,16 @@ def vacuum(
                 p = os.path.join(staging, entry)
                 try:
                     if os.path.getmtime(p) < horizon:
-                        os.unlink(p)
-                except FileNotFoundError:
-                    pass  # a writer just cleaned it up itself
+                        # operator debris can be a DIRECTORY (e.g. a
+                        # write pointed into _staging); a bare unlink
+                        # would raise and wedge retention on this
+                        # entry forever — the same single-debris rule
+                        # the _versions/_manifests sweeps follow
+                        if os.path.isdir(p):
+                            shutil.rmtree(p, ignore_errors=True)
+                        else:
+                            os.unlink(p)
+                except OSError:
+                    pass  # a writer just cleaned it up itself / EPERM:
+                    # never let one entry abort the sweep
     return sorted(set(removed))

@@ -357,3 +357,140 @@ def test_vacuum_drops_stats_of_deleted_dirs(spark, tmp_path):
     gone_prefix = dirs[1].replace(os.sep, "__") + "."
     assert not any(s.startswith(gone_prefix) for s in left)
     assert any(s.startswith(dirs[0].replace(os.sep, "__") + ".") for s in left)
+
+
+def test_merge_prunes_on_date_keys(spark, tmp_path):
+    """Temporal merge keys get footer-stats pruning too (r9 review):
+    the sidecar previously refused to serialize date/datetime ranges,
+    silently re-reading every footer per merge — and tz-aware footer
+    stats vs Spark's naive aggregates made timestamp keys never prune
+    at all. Dates now prune exactly like ints, through the cache."""
+    import datetime as dt
+
+    td = str(tmp_path / "dt")
+    d0 = dt.date(2026, 1, 1)
+
+    def day_rows(lo, hi, tag):
+        return spark.createDataFrame(
+            [(d0 + dt.timedelta(days=i), f"{tag}{i}") for i in range(lo, hi)],
+            "day date, v string",
+        )
+
+    M.commit(day_rows(0, 10, "a"), td, mode="overwrite")
+    M.commit(day_rows(10, 20, "a"), td, mode="append")
+    M.commit(day_rows(20, 30, "a"), td, mode="append")
+    dirs_before = M.read_manifest(td)["dirs"]
+    batch = spark.createDataFrame(
+        [(d0 + dt.timedelta(days=25), "UPD")], "day date, v string"
+    )
+    m = M.merge_upsert(spark, td, batch, ("day",))
+    # only the [20,30) dir is rewritten; the first two survive as-is
+    assert dirs_before[0] in m["dirs"] and dirs_before[1] in m["dirs"]
+    assert dirs_before[2] not in m["dirs"]
+    got = {(r.day, r.v) for r in M.read_table(spark, td).collect()}
+    assert (d0 + dt.timedelta(days=25), "UPD") in got and len(got) == 30
+    # and the range round-trips through the JSON sidecar
+    rng = M._dir_key_range_cached(td, dirs_before[0], "day")
+    assert rng == (d0, d0 + dt.timedelta(days=9))
+    rng2 = M._dir_key_range_cached(td, dirs_before[0], "day")  # cache hit
+    assert rng2 == rng
+
+
+def test_malformed_stats_sidecar_is_a_cache_miss(spark, tmp_path):
+    """A foreign/corrupt _stats sidecar must never crash merges or
+    pruned reads — wrong-shape JSON is treated as a miss and
+    recomputed (r9 review)."""
+    td = _table(spark, tmp_path)
+    dirs = M.read_manifest(td)["dirs"]
+    sdir = os.path.join(td, "_stats")
+    os.makedirs(sdir, exist_ok=True)
+    name = dirs[0].replace(os.sep, "__") + ".k.json"
+    for bad in ("5", "[5]", '{"x": 1}', "not json at all"):
+        with open(os.path.join(sdir, name), "w") as f:
+            f.write(bad)
+        assert M._dir_key_range_cached(td, dirs[0], "k") == (0, 99)
+    batch = spark.createDataFrame([(250, "UPD")], "k long, v string")
+    m = M.merge_upsert(spark, td, batch, ("k",))
+    assert dirs[0] in m["dirs"]  # pruned, not crashed
+
+
+def test_empty_merge_batch_with_txn_records_mark(spark, tmp_path):
+    """An empty batch carrying a txn must still advance the fence
+    (commit() already does): otherwise a later out-of-order replay of
+    that batch id WITH data is not fenced (r9 review)."""
+    td = _table(spark, tmp_path)
+    empty = spark.createDataFrame([], "k long, v string")
+    m = M.merge_upsert(spark, td, empty, ("k",), txn=("app", 7))
+    assert m["txn"]["app"] == 7
+    state = _content(spark, td)
+    assert len(state) == 300  # no rows changed
+    # the replay of 7 (with data!) is fenced out
+    late = spark.createDataFrame([(0, "LATE")], "k long, v string")
+    m2 = M.merge_upsert(spark, td, late, ("k",), txn=("app", 7))
+    assert m2["version"] == m["version"] and _content(spark, td) == state
+    # without txn, an empty batch still burns no version
+    m3 = M.merge_upsert(spark, td, empty, ("k",))
+    assert m3["version"] == m["version"]
+
+
+def test_vacuum_survives_staging_directory_debris(spark, tmp_path):
+    """A DIRECTORY in _staging (operator debris) must not wedge the
+    retention sweep (r9 review: bare unlink raised IsADirectoryError
+    and aborted vacuum forever)."""
+    import time
+
+    td = _table(spark, tmp_path)
+    staging = os.path.join(td, "_staging")
+    os.makedirs(os.path.join(staging, "debris_dir"))
+    with open(os.path.join(staging, "debris_dir", "x.bin"), "w") as f:
+        f.write("junk")
+    old = time.time() - 48 * 3600
+    os.utime(os.path.join(staging, "debris_dir"), (old, old))
+    removed = M.vacuum(td, keep_last=1)
+    assert not os.path.exists(os.path.join(staging, "debris_dir"))
+    assert removed  # versions past retention were actually reclaimed
+
+
+def test_merge_prunes_on_timestamp_keys_via_instants(spark, tmp_path):
+    """Timestamp merge keys prune via integer epoch-microsecond
+    instants on BOTH sides (footer stats are UTC instants; the batch
+    side uses unix_micros) — wall-clock renderings would mis-prune
+    under a non-UTC session timezone, and aware-vs-naive comparison
+    previously disabled pruning entirely.
+
+    Requires TIMESTAMP_MICROS output: Spark's default INT96 encoding
+    writes NO footer statistics at all (stats absent ⇒ every dir kept
+    ⇒ correct but unpruned — the safe degradation the docstring
+    promises)."""
+    import datetime as dt
+
+    td = str(tmp_path / "ts")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def hour_rows(lo, hi, tag):
+        return spark.createDataFrame(
+            [(t0 + dt.timedelta(hours=i), f"{tag}{i}") for i in range(lo, hi)],
+            "ts timestamp, v string",
+        )
+
+    conf = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(conf)
+    spark.conf.set(conf, "TIMESTAMP_MICROS")
+    try:
+        M.commit(hour_rows(0, 10, "a"), td, mode="overwrite")
+        M.commit(hour_rows(10, 20, "a"), td, mode="append")
+        M.commit(hour_rows(20, 30, "a"), td, mode="append")
+    finally:
+        spark.conf.set(conf, prev)
+    dirs_before = M.read_manifest(td)["dirs"]
+    # the cached footer range is the INTEGER instant pair
+    rng = M._dir_key_range_cached(td, dirs_before[0], "ts")
+    assert all(isinstance(v, int) for v in rng)
+    batch = spark.createDataFrame(
+        [(t0 + dt.timedelta(hours=25), "UPD")], "ts timestamp, v string"
+    )
+    m = M.merge_upsert(spark, td, batch, ("ts",))
+    assert dirs_before[0] in m["dirs"] and dirs_before[1] in m["dirs"]
+    assert dirs_before[2] not in m["dirs"]
+    got = {(r.ts, r.v) for r in M.read_table(spark, td).collect()}
+    assert (t0 + dt.timedelta(hours=25), "UPD") in got and len(got) == 30
