@@ -151,6 +151,21 @@ def _union_parts(sch: list) -> tuple[bool, int, Any]:
     return null_idx >= 0, null_idx, non_null[0]
 
 
+def _register_named(named: dict, sch: dict, value) -> None:
+    """Register a named type under BOTH its short name and its Avro
+    fullname (namespace.name): writers reference named types by
+    FULLNAME when a namespace is declared (the JVM writer always
+    does), and a short-name-only registry turned such spec-legal
+    files into opaque KeyErrors. Nested namespace INHERITANCE is not
+    modeled — only explicit namespace attributes — which covers what
+    real writers emit; anything unresolved raises AvroUnsupported,
+    never KeyError."""
+    named[sch["name"]] = value
+    ns = sch.get("namespace")
+    if ns:
+        named[f"{ns}.{sch['name']}"] = value
+
+
 def avro_to_ddl(sch, named: dict | None = None) -> str:
     """Avro schema (parsed JSON) -> Spark simpleString type."""
     named = named if named is not None else {}
@@ -158,7 +173,7 @@ def avro_to_ddl(sch, named: dict | None = None) -> str:
     if isinstance(sch, str):
         if sch in named:  # named-type reference (record/enum/fixed)
             return named[sch]
-        return {
+        prim = {
             "null": "void",
             "boolean": "boolean",
             "int": "int",
@@ -167,7 +182,10 @@ def avro_to_ddl(sch, named: dict | None = None) -> str:
             "double": "double",
             "bytes": "binary",
             "string": "string",
-        }[sch]
+        }
+        if sch not in prim:
+            raise AvroUnsupported(f"unresolved Avro type reference: {sch!r}")
+        return prim[sch]
     t = sch["type"]
     logical = sch.get("logicalType")
     if logical == "date" and t == "int":
@@ -181,17 +199,17 @@ def avro_to_ddl(sch, named: dict | None = None) -> str:
             f"{f['name']}: {avro_to_ddl(f['type'], named)}" for f in sch["fields"]
         )
         ddl = f"struct<{fields}>"
-        named[sch["name"]] = ddl
+        _register_named(named, sch, ddl)
         return ddl
     if t == "array":
         return f"array<{avro_to_ddl(sch['items'], named)}>"
     if t == "map":
         return f"map<string,{avro_to_ddl(sch['values'], named)}>"
     if t == "enum":
-        named[sch["name"]] = "string"
+        _register_named(named, sch, "string")
         return "string"
     if t == "fixed":
-        named[sch["name"]] = "binary"
+        _register_named(named, sch, "binary")
         return "binary"
     if isinstance(t, (str, dict, list)):  # {"type": "long", ...} wrapper
         return avro_to_ddl(t, named)
@@ -210,7 +228,8 @@ def avro_to_spark_type(sch, named: dict | None = None):
     if isinstance(sch, str):
         if sch in named:
             return named[sch]
-        return {
+        prim = {
+            "null": T.NullType(),
             "boolean": T.BooleanType(),
             "int": T.IntegerType(),
             "long": T.LongType(),
@@ -218,7 +237,10 @@ def avro_to_spark_type(sch, named: dict | None = None):
             "double": T.DoubleType(),
             "bytes": T.BinaryType(),
             "string": T.StringType(),
-        }[sch]
+        }
+        if sch not in prim:
+            raise AvroUnsupported(f"unresolved Avro type reference: {sch!r}")
+        return prim[sch]
     t = sch["type"]
     logical = sch.get("logicalType")
     if logical == "date" and t == "int":
@@ -234,17 +256,17 @@ def avro_to_spark_type(sch, named: dict | None = None):
                 for f in sch["fields"]
             ]
         )
-        named[sch["name"]] = st
+        _register_named(named, sch, st)
         return st
     if t == "array":
         return T.ArrayType(avro_to_spark_type(sch["items"], named), True)
     if t == "map":
         return T.MapType(T.StringType(), avro_to_spark_type(sch["values"], named), True)
     if t == "enum":
-        named[sch["name"]] = T.StringType()
+        _register_named(named, sch, T.StringType())
         return T.StringType()
     if t == "fixed":
-        named[sch["name"]] = T.BinaryType()
+        _register_named(named, sch, T.BinaryType())
         return T.BinaryType()
     if isinstance(t, (str, dict, list)):
         return avro_to_spark_type(t, named)
@@ -331,6 +353,8 @@ def build_decoder(sch, named: dict | None = None) -> Decoder:
         ref = named[sch]
         return lambda buf, pos: ref(buf, pos)
     if isinstance(sch, str):
+        if sch not in _PRIMITIVE_DECODERS:
+            raise AvroUnsupported(f"unresolved Avro type reference: {sch!r}")
         return _PRIMITIVE_DECODERS[sch]
     t = sch["type"]
     logical = sch.get("logicalType")
@@ -365,7 +389,7 @@ def build_decoder(sch, named: dict | None = None) -> Decoder:
                 out.append(v)
             return tuple(out), pos
 
-        named[sch["name"]] = dec_record  # registered BEFORE fields: recursion-safe
+        _register_named(named, sch, dec_record)  # registered BEFORE fields: recursion-safe
         field_decoders.extend(build_decoder(f["type"], named) for f in sch["fields"])
         return dec_record
     if t == "array":
@@ -410,7 +434,7 @@ def build_decoder(sch, named: dict | None = None) -> Decoder:
             i, pos = read_long(buf, pos)
             return symbols[i], pos
 
-        named[sch["name"]] = dec_enum
+        _register_named(named, sch, dec_enum)
         return dec_enum
     if t == "fixed":
         size = sch["size"]
@@ -418,7 +442,7 @@ def build_decoder(sch, named: dict | None = None) -> Decoder:
         def dec_fixed(buf, pos):
             return bytes(buf[pos : pos + size]), pos + size
 
-        named[sch["name"]] = dec_fixed
+        _register_named(named, sch, dec_fixed)
         return dec_fixed
     if isinstance(t, (str, dict, list)):
         return build_decoder(t, named)
@@ -492,9 +516,6 @@ def build_encoder(sch) -> Encoder:
                 inner(out, v)
 
         return enc_union
-    nullable, sch = _is_null_union(sch)
-    if nullable:
-        raise AssertionError("unreachable: list handled above")
     if isinstance(sch, str):
         return _PRIMITIVE_ENCODERS[sch]
     t = sch["type"]
@@ -659,15 +680,21 @@ def _inflate(data: bytes, codec: str) -> bytes:
     return data
 
 
-def _find_sync(f, sync: bytes, start: int, file_size: int) -> int | None:
+def _find_sync(f, sync: bytes, start: int, bound: int) -> int | None:
     """First offset >= ``start`` where the 16-byte sync marker begins
     (Hadoop-style split alignment). Chunked scan with overlap so a
-    marker straddling a chunk boundary is still found."""
+    marker straddling a chunk boundary is still found.
+
+    ``bound`` caps the scan: callers discard any anchor >= their split
+    end, so scanning past end + SYNC_SIZE is pure waste — on a file
+    whose blocks are larger than the split size, an unbounded scan
+    made every in-block split read forward to the block's trailing
+    sync (up to quadratic redundant I/O across splits)."""
     overlap = SYNC_SIZE - 1
     pos = start
     f.seek(pos)
     prev_tail = b""
-    while pos < file_size:
+    while pos < bound:
         chunk = f.read(1 << 20)
         if not chunk:
             return None
@@ -698,6 +725,10 @@ def iter_block_rows(
     [0, ...) split via the special case and once by the split
     containing the header's trailing sync via the scan. Found by the
     hypothesis round-trip property (tests/test_property.py)."""
+    if start >= end:
+        return  # empty range (incl. the (0, 0) empty-file sentinel):
+        # no blocks, and no header parse that would crash on a
+        # zero-byte leftover file
     with open(path, "rb") as f:
         header = read_header(f)
         dec = decoder or build_decoder(header.schema)
@@ -721,11 +752,19 @@ def _iter_raw_blocks(
     if start <= header_sync_at:
         # the first block's preceding sync is the header's tail —
         # known exactly, no scan (and no false positive on sync
-        # bytes coincidentally inside the metadata)
+        # bytes coincidentally inside the metadata). The anchor must
+        # ALSO fall inside [start, end): with a header larger than
+        # the split step, several splits satisfy start <=
+        # header_sync_at, and without the end check each of them
+        # would claim the first block — duplicated rows.
+        if header_sync_at >= end:
+            return  # this split lies entirely inside the header
         anchor = header_sync_at
     else:
-        s = _find_sync(f, header.sync, start, file_size)
-        if s is None:
+        # a sync at or beyond end is never used: cap the scan there
+        # (+SYNC_SIZE so a marker STARTING at end-1 is fully read)
+        s = _find_sync(f, header.sync, start, min(file_size, end + SYNC_SIZE))
+        if s is None or s >= end:
             return
         anchor = s
     block_at = anchor + SYNC_SIZE
@@ -1199,18 +1238,29 @@ def iter_record_batches(
     end: int,
     batch_rows: int = 65536,
     max_batch_bytes: int = 32 << 20,
+    header: "OcfHeader | None" = None,
+    plan: list | None = None,
 ) -> Iterator["object"]:
     """Columnar twin of iter_block_rows: yield pyarrow RecordBatches
     for the blocks anchored in ``[start, end)``. Requires a flat
     schema (columnar_plan non-None — callers check). Blocks accumulate
     into one contiguous buffer until ``batch_rows``/``max_batch_bytes``
     so the numpy extraction amortizes across many blocks; the byte cap
-    also keeps string offsets within int32."""
+    also keeps string offsets within int32.
+
+    ``header``/``plan`` accept the already-parsed values when the
+    caller did the probing itself (AvroBatchReader._arrow_plan) — at
+    100 TB / 128 MiB splits that is one header parse and one plan
+    build per partition instead of two."""
     import pyarrow as pa
 
+    if start >= end:
+        return  # empty range / empty-file sentinel: nothing anchored
     with open(path, "rb") as f:
-        header = read_header(f)
-        plan = columnar_plan(header.schema)
+        if header is None:
+            header = read_header(f)
+        if plan is None:
+            plan = columnar_plan(header.schema)
         if plan is None:
             raise AvroUnsupported(
                 f"iter_record_batches: schema of {path!r} is not a flat "
@@ -1533,6 +1583,37 @@ class _SplitPartition(InputPartition):
     end: int
 
 
+def _writer_projection(path: str, spark_schema) -> list | None:
+    """Writer-order -> read-schema-order index map for the per-row
+    paths, or None when they already agree. Spark maps yielded tuples
+    to the declared read schema POSITIONALLY while iter_block_rows
+    decodes in the FILE's writer order — without this reorder, a
+    user-supplied schema (or a directory whose files disagree on field
+    order) silently lands values in the wrong columns. A read-schema
+    column absent from the writer null-fills, the parquet
+    schema-on-read convention. Shared by the batch and streaming
+    readers so they cannot drift."""
+    if spark_schema is None:
+        return None
+    with open(path, "rb") as f:
+        header = read_header(f)
+    _, sch = _is_null_union(header.schema)
+    if not (isinstance(sch, dict) and sch.get("type") == "record"):
+        return None
+    writer = [f["name"] for f in sch["fields"]]
+    want = list(spark_schema.fieldNames())
+    if writer == want:
+        return None
+    pos = {n: i for i, n in enumerate(writer)}
+    return [pos.get(n) for n in want]
+
+
+def _project_rows(rows: Iterator[tuple], proj: list | None) -> Iterator[tuple]:
+    if proj is None:
+        return rows
+    return (tuple(r[i] if i is not None else None for i in proj) for r in rows)
+
+
 class AvroBatchReader(DataSourceReader):
     def __init__(self, options: dict, schema=None):
         self.path = _opt(options, "path")
@@ -1547,30 +1628,52 @@ class AvroBatchReader(DataSourceReader):
         self.spark_schema = schema
 
     def partitions(self) -> Sequence[InputPartition]:
-        parts = []
-        for fp in _avro_files(self.path):
-            size = os.path.getsize(fp)
-            step = max(self.split_bytes, 1 << 20)
-            for off in range(0, max(size, 1), step):
-                parts.append(_SplitPartition(fp, off, min(off + step, size)))
-        if not parts:
+        files = _avro_files(self.path)
+        if not files:
             raise FileNotFoundError(f"no .avro files under {self.path!r}")
+        parts = []
+        step = max(self.split_bytes, 1 << 20)
+        for fp in files:
+            size = os.path.getsize(fp)
+            if size == 0:
+                continue  # another producer's crashed/empty leftover:
+                # zero bytes hold zero blocks — reading it would only
+                # fail the header parse and abort the whole job
+            for off in range(0, size, step):
+                parts.append(_SplitPartition(fp, off, min(off + step, size)))
+        if not parts:  # only empty files: one sentinel, read() yields
+            parts.append(_SplitPartition(files[0], 0, 0))
         return parts
 
     def read(self, partition: _SplitPartition) -> Iterator[tuple]:
-        if self.vectorized and self._arrow_ok(partition.path):
-            return iter_record_batches(
-                partition.path, partition.start, partition.end
-            )
-        return iter_block_rows(partition.path, partition.start, partition.end)
+        if partition.start >= partition.end:
+            return iter(())  # empty-file sentinel
+        if self.vectorized:
+            probed = self._arrow_plan(partition.path)
+            if probed is not None:
+                header, plan = probed
+                return iter_record_batches(
+                    partition.path,
+                    partition.start,
+                    partition.end,
+                    header=header,
+                    plan=plan,
+                )
+        rows = iter_block_rows(partition.path, partition.start, partition.end)
+        return _project_rows(
+            rows, _writer_projection(partition.path, self.spark_schema)
+        )
 
-    def _arrow_ok(self, path: str) -> bool:
-        """Columnar path only when the file's natural Arrow schema is
-        exactly the Arrow rendering of the Spark read schema — else
-        the per-row path (whose tuples Spark converts itself) keeps
-        correctness for user-supplied schemas and nested types."""
+    def _arrow_plan(self, path: str):
+        """(header, columnar plan) when the file's natural Arrow
+        schema is exactly the Arrow rendering of the Spark read schema
+        — else None and the per-row path (whose tuples Spark converts
+        itself, reordered by _projection) keeps correctness for
+        user-supplied schemas and nested types. Returning the parsed
+        values lets read() hand them to iter_record_batches instead of
+        parsing the header twice per partition."""
         if self.spark_schema is None:
-            return False
+            return None
         try:
             from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -1578,16 +1681,16 @@ class AvroBatchReader(DataSourceReader):
                 header = read_header(f)
             plan = columnar_plan(header.schema)
             if plan is None:
-                return False
+                return None
             expected = to_arrow_schema(self.spark_schema)
             if len(expected) != len(plan):
-                return False
+                return None
             for field, (name, kind, _nb) in zip(expected, plan):
                 if field.name != name or field.type != _NATURAL_ARROW[kind]():
-                    return False
-            return True
+                    return None
+            return header, plan
         except Exception:
-            return False
+            return None
 
 
 @dataclass
@@ -1699,12 +1802,13 @@ class AvroStreamReader(DataSourceStreamReader):
 
     MAX_DEFAULT = 10_000
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, schema=None):
         self.path = _opt(options, "path")
         if not self.path:
             raise ValueError("avro_py stream: 'path' option is required")
         self.split_bytes = int(_opt(options, "splitBytes", DEFAULT_SPLIT_BYTES))
         self.max_tracked = int(_opt(options, "maxTrackedFiles", self.MAX_DEFAULT))
+        self.spark_schema = schema
 
     def _names(self) -> list[str]:
         if not os.path.isdir(self.path):
@@ -1736,12 +1840,18 @@ class AvroStreamReader(DataSourceStreamReader):
         for n in new:
             fp = os.path.join(self.path, n)
             size = os.path.getsize(fp)
-            for off in range(0, max(size, 1), step):
+            if size == 0:
+                continue  # empty leftover: zero blocks, skip (an empty
+                # partitions list is a legal no-new-data microbatch)
+            for off in range(0, size, step):
                 parts.append(_SplitPartition(fp, off, min(off + step, size)))
         return parts
 
     def read(self, partition: _SplitPartition) -> Iterator[tuple]:
-        return iter_block_rows(partition.path, partition.start, partition.end)
+        rows = iter_block_rows(partition.path, partition.start, partition.end)
+        return _project_rows(
+            rows, _writer_projection(partition.path, self.spark_schema)
+        )
 
     def commit(self, end: dict) -> None:
         pass  # progress lives in the streaming checkpoint
@@ -1761,7 +1871,16 @@ class AvroDataSource(DataSource):
         files = _avro_files(self.options.get("path", ""))
         if not files:
             raise ValueError("avro_py: cannot infer schema — no files")
-        with open(files[0], "rb") as f:
+        # infer from the first NON-empty file: a zero-byte leftover
+        # (crashed foreign producer) holds no header to parse, and the
+        # read path already skips it as zero blocks
+        nonempty = [fp for fp in files if os.path.getsize(fp) > 0]
+        if not nonempty:
+            raise ValueError(
+                "avro_py: cannot infer schema — every file is empty; "
+                "pass .schema(...) explicitly"
+            )
+        with open(nonempty[0], "rb") as f:
             header = read_header(f)
         st = avro_to_spark_type(header.schema)
         if not isinstance(st, StructType):
@@ -1775,7 +1894,7 @@ class AvroDataSource(DataSource):
         return AvroArrowWriter(dict(self.options), schema, overwrite)
 
     def streamReader(self, schema) -> AvroStreamReader:
-        return AvroStreamReader(dict(self.options))
+        return AvroStreamReader(dict(self.options), schema)
 
 
 def register(spark) -> None:

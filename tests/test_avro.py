@@ -845,3 +845,112 @@ def test_cscan_cache_is_per_user_private(tmp_path, monkeypatch):
     sos = list(sodir.glob("colscan_*.so"))
     assert len(sos) == 1
     assert os.stat(sos[0]).st_uid == os.getuid()
+
+
+def test_user_schema_field_order_is_respected(spark, tmp_path):
+    """r9 review: the per-row path yielded tuples in the FILE's writer
+    order, which Spark maps to the declared read schema POSITIONALLY —
+    a reordered user schema silently swapped column values. The reader
+    now projects by NAME (missing columns null-fill, the parquet
+    schema-on-read convention)."""
+    avro_format.register(spark)
+    out = str(tmp_path / "xy")
+    spark.createDataFrame([(1, 10), (2, 20)], "x long, y long").write.format(
+        "avro_py"
+    ).mode("overwrite").save(out)
+    back = spark.read.schema("y long, x long").format("avro_py").load(out)
+    got = sorted((r.x, r.y) for r in back.collect())
+    assert got == [(1, 10), (2, 20)]  # values under the RIGHT names
+    # a requested column the writer never had: null-filled, not an error
+    extra = spark.read.schema("y long, z string, x long").format(
+        "avro_py"
+    ).load(out)
+    rows = sorted((r.x, r.y, r.z) for r in extra.collect())
+    assert rows == [(1, 10, None), (2, 20, None)]
+
+
+def test_heterogeneous_field_order_across_files(spark, tmp_path):
+    """Two files in one directory with the SAME columns in DIFFERENT
+    writer order: per-file projection aligns both to the read schema
+    (previously the second file's values landed swapped)."""
+    avro_format.register(spark)
+    d = tmp_path / "dir"
+    d.mkdir()
+    sch_xy = {"type": "record", "name": "r",
+              "fields": [{"name": "x", "type": "long"},
+                         {"name": "y", "type": "long"}]}
+    sch_yx = {"type": "record", "name": "r",
+              "fields": [{"name": "y", "type": "long"},
+                         {"name": "x", "type": "long"}]}
+    with open(d / "a.avro", "wb") as f:
+        w = OcfWriter(f, sch_xy, codec="null")
+        w.write_row({"x": 1, "y": 10})
+        w.close()
+    with open(d / "b.avro", "wb") as f:
+        w = OcfWriter(f, sch_yx, codec="null")
+        w.write_row({"x": 2, "y": 20})
+        w.close()
+    back = spark.read.schema("x long, y long").format("avro_py").load(str(d))
+    assert sorted((r.x, r.y) for r in back.collect()) == [(1, 10), (2, 20)]
+
+
+def test_empty_leftover_file_does_not_fail_the_read(spark, tmp_path):
+    """A zero-byte .avro (a crashed foreign producer's leftover) in
+    the directory must not abort the job: zero bytes hold zero blocks
+    (r9 review — the header parse of b'' raised ValueError)."""
+    avro_format.register(spark)
+    d = tmp_path / "dir"
+    d.mkdir()
+    spark.createDataFrame([(1,)], "id long").write.format("avro_py").mode(
+        "overwrite"
+    ).save(str(d))
+    (d / "leftover.avro").touch()
+    assert spark.read.format("avro_py").load(str(d)).count() == 1
+    # a directory holding ONLY empty files reads as empty, not an error
+    d2 = tmp_path / "only_empty"
+    d2.mkdir()
+    (d2 / "a.avro").touch()
+    got = spark.read.schema("id long").format("avro_py").load(str(d2))
+    assert got.count() == 0
+
+
+def test_null_primitive_and_fullname_references():
+    """Spec-legal schemas the mappers previously KeyError'd on (r9
+    review): a 'null'-typed field, and a named-type REFERENCE by
+    fullname (namespace.name — how the JVM writer emits reuse)."""
+    from pyspark.sql import types as T
+
+    st = avro_to_spark_type(
+        {"type": "record", "name": "r",
+         "fields": [{"name": "x", "type": "null"},
+                    {"name": "y", "type": "long"}]}
+    )
+    assert st["x"].dataType == T.NullType()
+    # fullname reference to a named record
+    sch = {
+        "type": "record", "name": "outer",
+        "fields": [
+            {"name": "a", "type": {"type": "record", "name": "X",
+                                   "namespace": "com.a",
+                                   "fields": [{"name": "v", "type": "long"}]}},
+            {"name": "b", "type": "com.a.X"},
+        ],
+    }
+    st2 = avro_to_spark_type(sch)
+    assert st2["a"].dataType == st2["b"].dataType
+    dec = build_decoder(sch)  # resolves, no KeyError
+    buf = bytearray()
+    enc = build_encoder(
+        {"type": "record", "name": "flat",
+         "fields": [{"name": "v1", "type": "long"},
+                    {"name": "v2", "type": "long"}]}
+    )
+    enc(buf, (7, 9))
+    row, _pos = dec(memoryview(bytes(buf)), 0)
+    assert row == ((7,), (9,))
+    # an UNRESOLVED reference is a clean AvroUnsupported, not KeyError
+    with pytest.raises(AvroUnsupported, match="unresolved"):
+        avro_to_spark_type(
+            {"type": "record", "name": "r",
+             "fields": [{"name": "x", "type": "com.missing.T"}]}
+        )
