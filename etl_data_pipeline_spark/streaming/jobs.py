@@ -572,9 +572,13 @@ def conversion_sessions_ooo(
     def update(key, pdf_iter, state: GroupState):
         (user_id,) = key
         if state.exists:
+            # None-valued long fields, NOT a -1 sentinel. (Pre-1970
+            # event times — negative epoch micros — can never reach
+            # this operator: Spark's initial watermark is epoch zero
+            # and the late filter drops rows strictly below it, so the
+            # old -1 sentinel was unreachable-but-fragile rather than
+            # wrong; None removes the trap outright.)
             start_us, last_us, n, buf_ts, buf_id, buf_et = state.get
-            if start_us < 0:
-                start_us = None
             buf = list(zip(buf_ts, buf_id, buf_et))
         else:
             start_us = last_us = None
@@ -625,8 +629,8 @@ def conversion_sessions_ooo(
         else:
             state.update(
                 (
-                    -1 if start_us is None else int(start_us),
-                    int(last_us if last_us is not None else -1),
+                    None if start_us is None else int(start_us),
+                    None if last_us is None else int(last_us),
                     int(n if start_us is not None else 0),
                     [t for t, _, _ in buf],
                     [int(i) for _, i, _ in buf],
@@ -716,13 +720,12 @@ def session_funnel_ooo(
     def update(key, pdf_iter, state: GroupState):
         (user_id,) = key
         if state.exists:
+            # None-valued long fields, NOT -1 sentinels — see
+            # conversion_sessions_ooo (the -1 trap is unreachable
+            # under Spark's epoch-zero initial watermark, removed
+            # anyway)
             (start_us, last_us, n, t_view, t_click, t_purchase,
              buf_ts, buf_id, buf_et) = state.get
-            if start_us < 0:
-                start_us = None
-            t_view = None if t_view < 0 else t_view
-            t_click = None if t_click < 0 else t_click
-            t_purchase = None if t_purchase < 0 else t_purchase
             buf = list(zip(buf_ts, buf_id, buf_et))
         else:
             start_us = last_us = t_view = t_click = t_purchase = None
@@ -784,12 +787,12 @@ def session_funnel_ooo(
         else:
             state.update(
                 (
-                    -1 if start_us is None else int(start_us),
-                    int(last_us if last_us is not None else -1),
+                    None if start_us is None else int(start_us),
+                    None if last_us is None else int(last_us),
                     int(n if start_us is not None else 0),
-                    -1 if t_view is None else int(t_view),
-                    -1 if t_click is None else int(t_click),
-                    -1 if t_purchase is None else int(t_purchase),
+                    None if t_view is None else int(t_view),
+                    None if t_click is None else int(t_click),
+                    None if t_purchase is None else int(t_purchase),
                     [t for t, _, _ in buf],
                     [int(i) for _, i, _ in buf],
                     [e for _, _, e in buf],
@@ -835,6 +838,65 @@ def session_funnel_ooo(
     )
 
 
+def _fenced_merge_swap(
+    spark: SparkSession,
+    agg_path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    partial_fn,
+    fold_fn,
+) -> None:
+    """The shared body of the three merging rollup sinks (hourly
+    rollup, weekly HLL, CMS): read under the writer lease, batch-id
+    fence, per-batch partial, fold into the existing state, atomic
+    swap. One definition — the r9 review found the sequence
+    copy-pasted per sink, where a fence-ordering or swap-protocol fix
+    would have to land identically three times or silently drift.
+
+    The WHOLE read-dedup-merge-swap holds the lease: one stream's
+    batches are serial, but a second stream (or a compaction) on the
+    same target would otherwise read the same last_batch_id, pass the
+    dedup check, and its swap would overwrite this batch's
+    contribution — the lost-update race the other merging sinks close
+    the same way. First-refresh ONLY on a true missing path: any other
+    read error aborts the merge, else the batch-id dedup state is lost
+    and a replayed batch double-counts.
+
+    Fence read is ONE row, not an aggregate: every row of these
+    tables carries the identical last_batch_id (written as a single
+    literal), so the previous full-table F.max scan per micro-batch
+    paid O(table) I/O to recover a constant. (run_incremental_dedup
+    keeps its own body: its rows retain their ORIGINAL batch ids, so
+    max() there is genuinely required.)"""
+    from etl_data_pipeline_spark.sinks import (
+        _overwrite_swap_locked,
+        read_parquet_if_exists,
+        writer_lease,
+    )
+
+    with writer_lease(agg_path):
+        existing = read_parquet_if_exists(spark, agg_path, lease_held=True)
+        row = (
+            existing.select("last_batch_id").first()
+            if existing is not None
+            else None
+        )
+        last = row[0] if row is not None else None
+        if last is not None and batch_id <= last:
+            return  # replayed batch — already merged atomically
+        if batch_df.isEmpty():
+            return
+        partial = partial_fn(batch_df)
+        merged = (
+            partial
+            if existing is None
+            else fold_fn(existing.drop("last_batch_id"), partial)
+        ).withColumn("last_batch_id", F.lit(batch_id))
+        # staging write scans the existing state BEFORE the swap, so
+        # read-while-replace is safe
+        _overwrite_swap_locked(merged, agg_path)
+
+
 def run_incremental_rollup(
     spark: SparkSession,
     source_dir: str,
@@ -872,43 +934,20 @@ def run_incremental_rollup(
     stream = events_file_stream(spark, source_dir, schema=schema)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        # The WHOLE read-dedup-merge-swap holds the writer lease: one
-        # stream's batches are serial, but a second rollup stream (or a
-        # compaction) on the same target would otherwise read the same
-        # last_batch_id as us, pass the dedup check, and its swap would
-        # overwrite our contribution — the lost-update race the other
-        # merging sinks close the same way.
-        with writer_lease(agg_path):
-            # first-refresh ONLY on a true missing path: any other read
-            # error must abort the merge, else the batch-id dedup state
-            # is lost and a replayed batch double-counts.
-            existing = read_parquet_if_exists(spark, agg_path, lease_held=True)
-            last = (
-                existing.agg(F.max("last_batch_id")).first()[0]
-                if existing is not None
-                else None
-            )
-            if last is not None and batch_id <= last:
-                return  # replayed batch — already merged atomically
-            if batch_df.isEmpty():
-                return
-            partial = batch_df.groupBy(
+        _fenced_merge_swap(
+            spark, agg_path, batch_df, batch_id,
+            partial_fn=lambda b: b.groupBy(
                 F.date_trunc("hour", "ts").alias("hour_bucket"), "event_type"
-            ).agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
-            merged = (
-                partial
-                if existing is None
-                else existing.drop("last_batch_id")
-                .unionByName(partial)
-                .groupBy("hour_bucket", "event_type")
-                .agg(
-                    F.sum("n_events").alias("n_events"),
-                    F.sum("sum_value").alias("sum_value"),
-                )
-            ).withColumn("last_batch_id", F.lit(batch_id))
-            # staging write scans the existing rollup BEFORE the swap,
-            # so read-while-replace is safe
-            _overwrite_swap_locked(merged, agg_path)
+            ).agg(
+                F.count("*").alias("n_events"), F.sum("value").alias("sum_value")
+            ),
+            fold_fn=lambda prev, part: prev.unionByName(part)
+            .groupBy("hour_bucket", "event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+            ),
+        )
 
     return (
         stream.writeStream.foreachBatch(_merge)
@@ -949,29 +988,15 @@ def run_stream_hll_rollup(
     stream = events_file_stream(spark, source_dir, schema=schema)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        with writer_lease(agg_path):
-            existing = read_parquet_if_exists(spark, agg_path, lease_held=True)
-            last = (
-                existing.agg(F.max("last_batch_id")).first()[0]
-                if existing is not None
-                else None
-            )
-            if last is not None and batch_id <= last:
-                return  # replayed batch — already merged atomically
-            if batch_df.isEmpty():
-                return
-            partial = batch_df.groupBy(
+        _fenced_merge_swap(
+            spark, agg_path, batch_df, batch_id,
+            partial_fn=lambda b: b.groupBy(
                 F.date_trunc("week", "ts").alias("week")
-            ).agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
-            merged = (
-                partial
-                if existing is None
-                else existing.drop("last_batch_id")
-                .unionByName(partial)
-                .groupBy("week")
-                .agg(F.hll_union_agg("sk").alias("sk"))
-            ).withColumn("last_batch_id", F.lit(batch_id))
-            _overwrite_swap_locked(merged, agg_path)
+            ).agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")),
+            fold_fn=lambda prev, part: prev.unionByName(part)
+            .groupBy("week")
+            .agg(F.hll_union_agg("sk").alias("sk")),
+        )
 
     return (
         stream.writeStream.foreachBatch(_merge)
@@ -1015,33 +1040,17 @@ def run_stream_cms(
     stream = events_file_stream(spark, source_dir, schema=schema)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        with writer_lease(agg_path):
-            existing = read_parquet_if_exists(spark, agg_path, lease_held=True)
-            last = (
-                existing.agg(F.max("last_batch_id")).first()[0]
-                if existing is not None
-                else None
+        _fenced_merge_swap(
+            spark, agg_path, batch_df, batch_id,
+            partial_fn=lambda b: b.select(
+                F.explode(cms_cell_array(F.col(token_col))).alias("c")
             )
-            if last is not None and batch_id <= last:
-                return  # replayed batch — already merged atomically
-            if batch_df.isEmpty():
-                return
-            partial = (
-                batch_df.select(
-                    F.explode(cms_cell_array(F.col(token_col))).alias("c")
-                )
-                .groupBy("c.j", "c.bucket")
-                .agg(F.count("*").alias("cell_cnt"))
-            )
-            merged = (
-                partial
-                if existing is None
-                else existing.drop("last_batch_id")
-                .unionByName(partial)
-                .groupBy("j", "bucket")
-                .agg(F.sum("cell_cnt").alias("cell_cnt"))
-            ).withColumn("last_batch_id", F.lit(batch_id))
-            _overwrite_swap_locked(merged, agg_path)
+            .groupBy("c.j", "c.bucket")
+            .agg(F.count("*").alias("cell_cnt")),
+            fold_fn=lambda prev, part: prev.unionByName(part)
+            .groupBy("j", "bucket")
+            .agg(F.sum("cell_cnt").alias("cell_cnt")),
+        )
 
     return (
         stream.writeStream.foreachBatch(_merge)
@@ -1152,10 +1161,17 @@ def run_incremental_micro_batch(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return  # empty batch => no write, watermark unchanged (app.py:147-153)
-        new_wm = batch_df.agg(F.max(watermark_column)).first()[0]
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(target_dir, table, f"batch={batch_id}")
-        )
+        # persist: the watermark agg and the write are two ACTIONS over
+        # the batch frame — unpersisted, the source files are read
+        # twice per micro-batch
+        batch_df = batch_df.persist()
+        try:
+            new_wm = batch_df.agg(F.max(watermark_column)).first()[0]
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(target_dir, table, f"batch={batch_id}")
+            )
+        finally:
+            batch_df.unpersist()
         if new_wm is not None:  # only after successful write
             current = parse_watermark(store.get(table), watermark_type)
             if current is None or new_wm > current:
@@ -1392,6 +1408,7 @@ def run_incremental_dedup(
             # persist: consumed by the probe AND (filtered) the index
             # merge — without it the shingle+minhash compute runs twice
             batch_sigs = ms.select("doc_id", "sh_hash", bands.alias("bands")).persist()
+            persisted_decided = None
             try:
                 if index is not None:
                     b_band = batch_sigs.select(
@@ -1413,8 +1430,16 @@ def run_incremental_dedup(
                     jac = s_int / F.greatest(
                         F.size("sh_b") + F.size("sh_i") - s_int, F.lit(1)
                     )
+                    # round BEFORE the threshold filter and the
+                    # best-match window, exactly like the batch twin
+                    # (dedup_minhash_incremental, llm/dedup.py): with
+                    # rounding only at output, a raw jaccard in
+                    # [threshold - 5e-7, threshold) was kept by batch
+                    # and dropped here (and ulp-apart candidates could
+                    # rank differently) — divergent decisions between
+                    # two documented-identical paths
                     verified = cand.select(
-                        "batch_doc", "index_doc", jac.alias("jaccard")
+                        "batch_doc", "index_doc", hround(jac, 6).alias("jaccard")
                     ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
                     best = Window.partitionBy("batch_doc").orderBy(
                         F.desc("jaccard"), F.asc("index_doc")
@@ -1425,14 +1450,7 @@ def run_incremental_dedup(
                         .select(
                             F.col("batch_doc").alias("doc_id"),
                             F.col("index_doc").alias("match_doc"),
-                            # hround, not F.round: the batch twin
-                            # (dedup_minhash_incremental) and the rest
-                            # of the dedup family round via
-                            # floor(x*1e6+0.5)/1e6 — F.round can differ
-                            # by one ulp on representation edges, and
-                            # the streaming decisions are documented as
-                            # byte-identical to the batch query's
-                            hround(F.col("jaccard"), 6).alias("match_jaccard"),
+                            F.col("jaccard").alias("match_jaccard"),
                         )
                     )
                 else:
@@ -1454,6 +1472,11 @@ def run_incremental_dedup(
                         F.lit(None).cast("long").alias("match_doc"),
                         F.lit(None).cast("double").alias("match_jaccard"),
                     )
+                # persist: `decided` embeds the O(index) band join +
+                # exact-jaccard verify, and it feeds TWO actions (the
+                # decision write and the index swap's kept filter) —
+                # unpersisted, the dominant per-batch cost ran twice
+                decided = persisted_decided = decided.persist()
                 decisions = decided.unionByName(exact_skips)
                 # idempotent per-batch sink: replay overwrites, never appends
                 decisions.write.mode("overwrite").parquet(
@@ -1475,6 +1498,8 @@ def run_incremental_dedup(
                 )
                 _overwrite_swap_locked(merged, index_path)
             finally:
+                if persisted_decided is not None:
+                    persisted_decided.unpersist()
                 batch_sigs.unpersist()
 
     return (
@@ -1553,11 +1578,11 @@ def run_incremental_ann_index(
     """
     from etl_data_pipeline_spark.llm.similarity import (
         _dot,
-        _ivf_corpus,
         _rank_shortlist,
         _seed_centroids,
     )
     from etl_data_pipeline_spark.functions.caching import tracked_persist
+    from etl_data_pipeline_spark.session import load_table, spread
     from etl_data_pipeline_spark.sinks import manifest
 
     index_table = os.path.join(target_dir, "ann_index")
@@ -1566,8 +1591,18 @@ def run_incremental_ann_index(
     # restarts: a deterministic id-sample of the BASE corpus) — per
     # batch it is only re-read from cache, never re-derived. Its
     # COUNT is frozen with it: sem_scored would otherwise rerun a
-    # blocking count() job per micro-batch for a constant.
-    c0 = tracked_persist(_seed_centroids(_ivf_corpus(spark, sf_dir)))
+    # blocking count() job per micro-batch for a constant. The base
+    # corpus frame is deliberately NOT persisted (unlike the batch
+    # builds' _ivf_corpus): a long-running ingest would otherwise pin
+    # O(corpus) executor memory for the query's lifetime while every
+    # batch touches only the small centroid subset — the corpus is
+    # scanned once, when c0 materializes.
+    base = (
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    c0 = tracked_persist(_seed_centroids(base))
     n_centroids = c0.count()
 
     stream = events_file_stream(spark, source_dir, schema=schema or ANN_BATCH_SCHEMA)
