@@ -143,25 +143,49 @@ def read_parquet_if_exists(
         df.schema
         return df
     except AnalysisException as e:
-        cond = None
-        for attr in ("getCondition", "getErrorClass"):
-            fn = getattr(e, attr, None)
-            if fn is not None:
-                try:
-                    cond = fn()
-                except Exception:
-                    cond = None
-                if cond:
-                    break
-        if cond == "PATH_NOT_FOUND" or (
-            cond is None and "PATH_NOT_FOUND" in str(e)
-        ):
+        if not _is_path_not_found(e):
+            raise
+        if lease_held:
             return None
-        raise
+        # TOCTOU: without the lease, the path can vanish INSIDE a live
+        # swap's two-rename window AFTER the recovery check above saw
+        # it present — returning None here would report "first write"
+        # for a sink that fully exists. Retry ONCE under the lease:
+        # no swap can be mid-flight there, so a second PATH_NOT_FOUND
+        # is genuine.
+        with writer_lease(path):
+            _recover_interrupted_swap(path)
+            try:
+                df = spark.read.parquet(path)
+                df.schema
+                return df
+            except AnalysisException as e2:
+                if _is_path_not_found(e2):
+                    return None
+                raise
 
 
-def _target_path(table: str, options: dict) -> str:
-    return options.get("path") or os.path.join(options["dir"], table)
+def _is_path_not_found(e: AnalysisException) -> bool:
+    cond = None
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(e, attr, None)
+        if fn is not None:
+            try:
+                cond = fn()
+            except Exception:
+                cond = None
+            if cond:
+                break
+    return cond == "PATH_NOT_FOUND" or (
+        cond is None and "PATH_NOT_FOUND" in str(e)
+    )
+
+
+def _target_path(table: str, options: dict, suffix: str = "") -> str:
+    """One definition of the path rule (explicit ``path`` option wins,
+    else ``dir/table``); ``suffix`` covers the file-per-table formats
+    (avro/xml) that previously re-implemented this inline."""
+    return options.get("path") or os.path.join(options["dir"], table + suffix)
 
 
 def _parquet_append(df: DataFrame, table: str, options: dict) -> None:
@@ -230,7 +254,7 @@ def _avro_append(df: DataFrame, table: str, options: dict) -> None:
     from etl_data_pipeline_spark.sources import avro_format
 
     avro_format.register(df.sparkSession)
-    path = options.get("path") or os.path.join(options["dir"], f"{table}.avro")
+    path = _target_path(table, options, suffix=".avro")
     writer = df.write.format(avro_format.FORMAT_NAME).mode("append")
     if "codec" in options:
         writer = writer.option("codec", str(options["codec"]))
@@ -239,7 +263,7 @@ def _avro_append(df: DataFrame, table: str, options: dict) -> None:
 
 def _xml_append(df: DataFrame, table: str, options: dict) -> None:
     """XML append via Spark 4's native xml datasource."""
-    path = options.get("path") or os.path.join(options["dir"], f"{table}.xml")
+    path = _target_path(table, options, suffix=".xml")
     (
         df.write.format("xml")
         .mode("append")
@@ -271,6 +295,50 @@ def write_sink(df: DataFrame, fmt: str, table: str, options: dict) -> None:
     except KeyError:
         raise ValueError(f"Unsupported sink format: {fmt!r} (have {sorted(SINKS)})")
     fn(df, table, options)
+
+
+def _first_write_swap(df: DataFrame, path: str) -> None:
+    """First write via stage + single rename (caller holds the lease).
+    A direct write to the target creates the directory at job START,
+    so a crash mid-job leaves a footerless target whose next read is
+    UNABLE_TO_INFER_SCHEMA — not PATH_NOT_FOUND — permanently failing
+    first-write detection until someone deletes the directory by hand.
+    Staged, a crash leaves the target ABSENT and the replay clean."""
+    import shutil
+
+    staging = path + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    df.write.mode("overwrite").parquet(staging)
+    os.replace(staging, path)
+
+
+def _validate_batch_keys(df: DataFrame, keys: tuple[str, ...], op: str) -> None:
+    """Reject NULL or intra-batch duplicate merge keys LOUDLY (the
+    manifest merge's contract, applied to the parquet upserts): two
+    batch rows for one key would make SCD1 keep both (breaking
+    one-row-per-key) and SCD2 open two 'current' versions — the
+    permanent chain fork its docstring says nothing can repair."""
+    from functools import reduce
+
+    null_key = reduce(lambda a, b: a | b, [F.col(k).isNull() for k in keys])
+    stats = df.agg(
+        F.count("*").alias("n"),
+        F.count_distinct(*[F.col(k) for k in keys]).alias("nk"),
+        F.sum(F.when(null_key, 1).otherwise(0)).alias("n_null"),
+    ).first()
+    if stats["n"] and stats["n_null"]:
+        raise ValueError(
+            f"{op}: batch has {stats['n_null']} row(s) with NULL in "
+            f"merge keys {tuple(keys)}; a null key can never match a "
+            f"sink row — repair upstream"
+        )
+    if stats["n"] != stats["nk"]:
+        raise ValueError(
+            f"{op}: batch has duplicate keys ({stats['n']} rows, "
+            f"{stats['nk']} distinct {tuple(keys)}); deduplicate "
+            f"upstream — last-write-wins needs an ordering only the "
+            f"caller knows"
+        )
 
 
 def atomic_overwrite_parquet(df: DataFrame, table: str, options: dict) -> None:
@@ -307,11 +375,14 @@ def atomic_overwrite_parquet(df: DataFrame, table: str, options: dict) -> None:
         _overwrite_swap_locked(df, path)
 
 
-def _overwrite_swap_locked(df: DataFrame, path: str) -> None:
+def _overwrite_swap_locked(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
     """Staged write + two-rename swap. Caller MUST hold
     ``writer_lease(path)`` — this is the only code that touches
     ``.staging``/``.old``, and the lease is what keeps two writers
-    from interleaving those renames."""
+    from interleaving those renames. ``partition_by`` preserves a
+    hive layout through the swap (compact_parquet)."""
     import shutil
 
     staging = path + ".staging"
@@ -320,7 +391,10 @@ def _overwrite_swap_locked(df: DataFrame, path: str) -> None:
     # renames, leaving no live target but a complete backup.
     _recover_interrupted_swap(path)
     shutil.rmtree(staging, ignore_errors=True)
-    df.write.mode("overwrite").parquet(staging)  # fails => target untouched
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(staging)  # fails => target untouched
     shutil.rmtree(backup, ignore_errors=True)
     if os.path.exists(path):
         os.replace(path, backup)
@@ -442,13 +516,14 @@ def upsert_overwrite_parquet(
     the swap alone cannot prevent).
     """
     path = _target_path(table, options)
+    _validate_batch_keys(df, merge_keys, "upsert_overwrite_parquet")
     with writer_lease(path):
         # first-write ONLY on a true missing path; any other read error
         # aborts the upsert (see read_parquet_if_exists — a degraded
         # read here would silently drop all unmatched sink rows).
         existing = read_parquet_if_exists(spark, path, lease_held=True)
         if existing is None:
-            df.write.mode("overwrite").parquet(path)
+            _first_write_swap(df, path)
             return
         kept = existing.join(
             df.select(*merge_keys).distinct(), on=list(merge_keys), how="left_anti"
@@ -505,6 +580,7 @@ def scd2_upsert_parquet(
         F.lit(None).cast("timestamp").alias("__valid_to"),
         F.lit(True).alias("__is_current"),
     )
+    _validate_batch_keys(df, key_cols, "scd2_upsert_parquet")
     with writer_lease(path):
         _scd2_upsert_locked(spark, df, path, as_version, key_cols, compare, data_cols, ts)
 
@@ -512,9 +588,14 @@ def scd2_upsert_parquet(
 def _scd2_upsert_locked(spark, df, path, as_version, key_cols, compare, data_cols, ts):
     existing = read_parquet_if_exists(spark, path, lease_held=True)
     if existing is None:
-        as_version.write.mode("overwrite").parquet(path)
+        _first_write_swap(as_version, path)
         return
 
+    # persist: the merge reads `existing` through four independent
+    # subtrees (history + the two join arms' filters + cur_marked) —
+    # unpersisted, one upsert paid ~4x the sink-scan I/O the docstring
+    # budgets as "one scan of the sink"
+    existing = existing.persist()
     current = existing.filter(F.col("__is_current"))
     history = existing.filter(~F.col("__is_current"))
     keys = list(key_cols)
@@ -558,7 +639,10 @@ def _scd2_upsert_locked(spark, df, path, as_version, key_cols, compare, data_col
         F.lit(True).alias("__is_current"),
     )
     merged = history.unionByName(surviving).unionByName(closing).unionByName(incoming)
-    _overwrite_swap_locked(merged, path)
+    try:
+        _overwrite_swap_locked(merged, path)
+    finally:
+        existing.unpersist()
 
 
 def compact_parquet(
@@ -590,15 +674,54 @@ def compact_parquet(
             )
         n_files = max(1, -(-total // target_file_bytes))  # ceil division
         df = spark.read.parquet(path)
+        # PRESERVE a hive-partitioned layout: the read recovers
+        # col=value dirs as data columns, but a flat rewrite would
+        # destroy the directory structure — partition pruning (the
+        # module's stated 100 TB read contract) stops working, and a
+        # later dynamic-overwrite backfill would replace only matching
+        # partition dirs while the flattened root files survive,
+        # duplicating every backfilled row.
+        parts = _partition_cols_of(path)
+        if parts:
+            df = df.repartition(n_files, *[F.col(c) for c in parts])
+        else:
+            df = df.repartition(n_files)
         # the compacted copy goes through the SAME staged swap as every
         # overwrite (staging write materializes while the original is
         # still in place, then the .old two-rename) — so a crash at any
         # point is healed by the standard .old recovery path; a private
         # rename convention here would be a backup no recovery knows.
-        _overwrite_swap_locked(df.repartition(n_files), path)
-        return len(
-            [f for f in os.listdir(path) if f.endswith(".parquet")]
+        _overwrite_swap_locked(df, path, partition_by=parts or None)
+        return sum(
+            1
+            for _root, _dirs, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
         )
+
+
+def _partition_cols_of(path: str) -> list[str]:
+    """The hive partition column chain of an on-disk layout, inferred
+    from ``col=value`` directory names level by level (empty when the
+    directory is flat). Driver-side listing only."""
+    cols: list[str] = []
+    cur = path
+    while True:
+        try:
+            subs = [
+                d
+                for d in os.listdir(cur)
+                if "=" in d and os.path.isdir(os.path.join(cur, d))
+            ]
+        except OSError:
+            return cols
+        if not subs:
+            return cols
+        names = {d.split("=", 1)[0] for d in subs}
+        if len(names) != 1:
+            return cols  # not a clean hive layout: stop descending
+        cols.append(names.pop())
+        cur = os.path.join(cur, subs[0])
 
 
 def backfill_partitions(
@@ -622,18 +745,22 @@ def backfill_partitions(
     is proportional to the range, not the table.
     """
     path = _target_path(table, options)
-    mode_key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(mode_key, "static")
-    spark.conf.set(mode_key, "dynamic")
-    try:
+    # under the lease like every other writer: racing a compaction or
+    # an overwrite-swap on the same table, the dynamic overwrite would
+    # otherwise commit partition dirs into a directory the swap is
+    # about to rename away — silently lost. The overwrite mode is a
+    # PER-WRITE option, not a session conf: the previous session-level
+    # set leaked "dynamic" to every concurrent write on this session
+    # for the duration (turning unrelated static partitioned
+    # overwrites into partial ones mid-flight).
+    with writer_lease(path):
         (
             df.filter((F.col(partition_col) >= lo) & (F.col(partition_col) <= hi))
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partition_col)
             .parquet(path)
         )
-    finally:
-        spark.conf.set(mode_key, prev)
 
 
 def idempotent_append_parquet(
@@ -647,10 +774,16 @@ def idempotent_append_parquet(
 
     Fixes the reference's replay-duplication (append after crash
     between load and watermark write re-inserts rows, SURVEY.md §2.C
-    #5). Implemented as a left-anti join against the existing keys;
-    the new batch (small) is the probe side and existing keys are
-    column-pruned, so the plan at scale is
-    scan(sink, keys only) -> anti-join(broadcast new batch).
+    #5). Implemented as a left-anti join with the new batch as the
+    stream side and the sink's column-pruned DISTINCT key set as the
+    build side (LeftAnti only builds right, so the batch itself is
+    never the broadcast — the key-only scan of the sink is what keeps
+    the build side small). Honest scale bound: the build side grows
+    with the SINK's distinct keys; when that no longer fits a hash
+    relation the plan degrades to a shuffled anti-join, and the true
+    at-scale replay fence is the manifest table's ``merge_keys`` /
+    ``txn`` commit (sinks/manifest.py), which skips by key range and
+    transaction mark without scanning keys at all.
     """
     path = _target_path(table, options)
     # the lease makes the read-check-append atomic: two concurrent
@@ -662,9 +795,13 @@ def idempotent_append_parquet(
         # aborts the append (a degraded read would replay duplicates).
         sink = read_parquet_if_exists(spark, path, lease_held=True)
         existing = None if sink is None else sink.select(*merge_keys).distinct()
-        out = (
-            df
-            if existing is None
-            else df.join(existing, on=list(merge_keys), how="left_anti")
-        )
+        if existing is None:
+            # first write via stage + rename: a crashed plain append
+            # leaves path holding only _temporary, and the next read
+            # is UNABLE_TO_INFER_SCHEMA, not first-write (see
+            # _first_write_swap). Later appends are safe: the commit
+            # protocol only publishes files at job commit.
+            _first_write_swap(df, path)
+            return
+        out = df.join(existing, on=list(merge_keys), how="left_anti")
         out.write.mode("append").parquet(path)

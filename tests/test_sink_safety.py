@@ -307,3 +307,72 @@ def test_zorder_layout_narrows_per_file_spans(spark):
             # 16 z-range files over a 64x64 grid = ~16x16 rectangles;
             # round-robin files span the whole ~63 either way
             assert mean_span(zpath, col) < mean_span(rpath, col) * 0.5, col
+
+
+def test_upsert_rejects_duplicate_and_null_batch_keys(spark, tmp_path):
+    """r9 review: a batch with two rows for one key previously left
+    TWO rows in the SCD1 sink (breaking one-row-per-key), and SCD2
+    would fork the version chain with two open 'current' rows — the
+    corruption its own docstring calls unrepairable. Both upserts now
+    reject duplicate or NULL batch keys loudly, the manifest merge's
+    contract."""
+    from etl_data_pipeline_spark.sinks import scd2_upsert_parquet
+
+    path = str(tmp_path / "t")
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "k long, v string")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        upsert_overwrite_parquet(spark, dup, "t", {"path": path}, ("k",))
+    with pytest.raises(ValueError, match="duplicate keys"):
+        scd2_upsert_parquet(
+            spark, dup, "t", {"path": path}, ("k",), "2024-01-01 00:00:00"
+        )
+    nul = spark.createDataFrame([(None, "a")], "k long, v string")
+    with pytest.raises(ValueError, match="NULL"):
+        upsert_overwrite_parquet(spark, nul, "t", {"path": path}, ("k",))
+    assert not os.path.exists(path)  # nothing was written
+
+
+def test_first_write_failure_leaves_target_absent(spark, tmp_path):
+    """r9 review: first writes went straight to the target, so a crash
+    mid-job left a footerless directory whose next read is
+    UNABLE_TO_INFER_SCHEMA — not first-write — bricking the sink until
+    manual deletion. First writes are now staged + renamed: a failed
+    write leaves the target ABSENT and the replay clean."""
+    path = str(tmp_path / "t")
+
+    @F.udf("long")
+    def boom(x):
+        raise RuntimeError("boom")
+
+    bad = spark.range(3).select(F.col("id").alias("k"), boom("id").alias("v"))
+    with pytest.raises(Exception):
+        upsert_overwrite_parquet(spark, bad, "t", {"path": path}, ("k",))
+    assert not os.path.exists(path)  # crashed first write: no debris target
+    good = spark.createDataFrame([(1, 2)], "k long, v long")
+    upsert_overwrite_parquet(spark, good, "t", {"path": path}, ("k",))
+    assert read_parquet_if_exists(spark, path).count() == 1
+
+
+def test_compact_preserves_partition_layout(spark, tmp_path):
+    """r9 review: compaction read a hive-partitioned table (partition
+    dirs recovered as data columns) but rewrote it FLAT, destroying
+    partition pruning and priming later dynamic-overwrite backfills to
+    duplicate rows. Compaction now re-infers the col=value chain and
+    rewrites through partitionBy."""
+    from etl_data_pipeline_spark.sinks import compact_parquet, write_partitioned
+
+    path = str(tmp_path / "pt")
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}", f"v{i}") for i in range(30)],
+        "k long, day string, v string",
+    )
+    write_partitioned(df, "pt", {"path": path}, ["day"])
+    compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("day=")
+    ) == ["day=d0", "day=d1", "day=d2"]
+    back = spark.read.parquet(path)
+    assert back.count() == 30
+    assert {r.day for r in back.select("day").distinct().collect()} == {
+        "d0", "d1", "d2",
+    }
