@@ -35,7 +35,11 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_data_pipeline_spark.schema import validate_schema
-from etl_data_pipeline_spark.sinks import idempotent_append_parquet, write_sink
+from etl_data_pipeline_spark.sinks import (
+    _target_path,
+    idempotent_append_parquet,
+    write_sink,
+)
 from etl_data_pipeline_spark.sources import jdbc_incremental_dbtable, read_source
 from etl_data_pipeline_spark.spec import PipelineSpec, TableSpec
 from etl_data_pipeline_spark.watermark import (
@@ -116,9 +120,46 @@ class IncrementalPipeline:
     # -- single table -------------------------------------------------
 
     def run_table(self, t: TableSpec) -> TableRunResult:
+        self._validate_sink_config(t)
         if t.source_format == "manifest" and t.watermark_type == "version":
             return self._run_table_version_feed(t)
         return self._run_table_column_watermark(t)
+
+    @staticmethod
+    def _validate_sink_config(t: TableSpec) -> None:
+        """Pure-config sink contract, checked BEFORE any data work.
+        Previously the upsert check sat after the empty gate, the
+        checkpoint materialization, and the expectations gate — so an
+        all-quarantined (or empty) batch returned early, advancing the
+        watermark and masking the static misconfiguration until some
+        later batch happened to carry clean rows.
+
+        - mode 'upsert' requires manifest + merge_keys: a silent
+          append degrade would duplicate every updated key — the exact
+          corruption upsert exists to prevent.
+        - merge_keys with a non-manifest sink require parquet: the
+          idempotent append WRITES parquet, so csv/json/orc/avro/xml
+          with merge_keys would silently produce parquet files under
+          the declared format's path (and jdbc would die on a
+          KeyError) — reject the combination loudly instead."""
+        if t.sink_options.get("mode") == "upsert" and (
+            t.sink_format != "manifest" or not t.merge_keys
+        ):
+            raise ValueError(
+                f"table {t.name}: sink mode 'upsert' requires "
+                f"sink_format='manifest' AND merge_keys "
+                f"(got format={t.sink_format!r}, "
+                f"merge_keys={t.merge_keys!r})"
+            )
+        if t.merge_keys and t.sink_format not in ("manifest", "parquet"):
+            raise ValueError(
+                f"table {t.name}: merge_keys are honored via the manifest "
+                f"content fence or the parquet idempotent append; "
+                f"sink_format={t.sink_format!r} with merge_keys would "
+                f"silently write parquet under the declared format's "
+                f"target — use sink_format 'manifest' or 'parquet', or "
+                f"drop merge_keys"
+            )
 
     def _run_table_version_feed(self, t: TableSpec) -> TableRunResult:
         """Version-keyed incremental copy from a manifest-table source:
@@ -143,13 +184,31 @@ class IncrementalPipeline:
         merge_keys the resync is idempotent, rows deleted upstream are
         retained downstream — the documented append-only contract).
         """
-        from etl_data_pipeline_spark.sinks.manifest import read_changes, read_manifest
+        from etl_data_pipeline_spark.sinks.manifest import (
+            FeedBrokenError,
+            VacuumedError,
+            read_changes,
+            read_manifest,
+        )
 
         opts = dict(t.source_options)
-        src_path = opts.get("path") or os.path.join(opts["dir"], t.name)
+        src_path = _target_path(t.name, opts)
         raw = self.store.get(t.name)
+        if raw is None:
+            # EITHER the genuine first run (sink absent — the guard
+            # passes and the replay builds it) OR a lost/corrupted
+            # watermark store against a populated sink, where a
+            # full-feed plain append would duplicate every row: the
+            # same guard every other replaying degrade path takes
+            # (previously this path alone skipped it — r9 review).
+            self._guard_resync_duplication(t, "missing version watermark")
         try:
-            since = max(0, int(raw)) if raw is not None else 0
+            # a NEGATIVE recorded version is corruption, not progress:
+            # treat like any unparseable value (the old max(0, ...)
+            # silently clamped it into an unguarded full feed)
+            since = int(raw) if raw is not None else 0
+            if since < 0:
+                raise ValueError(f"negative version watermark {raw!r}")
         except (TypeError, ValueError):
             log.warning(
                 "table %s: unparseable version watermark %r — degrading to"
@@ -199,16 +258,16 @@ class IncrementalPipeline:
             return TableRunResult(t.name, "skipped_empty", rows=0)
         try:
             df = read_changes(self.spark, src_path, since, until_version=head)
-        except (ValueError, FileNotFoundError) as e:
+        except (FeedBrokenError, VacuumedError) as e:
             # two recoverable feed breaks, one recovery: an OVERWRITE
             # in range (append-only semantics gone) or the consumer
             # falling behind retention (its since-snapshot VACUUMED).
             # Either way the feed cannot produce the delta; the only
             # consistent answer is the SNAPSHOT at the pinned head
             # (idempotent under merge keys). Anything else propagates.
-            msg = str(e)
-            if "overwrite" not in msg and "vacuumed" not in msg:
-                raise
+            # TYPED classes, not message sniffing: a table path that
+            # happens to contain 'overwrite' must not route an
+            # unrelated error into a full-snapshot resync (r9 review).
             from etl_data_pipeline_spark.sinks.manifest import read_table
 
             log.warning(
@@ -225,7 +284,30 @@ class IncrementalPipeline:
             return TableRunResult(
                 t.name, "skipped_empty", rows=0, new_watermark=head
             )
-        if t.merge_keys and t.sink_format == "manifest":
+        if t.expectations:
+            # same gate as the column path (this path previously
+            # skipped it entirely — the configured quality contract
+            # silently unenforced for version-feed tables, r9 review).
+            # Batch key = the frozen SINCE version: stable across
+            # replays of the same delta, so quarantine overwrites the
+            # same batch=* subdir.
+            df = self._apply_expectations(t, df, since)
+            if df is None:  # drop mode, zero clean rows
+                self.store.set(t.name, head)
+                return TableRunResult(
+                    t.name, "loaded", rows=0, new_watermark=head
+                )
+        if (
+            t.merge_keys
+            and t.sink_format == "manifest"
+            and t.sink_options.get("mode") == "upsert"
+        ):
+            # CDC feed: later versions REPLACE same-key rows — the
+            # content-fence append would anti-join the changed rows
+            # away and keep stale values forever (this path previously
+            # ignored mode='upsert' silently, r9 review)
+            self._merge_upsert_sink(t, df)
+        elif t.merge_keys and t.sink_format == "manifest":
             write_sink(
                 df, "manifest", t.name, {**t.sink_options, "merge_keys": t.merge_keys}
             )
@@ -348,19 +430,8 @@ class IncrementalPipeline:
                         t.name, "loaded", rows=0, new_watermark=new_wm
                     )
 
-            if t.sink_options.get("mode") == "upsert" and (
-                t.sink_format != "manifest" or not t.merge_keys
-            ):
-                # misconfiguration must fail LOUDLY: an upsert intent
-                # silently degrading to append would duplicate every
-                # updated key — the exact corruption upsert exists to
-                # prevent
-                raise ValueError(
-                    f"table {t.name}: sink mode 'upsert' requires "
-                    f"sink_format='manifest' AND merge_keys "
-                    f"(got format={t.sink_format!r}, "
-                    f"merge_keys={t.merge_keys!r})"
-                )
+            # sink config already validated in run_table (pure config,
+            # checked before any data work)
             if (
                 t.merge_keys
                 and t.sink_format == "manifest"
@@ -428,8 +499,7 @@ class IncrementalPipeline:
             )
         opts = t.sink_options
         qdir = opts.get("quarantine_dir") or (
-            (opts.get("path") or os.path.join(opts.get("dir", "."), t.name))
-            + "_quarantine"
+            _target_path(t.name, {"dir": ".", **opts}) + "_quarantine"
         )
         batch_key = (
             re.sub(r"[^0-9A-Za-z._-]", "_", str(batch_wm))
@@ -517,7 +587,7 @@ class IncrementalPipeline:
                 "sinks.manifest.merge_upsert directly with a per-run "
                 "version)"
             )
-        path = opts.get("path") or os.path.join(opts["dir"], t.name)
+        path = _target_path(t.name, opts)
         batch = df
         if t.is_incremental and t.watermark_column:
             tiebreak = [
@@ -551,7 +621,7 @@ class IncrementalPipeline:
         if t.sink_format not in ("parquet", "csv", "json", "orc", "manifest"):
             return False
         opts = t.sink_options
-        path = opts.get("path") or os.path.join(opts["dir"], t.name)
+        path = _target_path(t.name, opts)
         if t.sink_format == "manifest":
             # A bare path-exists probe is a false negative here: the
             # table dir can exist with no committed version (rm -rf

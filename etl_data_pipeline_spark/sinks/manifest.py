@@ -70,6 +70,22 @@ from pyspark.sql import DataFrame, SparkSession
 from etl_data_pipeline_spark.sinks import writer_lease
 
 MANIFEST = "MANIFEST.json"
+
+
+class FeedBrokenError(ValueError):
+    """read_changes cannot produce the requested delta because an
+    overwrite/merge dropped directories inside the range — consumers
+    must re-sync from a full snapshot. A TYPED class (not message
+    sniffing): the message embeds the table path, and a path that
+    happens to contain 'overwrite' must not be classified as a feed
+    break by substring matching (r9 review)."""
+
+
+class VacuumedError(FileNotFoundError):
+    """A pinned version's snapshot was reclaimed by retention; same
+    typing rationale as FeedBrokenError."""
+
+
 _VERSION_RE = re.compile(r"v(\d{8})")
 
 
@@ -664,7 +680,7 @@ def _load_snapshot(table_dir: str, version: int, cur: dict) -> dict:
             os.path.join(table_dir, "_manifests")
         ) and os.path.isdir(os.path.join(table_dir, legacy)):
             return {"version": version, "dirs": [legacy], "schema": None}
-        raise FileNotFoundError(
+        raise VacuumedError(
             f"version {version} of {table_dir!r} was vacuumed"
         ) from None
 
@@ -728,7 +744,7 @@ def read_changes(
         if m.get("data_change", True):
             removed = prev - dirs
             if removed:
-                raise ValueError(
+                raise FeedBrokenError(
                     f"change feed of {table_dir!r} broken by an "
                     f"overwrite/merge at version {v} (directories "
                     f"{sorted(removed)} dropped); re-sync from a full "

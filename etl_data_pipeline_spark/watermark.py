@@ -71,12 +71,33 @@ class WatermarkStore:
             return {}
 
     def _write_all(self, state: dict[str, str]) -> None:
-        # atomic publish (write-temp + rename) so a crash mid-write
-        # never corrupts state — the batch analog of checkpointing
+        # atomic DURABLE publish: write-temp + fsync + rename + dir
+        # fsync. The rename alone survives a process crash but not a
+        # power loss shortly after exit — on ext4/xfs the renamed file
+        # can surface zero-length, _read_all then returns {} and every
+        # table degrades to full load (duplicating rows on plain
+        # append sinks). Same protocol as the writer-lease sidecar.
         fd, tmp = tempfile.mkstemp(dir=str(self.path.parent), suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(state, f)
-        os.replace(tmp, self.path)
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(state, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self.path)
+        except BaseException:
+            try:
+                os.unlink(tmp)  # don't leak the temp on a failed dump
+            except OSError:
+                pass
+            raise
+        try:
+            dfd = os.open(str(self.path.parent), os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            pass  # directory fsync is best-effort (not supported everywhere)
 
     def get(self, table: str) -> str | None:
         """Stored watermark as a string, or None (≙ Variable.get default_var=None)."""

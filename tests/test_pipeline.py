@@ -732,3 +732,143 @@ def test_pipeline_version_feed_over_partitioned_source(spark, sf_dir, tmp_path):
     assert sink.count() == orders.count()
     assert dict(sink.dtypes)["bucket"] == "int"  # recorded type survives
     assert sink.filter("bucket = 3").count() == orders.filter("bucket = 3").count()
+
+
+def test_version_feed_honors_upsert_mode(spark, tmp_path):
+    """r9 review: a CDC-configured version feed (manifest sink, mode=
+    'upsert') previously fell into the content-fence append, which
+    anti-joins CHANGED rows away by key — updates silently dropped,
+    stale values kept forever. The version-feed path now routes
+    mode='upsert' to the row-level merge like the column path."""
+    from etl_data_pipeline_spark.sinks.manifest import commit as mcommit
+    from etl_data_pipeline_spark.sinks.manifest import read_table as mread
+
+    src_dir = str(tmp_path / "msrc")
+    src_t = os.path.join(src_dir, "kv")
+    mcommit(spark.createDataFrame([(1, "old"), (2, "b")], "k long, v string"), src_t)
+
+    spec = PipelineSpec(
+        tables=[
+            TableSpec(
+                name="kv",
+                watermark_type="version",
+                source_format="manifest",
+                source_options={"dir": src_dir},
+                sink_format="manifest",
+                sink_options={"dir": str(tmp_path / "sink"), "mode": "upsert"},
+                merge_keys=("k",),
+            )
+        ]
+    )
+    store = WatermarkStore(tmp_path / "wm.json")
+    pipe = IncrementalPipeline(spark, spec, store)
+    assert pipe.run()[0].status == "loaded"
+    # a NEW VERSION of key 1 arrives in the feed
+    mcommit(
+        spark.createDataFrame([(1, "new")], "k long, v string"), src_t, mode="append"
+    )
+    assert pipe.run()[0].status == "loaded"
+    got = {
+        (r.k, r.v)
+        for r in mread(spark, os.path.join(str(tmp_path / "sink"), "kv")).collect()
+    }
+    assert got == {(1, "new"), (2, "b")}  # replaced, not stale
+
+
+def test_version_feed_runs_expectations(spark, tmp_path):
+    """r9 review: the version-feed path skipped the expectations gate
+    entirely — a configured quality contract was silently unenforced
+    for manifest/version tables. It now runs the same gate as the
+    column path."""
+    from etl_data_pipeline_spark.expectations import Expectation, ExpectationError
+    from etl_data_pipeline_spark.sinks.manifest import commit as mcommit
+
+    src_dir = str(tmp_path / "msrc")
+    mcommit(
+        spark.createDataFrame([(1, None)], "k long, v string"),
+        os.path.join(src_dir, "kv"),
+    )
+    spec = PipelineSpec(
+        tables=[
+            TableSpec(
+                name="kv",
+                watermark_type="version",
+                source_format="manifest",
+                source_options={"dir": src_dir},
+                sink_options={"dir": str(tmp_path / "sink")},
+                merge_keys=("k",),
+                expectations=(Expectation.not_null("v"),),
+                expectations_mode="fail",
+            )
+        ]
+    )
+    store = WatermarkStore(tmp_path / "wm.json")
+    r = IncrementalPipeline(spark, spec, store).run()[0]
+    assert r.status == "failed" and "violate expectations" in (r.error or "")
+    assert store.get("kv") is None  # watermark frozen on failure
+
+
+def test_merge_keys_with_non_parquet_sink_rejected(spark, tmp_path):
+    """r9 review: merge_keys with sink_format='csv' silently wrote
+    PARQUET under the declared CSV target (idempotent append is
+    parquet-only). The combination is now rejected as pure config,
+    before any data work."""
+    from etl_data_pipeline_spark.sinks.manifest import commit as mcommit
+
+    src_dir = str(tmp_path / "msrc")
+    mcommit(
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+        os.path.join(src_dir, "kv"),
+    )
+    spec = PipelineSpec(
+        tables=[
+            TableSpec(
+                name="kv",
+                watermark_type="version",
+                source_format="manifest",
+                source_options={"dir": src_dir},
+                sink_format="csv",
+                sink_options={"dir": str(tmp_path / "sink")},
+                merge_keys=("k",),
+            )
+        ]
+    )
+    store = WatermarkStore(tmp_path / "wm.json")
+    r = IncrementalPipeline(spark, spec, store).run()[0]
+    assert r.status == "failed" and "merge_keys" in (r.error or "")
+
+
+def test_version_feed_missing_watermark_guards_populated_sink(spark, tmp_path):
+    """r9 review: a LOST watermark (store corrupted -> raw None)
+    against a populated plain-append sink previously replayed the full
+    feed unguarded, duplicating every row. The missing-watermark path
+    now takes the same resync guard as every other replaying degrade
+    path (a genuine first run still passes: its sink is absent)."""
+    from etl_data_pipeline_spark.sinks.manifest import commit as mcommit
+
+    src_dir = str(tmp_path / "msrc")
+    mcommit(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        os.path.join(src_dir, "kv"),
+    )
+    spec = PipelineSpec(
+        tables=[
+            TableSpec(
+                name="kv",
+                watermark_type="version",
+                source_format="manifest",
+                source_options={"dir": src_dir},
+                sink_options={"dir": str(tmp_path / "sink")},
+                # no merge_keys: plain append — replay would duplicate
+            )
+        ]
+    )
+    store = WatermarkStore(tmp_path / "wm.json")
+    pipe = IncrementalPipeline(spark, spec, store)
+    assert pipe.run()[0].status == "loaded"  # first run: sink absent, fine
+    assert spark.read.parquet(str(tmp_path / "sink" / "kv")).count() == 2
+    store.clear("kv")  # simulate a lost/corrupted watermark store
+    r = pipe.run()[0]
+    assert r.status == "failed" and "duplicate" in (r.error or "")
+    # sink untouched by the refused replay
+    assert spark.read.parquet(str(tmp_path / "sink" / "kv")).count() == 2
