@@ -1196,7 +1196,7 @@ def _sem_planes_used(n_centroids: int) -> int:
     return min(max(max(n_centroids, 1).bit_length() - 1, 2), SEM_LSH_MAX_PLANES)
 
 
-def sem_bucket_array(vcol, mask: int):
+def sem_bucket_array(vcol, mask: int, seed_offset: int = SEM_SEED_OFFSET):
     """ALL shortlist tables' hyperplane buckets for one vector, as ONE
     array expression: per-element sign bit · 2^(i mod P), then
     per-table slice sums mod ``mask``. Batching every table's planes
@@ -1213,7 +1213,7 @@ def sem_bucket_array(vcol, mask: int):
     sign_strs = [
         "".join("+" if x > 0 else "-" for x in plane)
         for t in range(SEM_LSH_TABLES)
-        for plane in _planes(P, seed=PLANES_SEED + SEM_SEED_OFFSET + t)
+        for plane in _planes(P, seed=PLANES_SEED + seed_offset + t)
     ]
     weighted = F.transform(
         F.array(*[F.lit(x) for x in sign_strs]),
@@ -1242,7 +1242,12 @@ def sem_bucket_array(vcol, mask: int):
     )
 
 
-def sem_scored(e: DataFrame, c0: DataFrame, n_centroids: int | None = None) -> DataFrame:
+def sem_scored(
+    e: DataFrame,
+    c0: DataFrame,
+    n_centroids: int | None = None,
+    seed_offset: int = SEM_SEED_OFFSET,
+) -> DataFrame:
     """The shortlist + scoring half of ``sem_assign``: hyperplane-
     bucket candidate generation followed by rounded-cosine scoring of
     ONLY the same-bucket (vector, centroid) pairs. Exposed separately
@@ -1260,7 +1265,13 @@ def sem_scored(e: DataFrame, c0: DataFrame, n_centroids: int | None = None) -> D
     ``n_centroids``: the centroid count, for callers that already know
     it — the streaming ingest scores every micro-batch against the
     SAME frozen quantizer, and re-deriving the constant here would run
-    a blocking count() job per batch. None (the default) counts."""
+    a blocking count() job per batch. None (the default) counts.
+
+    ``seed_offset``: the hyperplane seed family. The default is the
+    standard shortlist; a RESCUE pass over bucket-miss vectors (r10,
+    embedding_kmeans_coverage) re-shortlists with an independent seed
+    family — a second OR-construction draw over only the missed
+    remainder, O(misses) not O(N·K)."""
     from etl_data_pipeline_spark.llm.vector import dot as _vdot
 
     # scalar centroid count, not a data collect
@@ -1268,11 +1279,15 @@ def sem_scored(e: DataFrame, c0: DataFrame, n_centroids: int | None = None) -> D
     mask = 1 << _sem_planes_used(k)
     vkeys = e.select(
         "vec_id",
-        F.posexplode(sem_bucket_array(F.col("v"), mask)).alias("tbl", "bucket"),
+        F.posexplode(sem_bucket_array(F.col("v"), mask, seed_offset)).alias(
+            "tbl", "bucket"
+        ),
     )
     ckeys = c0.select(
         "centroid_id",
-        F.posexplode(sem_bucket_array(F.col("cv"), mask)).alias("tbl", "bucket"),
+        F.posexplode(sem_bucket_array(F.col("cv"), mask, seed_offset)).alias(
+            "tbl", "bucket"
+        ),
     )
     cand = (
         vkeys.join(ckeys, ["tbl", "bucket"])
@@ -1328,7 +1343,11 @@ def sem_assign(e: DataFrame, c0: DataFrame) -> DataFrame:
 
 
 def sem_bucket_sql_arms(
-    table: str, id_col: str, vexpr: str, mask_cte: str = "pp"
+    table: str,
+    id_col: str,
+    vexpr: str,
+    mask_cte: str = "pp",
+    seed_offset: int = SEM_SEED_OFFSET,
 ) -> str:
     """The DuckDB rendering of sem_bucket_array over any relation:
     UNION ALL arms ``SELECT {id_col}, t AS tbl, bucket FROM {table}``
@@ -1344,7 +1363,7 @@ def sem_bucket_sql_arms(
 
     return "\n            UNION ALL ".join(
         f"SELECT {id_col}, {t} AS tbl,"
-        f" ({sql_bucket_expr(_planes(SEM_LSH_MAX_PLANES, seed=PLANES_SEED + SEM_SEED_OFFSET + t), vexpr=vexpr)})"
+        f" ({sql_bucket_expr(_planes(SEM_LSH_MAX_PLANES, seed=PLANES_SEED + seed_offset + t), vexpr=vexpr)})"
         f" % (SELECT mask FROM {mask_cte}) AS bucket FROM {table}"
         for t in range(SEM_LSH_TABLES)
     )

@@ -187,6 +187,19 @@ def _ivf_sem_build(
     (vec_id, v[, label], cell), ``aranked`` the persisted scored
     shortlist (vec_id, centroid_id, cc, arank)."""
     e = _ivf_corpus(spark, sf_dir, with_label)
+    return _ivf_sem_build_from(e, with_label, centroid_mod, centroid_rem)
+
+
+def _ivf_sem_build_from(
+    e: DataFrame,
+    with_label: bool = False,
+    centroid_mod: int = QUERY_MOD,
+    centroid_rem: int = CENTROID_MOD_REMAINDER,
+):
+    """_ivf_sem_build's assignment half over a caller-supplied corpus
+    (vec_id, v[, label], nrm) — the derived-corpus entry point (the
+    clustered recall fixture builds its corpus from a deterministic
+    transform, not a parquet load)."""
     c0 = tracked_persist(_seed_centroids(e, centroid_mod, centroid_rem))
     # Persisted: consumed by BOTH the corpus assignment (arank = 1)
     # and the query probe list (arank <= nprobe) — an index structure
@@ -409,6 +422,71 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _unfiltered_recall_tail(e, assigned, aranked)
 
 
+CLUSTERED_SPAN = 20     # vectors per synthetic cluster (vec_id blocks)
+CLUSTERED_NOISE = 0.25  # within-cluster spread vs the +-1 center entries
+# integer center-sign mix constants: pure BIGINT arithmetic, so both
+# engines compute bit-identical centers (a libm sin/cos seed would
+# risk 1-ulp cross-engine sign flips)
+_CLUSTERED_MULT_CID = 1000003
+_CLUSTERED_MULT_DIM = 7919
+_CLUSTERED_PRIME = 104729
+
+
+def _clustered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A DETERMINISTIC mixture-of-clusters embedding corpus derived
+    from the embeddings table (r9 verdict item 1): every recall number
+    the family shipped before r10 was measured on the near-uniform
+    worst case, where IVF recall is structurally poor — a user
+    evaluating the ANN saw only those numbers, while the regime IVF
+    exists for (embeddings WITH structure) had no fixture at all.
+
+    Construction: vec_id block c = floor(vec_id / CLUSTERED_SPAN)
+    picks a cluster; its center is a +-1-entry vector whose signs come
+    from integer arithmetic on (c, dim) — cross-engine bit-identical,
+    unlike a seeded trig mix; the original embedding becomes the
+    within-cluster noise at CLUSTERED_NOISE scale (entries ~+-0.33, so
+    |noise| << |center| = sqrt(dim) and same-cluster cosines sit near
+    1 while cross-center cosines scatter around +-1/sqrt(dim)). Each
+    element rounds to 6 dp so the DuckDB replay matches exactly.
+    Map-only columnar arithmetic — no shuffle, no UDF."""
+    base = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    cid = F.floor(F.col("vec_id") / CLUSTERED_SPAN).cast("long")
+
+    def center_sign(i):
+        mix = (
+            (cid + 1) * _CLUSTERED_MULT_CID + (i + 1) * _CLUSTERED_MULT_DIM
+        ) % _CLUSTERED_PRIME
+        return F.when(mix * 2 < _CLUSTERED_PRIME, F.lit(1.0)).otherwise(
+            F.lit(-1.0)
+        )
+
+    v = F.transform(
+        "x",
+        lambda x, i: hround(center_sign(i) + F.lit(CLUSTERED_NOISE) * x, 6),
+    )
+    return tracked_persist(
+        base.select("vec_id", v.alias("v")).withColumn(
+            "nrm", F.sqrt(_dot(F.col("v"), F.col("v")))
+        )
+    )
+
+
+def sim_ann_ivf_clustered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ann_recall's exact pipeline — same centroids rule, same
+    shortlist kernel, same probe depths, same capped workload — run on
+    the CLUSTERED derived corpus: the accountability pair's other
+    half. sim_ann_recall prices the worst case (near-uniform vectors,
+    where recall@3 at sf0.1 is ~0.1-0.25); this query demonstrates the
+    regime the index is FOR, where cluster-mates co-bucket and
+    co-assign and the probed cells contain the true neighbors.
+    BASELINE.md's r10 recall table records both curves side by side."""
+    e = _clustered_corpus(spark, sf_dir)
+    _, assigned, aranked = _ivf_sem_build_from(e)
+    return _unfiltered_recall_tail(e, assigned, aranked)
+
+
 def _unfiltered_recall_tail(
     e: DataFrame, assigned: DataFrame, aranked: DataFrame
 ) -> DataFrame:
@@ -483,10 +561,11 @@ def _ivf_trained_build(spark: SparkSession, sf_dir: str):
     Vectors whose buckets hold no centroid sit out the mean update
     (and are unindexed afterwards), exactly as at query time.
 
-    Returns (e, assigned, aranked) with the same contracts as
-    _ivf_sem_build, but cells/probes ranked against the REFINED
-    centroid set c1 (per-dim means of each seed cell, rounded 6 dp —
-    deterministic in both engines, the embedding_kmeans recipe).
+    Returns (e, assigned, aranked, c1) with the same contracts as
+    _ivf_sem_build plus the REFINED centroid set c1 itself (per-dim
+    means of each seed cell, rounded 6 dp — deterministic in both
+    engines, the embedding_kmeans recipe); c1 is what a rescue pass
+    re-shortlists against (embedding_kmeans_coverage).
 
     Built FROM _ivf_sem_build (the seed assignment IS the untrained
     build's rank-1 shortlist) + the shared _rank_shortlist /
@@ -517,7 +596,7 @@ def _ivf_trained_build(spark: SparkSession, sf_dir: str):
         )
     )
     aranked = tracked_persist(_rank_shortlist(e, c1))
-    return e, _assigned_from(aranked, e), aranked
+    return e, _assigned_from(aranked, e), aranked, c1
 
 
 def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -531,7 +610,7 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_ann_ivf (top-3 per query at nprobe=1, deterministic
     tiebreaks); sim_ann_ivf_trained_recall measures what the training
     step buys on this corpus."""
-    e, assigned, aranked = _ivf_trained_build(spark, sf_dir)
+    e, assigned, aranked, _c1 = _ivf_trained_build(spark, sf_dir)
     qcells = _ivf_probes(e, aranked, 1).drop("probe_rank")
     pairs = assigned.join(
         F.broadcast(qcells),
@@ -547,7 +626,7 @@ def sim_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     accountability row for sim_ann_ivf_trained, directly comparable to
     sim_ann_recall's untrained curve: their difference IS the value of
     the Lloyd step on this corpus."""
-    e, assigned, aranked = _ivf_trained_build(spark, sf_dir)
+    e, assigned, aranked, _c1 = _ivf_trained_build(spark, sf_dir)
     return _unfiltered_recall_tail(e, assigned, aranked)
 
 
@@ -1401,7 +1480,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations = the same stage repeated; one is enough to pin the
     algorithm end-to-end for the harness.
     """
-    e, _, aranked = _ivf_trained_build(spark, sf_dir)
+    e, _, aranked, _c1 = _ivf_trained_build(spark, sf_dir)
     best = aranked.filter(F.col("arank") == 1).select(
         "vec_id",
         F.col("centroid_id").alias("cluster"),
@@ -1411,6 +1490,70 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.coalesce(F.col("cluster"), F.lit(-1).cast("long")).alias("cluster"),
         "cosine",
+    )
+
+
+KMEANS_RESCUE_SEED_OFFSET = 300  # independent plane family for the
+# rescue round: disjoint from the standard shortlist tables
+# (SEM_SEED_OFFSET=100) and dedup_embedding_cosine's (offset 0), so
+# the rescue draw is a genuinely second OR-construction sample
+
+
+def embedding_kmeans_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACCOUNTABILITY for the shortlist assignment's bucket-miss
+    semantic (r9 verdict item 3): embedding_kmeans / the IVF family
+    report cluster -1 for a vector whose hyperplane buckets hold no
+    centroid, but the MISS FRACTION itself was reported nowhere — a
+    user can't tell whether the pruned index drops 0.1% or 15% of the
+    corpus. This query prices it, and prices the RESCUE: a second
+    shortlist round over ONLY the missed remainder with an independent
+    hyperplane seed family (a fresh OR-construction draw —
+    sem_scored(seed_offset=KMEANS_RESCUE_SEED_OFFSET)). The rescue is
+    O(misses · tables), never O(N·K): assigned vectors are anti-joined
+    away BEFORE the second round, which a test pins via the plan
+    (tests/test_r10_additions.py).
+
+    One row: total_vectors, n_assigned, n_missed (first round),
+    n_rescued (second round found >=1 candidate), n_still_missed, and
+    the two fractions a capacity plan needs — miss_frac (what -1
+    semantics cost without rescue) and final_miss_frac (with it).
+    Fully oracled: both rounds are deterministic seeded-plane
+    arithmetic replayed by the shared CTEs + a seed-offset arm."""
+    from etl_data_pipeline_spark.llm.dedup import sem_scored
+
+    e, _assigned, aranked, c1 = _ivf_trained_build(spark, sf_dir)
+    assigned_ids = aranked.filter(F.col("arank") == 1).select("vec_id")
+    missed = e.join(assigned_ids, "vec_id", "left_anti").select(
+        "vec_id", "v", "nrm"
+    )
+    rescued_ids = (
+        sem_scored(missed, c1, seed_offset=KMEANS_RESCUE_SEED_OFFSET)
+        .select("vec_id")
+        .distinct()
+    )
+    flags = (
+        e.select("vec_id")
+        .join(assigned_ids.withColumn("a", F.lit(1)), "vec_id", "left")
+        .join(rescued_ids.withColumn("r", F.lit(1)), "vec_id", "left")
+    )
+    return flags.agg(
+        F.count("*").alias("total_vectors"),
+        F.count("a").alias("n_assigned"),
+        F.count(F.when(F.col("a").isNull(), 1)).alias("n_missed"),
+        F.count("r").alias("n_rescued"),
+        F.count(F.when(F.col("a").isNull() & F.col("r").isNull(), 1)).alias(
+            "n_still_missed"
+        ),
+    ).select(
+        "total_vectors",
+        "n_assigned",
+        "n_missed",
+        "n_rescued",
+        "n_still_missed",
+        hround(F.col("n_missed") / F.col("total_vectors"), 6).alias("miss_frac"),
+        hround(F.col("n_still_missed") / F.col("total_vectors"), 6).alias(
+            "final_miss_frac"
+        ),
     )
 
 
@@ -1446,11 +1589,13 @@ QUERIES = {
     "sim_ann_ivfpq": sim_ann_ivfpq,
     "sim_ann_ivfpq_recall": sim_ann_ivfpq_recall,
     "sim_ann_recall": sim_ann_recall,
+    "sim_ann_ivf_clustered_recall": sim_ann_ivf_clustered_recall,
     "embedding_covariance": embedding_covariance,
     "embedding_pca_power": embedding_pca_power,
     "embedding_pca_project": embedding_pca_project,
     "sim_topk": sim_topk,
     "embedding_kmeans": embedding_kmeans,
+    "embedding_kmeans_coverage": embedding_kmeans_coverage,
     "embedding_quantize": embedding_quantize,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
@@ -1511,7 +1656,26 @@ def _oracle_sim_ann_lsh() -> str:
     """
 
 
-def _ivf_sem_sql_ctes(with_label: bool = False, trained: bool = False) -> str:
+def _clustered_corpus_sql() -> str:
+    """The DuckDB body of the ``e`` CTE replaying _clustered_corpus:
+    same integer center-sign mix, same noise scale, same 6 dp
+    rounding, reassembled in dim order."""
+    return f"""SELECT vec_id,
+                   list(floor((CASE WHEN ((CAST(floor(vec_id / {CLUSTERED_SPAN}) AS BIGINT) + 1) * {_CLUSTERED_MULT_CID}
+                                      + (dim + 1) * {_CLUSTERED_MULT_DIM}) % {_CLUSTERED_PRIME} * 2 < {_CLUSTERED_PRIME}
+                               THEN 1.0 ELSE -1.0 END
+                               + {CLUSTERED_NOISE} * val) * 1000000 + 0.5) / 1000000
+                        ORDER BY dim) AS v
+            FROM (SELECT vec_id, unnest(range(len(embedding))) AS dim,
+                         unnest(embedding::DOUBLE[]) AS val FROM embeddings)
+            GROUP BY vec_id"""
+
+
+def _ivf_sem_sql_ctes(
+    with_label: bool = False,
+    trained: bool = False,
+    corpus_sql: str | None = None,
+) -> str:
     """The ANN-assisted IVF assignment replay as a CTE chain ending in
     ``aranked(vec_id, centroid_id, cc, arank)`` (the scored centroid
     shortlist per vector) and ``assigned(vec_id, v[, label], cell)``
@@ -1536,8 +1700,12 @@ def _ivf_sem_sql_ctes(with_label: bool = False, trained: bool = False) -> str:
     vk_arms, ck_arms = sem_assign_sql_arms()
     label = ", label" if with_label else ""
     elabel = ", e.label" if with_label else ""
+    e_body = (
+        corpus_sql
+        or f"SELECT vec_id, embedding::DOUBLE[] AS v{label} FROM embeddings"
+    )
     head = f"""
-        WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v{label} FROM embeddings),
+        WITH e AS MATERIALIZED ({e_body}),
         c0 AS MATERIALIZED (SELECT vec_id AS centroid_id, v AS cv FROM e
               WHERE vec_id % {QUERY_MOD} = {CENTROID_MOD_REMAINDER}),
         pp AS MATERIALIZED ({SEM_ASSIGN_MASK_SQL}
@@ -1716,7 +1884,9 @@ def _oracle_sim_ann_ivf_filtered_recall() -> str:
     """
 
 
-def _oracle_sim_ann_recall(trained: bool = False) -> str:
+def _oracle_sim_ann_recall(
+    trained: bool = False, corpus_sql: str | None = None
+) -> str:
     cos = (
         "floor(({a} /"
         " (sqrt(list_dot_product({x}, {x})) *"
@@ -1727,7 +1897,7 @@ def _oracle_sim_ann_recall(trained: bool = False) -> str:
         return cos.format(a=f"list_dot_product({x}, {y})", x=x, y=y)
 
     values = ", ".join(f"({n})" for n in RECALL_NPROBES)
-    return f"""{_ivf_sem_sql_ctes(trained=trained)}, q AS (
+    return f"""{_ivf_sem_sql_ctes(trained=trained, corpus_sql=corpus_sql)}, q AS (
             SELECT vec_id AS query_id, v AS qv FROM e
             WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {RECALL_QUERY_CAP}
         ), qcells AS (
@@ -1945,6 +2115,49 @@ def _oracle_embedding_kmeans() -> str:
     """
 
 
+def _oracle_embedding_kmeans_coverage() -> str:
+    """The coverage/rescue replay: the shared trained-IVF chain
+    (assigned = first-round survivors), the missed remainder, then the
+    rescue round's shortlist arms at the INDEPENDENT seed family
+    (KMEANS_RESCUE_SEED_OFFSET) against the same refined centroids c1
+    under the same count-derived mask (pp1)."""
+    from etl_data_pipeline_spark.llm.dedup import sem_bucket_sql_arms
+
+    rk_arms = sem_bucket_sql_arms(
+        "missed", "vec_id", "v", mask_cte="pp1",
+        seed_offset=KMEANS_RESCUE_SEED_OFFSET,
+    )
+    ck2_arms = sem_bucket_sql_arms(
+        "c1", "centroid_id", "cv", mask_cte="pp1",
+        seed_offset=KMEANS_RESCUE_SEED_OFFSET,
+    )
+    return f"""{_ivf_sem_sql_ctes(trained=True)}, missed AS MATERIALIZED (
+            SELECT e.vec_id, e.v FROM e
+            LEFT JOIN assigned a ON a.vec_id = e.vec_id
+            WHERE a.vec_id IS NULL
+        ), rk AS MATERIALIZED (
+            {rk_arms}
+        ), ck2 AS MATERIALIZED (
+            {ck2_arms}
+        ), rescued AS MATERIALIZED (
+            SELECT DISTINCT rk.vec_id
+            FROM rk JOIN ck2 ON rk.tbl = ck2.tbl AND rk.bucket = ck2.bucket
+        ), n AS (
+            SELECT (SELECT count(*) FROM e) AS total_vectors,
+                   (SELECT count(*) FROM assigned) AS n_assigned,
+                   (SELECT count(*) FROM missed) AS n_missed,
+                   (SELECT count(*) FROM rescued) AS n_rescued
+        )
+        SELECT total_vectors, n_assigned, n_missed, n_rescued,
+               n_missed - n_rescued AS n_still_missed,
+               floor((n_missed::DOUBLE / total_vectors) * 1000000 + 0.5)
+                   / 1000000 AS miss_frac,
+               floor(((n_missed - n_rescued)::DOUBLE / total_vectors)
+                     * 1000000 + 0.5) / 1000000 AS final_miss_frac
+        FROM n
+    """
+
+
 def _pca_cte_chain() -> tuple[str, str]:
     """The shared unrolled power-iteration CTE chain: covariance
     (verbatim from the embedding_covariance oracle, mirrored to the
@@ -2045,6 +2258,7 @@ ORACLE = {
     "sim_ann_ivfpq": _oracle_sim_ann_ivfpq(),
     "sim_ann_ivfpq_recall": _oracle_sim_ann_ivfpq_recall(),
     "embedding_kmeans": _oracle_embedding_kmeans(),
+    "embedding_kmeans_coverage": _oracle_embedding_kmeans_coverage(),
     "embedding_quantize": """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         m AS (SELECT vec_id, v,
@@ -2060,6 +2274,7 @@ ORACLE = {
         FROM m
     """,
     "sim_ann_recall": _oracle_sim_ann_recall(),
+    "sim_ann_ivf_clustered_recall": _oracle_sim_ann_recall(corpus_sql=_clustered_corpus_sql()),
     "embedding_pca_power": _oracle_pca_power(),
     "embedding_pca_project": _oracle_pca_project(),
     "embedding_covariance": """

@@ -80,71 +80,17 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # hoisted to the very front regardless of family (the harness
     # checks only a ~50-entry prefix per round, so the hoist rotates
     # stale evidence back into the check window).
-    # Round-9 rotation (round-8 VERDICT items 1 + 3): first the 2
-    # queries REGISTERED this round (trained IVF pair — no driver row
-    # by definition), then the 5 whose ANSWERS changed (IVF family +
-    # embedding_kmeans, all re-routed through the sem_scored shortlist
-    # kernel — their r8 evidence describes the old dense plan), then
-    # the base order from `python tools/evidence_freshness.py --hoist
-    # 60`: the 11 r4-stale queries, then the r5-stale tail in
-    # CORRECTNESS_r05 key order. ~60 names > the ~50-entry window, so
-    # the tail rolls to the r10 rotation; the freshness tool recomputes
-    # the exact cut each round. Every hoisted query also re-passed this
-    # session's local sf0.01 gate (and sf3 for the changed family).
+    # Round-10 rotation (round-9 VERDICT item 2): first any queries
+    # REGISTERED this round (no driver evidence yet), then the 12
+    # r5-stale queries the verdict lists, then the r6-stale tail in
+    # `python tools/evidence_freshness.py --hoist 60` order. ~60 names
+    # > the ~50-entry window, so the tail rolls to the r11 rotation;
+    # the freshness tool recomputes the exact cut each round.
     hoist = [
-        # brand-new in r9 (no driver evidence yet) — first priority
-        "sim_ann_ivf_trained",
-        "sim_ann_ivf_trained_recall",
-        # answers changed in r9 (ANN-assisted IVF/Lloyd assignment)
-        "sim_ann_ivf",
-        "sim_ann_recall",
-        "sim_ann_ivf_filtered",
-        "sim_ann_ivf_filtered_recall",
-        "embedding_kmeans",
-        "sim_topk",
-        # r4-stale (the round-8 verdict's staleness tail), then r5-stale
-        "agg_mode",
-        "agg_boolean",
-        "agg_histogram",
-        "events_funnel",
-        "events_retention",
-        "events_resample_ffill",
-        "events_transition_matrix",
-        "events_anomaly_zscore",
-        "profile_table_quality",
-        "timeseries_user_sim",
-        "agg_collect",
-        "tpch_q10ish",
-        "tpch_q12ish",
-        "tpch_q19ish",
-        "tpch_q20ish",
-        "tpch_q21ish",
-        "subq_exists_lateship",
-        "subq_not_exists_quiet_parts",
-        "subq_corr_scalar_avgqty",
-        "subq_in_heavy_orders",
-        "subq_nested_max_revenue",
-        "agg_promo_share",
-        "text_duplicate_spans",
-        "scalar_date",
-        "scalar_math",
-        "scalar_case_null",
-        "scalar_array",
-        "scalar_json",
-        "sort_limit",
-        "topk_per_group",
-        "set_union",
-        "set_intersect",
-        "set_except",
-        "dedup_exact",
-        "window_rank",
-        "window_time_range",
-        "window_first_last",
-        "window_running",
-        "window_lag_lead",
-        "window_range_frame",
-        "window_distribution",
-        "udf_scalar",
+        # brand-new in r10 (no driver evidence yet) — first priority
+        "embedding_kmeans_coverage",
+        "sim_ann_ivf_clustered_recall",
+        # r5-stale (the round-9 verdict's staleness tail)
         "udf_pandas",
         "cdc_compact_latest",
         "expectations_report",
@@ -157,6 +103,55 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "embedding_quantize",
         "sim_ann_lsh",
         "embedding_centroids",
+        # r6-stale tail (evidence_freshness --hoist 60 order)
+        "tpch_q2ish",
+        "tpch_q11ish",
+        "tpch_q7ish",
+        "tpch_q8ish",
+        "tpch_q9ish",
+        "subq_q22ish",
+        "join_count_distribution",
+        "recsys_negative_samples",
+        "events_decayed_value",
+        "corpus_quality_resample",
+        "events_conversion_sessions",
+        "events_sessionize",
+        "stream_tumbling",
+        "stream_sliding",
+        "stream_session",
+        "stream_watermark_late",
+        "stream_dedup",
+        "stream_join_attribution",
+        "agg_pivot",
+        "unpivot_metrics",
+        "pipeline_corpus_curation_v2",
+        "corpus_mix_weights",
+        "corpus_split",
+        "corpus_pack_sequences",
+        "pipeline_corpus_curation",
+        "text_contamination",
+        "text_pii_scrub",
+        "text_repetition",
+        "text_stats",
+        "text_tfidf",
+        "text_chunks",
+        "text_normalize",
+        "text_top_tokens",
+        "text_tokens",
+        "text_lang_id",
+        "text_quality",
+        "text_fingerprint",
+        "multimodal_decode_header",
+        "multimodal_resize_plan",
+        "multimodal_frame_sample",
+        "multimodal_binary_meta",
+        "multimodal_decode_stub",
+        "scalar_string",
+        "scalar_map",
+        "agg_approx_distinct_bounds",
+        "agg_approx_percentile_bounds",
+        "udaf_grouped",
+        "udaf_segment_trend",
     ]
     ordered = {name: queries[name] for name in hoist if name in queries}
     ordered.update(queries)

@@ -256,8 +256,22 @@ class IncrementalPipeline:
         if since >= head:
             log.info("table %s: no new versions, skipping load", t.name)
             return TableRunResult(t.name, "skipped_empty", rows=0)
+        # Merge-keyed sinks need the feed VERSION per row: a key
+        # updated in >=2 source versions inside one range yields
+        # duplicate merge keys in the unioned delta, and only the
+        # commit version orders them (a data watermark column, if any,
+        # orders by business time — which can keep a stale row when a
+        # correction re-emits a key with an older timestamp). The
+        # column is compacted away again before any sink write.
+        ver_col = "_feed_version" if t.merge_keys else None
         try:
-            df = read_changes(self.spark, src_path, since, until_version=head)
+            df = read_changes(
+                self.spark,
+                src_path,
+                since,
+                until_version=head,
+                version_column=ver_col,
+            )
         except (FeedBrokenError, VacuumedError) as e:
             # two recoverable feed breaks, one recovery: an OVERWRITE
             # in range (append-only semantics gone) or the consumer
@@ -275,8 +289,20 @@ class IncrementalPipeline:
             )
             self._guard_resync_duplication(t, "feed-break snapshot resync")
             df = read_table(self.spark, src_path, version=head)
+            if ver_col:
+                # one snapshot = one version; per-key ordering inside
+                # it is unknowable, so same-key duplicates (if the
+                # overwritten source kept any) still fail merge loudly
+                from pyspark.sql import functions as F
+
+                df = df.withColumn(ver_col, F.lit(head).cast("long"))
         if t.expected_schema:
-            df = validate_schema(df, t.expected_schema, allow_extra=True)
+            # validate_schema PROJECTS to the declared columns — keep
+            # the engine-attached feed-version column alongside them
+            validated = validate_schema(df, t.expected_schema, allow_extra=True)
+            df = (
+                df.select(*validated.columns, ver_col) if ver_col else validated
+            )
         if df.limit(1).count() == 0:
             # only layout/empty commits since the watermark: advance it
             # anyway so those manifests are never rescanned
@@ -297,6 +323,8 @@ class IncrementalPipeline:
                 return TableRunResult(
                     t.name, "loaded", rows=0, new_watermark=head
                 )
+        if ver_col:
+            df = self._compact_feed_versions(t, df, ver_col)
         if (
             t.merge_keys
             and t.sink_format == "manifest"
@@ -541,6 +569,36 @@ class IncrementalPipeline:
             return True
 
         return col if orderable(dtype) else F.to_json(col)
+
+    def _compact_feed_versions(self, t: TableSpec, df, ver_col: str):
+        """Last-write-wins compaction of a version feed's delta by the
+        SOURCE COMMIT VERSION: a key updated in >=2 source versions
+        since the watermark arrives as >=2 delta rows, and only the
+        feed version orders them — a data watermark column orders by
+        business time, which keeps a stale row when a correction
+        re-emits a key with an older timestamp. Ties (same key updated
+        twice in ONE commit, or an overwrite-resync snapshot where
+        every row carries the head version) break on the remaining
+        columns deterministically, so a replay after a mid-write crash
+        commits the same winner. The engine column is dropped before
+        any sink sees the batch. One window over the delta only —
+        O(batch log batch), never touches the sink table."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        tiebreak = [
+            self._tiebreak_expr(df.schema[c].dataType, F.col(c)).desc()
+            for c in df.columns
+            if c != ver_col and c not in t.merge_keys
+        ]
+        w = Window.partitionBy(*t.merge_keys).orderBy(
+            F.col(ver_col).desc(), *tiebreak
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", ver_col)
+        )
 
     def _merge_upsert_sink(self, t: TableSpec, df) -> None:
         """CDC upsert sink: ``sink_options={'mode': 'upsert'}`` on a

@@ -683,7 +683,55 @@ def compact_parquet(
         # duplicating every backfilled row.
         parts = _partition_cols_of(path)
         if parts:
-            df = df.repartition(n_files, *[F.col(c) for c in parts])
+            # Repartitioning by the partition columns ALONE would hash
+            # every row of one partition value to a single task — one
+            # output file per leaf dir regardless of size, silently
+            # ignoring target_file_bytes for any partition larger than
+            # it (ADVICE r9). Salt each partition value into
+            # ~target-sized buckets instead: bucket count per value is
+            # derived from its row share of the on-disk bytes (the
+            # sizing scan reads only partition columns — cheap), and a
+            # 1-bucket partition keeps salt 0, so small partitions
+            # still compact to one file.
+            from functools import reduce as _reduce
+
+            bux = df.groupBy(*parts).agg(F.count(F.lit(1)).alias("_rows"))
+            total_rows = bux.agg(F.sum("_rows")).first()[0]
+            bytes_per_row = total / max(1, total_rows or 0)
+            bux = bux.withColumn(
+                "_nb",
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(
+                        F.col("_rows") * F.lit(bytes_per_row)
+                        / F.lit(target_file_bytes)
+                    ),
+                ).cast("int"),
+            ).drop("_rows")
+            n_files = int(
+                bux.agg(F.sum("_nb")).first()[0] or 1
+            )
+            cond = _reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"d.{c}").eqNullSafe(F.col(f"b.{c}"))
+                    for c in parts
+                ],
+            )
+            df = (
+                df.alias("d")
+                .join(F.broadcast(bux).alias("b"), cond)
+                .select("d.*", F.col("b._nb"))
+                # rand(seed) not a data hash: hash() rejects MapType
+                # columns, and compaction only needs an even spread,
+                # not a replay-stable row->file map (file contents as
+                # a SET are identical either way)
+                .withColumn(
+                    "_salt", F.floor(F.rand(42) * F.col("_nb")).cast("int")
+                )
+                .repartition(n_files, *[F.col(c) for c in parts], F.col("_salt"))
+                .drop("_nb", "_salt")
+            )
         else:
             df = df.repartition(n_files)
         # the compacted copy goes through the SAME staged swap as every

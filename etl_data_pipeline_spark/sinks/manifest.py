@@ -690,6 +690,7 @@ def read_changes(
     table_dir: str,
     since_version: int,
     until_version: int | None = None,
+    version_column: str | None = None,
 ) -> DataFrame:
     """Change feed: the rows ADDED after ``since_version`` (Delta's
     readChangeFeed for the append-only case). With dir-list versions
@@ -718,7 +719,17 @@ def read_changes(
     feed bounded to it, and records exactly that version — a commit
     landing mid-read can then never produce rows the recorded
     watermark claims were not read.
+
+    ``version_column`` names an extra long column carrying the
+    manifest version whose commit ADDED each row (Delta CDF's
+    ``_commit_version`` analog). A merge-keyed consumer needs it: a
+    key updated in two source versions inside one feed range yields
+    two delta rows, and only the feed version says which one wins —
+    no data column carries that ordering. Costs nothing extra to
+    read: the same delta dirs, one literal per version.
     """
+    from pyspark.sql import functions as F
+
     cur = read_manifest(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no committed version in {table_dir!r}")
@@ -738,6 +749,7 @@ def read_changes(
     else:
         prev = set(_load_snapshot(table_dir, since_version, cur)["dirs"])
     added: list[str] = []
+    by_version: list[tuple[int, list[str]]] = []
     for v in range(since_version + 1, head + 1):
         m = _load_snapshot(table_dir, v, cur)
         dirs = set(m["dirs"])
@@ -750,7 +762,10 @@ def read_changes(
                     f"{sorted(removed)} dropped); re-sync from a full "
                     f"snapshot"
                 )
-            added.extend(d for d in m["dirs"] if d not in prev and d not in added)
+            new = [d for d in m["dirs"] if d not in prev and d not in added]
+            added.extend(new)
+            if new:
+                by_version.append((v, new))
         # layout-only versions shift the baseline without logical change
         prev = dirs
     # column set AS OF the feed's upper bound — cur's schema may have
@@ -765,9 +780,27 @@ def read_changes(
         # unions and writes see stable columns
         if schema:
             ddl = _ddl(schema)
-            return spark.createDataFrame([], ddl)
-        return _read_dirs(spark, table_dir, cur["dirs"], None).limit(0)
-    return _read_dirs(spark, table_dir, added, schema)
+            out = spark.createDataFrame([], ddl)
+        else:
+            out = _read_dirs(spark, table_dir, cur["dirs"], None).limit(0)
+        if version_column:
+            out = out.withColumn(version_column, F.lit(None).cast("long"))
+        return out
+    if version_column is None:
+        return _read_dirs(spark, table_dir, added, schema)
+    # one frame per COMMIT (not per dir): the version literal is the
+    # same for every dir a commit added, and the commit count in a feed
+    # range is small by construction (a consumer reading a 10k-version
+    # backlog should snapshot-resync, not feed)
+    frames = [
+        _read_dirs(spark, table_dir, dirs, schema).withColumn(
+            version_column, F.lit(v).cast("long")
+        )
+        for v, dirs in by_version
+    ]
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+    )
 
 
 def history(table_dir: str) -> list[dict]:

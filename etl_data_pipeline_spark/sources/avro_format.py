@@ -1614,6 +1614,25 @@ def _project_rows(rows: Iterator[tuple], proj: list | None) -> Iterator[tuple]:
     return (tuple(r[i] if i is not None else None for i in proj) for r in rows)
 
 
+class _ProjectionCache:
+    """Per-reader-instance memo of _writer_projection keyed by file
+    path (the read schema is fixed per reader). Splits of one file are
+    separate partitions, and without the memo each split's read() paid
+    a second full header open+parse on top of iter_block_rows' own —
+    an extra parse per 128 MiB split even when writer order already
+    matches (ADVICE r9). The cache only helps splits that land on the
+    same deserialized reader (same worker task batch), which is the
+    common local case; it is never required for correctness."""
+
+    def __init__(self):
+        self._memo: dict[str, list | None] = {}
+
+    def get(self, path: str, spark_schema) -> list | None:
+        if path not in self._memo:
+            self._memo[path] = _writer_projection(path, spark_schema)
+        return self._memo[path]
+
+
 class AvroBatchReader(DataSourceReader):
     def __init__(self, options: dict, schema=None):
         self.path = _opt(options, "path")
@@ -1626,6 +1645,7 @@ class AvroBatchReader(DataSourceReader):
             str(_opt(options, "vectorized", "true")).lower() != "false"
         )
         self.spark_schema = schema
+        self._proj_cache = _ProjectionCache()
 
     def partitions(self) -> Sequence[InputPartition]:
         files = _avro_files(self.path)
@@ -1661,7 +1681,7 @@ class AvroBatchReader(DataSourceReader):
                 )
         rows = iter_block_rows(partition.path, partition.start, partition.end)
         return _project_rows(
-            rows, _writer_projection(partition.path, self.spark_schema)
+            rows, self._proj_cache.get(partition.path, self.spark_schema)
         )
 
     def _arrow_plan(self, path: str):
@@ -1849,8 +1869,10 @@ class AvroStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _SplitPartition) -> Iterator[tuple]:
         rows = iter_block_rows(partition.path, partition.start, partition.end)
+        if not hasattr(self, "_proj_cache"):  # checkpoint-restored instance
+            self._proj_cache = _ProjectionCache()
         return _project_rows(
-            rows, _writer_projection(partition.path, self.spark_schema)
+            rows, self._proj_cache.get(partition.path, self.spark_schema)
         )
 
     def commit(self, end: dict) -> None:

@@ -579,6 +579,16 @@ def conversion_sessions_ooo(
             # old -1 sentinel was unreachable-but-fragile rather than
             # wrong; None removes the trap outright.)
             start_us, last_us, n, buf_ts, buf_id, buf_et = state.get
+            # READ-side compat coercion (ADVICE r9): checkpoints
+            # written by the pre-None code stored -1 routinely (any
+            # state persisted while all events were still buffered).
+            # A resume across that upgrade must not treat -1 as a real
+            # timestamp and emit bogus sessions; valid negatives are
+            # unreachable (see above), so -1 is unambiguous here.
+            if start_us is not None and start_us < 0:
+                start_us = None
+            if last_us is not None and last_us < 0:
+                last_us = None
             buf = list(zip(buf_ts, buf_id, buf_et))
         else:
             start_us = last_us = None
@@ -726,6 +736,13 @@ def session_funnel_ooo(
             # anyway)
             (start_us, last_us, n, t_view, t_click, t_purchase,
              buf_ts, buf_id, buf_et) = state.get
+            # READ-side compat coercion for pre-None checkpoints
+            # (ADVICE r9): old code stored -1; -1 is never a valid
+            # event time here, so coerce on read
+            start_us, last_us, t_view, t_click, t_purchase = (
+                None if v is not None and v < 0 else v
+                for v in (start_us, last_us, t_view, t_click, t_purchase)
+            )
             buf = list(zip(buf_ts, buf_id, buf_et))
         else:
             start_us = last_us = t_view = t_click = t_purchase = None
@@ -867,7 +884,14 @@ def _fenced_merge_swap(
     literal), so the previous full-table F.max scan per micro-batch
     paid O(table) I/O to recover a constant. (run_incremental_dedup
     keeps its own body: its rows retain their ORIGINAL batch ids, so
-    max() there is genuinely required.)"""
+    max() there is genuinely required.)
+
+    CONTRACT (ADVICE r9): every caller must rewrite the WHOLE table
+    each batch with one uniform last_batch_id literal — a sink that
+    kept per-row batch ids would under-read the fence here and
+    double-count replays. The uniform-id invariant is asserted under
+    ETL_DEBUG_FENCE=1 (a distinct-count over the fence column — too
+    expensive per micro-batch to run unconditionally)."""
     from etl_data_pipeline_spark.sinks import (
         _overwrite_swap_locked,
         read_parquet_if_exists,
@@ -876,6 +900,18 @@ def _fenced_merge_swap(
 
     with writer_lease(agg_path):
         existing = read_parquet_if_exists(spark, agg_path, lease_held=True)
+        if existing is not None and os.environ.get("ETL_DEBUG_FENCE") == "1":
+            ndistinct = (
+                existing.select("last_batch_id").distinct().limit(2).count()
+            )
+            if ndistinct > 1:
+                raise AssertionError(
+                    f"_fenced_merge_swap contract violated at {agg_path!r}: "
+                    f"rows carry >1 distinct last_batch_id — this helper "
+                    f"requires whole-table rewrites with one uniform fence "
+                    f"id (per-row batch ids need a max() fence, see "
+                    f"run_incremental_dedup)"
+                )
         row = (
             existing.select("last_batch_id").first()
             if existing is not None
