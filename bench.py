@@ -147,6 +147,27 @@ def wait_for_quiet_host() -> tuple[float, bool]:
         time.sleep(min(15.0, budget - waited))
 
 
+def cpu_probe(spins: int = 3_000_000) -> float:
+    """Single-thread CPU throughput in Mops/s from a fixed pure-Python
+    spin loop — the machine-speed control BASELINE.md's r9 adjudication
+    ran ad hoc (rounds 8 AND 9 both burned judge effort on host-level
+    inflation that loadavg alone could not distinguish from a real
+    regression). Recorded in the bench JSON so a driver-vs-floor ratio
+    can be normalized by relative host speed: this loop has no I/O, no
+    allocation churn, and no JVM involvement, so its rate moves ONLY
+    with CPU contention / VM throttling. Reference quiet-host rate is
+    recorded alongside each floor in BASELINE.md."""
+    best = 0.0
+    for _ in range(3):  # best-of-3: immune to one descheduling blip
+        acc = 0
+        t0 = time.perf_counter()
+        for i in range(spins):
+            acc += i & 1023
+        dt = time.perf_counter() - t0
+        best = max(best, spins / dt / 1e6)
+    return round(best, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -157,6 +178,7 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     waited_sec, hot_host = wait_for_quiet_host()
+    cpu_mops_start = cpu_probe()  # before the JVM exists
 
     qs = entrymod.queries()
     spark = get_spark("bench")
@@ -200,6 +222,9 @@ def main() -> None:
                 "loadavg": [round(load_start, 2), round(os.getloadavg()[0], 2)],
                 "hot_host": hot_host,
                 "quiet_wait_sec": waited_sec,
+                # [before JVM startup, after the timed passes]: a pair
+                # brackets the run, so mid-run throttling is visible
+                "cpu_probe_mops": [cpu_mops_start, cpu_probe()],
             }
         )
     )

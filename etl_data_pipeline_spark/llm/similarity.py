@@ -573,7 +573,14 @@ def _ivf_trained_build(spark: SparkSession, sf_dir: str):
     line-for-line copy as a desynchronization hazard: every tiebreak
     and rounding here must stay bit-identical to the rest of the
     family for the shared oracle CTEs to hold."""
-    e, _seed_assigned, seed_aranked = _ivf_sem_build(spark, sf_dir)
+    return _ivf_trained_build_from(_ivf_corpus(spark, sf_dir))
+
+
+def _ivf_trained_build_from(e: DataFrame):
+    """_ivf_trained_build over a caller-supplied corpus (the
+    derived-corpus twin of _ivf_sem_build_from — the recall matrix
+    probe trains on the clustered fixture through this)."""
+    _, _seed_assigned, seed_aranked = _ivf_sem_build_from(e)
     a0 = seed_aranked.filter(F.col("arank") == 1).select(
         "vec_id", F.col("centroid_id").alias("cluster")
     )

@@ -263,6 +263,122 @@ def _split_top_level(s: str) -> list[str]:
     return parts
 
 
+# Unquoted-identifier case folding per engine — the round-trip
+# contract (r9 verdict item 8). An identifier created UNQUOTED folds
+# per the engine (ANSI/Derby fold UP, Postgres folds DOWN, MySQL
+# preserves table/column case as written on Linux defaults); a QUOTED
+# identifier preserves case everywhere. The silent failure this table
+# exists to prevent: create "myTable" quoted on Postgres, reference it
+# unquoted later -> the engine folds the reference to mytable ->
+# relation-not-found (or worse, a DIFFERENT same-named table).
+_UNQUOTED_FOLD: dict[str, str] = {
+    "ansi": "upper",
+    "derby": "upper",
+    "postgres": "lower",
+    "mysql": "preserve",
+}
+
+
+def jdbc_quote_ident(name: str, dialect: str = "ansi") -> str:
+    """Quote one identifier with the dialect's quote character,
+    doubling embedded quotes — case-preserving on every engine."""
+    if dialect not in _DIALECTS:
+        raise ValueError(
+            f"unknown JDBC dialect {dialect!r} (have {sorted(_DIALECTS)})"
+        )
+    q, _ = _DIALECTS[dialect]
+    return q + name.replace(q, q * 2) + q
+
+
+def jdbc_ident_round_trips(name: str, dialect: str = "ansi") -> bool:
+    """True when ``name`` survives an UNQUOTED create -> unquoted
+    reference unchanged on the dialect (i.e. the engine's fold maps it
+    to itself). False means the two spellings denote different
+    identifiers and the caller must quote BOTH sides (jdbc_quote_ident)
+    or normalize the name to the engine's fold. Pure config-time
+    arithmetic — lets a pipeline validate its table registry before
+    touching the database."""
+    fold = _UNQUOTED_FOLD.get(dialect)
+    if fold is None:
+        raise ValueError(
+            f"unknown JDBC dialect {dialect!r} (have {sorted(_UNQUOTED_FOLD)})"
+        )
+    if fold == "preserve":
+        return True
+    want = name.upper() if fold == "upper" else name.lower()
+    return name == want
+
+
+# SQLSTATE-based error classification (r9 verdict item 8): should the
+# pipeline RETRY a failed table run, or is the error permanent config/
+# data and retrying just burns the fan-out slot? Transient classes:
+# 08 (connection exception — server restart, network), 40 serialization
+# family (deadlock victims are retryable by definition), resource
+# classes (53 insufficient resources, 57 operator intervention during
+# failover, Derby's 40XL* lock timeouts). Permanent classes: 22 (data
+# exception), 23 (constraint violation), 28 (auth), 42 (syntax/object),
+# 3D/3F (catalog/schema). Unknown states classify FATAL: blind retry
+# of an unknown error loops a broken table forever, while a wrongly-
+# fatal transient error just surfaces one run earlier — the safe side.
+_RETRYABLE_SQLSTATES = {
+    "40001",  # serialization_failure / ER_LOCK_DEADLOCK / Derby deadlock
+    "40P01",  # postgres deadlock_detected
+    "40XL1",  # derby lock timeout
+    "40XL2",  # derby lock timeout with table details
+    "57P03",  # postgres cannot_connect_now (startup/failover window)
+    "57014",  # query_canceled (statement_timeout — admin throttling)
+    "HYT00",  # ODBC-convention timeout (some MySQL connectors)
+}
+_RETRYABLE_SQLSTATE_CLASSES = ("08", "53")
+_FATAL_SQLSTATE_CLASSES = ("22", "23", "28", "42", "3D", "3F", "0A")
+# MySQL reports most errors under SQLSTATE HY000; the errno is the
+# real signal (reference engine #1, util.py:111-187)
+_MYSQL_RETRYABLE_ERRNO = {
+    1040,  # ER_CON_COUNT_ERROR: too many connections
+    1205,  # ER_LOCK_WAIT_TIMEOUT
+    1213,  # ER_LOCK_DEADLOCK
+    2002,  # CR_CONNECTION_ERROR (socket)
+    2003,  # CR_CONN_HOST_ERROR
+    2006,  # CR_SERVER_GONE_ERROR
+    2013,  # CR_SERVER_LOST
+}
+_MYSQL_FATAL_ERRNO = {
+    1045,  # ER_ACCESS_DENIED_ERROR
+    1062,  # ER_DUP_ENTRY
+    1064,  # ER_PARSE_ERROR
+    1146,  # ER_NO_SUCH_TABLE
+}
+
+
+def jdbc_error_class(
+    sqlstate: str | None,
+    vendor_code: int | None = None,
+    dialect: str = "ansi",
+) -> str:
+    """Classify a JDBC failure as ``'retryable'`` (transient — retry
+    the table run) or ``'fatal'`` (permanent — fail the table, fix
+    config/data first). Inputs are java.sql.SQLException's getSQLState
+    / getErrorCode. MySQL consults the vendor errno first (its
+    SQLSTATEs collapse to HY000 for most server errors); everything
+    else classifies on the standard SQLSTATE, unknowns defaulting to
+    'fatal' (see the class tables above for why that is the safe
+    side)."""
+    if dialect == "mysql" and vendor_code is not None:
+        if vendor_code in _MYSQL_RETRYABLE_ERRNO:
+            return "retryable"
+        if vendor_code in _MYSQL_FATAL_ERRNO:
+            return "fatal"
+    if sqlstate:
+        s = sqlstate.upper()
+        if s in _RETRYABLE_SQLSTATES:
+            return "retryable"
+        if s.startswith(_RETRYABLE_SQLSTATE_CLASSES):
+            return "retryable"
+        if s.startswith(_FATAL_SQLSTATE_CLASSES):
+            return "fatal"
+    return "fatal"
+
+
 def jdbc_incremental_dbtable(
     table: str,
     column: str,

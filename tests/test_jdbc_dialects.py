@@ -362,3 +362,99 @@ def test_ddl_type_unknowns_raise():
         jdbc_ddl_type("bigint", "oracle")
     assert jdbc_ddl_type("decimal(38,18)", "postgres") == "DECIMAL(38,18)"
     assert jdbc_ddl_type("varchar(40)", "mysql") == "VARCHAR(40)"
+
+
+# ---- r10: identifier-case round-trips (VERDICT r9 item 8) ----------
+
+@pytest.mark.parametrize(
+    "dialect,name,want",
+    [
+        # ANSI/Derby fold unquoted identifiers UP
+        ("ansi", "ORDERS", True),
+        ("ansi", "orders", False),
+        ("derby", "ORDERS", True),
+        ("derby", "CamelCase", False),
+        # Postgres folds DOWN
+        ("postgres", "orders", True),
+        ("postgres", "ORDERS", False),
+        ("postgres", "CamelCase", False),
+        # MySQL preserves case as written (Linux defaults)
+        ("mysql", "CamelCase", True),
+        ("mysql", "orders", True),
+    ],
+)
+def test_ident_round_trips_golden(dialect, name, want):
+    from etl_data_pipeline_spark.sources import jdbc_ident_round_trips
+
+    assert jdbc_ident_round_trips(name, dialect) is want
+
+
+def test_quote_ident_golden():
+    from etl_data_pipeline_spark.sources import jdbc_quote_ident
+
+    assert jdbc_quote_ident("CamelCase", "postgres") == '"CamelCase"'
+    assert jdbc_quote_ident("CamelCase", "mysql") == "`CamelCase`"
+    # embedded quote chars double, never truncate/inject
+    assert jdbc_quote_ident('we"ird', "ansi") == '"we""ird"'
+    assert jdbc_quote_ident("we`ird", "mysql") == "`we``ird`"
+
+
+def test_quote_ident_executes_on_quoting_engines():
+    """The quoted spelling round-trips a case-sensitive name on real
+    parsers: DuckDB for ANSI/Postgres quoting, sqlite for MySQL
+    backticks (sqlite accepts them in compatibility mode)."""
+    from etl_data_pipeline_spark.sources import jdbc_quote_ident
+
+    con = duckdb.connect()
+    q = jdbc_quote_ident("CamelCase", "postgres")
+    con.execute(f"CREATE TABLE {q} (x INTEGER)")
+    con.execute(f"INSERT INTO {q} VALUES (1)")
+    assert con.execute(f"SELECT x FROM {q}").fetchall() == [(1,)]
+    # the unquoted reference folds (DuckDB is case-insensitive rather
+    # than folding, so assert via the quoted path only)
+
+    sq = sqlite3.connect(":memory:")
+    bq = jdbc_quote_ident("CamelCase", "mysql")
+    sq.execute(f"CREATE TABLE {bq} (x INTEGER)")
+    sq.execute(f"INSERT INTO {bq} VALUES (2)")
+    assert sq.execute(f"SELECT x FROM {bq}").fetchall() == [(2,)]
+
+
+# ---- r10: error-code classification (VERDICT r9 item 8) ------------
+
+@pytest.mark.parametrize(
+    "dialect,sqlstate,errno,want",
+    [
+        # connection class 08: transient everywhere
+        ("postgres", "08006", None, "retryable"),
+        ("mysql", "08S01", None, "retryable"),
+        ("derby", "08001", None, "retryable"),
+        # deadlock / serialization: retry by definition
+        ("postgres", "40001", None, "retryable"),
+        ("postgres", "40P01", None, "retryable"),
+        ("derby", "40001", None, "retryable"),
+        ("derby", "40XL1", None, "retryable"),
+        # resource pressure
+        ("postgres", "53300", None, "retryable"),
+        ("postgres", "57P03", None, "retryable"),
+        # MySQL: errno beats the collapsed HY000 sqlstate
+        ("mysql", "HY000", 1213, "retryable"),
+        ("mysql", "HY000", 1205, "retryable"),
+        ("mysql", "HY000", 2006, "retryable"),
+        ("mysql", "HY000", 1062, "fatal"),
+        ("mysql", "42000", 1064, "fatal"),
+        # permanent classes
+        ("postgres", "23505", None, "fatal"),
+        ("postgres", "42P01", None, "fatal"),
+        ("postgres", "28P01", None, "fatal"),
+        ("derby", "42X05", None, "fatal"),
+        ("ansi", "22003", None, "fatal"),
+        # unknown states classify fatal (no blind retry loops)
+        ("postgres", "XX000", None, "fatal"),
+        ("ansi", None, None, "fatal"),
+    ],
+)
+def test_error_class_golden(dialect, sqlstate, errno, want):
+    from etl_data_pipeline_spark.sources import jdbc_error_class
+
+    assert jdbc_error_class(sqlstate, errno, dialect) == want

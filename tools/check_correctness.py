@@ -33,6 +33,35 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+# The STANDING heavy-set answer gate (r8 established it; r9 verdict
+# item 7 made the list live here so re-gates cover later additions by
+# default): the queries whose 10x/100x ANSWER evidence the 100 TB
+# claim rests on. Run with `--heavy` against .scaledata/sf3 or sf10.
+HEAVY_SET = [
+    # r8 original 14
+    "tpch_q9ish",
+    "events_sessionize",
+    "pipeline_corpus_curation_v3",
+    "pipeline_corpus_curation_v2",
+    "pipeline_corpus_curation",
+    "dedup_substring_scrub",
+    "text_contamination_fuzzy",
+    "join_interval_overlap",
+    "basket_affinity",
+    "dedup_clusters",
+    "dedup_canonical",
+    "dedup_minhash_lsh",
+    "sim_ann_pq_adc",
+    "embedding_pca_project",
+    # r8/r9 registrations with only ad-hoc sf3/sf10 evidence
+    "sim_ann_ivf_trained",
+    "sim_ann_ivf_trained_recall",
+    "pipeline_dedup_report",
+    # r10 registrations
+    "sim_ann_ivf_clustered_recall",
+    "embedding_kmeans_coverage",
+]
+
 
 def norm_cell(v) -> str:
     if v is None:
@@ -68,8 +97,12 @@ def norm_frame(df: pd.DataFrame):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    heavy = "--heavy" in argv
+    if heavy:
+        argv.remove("--heavy")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:]) | (set(HEAVY_SET) if heavy else set())
 
     import __spark_entry__ as entrymod
     from etl_data_pipeline_spark.session import get_spark
