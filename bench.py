@@ -120,6 +120,11 @@ BENCH_QUERIES = [
     # shortlist-assisted Lloyd step + shortlist assignment, the
     # heaviest member of the re-routed IVF family
     "sim_ann_ivf_trained",
+    # round-10 addition (new floor; no earlier comparison exists):
+    # the clustered-corpus recall curve — the round's headline, and
+    # the corpus derivation + recall tail exercise transform-heavy
+    # columnar arithmetic no other headline query covers
+    "sim_ann_ivf_clustered_recall",
 ]
 
 

@@ -123,7 +123,19 @@ def tpch_q8ish(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q9ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 product-profit shape: profit by supplier nation x order year
     for parts whose name contains 'red'. Supply cost is proxied as 60%
-    of p_retailprice (no partsupp table in this schema)."""
+    of p_retailprice (no partsupp table in this schema).
+
+    The profit SUM runs in DECIMAL(28,6), not double (r10): this is
+    the registry's largest-magnitude float aggregate (~5x10^8 over
+    ~10^5 addends per group at sf3), where IEEE accumulation-order
+    noise (~1e-7) is enough to straddle a cent boundary after the 2 dp
+    round — caught by the sf3 heavy gate (506282836.84 vs .83). A
+    decimal sum is EXACT and order-independent, so both engines round
+    the identical value; per-row double->decimal conversion is
+    round-to-nearest of the same binary double in both. (TPC-H itself
+    types these columns DECIMAL — the double proxy was the shortcut.)
+    Result casts back to double so the driver-side dtype contract is
+    unchanged."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -138,7 +150,11 @@ def tpch_q9ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(hround(F.sum(profit), 2).alias("sum_profit"))
+        .agg(
+            hround(
+                F.sum(profit.cast("decimal(28,6)")).cast("double"), 2
+            ).alias("sum_profit")
+        )
     )
 
 
@@ -489,7 +505,9 @@ ORACLE = {
     "tpch_q9ish": f"""
         SELECT n_name AS nation, year(o_orderdate) AS o_year,
                {sql_round(
-                   f"sum({_REV_SQL} - 0.6 * p_retailprice * l_quantity)", 2)}
+                   "CAST(sum(CAST(" + _REV_SQL
+                   + " - 0.6 * p_retailprice * l_quantity"
+                   + " AS DECIMAL(28,6))) AS DOUBLE)", 2)}
                AS sum_profit
         FROM lineitem
         JOIN part     ON l_partkey = p_partkey

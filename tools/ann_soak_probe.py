@@ -76,11 +76,14 @@ def main() -> None:
             shutil.move(pf, os.path.join(src, f"chunk_{c:03d}.parquet"))
             shutil.rmtree(stage, ignore_errors=True)
 
-        # a fixed lookup workload: 8 indexed ids, re-queried throughout
+        # a fixed lookup workload: 8 ids from the QUERY residue class
+        # (vec_id % 100 == 0 — the workload contract every lookup
+        # shares; ids outside it are filtered to an empty probe set)
         some_ids = [
             r.vec_id
             for r in emb.select("vec_id")
-            .filter(F.col("vec_id") % 97 == 1)
+            .filter(F.col("vec_id") % 100 == 0)
+            .orderBy("vec_id")
             .limit(8)
             .collect()
         ]
