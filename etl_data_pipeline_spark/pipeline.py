@@ -95,6 +95,9 @@ class TableRunResult:
     rows: int | None = None
     new_watermark: Any | None = None
     error: str | None = None
+    # 'retryable' | 'fatal' when the failure carried a JDBC SQLSTATE /
+    # vendor code (sources.jdbc_error_class); None for non-JDBC errors
+    error_class: str | None = None
 
 
 class IncrementalPipeline:
@@ -714,9 +717,63 @@ class IncrementalPipeline:
     def _run_table_isolated(self, t: TableSpec) -> TableRunResult:
         self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", t.name)
         try:
-            return self.run_table(t)
-        except Exception as e:  # error isolation: log and continue (app.py:175-177)
-            log.exception("table %s failed", t.name)
-            return TableRunResult(t.name, "failed", error=str(e))
+            attempts = max(0, self.spec.transient_retries) + 1
+            for attempt in range(1, attempts + 1):
+                try:
+                    return self.run_table(t)
+                except Exception as e:  # isolation: log, classify, continue
+                    cls = self._jdbc_failure_class(t, e)
+                    if cls == "retryable" and attempt < attempts:
+                        # deadlock victim / dropped connection / lock
+                        # timeout: the run advanced no watermark and
+                        # the sinks absorb replays, so retrying in-run
+                        # is the same as the next scheduled run — just
+                        # sooner (see PipelineSpec.transient_retries)
+                        log.warning(
+                            "table %s: transient JDBC failure (%s), "
+                            "retry %d/%d: %s",
+                            t.name, cls, attempt, attempts - 1, e,
+                        )
+                        continue
+                    log.exception("table %s failed", t.name)
+                    return TableRunResult(
+                        t.name, "failed", error=str(e), error_class=cls
+                    )
+            raise AssertionError("unreachable")  # loop always returns
         finally:
             self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+    def _jdbc_failure_class(self, t: TableSpec, e: Exception) -> str | None:
+        """'retryable' | 'fatal' when a java.sql.SQLException (with a
+        SQLSTATE or vendor code) is found in the failure's Java cause
+        chain, classified per the table's JDBC dialect
+        (sources.jdbc_error_class); None when the failure carries no
+        JDBC signal (python errors, non-JDBC sinks). Never raises —
+        classification must not mask the original failure."""
+        from etl_data_pipeline_spark.sources import (
+            dialect_for_url,
+            jdbc_error_class,
+        )
+
+        try:
+            je = getattr(e, "java_exception", None)
+            for _ in range(10):  # bounded cause walk (cycles exist)
+                if je is None:
+                    return None
+                try:
+                    # py4j resolves methods lazily: probe by calling —
+                    # a non-SQLException node raises and we walk on
+                    state = je.getSQLState()
+                    code = je.getErrorCode()
+                except Exception:
+                    state, code = None, 0
+                if state is not None or code:
+                    opts = {**t.sink_options, **t.source_options}
+                    dialect = opts.get("dialect") or dialect_for_url(
+                        opts.get("url")
+                    ) or "ansi"
+                    return jdbc_error_class(state, code, dialect)
+                je = je.getCause() if hasattr(je, "getCause") else None
+        except Exception:
+            return None
+        return None

@@ -73,6 +73,14 @@ class TableSpec:
 class PipelineSpec:
     tables: list[TableSpec]
     max_parallel_tables: int = 4  # reference: Airflow concurrency=4 (dags/…:89-90)
+    # In-run retries for TRANSIENT JDBC failures only (deadlock victim,
+    # connection drop, lock timeout — sources.jdbc_error_class says
+    # which). 0 = reference behavior (fail the table, next scheduled
+    # run retries). Retrying is safe by the §2.C contract: a failed
+    # run never advances the watermark and every sink absorbs replays
+    # (staged swaps / merge keys / content fences), so an in-run retry
+    # is indistinguishable from the next scheduled run arriving early.
+    transient_retries: int = 0
 
     def enabled_tables(self) -> list[TableSpec]:
         return [t for t in self.tables if t.enabled]

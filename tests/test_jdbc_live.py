@@ -403,3 +403,26 @@ def test_error_classification_on_real_derby_sqlstates(spark, derby):
         st.close()
     finally:
         conn.close()
+
+
+def test_pipeline_error_class_from_real_derby_failure(spark, derby, tmp_path):
+    """r10: the pipeline's failure classification walks a REAL Py4J
+    cause chain — a JDBC read of a missing Derby table fails the
+    table with error_class='fatal' (42X05), proving the SQLSTATE
+    extraction works on genuine driver exceptions, not just the
+    python fakes."""
+    url, _ = derby
+    spec = PipelineSpec(
+        tables=[
+            TableSpec(
+                name="no_such_tbl",
+                source_format="jdbc",
+                source_options=_jdbc_opts(url, dbtable="no_such_tbl"),
+                sink_options={"dir": str(tmp_path / "sink")},
+            )
+        ]
+    )
+    store = WatermarkStore(tmp_path / "wm.json")
+    r = IncrementalPipeline(spark, spec, store).run()[0]
+    assert r.status == "failed"
+    assert r.error_class == "fatal", (r.error_class, r.error)

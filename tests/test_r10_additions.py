@@ -140,3 +140,102 @@ def test_vacuum_safe_during_live_ann_ingest(spark, sf_dir, tmp_path):
     # retention actually enforced: at most keep_last snapshots remain
     mdir = os.path.join(table_dir, "_manifests")
     assert len([f for f in os.listdir(mdir) if f.endswith(".json")]) <= 2
+
+
+def test_entropy_blocks_bounded_on_random_digit_corpus(spark, tmp_path):
+    """VERDICT r9 item 6 (assert half): on a realistic random-digit
+    key corpus the two-level entropy blocks stay small — the sf3
+    sequential-id tier's big blocks are a corpus artifact, not an
+    operator property. 5 000 hash-random 9-digit keys must produce a
+    max block orders below the 50 000 cap (the 450k-row probe reads
+    max 73; at 5k the bound is tighter still)."""
+    from pyspark.sql import functions as F
+
+    from etl_data_pipeline_spark.llm import dedup
+
+    n9 = F.lpad(
+        (F.abs(F.xxhash64(F.col("id"), F.lit(7))) % 1_000_000_000).cast("string"),
+        9,
+        "0",
+    )
+    cust = spark.range(5000).select(
+        F.col("id").alias("c_custkey"),
+        F.concat(F.lit("Customer#"), n9).alias("c_name"),
+    )
+    cust.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    keyed = dedup._entropy_keyed(spark, str(tmp_path))
+    max_block = (
+        keyed.groupBy("seg", "seg_val")
+        .agg(F.count("*").alias("sz"))
+        .agg(F.max("sz"))
+        .first()[0]
+    )
+    assert max_block < 100, max_block
+
+
+class _FakeSqlEx:
+    def __init__(self, state, code=0):
+        self._s, self._c = state, code
+
+    def getSQLState(self):
+        return self._s
+
+    def getErrorCode(self):
+        return self._c
+
+    def getCause(self):
+        return None
+
+
+class _FakeErr(Exception):
+    def __init__(self, state, code=0):
+        super().__init__(f"SQLSTATE {state}")
+        self.java_exception = _FakeSqlEx(state, code)
+
+
+def test_pipeline_classifies_jdbc_failures(spark, tmp_path):
+    """TableRunResult carries error_class when the failure chain holds
+    a JDBC SQLSTATE: fatal states surface as 'fatal', and with
+    transient_retries a 'retryable' state retries in-run (safe: no
+    watermark advanced, idempotent sinks)."""
+    from etl_data_pipeline_spark.pipeline import IncrementalPipeline
+    from etl_data_pipeline_spark.spec import PipelineSpec, TableSpec
+    from etl_data_pipeline_spark.watermark import WatermarkStore
+
+    t = TableSpec(name="kv", source_format="parquet",
+                  source_options={"dir": str(tmp_path)},
+                  sink_options={"dir": str(tmp_path / "sink")})
+    spec = PipelineSpec(tables=[t], transient_retries=2)
+    pipe = IncrementalPipeline(
+        spark, spec, WatermarkStore(tmp_path / "wm.json")
+    )
+
+    # fatal: no retry, classified
+    pipe.run_table = lambda _t: (_ for _ in ()).throw(_FakeErr("23505"))
+    r = pipe._run_table_isolated(t)
+    assert r.status == "failed" and r.error_class == "fatal"
+
+    # retryable: fails twice with a deadlock state, third attempt wins
+    calls = {"n": 0}
+
+    def flaky(_t):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise _FakeErr("40001")
+        from etl_data_pipeline_spark.pipeline import TableRunResult
+
+        return TableRunResult(_t.name, "loaded")
+
+    pipe.run_table = flaky
+    r = pipe._run_table_isolated(t)
+    assert r.status == "loaded" and calls["n"] == 3
+
+    # retryable but retries exhausted: classified failure
+    calls["n"] = -10  # never reaches 3 within the attempt budget
+    r = pipe._run_table_isolated(t)
+    assert r.status == "failed" and r.error_class == "retryable"
+
+    # non-JDBC failure: no classification
+    pipe.run_table = lambda _t: (_ for _ in ()).throw(ValueError("boom"))
+    r = pipe._run_table_isolated(t)
+    assert r.status == "failed" and r.error_class is None
