@@ -718,16 +718,39 @@ def compact_parquet(
                     for c in parts
                 ],
             )
+            # The salt must be DETERMINISTIC per row: a rand() salt in
+            # a repartition key recomputes differently when a failed
+            # map task retries, scattering the retried rows to
+            # different reducers than the original attempt — the
+            # SPARK-23207 lost/duplicated-rows class. xxhash64 over
+            # the data columns is retry-stable; map-typed columns
+            # (unhashable) ride through to_json, which is
+            # deterministic for the same row.
+            from pyspark.sql.types import MapType
+
+            def hashable(dt):
+                if isinstance(dt, MapType):
+                    return False
+                et = getattr(dt, "elementType", None)
+                if et is not None and not hashable(et):
+                    return False
+                fields = getattr(dt, "fields", None)
+                if fields is not None:
+                    return all(hashable(f.dataType) for f in fields)
+                return True
+
+            salt_cols = [
+                F.col(f.name) if hashable(f.dataType)
+                else F.to_json(F.col(f.name))
+                for f in df.schema.fields
+                if f.name not in parts
+            ] or [F.lit(0)]
             df = (
                 df.alias("d")
                 .join(F.broadcast(bux).alias("b"), cond)
                 .select("d.*", F.col("b._nb"))
-                # rand(seed) not a data hash: hash() rejects MapType
-                # columns, and compaction only needs an even spread,
-                # not a replay-stable row->file map (file contents as
-                # a SET are identical either way)
                 .withColumn(
-                    "_salt", F.floor(F.rand(42) * F.col("_nb")).cast("int")
+                    "_salt", F.pmod(F.xxhash64(*salt_cols), F.col("_nb"))
                 )
                 .repartition(n_files, *[F.col(c) for c in parts], F.col("_salt"))
                 .drop("_nb", "_salt")
