@@ -487,6 +487,21 @@ def sim_ann_ivf_clustered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _unfiltered_recall_tail(e, assigned, aranked)
 
 
+def sim_ann_ivf_clustered_trained_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The trained twin of sim_ann_ivf_clustered_recall — one Lloyd
+    step over the clustered corpus before cell assignment. This is the
+    configuration a deployment would actually run on structured
+    embeddings, and the number it should quote: recall@3 =
+    0.983/1.000/1.000 at nprobe 1/2/4 at sf0.1 (BASELINE.md r10
+    matrix), hash-oracled here so the headline is driver-proven, not
+    probe folklore."""
+    e = _clustered_corpus(spark, sf_dir)
+    _, assigned, aranked, _c1 = _ivf_trained_build_from(e)
+    return _unfiltered_recall_tail(e, assigned, aranked)
+
+
 def _unfiltered_recall_tail(
     e: DataFrame, assigned: DataFrame, aranked: DataFrame
 ) -> DataFrame:
@@ -1597,6 +1612,7 @@ QUERIES = {
     "sim_ann_ivfpq_recall": sim_ann_ivfpq_recall,
     "sim_ann_recall": sim_ann_recall,
     "sim_ann_ivf_clustered_recall": sim_ann_ivf_clustered_recall,
+    "sim_ann_ivf_clustered_trained_recall": sim_ann_ivf_clustered_trained_recall,
     "embedding_covariance": embedding_covariance,
     "embedding_pca_power": embedding_pca_power,
     "embedding_pca_project": embedding_pca_project,
@@ -2282,6 +2298,7 @@ ORACLE = {
     """,
     "sim_ann_recall": _oracle_sim_ann_recall(),
     "sim_ann_ivf_clustered_recall": _oracle_sim_ann_recall(corpus_sql=_clustered_corpus_sql()),
+    "sim_ann_ivf_clustered_trained_recall": _oracle_sim_ann_recall(trained=True, corpus_sql=_clustered_corpus_sql()),
     "embedding_pca_power": _oracle_pca_power(),
     "embedding_pca_project": _oracle_pca_project(),
     "embedding_covariance": """

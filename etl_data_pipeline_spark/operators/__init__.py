@@ -90,6 +90,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         # brand-new in r10 (no driver evidence yet) — first priority
         "embedding_kmeans_coverage",
         "sim_ann_ivf_clustered_recall",
+        "sim_ann_ivf_clustered_trained_recall",
         # r5-stale (the round-9 verdict's staleness tail)
         "udf_pandas",
         "cdc_compact_latest",

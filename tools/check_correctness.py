@@ -59,6 +59,7 @@ HEAVY_SET = [
     "pipeline_dedup_report",
     # r10 registrations
     "sim_ann_ivf_clustered_recall",
+    "sim_ann_ivf_clustered_trained_recall",
     "embedding_kmeans_coverage",
 ]
 
