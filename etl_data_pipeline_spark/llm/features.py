@@ -150,10 +150,172 @@ def corpus_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LR_BUCKETS = 32   # hashed bag-of-words dimensionality (fastText-style)
+LR_STEPS = 20     # fixed full-batch gradient steps (unrolled in the oracle)
+LR_RATE = 10.0    # learning rate — fixed, so the trajectory is replayable
+# (lr, K) chosen by measured descent on the fixture: (2, 5) stalls at
+# the base rate on every tier, (5, 10) separates sf0.01 (0.996) but
+# stalls at sf0.1, (10, 20) reaches train accuracy 1.0 at both —
+# the eval query pins it
+
+
+def _lr_design(spark: SparkSession, sf_dir: str):
+    """The shared design matrix of the LR trainer: (doc_id, y, j, x)
+    with j the md5-hashed token bucket, x = 1.0 when any token of the
+    doc hashes into j (binary PRESENCE — exact, and immune to the
+    doc-length confounding raw counts carry: longer docs hit more
+    buckets AND are likelier to contain any given word, which a
+    count design conflates with the label), plus a j = −1 intercept
+    row per doc. The fixture label is
+    deterministic and LEARNABLE: y = 1.0 iff the doc mentions the
+    token 'join' — its hash bucket is then a (collision-noised)
+    separating feature, so the trainer's eval row can PROVE descent
+    (the corpus generator reuses one vocabulary across languages, so
+    a language label carries no BoW signal at all — measured: 3-step
+    accuracy == base rate — and would demonstrate nothing).
+    Returns (X persisted, docs, n 1-row)."""
+    from etl_data_pipeline_spark.functions.caching import tracked_persist
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.array_contains(F.split(F.col("text"), " "), "join"), 1.0
+        ).otherwise(0.0).alias("y"),
+        F.split(F.col("text"), " ").alias("ts"),
+    )
+    tok = docs.select("doc_id", "y", F.explode("ts").alias("tok")).filter(
+        F.length("tok") > 0
+    )
+    x = tok.groupBy(
+        "doc_id", "y", (md5_long60(F.col("tok")) % LR_BUCKETS).alias("j")
+    ).agg(F.min(F.lit(1.0)).alias("x"))
+    icpt = docs.select(
+        "doc_id", "y", F.lit(-1).cast("long").alias("j"), F.lit(1.0).alias("x")
+    )
+    X = tracked_persist(x.unionByName(icpt))
+    n = docs.agg(F.count("*").alias("n"))
+    return X, docs, n
+
+
+def _lr_trained_weights(spark: SparkSession, sf_dir: str):
+    """LR_STEPS rounded full-batch gradient-descent steps from w = 0;
+    returns (X, final weights (j, w)). Every margin, probability,
+    gradient, and weight is re-rounded to 6 dp so float-sum order
+    noise is absorbed per step and both engines walk the SAME
+    trajectory — embedding_pca_power's exactness recipe applied to a
+    supervised trainer."""
+    from etl_data_pipeline_spark.functions.caching import tracked_persist
+
+    X, _docs, n = _lr_design(spark, sf_dir)
+    W = tracked_persist(
+        X.select("j").distinct().withColumn("w", F.lit(0.0))
+    )
+    for _step in range(LR_STEPS):
+        margins = (
+            X.join(F.broadcast(W), "j")
+            .groupBy("doc_id", "y")
+            .agg(hround(F.sum(F.col("x") * F.col("w")), 6).alias("m"))
+        )
+        p = margins.select(
+            "doc_id",
+            F.col("y").alias("py"),
+            hround(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))), 6).alias("p"),
+        )
+        grad = (
+            # corpus-sized ⋈ corpus-sized on doc_id: a co-partitioned
+            # shuffle join, NOT a broadcast (p is one row per doc)
+            X.join(p, "doc_id")
+            .crossJoin(F.broadcast(n))
+            .groupBy("j")
+            .agg(
+                hround(
+                    F.sum(F.col("x") * (F.col("p") - F.col("py"))) / F.first("n"),
+                    6,
+                ).alias("g")
+            )
+        )
+        # localCheckpoint each iterate (graph_pagerank's recipe, not
+        # persist): the NEXT step's plan references this step's — with
+        # lazy persists the logical plan NESTS one corpus join per
+        # step and analysis time blows up long before execution; an
+        # eager checkpoint of the ≤ 33-row model truncates lineage so
+        # every step's plan stays flat and the total stays O(K·corpus)
+        W = W.join(grad, "j", "left").select(
+            "j",
+            hround(
+                F.col("w") - F.lit(LR_RATE) * F.coalesce(F.col("g"), F.lit(0.0)),
+                6,
+            ).alias("w"),
+        ).localCheckpoint(eager=True)
+    return X, W
+
+
+def classifier_train_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN a quality/language classifier — the step every LLM data
+    pipeline runs after the rule-based filters (CCNet/GPT-3 lineage:
+    hash token bag-of-words, fit a linear model, score the corpus):
+    logistic regression over LR_BUCKETS md5-hashed token-share
+    features + intercept, LR_STEPS deterministic full-batch gradient
+    steps from w = 0 predicting the English label. Returns the learned
+    weight vector (feature_bucket, weight) — the broadcastable 'model'
+    a corpus-scoring pass consumes, exactly like corpus_dsir_weights'
+    importance model.
+
+    Fully DuckDB-oracled: the whole trajectory (margins → sigmoid →
+    gradient → update, each rounded 6 dp) is deterministic and the
+    oracle unrolls the identical LR_STEPS as chained CTEs — an
+    ITERATIVE SUPERVISED TRAINER under the hash gate, not a heuristic.
+
+    Scale posture: the design matrix is one tokenize+groupBy pass
+    (persisted); each step costs one broadcast join (weights, ≤ 33
+    rows) + map-side-combined margin aggregate, and one co-partitioned
+    doc_id join for the gradient — O(K·corpus) with K fixed, model
+    state O(LR_BUCKETS) on the driver-free path throughout. The same
+    shape trains on 100 TB: nothing materializes per-doc state beyond
+    one shuffle."""
+    _X, W = _lr_trained_weights(spark, sf_dir)
+    return W.select(
+        F.col("j").alias("feature_bucket"), F.col("w").alias("weight")
+    )
+
+
+def classifier_train_lr_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The trainer's accountability row: train-set accuracy of the
+    LR_STEPS-step model vs the base rate (majority-class accuracy).
+    One row (n_docs, base_rate, accuracy) — 'did the trainer actually
+    learn' is a number under the oracle gate, not an assumption. The
+    scoring pass is one broadcast join + per-doc aggregate over the
+    persisted design matrix."""
+    X, W = _lr_trained_weights(spark, sf_dir)
+    scored = (
+        X.join(F.broadcast(W), "j")
+        .groupBy("doc_id", "y")
+        .agg(hround(F.sum(F.col("x") * F.col("w")), 6).alias("m"))
+    )
+    return scored.agg(
+        F.count("*").alias("n_docs"),
+        hround(
+            F.greatest(F.avg("y"), 1 - F.avg("y")), 6
+        ).alias("base_rate"),
+        hround(
+            F.avg(
+                F.when(
+                    (F.col("m") >= 0) == (F.col("y") >= 0.5), 1.0
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("accuracy"),
+    )
+
+
 QUERIES = {
     "recsys_negative_samples": recsys_negative_samples,
     "events_decayed_value": events_decayed_value,
     "corpus_quality_resample": corpus_quality_resample,
+    "classifier_train_lr": classifier_train_lr,
+    "classifier_train_lr_eval": classifier_train_lr_eval,
 }
 
 
@@ -175,7 +337,71 @@ def _quality_prob_cte() -> str:
         )"""
 
 
+def _lr_sql_ctes() -> str:
+    """The LR trainer's DuckDB replay: design matrix (same md5 token
+    buckets, same 6 dp normalized shares, same intercept rows), then
+    LR_STEPS unrolled (margin → sigmoid → gradient → update) CTE
+    blocks generated by the SAME loop count as the Spark trainer —
+    the PCA-chain unrolling recipe. Ends at ``w{LR_STEPS}(j, w)``."""
+    head = f"""
+        WITH docs AS MATERIALIZED (
+            SELECT doc_id,
+                   CASE WHEN list_contains(string_split(text, ' '), 'join')
+                        THEN 1.0 ELSE 0.0 END AS y,
+                   string_split(text, ' ') AS ts
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, y, unnest(ts) AS tok FROM docs
+        ), x AS MATERIALIZED (
+            SELECT doc_id, y,
+                   {sql_md5_long60("tok")} % {LR_BUCKETS} AS j,
+                   1.0 AS x
+            FROM tok WHERE length(tok) > 0 GROUP BY doc_id, y, j
+            UNION ALL
+            SELECT doc_id, y, -1 AS j, 1.0 AS x FROM docs
+        ), nn AS (SELECT count(*) AS n FROM docs
+        ), w0 AS (SELECT DISTINCT j, 0.0 AS w FROM x)"""
+    steps = []
+    for k in range(1, LR_STEPS + 1):
+        steps.append(f""", m{k} AS (
+            SELECT x.doc_id, x.y,
+                   {sql_round(f"sum(x.x * w{k-1}.w)", 6)} AS m
+            FROM x JOIN w{k-1} USING (j) GROUP BY x.doc_id, x.y
+        ), p{k} AS (
+            SELECT doc_id, y, {sql_round("1.0 / (1.0 + exp(-m))", 6)} AS p
+            FROM m{k}
+        ), g{k} AS (
+            SELECT x.j,
+                   {sql_round(
+                       f"sum(x.x * (p{k}.p - x.y)) / (SELECT n FROM nn)", 6)}
+                       AS g
+            FROM x JOIN p{k} ON x.doc_id = p{k}.doc_id GROUP BY x.j
+        ), w{k} AS MATERIALIZED (
+            SELECT w{k-1}.j,
+                   {sql_round(
+                       f"w{k-1}.w - {LR_RATE} * coalesce(g{k}.g, 0.0)", 6)}
+                       AS w
+            FROM w{k-1} LEFT JOIN g{k} USING (j)
+        )""")
+    return head + "".join(steps)
+
+
 ORACLE = {
+    "classifier_train_lr": f"""{_lr_sql_ctes()}
+        SELECT j AS feature_bucket, w AS weight FROM w{LR_STEPS}
+    """,
+    "classifier_train_lr_eval": f"""{_lr_sql_ctes()}, scored AS (
+            SELECT x.doc_id, x.y,
+                   {sql_round(f"sum(x.x * w{LR_STEPS}.w)", 6)} AS m
+            FROM x JOIN w{LR_STEPS} USING (j) GROUP BY x.doc_id, x.y
+        )
+        SELECT count(*) AS n_docs,
+               {sql_round("greatest(avg(y), 1 - avg(y))", 6)} AS base_rate,
+               {sql_round(
+                   "avg(CASE WHEN (m >= 0) = (y >= 0.5)"
+                   " THEN 1.0 ELSE 0.0 END)", 6)} AS accuracy
+        FROM scored
+    """,
     "recsys_negative_samples": f"""
         WITH inter AS (
             SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item

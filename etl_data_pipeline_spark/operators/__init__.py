@@ -91,6 +91,8 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "embedding_kmeans_coverage",
         "sim_ann_ivf_clustered_recall",
         "sim_ann_ivf_clustered_trained_recall",
+        "classifier_train_lr",
+        "classifier_train_lr_eval",
         # r5-stale (the round-9 verdict's staleness tail)
         "udf_pandas",
         "cdc_compact_latest",
