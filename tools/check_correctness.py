@@ -61,6 +61,8 @@ HEAVY_SET = [
     "sim_ann_ivf_clustered_recall",
     "sim_ann_ivf_clustered_trained_recall",
     "embedding_kmeans_coverage",
+    "classifier_train_lr",
+    "classifier_train_lr_eval",
 ]
 
 
