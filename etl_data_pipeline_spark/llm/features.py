@@ -310,12 +310,38 @@ def classifier_train_lr_eval(
     )
 
 
+def classifier_score_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer's CONSUMPTION side — score every document with the
+    trained model (the corpus-filtering pass CCNet-style pipelines run
+    with their quality classifier): per-doc sigmoid probability and
+    the >= 0.5 decision, deterministic end to end because the weights
+    are classifier_train_lr's exact (oracled) trajectory endpoint.
+    One broadcast join (≤ 33-row model) + map-side-combined per-doc
+    aggregate over the persisted design matrix — the same single-pass
+    shape corpus_quality_resample scores with, so this is the drop-in
+    learned replacement for its rule-based keep_prob."""
+    X, W = _lr_trained_weights(spark, sf_dir)
+    return (
+        X.join(F.broadcast(W), "j")
+        .groupBy("doc_id")
+        .agg(hround(F.sum(F.col("x") * F.col("w")), 6).alias("m"))
+        .select(
+            "doc_id",
+            hround(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))), 6
+            ).alias("score"),
+            (F.col("m") >= 0).alias("keep"),
+        )
+    )
+
+
 QUERIES = {
     "recsys_negative_samples": recsys_negative_samples,
     "events_decayed_value": events_decayed_value,
     "corpus_quality_resample": corpus_quality_resample,
     "classifier_train_lr": classifier_train_lr,
     "classifier_train_lr_eval": classifier_train_lr_eval,
+    "classifier_score_corpus": classifier_score_corpus,
 }
 
 
@@ -400,6 +426,15 @@ ORACLE = {
                {sql_round(
                    "avg(CASE WHEN (m >= 0) = (y >= 0.5)"
                    " THEN 1.0 ELSE 0.0 END)", 6)} AS accuracy
+        FROM scored
+    """,
+    "classifier_score_corpus": f"""{_lr_sql_ctes()}, scored AS (
+            SELECT x.doc_id, {sql_round(f"sum(x.x * w{LR_STEPS}.w)", 6)} AS m
+            FROM x JOIN w{LR_STEPS} USING (j) GROUP BY x.doc_id
+        )
+        SELECT doc_id,
+               {sql_round("1.0 / (1.0 + exp(-m))", 6)} AS score,
+               m >= 0 AS keep
         FROM scored
     """,
     "recsys_negative_samples": f"""

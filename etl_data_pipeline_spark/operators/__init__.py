@@ -93,6 +93,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "sim_ann_ivf_clustered_trained_recall",
         "classifier_train_lr",
         "classifier_train_lr_eval",
+        "classifier_score_corpus",
         # r5-stale (the round-9 verdict's staleness tail)
         "udf_pandas",
         "cdc_compact_latest",
