@@ -173,7 +173,12 @@ def _lr_design(spark: SparkSession, sf_dir: str):
     (the corpus generator reuses one vocabulary across languages, so
     a language label carries no BoW signal at all — measured: 3-step
     accuracy == base rate — and would demonstrate nothing).
-    Returns (X persisted, docs, n 1-row)."""
+
+    Every row also carries ``is_train`` — a 90/10 hash split
+    (corpus_split's portable-md5 recipe, its own salt) so the eval
+    query reports HELD-OUT accuracy, not just train: gradients see
+    only is_train rows.
+    Returns (X persisted, docs, n 1-row = the TRAIN count)."""
     from etl_data_pipeline_spark.functions.caching import tracked_persist
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -182,18 +187,25 @@ def _lr_design(spark: SparkSession, sf_dir: str):
             F.array_contains(F.split(F.col("text"), " "), "join"), 1.0
         ).otherwise(0.0).alias("y"),
         F.split(F.col("text"), " ").alias("ts"),
+        (
+            md5_long60(
+                F.concat(F.lit("lrsplit:"), F.col("doc_id").cast("string"))
+            ) % 10 < 9
+        ).alias("is_train"),
     )
-    tok = docs.select("doc_id", "y", F.explode("ts").alias("tok")).filter(
-        F.length("tok") > 0
-    )
+    tok = docs.select(
+        "doc_id", "y", "is_train", F.explode("ts").alias("tok")
+    ).filter(F.length("tok") > 0)
     x = tok.groupBy(
-        "doc_id", "y", (md5_long60(F.col("tok")) % LR_BUCKETS).alias("j")
+        "doc_id", "y", "is_train",
+        (md5_long60(F.col("tok")) % LR_BUCKETS).alias("j"),
     ).agg(F.min(F.lit(1.0)).alias("x"))
     icpt = docs.select(
-        "doc_id", "y", F.lit(-1).cast("long").alias("j"), F.lit(1.0).alias("x")
+        "doc_id", "y", "is_train",
+        F.lit(-1).cast("long").alias("j"), F.lit(1.0).alias("x"),
     )
     X = tracked_persist(x.unionByName(icpt))
-    n = docs.agg(F.count("*").alias("n"))
+    n = docs.filter("is_train").agg(F.count("*").alias("n"))
     return X, docs, n
 
 
@@ -207,12 +219,13 @@ def _lr_trained_weights(spark: SparkSession, sf_dir: str):
     from etl_data_pipeline_spark.functions.caching import tracked_persist
 
     X, _docs, n = _lr_design(spark, sf_dir)
+    Xt = X.filter("is_train")
     W = tracked_persist(
         X.select("j").distinct().withColumn("w", F.lit(0.0))
     )
     for _step in range(LR_STEPS):
         margins = (
-            X.join(F.broadcast(W), "j")
+            Xt.join(F.broadcast(W), "j")
             .groupBy("doc_id", "y")
             .agg(hround(F.sum(F.col("x") * F.col("w")), 6).alias("m"))
         )
@@ -224,7 +237,7 @@ def _lr_trained_weights(spark: SparkSession, sf_dir: str):
         grad = (
             # corpus-sized ⋈ corpus-sized on doc_id: a co-partitioned
             # shuffle join, NOT a broadcast (p is one row per doc)
-            X.join(p, "doc_id")
+            Xt.join(p, "doc_id")
             .crossJoin(F.broadcast(n))
             .groupBy("j")
             .agg(
@@ -282,31 +295,23 @@ def classifier_train_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def classifier_train_lr_eval(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """The trainer's accountability row: train-set accuracy of the
-    LR_STEPS-step model vs the base rate (majority-class accuracy).
-    One row (n_docs, base_rate, accuracy) — 'did the trainer actually
-    learn' is a number under the oracle gate, not an assumption. The
-    scoring pass is one broadcast join + per-doc aggregate over the
-    persisted design matrix."""
+    """The trainer's accountability row: train AND HELD-OUT accuracy
+    of the LR_STEPS-step model vs each split's base rate — 'did the
+    trainer learn, and does it generalize past the rows it saw' are
+    both numbers under the oracle gate, not assumptions (gradients
+    never touch the 10% held-out split — _lr_design). One broadcast
+    join + per-doc aggregate over the persisted design matrix."""
     X, W = _lr_trained_weights(spark, sf_dir)
     scored = (
         X.join(F.broadcast(W), "j")
-        .groupBy("doc_id", "y")
+        .groupBy("doc_id", "y", "is_train")
         .agg(hround(F.sum(F.col("x") * F.col("w")), 6).alias("m"))
     )
-    return scored.agg(
+    hit = F.when((F.col("m") >= 0) == (F.col("y") >= 0.5), 1.0).otherwise(0.0)
+    return scored.groupBy("is_train").agg(
         F.count("*").alias("n_docs"),
-        hround(
-            F.greatest(F.avg("y"), 1 - F.avg("y")), 6
-        ).alias("base_rate"),
-        hround(
-            F.avg(
-                F.when(
-                    (F.col("m") >= 0) == (F.col("y") >= 0.5), 1.0
-                ).otherwise(0.0)
-            ),
-            6,
-        ).alias("accuracy"),
+        hround(F.greatest(F.avg("y"), 1 - F.avg("y")), 6).alias("base_rate"),
+        hround(F.avg(hit), 6).alias("accuracy"),
     )
 
 
@@ -374,34 +379,37 @@ def _lr_sql_ctes() -> str:
             SELECT doc_id,
                    CASE WHEN list_contains(string_split(text, ' '), 'join')
                         THEN 1.0 ELSE 0.0 END AS y,
-                   string_split(text, ' ') AS ts
+                   string_split(text, ' ') AS ts,
+                   {sql_md5_long60("'lrsplit:' || doc_id::VARCHAR")} % 10 < 9
+                       AS is_train
             FROM documents
         ), tok AS (
-            SELECT doc_id, y, unnest(ts) AS tok FROM docs
+            SELECT doc_id, y, is_train, unnest(ts) AS tok FROM docs
         ), x AS MATERIALIZED (
-            SELECT doc_id, y,
+            SELECT doc_id, y, is_train,
                    {sql_md5_long60("tok")} % {LR_BUCKETS} AS j,
                    1.0 AS x
-            FROM tok WHERE length(tok) > 0 GROUP BY doc_id, y, j
+            FROM tok WHERE length(tok) > 0 GROUP BY doc_id, y, is_train, j
             UNION ALL
-            SELECT doc_id, y, -1 AS j, 1.0 AS x FROM docs
-        ), nn AS (SELECT count(*) AS n FROM docs
+            SELECT doc_id, y, is_train, -1 AS j, 1.0 AS x FROM docs
+        ), xt AS MATERIALIZED (SELECT * FROM x WHERE is_train
+        ), nn AS (SELECT count(*) AS n FROM docs WHERE is_train
         ), w0 AS (SELECT DISTINCT j, 0.0 AS w FROM x)"""
     steps = []
     for k in range(1, LR_STEPS + 1):
         steps.append(f""", m{k} AS (
-            SELECT x.doc_id, x.y,
-                   {sql_round(f"sum(x.x * w{k-1}.w)", 6)} AS m
-            FROM x JOIN w{k-1} USING (j) GROUP BY x.doc_id, x.y
+            SELECT xt.doc_id, xt.y,
+                   {sql_round(f"sum(xt.x * w{k-1}.w)", 6)} AS m
+            FROM xt JOIN w{k-1} USING (j) GROUP BY xt.doc_id, xt.y
         ), p{k} AS (
             SELECT doc_id, y, {sql_round("1.0 / (1.0 + exp(-m))", 6)} AS p
             FROM m{k}
         ), g{k} AS (
-            SELECT x.j,
+            SELECT xt.j,
                    {sql_round(
-                       f"sum(x.x * (p{k}.p - x.y)) / (SELECT n FROM nn)", 6)}
+                       f"sum(xt.x * (p{k}.p - xt.y)) / (SELECT n FROM nn)", 6)}
                        AS g
-            FROM x JOIN p{k} ON x.doc_id = p{k}.doc_id GROUP BY x.j
+            FROM xt JOIN p{k} ON xt.doc_id = p{k}.doc_id GROUP BY xt.j
         ), w{k} AS MATERIALIZED (
             SELECT w{k-1}.j,
                    {sql_round(
@@ -417,16 +425,18 @@ ORACLE = {
         SELECT j AS feature_bucket, w AS weight FROM w{LR_STEPS}
     """,
     "classifier_train_lr_eval": f"""{_lr_sql_ctes()}, scored AS (
-            SELECT x.doc_id, x.y,
+            SELECT x.doc_id, x.y, x.is_train,
                    {sql_round(f"sum(x.x * w{LR_STEPS}.w)", 6)} AS m
-            FROM x JOIN w{LR_STEPS} USING (j) GROUP BY x.doc_id, x.y
+            FROM x JOIN w{LR_STEPS} USING (j)
+            GROUP BY x.doc_id, x.y, x.is_train
         )
-        SELECT count(*) AS n_docs,
+        SELECT is_train,
+               count(*) AS n_docs,
                {sql_round("greatest(avg(y), 1 - avg(y))", 6)} AS base_rate,
                {sql_round(
                    "avg(CASE WHEN (m >= 0) = (y >= 0.5)"
                    " THEN 1.0 ELSE 0.0 END)", 6)} AS accuracy
-        FROM scored
+        FROM scored GROUP BY is_train
     """,
     "classifier_score_corpus": f"""{_lr_sql_ctes()}, scored AS (
             SELECT x.doc_id, {sql_round(f"sum(x.x * w{LR_STEPS}.w)", 6)} AS m
