@@ -159,6 +159,27 @@ LR_RATE = 10.0    # learning rate — fixed, so the trajectory is replayable
 # the eval query pins it
 
 
+def lr_doc_features(docs: DataFrame) -> DataFrame:
+    """The classifier's FEATURE RECIPE over any (doc_id, text) frame:
+    (doc_id, j, x) binary-presence rows for the md5-hashed token
+    buckets plus the j = −1 intercept row. ONE definition shared by
+    the trainer's design matrix and the streaming scorer
+    (streaming.jobs.run_incremental_classifier_scores) — a scoring
+    path with its own tokenize/hash would silently drift from the
+    weights' training recipe."""
+    base = docs.select("doc_id", F.split(F.col("text"), " ").alias("ts"))
+    tok = base.select("doc_id", F.explode("ts").alias("tok")).filter(
+        F.length("tok") > 0
+    )
+    x = tok.groupBy(
+        "doc_id", (md5_long60(F.col("tok")) % LR_BUCKETS).alias("j")
+    ).agg(F.min(F.lit(1.0)).alias("x"))
+    icpt = base.select(
+        "doc_id", F.lit(-1).cast("long").alias("j"), F.lit(1.0).alias("x")
+    )
+    return x.unionByName(icpt)
+
+
 def _lr_design(spark: SparkSession, sf_dir: str):
     """The shared design matrix of the LR trainer: (doc_id, y, j, x)
     with j the md5-hashed token bucket, x = 1.0 when any token of the
@@ -193,18 +214,14 @@ def _lr_design(spark: SparkSession, sf_dir: str):
             ) % 10 < 9
         ).alias("is_train"),
     )
-    tok = docs.select(
-        "doc_id", "y", "is_train", F.explode("ts").alias("tok")
-    ).filter(F.length("tok") > 0)
-    x = tok.groupBy(
-        "doc_id", "y", "is_train",
-        (md5_long60(F.col("tok")) % LR_BUCKETS).alias("j"),
-    ).agg(F.min(F.lit(1.0)).alias("x"))
-    icpt = docs.select(
-        "doc_id", "y", "is_train",
-        F.lit(-1).cast("long").alias("j"), F.lit(1.0).alias("x"),
+    # features from the SHARED recipe; label/split are doc-grain, so
+    # they ride back on one co-partitioned doc_id join
+    docs = docs.drop("ts")
+    X = tracked_persist(
+        lr_doc_features(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        ).join(docs, "doc_id")
     )
-    X = tracked_persist(x.unionByName(icpt))
     n = docs.filter("is_train").agg(F.count("*").alias("n"))
     return X, docs, n
 

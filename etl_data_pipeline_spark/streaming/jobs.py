@@ -1724,3 +1724,97 @@ def run_incremental_ann_index(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+DOC_BATCH_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def run_incremental_classifier_scores(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    sf_dir: str,
+    schema=None,
+    trigger: dict | None = None,
+    app_id: str = "clf_scores",
+) -> StreamingQuery:
+    """Continuous corpus scoring with the TRAINED classifier — the
+    streaming twin of ``llm.features.classifier_score_corpus``, and
+    the deployment shape of a learned quality filter: the model is
+    trained ONCE at job start on the base corpus
+    (classifier_train_lr's exact oracled trajectory, ≤ 33 rows,
+    frozen — the train-once/score-many contract
+    run_incremental_ann_index's quantizer follows), then every
+    micro-batch of newly arriving documents is featurized with the
+    SAME recipe (llm.features.lr_doc_features — one definition, so the
+    scoring path cannot drift from what the weights were trained on)
+    and scored with one broadcast join + per-doc aggregate.
+
+    Exactly-once: per-batch scores land in a manifest table via one
+    O(delta) append carrying the Delta-style ``txn=(app_id,
+    batch_id)`` fence — a replayed batch after a crash between write
+    and checkpoint-commit is a read-nothing no-op, identical to the
+    ANN index maintenance sink. Because featurization is per-row
+    (tokens of one doc only), a document's streamed score is
+    bit-identical to its batch score — test-pinned against
+    classifier_score_corpus over the same corpus.
+
+    ``app_id`` is coupled to the CHECKPOINT, not the table: batch ids
+    restart at 0 under a fresh checkpoint, so a new checkpoint (or a
+    second feeding source) requires a new app_id — the standing fence
+    contract of every txn-fenced sink here."""
+    from etl_data_pipeline_spark.functions.rounding import hround
+    from etl_data_pipeline_spark.llm.features import (
+        _lr_trained_weights,
+        lr_doc_features,
+    )
+    from etl_data_pipeline_spark.sinks import manifest
+
+    _X, W = _lr_trained_weights(spark, sf_dir)  # frozen, localCheckpointed
+    scores_table = os.path.join(target_dir, "clf_scores")
+    stream = events_file_stream(
+        spark, source_dir, schema=schema or DOC_BATCH_SCHEMA
+    )
+
+    def _score(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # persist: lr_doc_features' union reads its input twice
+        # (bucket rows + intercept rows) — unpersisted, the batch
+        # source files re-read per branch (the ANN ingest probe's
+        # finding, same mechanism)
+        b = batch_df.select("doc_id", "text").persist()
+        try:
+            scored = (
+                lr_doc_features(b)
+                .join(F.broadcast(W), "j")
+                .groupBy("doc_id")
+                .agg(hround(F.sum(F.col("x") * F.col("w")), 6).alias("m"))
+                .select(
+                    "doc_id",
+                    hround(
+                        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))), 6
+                    ).alias("score"),
+                    (F.col("m") >= 0).alias("keep"),
+                )
+            )
+            # one small file per batch: scores are doc-grain scalars
+            # (coalesce(1) keeps the delta-dir file count at one; a
+            # long-running job folds history with manifest.compact)
+            manifest.commit(
+                scored.coalesce(1),
+                scores_table,
+                mode="append",
+                txn=(app_id, int(batch_id)),
+            )
+        finally:
+            b.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_score)
+        .option(
+            "checkpointLocation", os.path.join(target_dir, "_clf_checkpoint")
+        )
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

@@ -239,3 +239,52 @@ def test_pipeline_classifies_jdbc_failures(spark, tmp_path):
     pipe.run_table = lambda _t: (_ for _ in ()).throw(ValueError("boom"))
     r = pipe._run_table_isolated(t)
     assert r.status == "failed" and r.error_class is None
+
+
+def test_incremental_classifier_scores_stream(spark, sf_dir, tmp_path):
+    """Streaming classifier scoring (run_incremental_classifier_scores):
+    the corpus arrives in 3 chunks; after the drain the manifest table
+    holds EXACTLY classifier_score_corpus's rows for the same corpus
+    (per-row featurization ⇒ streamed score == batch score), and a
+    second availableNow run over the same source is a txn-fenced
+    no-op (same manifest version)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_data_pipeline_spark.llm.features import classifier_score_corpus
+    from etl_data_pipeline_spark.session import load_table
+    from etl_data_pipeline_spark.sinks import manifest
+    from etl_data_pipeline_spark.streaming import jobs
+
+    src = str(tmp_path / "doc_src")
+    tgt = str(tmp_path / "clf_tgt")
+    stage = str(tmp_path / "doc_stage")
+    os.makedirs(src)
+    docs = load_table(spark, sf_dir, "documents")
+    for c in range(3):
+        stage_d = os.path.join(stage, f"c{c}")
+        docs.filter(F.col("doc_id") % 3 == c).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage_d)
+        shutil.move(
+            _glob.glob(os.path.join(stage_d, "part-*.parquet"))[0],
+            os.path.join(src, f"chunk_{c}.parquet"),
+        )
+
+    q = jobs.run_incremental_classifier_scores(spark, src, tgt, sf_dir)
+    q.awaitTermination(300)
+
+    table_dir = os.path.join(tgt, "clf_scores")
+    got = sorted(
+        map(tuple, manifest.read_table(spark, table_dir).collect())
+    )
+    want = sorted(map(tuple, classifier_score_corpus(spark, sf_dir).collect()))
+    assert got == want and got
+
+    v_before = manifest.read_manifest(table_dir)["version"]
+    q2 = jobs.run_incremental_classifier_scores(spark, src, tgt, sf_dir)
+    q2.awaitTermination(300)
+    assert manifest.read_manifest(table_dir)["version"] == v_before  # replay no-op
