@@ -226,7 +226,19 @@ def check_expectations(
     if not rules:
         raise ValueError("check_expectations: empty rule list")
     marked = _marked(df, rules)
-    agg = violation_counts(df, rules).first()
+    # aggregate over the SAME marked frame the split reads — not a
+    # second _marked(df) plan: with FK rules that is one broadcast
+    # join per rule built twice, and on a source that can change
+    # between jobs a separate plan could even count a different batch
+    # than it splits
+    agg = marked.agg(
+        F.count("*").alias("total_rows"),
+        F.sum((F.size(_VIOL) > 0).cast("long")).alias("violating_rows"),
+        *[
+            F.sum(F.array_contains(_VIOL, r.name).cast("long")).alias(r.name)
+            for r in rules
+        ],
+    ).first()
     passed = marked.filter(F.size(_VIOL) == 0).drop(_VIOL)
     violations = marked.filter(F.size(_VIOL) > 0)
     counts = {r.name: int(agg[r.name] or 0) for r in rules}
