@@ -435,3 +435,71 @@ def test_avro_codec_round_trip_any_split(rows, block_rows, codec, step_frac):
         for start in range(0, size, step):
             got.extend(iter_block_rows(p, start, min(start + step, size)))
         assert sorted(map(repr, got)) == sorted(map(repr, expect))
+
+
+@st.composite
+def feed_plan(draw):
+    """A random manifest commit history: a sequence of appends (each a
+    small key list, possibly overlapping earlier keys) with optional
+    layout-only compactions interleaved, plus a random consumer
+    watermark (since) inside the history."""
+    n_commits = draw(st.integers(min_value=1, max_value=6))
+    appends = [
+        draw(st.lists(st.integers(min_value=0, max_value=30),
+                      min_size=1, max_size=5))
+        for _ in range(n_commits)
+    ]
+    compact_after = draw(
+        st.lists(st.booleans(), min_size=n_commits, max_size=n_commits)
+    )
+    since_choice = draw(st.integers(min_value=0, max_value=n_commits))
+    return appends, compact_after, since_choice
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(plan=feed_plan())
+def test_read_changes_version_column_invariant(spark, plan):
+    """For ANY append/compaction history and ANY since-version: the
+    version-stamped change feed returns exactly the rows of the
+    appends AFTER since, each stamped with the manifest version its
+    commit created — compactions (layout-only) contribute no rows and
+    never disturb the stamps. This is the contract the version-feed
+    CDC compaction (pipeline._compact_feed_versions) rests on."""
+    import os
+    import tempfile
+
+    from etl_data_pipeline_spark.sinks.manifest import (
+        commit as mcommit,
+        read_changes,
+        read_manifest,
+    )
+    from etl_data_pipeline_spark.sinks import manifest as mmod
+
+    appends, compact_after, since_choice = plan
+    with tempfile.TemporaryDirectory() as tmp:
+        t = os.path.join(tmp, "t")
+        # row -> (k, commit_ordinal); expected stamps come from the
+        # manifest version the commit RETURNS (compactions shift it)
+        expected: list[tuple[int, int]] = []
+        append_versions: list[int] = []
+        for i, keys in enumerate(appends):
+            df = spark.createDataFrame([(k, i) for k in keys], "k long, a long")
+            m = mcommit(df, t, mode="append" if i else "overwrite")
+            append_versions.append(m["version"])
+            for k in keys:
+                expected.append((k, i, m["version"]))
+            if compact_after[i]:
+                mmod.compact(spark, t)
+        head = read_manifest(t)["version"]
+        # since = version of the since_choice-th append (0 = from start)
+        since = 0 if since_choice == 0 else append_versions[since_choice - 1]
+        out = read_changes(spark, t, since, version_column="_v")
+        got = sorted((r.k, r.a, r._v) for r in out.collect())
+        want = sorted(
+            (k, i, v) for (k, i, v) in expected if v > since
+        )
+        assert got == want, (got, want, head)
