@@ -503,3 +503,67 @@ def test_read_changes_version_column_invariant(spark, plan):
             (k, i, v) for (k, i, v) in expected if v > since
         )
         assert got == want, (got, want, head)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(plan=feed_plan())
+def test_version_feed_upsert_last_write_wins(spark, plan):
+    """End-to-end property of the ADVICE-r9 fix: for ANY source
+    history of overlapping key updates (and layout compactions), and
+    ANY pipeline-run schedule boundary (the feed consumed in one run
+    after `since_choice` commits had already been consumed in an
+    earlier run), the upsert sink holds exactly one row per key — the
+    value of the LATEST commit touching it."""
+    import os
+    import tempfile
+
+    from etl_data_pipeline_spark.sinks import manifest as mmod
+    from etl_data_pipeline_spark.sinks.manifest import commit as mcommit
+    from etl_data_pipeline_spark.sinks.manifest import read_table as mread
+
+    appends, compact_after, since_choice = plan
+    with tempfile.TemporaryDirectory() as tmp:
+        src_dir = os.path.join(tmp, "src")
+        t = os.path.join(src_dir, "kv")
+        spec = PipelineSpec(
+            tables=[
+                TableSpec(
+                    name="kv",
+                    watermark_type="version",
+                    source_format="manifest",
+                    source_options={"dir": src_dir},
+                    sink_format="manifest",
+                    sink_options={"dir": os.path.join(tmp, "sink"),
+                                  "mode": "upsert"},
+                    merge_keys=("k",),
+                )
+            ]
+        )
+        store = WatermarkStore(os.path.join(tmp, "wm.json"))
+        pipe = IncrementalPipeline(spark, spec, store)
+        cut = min(since_choice, len(appends))
+        for i, keys in enumerate(appends):
+            df = spark.createDataFrame(
+                [(k, i) for k in keys], "k long, a long"
+            )
+            mcommit(df, t, mode="append" if i else "overwrite")
+            if compact_after[i]:
+                mmod.compact(spark, t)
+            if i + 1 == cut:
+                r = pipe.run()[0]
+                assert r.status in ("loaded", "skipped_empty"), r.error
+        r = pipe.run()[0]
+        assert r.status in ("loaded", "skipped_empty"), r.error
+        got = sorted(
+            (row.k, row.a)
+            for row in mread(spark, os.path.join(tmp, "sink", "kv")).collect()
+        )
+        last = {}
+        for i, keys in enumerate(appends):
+            for k in keys:
+                last[k] = i
+        assert got == sorted(last.items()), (got, last)
