@@ -70,13 +70,16 @@ def incremental_source_options(t: TableSpec, raw_watermark: str | None) -> dict:
 
     opts = dict(t.source_options)
     if (
-        t.source_format == "jdbc"
+        t.source_format in ("jdbc", "pglive")
         and t.is_incremental
         and t.watermark_column
         and "dbtable" not in opts
     ):
-        dialect = opts.pop("dialect", None) or dialect_for_url(
-            opts.get("url")
+        # pglive is PostgreSQL by definition; jdbc infers from the URL
+        dialect = opts.pop("dialect", None) or (
+            "postgres"
+            if t.source_format == "pglive"
+            else dialect_for_url(opts.get("url"))
         ) or "ansi"
         opts["dbtable"] = jdbc_incremental_dbtable(
             t.name,

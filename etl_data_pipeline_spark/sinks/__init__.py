@@ -273,6 +273,15 @@ def _xml_append(df: DataFrame, table: str, options: dict) -> None:
     )
 
 
+def _pglive_append(df: DataFrame, table: str, options: dict) -> None:
+    """Live PostgreSQL append over libpq (sources/pg_libpq.py):
+    batched $n-parameterized multi-row INSERTs — the reference's
+    execute_batch (util.py:226-247) on its real target engine."""
+    from etl_data_pipeline_spark.sources.pg_libpq import write_pg
+
+    write_pg(df, table, options)
+
+
 SINKS: dict[str, SinkFn] = {
     "parquet": _parquet_append,
     "csv": _csv_append,
@@ -282,6 +291,7 @@ SINKS: dict[str, SinkFn] = {
     "manifest": _manifest_sink,
     "avro": _avro_append,
     "xml": _xml_append,
+    "pglive": _pglive_append,
 }
 
 

@@ -513,6 +513,17 @@ def _xml_source(spark: SparkSession, table: str, options: dict) -> DataFrame:
     return reader.options(**options.get("reader_options", {})).load(path)
 
 
+def _pglive_source(spark: SparkSession, table: str, options: dict) -> DataFrame:
+    """Live PostgreSQL over libpq (sources/pg_libpq.py) — the
+    reference's actual target engine, driver-side reference-parity
+    reads; the Spark-parallel path stays 'jdbc'. Incremental pushdown
+    rides the SAME jdbc_incremental_dbtable subquery (dialect
+    'postgres'), so the two PG paths share one SQL contract."""
+    from etl_data_pipeline_spark.sources.pg_libpq import read_pg
+
+    return read_pg(spark, table, options)
+
+
 SOURCES: dict[str, SourceFn] = {
     "parquet": _parquet_source,
     "csv": _csv_source,
@@ -522,6 +533,7 @@ SOURCES: dict[str, SourceFn] = {
     "manifest": _manifest_source,
     "avro": _avro_source,
     "xml": _xml_source,
+    "pglive": _pglive_source,
 }
 
 

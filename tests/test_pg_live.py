@@ -1,0 +1,275 @@
+"""LIVE PostgreSQL integration: the reference's ACTUAL target engine
+(util.py:190-271) executing the engine's generated SQL.
+
+Rounds 1-9 verified the Postgres dialect contracts on stand-in
+engines (DuckDB parses the quoting/DDL, Derby runs the JDBC loop)
+because no PG driver was importable. The sandbox ships the full
+PostgreSQL 15 server and libpq.so.5, so these tests boot a real
+postgres (initdb + pg_ctl under an unprivileged user, unix socket,
+no network) and run:
+
+- the DDL type contract (jdbc_create_table_ddl dialect='postgres'),
+  including the TIMESTAMP WITH TIME ZONE choice and microsecond
+  round-trips;
+- the identifier-case fold contract LIVE (unquoted folds DOWN on PG —
+  the jdbc_ident_round_trips table's claim);
+- error classification fed REAL server SQLSTATEs;
+- the watermark pushdown subquery (jdbc_incremental_dbtable) for both
+  id and timestamp watermark types, filtering ON THE SERVER;
+- the reference's entire incremental loop END TO END: PG -> PG
+  two-batch copy through IncrementalPipeline with the 'pglive'
+  source/sink (driver-side reference-parity adapters over libpq).
+
+Skipped wholesale when the server binaries / libpq / the unprivileged
+user are unavailable.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import subprocess
+import uuid
+
+import pytest
+
+PG_BIN = "/usr/lib/postgresql/15/bin"
+
+
+def _can_run_pg() -> str | None:
+    if not os.path.exists(os.path.join(PG_BIN, "initdb")):
+        return "postgres binaries not installed"
+    try:
+        import ctypes
+
+        ctypes.CDLL("libpq.so.5")
+    except OSError:
+        return "libpq.so.5 not loadable"
+    if os.geteuid() == 0:
+        # initdb refuses root; we need an unprivileged user to su to
+        if shutil.which("su") is None:
+            return "running as root with no su"
+    return None
+
+
+_SKIP = _can_run_pg()
+pytestmark = pytest.mark.skipif(_SKIP is not None, reason=_SKIP or "")
+
+
+def _run_as_pg_user(cmd: str) -> subprocess.CompletedProcess:
+    if os.geteuid() == 0:
+        return subprocess.run(
+            ["su", "-s", "/bin/sh", "nobody", "-c", cmd],
+            capture_output=True, text=True, cwd="/tmp",
+        )
+    return subprocess.run(
+        ["/bin/sh", "-c", cmd], capture_output=True, text=True, cwd="/tmp"
+    )
+
+
+@pytest.fixture(scope="module")
+def pg(tmp_path_factory):
+    """One real PostgreSQL server per module; yields the conninfo.
+    Unix socket only (listen_addresses=''), trust auth, data dir owned
+    by the unprivileged server user."""
+    root = tmp_path_factory.mktemp("pglive")
+    data = root / "data"
+    sock = root / "sock"
+    sock.mkdir()
+    data.mkdir()
+    if os.geteuid() == 0:
+        shutil.chown(data, "nobody")
+        shutil.chown(sock, "nobody")
+        # su'd processes need to traverse the pytest tmp chain
+        for p in (root, *root.parents):
+            try:
+                os.chmod(p, 0o755)
+            except OSError:
+                break
+    r = _run_as_pg_user(
+        f"{PG_BIN}/initdb -D {data} -A trust -U postgres"
+    )
+    if r.returncode != 0:
+        pytest.skip(f"initdb failed: {r.stderr[-300:]}")
+    r = _run_as_pg_user(
+        f"{PG_BIN}/pg_ctl -D {data} -w "
+        f"-o \"-k {sock} -c listen_addresses=''\" "
+        f"-l {data}/server.log start"
+    )
+    if r.returncode != 0:
+        pytest.skip(f"pg_ctl start failed: {r.stderr[-300:]}")
+    try:
+        yield f"host={sock} user=postgres dbname=postgres"
+    finally:
+        _run_as_pg_user(f"{PG_BIN}/pg_ctl -D {data} -m immediate stop")
+
+
+def test_ddl_contract_executes_on_postgres(pg, spark):
+    """jdbc_create_table_ddl(dialect='postgres') runs on the real
+    engine; a microsecond TIMESTAMPTZ instant survives the round trip
+    through the pglive sink + source."""
+    from etl_data_pipeline_spark.sources import jdbc_create_table_ddl, read_source
+    from etl_data_pipeline_spark.sources.pg_libpq import PgConnection
+
+    ddl = jdbc_create_table_ddl(
+        "typed_orders",
+        "order_id bigint not null, price decimal(12,2), note string, "
+        "ts timestamp, ratio double, blob binary, flag boolean",
+        dialect="postgres",
+    )
+    with PgConnection(pg) as c:
+        c.execute(ddl)
+    from etl_data_pipeline_spark.sinks import write_sink
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                __import__("decimal").Decimal("12.34"),
+                "n",
+                dt.datetime(2026, 1, 15, 7, 0, 0, 123456),
+                0.5,
+                b"\x00\xffpg",
+                True,
+            )
+        ],
+        "order_id bigint, price decimal(12,2), note string, ts timestamp, "
+        "ratio double, blob binary, flag boolean",
+    )
+    write_sink(df, "pglive", "typed_orders", {"conninfo": pg})
+    back = read_source(
+        spark, "pglive", "typed_orders", {"conninfo": pg}
+    ).collect()
+    assert len(back) == 1
+    r = back[0]
+    assert r.order_id == 1 and float(r.price) == 12.34 and r.flag is True
+    assert r.ts.microsecond == 123456  # TIMESTAMPTZ keeps micros
+    assert bytes(r.blob) == b"\x00\xffpg"
+
+
+def test_ident_case_fold_live_on_postgres(pg):
+    """PG folds unquoted identifiers DOWN — exactly what
+    jdbc_ident_round_trips('postgres') claims; quoted names preserve
+    case and round-trip through the quoted reference."""
+    from etl_data_pipeline_spark.sources import (
+        jdbc_ident_round_trips,
+        jdbc_quote_ident,
+    )
+    from etl_data_pipeline_spark.sources.pg_libpq import PgConnection
+
+    with PgConnection(pg) as c:
+        assert jdbc_ident_round_trips("CamelCase", "postgres") is False
+        c.execute("CREATE TABLE CamelFold (x INTEGER)")
+        _, rows = c.execute(
+            "SELECT relname FROM pg_class WHERE relname = 'camelfold'"
+        )
+        assert rows == [("camelfold",)]  # folded down, the contract
+        q = jdbc_quote_ident("CamelKeep", "postgres")
+        c.execute(f"CREATE TABLE {q} (x INTEGER)")
+        c.execute(f"INSERT INTO {q} VALUES (7)")
+        _, rows = c.execute(f"SELECT x FROM {q}")
+        assert rows == [(7,)]
+
+
+def test_error_classification_on_real_pg_sqlstates(pg):
+    """jdbc_error_class fed REAL PostgreSQL SQLSTATEs from provoked
+    failures — the classification table verified against codes the
+    actual engine emits."""
+    from etl_data_pipeline_spark.sources import jdbc_error_class
+    from etl_data_pipeline_spark.sources.pg_libpq import PgConnection, PgError
+
+    with PgConnection(pg) as c:
+        c.execute("CREATE TABLE errclass (k INTEGER PRIMARY KEY)")
+        c.execute("INSERT INTO errclass VALUES (1)")
+        with pytest.raises(PgError) as e:
+            c.execute("INSERT INTO errclass VALUES (1)")
+        assert e.value.sqlstate == "23505"
+        assert jdbc_error_class(e.value.sqlstate, dialect="postgres") == "fatal"
+        with pytest.raises(PgError) as e:
+            c.execute("SELECT * FROM no_such_table_xyz")
+        assert e.value.sqlstate == "42P01"
+        assert jdbc_error_class(e.value.sqlstate, dialect="postgres") == "fatal"
+        with pytest.raises(PgError) as e:
+            c.execute("SELECT 'notanint'::integer")
+        assert e.value.sqlstate == "22P02"
+        assert jdbc_error_class(e.value.sqlstate, dialect="postgres") == "fatal"
+
+
+def test_watermark_pushdown_filters_on_server(pg, spark):
+    """The jdbc_incremental_dbtable subquery (dialect='postgres')
+    executes on the real server for BOTH watermark types — the strict
+    > boundary and the ANSI timestamp literal PG actually parses."""
+    from etl_data_pipeline_spark.sources import (
+        jdbc_incremental_dbtable,
+        read_source,
+    )
+    from etl_data_pipeline_spark.sources.pg_libpq import PgConnection
+
+    with PgConnection(pg) as c:
+        c.execute("CREATE TABLE wm_src (id BIGINT, ts TIMESTAMP)")
+        for i in range(5):
+            c.execute(
+                "INSERT INTO wm_src VALUES ($1, $2)",
+                (i, dt.datetime(2026, 1, 1, 0, 0, i, 500000)),
+            )
+    sub = jdbc_incremental_dbtable("wm_src", "id", "id", "2", "postgres")
+    got = read_source(spark, "pglive", "wm_src", {"conninfo": pg, "dbtable": sub})
+    assert sorted(r.id for r in got.collect()) == [3, 4]  # strict >
+    sub = jdbc_incremental_dbtable(
+        "wm_src", "ts", "timestamp", "2026-01-01 00:00:02.500000", "postgres"
+    )
+    got = read_source(spark, "pglive", "wm_src", {"conninfo": pg, "dbtable": sub})
+    assert sorted(r.id for r in got.collect()) == [3, 4]
+
+
+def test_full_incremental_pipeline_pg_to_pg(pg, spark, tmp_path):
+    """The reference's whole loop on its real target engine: a PG
+    source table copied incrementally into a PG sink table through
+    IncrementalPipeline — batch 1 loads all, new rows arrive, batch 2
+    copies ONLY the delta (server-side pushdown), empty batch 3 skips
+    and never touches the sink."""
+    from etl_data_pipeline_spark.pipeline import IncrementalPipeline
+    from etl_data_pipeline_spark.sources import jdbc_create_table_ddl
+    from etl_data_pipeline_spark.sources.pg_libpq import PgConnection
+    from etl_data_pipeline_spark.spec import PipelineSpec, TableSpec
+    from etl_data_pipeline_spark.watermark import WatermarkStore
+
+    src_tbl = f"src_{uuid.uuid4().hex[:8]}"
+    dst_tbl = f"dst_{uuid.uuid4().hex[:8]}"
+    with PgConnection(pg) as c:
+        c.execute(f"CREATE TABLE {src_tbl} (id BIGINT, v TEXT)")
+        c.execute(
+            jdbc_create_table_ddl(dst_tbl, "id bigint, v string", "postgres")
+        )
+        for i in range(3):
+            c.execute(f"INSERT INTO {src_tbl} VALUES ($1, $2)", (i, f"v{i}"))
+
+    spec = PipelineSpec(
+        tables=[
+            TableSpec(
+                name=src_tbl,
+                watermark_column="id",
+                watermark_type="id",
+                source_format="pglive",
+                source_options={"conninfo": pg},
+                sink_format="pglive",
+                sink_options={"conninfo": pg, "dbtable": dst_tbl},
+            )
+        ]
+    )
+    store = WatermarkStore(tmp_path / "wm.json")
+    pipe = IncrementalPipeline(spark, spec, store)
+    r = pipe.run()[0]
+    assert r.status == "loaded" and r.new_watermark == 2, (r.status, r.error)
+    # delta arrives
+    with PgConnection(pg) as c:
+        c.execute(f"INSERT INTO {src_tbl} VALUES (3, 'v3'), (4, 'v4')")
+    r = pipe.run()[0]
+    assert r.status == "loaded" and r.new_watermark == 4
+    # no new rows: skip, watermark frozen
+    r = pipe.run()[0]
+    assert r.status == "skipped_empty"
+    with PgConnection(pg) as c:
+        _, rows = c.execute(f"SELECT id, v FROM {dst_tbl} ORDER BY id")
+    assert rows == [(0, "v0"), (1, "v1"), (2, "v2"), (3, "v3"), (4, "v4")]
