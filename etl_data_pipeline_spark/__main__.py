@@ -42,20 +42,35 @@ def build_spec(env: str, table_list: str, tables_list_path: str) -> PipelineSpec
                 watermark_type=s.watermark_type,
                 source_format=src["DB_TYPE"],
                 source_options=(
-                    {"dir": src["PATH"]}
-                    if src["DB_TYPE"] != "jdbc"
-                    else {"url": src["JDBC_URL"], "user": src["USER"],
-                          "password": src["PASSWORD"]}
+                    {"url": src["JDBC_URL"], "user": src["USER"],
+                     "password": src["PASSWORD"]}
+                    if src["DB_TYPE"] == "jdbc"
+                    else {"conninfo": src["CONNINFO"]}
+                    if src["DB_TYPE"] == "pglive"
+                    else {"dir": src["PATH"]}
                 ),
                 sink_format=tgt["DB_TYPE"],
                 sink_options=(
-                    {"dir": tgt["PATH"]}
-                    if tgt["DB_TYPE"] != "jdbc"
-                    else {"url": tgt["JDBC_URL"], "user": tgt["USER"],
-                          "password": tgt["PASSWORD"]}
+                    {"url": tgt["JDBC_URL"], "user": tgt["USER"],
+                     "password": tgt["PASSWORD"]}
+                    if tgt["DB_TYPE"] == "jdbc"
+                    else {"conninfo": tgt["CONNINFO"]}
+                    if tgt["DB_TYPE"] == "pglive"
+                    else {"dir": tgt["PATH"]}
                 ),
+                # replay idempotency (merge on the watermark key) is a
+                # parquet/manifest capability; DB sinks (jdbc/pglive)
+                # are plain appends — the reference's own semantics
+                # (§2.C #5: crash between load and watermark-write can
+                # replay rows there). Setting merge_keys for a DB sink
+                # used to make _validate_sink_config reject EVERY
+                # watermarked CLI table on a jdbc target — found by
+                # the live-PostgreSQL CLI test.
                 merge_keys=(
-                    (s.watermark_column,) if s.watermark_column else None
+                    (s.watermark_column,)
+                    if s.watermark_column
+                    and tgt["DB_TYPE"] in ("manifest", "parquet")
+                    else None
                 ),
             )
         )

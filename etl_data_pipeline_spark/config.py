@@ -30,6 +30,8 @@ def db_details(env: str) -> dict:
                 "JDBC_URL": _env("SOURCE_JDBC_URL", ""),
                 "USER": _env("SOURCE_DB_USER", ""),
                 "PASSWORD": _env("SOURCE_DB_PASSWORD", ""),
+                # libpq conninfo for DB_TYPE=pglive (live PostgreSQL)
+                "CONNINFO": _env("SOURCE_PG_CONNINFO", ""),
             },
             "TARGET_DB": {
                 "DB_TYPE": _env("TARGET_DB_TYPE", "parquet"),
@@ -37,6 +39,7 @@ def db_details(env: str) -> dict:
                 "JDBC_URL": _env("TARGET_JDBC_URL", ""),
                 "USER": _env("TARGET_DB_USER", ""),
                 "PASSWORD": _env("TARGET_DB_PASSWORD", ""),
+                "CONNINFO": _env("TARGET_PG_CONNINFO", ""),
             },
         },
     }

@@ -273,3 +273,55 @@ def test_full_incremental_pipeline_pg_to_pg(pg, spark, tmp_path):
     with PgConnection(pg) as c:
         _, rows = c.execute(f"SELECT id, v FROM {dst_tbl} ORDER BY id")
     assert rows == [(0, "v0"), (1, "v1"), (2, "v2"), (3, "v3"), (4, "v4")]
+
+
+def test_cli_contract_against_live_pg(pg, spark, tmp_path, monkeypatch, capsys):
+    """The reference's CLI contract (`python app.py dev all`,
+    app.py:31-46) executed against live PostgreSQL: env-configured
+    pglive source/sink, tables_list registry, LAST_WATERMARK seeding,
+    NEW_WATERMARK_<T>= stdout emission — the full operational surface
+    on the real engine."""
+    from etl_data_pipeline_spark.__main__ import main
+    from etl_data_pipeline_spark.sources.pg_libpq import PgConnection
+
+    src_tbl = f"cli_src_{uuid.uuid4().hex[:8]}"
+    with PgConnection(pg) as c:
+        c.execute(f"CREATE TABLE {src_tbl} (id BIGINT, v TEXT)")
+        c.execute(f"CREATE TABLE {src_tbl}_dst (id BIGINT, v TEXT)")
+        for i in range(4):
+            c.execute(f"INSERT INTO {src_tbl} VALUES ($1, $2)", (i, f"v{i}"))
+    registry = tmp_path / "tables_list"
+    registry.write_text(
+        "table_name,to_be_loaded,watermark_column,watermark_type\n"
+        f"{src_tbl},yes,id,id\n"
+    )
+    monkeypatch.setenv("SOURCE_DB_TYPE", "pglive")
+    monkeypatch.setenv("SOURCE_PG_CONNINFO", pg)
+    monkeypatch.setenv("TARGET_DB_TYPE", "pglive")
+    monkeypatch.setenv("TARGET_PG_CONNINFO", pg)
+    # seed the watermark like the DAG does (app.py:99-100): rows <= 1
+    # were already loaded by a previous life — copy only the delta
+    monkeypatch.setenv(f"LAST_WATERMARK_{src_tbl.upper()}", "1")
+    # the CLI's generic target naming: table name == sink dbtable, so
+    # point the sink at the _dst table via the registry name? The CLI
+    # writes to the TABLE NAME on the target — copy table-to-same-name
+    # across engines is the reference's contract; here source and
+    # target are one server, so pre-create a same-named sink is the
+    # src table itself. Use a DEDICATED target database instead.
+    with PgConnection(pg) as c:
+        c.execute("CREATE DATABASE cli_target")
+    tgt = pg.replace("dbname=postgres", "dbname=cli_target")
+    with PgConnection(tgt) as c:
+        c.execute(f"CREATE TABLE {src_tbl} (id BIGINT, v TEXT)")
+    monkeypatch.setenv("TARGET_PG_CONNINFO", tgt)
+    rc = main(
+        ["dev", src_tbl, "--tables-list", str(registry),
+         "--state", str(tmp_path / "wm.json")],
+        spark=spark,
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert f"NEW_WATERMARK_{src_tbl.upper()}=3" in out
+    with PgConnection(tgt) as c:
+        _, rows = c.execute(f"SELECT id FROM {src_tbl} ORDER BY id")
+    assert [r[0] for r in rows] == [2, 3]  # only the post-seed delta
