@@ -759,6 +759,20 @@ class IncrementalPipeline:
         )
 
         try:
+            # python-side drivers first: pg_libpq raises PgError with
+            # the server SQLSTATE attached (and __cause__ chains count)
+            pe = e
+            for _ in range(10):
+                if pe is None:
+                    break
+                state = getattr(pe, "sqlstate", None)
+                if state:
+                    opts = {**t.sink_options, **t.source_options}
+                    dialect = opts.get("dialect") or (
+                        "postgres" if "conninfo" in opts else None
+                    ) or dialect_for_url(opts.get("url")) or "ansi"
+                    return jdbc_error_class(state, None, dialect)
+                pe = getattr(pe, "__cause__", None)
             je = getattr(e, "java_exception", None)
             for _ in range(10):  # bounded cause walk (cycles exist)
                 if je is None:

@@ -325,3 +325,63 @@ def test_cli_contract_against_live_pg(pg, spark, tmp_path, monkeypatch, capsys):
     with PgConnection(tgt) as c:
         _, rows = c.execute(f"SELECT id FROM {src_tbl} ORDER BY id")
     assert [r[0] for r in rows] == [2, 3]  # only the post-seed delta
+
+
+def test_retryable_sqlstate_live_serialization_conflict(pg):
+    """The 'retryable' half of the classification proven on REAL
+    codes: two SERIALIZABLE transactions with a write-skew cycle — the
+    loser raises SQLSTATE 40001 (serialization_failure), which
+    jdbc_error_class calls retryable (deadlock victims retry by
+    definition)."""
+    from etl_data_pipeline_spark.sources import jdbc_error_class
+    from etl_data_pipeline_spark.sources.pg_libpq import PgConnection, PgError
+
+    with PgConnection(pg) as setup:
+        setup.execute("CREATE TABLE ser (k INT PRIMARY KEY, v INT)")
+        setup.execute("INSERT INTO ser VALUES (1, 0), (2, 0)")
+    c1, c2 = PgConnection(pg), PgConnection(pg)
+    try:
+        c1.execute("BEGIN ISOLATION LEVEL SERIALIZABLE")
+        c2.execute("BEGIN ISOLATION LEVEL SERIALIZABLE")
+        # classic write skew: each reads the row the other writes
+        c1.execute("SELECT v FROM ser WHERE k = 2")
+        c2.execute("SELECT v FROM ser WHERE k = 1")
+        c1.execute("UPDATE ser SET v = 1 WHERE k = 1")
+        c2.execute("UPDATE ser SET v = 1 WHERE k = 2")
+        c1.execute("COMMIT")
+        with pytest.raises(PgError) as e:
+            c2.execute("COMMIT")
+        assert e.value.sqlstate == "40001"
+        assert (
+            jdbc_error_class(e.value.sqlstate, dialect="postgres")
+            == "retryable"
+        )
+    finally:
+        c1.close()
+        c2.close()
+
+
+def test_pipeline_error_class_from_live_pg_failure(pg, spark, tmp_path):
+    """A pglive table failing on a REAL server error surfaces
+    error_class through the pipeline's isolation handler — the
+    python-side (PgError.sqlstate) branch of the classification walk,
+    the live twin of the Derby Java-chain test."""
+    from etl_data_pipeline_spark.pipeline import IncrementalPipeline
+    from etl_data_pipeline_spark.spec import PipelineSpec, TableSpec
+    from etl_data_pipeline_spark.watermark import WatermarkStore
+
+    spec = PipelineSpec(
+        tables=[
+            TableSpec(
+                name="absent_pg_table",
+                source_format="pglive",
+                source_options={"conninfo": pg},
+                sink_options={"dir": str(tmp_path / "sink")},
+            )
+        ]
+    )
+    r = IncrementalPipeline(
+        spark, spec, WatermarkStore(tmp_path / "wm.json")
+    ).run()[0]
+    assert r.status == "failed"
+    assert r.error_class == "fatal", (r.error_class, r.error)
