@@ -515,12 +515,19 @@ def _xml_source(spark: SparkSession, table: str, options: dict) -> DataFrame:
 
 def _pglive_source(spark: SparkSession, table: str, options: dict) -> DataFrame:
     """Live PostgreSQL over libpq (sources/pg_libpq.py) — the
-    reference's actual target engine, driver-side reference-parity
-    reads; the Spark-parallel path stays 'jdbc'. Incremental pushdown
-    rides the SAME jdbc_incremental_dbtable subquery (dialect
-    'postgres'), so the two PG paths share one SQL contract."""
-    from etl_data_pipeline_spark.sources.pg_libpq import read_pg
+    reference's actual target engine. With ``partition_column`` +
+    ``num_partitions`` the read is DISTRIBUTED (per-task libpq
+    connections over range predicates — the Spark-JDBC shape);
+    otherwise driver-side reference-parity. Incremental pushdown rides
+    the SAME jdbc_incremental_dbtable subquery (dialect 'postgres'),
+    so the PG paths share one SQL contract."""
+    from etl_data_pipeline_spark.sources.pg_libpq import (
+        read_pg,
+        read_pg_partitioned,
+    )
 
+    if options.get("partition_column") and options.get("num_partitions"):
+        return read_pg_partitioned(spark, table, options)
     return read_pg(spark, table, options)
 
 

@@ -329,3 +329,98 @@ def write_pg(df, table: str, options: dict) -> None:
             c.execute(
                 f'INSERT INTO {target} ({quoted}) VALUES {values}', params
             )
+
+
+def read_pg_partitioned(spark, table: str, options: dict):
+    """DISTRIBUTED live-PostgreSQL read — the Spark-JDBC partitioned
+    shape on the real engine: N range predicates over
+    ``partition_column`` (first slice unbounded below, last unbounded
+    above — Spark's own jdbc semantics, so no row is lost outside the
+    bounds), each executed by its OWN task over its OWN libpq
+    connection via mapInPandas. This is the scale path the driver-side
+    ``read_pg`` adapter deliberately is not: the server sees N
+    concurrent range scans and rows never funnel through the Spark
+    driver. Requires libpq.so.5 on the executors (true in local mode
+    and on any node with the postgres client library).
+
+    options: conninfo, dbtable?, partition_column, num_partitions,
+    lower_bound?, upper_bound? (bounds probed with one MIN/MAX query
+    when absent — the same one-row probe Spark JDBC issues)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    conninfo = options.get("conninfo")
+    if not conninfo:
+        raise ValueError("pglive source requires options['conninfo']")
+    dbtable = options.get("dbtable", table)
+    pcol = options["partition_column"]
+    n = int(options["num_partitions"])
+    if n < 1:
+        raise ValueError("num_partitions must be >= 1")
+
+    lib = _libpq()
+    with PgConnection(conninfo) as c:
+        # schema probe: zero rows, full OID set
+        res = lib.PQexecParams(
+            c._conn,
+            f"SELECT * FROM {dbtable} WHERE false".encode(),
+            0, None, None, None, None, 0,
+        )
+        try:
+            if lib.PQresultStatus(res) != PGRES_TUPLES_OK:
+                msg = lib.PQresultErrorMessage(res).decode(errors="replace")
+                state = lib.PQresultErrorField(res, PG_DIAG_SQLSTATE)
+                raise PgError(msg.strip(), state.decode() if state else None)
+            nf = lib.PQnfields(res)
+            names = [lib.PQfname(res, j).decode() for j in range(nf)]
+            oids = [lib.PQftype(res, j) for j in range(nf)]
+        finally:
+            lib.PQclear(res)
+        lo = options.get("lower_bound")
+        hi = options.get("upper_bound")
+        if lo is None or hi is None:
+            _, rows = c.execute(
+                f'SELECT min("{pcol}"), max("{pcol}") FROM {dbtable}'
+            )
+            lo = rows[0][0] if lo is None else lo
+            hi = rows[0][1] if hi is None else hi
+    schema = T.StructType(
+        [
+            T.StructField(nm, _spark_type_for_oid(oid), True)
+            for nm, oid in zip(names, oids)
+        ]
+    )
+    if lo is None or hi is None or n == 1:  # empty table or one slice
+        preds = [None] * 1
+    else:
+        lo, hi = int(lo), int(hi)
+        stride = max(1, (hi - lo) // n + 1)
+        preds = []
+        for i in range(n):
+            lo_b = lo + i * stride
+            hi_b = lo + (i + 1) * stride
+            if n == 1:
+                preds.append(None)
+            elif i == 0:
+                preds.append(f'"{pcol}" < {hi_b} OR "{pcol}" IS NULL')
+            elif i == n - 1:
+                preds.append(f'"{pcol}" >= {lo_b}')
+            else:
+                preds.append(f'"{pcol}" >= {lo_b} AND "{pcol}" < {hi_b}')
+    seeds = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(preds)], "pid int, pred string"
+    ).repartitionByRange(len(preds), F.col("pid"))
+
+    def gen(pdfs):
+        for pdf in pdfs:
+            for pred in pdf["pred"]:
+                where = f" WHERE {pred}" if pred and not pd.isna(pred) else ""
+                with PgConnection(conninfo) as conn:
+                    cols, rows = conn.execute(
+                        f"SELECT * FROM {dbtable}{where}"
+                    )
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols, dtype=object)
+
+    return seeds.mapInPandas(gen, schema)

@@ -385,3 +385,42 @@ def test_pipeline_error_class_from_live_pg_failure(pg, spark, tmp_path):
     ).run()[0]
     assert r.status == "failed"
     assert r.error_class == "fatal", (r.error_class, r.error)
+
+
+def test_partitioned_distributed_read(pg, spark):
+    """The DISTRIBUTED live-PG read: N range slices, each task its own
+    libpq connection (Spark-JDBC partitioned semantics — first slice
+    unbounded below, last unbounded above, NULLs in slice 0). The
+    union equals the driver-side read exactly, types included."""
+    from etl_data_pipeline_spark.sources import read_source
+    from etl_data_pipeline_spark.sources.pg_libpq import PgConnection
+
+    with PgConnection(pg) as c:
+        c.execute("CREATE TABLE part_src (id BIGINT, v DOUBLE PRECISION)")
+        for i in range(50):
+            c.execute(
+                "INSERT INTO part_src VALUES ($1, $2)", (i, i * 0.5)
+            )
+        c.execute("INSERT INTO part_src VALUES (NULL, -1.0)")
+    dist = read_source(
+        spark,
+        "pglive",
+        "part_src",
+        {
+            "conninfo": pg,
+            "partition_column": "id",
+            "num_partitions": 4,
+        },
+    )
+    assert dist.rdd.getNumPartitions() == 4
+    got = sorted(
+        ((r.id, r.v) for r in dist.collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    plain = read_source(spark, "pglive", "part_src", {"conninfo": pg})
+    want = sorted(
+        ((r.id, r.v) for r in plain.collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    assert got == want and len(got) == 51
+    assert dist.schema == plain.schema
