@@ -276,10 +276,20 @@ def _xml_append(df: DataFrame, table: str, options: dict) -> None:
 def _pglive_append(df: DataFrame, table: str, options: dict) -> None:
     """Live PostgreSQL append over libpq (sources/pg_libpq.py):
     batched $n-parameterized multi-row INSERTs — the reference's
-    execute_batch (util.py:226-247) on its real target engine."""
-    from etl_data_pipeline_spark.sources.pg_libpq import write_pg
+    execute_batch (util.py:226-247) on its real target engine. With
+    ``distributed: true`` every Spark partition writes over its OWN
+    connection (the parallel Spark-JDBC-writer shape, at-least-once
+    per task retry); default is the driver-side reference-parity
+    path."""
+    from etl_data_pipeline_spark.sources.pg_libpq import (
+        write_pg,
+        write_pg_distributed,
+    )
 
-    write_pg(df, table, options)
+    if options.get("distributed"):
+        write_pg_distributed(df, table, options)
+    else:
+        write_pg(df, table, options)
 
 
 SINKS: dict[str, SinkFn] = {

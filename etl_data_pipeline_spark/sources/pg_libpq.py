@@ -424,3 +424,53 @@ def read_pg_partitioned(spark, table: str, options: dict):
                     yield pd.DataFrame(rows, columns=cols, dtype=object)
 
     return seeds.mapInPandas(gen, schema)
+
+
+def write_pg_distributed(df, table: str, options: dict) -> None:
+    """DISTRIBUTED live-PostgreSQL append — the parallel twin of
+    ``write_pg``: every Spark partition opens its OWN libpq connection
+    and streams its rows as batched $n-parameterized multi-row
+    INSERTs, so N tasks write concurrently and rows never funnel
+    through the driver (Spark's own JDBC writer shape). Same
+    at-least-once semantics as Spark JDBC: each task commits
+    independently and a retried task re-inserts its rows — callers
+    needing exactly-once use an idempotent downstream (merge keys /
+    staged swap), exactly the engine's standing sink contract. The
+    per-statement row count keeps parameters under libpq's 65535
+    limit."""
+    conninfo = options.get("conninfo")
+    if not conninfo:
+        raise ValueError("pglive sink requires options['conninfo']")
+    target = options.get("dbtable", table)
+    cols = df.columns
+    quoted = ", ".join(f'"{c}"' for c in cols)
+    ncols = len(cols)
+    per_stmt = max(1, min(500, 60000 // max(1, ncols)))
+
+    def write_partition(rows):
+        chunk: list[tuple] = []
+        conn = None
+        try:
+            for row in rows:
+                if conn is None:
+                    conn = PgConnection(conninfo)
+                chunk.append(tuple(row))
+                if len(chunk) >= per_stmt:
+                    _insert_chunk(conn, target, quoted, ncols, chunk)
+                    chunk = []
+            if conn is not None and chunk:
+                _insert_chunk(conn, target, quoted, ncols, chunk)
+        finally:
+            if conn is not None:
+                conn.close()
+
+    df.foreachPartition(write_partition)
+
+
+def _insert_chunk(conn: PgConnection, target, quoted, ncols, chunk) -> None:
+    values = ", ".join(
+        "(" + ", ".join(f"${i * ncols + j + 1}" for j in range(ncols)) + ")"
+        for i in range(len(chunk))
+    )
+    params = tuple(v for r in chunk for v in r)
+    conn.execute(f'INSERT INTO {target} ({quoted}) VALUES {values}', params)

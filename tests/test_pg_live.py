@@ -424,3 +424,23 @@ def test_partitioned_distributed_read(pg, spark):
     )
     assert got == want and len(got) == 51
     assert dist.schema == plain.schema
+
+
+def test_distributed_write_round_trip(pg, spark):
+    """The parallel write path: N partitions each insert over their
+    own connection; the table ends with exactly the frame's rows."""
+    from pyspark.sql import functions as F
+
+    from etl_data_pipeline_spark.sinks import write_sink
+    from etl_data_pipeline_spark.sources import read_source
+    from etl_data_pipeline_spark.sources.pg_libpq import PgConnection
+
+    with PgConnection(pg) as c:
+        c.execute("CREATE TABLE dist_sink (id BIGINT, v TEXT)")
+    df = spark.range(200).select(
+        "id", F.concat_ws("-", F.lit("v"), "id").alias("v")
+    ).repartition(4)
+    write_sink(df, "pglive", "dist_sink", {"conninfo": pg, "distributed": True})
+    back = read_source(spark, "pglive", "dist_sink", {"conninfo": pg})
+    got = sorted((r.id, r.v) for r in back.collect())
+    assert got == [(i, f"v-{i}") for i in range(200)]
