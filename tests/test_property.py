@@ -567,3 +567,52 @@ def test_version_feed_upsert_last_write_wins(spark, plan):
             for k in keys:
                 last[k] = i
         assert got == sorted(last.items()), (got, last)
+
+
+@st.composite
+def hive_layout_plan(draw):
+    """Random hive-partitioned table shape: 1-3 partition values with
+    skewed row counts, random row payload width."""
+    nparts = draw(st.integers(min_value=1, max_value=3))
+    sizes = [draw(st.integers(min_value=1, max_value=400)) for _ in range(nparts)]
+    payload = draw(st.integers(min_value=1, max_value=60))
+    target_kb = draw(st.sampled_from([1, 4, 1024]))
+    return sizes, payload, target_kb
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(plan=hive_layout_plan())
+def test_compact_parquet_preserves_rows_under_any_layout(spark, plan):
+    """Compaction with the r10 deterministic salt: for ANY skewed hive
+    layout and ANY file-size target, the compacted table holds the
+    exact same row multiset, the partition dirs survive, and no leaf
+    dir is left empty."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_data_pipeline_spark.sinks import compact_parquet, write_partitioned
+
+    sizes, payload, target_kb = plan
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "pt")
+        rows = [
+            (pi * 100000 + i, f"p{pi}", "x" * payload)
+            for pi, n in enumerate(sizes)
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "k long, part string, v string")
+        write_partitioned(df, "pt", {"path": path}, ["part"])
+        compact_parquet(spark, path, target_file_bytes=target_kb * 1024)
+        back = spark.read.parquet(path)
+        got = sorted((r.k, r.part, r.v) for r in back.collect())
+        assert got == sorted(rows)
+        for pi, n in enumerate(sizes):
+            d = os.path.join(path, f"part=p{pi}")
+            files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            assert files, f"empty leaf {d}"
