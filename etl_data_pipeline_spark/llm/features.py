@@ -193,7 +193,14 @@ def _lr_design(spark: SparkSession, sf_dir: str):
     separating feature, so the trainer's eval row can PROVE descent
     (the corpus generator reuses one vocabulary across languages, so
     a language label carries no BoW signal at all — measured: 3-step
-    accuracy == base rate — and would demonstrate nothing).
+    accuracy == base rate — and would demonstrate nothing; a
+    quality-score label (round6(quality_score) >= 0.6, the CCNet-style
+    distillation target) is equally unlearnable from PRESENCE features
+    here — measured offline at (10, 20): accuracy <= base rate at
+    sf0.01 AND sf0.1, because the rule battery keys on length/ratio
+    signals that presence of 31 shared words cannot carry — so the
+    registered fixture stays the one label this corpus makes
+    separable).
 
     Every row also carries ``is_train`` — a 90/10 hash split
     (corpus_split's portable-md5 recipe, its own salt) so the eval
