@@ -297,6 +297,25 @@ def read_pg(spark, table: str, options: dict):
     return spark.createDataFrame(rows, T.StructType(fields))
 
 
+def _reject_complex_columns(df, where: str) -> None:
+    """The pglive sinks speak the reference's RELATIONAL shape: scalar
+    columns only. A list/map/struct value would silently render as its
+    Python repr inside a text parameter — reject at config time."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    if bad:
+        raise ValueError(
+            f"{where}: complex-typed columns {bad} are not writable as "
+            f"text parameters — serialize them first (to_json) or use a "
+            f"file-format sink"
+        )
+
+
 def write_pg(df, table: str, options: dict) -> None:
     """Sink adapter: batched multi-row parameterized INSERTs — the
     reference's execute_batch append (util.py:226-247) with $n
@@ -307,6 +326,7 @@ def write_pg(df, table: str, options: dict) -> None:
     conninfo = options.get("conninfo")
     if not conninfo:
         raise ValueError("pglive sink requires options['conninfo']")
+    _reject_complex_columns(df, "pglive sink")
     target = options.get("dbtable", table)
     cols = df.columns
     quoted = ", ".join(f'"{c}"' for c in cols)
@@ -441,6 +461,7 @@ def write_pg_distributed(df, table: str, options: dict) -> None:
     conninfo = options.get("conninfo")
     if not conninfo:
         raise ValueError("pglive sink requires options['conninfo']")
+    _reject_complex_columns(df, "pglive distributed sink")
     target = options.get("dbtable", table)
     cols = df.columns
     quoted = ", ".join(f'"{c}"' for c in cols)

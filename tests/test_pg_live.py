@@ -444,3 +444,15 @@ def test_distributed_write_round_trip(pg, spark):
     back = read_source(spark, "pglive", "dist_sink", {"conninfo": pg})
     got = sorted((r.id, r.v) for r in back.collect())
     assert got == [(i, f"v-{i}") for i in range(200)]
+
+
+def test_complex_columns_rejected_loudly(pg, spark):
+    """A list column must never silently land as its Python repr in a
+    text parameter — the sink rejects complex types as pure config."""
+    from pyspark.sql import functions as F
+
+    from etl_data_pipeline_spark.sinks import write_sink
+
+    df = spark.range(3).select("id", F.array(F.lit(1), F.lit(2)).alias("a"))
+    with pytest.raises(ValueError, match="complex-typed"):
+        write_sink(df, "pglive", "whatever", {"conninfo": pg})
