@@ -456,13 +456,12 @@ def corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: within-stream ranks are per-language windows
     (well-distributed keys); the final global position is ONE
-    distributed range-partitioned sort of scalar rows, the same cost
-    class as export_shuffle — no driver materialization. row_number
-    over the empty frame after a global sort is Spark's one
-    single-partition window; at 100 TB emit zipWithIndex on the
-    sorted frame instead (export_shuffle documents the swap) — kept
-    as the window here because the oracle needs the identical
-    1-based dense position semantics.
+    distributed range-partitioned sort of scalar rows + zipWithIndex
+    (per-partition offsets — the export_shuffle recipe,
+    operators/scans.py:263-274), NOT a global row_number() window,
+    which Spark would execute through a single partition. The sort
+    keys form a total order, so zipWithIndex's dense 1-based
+    positions are identical to the oracle's row_number semantics.
     """
     from etl_data_pipeline_spark.functions.hashing import md5_long60
 
@@ -485,8 +484,15 @@ def corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         "within_rank",
         hround((F.col("within_rank") - 0.5) / F.col("w"), 6).alias("stride_pos"),
     )
-    merged = Window.orderBy(F.asc("stride_pos"), F.asc("lang"), F.asc("doc_id"))
-    return pos.withColumn("global_pos", F.row_number().over(merged).cast("long"))
+    ordered = pos.orderBy(F.asc("stride_pos"), F.asc("lang"), F.asc("doc_id"))
+    with_pos = ordered.rdd.zipWithIndex().map(
+        lambda t: (t[0][0], t[0][1], t[0][2], t[0][3], t[1] + 1)
+    )
+    return spark.createDataFrame(
+        with_pos,
+        "doc_id long, lang string, within_rank int, stride_pos double, "
+        "global_pos long",
+    )
 
 
 QUERIES = {

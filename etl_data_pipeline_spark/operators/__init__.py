@@ -80,86 +80,28 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # hoisted to the very front regardless of family (the harness
     # checks only a ~50-entry prefix per round, so the hoist rotates
     # stale evidence back into the check window).
-    # Round-10 rotation (round-9 VERDICT item 2): first any queries
-    # REGISTERED this round (no driver evidence yet), then the 12
-    # r5-stale queries the verdict lists, then the r6-stale tail in
-    # `python tools/evidence_freshness.py --hoist 60` order. ~60 names
-    # > the ~50-entry window, so the tail rolls to the r11 rotation;
-    # the freshness tool recomputes the exact cut each round.
-    hoist = [
-        # brand-new in r10 (no driver evidence yet) — first priority
-        "embedding_kmeans_coverage",
-        "sim_ann_ivf_clustered_recall",
-        "sim_ann_ivf_clustered_trained_recall",
-        "classifier_train_lr",
-        "classifier_train_lr_eval",
-        "classifier_score_corpus",
-        # r5-stale (the round-9 verdict's staleness tail)
-        "udf_pandas",
-        "cdc_compact_latest",
-        "expectations_report",
-        "dedup_exact_docs",
-        "dedup_ngram_jaccard",
-        "dedup_clusters",
-        "dedup_canonical",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "embedding_quantize",
-        "sim_ann_lsh",
-        "embedding_centroids",
-        # r6-stale tail (evidence_freshness --hoist 60 order)
-        "tpch_q2ish",
-        "tpch_q11ish",
-        "tpch_q7ish",
-        "tpch_q8ish",
-        "tpch_q9ish",
-        "subq_q22ish",
-        "join_count_distribution",
-        "recsys_negative_samples",
-        "events_decayed_value",
-        "corpus_quality_resample",
-        "events_conversion_sessions",
-        "events_sessionize",
-        "stream_tumbling",
-        "stream_sliding",
-        "stream_session",
-        "stream_watermark_late",
-        "stream_dedup",
-        "stream_join_attribution",
-        "agg_pivot",
-        "unpivot_metrics",
-        "pipeline_corpus_curation_v2",
-        "corpus_mix_weights",
-        "corpus_split",
-        "corpus_pack_sequences",
-        "pipeline_corpus_curation",
-        "text_contamination",
-        "text_pii_scrub",
-        "text_repetition",
-        "text_stats",
-        "text_tfidf",
-        "text_chunks",
-        "text_normalize",
-        "text_top_tokens",
-        "text_tokens",
-        "text_lang_id",
-        "text_quality",
-        "text_fingerprint",
-        "multimodal_decode_header",
-        "multimodal_resize_plan",
-        "multimodal_frame_sample",
-        "multimodal_binary_meta",
-        "multimodal_decode_stub",
-        "scalar_string",
-        "scalar_map",
-        "agg_approx_distinct_bounds",
-        "agg_approx_percentile_bounds",
-        "udaf_grouped",
-        "udaf_segment_trend",
-    ]
+    # Since round 11 the cut is MACHINE-derived (round-10 VERDICT item
+    # 4): `python tools/evidence_freshness.py --hoist 60 --write`
+    # recomputes the rotation from the union of CORRECTNESS_r*.json —
+    # queries with no driver evidence first (new registrations), then
+    # stalest-green-round order — and writes it to hoist.json beside
+    # this file; run it once per round after registering new queries.
+    hoist = _load_hoist()
     ordered = {name: queries[name] for name in hoist if name in queries}
     ordered.update(queries)
     return {name: _pinned_utc(fn) for name, fn in ordered.items()}, oracle
+
+
+def _load_hoist() -> list[str]:
+    """The checked-in rotation cut (see collect_registry)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "hoist.json")
+    if not os.path.exists(path):  # pre-r11 checkouts / partial installs
+        return []
+    with open(path) as f:
+        return list(json.load(f))
 
 
 def _pinned_utc(fn: QueryFn) -> QueryFn:

@@ -1300,19 +1300,22 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     event count and value sum, each scored into quartiles by ntile,
     concatenated into the classic 3-digit segment label.
 
-    Determinism contract: every ntile ORDER BY carries a user_id
-    tiebreak so the quartile assignment is a total order (ntile's
-    bucket split is value-order-dependent; without the tiebreak two
-    engines could legally disagree on equal keys). Recency diffs on
-    DATE precision (datediff), matching the oracle's ::DATE cast.
+    Determinism contract: every quartile ORDER BY carries a user_id
+    tiebreak so the assignment is a total order (ntile's bucket split
+    is value-order-dependent; without the tiebreak two engines could
+    legally disagree on equal keys). Recency diffs on DATE precision
+    (datediff), matching the oracle's ::DATE cast.
 
     Scale posture: one groupBy(user_id) shuffle reduces events to one
-    scalar row per user; the three ntile windows then run over the
-    per-user relation (orders of magnitude smaller than the event
-    log). The global max(ts) is a 1-row broadcast, not a second scan
-    dependency. At 100 TB the per-user relation is still large — each
-    ntile is a Spark range-partitioned global sort of scalar rows,
-    the same cost class as export_shuffle's distributed sort.
+    scalar row per user; each quartile score is then a *distributed*
+    range-partitioned sort of (user_id, key) pairs + zipWithIndex
+    (per-partition offsets, the export_shuffle recipe at
+    operators/scans.py:263-274) mapped through ntile's positional
+    bucket formula — NOT a global ntile() window, which Spark would
+    execute by collapsing the whole per-user relation into a single
+    partition. The bucket formula reproduces ntile(k) exactly
+    (first N%k buckets get ceil(N/k) rows), so the ntile-based
+    oracle is unchanged. The global max(ts) is a 1-row broadcast.
     """
     ev = load_table(spark, sf_dir, "events")
     gmax = ev.agg(F.max("ts").alias("gmax"))
@@ -1331,18 +1334,33 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    r_q = F.ntile(RFM_QUANTILES).over(
-        Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
-    )
-    f_q = F.ntile(RFM_QUANTILES).over(
-        Window.orderBy(F.desc("frequency"), F.asc("user_id"))
-    )
-    m_q = F.ntile(RFM_QUANTILES).over(
-        Window.orderBy(F.desc("monetary"), F.asc("user_id"))
-    )
-    scored = base.select(
-        "user_id", "recency_days", "frequency", "monetary",
-        r_q.alias("r_q"), f_q.alias("f_q"), m_q.alias("m_q"),
+    base = base.persist()
+    n_total = base.count()
+    # ntile(k) positional split: the first `rem` buckets take q+1
+    # rows, the rest take q (q may be 0 when n_total < k).
+    q, rem = divmod(n_total, RFM_QUANTILES)
+    cutoff = rem * (q + 1)
+
+    def _quartile(col_name: str, ascending: bool, alias: str) -> DataFrame:
+        key = F.asc(col_name) if ascending else F.desc(col_name)
+        ordered = base.select("user_id", col_name).orderBy(key, F.asc("user_id"))
+        pos_rdd = ordered.rdd.zipWithIndex().map(lambda t: (t[0][0], t[1]))
+        pos_df = spark.createDataFrame(pos_rdd, "user_id long, pos long")
+        bucket = (
+            F.when(F.col("pos") < cutoff, F.floor(F.col("pos") / (q + 1)) + 1)
+            .otherwise(rem + F.floor((F.col("pos") - cutoff) / max(q, 1)) + 1)
+            .cast("int")
+        )
+        return pos_df.select("user_id", bucket.alias(alias))
+
+    scored = (
+        base.join(_quartile("recency_days", True, "r_q"), "user_id")
+        .join(_quartile("frequency", False, "f_q"), "user_id")
+        .join(_quartile("monetary", False, "m_q"), "user_id")
+        .select(
+            "user_id", "recency_days", "frequency", "monetary",
+            "r_q", "f_q", "m_q",
+        )
     )
     return scored.withColumn(
         "rfm_segment",

@@ -276,20 +276,29 @@ def _xml_append(df: DataFrame, table: str, options: dict) -> None:
 def _pglive_append(df: DataFrame, table: str, options: dict) -> None:
     """Live PostgreSQL append over libpq (sources/pg_libpq.py):
     batched $n-parameterized multi-row INSERTs — the reference's
-    execute_batch (util.py:226-247) on its real target engine. With
-    ``distributed: true`` every Spark partition writes over its OWN
-    connection (the parallel Spark-JDBC-writer shape, at-least-once
-    per task retry); default is the driver-side reference-parity
-    path."""
+    execute_batch (util.py:226-247) on its real target engine.
+
+    DEFAULT is the DISTRIBUTED path: every Spark partition writes over
+    its OWN connection (the parallel Spark-JDBC-writer shape), so a
+    big batch never funnels through the driver — the scale-safe
+    default a 100 TB pipeline needs. ``driver_side: true`` opts into
+    the reference-parity collect-then-insert path (util.py:226 shape,
+    kept for parity tests and tiny control tables); ``atomic: true``
+    routes to the staged-table + transactional-rename REPLACE
+    (write_pg_atomic) — all-or-nothing on the server, the reference's
+    commit/rollback semantics."""
     from etl_data_pipeline_spark.sources.pg_libpq import (
         write_pg,
+        write_pg_atomic,
         write_pg_distributed,
     )
 
-    if options.get("distributed"):
-        write_pg_distributed(df, table, options)
-    else:
+    if options.get("atomic"):
+        write_pg_atomic(df, table, options)
+    elif options.get("driver_side"):
         write_pg(df, table, options)
+    else:
+        write_pg_distributed(df, table, options)
 
 
 SINKS: dict[str, SinkFn] = {

@@ -98,6 +98,8 @@ def _libpq():
         lib.PQfname.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.PQftype.restype = ctypes.c_uint
         lib.PQftype.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.PQfmod.restype = ctypes.c_int
+        lib.PQfmod.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.PQgetisnull.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
         lib.PQgetvalue.restype = ctypes.c_char_p
         lib.PQgetvalue.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
@@ -115,6 +117,14 @@ def _parse_tstz(s: str) -> dt.datetime:
     # "...+HH[:MM]" — normalize to naive UTC (engine session tz is UTC)
     d = dt.datetime.fromisoformat(s)
     return d.astimezone(dt.timezone.utc).replace(tzinfo=None)
+
+
+def _parse_tstz_aware(s: str) -> dt.datetime:
+    """UTC-AWARE variant for the Spark read adapters: createDataFrame
+    interprets a NAIVE datetime in the driver-local timezone, so the
+    naive-UTC convention of ``_parse_tstz`` would shift every instant
+    on a non-UTC driver host; an aware value is unambiguous."""
+    return dt.datetime.fromisoformat(s).astimezone(dt.timezone.utc)
 
 
 _PARSERS = {
@@ -138,6 +148,8 @@ def _render_param(v) -> str | None:
     if isinstance(v, bool):
         return "t" if v else "f"
     if isinstance(v, dt.datetime):
+        if v.tzinfo is not None:  # aware → the UTC instant, naive
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
         return v.isoformat(sep=" ")
     if isinstance(v, dt.date):
         return v.isoformat()
@@ -165,7 +177,19 @@ class PgConnection:
             if self._conn:
                 lib.PQfinish(self._conn)
                 self._conn = None
-            raise PgError(f"postgres connect failed: {msg}")
+            # synthetic SQLSTATE 08001 (sqlclient_unable_to_establish_
+            # sqlconnection): libpq attaches no state to connect-level
+            # failures, but the pipeline's transient-retry classifier
+            # keys on class 08 — without it a dropped server would
+            # classify as fatal and never retry.
+            raise PgError(f"postgres connect failed: {msg}", sqlstate="08001")
+        # Pin the SESSION timezone: write paths render timestamp
+        # parameters as naive-UTC wall clocks and timestamptz results
+        # normalize to UTC — both are only instant-correct when the
+        # server interprets/renders in UTC too. Without this, a remote
+        # server with TimeZone != the driver host tz silently shifts
+        # every timestamptz instant.
+        self.execute("SET TIME ZONE 'UTC'")
 
     def execute(self, sql: str, params: tuple = ()):
         lib = self._lib
@@ -181,6 +205,13 @@ class PgConnection:
         res = lib.PQexecParams(
             self._conn, sql.encode(), n, None, values, None, None, 0
         )
+        if not res:
+            # NULL result = libpq could not even allocate/send — the
+            # canonical dropped-connection shape. Synthetic 08006
+            # (connection_failure) so the retry classifier fires.
+            msg = lib.PQerrorMessage(self._conn).decode(errors="replace")
+            raise PgError(msg.strip() or "libpq returned NULL result",
+                          sqlstate="08006")
         try:
             status = lib.PQresultStatus(res)
             if status == PGRES_COMMAND_OK:
@@ -205,9 +236,12 @@ class PgConnection:
                 return names, rows
             msg = lib.PQresultErrorMessage(res).decode(errors="replace")
             state = lib.PQresultErrorField(res, PG_DIAG_SQLSTATE)
+            # a result error with NO server SQLSTATE is a client-side
+            # failure (connection died mid-query before the server
+            # could answer) — synthesize class-08 so retries fire
             raise PgError(
                 msg.strip() or f"libpq status {status}",
-                state.decode() if state else None,
+                state.decode() if state else "08006",
             )
         finally:
             lib.PQclear(res)
@@ -229,9 +263,24 @@ class PgConnection:
 _SPARK_TO_PY = None  # (import pyspark lazily; this module is pure-ctypes)
 
 
-def _spark_type_for_oid(oid: int):
+def _spark_type_for_oid(oid: int, fmod: int = -1):
+    """Spark type for a result column. NUMERIC consults the typmod
+    (PQfmod) for the declared precision/scale — ``numeric(p,s)`` packs
+    them as ``((p << 16) | s) + 4``; an unparameterized ``numeric``
+    (fmod == -1) or one beyond DecimalType's 38-digit ceiling falls
+    back to StringType so no digit is silently rounded away (a fixed
+    DecimalType(38,6) would truncate scale > 6 via Catalyst's
+    changePrecision with no warning)."""
     from pyspark.sql import types as T
 
+    if oid == _OID_NUMERIC:
+        if fmod < 4:
+            return T.StringType()
+        precision = ((fmod - 4) >> 16) & 0xFFFF
+        scale = (fmod - 4) & 0xFFFF
+        if not (0 < precision <= 38 and 0 <= scale <= precision):
+            return T.StringType()
+        return T.DecimalType(precision, scale)
     return {
         _OID_BOOL: T.BooleanType(),
         _OID_BYTEA: T.BinaryType(),
@@ -240,11 +289,26 @@ def _spark_type_for_oid(oid: int):
         _OID_INT8: T.LongType(),
         _OID_FLOAT4: T.FloatType(),
         _OID_FLOAT8: T.DoubleType(),
-        _OID_NUMERIC: T.DecimalType(38, 6),
         _OID_DATE: T.DateType(),
         _OID_TIMESTAMP: T.TimestampNTZType(),
         _OID_TIMESTAMPTZ: T.TimestampType(),
     }.get(oid, T.StringType())
+
+
+def _parser_for(oid: int, fmod: int = -1):
+    """Text parser matching ``_spark_type_for_oid``: a NUMERIC column
+    that fell back to StringType must stay a string (not a Decimal),
+    and timestamptz parses UTC-AWARE so createDataFrame can't
+    re-interpret it in the driver-local timezone."""
+    from pyspark.sql import types as T
+
+    if oid == _OID_TIMESTAMPTZ:
+        return _parse_tstz_aware
+    if oid == _OID_NUMERIC and isinstance(
+        _spark_type_for_oid(oid, fmod), T.StringType
+    ):
+        return lambda s: s
+    return _PARSERS.get(oid, lambda s: s)
 
 
 def read_pg(spark, table: str, options: dict):
@@ -275,14 +339,15 @@ def read_pg(spark, table: str, options: dict):
             parsers = []
             for j in range(nf):
                 oid = lib.PQftype(res, j)
+                fmod = lib.PQfmod(res, j)
                 fields.append(
                     T.StructField(
                         lib.PQfname(res, j).decode(),
-                        _spark_type_for_oid(oid),
+                        _spark_type_for_oid(oid, fmod),
                         True,
                     )
                 )
-                parsers.append(_PARSERS.get(oid, lambda s: s))
+                parsers.append(_parser_for(oid, fmod))
             rows = [
                 tuple(
                     None
@@ -316,6 +381,33 @@ def _reject_complex_columns(df, where: str) -> None:
         )
 
 
+def _instant_fixers(schema):
+    """Per-column converters for the write paths: Spark hands
+    TimestampType (instant) values to Python as NAIVE datetimes in the
+    collecting process's LOCAL timezone — rendering that wall clock at
+    a pinned-UTC server session would shift every instant on a
+    non-UTC driver/executor host. Convert to the naive-UTC wall clock
+    of the same instant. TimestampNTZType is a literal wall clock and
+    passes through untouched (None converter)."""
+    from pyspark.sql import types as T
+
+    def to_utc(v):
+        if v is None or v.tzinfo is not None:  # aware → _render_param
+            return v
+        return v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+
+    return [
+        to_utc if isinstance(f.dataType, T.TimestampType) else None
+        for f in schema.fields
+    ]
+
+
+def _fix_row(row, fixers):
+    return tuple(
+        v if fx is None else fx(v) for v, fx in zip(tuple(row), fixers)
+    )
+
+
 def write_pg(df, table: str, options: dict) -> None:
     """Sink adapter: batched multi-row parameterized INSERTs — the
     reference's execute_batch append (util.py:226-247) with $n
@@ -330,7 +422,8 @@ def write_pg(df, table: str, options: dict) -> None:
     target = options.get("dbtable", table)
     cols = df.columns
     quoted = ", ".join(f'"{c}"' for c in cols)
-    rows = [tuple(r) for r in df.collect()]
+    fixers = _instant_fixers(df.schema)
+    rows = [_fix_row(r, fixers) for r in df.collect()]
     if not rows:
         return
     per_stmt = max(1, min(500, 60000 // max(1, len(cols))))
@@ -395,6 +488,7 @@ def read_pg_partitioned(spark, table: str, options: dict):
             nf = lib.PQnfields(res)
             names = [lib.PQfname(res, j).decode() for j in range(nf)]
             oids = [lib.PQftype(res, j) for j in range(nf)]
+            fmods = [lib.PQfmod(res, j) for j in range(nf)]
         finally:
             lib.PQclear(res)
         lo = options.get("lower_bound")
@@ -407,27 +501,27 @@ def read_pg_partitioned(spark, table: str, options: dict):
             hi = rows[0][1] if hi is None else hi
     schema = T.StructType(
         [
-            T.StructField(nm, _spark_type_for_oid(oid), True)
-            for nm, oid in zip(names, oids)
+            T.StructField(nm, _spark_type_for_oid(oid, fmod), True)
+            for nm, oid, fmod in zip(names, oids, fmods)
         ]
     )
+    # columns whose parse-by-OID value (Decimal) must be re-rendered as
+    # text because the schema fell back to StringType (see _parser_for)
+    stringify = [
+        nm
+        for nm, oid, fmod in zip(names, oids, fmods)
+        if oid == _OID_NUMERIC
+        and isinstance(_spark_type_for_oid(oid, fmod), T.StringType)
+    ]
+    # conn.execute parses timestamptz naive-UTC; Arrow would interpret
+    # naive values in the session timezone — make them UTC-aware
+    awareify = [
+        nm for nm, oid in zip(names, oids) if oid == _OID_TIMESTAMPTZ
+    ]
     if lo is None or hi is None or n == 1:  # empty table or one slice
         preds = [None] * 1
     else:
-        lo, hi = int(lo), int(hi)
-        stride = max(1, (hi - lo) // n + 1)
-        preds = []
-        for i in range(n):
-            lo_b = lo + i * stride
-            hi_b = lo + (i + 1) * stride
-            if n == 1:
-                preds.append(None)
-            elif i == 0:
-                preds.append(f'"{pcol}" < {hi_b} OR "{pcol}" IS NULL')
-            elif i == n - 1:
-                preds.append(f'"{pcol}" >= {lo_b}')
-            else:
-                preds.append(f'"{pcol}" >= {lo_b} AND "{pcol}" < {hi_b}')
+        preds = _range_predicates(pcol, lo, hi, n)
     seeds = spark.createDataFrame(
         [(i, p) for i, p in enumerate(preds)], "pid int, pred string"
     ).repartitionByRange(len(preds), F.col("pid"))
@@ -441,9 +535,66 @@ def read_pg_partitioned(spark, table: str, options: dict):
                         f"SELECT * FROM {dbtable}{where}"
                     )
                 if rows:
-                    yield pd.DataFrame(rows, columns=cols, dtype=object)
+                    out = pd.DataFrame(rows, columns=cols, dtype=object)
+                    for nm in stringify:
+                        out[nm] = out[nm].map(
+                            lambda v: None if v is None else str(v)
+                        )
+                    for nm in awareify:
+                        out[nm] = out[nm].map(
+                            lambda v: None
+                            if v is None
+                            else v.replace(tzinfo=dt.timezone.utc)
+                        )
+                    yield out
 
     return seeds.mapInPandas(gen, schema)
+
+
+def _range_predicates(pcol: str, lo, hi, n: int) -> list[str]:
+    """Spark-JDBC-shaped range predicates over an integral, date or
+    timestamp partition column: n slices, first unbounded below (+ IS
+    NULL), last unbounded above, so no row escapes the bounds. A
+    partition column of any other type is a config error, raised
+    clearly instead of a raw int() TypeError after the bounds probe."""
+    q = f'"{pcol}"'
+    if isinstance(lo, bool) or isinstance(hi, bool) or not (
+        type(lo) is type(hi)
+        or (isinstance(lo, int) and isinstance(hi, int))
+    ):
+        raise ValueError(
+            f"partition_column bounds must share a supported type; got "
+            f"{type(lo).__name__}/{type(hi).__name__}"
+        )
+    if isinstance(lo, int):
+        lo, hi = int(lo), int(hi)
+        stride = max(1, (hi - lo) // n + 1)
+        bounds = [lo + i * stride for i in range(1, n)]
+        fmt = str
+    elif isinstance(lo, dt.datetime):
+        total_us = int((hi - lo).total_seconds() * 1_000_000)
+        bounds = [
+            lo + dt.timedelta(microseconds=total_us * i // n)
+            for i in range(1, n)
+        ]
+        fmt = lambda b: f"TIMESTAMP '{b.isoformat(sep=' ')}'"  # noqa: E731
+    elif isinstance(lo, dt.date):
+        total_days = (hi - lo).days
+        bounds = [
+            lo + dt.timedelta(days=total_days * i // n) for i in range(1, n)
+        ]
+        fmt = lambda b: f"DATE '{b.isoformat()}'"  # noqa: E731
+    else:
+        raise ValueError(
+            f"partition_column must be integral, date or timestamp "
+            f"(bounds probe returned {type(lo).__name__}); use a "
+            f"different partition_column or the driver-side read"
+        )
+    preds = [f"{q} < {fmt(bounds[0])} OR {q} IS NULL"]
+    for i in range(1, n - 1):
+        preds.append(f"{q} >= {fmt(bounds[i - 1])} AND {q} < {fmt(bounds[i])}")
+    preds.append(f"{q} >= {fmt(bounds[-1])}")
+    return preds
 
 
 def write_pg_distributed(df, table: str, options: dict) -> None:
@@ -467,6 +618,7 @@ def write_pg_distributed(df, table: str, options: dict) -> None:
     quoted = ", ".join(f'"{c}"' for c in cols)
     ncols = len(cols)
     per_stmt = max(1, min(500, 60000 // max(1, ncols)))
+    fixers = _instant_fixers(df.schema)
 
     def write_partition(rows):
         chunk: list[tuple] = []
@@ -475,7 +627,7 @@ def write_pg_distributed(df, table: str, options: dict) -> None:
             for row in rows:
                 if conn is None:
                     conn = PgConnection(conninfo)
-                chunk.append(tuple(row))
+                chunk.append(_fix_row(row, fixers))
                 if len(chunk) >= per_stmt:
                     _insert_chunk(conn, target, quoted, ncols, chunk)
                     chunk = []
@@ -486,6 +638,58 @@ def write_pg_distributed(df, table: str, options: dict) -> None:
                 conn.close()
 
     df.foreachPartition(write_partition)
+
+
+def write_pg_atomic(df, table: str, options: dict) -> None:
+    """All-or-nothing live-PostgreSQL REPLACE — the reference's
+    per-table commit/rollback (util.py:233-242) upgraded to the real
+    engine's transactional DDL: the batch lands in a staged table
+    (distributed parallel INSERTs, no driver funnel), and ONE
+    transaction drops the old target and renames the stage into place.
+    PostgreSQL DDL is transactional, so readers see either the
+    complete old table or the complete new one — a crash anywhere
+    before the COMMIT leaves the target untouched (at worst an
+    orphaned ``<target>__stage`` that the next run clears). Mirrors
+    the file sinks' staged-swap contract (_first_write_swap) on the
+    server side.
+
+    The stage is created from the target's own shape when the target
+    exists (``CREATE TABLE .. (LIKE .. INCLUDING ALL)``), else from
+    the DataFrame schema via the shared postgres DDL contract."""
+    from etl_data_pipeline_spark.sources import jdbc_create_table_ddl
+
+    conninfo = options.get("conninfo")
+    if not conninfo:
+        raise ValueError("pglive sink requires options['conninfo']")
+    _reject_complex_columns(df, "pglive atomic sink")
+    target = options.get("dbtable", table)
+    stage = f"{target}__stage"
+    with PgConnection(conninfo) as c:
+        c.execute(f'DROP TABLE IF EXISTS "{stage}"')
+        _, rows = c.execute(
+            "SELECT 1 FROM information_schema.tables "
+            "WHERE table_name = $1 AND table_schema = current_schema()",
+            (target,),
+        )
+        if rows:
+            c.execute(f'CREATE TABLE "{stage}" (LIKE "{target}" INCLUDING ALL)')
+        else:
+            ddl = jdbc_create_table_ddl(stage, df.schema, dialect="postgres")
+            c.execute(ddl)
+    opts = dict(options)
+    opts["dbtable"] = f'"{stage}"'
+    write_pg_distributed(df, stage, opts)
+    with PgConnection(conninfo) as c:
+        # PQexecParams runs ONE statement per call; the BEGIN..COMMIT
+        # bracket on the same connection is still a single transaction
+        c.execute("BEGIN")
+        try:
+            c.execute(f'DROP TABLE IF EXISTS "{target}"')
+            c.execute(f'ALTER TABLE "{stage}" RENAME TO "{target}"')
+            c.execute("COMMIT")
+        except Exception:
+            c.execute("ROLLBACK")
+            raise
 
 
 def _insert_chunk(conn: PgConnection, target, quoted, ncols, chunk) -> None:

@@ -456,3 +456,204 @@ def test_complex_columns_rejected_loudly(pg, spark):
     df = spark.range(3).select("id", F.array(F.lit(1), F.lit(2)).alias("a"))
     with pytest.raises(ValueError, match="complex-typed"):
         write_sink(df, "pglive", "whatever", {"conninfo": pg})
+
+
+# ---- round 11: atomic swap, tz safety, typmod fidelity, bounds -------
+
+
+def test_atomic_swap_replaces_all_or_nothing(pg, spark):
+    """write_pg_atomic: the reference's per-table commit/rollback
+    (util.py:233-242) as a staged table + ONE transactional
+    DROP+RENAME on the live server — readers see complete old or
+    complete new, never a mix; the stage table is gone afterwards."""
+    from etl_data_pipeline_spark.sinks import write_sink
+    from etl_data_pipeline_spark.sources import read_source
+    from etl_data_pipeline_spark.sources.pg_libpq import PgConnection
+
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, s string")
+    write_sink(v1, "pglive", "atomic_t", {"conninfo": pg, "atomic": True})
+    got = read_source(spark, "pglive", "atomic_t", {"conninfo": pg})
+    assert sorted((r.id, r.s) for r in got.collect()) == [(1, "a"), (2, "b")]
+
+    v2 = spark.createDataFrame([(9, "z")], "id bigint, s string")
+    write_sink(v2, "pglive", "atomic_t", {"conninfo": pg, "atomic": True})
+    got = read_source(spark, "pglive", "atomic_t", {"conninfo": pg})
+    assert [(r.id, r.s) for r in got.collect()] == [(9, "z")]
+    with PgConnection(pg) as c:
+        _, rows = c.execute(
+            "SELECT 1 FROM information_schema.tables "
+            "WHERE table_name = 'atomic_t__stage'"
+        )
+        assert rows == []  # stage renamed away, no orphan
+
+
+def test_atomic_swap_crash_window_leaves_target_intact(pg, spark, monkeypatch):
+    """A failure BEFORE the rename transaction leaves the target
+    untouched (at worst an orphaned stage); the next atomic run clears
+    the orphan and succeeds."""
+    import etl_data_pipeline_spark.sources.pg_libpq as pgmod
+    from etl_data_pipeline_spark.sources import read_source
+    from etl_data_pipeline_spark.sources.pg_libpq import PgConnection
+
+    v1 = spark.createDataFrame([(1, "keep")], "id bigint, s string")
+    pgmod.write_pg_atomic(v1, "crash_t", {"conninfo": pg})
+
+    v2 = spark.createDataFrame([(2, "lost")], "id bigint, s string")
+    real = pgmod.write_pg_distributed
+
+    def boom(df, table, options):
+        real(df, table, options)  # stage IS written...
+        raise RuntimeError("simulated crash before the rename txn")
+
+    monkeypatch.setattr(pgmod, "write_pg_distributed", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pgmod.write_pg_atomic(v2, "crash_t", {"conninfo": pg})
+    monkeypatch.undo()
+
+    got = read_source(spark, "pglive", "crash_t", {"conninfo": pg})
+    assert [(r.id, r.s) for r in got.collect()] == [(1, "keep")]  # intact
+    with PgConnection(pg) as c:  # orphaned stage holds the dead batch
+        _, rows = c.execute('SELECT count(*) FROM "crash_t__stage"')
+        assert rows == [(1,)]
+
+    v3 = spark.createDataFrame([(3, "new")], "id bigint, s string")
+    pgmod.write_pg_atomic(v3, "crash_t", {"conninfo": pg})  # clears orphan
+    got = read_source(spark, "pglive", "crash_t", {"conninfo": pg})
+    assert [(r.id, r.s) for r in got.collect()] == [(3, "new")]
+
+
+def test_timestamptz_instant_survives_non_utc_driver_tz(pg, spark):
+    """ADVICE r10: with the session pinned to UTC on connect and
+    timestamps rendered/parsed as UTC instants, a driver host in ANY
+    timezone round-trips the same instant. Simulated by flipping the
+    Python process TZ to America/New_York for the whole write+read."""
+    import time
+
+    from etl_data_pipeline_spark.sinks import write_sink
+    from etl_data_pipeline_spark.sources import (
+        jdbc_create_table_ddl,
+        read_source,
+    )
+    from etl_data_pipeline_spark.sources.pg_libpq import PgConnection
+
+    instant = "2024-06-01 12:34:56.789012+00"
+    with PgConnection(pg) as c:
+        c.execute("CREATE TABLE tz_src (ts timestamptz)")
+        c.execute(f"INSERT INTO tz_src VALUES ('{instant}')")
+        c.execute(
+            jdbc_create_table_ddl("tz_dst", "ts timestamp", dialect="postgres")
+        )
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time.tzset()
+    try:
+        df = read_source(spark, "pglive", "tz_src", {"conninfo": pg})
+        # both write paths must preserve the instant from a non-UTC host
+        write_sink(df, "pglive", "tz_dst", {"conninfo": pg, "driver_side": True})
+        write_sink(df, "pglive", "tz_dst", {"conninfo": pg})
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+    with PgConnection(pg) as c:  # session tz pinned UTC -> text is UTC
+        _, rows = c.execute("SELECT ts::text FROM tz_dst")
+        assert rows == [(instant,), (instant,)]
+
+
+def test_numeric_typmod_precision_scale(pg, spark):
+    """ADVICE r10: NUMERIC columns read with their DECLARED
+    precision/scale (PQfmod), so scale-7 digits are not silently
+    rounded by a fixed DecimalType(38,6); unparameterized numeric
+    falls back to lossless strings."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from etl_data_pipeline_spark.sources import read_source
+    from etl_data_pipeline_spark.sources.pg_libpq import PgConnection
+
+    with PgConnection(pg) as c:
+        c.execute(
+            "CREATE TABLE nums (a numeric(12,4), b numeric(20,8), c numeric)"
+        )
+        c.execute(
+            "INSERT INTO nums VALUES "
+            "(12345678.1234, 999999999999.12345678, 1.000000000000000001)"
+        )
+    df = read_source(spark, "pglive", "nums", {"conninfo": pg})
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    assert by_name["a"] == T.DecimalType(12, 4)
+    assert by_name["b"] == T.DecimalType(20, 8)
+    assert by_name["c"] == T.StringType()
+    r = df.collect()[0]
+    assert r.a == Decimal("12345678.1234")
+    assert r.b == Decimal("999999999999.12345678")  # scale 8 intact
+    assert r.c == "1.000000000000000001"  # every digit preserved
+
+
+def test_partitioned_read_timestamp_bounds(pg, spark):
+    """read_pg_partitioned accepts a timestamp partition_column (the
+    Spark-JDBC parity the int-only version crashed on) — N server-side
+    range scans, no row lost at the slice edges."""
+    from etl_data_pipeline_spark.sources import read_source
+    from etl_data_pipeline_spark.sources.pg_libpq import PgConnection
+
+    with PgConnection(pg) as c:
+        c.execute("CREATE TABLE ts_part (id int, ts timestamp)")
+        c.execute(
+            "INSERT INTO ts_part "
+            "SELECT g, TIMESTAMP '2024-01-01' + g * INTERVAL '7 hours' "
+            "FROM generate_series(0, 99) g"
+        )
+    got = read_source(
+        spark,
+        "pglive",
+        "ts_part",
+        {
+            "conninfo": pg,
+            "partitioned": True,
+            "partition_column": "ts",
+            "num_partitions": 4,
+        },
+    )
+    assert got.rdd.getNumPartitions() >= 1
+    rows = got.collect()
+    assert sorted(r.id for r in rows) == list(range(100))
+
+
+def test_partitioned_read_rejects_text_partition_column(pg, spark):
+    """A text partition_column is a CLEAR config-time ValueError, not a
+    raw int()/arithmetic TypeError after the bounds probe."""
+    from etl_data_pipeline_spark.sources import read_source
+    from etl_data_pipeline_spark.sources.pg_libpq import PgConnection
+
+    with PgConnection(pg) as c:
+        c.execute("CREATE TABLE txt_part (id int, name text)")
+        c.execute("INSERT INTO txt_part VALUES (1, 'a'), (2, 'b')")
+    with pytest.raises(ValueError, match="integral, date or timestamp"):
+        read_source(
+            spark,
+            "pglive",
+            "txt_part",
+            {
+                "conninfo": pg,
+                "partitioned": True,
+                "partition_column": "name",
+                "num_partitions": 2,
+            },
+        )
+
+
+def test_connection_failures_carry_retryable_sqlstate():
+    """ADVICE r10: connection-level PgErrors carry a synthetic class-08
+    SQLSTATE so the pipeline's transient-retry classifier fires for
+    the most canonical transient failure (server unreachable)."""
+    from etl_data_pipeline_spark.sources import jdbc_error_class
+    from etl_data_pipeline_spark.sources.pg_libpq import PgConnection, PgError
+
+    with pytest.raises(PgError) as e:
+        PgConnection("host=/nonexistent-socket-dir user=postgres dbname=x")
+    assert e.value.sqlstate == "08001"
+    assert jdbc_error_class(e.value.sqlstate, dialect="postgres") == "retryable"

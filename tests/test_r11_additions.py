@@ -1,0 +1,62 @@
+"""Round-11 additions: machine-derived hoist rotation (round-10 VERDICT
+item 4) and related registry-ordering invariants."""
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+import evidence_freshness  # noqa: E402
+
+from etl_data_pipeline_spark.operators import (  # noqa: E402
+    _load_hoist,
+    collect_registry,
+)
+
+
+def test_rotation_order_new_first_then_stalest():
+    """The contract the round rotation relies on: queries with no
+    driver evidence (new registrations) sort first, then red rows,
+    then green rows stalest-round-first, registry order within tiers."""
+    names = ["a", "b", "c", "d", "e", "f"]
+    evidence = {
+        "b": (9, True),   # green r9
+        "c": (6, True),   # green r6 (stalest green)
+        "d": (10, False),  # latest row red
+        "f": (6, True),   # green r6, after c in registry order
+    }
+    order = evidence_freshness.rotation_order(names, evidence)
+    assert order == ["a", "e", "d", "c", "f", "b"]
+
+
+def test_rotation_order_empty_evidence_is_registry_order():
+    names = ["x", "y", "z"]
+    assert evidence_freshness.rotation_order(names, {}) == names
+
+
+def test_registry_prefix_follows_hoist_file():
+    """collect_registry() must order its prefix exactly as the
+    checked-in hoist.json cut (names absent from the registry are
+    skipped, never crash)."""
+    hoist = _load_hoist()
+    assert hoist, "hoist.json missing or empty — run evidence_freshness --write"
+    queries, _oracle = collect_registry()
+    expected_prefix = [n for n in hoist if n in queries]
+    assert list(queries)[: len(expected_prefix)] == expected_prefix
+
+
+def test_hoist_file_is_current_cut():
+    """Regenerating the cut from CORRECTNESS_r*.json must reproduce the
+    checked-in hoist.json — catches a round that registered new queries
+    but forgot to rerun `evidence_freshness --hoist 60 --write`."""
+    path = os.path.join(
+        REPO, "etl_data_pipeline_spark", "operators", "hoist.json"
+    )
+    with open(path) as f:
+        committed = json.load(f)
+    names = evidence_freshness.registry_names()
+    evidence = evidence_freshness.load_evidence(REPO)
+    fresh = evidence_freshness.rotation_order(names, evidence)[: len(committed)]
+    assert committed == fresh

@@ -17,6 +17,11 @@ Usage::
     python tools/evidence_freshness.py            # human-readable report
     python tools/evidence_freshness.py --hoist N  # print the first N names
                                                   # as a ready-to-paste hoist
+    python tools/evidence_freshness.py --hoist N --write
+        # write the cut to etl_data_pipeline_spark/operators/hoist.json,
+        # which collect_registry() reads at import time — run this once
+        # per round AFTER registering any new queries, so the rotation
+        # can't be mis-cut by hand (round-10 VERDICT item 4).
 Exit status is nonzero when any registered query has no evidence, so
 the script doubles as a CI-shaped freshness check.
 """
@@ -68,6 +73,25 @@ def registry_names() -> list[str]:
     return list(queries)
 
 
+def rotation_order(
+    names: list[str], evidence: dict[str, tuple[int, bool]]
+) -> list[str]:
+    """The hoist priority order: queries with NO driver evidence first
+    (new registrations), then latest-row-red, then green queries in
+    ascending order of their most recent green round (stalest first).
+    Within each tier, registry order is preserved."""
+    never = [n for n in names if n not in evidence]
+    red = [n for n in names if n in evidence and not evidence[n][1]]
+    by_round: dict[int, list[str]] = {}
+    for n in names:
+        if n in evidence and evidence[n][1]:
+            by_round.setdefault(evidence[n][0], []).append(n)
+    ordered: list[str] = list(never) + list(red)
+    for rnd in sorted(by_round):
+        ordered.extend(by_round[rnd])
+    return ordered
+
+
 def main(argv: list[str]) -> int:
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     hoist_n = 0
@@ -83,13 +107,21 @@ def main(argv: list[str]) -> int:
         if n in evidence and evidence[n][1]:
             by_round.setdefault(evidence[n][0], []).append(n)
 
-    ordered: list[str] = list(never) + list(red)
-    for rnd in sorted(by_round):
-        ordered.extend(by_round[rnd])
+    ordered = rotation_order(names, evidence)
 
     if hoist_n:
-        for n in ordered[:hoist_n]:
-            print(f'        "{n}",')
+        cut = ordered[:hoist_n]
+        if "--write" in argv:
+            dest = os.path.join(
+                repo_root, "etl_data_pipeline_spark", "operators", "hoist.json"
+            )
+            with open(dest, "w") as f:
+                json.dump(cut, f, indent=1)
+                f.write("\n")
+            print(f"wrote {len(cut)} names -> {dest}")
+        else:
+            for n in cut:
+                print(f'        "{n}",')
         return 1 if never else 0
 
     stale_records = [n for n in evidence if n not in set(names)]
