@@ -461,22 +461,32 @@ def _bpe_pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_ranked(pairs: DataFrame) -> DataFrame:
+def _bpe_ranked(pairs: DataFrame, top_k: int = BPE_TOP_K) -> DataFrame:
     """Append merge_rank: count desc, (left, right) asc tiebreak —
-    the one tiebreak definition shared by argmax and top-K."""
+    the one tiebreak definition shared by argmax and top-K.
+
+    Every consumer keeps at most ``top_k`` rows, so the relation is
+    pre-pruned MAP-SIDE first: each partition keeps its local top-k
+    under the same total order (the global top-k is always a subset of
+    the union of per-partition top-ks), bounding the final global
+    ranking window to <= top_k x shuffle-partitions rows by
+    CONSTRUCTION — not just by the alphabet^2 bound of the pair
+    vocabulary (~1e4 for a printable-ASCII corpus, which already made
+    the window safe, but as a property of the data, not the plan)."""
     from pyspark.sql.window import Window
 
-    return pairs.select(
+    order = (F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym"))
+    local = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
+    pruned = (
+        pairs.withColumn("_local_rank", F.row_number().over(local))
+        .filter(F.col("_local_rank") <= top_k)
+        .drop("_local_rank")
+    )
+    return pruned.select(
         "left_sym",
         "right_sym",
         "pair_count",
-        F.row_number()
-        .over(
-            Window.orderBy(
-                F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
-            )
-        )
-        .alias("merge_rank"),
+        F.row_number().over(Window.orderBy(*order)).alias("merge_rank"),
     )
 
 

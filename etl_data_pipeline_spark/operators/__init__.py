@@ -93,7 +93,11 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
 
 def _load_hoist() -> list[str]:
-    """The checked-in rotation cut (see collect_registry)."""
+    """The checked-in rotation cut (see collect_registry). The file is
+    ``{"max_round": N, "names": [...]}`` — max_round records which
+    correctness evidence the cut was derived from, so the freshness
+    test can verify it against that view rather than records written
+    after the cut. (A bare list is accepted for older checkouts.)"""
     import json
     import os
 
@@ -101,7 +105,8 @@ def _load_hoist() -> list[str]:
     if not os.path.exists(path):  # pre-r11 checkouts / partial installs
         return []
     with open(path) as f:
-        return list(json.load(f))
+        data = json.load(f)
+    return list(data["names"] if isinstance(data, dict) else data)
 
 
 def _pinned_utc(fn: QueryFn) -> QueryFn:

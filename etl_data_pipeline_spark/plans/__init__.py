@@ -57,3 +57,21 @@ def exchange_count(plan: str) -> int:
 
 def is_shuffle_free(plan: str) -> bool:
     return exchange_count(plan) == 0
+
+
+def global_window_count(plan: str) -> int:
+    """Number of UNPARTITIONED window specs in the plan — each one
+    Spark executes by moving the window's entire input through ONE
+    partition, the chief 100 TB scale-killer. Explain prints
+    ``windowspecdefinition(<partition cols>, <order cols>, frame)``;
+    order columns carry an ASC/DESC direction and partition columns do
+    not, so a spec whose FIRST argument is a sort key has no
+    partitioning. Duplicate prints of one spec (node line + Arguments
+    detail) are deduped by the spec text itself."""
+    seen = set()
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
+        args = m.group(1)
+        first = args.split(",")[0]
+        if (" ASC" in first or " DESC" in first) and args not in seen:
+            seen.add(args)
+    return len(seen)

@@ -279,6 +279,91 @@ _UNQUOTED_FOLD: dict[str, str] = {
 }
 
 
+def jdbc_literal(v, dialect: str = "ansi") -> str:
+    """Render ONE value as the dialect's SQL literal — the exact byte
+    sequence a server in that dialect receives on the wire. This is
+    the last-mile contract for engines the sandbox cannot boot: the
+    POSTGRES branch is executed against a live PostgreSQL 15 and
+    compared value-for-value with the parameterized pglive writer
+    (tests/test_pg_live.py), so the MySQL branch — the same skeleton
+    with MySQL 8 rules — can be replayed 1:1 the day a real server is
+    available (reference source engine, util.py:111-187).
+
+    Dialect rules pinned here: MySQL escapes BOTH backslash and quote
+    inside strings (default sql_mode has backslash escapes ON; a
+    literal backslash sent unescaped corrupts the value), booleans are
+    0/1 (TINYINT(1) storage), binary is x'<hex>', temporals are plain
+    quoted strings (what mysql-connector substitutes for %s).
+    PostgreSQL doubles quotes only (standard_conforming_strings=on is
+    the 8.2+ default — backslash is literal), booleans TRUE/FALSE,
+    binary '\\x<hex>' (hex bytea input), temporals TIMESTAMP '...'.
+    Aware datetimes are rendered from the UTC instant, matching the
+    pglive writer's pinned-UTC session convention."""
+    import datetime as _dt
+    import math
+    from decimal import Decimal as _Dec
+
+    if dialect not in _DIALECTS:
+        raise ValueError(
+            f"unknown JDBC dialect {dialect!r} (have {sorted(_DIALECTS)})"
+        )
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        if dialect == "mysql":
+            return "1" if v else "0"
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, _Dec)):
+        return str(v)
+    if isinstance(v, float):
+        if not math.isfinite(v):
+            raise ValueError(f"non-finite float {v!r} has no SQL literal")
+        return repr(v)
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        s = v.isoformat(sep=" ")
+        if dialect == "mysql":
+            return f"'{s}'"
+        _, ts_fmt = _DIALECTS[dialect]
+        return ts_fmt.format(s)
+    if isinstance(v, _dt.date):
+        if dialect == "mysql":
+            return f"'{v.isoformat()}'"
+        return f"DATE '{v.isoformat()}'"
+    if isinstance(v, (bytes, bytearray)):
+        hexs = bytes(v).hex()
+        if dialect == "mysql":
+            return f"x'{hexs}'"
+        if dialect == "postgres":
+            return f"'\\x{hexs}'"
+        return f"X'{hexs}'"
+    if isinstance(v, str):
+        if dialect == "mysql":
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        return "'" + v.replace("'", "''") + "'"
+    raise ValueError(
+        f"no {dialect} literal rendering for {type(v).__name__} values"
+    )
+
+
+def jdbc_insert_statement(
+    table: str, cols: list[str], rows: list[tuple], dialect: str = "ansi"
+) -> str:
+    """The exact multi-row INSERT statement a ``dialect`` server
+    receives for ``rows`` — identifier quoting from the dialect table,
+    values through ``jdbc_literal``. The recorded-wire-format twin of
+    the parameterized pglive writer, used by the golden contracts in
+    tests/test_jdbc_dialects.py and live-executed on PostgreSQL in
+    tests/test_pg_live.py."""
+    quoted = ", ".join(jdbc_quote_ident(c, dialect) for c in cols)
+    values = ", ".join(
+        "(" + ", ".join(jdbc_literal(v, dialect) for v in r) + ")"
+        for r in rows
+    )
+    return f"INSERT INTO {table} ({quoted}) VALUES {values}"
+
+
 def jdbc_quote_ident(name: str, dialect: str = "ansi") -> str:
     """Quote one identifier with the dialect's quote character,
     doubling embedded quotes — case-preserving on every engine."""

@@ -657,3 +657,48 @@ def test_connection_failures_carry_retryable_sqlstate():
         PgConnection("host=/nonexistent-socket-dir user=postgres dbname=x")
     assert e.value.sqlstate == "08001"
     assert jdbc_error_class(e.value.sqlstate, dialect="postgres") == "retryable"
+
+
+def test_literal_insert_matches_parameterized_write(pg, spark):
+    """The recorded-wire-format renderer's POSTGRES branch executes on
+    the live server and stores values IDENTICAL to the parameterized
+    pglive writer — the live half of the MySQL wire-format goldens
+    (tests/test_jdbc_dialects.py): both dialects share one renderer
+    skeleton, so proving the postgres branch against a real engine
+    backs the recorded MySQL byte strings."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from etl_data_pipeline_spark.sinks import write_sink
+    from etl_data_pipeline_spark.sources import (
+        jdbc_create_table_ddl,
+        jdbc_insert_statement,
+    )
+    from etl_data_pipeline_spark.sources.pg_libpq import PgConnection
+
+    schema = (
+        "order_id bigint not null, price decimal(12,2), note string, "
+        "ts timestamp, ratio double, blob binary, flag boolean"
+    )
+    cols = ["order_id", "price", "note", "ts", "ratio", "blob", "flag"]
+    row = (
+        7,
+        Decimal("99.01"),
+        "O'Brien \\ backslash",
+        dt.datetime(2026, 2, 28, 23, 59, 59, 999999),
+        0.25,
+        b"\x00\xffpg",
+        False,
+    )
+    with PgConnection(pg) as c:
+        c.execute(jdbc_create_table_ddl("wire_lit", schema, "postgres"))
+        c.execute(jdbc_create_table_ddl("wire_par", schema, "postgres"))
+        c.execute(jdbc_insert_statement("wire_lit", cols, [row], "postgres"))
+    df = spark.createDataFrame([row], schema.replace(" not null", ""))
+    write_sink(df, "pglive", "wire_par", {"conninfo": pg, "driver_side": True})
+    with PgConnection(pg) as c:
+        _, lit = c.execute("SELECT * FROM wire_lit")
+        _, par = c.execute("SELECT * FROM wire_par")
+    assert lit == par  # byte-rendered and $n-parameterized agree
+    assert lit[0][2] == "O'Brien \\ backslash"  # escaping survived
+    assert lit[0][3].microsecond == 999999

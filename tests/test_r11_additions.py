@@ -48,15 +48,21 @@ def test_registry_prefix_follows_hoist_file():
 
 
 def test_hoist_file_is_current_cut():
-    """Regenerating the cut from CORRECTNESS_r*.json must reproduce the
-    checked-in hoist.json — catches a round that registered new queries
-    but forgot to rerun `evidence_freshness --hoist 60 --write`."""
+    """Regenerating the cut from the SAME evidence view it was derived
+    from (CORRECTNESS_r*.json up to its recorded max_round) must
+    reproduce the checked-in hoist.json — catches a round that
+    registered new queries but forgot to rerun
+    `evidence_freshness --hoist 60 --write`. Evidence files newer than
+    the cut (the driver writes one after every round) don't invalidate
+    it; a new REGISTRATION does, because it would sort first."""
     path = os.path.join(
         REPO, "etl_data_pipeline_spark", "operators", "hoist.json"
     )
     with open(path) as f:
         committed = json.load(f)
     names = evidence_freshness.registry_names()
-    evidence = evidence_freshness.load_evidence(REPO)
-    fresh = evidence_freshness.rotation_order(names, evidence)[: len(committed)]
-    assert committed == fresh
+    evidence = evidence_freshness.load_evidence(
+        REPO, max_round=committed["max_round"]
+    )
+    fresh = evidence_freshness.rotation_order(names, evidence)
+    assert committed["names"] == fresh[: len(committed["names"])]

@@ -37,14 +37,22 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def load_evidence(repo_root: str) -> dict[str, tuple[int, bool]]:
-    """name -> (latest round with a row, that row was green)."""
+def load_evidence(
+    repo_root: str, max_round: int | None = None
+) -> dict[str, tuple[int, bool]]:
+    """name -> (latest round with a row, that row was green).
+    ``max_round`` replays the view as of that round — used to verify a
+    committed hoist cut against the evidence it was derived from, so a
+    NEWER correctness record (written by the driver after the cut)
+    doesn't invalidate it."""
     latest: dict[str, tuple[int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
         m = re.search(r"_r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         with open(path) as f:
             rows = json.load(f)
         for name, rec in rows.items():
@@ -115,10 +123,16 @@ def main(argv: list[str]) -> int:
             dest = os.path.join(
                 repo_root, "etl_data_pipeline_spark", "operators", "hoist.json"
             )
+            max_round = max(
+                (r for r, _g in evidence.values()), default=0
+            )
             with open(dest, "w") as f:
-                json.dump(cut, f, indent=1)
+                json.dump({"max_round": max_round, "names": cut}, f, indent=1)
                 f.write("\n")
-            print(f"wrote {len(cut)} names -> {dest}")
+            print(
+                f"wrote {len(cut)} names (evidence through r{max_round}) "
+                f"-> {dest}"
+            )
         else:
             for n in cut:
                 print(f'        "{n}",')

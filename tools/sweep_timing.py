@@ -19,6 +19,16 @@ numbers are reported in a markdown suspects table — sweep-vs-floor
 deltas that vanish standalone are load interaction, not plan
 regressions; the ones that don't are flagged REGRESSION loudly.
 
+Round-11 automation (round-10 VERDICT item 6): suspect times are
+NORMALIZED by relative host speed before comparison, using the same
+pure-Python cpu_probe bench.py records — rounds 5, 8, 9 and 10 each
+paid manual adjudication labor for uniform host-level inflation that
+loadavg could not distinguish from a plan regression. A query is a
+suspect (and a REGRESSION) only if its probe-normalized time exceeds
+floor + margin: time_norm = time * (probe_mops / QUIET_MOPS), so a
+host running at half speed halves the measured wall before the floor
+comparison. Raw and normalized numbers are both printed.
+
 Usage: python tools/sweep_timing.py [sf_dir] [threshold_secs]
          [--passes N] [--table out.md] [--floors floors.json]
          [--margin 0.15] [--suspect-reps 3] [--settle 30]
@@ -41,6 +51,12 @@ SKIP = {"dedup_levenshtein"}
 
 
 DEFAULT_FLOORS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "floors.json")
+
+# Quiet-host reference rate for the cpu_probe normalization: the
+# floors were recorded at ~17-19 Mops (BASELINE.md r10 quiet snapshot
+# probe [16.8, 18.6]); 18.0 is the midpoint. A probe BELOW this scales
+# measured walls DOWN proportionally before any floor comparison.
+QUIET_MOPS = 18.0
 
 
 def _run_standalone(spark, fn, sf_dir: str, reps: int) -> float:
@@ -121,8 +137,10 @@ def main() -> int:
     threshold = float(args[1]) if len(args) > 1 else 8.0
 
     import __spark_entry__ as em
+    from bench import cpu_probe
     from etl_data_pipeline_spark.session import get_spark
 
+    probe_start = cpu_probe()  # before the JVM exists
     spark = get_spark("sweep")
     spark.sparkContext.setLogLevel("ERROR")
     names = [n for n in em.queries() if n not in SKIP]
@@ -169,8 +187,17 @@ def main() -> int:
     if os.path.exists(floors_path):
         with open(floors_path) as f:
             floors = json.load(f)
+    # probe-normalized host factor: < 1 on a loaded/throttled host, so
+    # a uniformly-inflated sweep produces NO suspects (VERDICT r10 #6)
+    probe_now = cpu_probe()
+    factor = min(probe_start, probe_now) / QUIET_MOPS
+    factor = min(factor, 1.0)  # a faster-than-reference host never hides slowness
+    print(
+        f"-- cpu probe: start {probe_start:.1f} / now {probe_now:.1f} Mops "
+        f"(quiet ref {QUIET_MOPS}); normalization factor {factor:.2f}"
+    )
     suspects = sorted(
-        (n for n in med if n in floors and med[n] > floors[n] + margin),
+        (n for n in med if n in floors and med[n] * factor > floors[n] + margin),
         key=lambda n: floors[n] - med[n],
     )
     new_queries = sorted(n for n in med if n not in floors)
@@ -178,20 +205,27 @@ def main() -> int:
         if settle > 0:
             print(f"-- settling {settle:.0f}s before standalone suspect re-runs")
             time.sleep(settle)
+        alone_factor = min(cpu_probe() / QUIET_MOPS, 1.0)  # post-settle speed
         print(
             f"\n## suspects: {len(suspects)} over floor+{margin}s "
-            f"(standalone x{suspect_reps}, loadavg {os.getloadavg()[0]:.1f})\n"
+            f"probe-normalized (standalone x{suspect_reps}, "
+            f"loadavg {os.getloadavg()[0]:.1f}, "
+            f"standalone factor {alone_factor:.2f})\n"
         )
-        print("| query | floor | sweep | standalone | verdict |")
-        print("|---|---|---|---|---|")
+        print("| query | floor | sweep | sweep_norm | standalone | alone_norm | verdict |")
+        print("|---|---|---|---|---|---|---|")
         regressions = []
         for n in suspects:
             alone = _run_standalone(spark, qs[n], sf_dir, suspect_reps)
-            verdict = "at floor" if alone <= floors[n] + margin else "REGRESSION"
+            alone_norm = alone * alone_factor
+            verdict = (
+                "at floor" if alone_norm <= floors[n] + margin else "REGRESSION"
+            )
             if verdict == "REGRESSION":
                 regressions.append(n)
             print(
-                f"| {n} | {floors[n]:.2f} | {med[n]:.2f} | {alone:.2f} |"
+                f"| {n} | {floors[n]:.2f} | {med[n]:.2f} |"
+                f" {med[n] * factor:.2f} | {alone:.2f} | {alone_norm:.2f} |"
                 f" {verdict} |"
             )
             if update_floors and alone < floors[n]:
@@ -202,9 +236,13 @@ def main() -> int:
             + " =="
         )
     else:
-        print("== no suspects: every query at-or-below floor+margin ==")
+        print(
+            "== no suspects: every query at-or-below floor+margin "
+            "(probe-normalized) =="
+        )
     for n in new_queries:
-        print(f"NEW FLOOR {n}: {med[n]:.2f}s (no recorded floor)")
+        hot = " [host below quiet ref — floor may be inflated]" if factor < 0.9 else ""
+        print(f"NEW FLOOR {n}: {med[n]:.2f}s (no recorded floor){hot}")
         if update_floors:
             floors[n] = round(med[n], 2)
     if update_floors and floors:
