@@ -484,14 +484,12 @@ def corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         "within_rank",
         hround((F.col("within_rank") - 0.5) / F.col("w"), 6).alias("stride_pos"),
     )
-    ordered = pos.orderBy(F.asc("stride_pos"), F.asc("lang"), F.asc("doc_id"))
-    with_pos = ordered.rdd.zipWithIndex().map(
-        lambda t: (t[0][0], t[0][1], t[0][2], t[0][3], t[1] + 1)
-    )
-    return spark.createDataFrame(
-        with_pos,
-        "doc_id long, lang string, within_rank int, stride_pos double, "
-        "global_pos long",
+    from etl_data_pipeline_spark.functions.ranking import with_global_position
+
+    return with_global_position(
+        pos,
+        [F.asc("stride_pos"), F.asc("lang"), F.asc("doc_id")],
+        pos_col="global_pos",
     )
 
 

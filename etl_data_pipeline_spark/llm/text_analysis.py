@@ -466,22 +466,20 @@ def _bpe_ranked(pairs: DataFrame, top_k: int = BPE_TOP_K) -> DataFrame:
     the one tiebreak definition shared by argmax and top-K.
 
     Every consumer keeps at most ``top_k`` rows, so the relation is
-    pre-pruned MAP-SIDE first: each partition keeps its local top-k
-    under the same total order (the global top-k is always a subset of
-    the union of per-partition top-ks), bounding the final global
-    ranking window to <= top_k x shuffle-partitions rows by
-    CONSTRUCTION — not just by the alphabet^2 bound of the pair
+    pruned to the global top-k FIRST via ``orderBy().limit()`` — Spark
+    plans that as TakeOrderedAndProject (each partition keeps its
+    local top-k map-side, the driver merges k-sized heaps; no shuffle,
+    no single-partition sort) — and only the surviving <= top_k rows
+    feed the ranking window. The final window is therefore bounded by
+    CONSTRUCTION, not just by the alphabet^2 bound of the pair
     vocabulary (~1e4 for a printable-ASCII corpus, which already made
-    the window safe, but as a property of the data, not the plan)."""
+    it safe as a property of the data, not the plan). The sort key is
+    a total order, so limit(top_k) keeps exactly the rows with
+    merge_rank <= top_k — the set every consumer filters to."""
     from pyspark.sql.window import Window
 
     order = (F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym"))
-    local = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
-    pruned = (
-        pairs.withColumn("_local_rank", F.row_number().over(local))
-        .filter(F.col("_local_rank") <= top_k)
-        .drop("_local_rank")
-    )
+    pruned = pairs.orderBy(*order).limit(top_k)
     return pruned.select(
         "left_sym",
         "right_sym",

@@ -1334,23 +1334,23 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    base = base.persist()
+    from etl_data_pipeline_spark.functions.caching import tracked_persist
+    from etl_data_pipeline_spark.functions.ranking import (
+        ntile_from_position,
+        with_global_position,
+    )
+
+    # persisted: feeds the count, the three quartile sorts and the
+    # final join — tracked so release_tracked() reclaims the handle
+    base = tracked_persist(base)
     n_total = base.count()
-    # ntile(k) positional split: the first `rem` buckets take q+1
-    # rows, the rest take q (q may be 0 when n_total < k).
-    q, rem = divmod(n_total, RFM_QUANTILES)
-    cutoff = rem * (q + 1)
 
     def _quartile(col_name: str, ascending: bool, alias: str) -> DataFrame:
         key = F.asc(col_name) if ascending else F.desc(col_name)
-        ordered = base.select("user_id", col_name).orderBy(key, F.asc("user_id"))
-        pos_rdd = ordered.rdd.zipWithIndex().map(lambda t: (t[0][0], t[1]))
-        pos_df = spark.createDataFrame(pos_rdd, "user_id long, pos long")
-        bucket = (
-            F.when(F.col("pos") < cutoff, F.floor(F.col("pos") / (q + 1)) + 1)
-            .otherwise(rem + F.floor((F.col("pos") - cutoff) / max(q, 1)) + 1)
-            .cast("int")
+        pos_df = with_global_position(
+            base.select("user_id", col_name), [key, F.asc("user_id")]
         )
+        bucket = ntile_from_position(F.col("pos"), n_total, RFM_QUANTILES)
         return pos_df.select("user_id", bucket.alias(alias))
 
     scored = (

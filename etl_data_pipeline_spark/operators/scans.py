@@ -265,17 +265,14 @@ def export_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     one partition — the one place an RDD hop is the *scalable* choice.
     """
     from etl_data_pipeline_spark.functions.hashing import md5_long60
+    from etl_data_pipeline_spark.functions.ranking import with_global_position
 
     docs = load_table(spark, sf_dir, "documents")
     key = md5_long60(F.col("doc_id").cast("string"))
-    ordered = docs.select(
-        "doc_id", "lang", key.alias("shuffle_key")
-    ).orderBy(F.asc("shuffle_key"), F.asc("doc_id"))
-    with_pos = ordered.rdd.zipWithIndex().map(
-        lambda t: (t[0][0], t[0][1], t[0][2], t[1] + 1)
-    )
-    return spark.createDataFrame(
-        with_pos, "doc_id long, lang string, shuffle_key long, shuffle_pos long"
+    return with_global_position(
+        docs.select("doc_id", "lang", key.alias("shuffle_key")),
+        [F.asc("shuffle_key"), F.asc("doc_id")],
+        pos_col="shuffle_pos",
     )
 
 

@@ -65,13 +65,20 @@ def global_window_count(plan: str) -> int:
     partition, the chief 100 TB scale-killer. Explain prints
     ``windowspecdefinition(<partition cols>, <order cols>, frame)``;
     order columns carry an ASC/DESC direction and partition columns do
-    not, so a spec whose FIRST argument is a sort key has no
-    partitioning. Duplicate prints of one spec (node line + Arguments
-    detail) are deduped by the spec text itself."""
+    not, so a spec whose FIRST argument is a sort key — or the frame
+    spec itself (an order-less global aggregate window like
+    ``F.sum(x).over(Window.partitionBy())``) — has no partitioning.
+    Duplicate prints of one spec (node line + Arguments detail) are
+    deduped by the spec text itself."""
     seen = set()
     for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
         args = m.group(1)
-        first = args.split(",")[0]
-        if (" ASC" in first or " DESC" in first) and args not in seen:
+        first = args.split(",")[0].strip()
+        unpartitioned = (
+            " ASC" in first
+            or " DESC" in first
+            or first.startswith("specifiedwindowframe(")
+        )
+        if unpartitioned and args not in seen:
             seen.add(args)
     return len(seen)

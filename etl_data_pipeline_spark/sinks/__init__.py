@@ -295,7 +295,12 @@ def _pglive_append(df: DataFrame, table: str, options: dict) -> None:
 
     if options.get("atomic"):
         write_pg_atomic(df, table, options)
-    elif options.get("driver_side"):
+    elif options.get("driver_side") or (
+        # pre-r11 configs selected the paths with 'distributed'
+        # (default False = driver-side); an explicit False must keep
+        # meaning driver-side, not silently invert with the new default
+        "distributed" in options and not options["distributed"]
+    ):
         write_pg(df, table, options)
     else:
         write_pg_distributed(df, table, options)

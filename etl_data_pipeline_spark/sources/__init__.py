@@ -313,7 +313,11 @@ def jdbc_literal(v, dialect: str = "ansi") -> str:
         if dialect == "mysql":
             return "1" if v else "0"
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, _Dec)):
+    if isinstance(v, _Dec):
+        if not v.is_finite():
+            raise ValueError(f"non-finite Decimal {v!r} has no SQL literal")
+        return format(v, "f")  # plain notation: str(Decimal('1E-8')) is sci
+    if isinstance(v, int):
         return str(v)
     if isinstance(v, float):
         if not math.isfinite(v):

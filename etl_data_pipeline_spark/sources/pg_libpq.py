@@ -537,8 +537,13 @@ def read_pg_partitioned(spark, table: str, options: dict):
                 if rows:
                     out = pd.DataFrame(rows, columns=cols, dtype=object)
                     for nm in stringify:
+                        # format 'f', not str(): str(Decimal('1E-8'))
+                        # is scientific notation, but the server's raw
+                        # text (what driver-side read_pg returns for
+                        # the same cell) never is — keep the two read
+                        # paths byte-identical
                         out[nm] = out[nm].map(
-                            lambda v: None if v is None else str(v)
+                            lambda v: None if v is None else format(v, "f")
                         )
                     for nm in awareify:
                         out[nm] = out[nm].map(
@@ -565,6 +570,13 @@ def _range_predicates(pcol: str, lo, hi, n: int) -> list[str]:
         raise ValueError(
             f"partition_column bounds must share a supported type; got "
             f"{type(lo).__name__}/{type(hi).__name__}"
+        )
+    if isinstance(lo, (int, dt.date, dt.datetime)) and hi < lo:
+        # inverted user-supplied bounds would produce OVERLAPPING
+        # slices (rows read twice) — a clear config error instead
+        raise ValueError(
+            f"partition bounds inverted: lower_bound {lo!r} > "
+            f"upper_bound {hi!r}"
         )
     if isinstance(lo, int):
         lo, hi = int(lo), int(hi)
@@ -602,11 +614,17 @@ def write_pg_distributed(df, table: str, options: dict) -> None:
     ``write_pg``: every Spark partition opens its OWN libpq connection
     and streams its rows as batched $n-parameterized multi-row
     INSERTs, so N tasks write concurrently and rows never funnel
-    through the driver (Spark's own JDBC writer shape). Same
-    at-least-once semantics as Spark JDBC: each task commits
-    independently and a retried task re-inserts its rows — callers
-    needing exactly-once use an idempotent downstream (merge keys /
-    staged swap), exactly the engine's standing sink contract. The
+    through the driver (Spark's own JDBC writer shape).
+
+    Each partition writes inside ONE transaction: a task that dies
+    mid-write rolls back (closing a libpq connection aborts its open
+    transaction), so the ordinary task-retry path re-inserts its rows
+    exactly once — stronger than Spark JDBC's autocommit-per-batch.
+    The residual at-least-once window is a task whose COMMIT landed
+    but whose success never reached the driver (stage retry after
+    fetch failure, or speculative duplicates): callers needing
+    exactly-once under those use an idempotent downstream (merge keys
+    / staged swap), the engine's standing sink contract. The
     per-statement row count keeps parameters under libpq's 65535
     limit."""
     conninfo = options.get("conninfo")
@@ -627,12 +645,15 @@ def write_pg_distributed(df, table: str, options: dict) -> None:
             for row in rows:
                 if conn is None:
                     conn = PgConnection(conninfo)
+                    conn.execute("BEGIN")
                 chunk.append(_fix_row(row, fixers))
                 if len(chunk) >= per_stmt:
                     _insert_chunk(conn, target, quoted, ncols, chunk)
                     chunk = []
-            if conn is not None and chunk:
-                _insert_chunk(conn, target, quoted, ncols, chunk)
+            if conn is not None:
+                if chunk:
+                    _insert_chunk(conn, target, quoted, ncols, chunk)
+                conn.execute("COMMIT")
         finally:
             if conn is not None:
                 conn.close()
@@ -655,7 +676,15 @@ def write_pg_atomic(df, table: str, options: dict) -> None:
 
     The stage is created from the target's own shape when the target
     exists (``CREATE TABLE .. (LIKE .. INCLUDING ALL)``), else from
-    the DataFrame schema via the shared postgres DDL contract."""
+    the DataFrame schema via the shared postgres DDL contract.
+
+    The target must be a plain (lower-case, optionally
+    schema-qualified) name: every statement here names the stage
+    unquoted, so a mixed-case or quoted dbtable would case-fold
+    inconsistently between the DDL and the rename — rejected up front
+    instead of failing with undefined_table mid-swap."""
+    import re
+
     from etl_data_pipeline_spark.sources import jdbc_create_table_ddl
 
     conninfo = options.get("conninfo")
@@ -663,29 +692,38 @@ def write_pg_atomic(df, table: str, options: dict) -> None:
         raise ValueError("pglive sink requires options['conninfo']")
     _reject_complex_columns(df, "pglive atomic sink")
     target = options.get("dbtable", table)
+    if not re.fullmatch(r"[a-z_][a-z0-9_]*(\.[a-z_][a-z0-9_]*)?", target):
+        raise ValueError(
+            f"pglive atomic sink requires a plain lower-case table name "
+            f"(got {target!r}): the staged-rename statements use the name "
+            f"unquoted, where PostgreSQL folds identifiers down"
+        )
     stage = f"{target}__stage"
+    # RENAME TO takes a bare name (the schema is kept), so split any
+    # schema qualifier off the target for the final statement
+    bare_target = target.rsplit(".", 1)[-1]
     with PgConnection(conninfo) as c:
-        c.execute(f'DROP TABLE IF EXISTS "{stage}"')
+        c.execute(f"DROP TABLE IF EXISTS {stage}")
         _, rows = c.execute(
             "SELECT 1 FROM information_schema.tables "
             "WHERE table_name = $1 AND table_schema = current_schema()",
-            (target,),
+            (bare_target,),
         )
         if rows:
-            c.execute(f'CREATE TABLE "{stage}" (LIKE "{target}" INCLUDING ALL)')
+            c.execute(f"CREATE TABLE {stage} (LIKE {target} INCLUDING ALL)")
         else:
             ddl = jdbc_create_table_ddl(stage, df.schema, dialect="postgres")
             c.execute(ddl)
     opts = dict(options)
-    opts["dbtable"] = f'"{stage}"'
+    opts["dbtable"] = stage
     write_pg_distributed(df, stage, opts)
     with PgConnection(conninfo) as c:
         # PQexecParams runs ONE statement per call; the BEGIN..COMMIT
         # bracket on the same connection is still a single transaction
         c.execute("BEGIN")
         try:
-            c.execute(f'DROP TABLE IF EXISTS "{target}"')
-            c.execute(f'ALTER TABLE "{stage}" RENAME TO "{target}"')
+            c.execute(f"DROP TABLE IF EXISTS {target}")
+            c.execute(f"ALTER TABLE {stage} RENAME TO {bare_target}")
             c.execute("COMMIT")
         except Exception:
             c.execute("ROLLBACK")

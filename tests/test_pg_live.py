@@ -702,3 +702,47 @@ def test_literal_insert_matches_parameterized_write(pg, spark):
     assert lit == par  # byte-rendered and $n-parameterized agree
     assert lit[0][2] == "O'Brien \\ backslash"  # escaping survived
     assert lit[0][3].microsecond == 999999
+
+
+def test_full_refresh_pipeline_atomic_replace_no_duplicates(pg, spark, tmp_path):
+    """A FULL-LOAD table (no watermark — the reference registry's
+    non-incremental shape) on the pglive sink with ``atomic: true``
+    REPLACES the target each run instead of append-duplicating: two
+    pipeline runs leave exactly one copy, and upstream deletes
+    propagate (append semantics can never remove a row)."""
+    from etl_data_pipeline_spark.pipeline import IncrementalPipeline
+    from etl_data_pipeline_spark.sources.pg_libpq import PgConnection
+    from etl_data_pipeline_spark.spec import PipelineSpec, TableSpec
+    from etl_data_pipeline_spark.watermark import WatermarkStore
+
+    src_tbl = f"fr_src_{uuid.uuid4().hex[:8]}"
+    dst_tbl = f"{src_tbl}_dst"
+    with PgConnection(pg) as c:
+        c.execute(f"CREATE TABLE {src_tbl} (id BIGINT, v TEXT)")
+        c.execute(f"INSERT INTO {src_tbl} VALUES (1, 'a'), (2, 'b')")
+
+    spec = PipelineSpec(
+        tables=[
+            TableSpec(
+                name=src_tbl,
+                source_format="pglive",
+                source_options={"conninfo": pg},
+                sink_format="pglive",
+                sink_options={"conninfo": pg, "dbtable": dst_tbl, "atomic": True},
+            )
+        ]
+    )
+    pipe = IncrementalPipeline(spark, spec, WatermarkStore(tmp_path / "wm.json"))
+    assert pipe.run()[0].status == "loaded"
+    assert pipe.run()[0].status == "loaded"  # full refresh re-runs
+    with PgConnection(pg) as c:
+        _, rows = c.execute(f"SELECT id, v FROM {dst_tbl} ORDER BY id")
+    assert rows == [(1, "a"), (2, "b")]  # ONE copy after two runs
+
+    with PgConnection(pg) as c:  # upstream delete + insert propagate
+        c.execute(f"DELETE FROM {src_tbl} WHERE id = 1")
+        c.execute(f"INSERT INTO {src_tbl} VALUES (3, 'c')")
+    assert pipe.run()[0].status == "loaded"
+    with PgConnection(pg) as c:
+        _, rows = c.execute(f"SELECT id, v FROM {dst_tbl} ORDER BY id")
+    assert rows == [(2, "b"), (3, "c")]

@@ -582,9 +582,19 @@ def test_third_continuation_ops_exchange_budgets(spark, sf_dir):
 
     budgets = [
         (sample_weighted, 1),
-        (corpus_interleave, 2),
+        # 0 in the VISIBLE plan: the stride sort + zipWithIndex run in
+        # the RDD lineage behind createDataFrame (r11 swap of the
+        # single-partition global row_number); the per-lang rank
+        # window's exchange is inside that lineage too
+        (corpus_interleave, 0),
         (timeseries_autocorr, 1),
-        (events_rfm, 3),
+        # 7: the per-user groupBy (cached subtree, printed per
+        # reference) + three user_id joins assembling the r/f/m
+        # quartile frames — each quartile's distributed sort +
+        # zipWithIndex is RDD-lineage (r11 swap of three global ntile
+        # windows; the old plan's 3 exchanges INCLUDED three
+        # Exchange SinglePartition, which is what the swap removed)
+        (events_rfm, 7),
         # 6: eval-distinct + train-size + train-hits groupBys, each
         # over an unpersisted (deliberately — pipelined re-scan beats
         # caching the shingle stream) explode subtree, + the final

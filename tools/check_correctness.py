@@ -63,6 +63,11 @@ HEAVY_SET = [
     "embedding_kmeans_coverage",
     "classifier_train_lr",
     "classifier_train_lr_eval",
+    # r11 plan swaps (single-partition window -> zipWithIndex): keep
+    # their oracle parity pinned at 30x, not just the driver tier
+    "events_rfm",
+    "corpus_interleave",
+    "export_shuffle",
 ]
 
 

@@ -19,15 +19,17 @@ numbers are reported in a markdown suspects table — sweep-vs-floor
 deltas that vanish standalone are load interaction, not plan
 regressions; the ones that don't are flagged REGRESSION loudly.
 
-Round-11 automation (round-10 VERDICT item 6): suspect times are
-NORMALIZED by relative host speed before comparison, using the same
-pure-Python cpu_probe bench.py records — rounds 5, 8, 9 and 10 each
-paid manual adjudication labor for uniform host-level inflation that
-loadavg could not distinguish from a plan regression. A query is a
-suspect (and a REGRESSION) only if its probe-normalized time exceeds
-floor + margin: time_norm = time * (probe_mops / QUIET_MOPS), so a
-host running at half speed halves the measured wall before the floor
-comparison. Raw and normalized numbers are both printed.
+Round-11 automation (round-10 VERDICT item 6): the REGRESSION verdict
+is NORMALIZED by relative host speed, using the same pure-Python
+cpu_probe bench.py records — rounds 5, 8, 9 and 10 each paid manual
+adjudication labor for uniform host-level inflation that loadavg
+could not distinguish from a plan regression. Suspect SELECTION stays
+raw (a lenient filter could hide a real regression behind one slow
+probe; a false-positive suspect only costs a standalone re-run); the
+standalone verdict scales by min(probe/QUIET_MOPS, 1) with a probe
+taken fresh after the settle, so a host at half speed no longer
+flags every floor-level query as REGRESSION. --update-floors skips
+recording new floors when the host probes below 0.9× quiet.
 
 Usage: python tools/sweep_timing.py [sf_dir] [threshold_secs]
          [--passes N] [--table out.md] [--floors floors.json]
@@ -187,20 +189,23 @@ def main() -> int:
     if os.path.exists(floors_path):
         with open(floors_path) as f:
             floors = json.load(f)
-    # probe-normalized host factor: < 1 on a loaded/throttled host, so
-    # a uniformly-inflated sweep produces NO suspects (VERDICT r10 #6)
+    # The SELECTION stays raw (un-normalized): a lenient filter could
+    # hide a real regression behind one transiently slow probe, and a
+    # false-positive suspect only costs a standalone re-run. The
+    # normalization is applied at the VERDICT, with a probe taken
+    # fresh after the settle — the measurement it actually brackets
+    # (VERDICT r10 #6: automate the host-speed adjudication).
     probe_now = cpu_probe()
-    factor = min(probe_start, probe_now) / QUIET_MOPS
-    factor = min(factor, 1.0)  # a faster-than-reference host never hides slowness
     print(
         f"-- cpu probe: start {probe_start:.1f} / now {probe_now:.1f} Mops "
-        f"(quiet ref {QUIET_MOPS}); normalization factor {factor:.2f}"
+        f"(quiet ref {QUIET_MOPS})"
     )
     suspects = sorted(
-        (n for n in med if n in floors and med[n] * factor > floors[n] + margin),
+        (n for n in med if n in floors and med[n] > floors[n] + margin),
         key=lambda n: floors[n] - med[n],
     )
     new_queries = sorted(n for n in med if n not in floors)
+    factor = 1.0
     if suspects:
         if settle > 0:
             print(f"-- settling {settle:.0f}s before standalone suspect re-runs")
@@ -208,12 +213,11 @@ def main() -> int:
         alone_factor = min(cpu_probe() / QUIET_MOPS, 1.0)  # post-settle speed
         print(
             f"\n## suspects: {len(suspects)} over floor+{margin}s "
-            f"probe-normalized (standalone x{suspect_reps}, "
-            f"loadavg {os.getloadavg()[0]:.1f}, "
-            f"standalone factor {alone_factor:.2f})\n"
+            f"(standalone x{suspect_reps}, loadavg {os.getloadavg()[0]:.1f}, "
+            f"verdict probe-normalized by {alone_factor:.2f})\n"
         )
-        print("| query | floor | sweep | sweep_norm | standalone | alone_norm | verdict |")
-        print("|---|---|---|---|---|---|---|")
+        print("| query | floor | sweep | standalone | alone_norm | verdict |")
+        print("|---|---|---|---|---|---|")
         regressions = []
         for n in suspects:
             alone = _run_standalone(spark, qs[n], sf_dir, suspect_reps)
@@ -224,9 +228,8 @@ def main() -> int:
             if verdict == "REGRESSION":
                 regressions.append(n)
             print(
-                f"| {n} | {floors[n]:.2f} | {med[n]:.2f} |"
-                f" {med[n] * factor:.2f} | {alone:.2f} | {alone_norm:.2f} |"
-                f" {verdict} |"
+                f"| {n} | {floors[n]:.2f} | {med[n]:.2f} | {alone:.2f} |"
+                f" {alone_norm:.2f} | {verdict} |"
             )
             if update_floors and alone < floors[n]:
                 floors[n] = round(alone, 2)
@@ -237,12 +240,15 @@ def main() -> int:
         )
     else:
         print(
-            "== no suspects: every query at-or-below floor+margin "
-            "(probe-normalized) =="
+            "== no suspects: every query at-or-below floor+margin =="
         )
+    slow_host = min(probe_start, probe_now) < 0.9 * QUIET_MOPS
     for n in new_queries:
-        hot = " [host below quiet ref — floor may be inflated]" if factor < 0.9 else ""
+        hot = " [host below quiet ref — floor may be inflated]" if slow_host else ""
         print(f"NEW FLOOR {n}: {med[n]:.2f}s (no recorded floor){hot}")
+        if update_floors and slow_host:
+            print(f"   (skipping floor record for {n}: host below quiet ref)")
+            continue
         if update_floors:
             floors[n] = round(med[n], 2)
     if update_floors and floors:
