@@ -428,6 +428,11 @@ def write_pg(df, table: str, options: dict) -> None:
         return
     per_stmt = max(1, min(500, 60000 // max(1, len(cols))))
     with PgConnection(conninfo) as c:
+        # ONE transaction for the whole batch — the reference's
+        # commit-at-end / rollback-on-error semantics (util.py:233-242,
+        # psycopg2's implicit transaction): a mid-batch failure leaves
+        # zero rows, not a partial prefix (connection close aborts).
+        c.execute("BEGIN")
         for lo in range(0, len(rows), per_stmt):
             chunk = rows[lo : lo + per_stmt]
             values = ", ".join(
@@ -442,6 +447,7 @@ def write_pg(df, table: str, options: dict) -> None:
             c.execute(
                 f'INSERT INTO {target} ({quoted}) VALUES {values}', params
             )
+        c.execute("COMMIT")
 
 
 def read_pg_partitioned(spark, table: str, options: dict):

@@ -746,3 +746,35 @@ def test_full_refresh_pipeline_atomic_replace_no_duplicates(pg, spark, tmp_path)
     with PgConnection(pg) as c:
         _, rows = c.execute(f"SELECT id, v FROM {dst_tbl} ORDER BY id")
     assert rows == [(2, "b"), (3, "c")]
+
+
+def test_distributed_write_rolls_back_failed_partition(pg, spark):
+    """Each partition writes in ONE transaction: a task failing
+    mid-partition (constraint violation in a later chunk) leaves ZERO
+    of that partition's rows behind — the ordinary task-retry path
+    re-inserts exactly once instead of duplicating the chunks that
+    landed before the failure."""
+    from pyspark.sql import functions as F
+
+    from etl_data_pipeline_spark.sources.pg_libpq import (
+        PgConnection,
+        write_pg_distributed,
+    )
+
+    with PgConnection(pg) as c:
+        c.execute("CREATE TABLE txn_t (id bigint CHECK (id >= 0))")
+    # one partition, >2 insert chunks (500 rows/statement), with the
+    # violating row in the LAST chunk — earlier chunks insert cleanly
+    # and must be rolled back with it
+    df = (
+        spark.range(1200)
+        .select(
+            F.when(F.col("id") == 1150, F.lit(-1)).otherwise(F.col("id")).alias("id")
+        )
+        .coalesce(1)
+    )
+    with pytest.raises(Exception, match="check|violates|23514"):
+        write_pg_distributed(df, "txn_t", {"conninfo": pg})
+    with PgConnection(pg) as c:
+        _, rows = c.execute("SELECT count(*) FROM txn_t")
+    assert rows == [(0,)]  # nothing from the failed partition survived

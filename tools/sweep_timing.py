@@ -34,7 +34,7 @@ recording new floors when the host probes below 0.9× quiet.
 Usage: python tools/sweep_timing.py [sf_dir] [threshold_secs]
          [--passes N] [--table out.md] [--floors floors.json]
          [--margin 0.15] [--suspect-reps 3] [--settle 30]
-         [--update-floors]
+         [--update-floors] [--only q1,q2,...]
 """
 
 from __future__ import annotations
@@ -107,6 +107,7 @@ def main() -> int:
     suspect_reps = 3
     settle = 30.0
     update_floors = False
+    only: set[str] = set()
     args: list[str] = []
     i = 0
     while i < len(argv):
@@ -132,6 +133,9 @@ def main() -> int:
         elif a == "--update-floors":
             update_floors = True
             i += 1
+        elif a == "--only":
+            only = set(argv[i + 1].split(","))
+            i += 2
         else:
             args.append(a)
             i += 1
@@ -146,6 +150,11 @@ def main() -> int:
     spark = get_spark("sweep")
     spark.sparkContext.setLogLevel("ERROR")
     names = [n for n in em.queries() if n not in SKIP]
+    if only:
+        unknown = only - set(names)
+        if unknown:
+            raise SystemExit(f"--only names not in registry: {sorted(unknown)}")
+        names = [n for n in names if n in only]
     qs = em.queries()
     times: dict[str, list[float]] = {n: [] for n in names}
     errors: list[tuple[str, str]] = []
