@@ -1075,11 +1075,21 @@ def _entropy_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
             comps[s].substr(sb2c + 1, cl - sb2c),
         ):
             keys.append(F.concat(lv1_vals[s], F.lit(":"), sub))
-    return base.crossJoin(F.broadcast(allb)).select(
+    keyed = base.crossJoin(F.broadcast(allb)).select(
         "c_custkey",
         "c_name",
         F.posexplode(F.array(*keys)).alias("seg", "seg_val"),
     )
+    # localCheckpoint: the boundary derivation above is ~30 tiny
+    # single-task stages (two window folds per complement, 1-row
+    # crossJoin chain); left as lazy lineage it REPLAYS inside every
+    # consumer of this relation — both sides of the block self-join,
+    # the broadcast build, the cap-guard count and the rank-1 window —
+    # which measured 85 s at sf0.1 vs 11 s truncated (r11; the same
+    # plan-nesting failure mode the iterative operators hit in r10).
+    # Eager is right: every caller consumes the full relation at least
+    # twice, and the keyed rows are 9 small columns per record.
+    return keyed.localCheckpoint()
 
 
 EMB_LSH_TABLES = 8      # OR-construction: candidate if same-bucket in ANY table

@@ -121,3 +121,28 @@ def test_ntile_from_position_matches_spark_ntile(spark):
                 ).orderBy("id").collect()
             ]
             assert got == want, (n_total, k)
+
+
+def test_pglive_sink_option_routing(monkeypatch):
+    """The sink selector's contract, incl. back-compat: the pre-r11
+    'distributed' key keeps its meaning (an explicit False pins the
+    driver-side path — it must not silently invert under the new
+    distributed-by-default), 'driver_side' opts into reference parity,
+    'atomic' wins over both."""
+    import etl_data_pipeline_spark.sources.pg_libpq as pgmod
+    from etl_data_pipeline_spark.sinks import _pglive_append
+
+    calls = []
+    monkeypatch.setattr(pgmod, "write_pg", lambda df, t, o: calls.append("driver"))
+    monkeypatch.setattr(
+        pgmod, "write_pg_distributed", lambda df, t, o: calls.append("dist")
+    )
+    monkeypatch.setattr(
+        pgmod, "write_pg_atomic", lambda df, t, o: calls.append("atomic")
+    )
+    _pglive_append(None, "t", {})  # new default: distributed
+    _pglive_append(None, "t", {"distributed": True})  # legacy spelling
+    _pglive_append(None, "t", {"distributed": False})  # legacy driver pin
+    _pglive_append(None, "t", {"driver_side": True})
+    _pglive_append(None, "t", {"atomic": True, "driver_side": True})
+    assert calls == ["dist", "dist", "driver", "driver", "atomic"]

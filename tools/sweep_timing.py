@@ -231,9 +231,17 @@ def main() -> int:
         for n in suspects:
             alone = _run_standalone(spark, qs[n], sf_dir, suspect_reps)
             alone_norm = alone * alone_factor
-            verdict = (
-                "at floor" if alone_norm <= floors[n] + margin else "REGRESSION"
-            )
+            # three tiers: "at floor" within margin; "elevated" up to
+            # the historical 2x gate (the uniform host-class band every
+            # round since r5 has adjudicated — same VM, slower day);
+            # REGRESSION only past 2x floor, which is what a genuine
+            # plan break looks like (r11's real catch was 7.5x).
+            if alone_norm <= floors[n] + margin:
+                verdict = "at floor"
+            elif alone_norm <= 2 * floors[n] + margin:
+                verdict = "elevated"
+            else:
+                verdict = "REGRESSION"
             if verdict == "REGRESSION":
                 regressions.append(n)
             print(
