@@ -706,14 +706,19 @@ def write_pg_atomic(df, table: str, options: dict) -> None:
         )
     stage = f"{target}__stage"
     # RENAME TO takes a bare name (the schema is kept), so split any
-    # schema qualifier off the target for the final statement
-    bare_target = target.rsplit(".", 1)[-1]
+    # schema qualifier off the target for the final statement — and
+    # check existence in THAT schema, not blindly current_schema()
+    if "." in target:
+        schema_name, bare_target = target.rsplit(".", 1)
+    else:
+        schema_name, bare_target = None, target
     with PgConnection(conninfo) as c:
         c.execute(f"DROP TABLE IF EXISTS {stage}")
         _, rows = c.execute(
             "SELECT 1 FROM information_schema.tables "
-            "WHERE table_name = $1 AND table_schema = current_schema()",
-            (bare_target,),
+            "WHERE table_name = $1 "
+            "AND table_schema = coalesce($2, current_schema())",
+            (bare_target, schema_name),
         )
         if rows:
             c.execute(f"CREATE TABLE {stage} (LIKE {target} INCLUDING ALL)")

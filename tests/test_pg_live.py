@@ -778,3 +778,28 @@ def test_distributed_write_rolls_back_failed_partition(pg, spark):
     with PgConnection(pg) as c:
         _, rows = c.execute("SELECT count(*) FROM txn_t")
     assert rows == [(0,)]  # nothing from the failed partition survived
+
+
+def test_atomic_swap_schema_qualified_target(pg, spark):
+    """A schema-qualified atomic target stages and swaps inside ITS
+    schema (the existence probe must not consult current_schema for a
+    qualified name), and mixed-case targets are rejected up front."""
+    import etl_data_pipeline_spark.sources.pg_libpq as pgmod
+    from etl_data_pipeline_spark.sources.pg_libpq import PgConnection
+
+    with PgConnection(pg) as c:
+        c.execute("CREATE SCHEMA IF NOT EXISTS aux")
+    v1 = spark.createDataFrame([(1, "a")], "id bigint, s string")
+    pgmod.write_pg_atomic(v1, "x", {"conninfo": pg, "dbtable": "aux.qual_t"})
+    v2 = spark.createDataFrame([(2, "b")], "id bigint, s string")
+    pgmod.write_pg_atomic(v2, "x", {"conninfo": pg, "dbtable": "aux.qual_t"})
+    with PgConnection(pg) as c:
+        _, rows = c.execute("SELECT id, s FROM aux.qual_t")
+        assert rows == [(2, "b")]  # replaced in the right schema
+        _, leftover = c.execute(
+            "SELECT 1 FROM information_schema.tables "
+            "WHERE table_schema = 'aux' AND table_name = 'qual_t__stage'"
+        )
+        assert leftover == []
+    with pytest.raises(ValueError, match="plain lower-case"):
+        pgmod.write_pg_atomic(v1, "x", {"conninfo": pg, "dbtable": '"Mixed"'})
