@@ -64,7 +64,9 @@ def test_hoist_file_is_current_cut():
     evidence = evidence_freshness.load_evidence(
         REPO, max_round=committed["max_round"]
     )
-    fresh = evidence_freshness.rotation_order(names, evidence)
+    fresh = evidence_freshness.rotation_order(
+        names, evidence, committed.get("touched")
+    )
     assert committed["names"] == fresh[: len(committed["names"])]
 
 
@@ -146,3 +148,15 @@ def test_pglive_sink_option_routing(monkeypatch):
     _pglive_append(None, "t", {"driver_side": True})
     _pglive_append(None, "t", {"atomic": True, "driver_side": True})
     assert calls == ["dist", "dist", "driver", "driver", "atomic"]
+
+
+def test_rotation_order_touched_tier():
+    """Queries changed this round outrank the staleness order (the
+    driver must re-prove them) but never outrank never-evidenced new
+    registrations."""
+    names = ["new1", "old_r6", "old_r9", "touched_r10"]
+    evidence = {"old_r6": (6, True), "old_r9": (9, True), "touched_r10": (10, True)}
+    order = evidence_freshness.rotation_order(
+        names, evidence, touched=["touched_r10", "new1"]
+    )
+    assert order == ["new1", "touched_r10", "old_r6", "old_r9"]

@@ -17,8 +17,10 @@ Usage::
     python tools/evidence_freshness.py            # human-readable report
     python tools/evidence_freshness.py --hoist N  # print the first N names
                                                   # as a ready-to-paste hoist
-    python tools/evidence_freshness.py --hoist N --write
-        # write the cut to etl_data_pipeline_spark/operators/hoist.json,
+    python tools/evidence_freshness.py --hoist N --write [--touch a,b]
+        # write the cut to etl_data_pipeline_spark/operators/hoist.json
+        # (--touch: queries CHANGED this round, hoisted ahead of the
+        # staleness order so the driver re-proves them),
         # which collect_registry() reads at import time — run this once
         # per round AFTER registering any new queries, so the rotation
         # can't be mis-cut by hand (round-10 VERDICT item 4).
@@ -82,19 +84,29 @@ def registry_names() -> list[str]:
 
 
 def rotation_order(
-    names: list[str], evidence: dict[str, tuple[int, bool]]
+    names: list[str],
+    evidence: dict[str, tuple[int, bool]],
+    touched: list[str] | None = None,
 ) -> list[str]:
     """The hoist priority order: queries with NO driver evidence first
-    (new registrations), then latest-row-red, then green queries in
+    (new registrations), then queries TOUCHED this round (semantics or
+    plan changed — the driver should re-prove them even if their last
+    evidence is recent), then latest-row-red, then green queries in
     ascending order of their most recent green round (stalest first).
     Within each tier, registry order is preserved."""
+    touched_set = set(touched or [])
     never = [n for n in names if n not in evidence]
-    red = [n for n in names if n in evidence and not evidence[n][1]]
+    touch = [n for n in names if n in touched_set and n not in set(never)]
+    rest = set(never) | set(touch)
+    red = [
+        n for n in names
+        if n in evidence and not evidence[n][1] and n not in rest
+    ]
     by_round: dict[int, list[str]] = {}
     for n in names:
-        if n in evidence and evidence[n][1]:
+        if n in evidence and evidence[n][1] and n not in rest:
             by_round.setdefault(evidence[n][0], []).append(n)
-    ordered: list[str] = list(never) + list(red)
+    ordered: list[str] = list(never) + list(touch) + list(red)
     for rnd in sorted(by_round):
         ordered.extend(by_round[rnd])
     return ordered
@@ -105,6 +117,9 @@ def main(argv: list[str]) -> int:
     hoist_n = 0
     if "--hoist" in argv:
         hoist_n = int(argv[argv.index("--hoist") + 1])
+    touched: list[str] = []
+    if "--touch" in argv:
+        touched = argv[argv.index("--touch") + 1].split(",")
     names = registry_names()
     evidence = load_evidence(repo_root)
 
@@ -115,7 +130,7 @@ def main(argv: list[str]) -> int:
         if n in evidence and evidence[n][1]:
             by_round.setdefault(evidence[n][0], []).append(n)
 
-    ordered = rotation_order(names, evidence)
+    ordered = rotation_order(names, evidence, touched)
 
     if hoist_n:
         cut = ordered[:hoist_n]
@@ -127,7 +142,11 @@ def main(argv: list[str]) -> int:
                 (r for r, _g in evidence.values()), default=0
             )
             with open(dest, "w") as f:
-                json.dump({"max_round": max_round, "names": cut}, f, indent=1)
+                json.dump(
+                    {"max_round": max_round, "touched": touched, "names": cut},
+                    f,
+                    indent=1,
+                )
                 f.write("\n")
             print(
                 f"wrote {len(cut)} names (evidence through r{max_round}) "
