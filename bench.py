@@ -125,7 +125,21 @@ BENCH_QUERIES = [
     # the corpus derivation + recall tail exercise transform-heavy
     # columnar arithmetic no other headline query covers
     "sim_ann_ivf_clustered_recall",
+    # round-12 additions (new floors): the r10/r11 registrations that
+    # now define the engine's story — the oracled 20-step LR training
+    # loop, the trained-centroid recall curve, and the kmeans
+    # bucket-miss accountability pass (r11 verdict item 5)
+    "classifier_train_lr",
+    "sim_ann_ivf_clustered_trained_recall",
+    "embedding_kmeans_coverage",
 ]
+
+# Quiet-host single-thread throughput (Mops/s) the floors were
+# recorded at — shared convention with tools/sweep_timing.py. The
+# probe-normalized total scales the wall by min(probe/QUIET, 1.0), so
+# a run on a contended host self-adjudicates instead of reading as a
+# regression.
+QUIET_MOPS = 18.0
 
 
 def wait_for_quiet_host() -> tuple[float, bool]:
@@ -215,6 +229,8 @@ def main() -> None:
         name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()
     }
     total = round(sum(timings.values()), 3)
+    cpu_mops_end = cpu_probe()
+    probe = min(cpu_mops_start, cpu_mops_end)
     print(
         json.dumps(
             {
@@ -229,7 +245,13 @@ def main() -> None:
                 "quiet_wait_sec": waited_sec,
                 # [before JVM startup, after the timed passes]: a pair
                 # brackets the run, so mid-run throttling is visible
-                "cpu_probe_mops": [cpu_mops_start, cpu_probe()],
+                "cpu_probe_mops": [cpu_mops_start, cpu_mops_end],
+                # total scaled to the quiet-host reference speed (the
+                # sweep's convention, QUIET_MOPS) — compare THIS against
+                # recorded floors when cpu_probe reads a loaded host
+                "probe_normalized_total": round(
+                    total * min(probe / QUIET_MOPS, 1.0), 3
+                ),
             }
         )
     )

@@ -1,14 +1,18 @@
-"""Distributed global positions — the shared zipWithIndex recipe.
+"""Distributed global positions — the shared sort-and-offset recipe.
 
 A global ``row_number()``/``ntile()`` window with no partitioning is
 the chief 100 TB scale-killer: Spark executes it by moving the
 window's ENTIRE input through one partition. When the sort keys form a
 total order, the same dense 1-based positions come out of a
-distributed range-partitioned sort + ``zipWithIndex`` (per-partition
-offsets + one tiny count job) — every partition keeps working, and the
-positions are bit-identical to the window's on every engine. First
-proven by export_shuffle (operators/scans.py), now shared by
-corpus_interleave and events_rfm.
+distributed range-partitioned sort + per-partition offsets (one tiny
+count job) — every partition keeps working, and the positions are
+bit-identical to the window's on every engine. First proven by
+export_shuffle (operators/scans.py), shared by corpus_interleave and
+events_rfm. r11 shipped the recipe over an RDD ``zipWithIndex`` hop;
+r12's default is pure-JVM (``monotonically_increasing_id`` +
+cumulative-offset lookup — measured 1.5-1.9x faster at sf1/sf10 on
+the table-grain callers, A/B in BASELINE.md r12, tools/
+ab_global_position.py).
 
 ``ntile_from_position`` is the positional half of the same story:
 ntile(k)'s bucket depends only on (rank, N), so a global ntile window
@@ -27,10 +31,60 @@ def with_global_position(
 ) -> DataFrame:
     """``df`` sorted by ``order`` (a list of Column sort expressions
     that MUST form a total order — include a unique tiebreak) with a
-    dense ``start``-based long position appended. One distributed
-    range sort + zipWithIndex; no single-partition stage. The RDD hop
-    serializes rows through Python, so project to the needed columns
-    BEFORE calling at scale."""
+    dense ``start``-based long position appended. Pure-JVM since r12:
+    one distributed range sort, ``monotonically_increasing_id`` to
+    read off (partition-id, row-in-partition) without any shuffle or
+    Python hop, a partition-count aggregate over the materialized
+    relation (tiny: one row per partition), and a broadcast join of
+    the cumulative offsets. No single-partition stage, no row ever
+    crosses the Python worker — the r11 zipWithIndex recipe kept that
+    discipline everywhere EXCEPT the pickle round-trip of the RDD hop;
+    this closes it (r11 VERDICT item 2; A/B in BASELINE.md r12).
+
+    The sorted relation is localCheckpointed (lazily) so the id
+    assignment is FROZEN before the two consumers read it — without
+    that, the count pass and the emit pass could re-plan the sort
+    independently and disagree on partition boundaries."""
+    mid = "__wgp_mid"
+    ordered = (
+        df.orderBy(*order)
+        .withColumn(mid, F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+    )
+    # monotonically_increasing_id packs the partition id in the upper
+    # 31 bits and a dense 0-based per-partition counter in the lower 33
+    pid = F.shiftrightunsigned(F.col(mid), 33)
+    counts = (
+        ordered.groupBy(pid.alias("__wgp_pid")).count().collect()
+    )  # one row per partition — driver-tiny at any scale
+    if not counts:
+        return df.withColumn(pos_col, F.lit(None).cast(T.LongType())).filter(
+            F.lit(False)
+        )
+    by_pid = {row["__wgp_pid"]: row["count"] for row in counts}
+    offsets, acc = [], 0
+    for p in range(max(by_pid) + 1):
+        offsets.append(acc)
+        acc += by_pid.get(p, 0)
+    # cumulative offsets as a LITERAL array lookup — cheaper than a
+    # broadcast join (no extra stage, stays in the same projection)
+    off = F.element_at(
+        F.array(*[F.lit(o).cast("long") for o in offsets]),
+        (pid + 1).cast("int"),
+    )
+    local = F.col(mid).bitwiseAND((1 << 33) - 1)
+    return ordered.withColumn(
+        pos_col, (off + local + F.lit(start)).cast("long")
+    ).drop(mid)
+
+
+def with_global_position_rdd(
+    df: DataFrame, order, pos_col: str = "pos", start: int = 1
+) -> DataFrame:
+    """The r11 recipe, kept for the A/B record: distributed range sort
+    + RDD ``zipWithIndex``. Same positions, but every row pays a
+    pickle round-trip through the Python worker — superseded by the
+    pure-JVM ``with_global_position`` (BASELINE.md r12 A/B)."""
     ordered = df.orderBy(*order)
     n = len(ordered.columns)
     schema = T.StructType(

@@ -456,11 +456,11 @@ def corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: within-stream ranks are per-language windows
     (well-distributed keys); the final global position is ONE
-    distributed range-partitioned sort of scalar rows + zipWithIndex
-    (per-partition offsets — the export_shuffle recipe,
-    operators/scans.py:263-274), NOT a global row_number() window,
-    which Spark would execute through a single partition. The sort
-    keys form a total order, so zipWithIndex's dense 1-based
+    distributed range-partitioned sort of scalar rows + per-partition
+    cumulative offsets (the export_shuffle recipe, pure-JVM since r12
+    — functions/ranking.py::with_global_position), NOT a global
+    row_number() window, which Spark would execute through a single
+    partition. The sort keys form a total order, so the dense 1-based
     positions are identical to the oracle's row_number semantics.
     """
     from etl_data_pipeline_spark.functions.hashing import md5_long60

@@ -1308,9 +1308,10 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: one groupBy(user_id) shuffle reduces events to one
     scalar row per user; each quartile score is then a *distributed*
-    range-partitioned sort of (user_id, key) pairs + zipWithIndex
-    (per-partition offsets, the export_shuffle recipe at
-    operators/scans.py:263-274) mapped through ntile's positional
+    range-partitioned sort of (user_id, key) pairs + per-partition
+    cumulative offsets (the export_shuffle recipe, pure-JVM since r12
+    — functions/ranking.py::with_global_position) mapped through
+    ntile's positional
     bucket formula — NOT a global ntile() window, which Spark would
     execute by collapsing the whole per-user relation into a single
     partition. The bucket formula reproduces ntile(k) exactly

@@ -260,9 +260,10 @@ def export_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark's orderBy range-partitions by the hash (sampled split
     points) — a distributed sort. The position column comes from
-    zipWithIndex (per-partition offsets + one tiny count job), NOT a
-    global row_number() window, which would collapse everything into
-    one partition — the one place an RDD hop is the *scalable* choice.
+    per-partition cumulative offsets (functions/ranking.py, pure-JVM
+    since r12: monotonically_increasing_id + one tiny count job), NOT
+    a global row_number() window, which would collapse everything
+    into one partition.
     """
     from etl_data_pipeline_spark.functions.hashing import md5_long60
     from etl_data_pipeline_spark.functions.ranking import with_global_position

@@ -65,20 +65,57 @@ def global_window_count(plan: str) -> int:
     partition, the chief 100 TB scale-killer. Explain prints
     ``windowspecdefinition(<partition cols>, <order cols>, frame)``;
     order columns carry an ASC/DESC direction and partition columns do
-    not, so a spec whose FIRST argument is a sort key — or the frame
-    spec itself (an order-less global aggregate window like
+    not, so a spec whose FIRST top-level argument is a sort key — or
+    the frame spec itself (an order-less global aggregate window like
     ``F.sum(x).over(Window.partitionBy())``) — has no partitioning.
+    Arguments are captured with balanced-paren scanning (a ``[^)]*``
+    capture truncates at the first ')' inside specifiedwindowframe or
+    a function-call sort key, deduping distinct specs that share the
+    truncated prefix), and the direction test matches a top-level
+    ``<expr> ASC|DESC NULLS …`` SUFFIX so a partition column whose
+    nested expression merely contains ' ASC' can't false-positive.
     Duplicate prints of one spec (node line + Arguments detail) are
-    deduped by the spec text itself."""
+    deduped by the full spec text."""
     seen = set()
-    for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
-        args = m.group(1)
-        first = args.split(",")[0].strip()
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        args = _balanced_args(plan, m.end())
+        if args is None:
+            continue  # truncated print (explain line cut) — skip
+        first = _first_toplevel_arg(args)
         unpartitioned = (
-            " ASC" in first
-            or " DESC" in first
+            re.search(r" (ASC|DESC)( NULLS (FIRST|LAST))?$", first)
+            is not None
             or first.startswith("specifiedwindowframe(")
         )
         if unpartitioned and args not in seen:
             seen.add(args)
     return len(seen)
+
+
+def _balanced_args(text: str, start: int) -> str | None:
+    """The argument list beginning at ``start`` (just past an opening
+    paren) up to its balanced closing paren; None if the text ends
+    before the paren closes (a truncated explain line)."""
+    depth = 1
+    for i in range(start, len(text)):
+        c = text[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return text[start:i]
+    return None
+
+
+def _first_toplevel_arg(args: str) -> str:
+    """The first comma-separated argument at paren depth 0."""
+    depth = 0
+    for i, c in enumerate(args):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            return args[:i].strip()
+    return args.strip()

@@ -286,15 +286,30 @@ def _pglive_append(df: DataFrame, table: str, options: dict) -> None:
     kept for parity tests and tiny control tables); ``atomic: true``
     routes to the staged-table + transactional-rename REPLACE
     (write_pg_atomic) — all-or-nothing on the server, the reference's
-    commit/rollback semantics."""
+    commit/rollback semantics; ``staged: true`` to the per-run staged
+    publish (write_pg_staged) — distributed AND exactly-once under
+    stage retry / speculation.
+
+    MIGRATION (r11): the default flipped from driver-side to
+    distributed, which also changes FAILURE semantics — per-partition
+    commits can leave a partial table when one partition fails after
+    others committed, where the driver path was one all-or-nothing
+    transaction. Configs that set none of 'distributed'/'driver_side'/
+    'atomic'/'staged' get a one-time warning pointing here; set
+    ``staged: true`` (all-or-nothing AND distributed), ``atomic: true``
+    (full replace), or ``driver_side: true`` (old semantics) to choose
+    explicitly."""
     from etl_data_pipeline_spark.sources.pg_libpq import (
         write_pg,
         write_pg_atomic,
         write_pg_distributed,
+        write_pg_staged,
     )
 
     if options.get("atomic"):
         write_pg_atomic(df, table, options)
+    elif options.get("staged"):
+        write_pg_staged(df, table, options)
     elif options.get("driver_side") or (
         # pre-r11 configs selected the paths with 'distributed'
         # (default False = driver-side); an explicit False must keep
@@ -303,7 +318,28 @@ def _pglive_append(df: DataFrame, table: str, options: dict) -> None:
     ):
         write_pg(df, table, options)
     else:
+        if not any(
+            k in options for k in ("distributed", "driver_side", "staged")
+        ):
+            global _warned_pglive_default
+            if not _warned_pglive_default:
+                _warned_pglive_default = True
+                import warnings
+
+                warnings.warn(
+                    "pglive sink now defaults to the DISTRIBUTED "
+                    "per-partition writer (r11): a mid-write failure "
+                    "can leave a partial append where the pre-r11 "
+                    "driver-side path was all-or-nothing. Set "
+                    "'staged': true (distributed + exactly-once), "
+                    "'driver_side': true (old semantics), or "
+                    "'distributed': true to silence this.",
+                    stacklevel=3,
+                )
         write_pg_distributed(df, table, options)
+
+
+_warned_pglive_default = False
 
 
 SINKS: dict[str, SinkFn] = {

@@ -332,7 +332,10 @@ def read_pg(spark, table: str, options: dict):
             if lib.PQresultStatus(res) != PGRES_TUPLES_OK:
                 msg = lib.PQresultErrorMessage(res).decode(errors="replace")
                 state = lib.PQresultErrorField(res, PG_DIAG_SQLSTATE)
-                raise PgError(msg.strip(), state.decode() if state else None)
+                # no server SQLSTATE = the connection died mid-read —
+                # synthesize class-08 like PgConnection.execute so the
+                # retry classifier fires (was None pre-r12)
+                raise PgError(msg.strip(), state.decode() if state else "08006")
             nf = lib.PQnfields(res)
             nt = lib.PQntuples(res)
             fields = []
@@ -490,7 +493,8 @@ def read_pg_partitioned(spark, table: str, options: dict):
             if lib.PQresultStatus(res) != PGRES_TUPLES_OK:
                 msg = lib.PQresultErrorMessage(res).decode(errors="replace")
                 state = lib.PQresultErrorField(res, PG_DIAG_SQLSTATE)
-                raise PgError(msg.strip(), state.decode() if state else None)
+                # same class-08 fallback as read_pg / PgConnection.execute
+                raise PgError(msg.strip(), state.decode() if state else "08006")
             nf = lib.PQnfields(res)
             names = [lib.PQfname(res, j).decode() for j in range(nf)]
             oids = [lib.PQftype(res, j) for j in range(nf)]
@@ -562,13 +566,39 @@ def read_pg_partitioned(spark, table: str, options: dict):
     return seeds.mapInPandas(gen, schema)
 
 
+def _coerce_bound(v):
+    """Typed form of a config-string bound: int, else ISO date, else
+    ISO timestamp; any other string falls through unchanged and the
+    shared-type check rejects it with the clear config error."""
+    if not isinstance(v, str):
+        return v
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        return dt.date.fromisoformat(v)
+    except ValueError:
+        pass
+    try:
+        return dt.datetime.fromisoformat(v)
+    except ValueError:
+        return v
+
+
 def _range_predicates(pcol: str, lo, hi, n: int) -> list[str]:
     """Spark-JDBC-shaped range predicates over an integral, date or
     timestamp partition column: n slices, first unbounded below (+ IS
     NULL), last unbounded above, so no row escapes the bounds. A
     partition column of any other type is a config error, raised
-    clearly instead of a raw int() TypeError after the bounds probe."""
+    clearly instead of a raw int() TypeError after the bounds probe.
+
+    User-supplied bounds arrive from env-keyed config as STRINGS —
+    numeric and ISO date/timestamp strings coerce to their typed form
+    (the pre-r11 int() cast accepted \"5\"; r12 restores that and adds
+    the temporal forms) before the shared-type check."""
     q = f'"{pcol}"'
+    lo, hi = _coerce_bound(lo), _coerce_bound(hi)
     if isinstance(lo, bool) or isinstance(hi, bool) or not (
         type(lo) is type(hi)
         or (isinstance(lo, int) and isinstance(hi, int))
@@ -590,7 +620,10 @@ def _range_predicates(pcol: str, lo, hi, n: int) -> list[str]:
         bounds = [lo + i * stride for i in range(1, n)]
         fmt = str
     elif isinstance(lo, dt.datetime):
-        total_us = int((hi - lo).total_seconds() * 1_000_000)
+        # integer timedelta division, NOT float total_seconds(): a
+        # float*1e6 round-trip loses sub-microsecond exactness on
+        # extreme ranges (> ~292 years), skewing every slice boundary
+        total_us = (hi - lo) // dt.timedelta(microseconds=1)
         bounds = [
             lo + dt.timedelta(microseconds=total_us * i // n)
             for i in range(1, n)
@@ -688,7 +721,19 @@ def write_pg_atomic(df, table: str, options: dict) -> None:
     schema-qualified) name: every statement here names the stage
     unquoted, so a mixed-case or quoted dbtable would case-fold
     inconsistently between the DDL and the rename — rejected up front
-    instead of failing with undefined_table mid-swap."""
+    instead of failing with undefined_table mid-swap. The stage's bare
+    name must also fit PostgreSQL's 63-byte identifier limit (NAMEDATALEN
+    - 1) — past it the server SILENTLY truncates, so the later
+    DROP/RENAME would address a different identifier; rejected up
+    front too.
+
+    Concurrency: two atomic writers to the same target share the fixed
+    ``<target>__stage`` name, so the whole stage-write-swap sequence
+    runs under a session-level advisory lock keyed on the target
+    (``pg_advisory_lock(hashtextextended(target, 0))``, held on a
+    dedicated connection whose close releases it even on a crash) —
+    concurrent writers serialize instead of interleaving DROP/CREATE/
+    INSERT on one stage."""
     import re
 
     from etl_data_pipeline_spark.sources import jdbc_create_table_ddl
@@ -712,33 +757,206 @@ def write_pg_atomic(df, table: str, options: dict) -> None:
         schema_name, bare_target = target.rsplit(".", 1)
     else:
         schema_name, bare_target = None, target
+    bare_stage = f"{bare_target}__stage"
+    if len(bare_stage.encode()) > 63:
+        raise ValueError(
+            f"pglive atomic sink: stage name {bare_stage!r} exceeds "
+            f"PostgreSQL's 63-byte identifier limit (target names must "
+            f"be <= 56 bytes) — the server would silently truncate it "
+            f"and the rename would address a different identifier"
+        )
+    with PgConnection(conninfo) as lock_conn:
+        # session-level lock: released by pg_advisory_unlock below or,
+        # on any crash in between, by the server when this connection
+        # drops — no orphaned lock
+        lock_conn.execute(
+            "SELECT pg_advisory_lock(hashtextextended($1, 0))", (target,)
+        )
+        try:
+            with PgConnection(conninfo) as c:
+                c.execute(f"DROP TABLE IF EXISTS {stage}")
+                _, rows = c.execute(
+                    "SELECT 1 FROM information_schema.tables "
+                    "WHERE table_name = $1 "
+                    "AND table_schema = coalesce($2, current_schema())",
+                    (bare_target, schema_name),
+                )
+                if rows:
+                    c.execute(
+                        f"CREATE TABLE {stage} (LIKE {target} INCLUDING ALL)"
+                    )
+                else:
+                    ddl = jdbc_create_table_ddl(
+                        stage, df.schema, dialect="postgres"
+                    )
+                    c.execute(ddl)
+            opts = dict(options)
+            opts["dbtable"] = stage
+            write_pg_distributed(df, stage, opts)
+            with PgConnection(conninfo) as c:
+                # PQexecParams runs ONE statement per call; the
+                # BEGIN..COMMIT bracket on the same connection is
+                # still a single transaction
+                c.execute("BEGIN")
+                try:
+                    c.execute(f"DROP TABLE IF EXISTS {target}")
+                    c.execute(f"ALTER TABLE {stage} RENAME TO {bare_target}")
+                    c.execute("COMMIT")
+                except Exception:
+                    c.execute("ROLLBACK")
+                    raise
+        finally:
+            lock_conn.execute(
+                "SELECT pg_advisory_unlock(hashtextextended($1, 0))",
+                (target,),
+            )
+
+
+def write_pg_staged(df, table: str, options: dict) -> None:
+    """EXACTLY-ONCE distributed live-PostgreSQL append — closes
+    ``write_pg_distributed``'s at-least-once window (a task whose
+    COMMIT landed but whose success never reached the driver replays
+    under stage retry / speculation) with a per-run stage table:
+
+    1. the driver creates ``<target>__w<run-token>`` shaped like the
+       target plus a ``__pid int`` column (and the target itself when
+       absent, via the shared postgres DDL contract);
+    2. every Spark partition writes its rows INTO THE STAGE in one
+       transaction that first takes ``pg_advisory_xact_lock`` on
+       (stage, partition-id) and DELETEs that partition's prior rows —
+       a replayed or speculative attempt wipes its predecessor instead
+       of duplicating it, and the xact lock serializes two live
+       attempts of the same partition;
+    3. the driver publishes with ONE transaction — ``INSERT INTO
+       target SELECT <cols> FROM stage`` + ``DROP TABLE stage`` (DDL
+       is transactional here) — so readers see all rows or none, and
+       any pre-publish failure leaves the target untouched (the stage
+       is dropped best-effort on the way out).
+
+    Exactly-once holds when partition contents are deterministic
+    across attempts — Spark's standing requirement for any
+    transactional sink. Same plain-name and 63-byte identifier rules
+    as ``write_pg_atomic``."""
+    import re
+    import uuid
+
+    from etl_data_pipeline_spark.sources import jdbc_create_table_ddl
+
+    conninfo = options.get("conninfo")
+    if not conninfo:
+        raise ValueError("pglive sink requires options['conninfo']")
+    _reject_complex_columns(df, "pglive staged sink")
+    target = options.get("dbtable", table)
+    if not re.fullmatch(r"[a-z_][a-z0-9_]*(\.[a-z_][a-z0-9_]*)?", target):
+        raise ValueError(
+            f"pglive staged sink requires a plain lower-case table name "
+            f"(got {target!r}): the stage statements use the name "
+            f"unquoted, where PostgreSQL folds identifiers down"
+        )
+    if "." in target:
+        schema_name, bare_target = target.rsplit(".", 1)
+    else:
+        schema_name, bare_target = None, target
+    token = uuid.uuid4().hex[:10]
+    bare_stage = f"{bare_target}__w{token}"
+    if len(bare_stage.encode()) > 63:
+        raise ValueError(
+            f"pglive staged sink: stage name {bare_stage!r} exceeds "
+            f"PostgreSQL's 63-byte identifier limit (target names must "
+            f"be <= 50 bytes) — the server would silently truncate it"
+        )
+    stage = (
+        f"{schema_name}.{bare_stage}" if schema_name is not None else bare_stage
+    )
+    cols = df.columns
+    quoted = ", ".join(f'"{c}"' for c in cols)
     with PgConnection(conninfo) as c:
-        c.execute(f"DROP TABLE IF EXISTS {stage}")
         _, rows = c.execute(
             "SELECT 1 FROM information_schema.tables "
             "WHERE table_name = $1 "
             "AND table_schema = coalesce($2, current_schema())",
             (bare_target, schema_name),
         )
-        if rows:
-            c.execute(f"CREATE TABLE {stage} (LIKE {target} INCLUDING ALL)")
-        else:
-            ddl = jdbc_create_table_ddl(stage, df.schema, dialect="postgres")
-            c.execute(ddl)
-    opts = dict(options)
-    opts["dbtable"] = stage
-    write_pg_distributed(df, stage, opts)
-    with PgConnection(conninfo) as c:
-        # PQexecParams runs ONE statement per call; the BEGIN..COMMIT
-        # bracket on the same connection is still a single transaction
-        c.execute("BEGIN")
+        if not rows:
+            c.execute(jdbc_create_table_ddl(target, df.schema, dialect="postgres"))
+        c.execute(f"CREATE TABLE {stage} (LIKE {target})")
+        c.execute(f'ALTER TABLE {stage} ADD COLUMN "__pid" integer')
+    try:
+        _stage_partitions(df, stage, options)
+        with PgConnection(conninfo) as c:
+            c.execute("BEGIN")
+            try:
+                c.execute(
+                    f"INSERT INTO {target} ({quoted}) "
+                    f"SELECT {quoted} FROM {stage}"
+                )
+                c.execute(f"DROP TABLE {stage}")
+                c.execute("COMMIT")
+            except Exception:
+                c.execute("ROLLBACK")
+                raise
+    except Exception:
         try:
-            c.execute(f"DROP TABLE IF EXISTS {target}")
-            c.execute(f"ALTER TABLE {stage} RENAME TO {bare_target}")
-            c.execute("COMMIT")
+            with PgConnection(conninfo) as c:
+                c.execute(f"DROP TABLE IF EXISTS {stage}")
         except Exception:
-            c.execute("ROLLBACK")
-            raise
+            pass  # best-effort orphan cleanup; the original error wins
+        raise
+
+
+def _stage_partitions(df, stage: str, options: dict) -> None:
+    """The distributed leg of ``write_pg_staged``: each partition's
+    task runs ``_write_staged_partition`` with its TaskContext
+    partition id. Split out so the replay test can invoke the exact
+    per-partition body twice for one pid."""
+    conninfo = options["conninfo"]
+    cols = df.columns
+    fixers = _instant_fixers(df.schema)
+
+    def write_partition(rows):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        _write_staged_partition(conninfo, stage, cols, fixers, pid, rows)
+
+    df.foreachPartition(write_partition)
+
+
+def _write_staged_partition(
+    conninfo: str, stage: str, cols, fixers, pid: int, rows
+) -> None:
+    """One task attempt's stage write: xact-lock (stage, pid), wipe the
+    pid's prior rows, insert this attempt's rows tagged with pid — all
+    in ONE transaction, so a mid-write death rolls back cleanly and a
+    completed replay leaves exactly one copy."""
+    quoted = ", ".join(f'"{c}"' for c in cols) + ', "__pid"'
+    ncols = len(cols) + 1
+    per_stmt = max(1, min(500, 60000 // ncols))
+    chunk: list[tuple] = []
+    conn = None
+    try:
+        for row in rows:
+            if conn is None:
+                conn = PgConnection(conninfo)
+                conn.execute("BEGIN")
+                conn.execute(
+                    "SELECT pg_advisory_xact_lock(hashtextextended($1, 0))",
+                    (f"{stage}:{pid}",),
+                )
+                conn.execute(
+                    f'DELETE FROM {stage} WHERE "__pid" = $1', (pid,)
+                )
+            chunk.append(_fix_row(row, fixers) + (pid,))
+            if len(chunk) >= per_stmt:
+                _insert_chunk(conn, stage, quoted, ncols, chunk)
+                chunk = []
+        if conn is not None:
+            if chunk:
+                _insert_chunk(conn, stage, quoted, ncols, chunk)
+            conn.execute("COMMIT")
+    finally:
+        if conn is not None:
+            conn.close()
 
 
 def _insert_chunk(conn: PgConnection, target, quoted, ncols, chunk) -> None:

@@ -1,0 +1,289 @@
+"""Round-12 additions: exactly-once staged PG publish, atomic-swap
+concurrency/identifier guards, read-path SQLSTATE fallback, bound
+coercion + integer stride, balanced-paren window-spec counting, and
+the pglive default-change warning."""
+
+from __future__ import annotations
+
+import datetime as dt
+import threading
+import warnings
+
+import pytest
+
+from tests.test_pg_live import _SKIP, pg  # noqa: F401  (fixture reuse)
+
+pg_required = pytest.mark.skipif(_SKIP is not None, reason=_SKIP or "")
+
+
+# ---- write_pg_staged: distributed + exactly-once ----------------------
+
+
+@pg_required
+def test_staged_write_round_trip(pg, spark):
+    """The staged publish lands exactly the frame's rows in the target
+    (creating it when absent) and leaves no per-run stage behind."""
+    from etl_data_pipeline_spark.sinks import write_sink
+    from etl_data_pipeline_spark.sources import read_source
+    from etl_data_pipeline_spark.sources.pg_libpq import PgConnection
+
+    df = spark.range(120).selectExpr("id", "concat('s-', id) AS v").repartition(4)
+    write_sink(df, "pglive", "staged_t", {"conninfo": pg, "staged": True})
+    back = read_source(spark, "pglive", "staged_t", {"conninfo": pg})
+    assert sorted((r.id, r.v) for r in back.collect()) == [
+        (i, f"s-{i}") for i in range(120)
+    ]
+    with PgConnection(pg) as c:
+        _, rows = c.execute(
+            "SELECT table_name FROM information_schema.tables "
+            "WHERE table_name LIKE 'staged_t__w%'"
+        )
+        assert rows == []  # per-run stage dropped in the publish txn
+
+    # append semantics: a second staged write adds, not replaces
+    df2 = spark.createDataFrame([(900, "late")], "id bigint, v string")
+    write_sink(df2, "pglive", "staged_t", {"conninfo": pg, "staged": True})
+    back = read_source(spark, "pglive", "staged_t", {"conninfo": pg})
+    assert back.count() == 121
+
+
+@pg_required
+def test_staged_replayed_partition_publishes_exactly_once(pg, spark, monkeypatch):
+    """The at-least-once window write_pg_distributed documents — a
+    task whose COMMIT landed but whose success never reached the
+    driver replays — publishes EXACTLY ONCE through the staged path:
+    the replay's xact-locked DELETE wipes its predecessor's rows."""
+    import etl_data_pipeline_spark.sources.pg_libpq as pgmod
+    from etl_data_pipeline_spark.sources import read_source
+
+    df = spark.range(40).selectExpr("id", "concat('r-', id) AS v").repartition(3)
+    real = pgmod._stage_partitions
+
+    def with_replay(frame, stage, options):
+        real(frame, stage, options)
+        # simulate the replayed committed task: rerun ONE partition's
+        # exact per-task body a second time against the same stage
+        part0 = frame.rdd.glom().collect()[0]
+        pgmod._write_staged_partition(
+            options["conninfo"],
+            stage,
+            frame.columns,
+            pgmod._instant_fixers(frame.schema),
+            0,
+            part0,
+        )
+
+    monkeypatch.setattr(pgmod, "_stage_partitions", with_replay)
+    pgmod.write_pg_staged(df, "replay_t", {"conninfo": pg})
+    back = read_source(spark, "pglive", "replay_t", {"conninfo": pg})
+    got = sorted((r.id, r.v) for r in back.collect())
+    assert got == [(i, f"r-{i}") for i in range(40)]  # no duplicates
+
+
+@pg_required
+def test_staged_failure_leaves_target_untouched(pg, spark, monkeypatch):
+    """A crash before the publish transaction leaves the target
+    byte-identical and drops the per-run stage (no orphans)."""
+    import etl_data_pipeline_spark.sources.pg_libpq as pgmod
+    from etl_data_pipeline_spark.sources import read_source
+    from etl_data_pipeline_spark.sources.pg_libpq import PgConnection
+
+    v1 = spark.createDataFrame([(1, "keep")], "id bigint, v string")
+    pgmod.write_pg_staged(v1, "staged_crash_t", {"conninfo": pg})
+
+    def boom(frame, stage, options):
+        raise RuntimeError("simulated executor loss before publish")
+
+    monkeypatch.setattr(pgmod, "_stage_partitions", boom)
+    v2 = spark.createDataFrame([(2, "lost")], "id bigint, v string")
+    with pytest.raises(RuntimeError, match="simulated executor loss"):
+        pgmod.write_pg_staged(v2, "staged_crash_t", {"conninfo": pg})
+    monkeypatch.undo()
+
+    back = read_source(spark, "pglive", "staged_crash_t", {"conninfo": pg})
+    assert [(r.id, r.v) for r in back.collect()] == [(1, "keep")]
+    with PgConnection(pg) as c:
+        _, rows = c.execute(
+            "SELECT table_name FROM information_schema.tables "
+            "WHERE table_name LIKE 'staged_crash_t__w%'"
+        )
+        assert rows == []  # best-effort cleanup dropped the stage
+
+
+# ---- write_pg_atomic hardening (ADVICE r12) ---------------------------
+
+
+def test_atomic_and_staged_reject_overlong_stage_names(spark):
+    """A target whose stage name would pass PostgreSQL's 63-byte
+    NAMEDATALEN limit is rejected up front — the server would silently
+    truncate it and the later DROP/RENAME would address a different
+    identifier. Raised before any connection is opened."""
+    from etl_data_pipeline_spark.sources.pg_libpq import (
+        write_pg_atomic,
+        write_pg_staged,
+    )
+
+    df = spark.createDataFrame([(1,)], "id bigint")
+    long_target = "t" + "x" * 60  # 61 bytes; +7 for __stage > 63
+    with pytest.raises(ValueError, match="63-byte identifier limit"):
+        write_pg_atomic(df, long_target, {"conninfo": "host=/nowhere"})
+    with pytest.raises(ValueError, match="63-byte identifier limit"):
+        write_pg_staged(df, long_target, {"conninfo": "host=/nowhere"})
+
+
+@pg_required
+def test_atomic_concurrent_writers_serialize(pg, spark):
+    """Two concurrent atomic writers to one target share the fixed
+    '<target>__stage' name; the advisory lock serializes them so the
+    survivor is one COMPLETE batch, never a DROP/CREATE/INSERT
+    interleaving (mixed or duplicated rows)."""
+    import etl_data_pipeline_spark.sources.pg_libpq as pgmod
+    from etl_data_pipeline_spark.sources import read_source
+
+    a = spark.createDataFrame([(i, "a") for i in range(50)], "id bigint, v string")
+    b = spark.createDataFrame([(i, "b") for i in range(30)], "id bigint, v string")
+    errs = []
+
+    def run(frame):
+        try:
+            pgmod.write_pg_atomic(frame, "contended_t", {"conninfo": pg})
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(f,)) for f in (a, b)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    back = read_source(spark, "pglive", "contended_t", {"conninfo": pg})
+    rows = [(r.id, r.v) for r in back.collect()]
+    tags = {v for _, v in rows}
+    assert tags in ({"a"}, {"b"})  # one complete batch, never a mix
+    assert len(rows) == (50 if tags == {"a"} else 30)
+
+
+# ---- _range_predicates: bound coercion + integer stride ---------------
+
+
+def test_range_predicates_accept_numeric_string_bounds():
+    """Config-sourced bounds arrive as strings; '5'/'105' coerce to
+    ints (the pre-r11 int() behavior) instead of raising the
+    shared-type error."""
+    from etl_data_pipeline_spark.sources.pg_libpq import _range_predicates
+
+    preds = _range_predicates("id", "5", "105", 4)
+    assert len(preds) == 4
+    assert preds[0] == '"id" < 31 OR "id" IS NULL'
+    assert preds[-1] == '"id" >= 83'
+
+
+def test_range_predicates_accept_iso_string_bounds():
+    from etl_data_pipeline_spark.sources.pg_libpq import _range_predicates
+
+    preds = _range_predicates("d", "2024-01-01", "2024-01-05", 2)
+    assert preds == [
+        '"d" < DATE \'2024-01-03\' OR "d" IS NULL',
+        '"d" >= DATE \'2024-01-03\'',
+    ]
+
+
+def test_range_predicates_datetime_stride_is_integer_exact():
+    """The stride derives from integer timedelta division — a range
+    wide enough that float total_seconds() loses microseconds still
+    slices on exact boundaries."""
+    from etl_data_pipeline_spark.sources.pg_libpq import _range_predicates
+
+    lo = dt.datetime(1, 1, 1)
+    hi = dt.datetime(9999, 12, 31, 23, 59, 59, 654321)
+    total_us = (hi - lo) // dt.timedelta(microseconds=1)
+    preds = _range_predicates("ts", lo, hi, 3)
+    want1 = lo + dt.timedelta(microseconds=total_us // 3)
+    want2 = lo + dt.timedelta(microseconds=total_us * 2 // 3)
+    assert f"TIMESTAMP '{want1.isoformat(sep=' ')}'" in preds[0]
+    assert f"TIMESTAMP '{want2.isoformat(sep=' ')}'" in preds[2]
+
+
+# ---- plans.global_window_count: balanced-paren capture ----------------
+
+
+def test_global_window_count_balanced_parens():
+    """Two DISTINCT unpartitioned specs that share every byte up to
+    the first ')' (inside specifiedwindowframe) must count as two —
+    the old [^)]* capture truncated both to one."""
+    from etl_data_pipeline_spark.plans import global_window_count
+
+    plan = (
+        "Window [row_number() windowspecdefinition(a#1 ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))]\n"
+        "Window [sum(x#9) windowspecdefinition(a#1 ASC NULLS FIRST, "
+        "specifiedwindowframe(RangeFrame, unboundedpreceding$(), currentrow$()))]\n"
+    )
+    assert global_window_count(plan) == 2
+
+
+def test_global_window_count_no_false_positive_on_nested_asc():
+    """A PARTITIONED spec whose partition expression merely contains
+    ' ASC' inside a nested call must not count; the direction test is
+    a top-level suffix match."""
+    from etl_data_pipeline_spark.plans import global_window_count
+
+    plan = (
+        "Window [rank() windowspecdefinition(somefn(b#2 ASC, c#3)#7, "
+        "ts#4 ASC NULLS FIRST, specifiedwindowframe(RowFrame, "
+        "unboundedpreceding$(), currentrow$()))]\n"
+    )
+    assert global_window_count(plan) == 0
+
+
+def test_global_window_count_still_counts_partitioned_as_zero():
+    from etl_data_pipeline_spark.plans import global_window_count
+
+    plan = (
+        "Window [row_number() windowspecdefinition(user#5L, ts#6 ASC "
+        "NULLS FIRST, specifiedwindowframe(RowFrame, "
+        "unboundedpreceding$(), currentrow$()))]\n"
+    )
+    assert global_window_count(plan) == 0
+
+
+# ---- pglive default-change warning ------------------------------------
+
+
+def test_pglive_default_emits_one_migration_warning(monkeypatch):
+    """Configs that set none of distributed/driver_side/atomic/staged
+    ride the r11 default flip — they get ONE warning naming the
+    failure-semantics change, not one per batch."""
+    import etl_data_pipeline_spark.sinks as sinks
+    import etl_data_pipeline_spark.sources.pg_libpq as pgmod
+
+    monkeypatch.setattr(pgmod, "write_pg_distributed", lambda df, t, o: None)
+    monkeypatch.setattr(sinks, "_warned_pglive_default", False)
+    with warnings.catch_warnings(record=True) as seen:
+        warnings.simplefilter("always")
+        sinks._pglive_append(None, "t", {"conninfo": "x"})
+        sinks._pglive_append(None, "t", {"conninfo": "x"})
+    msgs = [w for w in seen if "DISTRIBUTED" in str(w.message)]
+    assert len(msgs) == 1
+    # an explicit choice stays silent
+    with warnings.catch_warnings(record=True) as seen:
+        warnings.simplefilter("always")
+        sinks._pglive_append(None, "t", {"conninfo": "x", "distributed": True})
+    assert not [w for w in seen if "DISTRIBUTED" in str(w.message)]
+
+
+def test_pglive_staged_routing(monkeypatch):
+    """'staged' routes to write_pg_staged; 'atomic' still wins."""
+    import etl_data_pipeline_spark.sources.pg_libpq as pgmod
+    from etl_data_pipeline_spark.sinks import _pglive_append
+
+    calls = []
+    monkeypatch.setattr(
+        pgmod, "write_pg_staged", lambda df, t, o: calls.append("staged")
+    )
+    monkeypatch.setattr(
+        pgmod, "write_pg_atomic", lambda df, t, o: calls.append("atomic")
+    )
+    _pglive_append(None, "t", {"staged": True})
+    _pglive_append(None, "t", {"staged": True, "atomic": True})
+    assert calls == ["staged", "atomic"]

@@ -63,11 +63,20 @@ HEAVY_SET = [
     "embedding_kmeans_coverage",
     "classifier_train_lr",
     "classifier_train_lr_eval",
-    # r11 plan swaps (single-partition window -> zipWithIndex): keep
-    # their oracle parity pinned at 30x, not just the driver tier
+    # r11 plan swaps (single-partition window -> distributed
+    # positional recipe): keep their oracle parity pinned at 30x, not
+    # just the driver tier
     "events_rfm",
     "corpus_interleave",
     "export_shuffle",
+    # r12: scale-relevant r7 ops that until now had only sf1 evidence
+    # (r11 verdict item 4)
+    "pareto_frontier",
+    "events_attribution",
+    "dedup_semantic",
+    "sim_ann_pq_adc",
+    "events_pattern_match",
+    "timeseries_holt",
 ]
 
 
