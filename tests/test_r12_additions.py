@@ -110,6 +110,57 @@ def test_staged_failure_leaves_target_untouched(pg, spark, monkeypatch):
         assert rows == []  # best-effort cleanup dropped the stage
 
 
+@pg_required
+def test_incremental_pipeline_with_staged_sink(pg, spark, tmp_path):
+    """The reference's incremental loop with the exactly-once staged
+    sink selected via spec options — proves the option plumbs through
+    PipelineSpec -> write_sink -> write_pg_staged end to end, each
+    batch publishing atomically and appending (not replacing)."""
+    import uuid
+
+    from etl_data_pipeline_spark.pipeline import IncrementalPipeline
+    from etl_data_pipeline_spark.sources.pg_libpq import PgConnection
+    from etl_data_pipeline_spark.spec import PipelineSpec, TableSpec
+    from etl_data_pipeline_spark.watermark import WatermarkStore
+
+    src_tbl = f"src_{uuid.uuid4().hex[:8]}"
+    dst_tbl = f"dst_{uuid.uuid4().hex[:8]}"
+    with PgConnection(pg) as c:
+        c.execute(f"CREATE TABLE {src_tbl} (id BIGINT, v TEXT)")
+        for i in range(3):
+            c.execute(f"INSERT INTO {src_tbl} VALUES ($1, $2)", (i, f"v{i}"))
+
+    spec = PipelineSpec(
+        tables=[
+            TableSpec(
+                name=src_tbl,
+                watermark_column="id",
+                watermark_type="id",
+                source_format="pglive",
+                source_options={"conninfo": pg},
+                sink_format="pglive",
+                sink_options={"conninfo": pg, "dbtable": dst_tbl, "staged": True},
+            )
+        ]
+    )
+    store = WatermarkStore(tmp_path / "wm.json")
+    pipe = IncrementalPipeline(spark, spec, store)
+    r = pipe.run()[0]
+    assert r.status == "loaded" and r.new_watermark == 2, (r.status, r.error)
+    with PgConnection(pg) as c:
+        c.execute(f"INSERT INTO {src_tbl} VALUES (3, 'v3'), (4, 'v4')")
+    r = pipe.run()[0]
+    assert r.status == "loaded" and r.new_watermark == 4, (r.status, r.error)
+    with PgConnection(pg) as c:
+        _, rows = c.execute(f"SELECT id, v FROM {dst_tbl} ORDER BY id")
+        assert rows == [(i, f"v{i}") for i in range(5)]
+        _, leftover = c.execute(
+            "SELECT table_name FROM information_schema.tables "
+            f"WHERE table_name LIKE '{dst_tbl}__w%'"
+        )
+        assert leftover == []  # every batch's stage published and dropped
+
+
 # ---- write_pg_atomic hardening (ADVICE r12) ---------------------------
 
 
