@@ -70,11 +70,10 @@ HEAVY_SET = [
     "corpus_interleave",
     "export_shuffle",
     # r12: scale-relevant r7 ops that until now had only sf1 evidence
-    # (r11 verdict item 4)
+    # (r11 verdict item 4; sim_ann_pq_adc was already in the r8 list)
     "pareto_frontier",
     "events_attribution",
     "dedup_semantic",
-    "sim_ann_pq_adc",
     "events_pattern_match",
     "timeseries_holt",
 ]
