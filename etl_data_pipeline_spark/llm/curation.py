@@ -493,7 +493,99 @@ def corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOMAIN_CAP_SHARE = 0.05  # no source may exceed this token share
+DOMAIN_CAP_SALT = "domcap:"
+
+
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token-share cap (the RefinedWeb/FineWeb-style
+    "domain capping" step): no single source may contribute more than
+    DOMAIN_CAP_SHARE of total corpus tokens; an over-cap source is
+    deterministically downsampled to its cap by a salted,
+    content-independent hash THRESHOLD on doc_id, so the kept set is
+    stable across reruns, partitionings, and cluster sizes, and a doc
+    once kept stays kept as its domain grows only if it still clears
+    the (monotonically shrinking) threshold. The share knob is a
+    pipeline parameter; the registered query pins 0.05 so both
+    branches (capped and whole) are exercised on the test corpus.
+
+    Scale posture: ONE narrow projection of the corpus feeds a
+    |sources|-row aggregate, a 1-row total broadcasts back, and the
+    per-doc keep/drop is a map-side hash compare against the joined
+    per-source threshold — no per-source row_number() window, no
+    rank, so one skewed mega-domain costs the same as a uniform one
+    (the trap a rank-per-source formulation hits at 100 TB: the
+    whole over-cap domain funnels through one window partition).
+    The per-source stats join back via broadcast here (|sources| is
+    tiny); at web scale with millions of domains the same plan holds
+    with an AQE-chosen shuffle join on source.
+
+    Determinism / oracle parity: the keep fraction is quantized to a
+    1e-6 integer threshold with the shared floor(x*1e6 + 0.5)
+    arithmetic (exact IEEE doubles, same operation order both
+    engines) and compared against the engine-portable 60-bit md5 of
+    "domcap:" || doc_id mod 1e6 — hash-identical in Spark and DuckDB.
+
+    Output: the per-source audit of the cap — docs/tokens before and
+    after, the keep fraction applied, and the realized post-cap token
+    share against the ORIGINAL total.
+    """
+    from etl_data_pipeline_spark.functions.hashing import md5_long60
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    stats = docs.groupBy("source").agg(
+        F.count("*").alias("docs_pre"),
+        F.sum("n_tokens").alias("tokens_pre"),
+    )
+    total = stats.agg(F.sum("tokens_pre").alias("total_tokens"))
+    frac = stats.crossJoin(F.broadcast(total)).select(
+        "source",
+        "docs_pre",
+        "tokens_pre",
+        "total_tokens",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(DOMAIN_CAP_SHARE)
+                * F.col("total_tokens").cast("double")
+                / F.col("tokens_pre"),
+            )
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("keep_thresh"),
+    )
+    doc_hash = md5_long60(F.concat(F.lit(DOMAIN_CAP_SALT), F.col("doc_id"))) % 1000000
+    kept = docs.join(F.broadcast(frac.select("source", "keep_thresh")), "source").where(
+        doc_hash < F.col("keep_thresh")
+    )
+    post = kept.groupBy("source").agg(
+        F.count("*").alias("docs_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+    )
+    return (
+        frac.join(post, "source", "left")
+        .select(
+            "source",
+            "docs_pre",
+            "tokens_pre",
+            F.coalesce("docs_kept", F.lit(0)).alias("docs_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
+            (F.col("keep_thresh") / 1000000.0).alias("keep_frac"),
+            hround(
+                F.coalesce("tokens_kept", F.lit(0)).cast("double")
+                / F.col("total_tokens"),
+                6,
+            ).alias("token_share_post"),
+        )
+    )
+
+
 QUERIES = {
+    "corpus_domain_cap": corpus_domain_cap,
     "corpus_interleave": corpus_interleave,
     "pipeline_corpus_curation_v3": pipeline_corpus_curation_v3,
     "corpus_dsir_weights": corpus_dsir_weights,
@@ -667,6 +759,44 @@ _ILEAVE_WCASE = " ".join(
 )
 
 ORACLE = {
+    "corpus_domain_cap": f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ), stats AS (
+            SELECT source, count(*) AS docs_pre,
+                   CAST(sum(n_tokens) AS BIGINT) AS tokens_pre
+            FROM d GROUP BY source
+        ), tot AS (
+            SELECT CAST(sum(tokens_pre) AS BIGINT) AS total_tokens FROM stats
+        ), frac AS (
+            SELECT source, docs_pre, tokens_pre, total_tokens,
+                   CAST(floor(least(1.0,
+                            {DOMAIN_CAP_SHARE} * CAST(total_tokens AS DOUBLE)
+                                / tokens_pre) * 1000000 + 0.5) AS BIGINT)
+                       AS keep_thresh
+            FROM stats CROSS JOIN tot
+        ), kept AS (
+            SELECT d.source, d.n_tokens
+            FROM d JOIN frac ON d.source = frac.source
+            WHERE ('0x' || substr(md5('{DOMAIN_CAP_SALT}'
+                       || d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+                  < frac.keep_thresh
+        ), post AS (
+            SELECT source, count(*) AS docs_kept,
+                   CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+            FROM kept GROUP BY source
+        )
+        SELECT f.source, f.docs_pre, f.tokens_pre,
+               COALESCE(p.docs_kept, 0) AS docs_kept,
+               COALESCE(p.tokens_kept, 0) AS tokens_kept,
+               CAST(f.keep_thresh AS DOUBLE) / 1000000 AS keep_frac,
+               floor(CAST(COALESCE(p.tokens_kept, 0) AS DOUBLE)
+                     / f.total_tokens * 1000000 + 0.5) / 1000000
+                   AS token_share_post
+        FROM frac f LEFT JOIN post p ON f.source = p.source
+    """,
     "corpus_interleave": f"""
         WITH ranked AS (
             SELECT doc_id, lang,

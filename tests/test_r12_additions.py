@@ -338,3 +338,59 @@ def test_pglive_staged_routing(monkeypatch):
     _pglive_append(None, "t", {"staged": True})
     _pglive_append(None, "t", {"staged": True, "atomic": True})
     assert calls == ["staged", "atomic"]
+
+
+# ---- corpus_domain_cap -------------------------------------------------
+
+
+def test_domain_cap_invariants(spark, sf_dir):
+    """Over-cap sources are downsampled toward the cap, under-cap
+    sources are kept WHOLE (threshold exactly 1e6), the kept set is
+    deterministic across runs, and no source's post-cap token count
+    exceeds its pre-cap count."""
+    from etl_data_pipeline_spark.llm.curation import (
+        DOMAIN_CAP_SHARE,
+        corpus_domain_cap,
+    )
+
+    rows = {r["source"]: r for r in corpus_domain_cap(spark, sf_dir).collect()}
+    assert rows, "no sources"
+    total = sum(r["tokens_pre"] for r in rows.values())
+    capped = uncapped = 0
+    for r in rows.values():
+        assert 0 < r["keep_frac"] <= 1.0
+        assert r["docs_kept"] <= r["docs_pre"]
+        assert r["tokens_kept"] <= r["tokens_pre"]
+        if r["tokens_pre"] <= DOMAIN_CAP_SHARE * total:
+            # under the cap -> kept whole
+            assert r["keep_frac"] == 1.0
+            assert (r["docs_kept"], r["tokens_kept"]) == (
+                r["docs_pre"],
+                r["tokens_pre"],
+            )
+            uncapped += 1
+        else:
+            assert r["keep_frac"] < 1.0
+            capped += 1
+    # the pinned 0.05 share must exercise BOTH branches on the fixture
+    assert capped > 0 and uncapped > 0, (capped, uncapped)
+    # deterministic: a second run returns byte-identical audit rows
+    again = {r["source"]: r for r in corpus_domain_cap(spark, sf_dir).collect()}
+    assert rows == again
+
+
+# ---- bench r1 subtotal ---------------------------------------------------
+
+
+def test_bench_r1_headline_slice():
+    """The self-adjudicating r1 subtotal must cover EXACTLY the 24
+    round-1 queries (everything before the round-2 marker) — a
+    reordering of BENCH_QUERIES that silently changed the floor's
+    denominator would make the BASELINE comparison meaningless."""
+    import bench
+
+    assert len(bench.R1_HEADLINE) == 24
+    assert bench.R1_HEADLINE[0] == "agg_groupby"
+    assert bench.R1_HEADLINE[-1] == "pipeline_incremental"
+    assert "text_contamination" not in bench.R1_HEADLINE
+    assert set(bench.R1_HEADLINE) <= set(bench.BENCH_QUERIES)

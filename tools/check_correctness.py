@@ -76,6 +76,9 @@ HEAVY_SET = [
     "dedup_semantic",
     "events_pattern_match",
     "timeseries_holt",
+    # r12 registration: domain capping is a whole-corpus pass — keep
+    # its oracle parity pinned at 30x from day one
+    "corpus_domain_cap",
 ]
 
 
