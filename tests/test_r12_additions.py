@@ -394,3 +394,46 @@ def test_bench_r1_headline_slice():
     assert bench.R1_HEADLINE[-1] == "pipeline_incremental"
     assert "text_contamination" not in bench.R1_HEADLINE
     assert set(bench.R1_HEADLINE) <= set(bench.BENCH_QUERIES)
+
+
+# ---- with_global_position edge shapes (the pure-JVM r12 default) ----------
+
+
+def test_global_position_edge_shapes(spark):
+    """The JVM recipe's three fragile spots, pinned: (a) EMPTY range
+    partitions (the offsets loop must skip missing partition ids
+    without shifting later offsets), (b) heavy skew (one key owning
+    most rows — positions still dense), (c) the degenerate 0- and
+    1-row inputs. Each compared bit-for-bit against a global
+    row_number() window."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from etl_data_pipeline_spark.functions.ranking import with_global_position
+
+    # (a)+(b): 90% of rows share one sort key; pre-shuffled to many
+    # partitions so the range sort sees a lopsided distribution and
+    # some output partitions can come up empty
+    df = spark.range(500).repartition(16).select(
+        "id", F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k")
+    )
+    order = [F.asc("k"), F.desc("id")]
+    got = {r.id: r.pos for r in with_global_position(df, order).collect()}
+    want = {
+        r.id: r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert got == want
+
+    # (c) degenerate sizes
+    one = spark.range(1).select(F.col("id").alias("k"))
+    assert [
+        (r.k, r.pos)
+        for r in with_global_position(one, [F.asc("k")]).collect()
+    ] == [(0, 1)]
+    empty = one.filter(F.lit(False))
+    assert with_global_position(empty, [F.asc("k")]).collect() == []
+    # empty input keeps the contract schema (pos column present)
+    assert "pos" in with_global_position(empty, [F.asc("k")]).columns
