@@ -1818,3 +1818,164 @@ def run_incremental_classifier_scores(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def run_incremental_domain_cap(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    cap_share: float | None = None,
+    schema=None,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Streaming incremental domain capping — the continuous form of
+    ``llm.curation.corpus_domain_cap``: each micro-batch of arriving
+    documents is door-gated against the per-source token-share cap
+    computed over EVERYTHING ingested so far (this batch included),
+    every document gets a keep / skip_over_cap decision row carrying
+    the threshold it was judged under, and the per-source running
+    totals advance. This is exactly why the batch operator's keep
+    rule is a salted content-independent hash THRESHOLD and not a
+    rank: the threshold for a source only shrinks as its share grows
+    (monotone), so the streaming gate needs no per-doc state at all —
+    state is ONE row per source, O(|sources|) forever, and the
+    decision is a map-side hash compare whatever the arrival order.
+
+    Convergence contract (test-pinned): running totals never depend
+    on keep decisions (capping audits the FULL ingested corpus, as in
+    the batch op), so after any ingest the state-derived thresholds
+    are IDENTICAL to ``corpus_domain_cap``'s audit on the same rows,
+    and the final batch's decisions match the batch operator's kept
+    set exactly. Early-batch keeps may sit above a LATER (smaller)
+    threshold — inherent to door-gating (a doc once emitted cannot be
+    un-emitted); a periodic batch re-cap over the kept store closes
+    that window, same division of labor as the dedup job's nightly
+    LSH sweep.
+
+    Exactly-once: writer lease + last_batch_id fence on the state
+    table + overwrite-idempotent per-batch decision directories —
+    the run_incremental_dedup recipe verbatim; a replayed batch after
+    a crash between decision write and state swap is a no-op.
+    """
+    from etl_data_pipeline_spark.functions.hashing import md5_long60
+    from etl_data_pipeline_spark.llm.curation import (
+        DOMAIN_CAP_SALT,
+        DOMAIN_CAP_SHARE,
+    )
+    from etl_data_pipeline_spark.sinks import (
+        _overwrite_swap_locked,
+        read_parquet_if_exists,
+        writer_lease,
+    )
+
+    share = DOMAIN_CAP_SHARE if cap_share is None else cap_share
+    state_path = os.path.join(target_dir, "domcap_state")
+    decisions_dir = os.path.join(target_dir, "domcap_decisions")
+    stream = events_file_stream(
+        spark, source_dir, schema=schema or DOC_BATCH_SCHEMA
+    )
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        with writer_lease(state_path):
+            state = read_parquet_if_exists(spark, state_path, lease_held=True)
+            last = (
+                state.agg(F.max("last_batch_id")).first()[0]
+                if state is not None
+                else None
+            )
+            if last is not None and batch_id <= last:
+                return  # replayed batch — decisions + state already swapped
+            if batch_df.isEmpty():
+                return
+            docs = batch_df.select(
+                "doc_id",
+                "source",
+                F.size(F.split("text", " ")).alias("n_tokens"),
+            ).persist()
+            try:
+                batch_stats = docs.groupBy("source").agg(
+                    F.count("*").alias("docs_b"),
+                    F.sum("n_tokens").alias("tokens_b"),
+                )
+                if state is not None:
+                    merged = (
+                        state.select("source", "docs_pre", "tokens_pre")
+                        .join(batch_stats, "source", "full")
+                        .select(
+                            "source",
+                            (
+                                F.coalesce("docs_pre", F.lit(0))
+                                + F.coalesce("docs_b", F.lit(0))
+                            ).alias("docs_pre"),
+                            (
+                                F.coalesce("tokens_pre", F.lit(0))
+                                + F.coalesce("tokens_b", F.lit(0))
+                            ).alias("tokens_pre"),
+                        )
+                    )
+                else:
+                    merged = batch_stats.select(
+                        "source",
+                        F.col("docs_b").alias("docs_pre"),
+                        F.col("tokens_b").alias("tokens_pre"),
+                    )
+                total = merged.agg(F.sum("tokens_pre").alias("total_tokens"))
+                # same quantized-threshold arithmetic as the batch op
+                # (exact IEEE doubles, same operation order) so the
+                # convergence contract is bit-level, not approximate
+                thresh = merged.crossJoin(F.broadcast(total)).select(
+                    "source",
+                    "docs_pre",
+                    "tokens_pre",
+                    F.floor(
+                        F.least(
+                            F.lit(1.0),
+                            F.lit(share)
+                            * F.col("total_tokens").cast("double")
+                            / F.col("tokens_pre"),
+                        )
+                        * 1000000
+                        + 0.5
+                    )
+                    .cast("long")
+                    .alias("keep_thresh"),
+                )
+                doc_hash = (
+                    md5_long60(
+                        F.concat(F.lit(DOMAIN_CAP_SALT), F.col("doc_id"))
+                    )
+                    % 1000000
+                )
+                decisions = docs.join(
+                    F.broadcast(thresh.select("source", "keep_thresh")),
+                    "source",
+                ).select(
+                    "doc_id",
+                    "source",
+                    "n_tokens",
+                    F.when(doc_hash < F.col("keep_thresh"), "keep")
+                    .otherwise("skip_over_cap")
+                    .alias("decision"),
+                    "keep_thresh",
+                )
+                # idempotent per-batch sink: replay overwrites, never appends
+                decisions.write.mode("overwrite").parquet(
+                    os.path.join(decisions_dir, f"batch={batch_id}")
+                )
+                _overwrite_swap_locked(
+                    thresh.withColumn(
+                        "last_batch_id", F.lit(batch_id).cast("long")
+                    ),
+                    state_path,
+                )
+            finally:
+                docs.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_gate)
+        .option(
+            "checkpointLocation", os.path.join(target_dir, "_domcap_checkpoint")
+        )
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

@@ -437,3 +437,116 @@ def test_global_position_edge_shapes(spark):
     assert with_global_position(empty, [F.asc("k")]).collect() == []
     # empty input keeps the contract schema (pos column present)
     assert "pos" in with_global_position(empty, [F.asc("k")]).columns
+
+
+# ---- run_incremental_domain_cap ------------------------------------------
+
+
+def test_incremental_domain_cap_stream(spark, tmp_path):
+    """Streaming domain capping: documents arrive in 3 chunks with one
+    dominant source; every doc gets exactly one decision row judged
+    under the threshold CURRENT at its arrival (state totals including
+    its own batch); state totals never depend on keep decisions, so
+    the final state thresholds equal the batch operator's audit on the
+    same rows and the LAST batch's decisions match applying the final
+    thresholds; a replayed run is a no-op."""
+    import glob as _glob
+    import hashlib
+    import math
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_data_pipeline_spark.streaming import jobs
+
+    share = 0.3
+    rows = []  # (doc_id, chunk, source, n_words)
+    did = 0
+    for chunk in range(3):
+        # s_big floods every chunk; s0..s3 trickle
+        for _ in range(12):
+            rows.append((did, chunk, "s_big", 10)); did += 1
+        for s in range(4):
+            for _ in range(2):
+                rows.append((did, chunk, f"s{s}", 10)); did += 1
+
+    src = str(tmp_path / "docs_src")
+    tgt = str(tmp_path / "domcap_tgt")
+    stage = str(tmp_path / "docs_stage")
+    os.makedirs(src)
+    df = spark.createDataFrame(
+        [
+            (d, " ".join(f"w{d}_{i}" for i in range(n)), "en", s, n)
+            for d, c, s, n in rows
+        ],
+        "doc_id long, text string, lang string, source string, n_chars bigint",
+    )
+    for c in range(3):
+        ids = [d for d, cc, _, _ in rows if cc == c]
+        part = df.filter(F.col("doc_id").isin(ids)).coalesce(1)
+        stage_d = os.path.join(stage, f"c{c}")
+        part.write.mode("overwrite").parquet(stage_d)
+        pf = _glob.glob(os.path.join(stage_d, "part-*.parquet"))[0]
+        shutil.move(pf, os.path.join(src, f"chunk_{c}.parquet"))
+
+    q = jobs.run_incremental_domain_cap(spark, src, tgt, cap_share=share)
+    q.awaitTermination(180)
+
+    def py_hash(doc_id):
+        h = hashlib.md5(f"domcap:{doc_id}".encode()).hexdigest()[:15]
+        return int(h, 16) % 1000000
+
+    def py_thresholds(upto_chunk):
+        per = {}
+        for d, c, s, n in rows:
+            if c <= upto_chunk:
+                per[s] = per.get(s, 0) + n
+        total = sum(per.values())
+        return {
+            s: math.floor(min(1.0, share * float(total) / t) * 1000000 + 0.5)
+            for s, t in per.items()
+        }
+
+    dec = {
+        r.doc_id: r
+        for r in spark.read.parquet(
+            os.path.join(tgt, "domcap_decisions")
+        ).collect()
+    }
+    assert sorted(dec) == [d for d, *_ in rows]  # every doc decided once
+
+    # each decision was judged under the threshold current at arrival
+    for d, c, s, n in rows:
+        want_t = py_thresholds(c)[s]
+        assert dec[d].keep_thresh == want_t, (d, c, s)
+        want = "keep" if py_hash(d) < want_t else "skip_over_cap"
+        assert dec[d].decision == want, (d, c, s)
+
+    # both branches exercised: the flood source capped, trickles whole
+    final_t = py_thresholds(2)
+    assert final_t["s_big"] < 1000000
+    assert all(final_t[f"s{s}"] == 1000000 for s in range(4))
+
+    # state thresholds equal the batch operator's audit arithmetic on
+    # the full corpus (the convergence contract)
+    state = {
+        r.source: r
+        for r in spark.read.parquet(os.path.join(tgt, "domcap_state")).collect()
+    }
+    assert {s: r.keep_thresh for s, r in state.items()} == final_t
+    per_docs = {}
+    for d, c, s, n in rows:
+        per_docs[s] = per_docs.get(s, 0) + 1
+    assert {s: r.docs_pre for s, r in state.items()} == per_docs
+
+    # replay: same source, same checkpoint — a no-op
+    before = sorted(
+        map(tuple, spark.read.parquet(os.path.join(tgt, "domcap_decisions")).collect())
+    )
+    q2 = jobs.run_incremental_domain_cap(spark, src, tgt, cap_share=share)
+    q2.awaitTermination(180)
+    after = sorted(
+        map(tuple, spark.read.parquet(os.path.join(tgt, "domcap_decisions")).collect())
+    )
+    assert after == before
