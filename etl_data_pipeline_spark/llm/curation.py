@@ -497,6 +497,47 @@ DOMAIN_CAP_SHARE = 0.05  # no source may exceed this token share
 DOMAIN_CAP_SALT = "domcap:"
 
 
+def _domain_cap_parts(spark: SparkSession, sf_dir: str):
+    """The shared domain-cap lineage: (docs, frac, kept) — the narrow
+    doc projection, the per-source threshold relation, and the
+    hash-gated kept rows. Both registered views (the per-source audit
+    and the doc-grain decisions) read the same parts, so their
+    numbers cannot drift."""
+    from etl_data_pipeline_spark.functions.hashing import md5_long60
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    stats = docs.groupBy("source").agg(
+        F.count("*").alias("docs_pre"),
+        F.sum("n_tokens").alias("tokens_pre"),
+    )
+    total = stats.agg(F.sum("tokens_pre").alias("total_tokens"))
+    frac = stats.crossJoin(F.broadcast(total)).select(
+        "source",
+        "docs_pre",
+        "tokens_pre",
+        "total_tokens",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(DOMAIN_CAP_SHARE)
+                * F.col("total_tokens").cast("double")
+                / F.col("tokens_pre"),
+            )
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("keep_thresh"),
+    )
+    doc_hash = md5_long60(F.concat(F.lit(DOMAIN_CAP_SALT), F.col("doc_id"))) % 1000000
+    kept = docs.join(
+        F.broadcast(frac.select("source", "keep_thresh")), "source"
+    ).where(doc_hash < F.col("keep_thresh"))
+    return docs, frac, kept
+
+
 def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain token-share cap (the RefinedWeb/FineWeb-style
     "domain capping" step): no single source may contribute more than
@@ -530,38 +571,7 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     after, the keep fraction applied, and the realized post-cap token
     share against the ORIGINAL total.
     """
-    from etl_data_pipeline_spark.functions.hashing import md5_long60
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
-    )
-    stats = docs.groupBy("source").agg(
-        F.count("*").alias("docs_pre"),
-        F.sum("n_tokens").alias("tokens_pre"),
-    )
-    total = stats.agg(F.sum("tokens_pre").alias("total_tokens"))
-    frac = stats.crossJoin(F.broadcast(total)).select(
-        "source",
-        "docs_pre",
-        "tokens_pre",
-        "total_tokens",
-        F.floor(
-            F.least(
-                F.lit(1.0),
-                F.lit(DOMAIN_CAP_SHARE)
-                * F.col("total_tokens").cast("double")
-                / F.col("tokens_pre"),
-            )
-            * 1000000
-            + 0.5
-        )
-        .cast("long")
-        .alias("keep_thresh"),
-    )
-    doc_hash = md5_long60(F.concat(F.lit(DOMAIN_CAP_SALT), F.col("doc_id"))) % 1000000
-    kept = docs.join(F.broadcast(frac.select("source", "keep_thresh")), "source").where(
-        doc_hash < F.col("keep_thresh")
-    )
+    docs, frac, kept = _domain_cap_parts(spark, sf_dir)
     post = kept.groupBy("source").agg(
         F.count("*").alias("docs_kept"),
         F.sum("n_tokens").alias("tokens_kept"),
@@ -584,8 +594,38 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_domain_cap_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doc-grain half of domain capping: every document's
+    keep / skip_over_cap decision plus the threshold it was judged
+    under — the relation a downstream training-data writer actually
+    consumes (the audit twin ``corpus_domain_cap`` pins the per-source
+    SUMS; this pins the exact MEMBERSHIP, so a cross-engine hash
+    mismatch in even one doc's salted-hash gate is caught). Same
+    shared lineage (_domain_cap_parts), same plan shape: map-side
+    hash compare against a broadcast per-source threshold, no window,
+    no skew sensitivity. Streaming twin:
+    streaming/jobs.py::run_incremental_domain_cap emits exactly this
+    row shape per micro-batch."""
+    docs, frac, _kept = _domain_cap_parts(spark, sf_dir)
+    from etl_data_pipeline_spark.functions.hashing import md5_long60
+
+    doc_hash = md5_long60(F.concat(F.lit(DOMAIN_CAP_SALT), F.col("doc_id"))) % 1000000
+    return docs.join(
+        F.broadcast(frac.select("source", "keep_thresh")), "source"
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.when(doc_hash < F.col("keep_thresh"), "keep")
+        .otherwise("skip_over_cap")
+        .alias("decision"),
+        "keep_thresh",
+    )
+
+
 QUERIES = {
     "corpus_domain_cap": corpus_domain_cap,
+    "corpus_domain_cap_decisions": corpus_domain_cap_decisions,
     "corpus_interleave": corpus_interleave,
     "pipeline_corpus_curation_v3": pipeline_corpus_curation_v3,
     "corpus_dsir_weights": corpus_dsir_weights,
@@ -796,6 +836,32 @@ ORACLE = {
                      / f.total_tokens * 1000000 + 0.5) / 1000000
                    AS token_share_post
         FROM frac f LEFT JOIN post p ON f.source = p.source
+    """,
+    "corpus_domain_cap_decisions": f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ), stats AS (
+            SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tokens_pre
+            FROM d GROUP BY source
+        ), tot AS (
+            SELECT CAST(sum(tokens_pre) AS BIGINT) AS total_tokens FROM stats
+        ), frac AS (
+            SELECT source,
+                   CAST(floor(least(1.0,
+                            {DOMAIN_CAP_SHARE} * CAST(total_tokens AS DOUBLE)
+                                / tokens_pre) * 1000000 + 0.5) AS BIGINT)
+                       AS keep_thresh
+            FROM stats CROSS JOIN tot
+        )
+        SELECT d.doc_id, d.source, d.n_tokens,
+               CASE WHEN ('0x' || substr(md5('{DOMAIN_CAP_SALT}'
+                        || d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+                         < f.keep_thresh
+                    THEN 'keep' ELSE 'skip_over_cap' END AS decision,
+               f.keep_thresh
+        FROM d JOIN frac f ON d.source = f.source
     """,
     "corpus_interleave": f"""
         WITH ranked AS (

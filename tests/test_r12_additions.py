@@ -550,3 +550,24 @@ def test_incremental_domain_cap_stream(spark, tmp_path):
         map(tuple, spark.read.parquet(os.path.join(tgt, "domcap_decisions")).collect())
     )
     assert after == before
+
+
+def test_domain_cap_decisions_consistent_with_audit(spark, sf_dir):
+    """The doc-grain decisions roll up EXACTLY to the audit twin's
+    per-source kept counts/tokens — both read _domain_cap_parts, so a
+    drift here means the shared lineage was broken."""
+    from etl_data_pipeline_spark.llm.curation import (
+        corpus_domain_cap,
+        corpus_domain_cap_decisions,
+    )
+
+    audit = {r["source"]: r for r in corpus_domain_cap(spark, sf_dir).collect()}
+    rolled = {}
+    for r in corpus_domain_cap_decisions(spark, sf_dir).collect():
+        d, t = rolled.get(r["source"], (0, 0))
+        if r["decision"] == "keep":
+            rolled[r["source"]] = (d + 1, t + r["n_tokens"])
+        else:
+            rolled.setdefault(r["source"], (d, t))
+    for s, a in audit.items():
+        assert rolled[s] == (a["docs_kept"], a["tokens_kept"]), s

@@ -79,6 +79,7 @@ HEAVY_SET = [
     # r12 registration: domain capping is a whole-corpus pass — keep
     # its oracle parity pinned at 30x from day one
     "corpus_domain_cap",
+    "corpus_domain_cap_decisions",
 ]
 
 
