@@ -571,3 +571,129 @@ def test_domain_cap_decisions_consistent_with_audit(spark, sf_dir):
             rolled.setdefault(r["source"], (d, t))
     for s, a in audit.items():
         assert rolled[s] == (a["docs_kept"], a["tokens_kept"]), s
+
+
+def test_incremental_domain_cap_kill_restart_sf01(spark, tmp_path):
+    """Kill-restart soak for the domain-cap gate at sf0.1 scale (5000
+    docs, 5 chunk files, maxFilesPerTrigger=1 so batching is
+    deterministic): kill the query mid-stream under a processingTime
+    trigger with the RocksDB store configured (exactly-once lives in
+    the state artifact + batch-id fence, so the store must be inert),
+    restart from the checkpoint, and require the final decisions AND
+    state to equal a straight-through availableNow reference run
+    byte-for-byte — and the final state thresholds to equal the batch
+    operator's audit on the same corpus."""
+    import glob as _glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_data_pipeline_spark.llm.curation import corpus_domain_cap
+    from etl_data_pipeline_spark.session import load_table
+    from etl_data_pipeline_spark.streaming import jobs
+
+    sfd = "/root/testdata/sf0.1"
+    docs = load_table(spark, sfd, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    chunks = [ids[i::5] for i in range(5)]  # 5 interleaved chunks
+
+    def deliver(src, stage, chunk_no):
+        d = os.path.join(stage, f"c{chunk_no}")
+        docs.filter(F.col("doc_id").isin(chunks[chunk_no])).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        part = _glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"chunk_{chunk_no}.parquet"))
+
+    def decided_count(tgt):
+        try:
+            return (
+                spark.read.parquet(os.path.join(tgt, "domcap_decisions"))
+                .select("doc_id").distinct().count()
+            )
+        except Exception:
+            return -1
+
+    def state_rows(tgt):
+        return sorted(
+            (r.source, r.docs_pre, r.tokens_pre, r.keep_thresh)
+            for r in spark.read.parquet(os.path.join(tgt, "domcap_state")).collect()
+        )
+
+    def decisions(tgt):
+        return sorted(
+            (r.doc_id, r.source, r.n_tokens, r.decision, r.keep_thresh)
+            for r in spark.read.parquet(
+                os.path.join(tgt, "domcap_decisions")
+            ).collect()
+        )
+
+    # --- kill-restart run under processingTime + RocksDB ---
+    src = str(tmp_path / "soak_src"); stage = str(tmp_path / "soak_stage")
+    tgt = str(tmp_path / "soak_tgt")
+    os.makedirs(src); os.makedirs(tgt)
+    with jobs.use_state_store(spark, "rocksdb"):
+        for i in range(3):
+            deliver(src, stage, i)
+        q1 = jobs.run_incremental_domain_cap(
+            spark, src, tgt, trigger={"processingTime": "200 milliseconds"}
+        )
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            if decided_count(tgt) >= len(chunks[0]):  # >=1 batch committed
+                break
+            time.sleep(0.3)
+        else:
+            q1.stop()
+            raise AssertionError("domcap soak phase 1: no progress in 180s")
+        q1.stop()  # kill mid-stream
+        q1.awaitTermination(60)
+        for i in range(3, 5):
+            deliver(src, stage, i)
+        q2 = jobs.run_incremental_domain_cap(
+            spark, src, tgt, trigger={"processingTime": "200 milliseconds"}
+        )
+
+        def fully_settled():
+            """All docs decided AND the state swap for the LAST batch
+            landed (decisions are written before the state swap)."""
+            if decided_count(tgt) != len(ids):
+                return False
+            try:
+                st = spark.read.parquet(os.path.join(tgt, "domcap_state"))
+                return (
+                    st.agg(F.sum("docs_pre")).first()[0] == len(ids)
+                )
+            except Exception:
+                return False
+
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            if fully_settled():
+                break
+            time.sleep(0.3)
+        q2.stop()
+        q2.awaitTermination(60)
+    assert decided_count(tgt) == len(ids)
+
+    # --- straight-through reference run (availableNow, default store) ---
+    src2 = str(tmp_path / "ref_src"); tgt2 = str(tmp_path / "ref_tgt")
+    os.makedirs(src2); os.makedirs(tgt2)
+    for i in range(5):
+        deliver(src2, str(tmp_path / "ref_stage"), i)
+    qr = jobs.run_incremental_domain_cap(spark, src2, tgt2)
+    qr.awaitTermination(300)
+
+    assert decisions(tgt) == decisions(tgt2)
+    assert state_rows(tgt) == state_rows(tgt2)
+
+    # final state thresholds == the batch operator's audit (same corpus)
+    audit = {
+        r["source"]: round(r["keep_frac"] * 1000000)
+        for r in corpus_domain_cap(spark, sfd).collect()
+    }
+    assert {s: t for s, _, _, t in state_rows(tgt)} == audit
