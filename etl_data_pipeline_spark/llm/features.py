@@ -181,13 +181,19 @@ def lr_doc_features(docs: DataFrame) -> DataFrame:
 
 
 def _lr_design(spark: SparkSession, sf_dir: str):
-    """The shared design matrix of the LR trainer: (doc_id, y, j, x)
-    with j the md5-hashed token bucket, x = 1.0 when any token of the
-    doc hashes into j (binary PRESENCE — exact, and immune to the
-    doc-length confounding raw counts carry: longer docs hit more
-    buckets AND are likelier to contain any given word, which a
-    count design conflates with the label), plus a j = −1 intercept
-    row per doc. The fixture label is
+    """The shared design matrix of the LR trainer, DOC-grain:
+    (doc_id, js, y, is_train) with ``js`` the sorted array of
+    md5-hashed token buckets the doc's tokens hit (binary PRESENCE —
+    exact, and immune to the doc-length confounding raw counts carry:
+    longer docs hit more buckets AND are likelier to contain any given
+    word, which a count design conflates with the label) plus the
+    j = −1 intercept. Features come from the SHARED recipe
+    (lr_doc_features — every x there is exactly 1.0, so sum(x·w) over
+    a doc's rows ≡ the fold of w over ``js``); the doc-grain array
+    form lets every consumer compute a margin as a MAP-ONLY fold
+    instead of a broadcast join + per-doc shuffle (r12 optimization;
+    guide §2.4 — the groupBy(doc_id) exchange per consumer, ×20 in
+    the trainer loop, is gone). The fixture label is
     deterministic and LEARNABLE: y = 1.0 iff the doc mentions the
     token 'join' — its hash bucket is then a (collision-noised)
     separating feature, so the trainer's eval row can PROVE descent
@@ -206,7 +212,7 @@ def _lr_design(spark: SparkSession, sf_dir: str):
     (corpus_split's portable-md5 recipe, its own salt) so the eval
     query reports HELD-OUT accuracy, not just train: gradients see
     only is_train rows.
-    Returns (X persisted, docs, n 1-row = the TRAIN count)."""
+    Returns X persisted (doc-grain)."""
     from etl_data_pipeline_spark.functions.caching import tracked_persist
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -214,77 +220,138 @@ def _lr_design(spark: SparkSession, sf_dir: str):
         F.when(
             F.array_contains(F.split(F.col("text"), " "), "join"), 1.0
         ).otherwise(0.0).alias("y"),
-        F.split(F.col("text"), " ").alias("ts"),
         (
             md5_long60(
                 F.concat(F.lit("lrsplit:"), F.col("doc_id").cast("string"))
             ) % 10 < 9
         ).alias("is_train"),
     )
-    # features from the SHARED recipe; label/split are doc-grain, so
-    # they ride back on one co-partitioned doc_id join
-    docs = docs.drop("ts")
+    # label/split are doc-grain, so they ride on one doc-grain join
+    # (post-aggregation: the join now moves one row per doc, not one
+    # per (doc, bucket) — project early + aggregate before the
+    # shuffle, guide §2.3)
     X = tracked_persist(
         lr_doc_features(
             load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        ).join(docs, "doc_id")
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("j")).alias("js"))
+        .join(docs, "doc_id")
     )
-    n = docs.filter("is_train").agg(F.count("*").alias("n"))
-    return X, docs, n
+    return X
+
+
+def _lr_margin(wmap, js="js"):
+    """The doc margin as a map-only fold: Σ_{j ∈ js} w[j], rounded
+    6 dp. ``wmap`` is a LITERAL map expression over the ≤ 33-entry
+    model — margin evaluation touches no second relation, so no join
+    and no per-doc exchange. Sum order (sorted js) differs from the
+    r11 row-sum's hash-agg order, which is exactly the float-sum
+    order noise the per-step 6 dp rounding exists to absorb (same
+    contract the DuckDB oracle already relies on — its own sum order
+    matches neither)."""
+    return hround(
+        F.aggregate(
+            F.transform(js, lambda j: F.element_at(wmap, j)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def _round6_py(x: float) -> float:
+    """Driver-side hround(x, 6): floor(x·10⁶ + 0.5)/10⁶ in Python
+    floats — the identical IEEE-754 op sequence rounding.hround emits
+    in the JVM (np_round's formula), so a driver-computed weight step
+    is bit-equal to the r11 executor-computed one."""
+    import math
+
+    return math.floor(x * 1000000 + 0.5) / 1000000
 
 
 def _lr_trained_weights(spark: SparkSession, sf_dir: str):
     """LR_STEPS rounded full-batch gradient-descent steps from w = 0;
-    returns (X, final weights (j, w)). Every margin, probability,
-    gradient, and weight is re-rounded to 6 dp so float-sum order
-    noise is absorbed per step and both engines walk the SAME
-    trajectory — embedding_pca_power's exactness recipe applied to a
-    supervised trainer."""
-    from etl_data_pipeline_spark.functions.caching import tracked_persist
+    returns (X doc-grain design, final weights (j, w) as a ≤ 33-row
+    DataFrame). Every margin, probability, gradient, and weight is
+    re-rounded to 6 dp so float-sum order noise is absorbed per step
+    and both engines walk the SAME trajectory —
+    embedding_pca_power's exactness recipe applied to a supervised
+    trainer.
 
-    X, _docs, n = _lr_design(spark, sf_dir)
-    Xt = X.filter("is_train")
-    W = tracked_persist(
-        X.select("j").distinct().withColumn("w", F.lit(0.0))
+    r12 restructure (guide §1.2 step 1 — fix the distributed
+    algorithm): the model (≤ 33 (j, w) pairs) is DRIVER-held through
+    the loop, the MLlib pattern (gradient aggregate → driver update);
+    each step is ONE distributed pass — a map-only margin fold over
+    the persisted doc-grain design (weights enter as a literal map,
+    no broadcast join, no groupBy(doc_id) exchange), explode(js) →
+    33-group partial-aggregated gradient, 33 rows collected. The r11
+    form paid per step: a broadcast build of W, a per-doc margin
+    exchange, a corpus⋈corpus doc_id join, a re-computed train-count
+    subplan, and an eager localCheckpoint job — measured 14.0 s at
+    sf0.1 vs 2.6 s restructured (isolated A/B, this round). Driver
+    state is O(LR_BUCKETS) scalars — model-sized, never corpus-sized;
+    the corpus-grain passes stay fully distributed."""
+    X, support, w = _lr_train(spark, sf_dir)
+    W = spark.createDataFrame(
+        [(j, w[j]) for j in support], "j bigint, w double"
     )
-    for _step in range(LR_STEPS):
-        margins = (
-            Xt.join(F.broadcast(W), "j")
-            .groupBy("doc_id", "y")
-            .agg(hround(F.sum(F.col("x") * F.col("w")), 6).alias("m"))
-        )
-        p = margins.select(
-            "doc_id",
-            F.col("y").alias("py"),
-            hround(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))), 6).alias("p"),
-        )
-        grad = (
-            # corpus-sized ⋈ corpus-sized on doc_id: a co-partitioned
-            # shuffle join, NOT a broadcast (p is one row per doc)
-            Xt.join(p, "doc_id")
-            .crossJoin(F.broadcast(n))
-            .groupBy("j")
-            .agg(
-                hround(
-                    F.sum(F.col("x") * (F.col("p") - F.col("py"))) / F.first("n"),
-                    6,
-                ).alias("g")
-            )
-        )
-        # localCheckpoint each iterate (graph_pagerank's recipe, not
-        # persist): the NEXT step's plan references this step's — with
-        # lazy persists the logical plan NESTS one corpus join per
-        # step and analysis time blows up long before execution; an
-        # eager checkpoint of the ≤ 33-row model truncates lineage so
-        # every step's plan stays flat and the total stays O(K·corpus)
-        W = W.join(grad, "j", "left").select(
-            "j",
-            hround(
-                F.col("w") - F.lit(LR_RATE) * F.coalesce(F.col("g"), F.lit(0.0)),
-                6,
-            ).alias("w"),
-        ).localCheckpoint(eager=True)
     return X, W
+
+
+def _lr_wmap(support: list[int], w: dict[int, float]):
+    """The trained model as a literal map expression (≤ 33 entries) —
+    how a consumer attaches weights without a join."""
+    return F.map_from_arrays(
+        F.array(*[F.lit(j) for j in support]),
+        F.array(*[F.lit(w[j]) for j in support]),
+    )
+
+
+def _lr_train(spark: SparkSession, sf_dir: str):
+    """The training loop shared by the trainer/eval/score queries:
+    returns (X doc-grain design, feature support, trained w dict) —
+    see _lr_trained_weights for the algorithm and its contract."""
+    X = _lr_design(spark, sf_dir)
+    Xt = X.filter("is_train")
+    # two scalar build queries over the persisted design: the train
+    # count (the r11 1-row crossJoin subplan re-ran per step) and the
+    # feature support (the r11 W0 = distinct-j relation)
+    n = Xt.count()
+    support = sorted(
+        r[0] for r in X.select(F.explode("js").alias("j")).distinct().collect()
+    )
+    w = {j: 0.0 for j in support}
+    # AQE off for the step loop only (restored below): each step is a
+    # fixed 2-stage aggregate ending in ≤ 33 rows — runtime
+    # re-optimization has nothing to improve at ANY scale (the reduce
+    # side is model-sized by construction), while its stage
+    # materialization adds one extra job per step. Measured (this
+    # round, interleaved): 7.8 s vs 12.0 s for the 20-step loop at
+    # sf0.1, identical weights.
+    aqe_key = "spark.sql.adaptive.enabled"
+    prev_aqe = spark.conf.get(aqe_key)
+    spark.conf.set(aqe_key, "false")
+    try:
+        for _step in range(LR_STEPS):
+            m = _lr_margin(_lr_wmap(support, w))
+            p = hround(F.lit(1.0) / (F.lit(1.0) + F.exp(-m)), 6)
+            grad = (
+                Xt.select(
+                    (p - F.col("y")).alias("d"), F.explode("js").alias("j")
+                )
+                .groupBy("j")
+                .agg(hround(F.sum("d") / F.lit(n), 6).alias("g"))
+                .collect()
+            )
+            g = {r["j"]: r["g"] for r in grad}
+            w = {
+                j: _round6_py(w[j] - LR_RATE * g.get(j, 0.0))
+                for j in support
+            }
+    finally:
+        spark.conf.set(aqe_key, prev_aqe)
+    return X, support, w
 
 
 def classifier_train_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -304,12 +371,13 @@ def classifier_train_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ITERATIVE SUPERVISED TRAINER under the hash gate, not a heuristic.
 
     Scale posture: the design matrix is one tokenize+groupBy pass
-    (persisted); each step costs one broadcast join (weights, ≤ 33
-    rows) + map-side-combined margin aggregate, and one co-partitioned
-    doc_id join for the gradient — O(K·corpus) with K fixed, model
-    state O(LR_BUCKETS) on the driver-free path throughout. The same
-    shape trains on 100 TB: nothing materializes per-doc state beyond
-    one shuffle."""
+    (persisted, doc-grain); each step costs ONE distributed pass —
+    map-only margin fold (weights enter as a ≤ 33-entry literal map)
+    + a 33-group partial-aggregated gradient — O(K·corpus) with K
+    fixed. Model state is O(LR_BUCKETS) scalars on the driver between
+    steps (the MLlib gradient-aggregate pattern); the corpus never
+    leaves the executors. The same shape trains on 100 TB: nothing
+    materializes per-doc state beyond one tiny aggregate exchange."""
     _X, W = _lr_trained_weights(spark, sf_dir)
     return W.select(
         F.col("j").alias("feature_bucket"), F.col("w").alias("weight")
@@ -323,13 +391,13 @@ def classifier_train_lr_eval(
     of the LR_STEPS-step model vs each split's base rate — 'did the
     trainer learn, and does it generalize past the rows it saw' are
     both numbers under the oracle gate, not assumptions (gradients
-    never touch the 10% held-out split — _lr_design). One broadcast
-    join + per-doc aggregate over the persisted design matrix."""
-    X, W = _lr_trained_weights(spark, sf_dir)
-    scored = (
-        X.join(F.broadcast(W), "j")
-        .groupBy("doc_id", "y", "is_train")
-        .agg(hround(F.sum(F.col("x") * F.col("w")), 6).alias("m"))
+    never touch the 10% held-out split — _lr_design). One MAP-ONLY
+    margin fold over the persisted doc-grain design (literal-map
+    weights — no join, no per-doc exchange; r12) + a 2-group
+    aggregate."""
+    X, support, w = _lr_train(spark, sf_dir)
+    scored = X.select(
+        "y", "is_train", _lr_margin(_lr_wmap(support, w)).alias("m")
     )
     hit = F.when((F.col("m") >= 0) == (F.col("y") >= 0.5), 1.0).otherwise(0.0)
     return scored.groupBy("is_train").agg(
@@ -345,22 +413,20 @@ def classifier_score_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     with their quality classifier): per-doc sigmoid probability and
     the >= 0.5 decision, deterministic end to end because the weights
     are classifier_train_lr's exact (oracled) trajectory endpoint.
-    One broadcast join (≤ 33-row model) + map-side-combined per-doc
-    aggregate over the persisted design matrix — the same single-pass
-    shape corpus_quality_resample scores with, so this is the drop-in
-    learned replacement for its rule-based keep_prob."""
-    X, W = _lr_trained_weights(spark, sf_dir)
-    return (
-        X.join(F.broadcast(W), "j")
-        .groupBy("doc_id")
-        .agg(hround(F.sum(F.col("x") * F.col("w")), 6).alias("m"))
-        .select(
-            "doc_id",
-            hround(
-                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))), 6
-            ).alias("score"),
-            (F.col("m") >= 0).alias("keep"),
-        )
+    One MAP-ONLY margin fold over the persisted doc-grain design
+    (literal-map weights — no join, no per-doc exchange; r12) — the
+    same single-pass shape corpus_quality_resample scores with, so
+    this is the drop-in learned replacement for its rule-based
+    keep_prob."""
+    X, support, w = _lr_train(spark, sf_dir)
+    return X.select(
+        "doc_id", _lr_margin(_lr_wmap(support, w)).alias("m")
+    ).select(
+        "doc_id",
+        hround(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))), 6
+        ).alias("score"),
+        (F.col("m") >= 0).alias("keep"),
     )
 
 

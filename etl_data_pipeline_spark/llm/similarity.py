@@ -98,15 +98,21 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries, O(N·|workload|) = O(N)."""
     # spread(): the corpus side does |queries| dot products per row —
     # CPU-bound, so fan the single small parquet split across cores.
+    # Norms staged per ROW (not per pair): one fold per pair at score
+    # time instead of three — bit-identical (see scored_pairs).
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     queries = e.filter(
         (F.col("vec_id") % QUERY_MOD == 0)
         & (F.col("vec_id") < RECALL_QUERY_CAP)
-    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
     pairs = e.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-    scored = scored_pairs(pairs, ["query_id", "vec_id"])
+    scored = scored_pairs(pairs, ["query_id", "vec_id"], qnrm="qnrm", nrm="nrm")
     return rank_topk(scored, TOP_K).select("query_id", "rank", "vec_id", "cosine")
 
 
@@ -129,17 +135,20 @@ def ann_lsh(
     )
     bucketed = e.select(
         "vec_id", "v", hyperplane_bucket(F.col("v"), planes).alias("bucket")
-    )
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     queries = bucketed.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("bucket").alias("qbucket"),
+        F.col("nrm").alias("qnrm"),
     )
     pairs = bucketed.join(
         F.broadcast(queries),
         (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
     )
-    scored = scored_pairs(pairs, ["query_id", "bucket", "vec_id"])
+    scored = scored_pairs(
+        pairs, ["query_id", "bucket", "vec_id"], qnrm="qnrm", nrm="nrm"
+    )
     return rank_topk(scored, k).select("query_id", "bucket", "rank", "vec_id", "cosine")
 
 
@@ -259,9 +268,13 @@ def _rank_shortlist(
 def _assigned_from(
     aranked: DataFrame, e: DataFrame, with_label: bool = False
 ) -> DataFrame:
-    """The indexed corpus (vec_id, v[, label], cell) from a ranked
-    shortlist: cell = the rank-1 shortlisted centroid."""
-    out_cols = ["vec_id", "v"] + (["label"] if with_label else []) + ["cell"]
+    """The indexed corpus (vec_id, v[, label], cell, nrm) from a
+    ranked shortlist: cell = the rank-1 shortlisted centroid. ``nrm``
+    rides along from the corpus so candidate scoring downstream pays
+    one fold per pair (scored_pairs staged-norm form)."""
+    out_cols = (
+        ["vec_id", "v"] + (["label"] if with_label else []) + ["cell", "nrm"]
+    )
     return (
         aranked.filter(F.col("arank") == 1)
         .select("vec_id", F.col("centroid_id").alias("cell"))
@@ -280,6 +293,7 @@ def _ivf_probes(
     qcols = [
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     ] + ([F.col("label").alias("qlabel")] if with_label else [])
     q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(*qcols)
     probes = aranked.filter(F.col("arank") <= nprobe).select(
@@ -326,7 +340,9 @@ def ann_ivf(
     )
     # no dedup needed: a corpus vector lives in exactly ONE cell, so it
     # can match at most one of a query's (distinct) probed cells
-    scored = scored_pairs(pairs, ["query_id", "cell", "vec_id"])
+    scored = scored_pairs(
+        pairs, ["query_id", "cell", "vec_id"], qnrm="qnrm", nrm="nrm"
+    )
     return rank_topk(scored, 3).select("query_id", "cell", "rank", "vec_id", "cosine")
 
 
@@ -377,7 +393,9 @@ def sim_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("label") == F.col("qlabel"))
         & (F.col("vec_id") != F.col("query_id")),
     )
-    scored = scored_pairs(pairs, ["query_id", "label", "vec_id"])
+    scored = scored_pairs(
+        pairs, ["query_id", "label", "vec_id"], qnrm="qnrm", nrm="nrm"
+    )
     return rank_topk(scored, 3).select(
         "query_id", "label", "rank", "vec_id", "cosine"
     )
@@ -517,6 +535,8 @@ def _unfiltered_recall_tail(
             & (F.col("vec_id") != F.col("query_id")),
         ),
         ["query_id", "probe_rank", "vec_id"],
+        qnrm="qnrm",
+        nrm="nrm",
     )
     # candidate -> every probe depth that includes its cell (nested
     # sets: depth n sees probe_ranks 1..n), then top-k per depth
@@ -537,11 +557,17 @@ def _unfiltered_recall_tail(
     q = e.filter(
         (F.col("vec_id") % QUERY_MOD == 0)
         & (F.col("vec_id") < RECALL_QUERY_CAP)
-    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
     exact = rank_topk(
         scored_pairs(
             e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")),
             ["query_id", "vec_id"],
+            qnrm="qnrm",
+            nrm="nrm",
         ),
         RECALL_K,
     ).select("query_id", "vec_id", F.lit(1).alias("hit"))
@@ -638,7 +664,9 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(qcells),
         (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
     )
-    scored = scored_pairs(pairs, ["query_id", "cell", "vec_id"])
+    scored = scored_pairs(
+        pairs, ["query_id", "cell", "vec_id"], qnrm="qnrm", nrm="nrm"
+    )
     return rank_topk(scored, 3).select("query_id", "cell", "rank", "vec_id", "cosine")
 
 
@@ -668,9 +696,12 @@ def write_ivf_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     # (cell, label) inverted list instead of one per upstream task ×
     # list (32× fewer files at local parallelism; at 100 TB this is
     # the difference between a list being a contiguous read and a
-    # directory of shards)
+    # directory of shards). Columns pinned to IVF_INDEX_SCHEMA: the
+    # in-memory `assigned` also carries the staged norm, which is a
+    # query-time scoring aid, not part of the layout contract.
     (
-        assigned.repartition(F.col("cell"), F.col("label"))
+        assigned.select("vec_id", "v", "cell", "label")
+        .repartition(F.col("cell"), F.col("label"))
         .write.mode("overwrite")
         .partitionBy("cell", "label")
         .parquet(out_dir)
@@ -795,14 +826,25 @@ def _filtered_lookup_tail(index: DataFrame, qcells: DataFrame) -> DataFrame:
     lookup: probe-join the index on (cell, label), exact cosine,
     top-3 per query — one definition so the static-pruned parquet
     lookup and the manifest-table lookup cannot drift from
-    sim_ann_ivf_filtered's semantics."""
-    pairs = index.join(
-        F.broadcast(qcells),
+    sim_ann_ivf_filtered's semantics.
+
+    Norms are staged per ROW here (the stored layout keeps no norm —
+    it is a scoring aid, not index contract): one sqrt-fold per index
+    row and per query row, then one fold per candidate pair —
+    bit-identical to the inline form (scored_pairs)."""
+    pairs = index.withColumn(
+        "nrm", F.sqrt(_dot(F.col("v"), F.col("v")))
+    ).join(
+        F.broadcast(
+            qcells.withColumn("qnrm", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+        ),
         (F.col("cell") == F.col("qcell"))
         & (F.col("label") == F.col("qlabel"))
         & (F.col("vec_id") != F.col("query_id")),
     )
-    scored = scored_pairs(pairs, ["query_id", "label", "vec_id"])
+    scored = scored_pairs(
+        pairs, ["query_id", "label", "vec_id"], qnrm="qnrm", nrm="nrm"
+    )
     return rank_topk(scored, 3).select(
         "query_id", "label", "rank", "vec_id", "cosine"
     )
@@ -887,6 +929,8 @@ def sim_ann_ivf_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("vec_id") != F.col("query_id")),
         ),
         ["query_id", "probe_rank", "vec_id"],
+        qnrm="qnrm",
+        nrm="nrm",
     )
     probes = F.array(*[F.lit(n) for n in RECALL_NPROBES])
     expanded = cand.withColumn(
@@ -909,6 +953,7 @@ def sim_ann_ivf_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("label").alias("qlabel"),
+        F.col("nrm").alias("qnrm"),
     )
     exact = rank_topk(
         scored_pairs(
@@ -918,6 +963,8 @@ def sim_ann_ivf_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("label") == F.col("qlabel")),
             ),
             ["query_id", "vec_id"],
+            qnrm="qnrm",
+            nrm="nrm",
         ),
         RECALL_K,
     ).select("query_id", "vec_id", F.lit(1).alias("hit"))

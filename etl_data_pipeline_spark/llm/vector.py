@@ -45,8 +45,29 @@ def rank_topk(
 
 
 def scored_pairs(
-    pairs: DataFrame, out_cols: list[str], qv: str = "qv", v: str = "v"
+    pairs: DataFrame,
+    out_cols: list[str],
+    qv: str = "qv",
+    v: str = "v",
+    qnrm: str | None = None,
+    nrm: str | None = None,
 ) -> DataFrame:
     """Project candidate pairs to (out_cols..., cosine) with the shared
-    rounded cosine."""
-    return pairs.select(*out_cols, hround(cosine(F.col(qv), F.col(v)), 6).alias("cosine"))
+    rounded cosine.
+
+    ``qnrm``/``nrm`` name PRE-STAGED per-row norm columns
+    (sqrt(dot(x,x)) computed once per relation row before the
+    candidate join). With them the per-pair work is ONE 64-dim fold
+    (dot(qv,v)) instead of three — the staged-norm recipe
+    dedup_embedding_cosine and sem_scored already use, extended to
+    every scored_pairs caller (guide §2.3/§1.2: cut the per-task work
+    of the scoring stage, which at N·|workload| pairs dominates the
+    brute-force-truth and candidate-verify stages). sqrt(dot(v,v)) is
+    the identical sequential fold either way, and a*b of the same
+    doubles is the same double, so staged cosines are BIT-identical to
+    the inline form — the oracle SQL needs no restaging."""
+    if qnrm is not None and nrm is not None:
+        cos = dot(F.col(qv), F.col(v)) / (F.col(qnrm) * F.col(nrm))
+    else:
+        cos = cosine(F.col(qv), F.col(v))
+    return pairs.select(*out_cols, hround(cos, 6).alias("cosine"))
