@@ -625,7 +625,17 @@ def _ivf_trained_build_from(e: DataFrame):
     a0 = seed_aranked.filter(F.col("arank") == 1).select(
         "vec_id", F.col("centroid_id").alias("cluster")
     )
-    c1 = tracked_persist(
+    # localCheckpoint (eager), not persist, for the REFINED centroid
+    # set (r12): c1 is model-sized (k × dim rounded means) but its
+    # LINEAGE is the whole seed build + Lloyd aggregation — persisted
+    # lazily, that subtree is re-analyzed inside every consumer of the
+    # second shortlist pass (the trained plans measured 385-414 KB
+    # formatted vs ~80 KB untrained; interleaved A/B medians:
+    # sim_ann_ivf_trained 7.3→4.6 s, clustered_trained_recall
+    # 10.3→5.7 s at sf0.1). The eager cut also means sem_scored's
+    # centroid count() job scans ≤k checkpointed rows, not the Lloyd
+    # plan.
+    c1 = (
         a0.join(e, "vec_id")
         .select("cluster", F.posexplode("v").alias("dim", "val"))
         .groupBy("cluster", "dim")
@@ -642,6 +652,7 @@ def _ivf_trained_build_from(e: DataFrame):
             "cv",
             F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cnrm"),
         )
+        .localCheckpoint()
     )
     aranked = tracked_persist(_rank_shortlist(e, c1))
     return e, _assigned_from(aranked, e), aranked, c1

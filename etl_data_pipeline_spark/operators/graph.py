@@ -50,15 +50,24 @@ _SQL_EDGES_CTE = """e0 AS MATERIALIZED (
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    pairs = (
+    # distinct on the raw INT keys, prefix-concat AFTER (r12, guide
+    # §2.3 "narrower types"): the dedup shuffle carries two longs per
+    # pair instead of two ~10-byte strings, and the exchange compares
+    # longs, not strings. The constant prefixes are injective per
+    # column, so distinct-then-concat ≡ concat-then-distinct — the
+    # oracle's string-built edge set is unchanged.
+    ipairs = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk")
         )
         .distinct()
     )
-    return pairs.union(pairs.select("dst", "src")).toDF("src", "dst")
+    c = F.concat(F.lit("c"), F.col("ck"))
+    s = F.concat(F.lit("s"), F.col("sk"))
+    return ipairs.select(c.alias("src"), s.alias("dst")).union(
+        ipairs.select(s.alias("src"), c.alias("dst"))
+    )
 
 
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,12 +90,20 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join AND its deg⋈summed join are both zipped co-partitioned —
     # the ONLY exchange per round is the contribution groupBy.
     p = spark.sparkContext.defaultParallelism
-    edges = tracked_persist(_edges(spark, sf_dir).repartition(p, "src"))
-    deg = tracked_persist(
+    # localCheckpoint (eager), not persist (r12): a persisted relation
+    # keeps its FULL lineage inside every consumer's logical plan, so
+    # each of the 5 rounds re-analyzes the orders⋈lineitem⋈distinct
+    # subtree — measured ~1.2 s/round of pure Catalyst work at sf0.1.
+    # Checkpointing truncates the bases to LogicalRDDs (partitioning
+    # preserved, so the per-round co-partitioned joins still skip
+    # their exchanges); interleaved A/B: 6.7-6.9 s vs 7.6-8.2 s warm.
+    edges = _edges(spark, sf_dir).repartition(p, "src").localCheckpoint()
+    deg = (
         edges.groupBy("src")
         .agg(F.count("*").alias("outdeg"))
         .withColumnRenamed("src", "node")
         .repartition(p, "node")
+        .localCheckpoint()
     )
     n = deg.count()  # scalar node count, not a data collect
     # localCheckpoint(eager=False): plan truncation without a separate
