@@ -78,3 +78,26 @@ def tracked_caches(spark=None, blocking: bool = False) -> Iterator[None]:
         yield
     finally:
         release_tracked(spark, blocking=blocking)
+
+
+@contextmanager
+def aqe_off(spark) -> Iterator[None]:
+    """Disable adaptive query execution inside the block (restored on
+    exit, error path included) — for MODEL-SIZED iterate loops (the LR
+    trainer's gradient steps, PCA's power iteration): each step is a
+    fixed small-state aggregate whose reduce side is bounded by the
+    model, not the data, so AQE's runtime re-planning has nothing to
+    improve at any scale while its per-stage materialization adds one
+    extra job per step (r12; measured 7.8 s vs 12.0 s on the 20-step
+    LR loop at sf0.1, identical results). Corpus-shaped plans should
+    keep AQE on — it is what turns the tiny-iterate joins into
+    broadcasts locally while falling back to shuffle joins at scale
+    (graph_pagerank's rounds measured FASTER with AQE for exactly that
+    reason; see OPTIMIZATION_r12.md)."""
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)

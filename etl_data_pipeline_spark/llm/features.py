@@ -322,17 +322,13 @@ def _lr_train(spark: SparkSession, sf_dir: str):
         r[0] for r in X.select(F.explode("js").alias("j")).distinct().collect()
     )
     w = {j: 0.0 for j in support}
-    # AQE off for the step loop only (restored below): each step is a
-    # fixed 2-stage aggregate ending in ≤ 33 rows — runtime
-    # re-optimization has nothing to improve at ANY scale (the reduce
-    # side is model-sized by construction), while its stage
-    # materialization adds one extra job per step. Measured (this
+    # aqe_off: each step is a fixed 2-stage aggregate ending in ≤ 33
+    # rows — see the context manager's docstring. Measured (this
     # round, interleaved): 7.8 s vs 12.0 s for the 20-step loop at
     # sf0.1, identical weights.
-    aqe_key = "spark.sql.adaptive.enabled"
-    prev_aqe = spark.conf.get(aqe_key)
-    spark.conf.set(aqe_key, "false")
-    try:
+    from etl_data_pipeline_spark.functions.caching import aqe_off
+
+    with aqe_off(spark):
         for _step in range(LR_STEPS):
             m = _lr_margin(_lr_wmap(support, w))
             p = hround(F.lit(1.0) / (F.lit(1.0) + F.exp(-m)), 6)
@@ -349,8 +345,6 @@ def _lr_train(spark: SparkSession, sf_dir: str):
                 j: _round6_py(w[j] - LR_RATE * g.get(j, 0.0))
                 for j in support
             }
-    finally:
-        spark.conf.set(aqe_key, prev_aqe)
     return X, support, w
 
 

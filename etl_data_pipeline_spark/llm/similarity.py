@@ -1420,23 +1420,29 @@ def _pca_power_iterate(cov_ut: DataFrame) -> tuple[DataFrame, DataFrame]:
     vec = cov.select(F.col("i")).distinct().select(
         "i", F.lit(PCA_INIT).alias("x")
     )
-    for _ in range(PCA_ITERS):
-        # localCheckpoint (not persist): the norm aggregate AND the
-        # normalized iterate both reference the matvec, so each step
-        # would otherwise DOUBLE the logical plan (2^T growth) and
-        # Catalyst re-optimization explodes — the iterative-DataFrame
-        # trap dedup_clusters documents; persist alone doesn't help
-        # because the optimizer still walks the un-truncated lineage.
-        y = (
-            cov.join(F.broadcast(vec.withColumnRenamed("i", "j")), "j")
-            .groupBy("i")
-            .agg(hround(F.sum(F.col("c") * F.col("x")), 6).alias("y"))
-            .coalesce(1)
-        ).localCheckpoint()
-        norm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
-        vec = y.crossJoin(F.broadcast(norm)).select(
-            "i", hround(F.col("y") / F.col("nrm"), 6).alias("x")
-        )
+    # aqe_off: the iterate is d-sized — see the context manager's
+    # docstring (measured here: 4.1→3.4 s median on
+    # embedding_pca_project at sf0.1, identical output).
+    from etl_data_pipeline_spark.functions.caching import aqe_off
+
+    with aqe_off(cov.sparkSession):
+        for _ in range(PCA_ITERS):
+            # localCheckpoint (not persist): the norm aggregate AND the
+            # normalized iterate both reference the matvec, so each step
+            # would otherwise DOUBLE the logical plan (2^T growth) and
+            # Catalyst re-optimization explodes — the iterative-DataFrame
+            # trap dedup_clusters documents; persist alone doesn't help
+            # because the optimizer still walks the un-truncated lineage.
+            y = (
+                cov.join(F.broadcast(vec.withColumnRenamed("i", "j")), "j")
+                .groupBy("i")
+                .agg(hround(F.sum(F.col("c") * F.col("x")), 6).alias("y"))
+                .coalesce(1)
+            ).localCheckpoint()
+            norm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
+            vec = y.crossJoin(F.broadcast(norm)).select(
+                "i", hround(F.col("y") / F.col("nrm"), 6).alias("x")
+            )
     return vec, cov
 
 

@@ -130,12 +130,24 @@ def agg_approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash matches iff the sketch actually honored its bound, turning
     the one rows-only approx family into a hard correctness check
     while keeping agg_approx_distinct itself as the raw-sketch
-    exhibit. Both aggregates share one shuffle (the exact distinct
-    dominates; at 100 TB you would run only the sketch)."""
+    exhibit. Both aggregates run over ONE pre-distinct relation (r12):
+    mixing countDistinct with a sketch aggregate in a single agg plans
+    an Expand (2x rows) whose HLL buffers churn per expanded group —
+    measured 3.6 s vs 0.95 s at sf0.1 for identical output. HLL is
+    duplicate-insensitive (register values depend only on the SET of
+    inputs), so sketching the distinct (priority, custkey) pairs gives
+    the bit-identical estimate while the exact count becomes a plain
+    count(*) — one distinct shuffle, no Expand. (At 100 TB you would
+    run only the sketch.)"""
     orders = load_table(spark, sf_dir, "orders")
-    per = orders.groupBy("o_orderpriority").agg(
-        F.countDistinct("o_custkey").alias("exact_custs"),
-        F.approx_count_distinct("o_custkey", 0.01).alias("_approx"),
+    per = (
+        orders.select("o_orderpriority", "o_custkey")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("exact_custs"),
+            F.approx_count_distinct("o_custkey", 0.01).alias("_approx"),
+        )
     )
     return per.select(
         "o_orderpriority",
