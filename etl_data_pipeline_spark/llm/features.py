@@ -159,25 +159,45 @@ LR_RATE = 10.0    # learning rate — fixed, so the trajectory is replayable
 # the eval query pins it
 
 
+def lr_feature_set() -> "F.Column":
+    """The classifier's FEATURE RECIPE as a MAP-ONLY column expression
+    over ``text``: the sorted array of distinct md5-hashed token
+    buckets the doc's tokens hit, with the j = −1 intercept first
+    (−1 < every bucket, so one array_sort orders both). ONE definition
+    shared by the trainer's doc-grain design matrix and (via
+    lr_doc_features' explode) the streaming scorer — a scoring path
+    with its own tokenize/hash would silently drift from the weights'
+    training recipe.
+
+    r12: the recipe is an expression, not an explode→groupBy pipeline
+    — the r11 row-form build shuffled every (doc_id, token-bucket)
+    pair twice (distinct groupBy + label re-join); the set form is
+    array_distinct inside the row, so the design build has NO exchange
+    at all and its partitioning follows the input splits (scan-split
+    parallelism at any scale)."""
+    # coalesce: a NULL text must still yield the intercept-only set
+    # (the r11 union form emitted the intercept row unconditionally)
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda t: F.length(t) > 0,
+    )
+    js = F.array_distinct(
+        F.transform(toks, lambda t: md5_long60(t) % LR_BUCKETS)
+    )
+    return F.array_sort(
+        F.concat(F.array(F.lit(-1).cast("long")), js)
+    )
+
+
 def lr_doc_features(docs: DataFrame) -> DataFrame:
-    """The classifier's FEATURE RECIPE over any (doc_id, text) frame:
-    (doc_id, j, x) binary-presence rows for the md5-hashed token
-    buckets plus the j = −1 intercept row. ONE definition shared by
-    the trainer's design matrix and the streaming scorer
-    (streaming.jobs.run_incremental_classifier_scores) — a scoring
-    path with its own tokenize/hash would silently drift from the
-    weights' training recipe."""
-    base = docs.select("doc_id", F.split(F.col("text"), " ").alias("ts"))
-    tok = base.select("doc_id", F.explode("ts").alias("tok")).filter(
-        F.length("tok") > 0
+    """Row form of lr_feature_set — (doc_id, j, x) binary-presence
+    rows, x ≡ 1.0 (including the j = −1 intercept row): exactly the
+    r11 shape the streaming scorer's broadcast-join scoring consumes,
+    now DERIVED from the shared set expression (explode of the same
+    array), so the two forms cannot drift."""
+    return docs.select(
+        "doc_id", F.explode(lr_feature_set()).alias("j"), F.lit(1.0).alias("x")
     )
-    x = tok.groupBy(
-        "doc_id", (md5_long60(F.col("tok")) % LR_BUCKETS).alias("j")
-    ).agg(F.min(F.lit(1.0)).alias("x"))
-    icpt = base.select(
-        "doc_id", F.lit(-1).cast("long").alias("j"), F.lit(1.0).alias("x")
-    )
-    return x.unionByName(icpt)
 
 
 def _lr_design(spark: SparkSession, sf_dir: str):
@@ -212,31 +232,24 @@ def _lr_design(spark: SparkSession, sf_dir: str):
     (corpus_split's portable-md5 recipe, its own salt) so the eval
     query reports HELD-OUT accuracy, not just train: gradients see
     only is_train rows.
-    Returns X persisted (doc-grain)."""
+    Returns X persisted (doc-grain). The whole build is ONE map-only
+    projection (label, split, and the shared feature-set expression
+    over one scan — no explode, no groupBy, no join; r12)."""
     from etl_data_pipeline_spark.functions.caching import tracked_persist
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.when(
-            F.array_contains(F.split(F.col("text"), " "), "join"), 1.0
-        ).otherwise(0.0).alias("y"),
-        (
-            md5_long60(
-                F.concat(F.lit("lrsplit:"), F.col("doc_id").cast("string"))
-            ) % 10 < 9
-        ).alias("is_train"),
-    )
-    # label/split are doc-grain, so they ride on one doc-grain join
-    # (post-aggregation: the join now moves one row per doc, not one
-    # per (doc, bucket) — project early + aggregate before the
-    # shuffle, guide §2.3)
     X = tracked_persist(
-        lr_doc_features(
-            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            lr_feature_set().alias("js"),
+            F.when(
+                F.array_contains(F.split(F.col("text"), " "), "join"), 1.0
+            ).otherwise(0.0).alias("y"),
+            (
+                md5_long60(
+                    F.concat(F.lit("lrsplit:"), F.col("doc_id").cast("string"))
+                ) % 10 < 9
+            ).alias("is_train"),
         )
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list("j")).alias("js"))
-        .join(docs, "doc_id")
     )
     return X
 
