@@ -165,6 +165,27 @@ def dedup_ngram_jaccard(
     hash_set = lambda arr: F.array_distinct(
         F.transform(arr, lambda t: F.xxhash64(t))
     )
+    # Shingle hashes come from the TOKEN TRIPLE directly (multi-arg
+    # xxhash64), not from a concat_ws-built 3-gram string (r12): no
+    # per-shingle string allocation, and tokens cannot contain the
+    # separator (they come from splitting on it), so triple ↔ joined
+    # string is a bijection — the distinct-set sizes and intersections
+    # are unchanged (collision class identical; the raw-string DuckDB
+    # oracle still matches).
+    toks = F.split(F.col("text"), " ")
+    shingle_hashes = F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.xxhash64(
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     # persist: the hashed-set table feeds BOTH sides of the self-join;
     # without it each side re-tokenizes and re-hashes the corpus (at
     # 100 TB: two extra full text scans). Tiny relative to the corpus —
@@ -173,7 +194,7 @@ def dedup_ngram_jaccard(
         docs.select(
             "doc_id", "lang", "source",
             hash_set(F.split(F.col("text"), " ")).alias("words"),
-            hash_set(_shingles()).alias("shingles"),
+            shingle_hashes.alias("shingles"),
         ).withColumn("n_words", F.size("words"))
     )
     if not exhibit:

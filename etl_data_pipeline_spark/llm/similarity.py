@@ -210,10 +210,13 @@ def _ivf_sem_build_from(
     clustered recall fixture builds its corpus from a deterministic
     transform, not a parquet load)."""
     c0 = tracked_persist(_seed_centroids(e, centroid_mod, centroid_rem))
-    # Persisted: consumed by BOTH the corpus assignment (arank = 1)
-    # and the query probe list (arank <= nprobe) — an index structure
-    # by nature, built once.
-    aranked = tracked_persist(_rank_shortlist(e, c0))
+    # localCheckpointed (eager), consumed by BOTH the corpus
+    # assignment (arank = 1) and the query probe list (arank <=
+    # nprobe) — an index structure by nature, built once. Checkpoint,
+    # not persist (r12): every consumer otherwise re-analyzes the
+    # bucket-explode ⋈ centroid lineage inside its own plan
+    # (interleaved A/B over the 4 untrained consumers: ~10% each).
+    aranked = _rank_shortlist(e, c0).localCheckpoint()
     return e, _assigned_from(aranked, e, with_label), aranked
 
 
@@ -654,7 +657,7 @@ def _ivf_trained_build_from(e: DataFrame):
         )
         .localCheckpoint()
     )
-    aranked = tracked_persist(_rank_shortlist(e, c1))
+    aranked = _rank_shortlist(e, c1).localCheckpoint()
     return e, _assigned_from(aranked, e), aranked, c1
 
 

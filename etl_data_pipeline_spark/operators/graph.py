@@ -186,7 +186,10 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan stays O(1) per level instead of nesting all prior
     levels."""
     p = spark.sparkContext.defaultParallelism
-    edges = tracked_persist(_edges(spark, sf_dir).repartition(p, "src"))
+    # localCheckpoint, not persist — same lineage-truncation rationale
+    # (and A/B) as graph_pagerank: each level's plan re-analyzes the
+    # persisted edge build otherwise.
+    edges = _edges(spark, sf_dir).repartition(p, "src").localCheckpoint()
     src = (
         edges.filter(F.col("src").startswith("s"))
         .agg(F.min("src"))
