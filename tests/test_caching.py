@@ -80,10 +80,12 @@ def test_composing_session_storage_returns_to_baseline(spark, sf_dir):
         dedup.dedup_minhash_lsh,
         dedup.dedup_simhash,
         dedup.dedup_embedding_cosine,
-        # sim_ann_ivf, not embedding_kmeans: the trained build's c1 is
-        # localCheckpointed since r12, and checkpoint blocks free via
-        # GC, not unpersist (the docstring's standing exclusion)
-        similarity.sim_ann_ivf,
+        # dedup_semantic, not embedding_kmeans/sim_ann_ivf: the whole
+        # IVF family's shortlist tables are localCheckpointed since
+        # r12, and checkpoint blocks free via GC, not unpersist (the
+        # docstring's standing exclusion); dedup_semantic exercises
+        # the same sem_scored kernel through persist-only lineage
+        dedup.dedup_semantic,
         curation.pipeline_corpus_curation_v2,
         dedup.dedup_ngram_jaccard,   # repeat: the leak was cumulative
         dedup.dedup_minhash_lsh,
