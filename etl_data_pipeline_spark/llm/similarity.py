@@ -210,13 +210,11 @@ def _ivf_sem_build_from(
     clustered recall fixture builds its corpus from a deterministic
     transform, not a parquet load)."""
     c0 = tracked_persist(_seed_centroids(e, centroid_mod, centroid_rem))
-    # localCheckpointed (eager), consumed by BOTH the corpus
-    # assignment (arank = 1) and the query probe list (arank <=
-    # nprobe) — an index structure by nature, built once. Checkpoint,
-    # not persist (r12): every consumer otherwise re-analyzes the
-    # bucket-explode ⋈ centroid lineage inside its own plan
-    # (interleaved A/B over the 4 untrained consumers: ~10% each).
-    aranked = _rank_shortlist(e, c0).localCheckpoint()
+    # Persisted over a cut lineage (see _rank_shortlist.cut_lineage):
+    # consumed by BOTH the corpus assignment (arank = 1) and the query
+    # probe list (arank <= nprobe) — an index structure by nature,
+    # built once; the persisted top keeps hash(vec_id) partitioning.
+    aranked = tracked_persist(_rank_shortlist(e, c0, cut_lineage=True))
     return e, _assigned_from(aranked, e, with_label), aranked
 
 
@@ -249,7 +247,10 @@ def _seed_centroids(
 
 
 def _rank_shortlist(
-    vectors: DataFrame, centroids: DataFrame, n_centroids: int | None = None
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n_centroids: int | None = None,
+    cut_lineage: bool = False,
 ) -> DataFrame:
     """sem_scored + the family's ONE deterministic rank window
     (cosine desc, centroid_id asc): (vec_id, centroid_id, cc, arank).
@@ -257,10 +258,22 @@ def _rank_shortlist(
     and the index lookup's query-side probes — the tiebreak the
     oracle CTEs replay lives here and nowhere else. ``n_centroids``
     is passed through to sem_scored for callers that already hold the
-    (frozen) centroid count."""
+    (frozen) centroid count.
+
+    ``cut_lineage`` (r12): localCheckpoint the scored relation BEFORE
+    the rank window — for the persisted index builds, whose consumers
+    otherwise re-analyze the bucket-explode ⋈ centroid subtree inside
+    every plan (interleaved A/B: ~10% per untrained consumer). The
+    checkpoint sits UNDER the window so the persisted top keeps the
+    window's hash(vec_id) partitioning (a checkpointed top reads
+    UnknownPartitioning under AQE and would re-exchange downstream
+    vec_id joins at scale)."""
     from etl_data_pipeline_spark.llm.dedup import sem_scored
 
-    return sem_scored(vectors, centroids, n_centroids).withColumn(
+    scored = sem_scored(vectors, centroids, n_centroids)
+    if cut_lineage:
+        scored = scored.localCheckpoint()
+    return scored.withColumn(
         "arank",
         F.row_number().over(
             Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("centroid_id"))
@@ -657,7 +670,7 @@ def _ivf_trained_build_from(e: DataFrame):
         )
         .localCheckpoint()
     )
-    aranked = _rank_shortlist(e, c1).localCheckpoint()
+    aranked = tracked_persist(_rank_shortlist(e, c1, cut_lineage=True))
     return e, _assigned_from(aranked, e), aranked, c1
 
 

@@ -90,20 +90,24 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join AND its deg⋈summed join are both zipped co-partitioned —
     # the ONLY exchange per round is the contribution groupBy.
     p = spark.sparkContext.defaultParallelism
-    # localCheckpoint (eager), not persist (r12): a persisted relation
-    # keeps its FULL lineage inside every consumer's logical plan, so
-    # each of the 5 rounds re-analyzes the orders⋈lineitem⋈distinct
-    # subtree — measured ~1.2 s/round of pure Catalyst work at sf0.1.
-    # Checkpointing truncates the bases to LogicalRDDs (partitioning
-    # preserved, so the per-round co-partitioned joins still skip
-    # their exchanges); interleaved A/B: 6.7-6.9 s vs 7.6-8.2 s warm.
-    edges = _edges(spark, sf_dir).repartition(p, "src").localCheckpoint()
-    deg = (
+    # HYBRID lineage cut (r12): localCheckpoint the EXPENSIVE subtree
+    # (orders⋈lineitem⋈distinct — persisted alone, its full lineage is
+    # re-analyzed inside all 5 rounds' plans, measured ~1.2 s/round of
+    # pure Catalyst work at sf0.1; interleaved A/B 6.7-6.9 s vs
+    # 7.6-8.2 s warm), then persist the REPARTITIONED top: under AQE a
+    # checkpointed frame reads UnknownPartitioning, so checkpointing
+    # after the repartition would silently re-exchange the edges every
+    # round at scale — the InMemoryRelation on top is what carries
+    # hash(src/node, p) into the round joins
+    # (tests/test_r12_opt.py pins the exchange-free join).
+    edges = tracked_persist(
+        _edges(spark, sf_dir).localCheckpoint().repartition(p, "src")
+    )
+    deg = tracked_persist(
         edges.groupBy("src")
         .agg(F.count("*").alias("outdeg"))
         .withColumnRenamed("src", "node")
         .repartition(p, "node")
-        .localCheckpoint()
     )
     n = deg.count()  # scalar node count, not a data collect
     # localCheckpoint(eager=False): plan truncation without a separate
@@ -186,10 +190,13 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan stays O(1) per level instead of nesting all prior
     levels."""
     p = spark.sparkContext.defaultParallelism
-    # localCheckpoint, not persist — same lineage-truncation rationale
-    # (and A/B) as graph_pagerank: each level's plan re-analyzes the
-    # persisted edge build otherwise.
-    edges = _edges(spark, sf_dir).repartition(p, "src").localCheckpoint()
+    # same HYBRID lineage cut as graph_pagerank: checkpoint the edge
+    # build, persist the repartitioned top (partitioning survives the
+    # cache; the checkpoint alone would read UnknownPartitioning under
+    # AQE and re-exchange per level at scale).
+    edges = tracked_persist(
+        _edges(spark, sf_dir).localCheckpoint().repartition(p, "src")
+    )
     src = (
         edges.filter(F.col("src").startswith("s"))
         .agg(F.min("src"))
