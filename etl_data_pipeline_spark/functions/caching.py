@@ -32,6 +32,12 @@ from pyspark.sql import DataFrame
 
 # session-keyed so two SparkSessions in one process don't cross-release
 _TRACKED: dict[int, list[DataFrame]] = {}
+# localCheckpoint results, tracked separately: their blocks live
+# OUTSIDE the persist lifecycle (DataFrame.unpersist is a no-op on
+# them; clearCache does not touch them), so without this registry a
+# composing session leaks corpus-scale checkpoint blocks it can never
+# reclaim (r12 ADVICE #2).
+_TRACKED_CKPT: dict[int, list[DataFrame]] = {}
 
 
 def _session_key(df: DataFrame) -> int:
@@ -53,19 +59,56 @@ def track(df: DataFrame) -> DataFrame:
     return df
 
 
+def tracked_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``df.localCheckpoint(eager)`` + register the checkpointed frame
+    so :func:`release_tracked` can free its blocks (r13; closes the
+    r12 ADVICE leak: checkpoint blocks are invisible to both
+    ``DataFrame.unpersist`` and ``clearCache``, so the engine's
+    lineage cuts — graph edges, IVF shortlists, trained centroids —
+    accumulated storage a composing session could never reclaim).
+
+    Release semantics differ from a persisted cache: a checkpointed
+    frame has NO lineage behind its blocks, so re-executing the frame
+    after release fails instead of recomputing. The engine's contract
+    is that release_tracked marks the end of a query's life — every
+    registry query rebuilds its DataFrames from the source on the
+    next call — so nothing re-executes a released checkpoint."""
+    out = df.localCheckpoint(eager=eager)
+    _TRACKED_CKPT.setdefault(_session_key(out), []).append(out)
+    return out
+
+
+def _free_checkpoint(df: DataFrame, blocking: bool) -> None:
+    """Drop a localCheckpoint's blocks: the persisted RDD hides behind
+    the LogicalRDD the checkpoint returned (Dataset.checkpoint wraps
+    the materialized internal RDD), reachable via the logical plan."""
+    df._jdf.queryExecution().logical().rdd().unpersist(blocking)
+
+
 def release_tracked(spark=None, blocking: bool = False) -> int:
     """Unpersist every tracked cache (for ``spark`` only, or all
     sessions when None) and forget the handles. Returns how many were
-    released. Safe to call at any time: unpersisting a frame a plan
-    still references only costs recomputation, never correctness."""
-    keys = [id(spark)] if spark is not None else list(_TRACKED)
+    released. Safe to call at any time for PERSISTED frames:
+    unpersisting a frame a plan still references only costs
+    recomputation, never correctness. Tracked CHECKPOINTS are freed
+    too — those must not be re-executed after release (see
+    tracked_checkpoint)."""
+    keys = [id(spark)] if spark is not None else list(_TRACKED) + list(
+        _TRACKED_CKPT
+    )
     n = 0
-    for k in keys:
+    for k in dict.fromkeys(keys):
         for df in _TRACKED.pop(k, []):
             try:
                 df.unpersist(blocking=blocking)
             except Exception:
                 pass  # session already stopped — nothing left to free
+            n += 1
+        for df in _TRACKED_CKPT.pop(k, []):
+            try:
+                _free_checkpoint(df, blocking)
+            except Exception:
+                pass  # never-materialized (eager=False) or session gone
             n += 1
     return n
 
@@ -78,6 +121,18 @@ def tracked_caches(spark=None, blocking: bool = False) -> Iterator[None]:
         yield
     finally:
         release_tracked(spark, blocking=blocking)
+
+
+# Reduce width pinned inside aqe_off loops: every aggregate under the
+# manager ends model-sized (≤ 33 LR buckets, d = 64 PCA rows), so with
+# AQE's coalescing disabled the session-wide shuffle width (= core
+# count locally, thousands on a cluster) would launch that many reduce
+# tasks per step × N steps for a handful of groups — the r12 driver
+# data showed classifier_train_lr ANTI-scaling 32c vs 8c (11.6 s vs
+# 7.1 s) for exactly this reason. 8 covers the largest model (64 rows)
+# with healthy parallelism while staying scheduler-cheap at any core
+# count; map-side parallelism (scan splits) is unaffected by this key.
+AQE_OFF_REDUCE_WIDTH = 8
 
 
 @contextmanager
@@ -93,11 +148,34 @@ def aqe_off(spark) -> Iterator[None]:
     keep AQE on — it is what turns the tiny-iterate joins into
     broadcasts locally while falling back to shuffle joins at scale
     (graph_pagerank's rounds measured FASTER with AQE for exactly that
-    reason; see OPTIMIZATION_r12.md)."""
+    reason; see OPTIMIZATION_r12.md).
+
+    Also pins ``spark.sql.shuffle.partitions`` to
+    :data:`AQE_OFF_REDUCE_WIDTH` for the block (r13): with AQE's
+    coalescing off, the model-sized per-step aggregates would
+    otherwise reduce at the full session width — wasteful at 32 local
+    cores and pathological at cluster widths (see the constant's
+    comment). Restored on exit with the AQE flag.
+
+    NOT re-entrant by design: the manager toggles shared session conf,
+    so plans must not be built concurrently on the same session while
+    a loop runs (the engine's iterate loops are strictly sequential —
+    full-batch GD / power iteration steps depend on the previous
+    step's result). A nested entry is a no-op so an outer loop's
+    settings survive an inner helper that also guards itself."""
     key = "spark.sql.adaptive.enabled"
+    pkey = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
+    if str(prev).lower() == "false":
+        # nested under another aqe_off (or a session that runs with
+        # AQE globally off): leave both confs to the outer owner.
+        yield
+        return
+    prev_parts = spark.conf.get(pkey)
     spark.conf.set(key, "false")
+    spark.conf.set(pkey, str(AQE_OFF_REDUCE_WIDTH))
     try:
         yield
     finally:
         spark.conf.set(key, prev)
+        spark.conf.set(pkey, prev_parts)

@@ -45,11 +45,12 @@ def with_global_position(
     assignment is FROZEN before the two consumers read it — without
     that, the count pass and the emit pass could re-plan the sort
     independently and disagree on partition boundaries."""
+    from etl_data_pipeline_spark.functions.caching import tracked_checkpoint
+
     mid = "__wgp_mid"
-    ordered = (
-        df.orderBy(*order)
-        .withColumn(mid, F.monotonically_increasing_id())
-        .localCheckpoint(eager=False)
+    ordered = tracked_checkpoint(
+        df.orderBy(*order).withColumn(mid, F.monotonically_increasing_id()),
+        eager=False,
     )
     # monotonically_increasing_id packs the partition id in the upper
     # 31 bits and a dense 0-based per-partition counter in the lower 33

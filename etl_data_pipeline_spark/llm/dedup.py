@@ -31,7 +31,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl_data_pipeline_spark.functions.caching import tracked_persist
+from etl_data_pipeline_spark.functions.caching import (
+    tracked_checkpoint,
+    tracked_persist,
+)
 from etl_data_pipeline_spark.functions.rounding import hround, sql_round
 from etl_data_pipeline_spark.session import load_table, spread
 # no cycle: text_analysis does not import this module
@@ -714,20 +717,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the previous round's; without truncation the logical plan grows
     # linearly and re-optimization time blows up by round ~4 — the
     # standard iterative-DataFrame trap.
-    labels = (
+    labels = tracked_checkpoint(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
     )
     label_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(CLUSTER_MAX_ITERS):
         msgs = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), "label"
         )
-        new_labels = (
+        new_labels = tracked_checkpoint(
             labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
+        )
         new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels = new_labels
         if new_sum == label_sum:  # min-label is monotone ⇒ sum converges
@@ -1122,7 +1124,7 @@ def _entropy_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan-nesting failure mode the iterative operators hit in r10).
     # Eager is right: every caller consumes the full relation at least
     # twice, and the keyed rows are 9 small columns per record.
-    return keyed.localCheckpoint()
+    return tracked_checkpoint(keyed)
 
 
 EMB_LSH_TABLES = 8      # OR-construction: candidate if same-bucket in ANY table

@@ -66,6 +66,14 @@ def scored_pairs(
     the identical sequential fold either way, and a*b of the same
     doubles is the same double, so staged cosines are BIT-identical to
     the inline form — the oracle SQL needs no restaging."""
+    if (qnrm is None) != (nrm is None):
+        # A typo'd column name at any of the ~10 call sites would
+        # otherwise silently fall back to the 3-fold inline cosine —
+        # a performance regression with no signal (r12 ADVICE).
+        raise ValueError(
+            "scored_pairs: pass BOTH qnrm and nrm (staged norms) or "
+            f"neither; got qnrm={qnrm!r}, nrm={nrm!r}"
+        )
     if qnrm is not None and nrm is not None:
         cos = dot(F.col(qv), F.col(v)) / (F.col(qnrm) * F.col(nrm))
     else:

@@ -22,7 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_data_pipeline_spark.functions.caching import tracked_persist
+from etl_data_pipeline_spark.functions.caching import (
+    tracked_checkpoint,
+    tracked_persist,
+)
 from etl_data_pipeline_spark.functions.rounding import hround, sql_round
 from etl_data_pipeline_spark.session import load_table
 
@@ -100,8 +103,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round at scale — the InMemoryRelation on top is what carries
     # hash(src/node, p) into the round joins
     # (tests/test_r12_opt.py pins the exchange-free join).
+    #
+    # Fault-tolerance posture (r13, deliberate): localCheckpoint stores
+    # the EDGE SET — corpus-scale at 100 TB — in executor-local block
+    # storage with lineage discarded, so an executor loss mid-query
+    # fails the query instead of recomputing (the documented
+    # localCheckpoint trade). Accepted because the alternatives cost
+    # more at every scale tried: reliable .checkpoint() adds a full
+    # distributed-FS write of the edges per run, and persist-with-
+    # lineage re-analyzes the orders⋈lineitem⋈distinct subtree in all
+    # 5 rounds' plans (~1.2 s/round of pure Catalyst at sf0.1, growing
+    # with graph size). A deployment that cannot tolerate a rare
+    # re-run swaps in .checkpoint() here — one line, same partitioning
+    # contract. Model-sized checkpoints elsewhere (IVF centroids,
+    # shortlists) carry no such risk.
     edges = tracked_persist(
-        _edges(spark, sf_dir).localCheckpoint().repartition(p, "src")
+        tracked_checkpoint(_edges(spark, sf_dir)).repartition(p, "src")
     )
     deg = tracked_persist(
         edges.groupBy("src")
@@ -114,9 +131,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization job per round — PageRank (unlike the clusters
     # loop) takes no per-round driver action, so all five rounds of
     # checkpoints fold into the final job's execution.
-    ranks = deg.select(
-        "node", "outdeg", (F.lit(1.0) / n).alias("rank")
-    ).localCheckpoint(eager=False)
+    ranks = tracked_checkpoint(
+        deg.select("node", "outdeg", (F.lit(1.0) / n).alias("rank")),
+        eager=False,
+    )
     for _ in range(PR_ITERS):
         contribs = edges.join(ranks, edges.src == ranks.node).select(
             F.col("dst").alias("node"),
@@ -133,8 +151,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(PR_DAMPING) * F.col("s")
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
+        ranks = tracked_checkpoint(ranks, eager=False)
     return ranks.select("node", "outdeg", hround("rank", 8).alias("rank"))
 
 
@@ -195,16 +213,17 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache; the checkpoint alone would read UnknownPartitioning under
     # AQE and re-exchange per level at scale).
     edges = tracked_persist(
-        _edges(spark, sf_dir).localCheckpoint().repartition(p, "src")
+        tracked_checkpoint(_edges(spark, sf_dir)).repartition(p, "src")
     )
     src = (
         edges.filter(F.col("src").startswith("s"))
         .agg(F.min("src"))
         .first()[0]
     )  # scalar source pick, not a data collect
-    visited = spark.createDataFrame(
-        [(src, 0)], "node string, dist int"
-    ).localCheckpoint(eager=False)
+    visited = tracked_checkpoint(
+        spark.createDataFrame([(src, 0)], "node string, dist int"),
+        eager=False,
+    )
     frontier = visited
     for depth in range(1, BFS_MAX_DEPTH + 1):
         neighbors = (
@@ -212,12 +231,12 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        frontier = (
+        frontier = tracked_checkpoint(
             neighbors.join(visited, "node", "left_anti")
-            .select("node", F.lit(depth).alias("dist"))
-            .localCheckpoint(eager=False)
+            .select("node", F.lit(depth).alias("dist")),
+            eager=False,
         )
-        visited = visited.union(frontier).localCheckpoint(eager=False)
+        visited = tracked_checkpoint(visited.union(frontier), eager=False)
     return visited
 
 

@@ -67,10 +67,11 @@ def test_tracked_caches_scope_releases_on_error(spark):
 
 def test_composing_session_storage_returns_to_baseline(spark, sf_dir):
     """10 cache-marking registry queries back-to-back; release_tracked
-    drops storage back to the baseline (0 cached RDDs). Queries chosen
-    to exercise every tracked_persist site in the package without
-    localCheckpoint paths (checkpoint blocks free via GC, not
-    unpersist, and are covered by their own tests)."""
+    drops storage back to the baseline (0 cached RDDs). Since r13 the
+    engine's localCheckpoint sites register with the tracker too
+    (tracked_checkpoint), so the checkpointed IVF family is IN scope —
+    the r12 narrowing (dedup_semantic routed around the checkpoint
+    gap) is reverted, closing the r12 ADVICE item."""
     from etl_data_pipeline_spark.llm import curation, dedup, similarity
 
     release_tracked(spark, blocking=True)  # clean slate
@@ -80,16 +81,15 @@ def test_composing_session_storage_returns_to_baseline(spark, sf_dir):
         dedup.dedup_minhash_lsh,
         dedup.dedup_simhash,
         dedup.dedup_embedding_cosine,
-        # dedup_semantic, not embedding_kmeans/sim_ann_ivf: the whole
-        # IVF family's shortlist tables are localCheckpointed since
-        # r12, and checkpoint blocks free via GC, not unpersist (the
-        # docstring's standing exclusion); dedup_semantic exercises
-        # the same sem_scored kernel through persist-only lineage
+        # checkpointing paths, releasable since r13: the IVF seed
+        # shortlist (localCheckpoint under the rank window) and the
+        # persist-only sem_scored kernel both return to baseline
+        similarity.sim_ann_ivf,
         dedup.dedup_semantic,
         curation.pipeline_corpus_curation_v2,
         dedup.dedup_ngram_jaccard,   # repeat: the leak was cumulative
         dedup.dedup_minhash_lsh,
-        dedup.dedup_embedding_cosine,
+        similarity.sim_ann_ivf,
         curation.pipeline_corpus_curation_v2,
     ]
     for fn in runs:
@@ -98,6 +98,28 @@ def test_composing_session_storage_returns_to_baseline(spark, sf_dir):
     released = release_tracked(spark, blocking=True)
     assert released >= 10
     assert _cached_rdd_count(spark) == baseline
+
+
+def test_tracked_checkpoint_blocks_release(spark):
+    """localCheckpoint blocks are invisible to DataFrame.unpersist and
+    clearCache; tracked_checkpoint must make release_tracked free them
+    (r12 ADVICE #2 — before this, lineage cuts leaked storage a
+    composing session could never reclaim)."""
+    from etl_data_pipeline_spark.functions.caching import tracked_checkpoint
+
+    release_tracked(spark, blocking=True)
+    df = tracked_checkpoint(
+        spark.range(10_000).select((F.col("id") * 3).alias("x"))
+    )
+    assert df.count() == 10_000  # checkpoint materialized
+    spark.catalog.clearCache()   # proves clearCache cannot free it
+    assert _cached_rdd_count(spark) >= 1
+    assert release_tracked(spark, blocking=True) >= 1
+    assert _cached_rdd_count(spark) == 0
+    # lazy variant: releasing a never-materialized checkpoint is a no-op
+    lazy = tracked_checkpoint(spark.range(5), eager=False)
+    release_tracked(spark, blocking=True)
+    assert _cached_rdd_count(spark) == 0
 
 
 def test_quarantine_read_context_manager_unpersists(spark, tmp_path):
