@@ -41,6 +41,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from etl_data_pipeline_spark.functions.caching import release_tracked
 from etl_data_pipeline_spark.session import get_spark, load_table
 
 # Headline set: the shapes that dominate real pipelines at scale —
@@ -147,6 +148,47 @@ R1_HEADLINE = BENCH_QUERIES[: BENCH_QUERIES.index("text_contamination")]
 # regression.
 QUIET_MOPS = 18.0
 
+# Quiet-host wall seconds of the in-JVM control query below (r13,
+# VERDICT r12 "what's wrong" #1): the r12 round proved that the
+# loadavg gate AND the pure-Python spin probe both pass while every
+# Spark query runs ~35% slow — the contention that burned that round
+# was memory-bandwidth/IO-class, invisible to a no-allocation spin
+# loop (the probe read FASTER on the degraded host). The control is a
+# fixed shuffle+aggregate over GENERATED data (no input files, no
+# Python rows): it exercises exactly the JVM codegen + hash + exchange
+# write/read + memory-bandwidth path the bench queries live on, so its
+# wall time moves with the same contention they feel. Reference value
+# recorded in BASELINE.md: best-of-6 on this host at loadavg 0.34,
+# r13 session (post-JIT runs read 2.17-2.54 s; if the true quiet floor
+# is lower the normalization under-discounts, i.e. errs conservative).
+QUIET_CONTROL_SEC = 2.17
+
+
+def spark_control(spark) -> float:
+    """Time ONE fixed in-JVM shuffle+agg (noop sink) — the bench's
+    machine-speed control. 48M generated rows → 1M-group hash
+    aggregate: at 64 map tasks each holds <1M groups, so partial
+    aggregation cannot collapse the exchange and ~48M rows genuinely
+    cross the shuffle — a memory-bandwidth-class load. Deterministic
+    (range + modular arithmetic), reads nothing, and is NOT part of
+    the timed query set: it runs OUTSIDE the timed region, purely so
+    a driver comparison can normalize for host contention that
+    loadavg and the spin probe cannot see."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 48_000_000, 1, 64)
+        .select(
+            (F.col("id") % 1_000_000).alias("k"),
+            ((F.col("id") * 2654435761) % 1_000_003).alias("v"),
+        )
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+    )
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 3)
+
 
 def wait_for_quiet_host() -> tuple[float, bool]:
     """Block until 1-min loadavg < SPARK_GRAFT_BENCH_LOADAVG_MAX or the
@@ -218,7 +260,19 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     # warmup-pass persisted intermediates are dead lineage now — drop
     # them so the timed passes measure each query self-contained.
+    # release_tracked additionally frees localCheckpoint blocks, which
+    # clearCache cannot see (r13; they accumulated across all 52
+    # queries before — ~130 MB of dead blocks at sf0.1 plus the GC
+    # pressure of their blown cleanup queue, which landed as a 1-4 s
+    # first-Python-query penalty on whichever query followed the heavy
+    # tail — udaf_grouped's phantom ×3 "regression" in PERF_r12).
+    release_tracked(spark)
     spark.catalog.clearCache()
+
+    # In-JVM control (see spark_control): one untimed run to absorb its
+    # own codegen JIT, then the timed start-bracket sample.
+    spark_control(spark)
+    control_start = spark_control(spark)
 
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     for _ in range(reps):
@@ -228,13 +282,18 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.time() - t0)
             # drop this query's persisted intermediates OUTSIDE the
-            # timer so its next rep recomputes from the source.
+            # timer so its next rep recomputes from the source —
+            # including its checkpoint blocks (release_tracked), which
+            # clearCache cannot free (r13).
+            release_tracked(spark)
             spark.catalog.clearCache()
 
     timings = {
         name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()
     }
     total = round(sum(timings.values()), 3)
+    control_end = spark_control(spark)  # end bracket, JIT already warm
+    control = min(control_start, control_end)
     cpu_mops_end = cpu_probe()
     probe = min(cpu_mops_start, cpu_mops_end)
     print(
@@ -257,6 +316,17 @@ def main() -> None:
                 # recorded floors when cpu_probe reads a loaded host
                 "probe_normalized_total": round(
                     total * min(probe / QUIET_MOPS, 1.0), 3
+                ),
+                # In-JVM control brackets [start, end] (seconds; see
+                # spark_control — catches the memory-bandwidth-class
+                # contention the spin probe cannot). The normalized
+                # total scales by min(quiet/control, 1.0): clamped so a
+                # faster-than-reference host can never INFLATE a
+                # result, only a slower one discounts toward its
+                # quiet-host equivalent.
+                "control_sec": [control_start, control_end],
+                "control_normalized_total": round(
+                    total * min(QUIET_CONTROL_SEC / control, 1.0), 3
                 ),
                 # the only subtotal with a recorded round-1 floor
                 # (BASELINE.md: 28.7 s) — self-adjudicating
