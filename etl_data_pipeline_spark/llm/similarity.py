@@ -19,10 +19,13 @@ from __future__ import annotations
 import random
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_data_pipeline_spark.functions.caching import tracked_persist
+from etl_data_pipeline_spark.functions.caching import (
+    tracked_checkpoint,
+    tracked_persist,
+)
 from etl_data_pipeline_spark.functions.rounding import hround, sql_round
 from etl_data_pipeline_spark.llm.vector import cosine, dot as _dot, rank_topk, scored_pairs
 from etl_data_pipeline_spark.session import load_table, spread
@@ -272,7 +275,7 @@ def _rank_shortlist(
 
     scored = sem_scored(vectors, centroids, n_centroids)
     if cut_lineage:
-        scored = scored.localCheckpoint()
+        scored = tracked_checkpoint(scored)
     return scored.withColumn(
         "arank",
         F.row_number().over(
@@ -668,8 +671,8 @@ def _ivf_trained_build_from(e: DataFrame):
             "cv",
             F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cnrm"),
         )
-        .localCheckpoint()
     )
+    c1 = tracked_checkpoint(c1)
     aranked = tracked_persist(_rank_shortlist(e, c1, cut_lineage=True))
     return e, _assigned_from(aranked, e), aranked, c1
 
@@ -1027,24 +1030,160 @@ def _sq_dist(a, b):
     """Squared L2 distance via three sequential-fold dot products —
     the SAME expression shape in the oracle SQL, so the doubles are
     bit-identical (elementwise-fold formulations would accumulate in a
-    different order)."""
+    different order).
+
+    Reference form: the hot paths (PQ encode/LUTs via _pq_subdists,
+    the ivfpq-recall exact side) inline this exact operand order with
+    the dot(x,x) terms pre-staged per row — identical doubles, one
+    fold per pair instead of three. Any new consumer must keep the
+    ((aa − 2·ab) + bb) order or the oracle hashes drift."""
     return _dot(a, a) - F.lit(2.0) * _dot(a, b) + _dot(b, b)
 
 
-def _subvectors(col, alias: str):
-    """Explode a dim-64 vector into PQ_M (s, 16-dim slice) rows."""
+def _pq_cb_row(e: DataFrame) -> DataFrame:
+    """ONE-row packed codebook: column ``cb{s}`` holds every codebook
+    entry of subspace s as struct(cid, cv, cvv) where cvv = dot(cv,cv)
+    staged once per entry (the staged-norm recipe: every encode/LUT
+    consumer folds sq-dist as svv − 2·dot(sv,cv) + cvv, the SAME
+    operand order as ``_sq_dist`` so the doubles are bit-identical).
+
+    The codebook is FIXED-size (≤50 entries, see PQ_CODEBOOK_ID_CAP),
+    so packing it into one broadcastable row turns both the encode
+    argmin and the per-query LUT into pure projections — r13: the
+    relational form planned the encode as a SortAggregate of
+    min(struct(d,cid)) over the corpus×codebook join (N·4·K rows
+    SORTED) and the ADC fold as a collect_list shuffle; both are gone
+    (guide §1.2 step 1, §2.4 — remove shuffles outright).
+
+    collect_list order is nondeterministic, but every consumer is
+    order-insensitive: the argmin fold computes the true lexicographic
+    (d, cid) minimum of the SET, and map_from_entries keys are unique
+    cids. The ``size > 0`` filter reproduces the relational form's
+    empty-codebook behavior (no codebook ⇒ no output rows, not
+    null codes)."""
     sub = DIM // PQ_M
-    return F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(s).alias("s"),
-                    F.slice(col, s * sub + 1, sub).alias(alias),
-                )
-                for s in range(PQ_M)
-            ]
-        )
+    cb = e.filter(
+        (F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER)
+        & (F.col("vec_id") < PQ_CODEBOOK_ID_CAP)
     )
+    aggs = []
+    for s in range(PQ_M):
+        cv = F.slice(F.col("v"), s * sub + 1, sub)
+        aggs.append(
+            F.collect_list(
+                F.struct(
+                    F.col("vec_id").alias("cid"),
+                    cv.alias("cv"),
+                    _dot(cv, cv).alias("cvv"),
+                )
+            ).alias(f"cb{s}")
+        )
+    return cb.groupBy().agg(*aggs).filter(F.size("cb0") > 0)
+
+
+def _pq_staged(df: DataFrame, vcol: str) -> DataFrame:
+    """Stage each row's subspace slice and its self-dot as REAL
+    columns (_sv{s}, _svv{s}) before any codebook fold. Higher-order
+    lambdas re-evaluate every captured subexpression PER ARRAY ENTRY
+    (interpreted, no CSE) — without this the encode fold recomputed
+    slice+dot(sv,sv) |codebook| times per row and measured 3× SLOWER
+    than the relational form it replaced; with it the per-entry work
+    is the one dot(sv, cv) the ADC math actually needs.
+
+    Callers apply this UNDER their crossJoin with the packed codebook:
+    CollapseProject would otherwise re-inline a used-once alias into
+    the consuming lambda (un-staging it), but projections never merge
+    across a join boundary."""
+    sub = DIM // PQ_M
+    cols = [df[c] for c in df.columns]
+    for s in range(PQ_M):
+        sv = F.slice(F.col(vcol), s * sub + 1, sub)
+        cols.append(sv.alias(f"_sv{s}"))
+    out = df.select(*cols)
+    return out.select(
+        "*", *[
+            _dot(F.col(f"_sv{s}"), F.col(f"_sv{s}")).alias(f"_svv{s}")
+            for s in range(PQ_M)
+        ]
+    )
+
+
+def _pq_subdists(s: int):
+    """struct(d, cid) per codebook entry of subspace ``s`` against the
+    staged row slice — d in ``_sq_dist``'s exact operand order with
+    the dot(x,x) terms pre-staged per row/entry (bit-identical)."""
+    return F.transform(
+        F.col(f"cb{s}"),
+        lambda c: F.struct(
+            (
+                F.col(f"_svv{s}") - F.lit(2.0) * _dot(F.col(f"_sv{s}"), c["cv"])
+                + c["cvv"]
+            ).alias("d"),
+            c["cid"].alias("cid"),
+        ),
+    )
+
+
+def _pq_encode_wide(e: DataFrame, cb_row: DataFrame) -> DataFrame:
+    """(vec_id, c0..c{PQ_M-1}): nearest codebook entry per subspace —
+    the 64×-compressed PQ representation, computed as ONE map-only
+    projection against the broadcast packed codebook. The fold is the
+    lexicographic (d, cid) minimum, the same total order the
+    relational min(struct(d, cid)) produced; d is never NaN/∞ (finite
+    slices), so the ∞-seeded init never survives a non-empty array."""
+    init = F.struct(
+        F.lit(float("inf")).alias("d"), F.lit(None).cast("long").alias("cid")
+    )
+    out = _pq_staged(e, "v").crossJoin(F.broadcast(cb_row))
+    sel = [F.col("vec_id")]
+    for s in range(PQ_M):
+        code = F.aggregate(
+            _pq_subdists(s),
+            init,
+            lambda acc, x: F.when(
+                (x["d"] < acc["d"])
+                | ((x["d"] == acc["d"]) & (x["cid"] < acc["cid"])),
+                x,
+            ).otherwise(acc),
+        )["cid"]
+        sel.append(code.alias(f"c{s}"))
+    return out.select(*sel)
+
+
+def _pq_query_luts(e: DataFrame, cb_row: DataFrame) -> DataFrame:
+    """(query_id, m0..m{PQ_M-1}): per-query ADC lookup tables — map
+    cid → subdistance per subspace, one broadcastable row per query
+    (|workload| is the fixed capped query batch). Map keys are the
+    unique codebook cids; values carry ``_sq_dist``'s exact operand
+    order (see _pq_cb_row)."""
+    q = e.filter(
+        (F.col("vec_id") % QUERY_MOD == 0)
+        & (F.col("vec_id") < PQ_CODEBOOK_ID_CAP)
+    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    out = _pq_staged(q, "qv").crossJoin(F.broadcast(cb_row))
+    sel = [F.col("query_id")]
+    for s in range(PQ_M):
+        m = F.map_from_entries(
+            F.transform(
+                _pq_subdists(s),
+                lambda x: F.struct(
+                    x["cid"].alias("key"), x["d"].alias("value")
+                ),
+            )
+        )
+        sel.append(m.alias(f"m{s}"))
+    return out.select(*sel)
+
+
+def _pq_adc_dist() -> Column:
+    """The rounded ADC distance of a (codes, LUT-maps) row: PQ_M map
+    lookups summed LEFT-TO-RIGHT in subspace order — the identical
+    IEEE sequence the relational s-sorted fold accumulated (and the
+    oracle's ordered list_reduce replays)."""
+    total = F.element_at("m0", F.col("c0"))
+    for s in range(1, PQ_M):
+        total = total + F.element_at(f"m{s}", F.col(f"c{s}"))
+    return hround(total, 6).alias("adc_dist")
 
 
 def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1068,15 +1207,29 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode + LUT + ADC exactly; distances fold in the same IEEE order
     both sides and ranking uses the rounded distance with an id
     tiebreak. ADC is approximate vs true L2 by construction — the
-    oracle checks the PQ pipeline itself, exactly."""
+    oracle checks the PQ pipeline itself, exactly.
+
+    Plan shape (r13): the codebook is FIXED-size, so encode and the
+    per-query LUTs are pure projections against ONE broadcast packed
+    codebook row (_pq_cb_row) and the ADC scan is corpus ⋈ broadcast
+    query-LUTs with the distance as PQ_M map lookups — the only
+    exchange left is the top-k window's (was 5: two corpus explodes, a
+    SORTED min(struct) encode aggregate, and a collect_list fold
+    shuffle)."""
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    codes, qlut = _pq_codes_and_qlut(e)
-    parts = codes.join(F.broadcast(qlut), ["s", "cid"]).filter(
-        F.col("vec_id") != F.col("query_id")
+    # persisted: the 1-row packed codebook feeds BOTH the encode and
+    # the query LUTs — without the pin each consumer re-runs the
+    # codebook aggregate and broadcasts its own copy.
+    cb_row = tracked_persist(_pq_cb_row(e))
+    codes = _pq_encode_wide(e, cb_row)
+    luts = _pq_query_luts(e, cb_row)
+    scored = (
+        codes.crossJoin(F.broadcast(luts))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", _pq_adc_dist())
     )
-    scored = _adc_fold(parts)
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("vec_id")
     )
@@ -1084,77 +1237,6 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= PQ_TOPK)
         .select("query_id", "rank", "vec_id", "adc_dist")
-    )
-
-
-def _pq_codes_and_qlut(e: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Shared PQ machinery: (codes, query LUT).
-
-    codes: one (vec_id, s, cid) row per corpus vector and subspace —
-    the 64x-compressed representation. Encode is an argmin against the
-    broadcast fixed-size codebook; min(struct) gives the lexicographic
-    minimum -> deterministic (distance, cid) tiebreak.
-
-    qlut: (query_id, s, cid, qd) — every query's precomputed distance
-    to every codebook entry per subspace. The query workload carries
-    the SAME id cap as the codebook: ANN serving scales the corpus,
-    not the query batch — an uncapped Q ∝ N sample would make the
-    O(N)-per-query ADC scan read as O(N²)."""
-    cb = (
-        e.filter(
-            (F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REMAINDER)
-            & (F.col("vec_id") < PQ_CODEBOOK_ID_CAP)
-        )
-        .select(F.col("vec_id").alias("cid"), _subvectors(F.col("v"), "cv").alias("c"))
-        .select("cid", "c.s", "c.cv")
-    )
-    corp = e.select("vec_id", _subvectors(F.col("v"), "sv").alias("p")).select(
-        "vec_id", "p.s", "p.sv"
-    )
-    codes = (
-        corp.join(F.broadcast(cb), "s")
-        .groupBy("vec_id", "s")
-        .agg(
-            F.min(
-                F.struct(
-                    _sq_dist(F.col("sv"), F.col("cv")).alias("d"),
-                    F.col("cid").alias("cid"),
-                )
-            ).alias("m")
-        )
-        .select("vec_id", "s", F.col("m.cid").alias("cid"))
-    )
-    qlut = (
-        corp.filter(
-            (F.col("vec_id") % QUERY_MOD == 0)
-            & (F.col("vec_id") < PQ_CODEBOOK_ID_CAP)
-        )
-        .withColumnRenamed("vec_id", "query_id")
-        .join(F.broadcast(cb), "s")
-        .select(
-            "query_id", "s", "cid",
-            _sq_dist(F.col("sv"), F.col("cv")).alias("qd"),
-        )
-    )
-    return codes, qlut
-
-
-def _adc_fold(parts: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
-    """Fold per-(query, vector) subspace distances in s order — the
-    deterministic IEEE sequence DuckDB's ordered list_reduce replays —
-    and round for the rank boundary. ``extra`` columns (constant per
-    group, e.g. the IVF cell) ride along in the groupBy."""
-    xs = F.transform(
-        F.array_sort(F.collect_list(F.struct("s", "qd"))), lambda t: t.qd
-    )
-    folded = parts.groupBy("query_id", "vec_id", *extra).agg(xs.alias("xs"))
-    total = F.aggregate(
-        F.slice("xs", F.lit(2), F.size("xs") - 1),
-        F.element_at("xs", 1),
-        lambda acc, x: acc + x,
-    )
-    return folded.select(
-        "query_id", "vec_id", *extra, hround(total, 6).alias("adc_dist")
     )
 
 
@@ -1212,7 +1294,9 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cluster") != -1)
         .select("vec_id", F.col("cluster").alias("cell"))
     )
-    codes, qlut = _pq_codes_and_qlut(e)
+    cb_row = tracked_persist(_pq_cb_row(e))  # shared: encode + LUTs
+    codes = _pq_encode_wide(e, cb_row)
+    luts = _pq_query_luts(e, cb_row)
     qcells = (
         assigned.filter(
             (F.col("vec_id") % QUERY_MOD == 0)
@@ -1220,14 +1304,17 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell"))
     )
+    # codes are ONE row per vector (r13, _pq_encode_wide) — the
+    # vec_id join shuffles N rows, not N·PQ_M exploded subspaces, and
+    # the ADC distance is a broadcast-LUT projection instead of a
+    # collect_list fold shuffle.
     cand = codes.join(assigned, "vec_id").join(
         F.broadcast(qcells), F.col("cell") == F.col("qcell")
     )
-    parts = cand.join(F.broadcast(qlut), ["query_id", "s", "cid"]).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
-    scored = _adc_fold(
-        parts.select("query_id", "vec_id", "s", "qd", "cell"), extra=("cell",)
+    scored = (
+        cand.join(F.broadcast(luts), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "cell", _pq_adc_dist())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("vec_id")
@@ -1266,16 +1353,31 @@ def sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    q = e.filter(
+    # Staged self-dots (r13, the scored_pairs staged-norm recipe): the
+    # exact side scores |workload| · N pairs — dot(qv,qv) is constant
+    # per query and dot(v,v) per corpus row, so staging both cuts the
+    # per-pair work to ONE 64-dim fold. Operand order matches
+    # _sq_dist exactly ((qvv − 2·dot) + vvv) ⇒ bit-identical doubles.
+    ev = e.withColumn("vvv", _dot(F.col("v"), F.col("v")))
+    q = ev.filter(
         (F.col("vec_id") % QUERY_MOD == 0)
         & (F.col("vec_id") < PQ_CODEBOOK_ID_CAP)
-    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-    exact_scored = e.join(
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("vvv").alias("qvv"),
+    )
+    exact_scored = ev.join(
         F.broadcast(q), F.col("vec_id") != F.col("query_id")
     ).select(
         "query_id",
         "vec_id",
-        hround(_sq_dist(F.col("qv"), F.col("v")), 6).alias("d"),
+        hround(
+            F.col("qvv")
+            - F.lit(2.0) * _dot(F.col("qv"), F.col("v"))
+            + F.col("vvv"),
+            6,
+        ).alias("d"),
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("vec_id"))
     exact_top = (
@@ -1449,12 +1551,12 @@ def _pca_power_iterate(cov_ut: DataFrame) -> tuple[DataFrame, DataFrame]:
             # Catalyst re-optimization explodes — the iterative-DataFrame
             # trap dedup_clusters documents; persist alone doesn't help
             # because the optimizer still walks the un-truncated lineage.
-            y = (
+            y = tracked_checkpoint(
                 cov.join(F.broadcast(vec.withColumnRenamed("i", "j")), "j")
                 .groupBy("i")
                 .agg(hround(F.sum(F.col("c") * F.col("x")), 6).alias("y"))
                 .coalesce(1)
-            ).localCheckpoint()
+            )
             norm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
             vec = y.crossJoin(F.broadcast(norm)).select(
                 "i", hround(F.col("y") / F.col("nrm"), 6).alias("x")
