@@ -307,10 +307,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the wedge apex, and one closure semi-check on (dst, dst) —
     three shuffles total, none keyed on a raw-degree hub.
     """
-    # persist: _triangles consumes pairs twice (degree build + the
-    # degree annotation) — without the pin each re-runs the li⋈li
-    # self-join and both distincts.
-    pairs = tracked_persist(_part_pairs(spark, sf_dir))
+    # Checkpoint, not persist (r13): _triangles consumes pairs twice
+    # (degree build + degree annotation) and the downstream wedge plan
+    # re-analyzes the whole li⋈li+distinct subtree per reference under
+    # a bare persist — the checkpoint truncates the lineage so every
+    # consumer reads a Scan ExistingRDD, and the eager materialization
+    # IS the one li⋈li pass a persist would pay anyway. (No partition
+    # contract needed here: deg aggregates and ann broadcast-joins.)
+    pairs = tracked_checkpoint(_part_pairs(spark, sf_dir))
     tri = _triangles(spark, pairs)
     return (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
@@ -349,15 +353,23 @@ def _triangles(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     # SAME (degree, id) total order that oriented the edges, or the
     # closure edge of a triangle whose two far corners sort the other
     # way by raw id points "backwards" and the triangle is missed.
-    oriented = (
-        ann.select(
-            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dd"),
-        )
-        .repartition(p, "src")
+    # Checkpoint-under / persist-on-top (the pagerank r12 recipe):
+    # oriented appears THREE times in the closure plan (e1, e2, e3) —
+    # cutting the pairs→deg→ann lineage under the repartition stops
+    # Catalyst re-analyzing it per reference, while the persisted
+    # repartitioned top keeps hash(src) so the wedge self-join stays
+    # exchange-free (a checkpoint ABOVE the repartition reads
+    # UnknownPartitioning under AQE — the r12 failure mode;
+    # tests/test_r12_opt.py pins this shape for the graph bases).
+    oriented = tracked_persist(
+        tracked_checkpoint(
+            ann.select(
+                F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+                F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+                F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+            )
+        ).repartition(p, "src")
     )
-    oriented = tracked_persist(oriented)
     wedge_lt = (F.col("e1.dd") < F.col("e2.dd")) | (
         (F.col("e1.dd") == F.col("e2.dd")) & (F.col("e1.dst") < F.col("e2.dst"))
     )
@@ -403,9 +415,11 @@ def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_data_pipeline_spark.functions.hashing import md5_bucket
 
     pairs = _part_pairs(spark, sf_dir)
-    # persist: kept feeds the degree build, the degree annotation, AND
-    # the sampled-edge count — three re-runs of the self-join otherwise.
-    kept = tracked_persist(
+    # Checkpoint, not persist (r13, as graph_triangle_count's pairs):
+    # kept feeds the degree build, the degree annotation, AND the
+    # sampled-edge count — the lineage cut stops each of the three
+    # consumers re-analyzing the li⋈li+distinct+filter subtree.
+    kept = tracked_checkpoint(
         pairs.filter(md5_bucket(F.concat_ws("-", "u", "v"), 100) < DOULION_PCT)
     )
     tri = _triangles(spark, kept)
