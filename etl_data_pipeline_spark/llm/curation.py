@@ -326,16 +326,32 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on doc_id. At 100 TB the feature table stays B rows — the
     method was designed exactly so the 'model' is a broadcastable
     histogram."""
-    from etl_data_pipeline_spark.functions.hashing import md5_long60
     from etl_data_pipeline_spark.llm.text_analysis import bigram_pairs
 
     docs = spread(load_table(spark, sf_dir, "documents"))
+    stream = docs.select(
+        "doc_id", "lang", F.explode(bigram_pairs()).alias("bg")
+    ).select(
+        "doc_id", "lang", F.col("bg.h").alias("h"), F.col("bg.w").alias("w")
+    )
+    return _dsir_from(stream)
+
+
+def _dsir_from(stream: DataFrame) -> DataFrame:
+    """corpus_dsir_weights' scoring half over a caller-supplied bigram
+    stream (doc_id, lang, h, w) — split out (r13) so
+    pipeline_corpus_curation_v3 can feed this gate and the bigram-LM
+    gate from ONE tokenize+explode pass. The bucketed projection is
+    persisted HERE (feats feeds the histogram aggregate and the
+    per-doc scoring join), exactly as the standalone query always did."""
+    from etl_data_pipeline_spark.functions.hashing import md5_long60
+
     feats = tracked_persist(
-        docs.select("doc_id", "lang", F.explode(bigram_pairs()).alias("bg")).select(
+        stream.select(
             "doc_id",
             "lang",
             (
-                md5_long60(F.concat_ws(" ", F.col("bg.h"), F.col("bg.w")))
+                md5_long60(F.concat_ws(" ", F.col("h"), F.col("w")))
                 % DSIR_BUCKETS
             ).alias("b"),
         )
@@ -397,12 +413,27 @@ def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     (single scans + vocabulary/bucket/centroid-sized side tables); the
     composition joins NARROW per-doc relations (doc_id + one boolean)
     on doc_id — co-partitioned post-aggregate joins, never a second
-    pass over document text."""
+    pass over document text.
+
+    Shared sub-relation (r13): the bigram-LM gate and the DSIR gate
+    both consume the exploded corpus bigram stream — standalone each
+    tokenizes and persists its own copy; composed here they read ONE
+    persisted (doc_id, lang, h, w) stream (same bigram_pairs kernel,
+    so the per-gate numbers are unchanged by construction), saving a
+    full corpus tokenize+explode pass and one corpus-scale cache."""
     from etl_data_pipeline_spark.llm import dedup as _dd
     from etl_data_pipeline_spark.llm import text_analysis as _ta
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
+    )
+    shared_bg = tracked_persist(
+        spread(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "lang", F.explode(_ta.bigram_pairs()).alias("bg"))
+        .select(
+            "doc_id", "lang",
+            F.col("bg.h").alias("h"), F.col("bg.w").alias("w"),
+        )
     )
     g = _ta.text_gopher_rules(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("k_gopher")
@@ -410,10 +441,10 @@ def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _ta.text_quality_classifier(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("k_clf")
     )
-    b = _ta.text_bigram_logprob(spark, sf_dir).select(
+    b = _ta.bigram_logprob_from(shared_bg).select(
         "doc_id", F.col("keep").alias("k_lm")
     )
-    d = corpus_dsir_weights(spark, sf_dir).select(
+    d = _dsir_from(shared_bg).select(
         "doc_id", F.col("keep").alias("k_dsir")
     )
     s = _dd.dedup_semantic(spark, sf_dir).select(

