@@ -83,6 +83,27 @@ def get_spark(
         # Keep broadcast autodetection on; dims like region/nation/part
         # broadcast automatically, we also force it where we know better.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Shuffled-hash over sort-merge when the planner's size
+        # conditions are met, plus the AQE runtime SMJ→SHJ rewrite for
+        # small post-shuffle partitions (guide §3.1/§9; r13 bench-wide
+        # interleaved A/B: 52-query total 119.6→114.8 s, biggest wins
+        # on the hash-heavy dedup/graph family — dedup_embedding_cosine
+        # 7.7→5.3, graph_pagerank 10.3→8.9 — a handful of sub-second
+        # paths pay ≤0.1 s). Production posture: the planner still
+        # requires the build side to fit its per-partition bound (it
+        # falls back to SMJ otherwise) and AQE skew-join continues to
+        # split oversized partitions; the 128m rewrite threshold only
+        # fires when EVERY post-shuffle partition is below it, so a
+        # skewed build side keeps the spill-safe SMJ. Env-overridable
+        # for deployments that want the old default.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP_THRESHOLD", "128m"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
