@@ -19,7 +19,7 @@ exchange; state per round is O(nodes), never O(edges × iterations).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_data_pipeline_spark.functions.caching import (
@@ -73,6 +73,41 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _edges_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_edges`` in a LONG key domain: customer ck → 2·ck, supplier
+    sk → 2·sk + 1 (injective, side recoverable from the low bit). The
+    iterative consumers (pagerank rounds, BFS frontiers) hash, join,
+    aggregate and EXCHANGE node keys once per round — carrying 8-byte
+    longs instead of 'c…'/'s…' strings shrinks every per-round shuffle
+    and replaces string hashing/compares in the loop's hot joins
+    (guide §2.3 "narrower types", extending the r12 int-keyed edge
+    dedup to the whole loop). ``_node_str`` is the exact inverse,
+    applied ONCE at each query's output so the public/oracle string
+    ids are unchanged."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ipairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk")
+        )
+        .distinct()
+    )
+    c = (F.col("ck").cast("long") * 2).alias
+    s = (F.col("sk").cast("long") * 2 + 1).alias
+    return ipairs.select(c("src"), s("dst")).union(
+        ipairs.select(s("src"), c("dst"))
+    )
+
+
+def _node_str(col: Column) -> Column:
+    """Long node key → the public string id ('c'+ck / 's'+sk)."""
+    half = F.shiftright(col, 1)
+    return F.when(
+        col % 2 == 0, F.concat(F.lit("c"), half)
+    ).otherwise(F.concat(F.lit("s"), half))
+
+
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (d=0.85, 5 rounds) on the undirected
     bipartite graph customer —bought-from→ supplier (distinct
@@ -117,8 +152,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-run swaps in .checkpoint() here — one line, same partitioning
     # contract. Model-sized checkpoints elsewhere (IVF centroids,
     # shortlists) carry no such risk.
+    # LONG node keys through the loop (r13, guide §2.3): every round's
+    # join/agg/exchange hashes 8-byte longs instead of strings; the
+    # public string ids are rebuilt once at the output projection.
     edges = tracked_persist(
-        tracked_checkpoint(_edges(spark, sf_dir)).repartition(p, "src")
+        tracked_checkpoint(_edges_long(spark, sf_dir)).repartition(p, "src")
     )
     deg = tracked_persist(
         edges.groupBy("src")
@@ -153,7 +191,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         ranks = tracked_checkpoint(ranks, eager=False)
-    return ranks.select("node", "outdeg", hround("rank", 8).alias("rank"))
+    return ranks.select(
+        _node_str(F.col("node")).alias("node"),
+        "outdeg",
+        hround("rank", 8).alias("rank"),
+    )
 
 
 def _pagerank_oracle() -> str:
@@ -212,16 +254,22 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build, persist the repartitioned top (partitioning survives the
     # cache; the checkpoint alone would read UnknownPartitioning under
     # AQE and re-exchange per level at scale).
+    # LONG node keys through the frontier loop (r13, as pagerank).
     edges = tracked_persist(
-        tracked_checkpoint(_edges(spark, sf_dir)).repartition(p, "src")
+        tracked_checkpoint(_edges_long(spark, sf_dir)).repartition(p, "src")
     )
-    src = (
-        edges.filter(F.col("src").startswith("s"))
-        .agg(F.min("src"))
+    # Source pick is the LEXICOGRAPHIC min of the supplier STRING ids
+    # (the public contract — 's10' < 's2'), so the min runs over the
+    # translated strings and only the chosen scalar maps back to the
+    # long domain. Scalar source pick, not a data collect.
+    src_str = (
+        edges.filter(F.col("src") % 2 == 1)
+        .agg(F.min(_node_str(F.col("src"))))
         .first()[0]
-    )  # scalar source pick, not a data collect
+    )
+    src = int(src_str[1:]) * 2 + 1
     visited = tracked_checkpoint(
-        spark.createDataFrame([(src, 0)], "node string, dist int"),
+        spark.createDataFrame([(src, 0)], "node long, dist int"),
         eager=False,
     )
     frontier = visited
@@ -237,7 +285,7 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             eager=False,
         )
         visited = tracked_checkpoint(visited.union(frontier), eager=False)
-    return visited
+    return visited.select(_node_str(F.col("node")).alias("node"), "dist")
 
 
 def _bfs_oracle() -> str:
