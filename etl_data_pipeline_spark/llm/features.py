@@ -314,11 +314,17 @@ def _lr_trained_weights(spark: SparkSession, sf_dir: str):
 
 def _lr_wmap(support: list[int], w: dict[int, float]):
     """The trained model as a literal map expression (≤ 33 entries) —
-    how a consumer attaches weights without a join."""
-    return F.map_from_arrays(
-        F.array(*[F.lit(j) for j in support]),
-        F.array(*[F.lit(w[j]) for j in support]),
-    )
+    how a consumer attaches weights without a join.
+
+    Built as ONE sql-parsed expression instead of per-entry F.lit
+    calls (r13): the trainer rebuilds this map EVERY STEP, and the
+    ~70 py4j round-trips of the column-API form cost ~50 ms/step of
+    pure driver-side Python — measured 1.07 s vs 0.013 s for 20
+    builds. repr(float) round-trips exactly and the D suffix parses
+    as DOUBLE, so the literal map is bit-identical to the F.lit form
+    (asserted before the swap; the oracle replays the same values)."""
+    entries = ", ".join(f"{j}L, {w[j]!r}D" for j in support)
+    return F.expr(f"map({entries})")
 
 
 def _lr_train(spark: SparkSession, sf_dir: str):
